@@ -1,0 +1,453 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational operator surface of the engine, exercised over the driver's
+  * TPC-H-ish fixtures (TESTDATA.md). Each entry re-expresses a reference
+  * operator (SURVEY.md §2 IDs cited per query) as a declarative DataFrame
+  * plan so Catalyst handles pushdown/pruning/join strategy; the DuckDB
+  * oracle in [[oracleSql]] pins semantics.
+  *
+  * Scale notes (100 TB stance): filters/projections sit directly on the
+  * parquet scan (pushdown + column pruning); dimension joins (nation,
+  * region) are broadcast; fact-fact joins shuffle on their equi-keys and
+  * rely on AQE for skew/coalescing.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A7/§2.5 — masked per-group stats (TPC-H Q1 shape). Partial aggregation
+    // (map-side combine) keeps the shuffle tiny at any scale.
+    "q1_pricing_summary" -> { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // P1-P3/P6-P8 — windowed slice: range predicates pushed to the parquet
+    // scan (frac/time pruning analog: jgrid3.py:470-489).
+    "p3_window_slice" -> { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp")))
+        .filter(col("l_partkey").between(100, 900))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_shipdate").cast("date").as("ship_day"))
+    },
+
+    // P9 — nodata↔NULL duality: nodata → NULL on read, NULL → fill on write
+    // (jgrid3.py:332-336, modis.py:252-262).
+    "p9_nodata_mask" -> { (s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_quantity"), lit(1.0)).as("qty_masked"),
+        coalesce(nullif(col("l_quantity"), lit(1.0)), lit(-3000.0)).as("qty_filled"))
+    },
+
+    // J1 — multi-grid align as equi-join + agg (jgrid/utils.py:54-81).
+    // nation is a broadcast dim; customer⋈orders shuffles on the key.
+    "j1_multi_grid_align" -> { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    },
+
+    // J4 — input intersection as left-semi (hadoop/spark.py:166-167).
+    "j4_semi_join" -> { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // J5 — incremental anti-join: todo = inputs − done (hadoop/spark.py:171-177).
+    "j5_anti_join" -> { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // J6 — broadcast lookup join (complete_ndvi_worldgrid.py:220-237).
+    "j6_broadcast_lookup" -> { (s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    },
+
+    // J7 — coverage check: required − available must be inspectable
+    // (create_ndvi_worldgrid.py:238-247).
+    "j7_coverage_check" -> { (s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    },
+
+    // J8 — tile∩grid fraction selection (np.intersect1d,
+    // complete_ndvi_worldgrid.py:196-201).
+    "j8_intersect_keys" -> { (s, d) =>
+      lineitem(s, d).select(col("l_partkey").as("partkey"))
+        .intersect(part(s, d).select(col("p_partkey").as("partkey")))
+    },
+
+    // §2.8 — set union (worldgrid accumulation).
+    "set_union_nationkeys" -> { (s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    },
+
+    // §2.8 — set difference (ndvi_hdf_stats.py:50-56).
+    "set_except_custkeys" -> { (s, d) =>
+      customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(orders(s, d).select(col("o_custkey").as("custkey")))
+    },
+
+    // A1 — per-day completeness: dates where not every tile reported
+    // (ndvi_hdf_stats.py:42-59).
+    "a1_incomplete_days" -> { (s, d) =>
+      events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .withColumn("complete", col("n_types") === lit(5))
+    },
+
+    // A2 — distinct sorted date collection (ndvi_collect_dates.py:49-59).
+    "a2_distinct_dates" -> { (s, d) =>
+      orders(s, d).select(col("o_orderdate").cast("date").as("day"))
+        .distinct().orderBy(col("day"))
+    },
+
+    // A4 — per-tile counts (ndvi_hdf_stats.py:31-39).
+    "a4_group_counts" -> { (s, d) =>
+      customer(s, d).groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    },
+
+    // A5 — per-pixel index select c[i,j] = a[i,j,idx[i,j]] (utils.py:152-181).
+    "a5_index_select" -> { (s, d) =>
+      embeddings(s, d).select(col("vec_id"),
+        element_at(col("embedding"), (col("label") % 64 + 1).cast("int")).as("picked"))
+    },
+
+    // A6 — unique label inventory (glcf.py:71-77).
+    "a6_distinct_labels" -> { (s, d) =>
+      embeddings(s, d).select(col("label")).distinct()
+    },
+
+    // W1 — per-pixel time series with lag/sequence (load_ndvi_qa notebook);
+    // partitions by series key so state never leaves one task.
+    "w1_series_lag" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d).select(
+        col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        row_number().over(w).as("seq"))
+    },
+
+    // W2 — ordered reassembly as running aggregate (jgrid3.py:341-371).
+    "w2_running_sum" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d).select(
+        col("user_id"), col("event_id"),
+        sum(col("value")).over(w).as("running_value"))
+    },
+
+    // O1/O3 — deterministic top-k (takeOrdered under the hood: no full sort
+    // at scale, each partition keeps k).
+    "o1_topk" -> { (s, d) =>
+      lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(10)
+    },
+
+    // O4 — head/tail date picks as min/max agg (create_ndvi_worldgrid.py:271-272).
+    "o4_minmax_dates" -> { (s, d) =>
+      orders(s, d).agg(
+        min(col("o_orderdate")).cast("date").as("d_min"),
+        max(col("o_orderdate")).cast("date").as("d_max"),
+        count(lit(1)).as("n"))
+    },
+
+    // F1 — date codecs (utils.py:79-110).
+    "f1_date_codecs" -> { (s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_format(col("o_orderdate"), "yyyy_MM_dd").as("ymd"),
+        // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the cast
+        // is an exact reinterpretation.
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ts_ms"))
+    },
+
+    // F2 — filename/tilename regex parse (modis.py:17-77).
+    "f2_regex_parse" -> { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("source"), "src([0-9]+)", 1).cast("int").as("src_num"))
+    },
+
+    // F7 — class→name lookup as literal when-chain (glcf.py:9-58).
+    "f7_class_lookup" -> { (s, d) =>
+      events(s, d)
+        .withColumn("type_code",
+          when(col("event_type") === "click", 1)
+            .when(col("event_type") === "view", 2)
+            .when(col("event_type") === "purchase", 3)
+            .when(col("event_type") === "signup", 4)
+            .when(col("event_type") === "error", 5)
+            .otherwise(0))
+        .groupBy(col("type_code")).agg(count(lit(1)).as("n"))
+    },
+
+    // F9 — grid⇄chunk arithmetic (jgrid3.py:278-296): pure column math.
+    "f9_chunk_math" -> { (s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 4800).as("px"),
+        (col("l_suppkey") % 4800).as("py"))
+        .withColumn("frac_x", floor(col("px") / 400).cast("long"))
+        .withColumn("frac_y", floor(col("py") / 400).cast("long"))
+        .withColumn("frac_num", (col("frac_y") * 12 + col("frac_x")).cast("long"))
+    },
+
+    // ST2 — late/missing-data detection: expected×observed anti-join
+    // (create_fake_hdf.py:85-105). Cross join of two tiny distinct sets.
+    "st2_gap_fill" -> { (s, d) =>
+      val ev = events(s, d)
+      val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      val types = ev.select(col("event_type")).distinct()
+      val observed = ev.select(to_date(col("ts")).as("day"), col("event_type")).distinct()
+      days.crossJoin(types)
+        .join(observed, Seq("day", "event_type"), "left_anti")
+        .withColumn("fill_value", lit(-3000.0))
+    },
+
+    // §2.11 — rollup (hierarchy totals).
+    "cube_rollup" -> { (s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+    },
+
+    // §2.11 — ranking window, top-5 per group with deterministic tie-break.
+    "rank_topn" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"))
+        .filter(col("rnk") <= 5)
+    },
+
+    // §2.11 — tumbling event-time window (daily).
+    "tumbling_daily" -> { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+        .select(col("window.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("total_value"))
+    },
+
+    // §2.11 — JSON/meta extraction (header meta analog, jgrid3.py:127).
+    "json_props" -> { (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    },
+
+    // §2.11 — approx distinct (HLL). No oracle: sketch values are
+    // implementation-specific; driver records a rows-only check.
+    "hll_approx_users" -> { (s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "p3_window_slice" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  CAST(l_shipdate AS DATE) AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+        |  AND l_partkey BETWEEN 100 AND 900""".stripMargin,
+
+    "p9_nodata_mask" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_quantity, 1.0) AS qty_masked,
+        |  coalesce(nullif(l_quantity, 1.0), -3000.0) AS qty_filled
+        |FROM lineitem""".stripMargin,
+
+    "j1_multi_grid_align" ->
+      """SELECT n_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "j6_broadcast_lookup" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "j7_coverage_check" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+
+    "j8_intersect_keys" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+        |INTERSECT
+        |SELECT p_partkey AS partkey FROM part""".stripMargin,
+
+    "set_union_nationkeys" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "set_except_custkeys" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+
+    "a1_incomplete_days" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(DISTINCT event_type) AS n_types,
+        |  count(*) AS n_events,
+        |  count(DISTINCT event_type) = 5 AS complete
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
+
+    "a2_distinct_dates" ->
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders ORDER BY day""".stripMargin,
+
+    "a4_group_counts" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "a5_index_select" ->
+      """SELECT vec_id, embedding[(label % 64) + 1] AS picked FROM embeddings""".stripMargin,
+
+    "a6_distinct_labels" ->
+      """SELECT DISTINCT label FROM embeddings""".stripMargin,
+
+    "w1_series_lag" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |FROM events""".stripMargin,
+
+    "w2_running_sum" ->
+      """SELECT user_id, event_id,
+        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |FROM events""".stripMargin,
+
+    "o1_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "o4_minmax_dates" ->
+      """SELECT CAST(min(o_orderdate) AS DATE) AS d_min,
+        |  CAST(max(o_orderdate) AS DATE) AS d_max,
+        |  count(*) AS n
+        |FROM orders""".stripMargin,
+
+    "f1_date_codecs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  dayofyear(o_orderdate) AS doy,
+        |  strftime(o_orderdate, '%Y_%m_%d') AS ymd,
+        |  epoch_ms(o_orderdate) AS ts_ms
+        |FROM orders""".stripMargin,
+
+    "f2_regex_parse" ->
+      """SELECT doc_id,
+        |  CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num
+        |FROM documents""".stripMargin,
+
+    "f7_class_lookup" ->
+      """SELECT CASE event_type
+        |    WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+        |    WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE 0 END AS type_code,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+
+    "f9_chunk_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_partkey % 4800 AS px,
+        |  l_suppkey % 4800 AS py,
+        |  CAST(floor((l_partkey % 4800) / 400) AS BIGINT) AS frac_x,
+        |  CAST(floor((l_suppkey % 4800) / 400) AS BIGINT) AS frac_y,
+        |  CAST(floor((l_suppkey % 4800) / 400) * 12
+        |    + floor((l_partkey % 4800) / 400) AS BIGINT) AS frac_num
+        |FROM lineitem""".stripMargin,
+
+    "st2_gap_fill" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |  types AS (SELECT DISTINCT event_type FROM events),
+        |  observed AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type FROM events)
+        |SELECT d.day, t.event_type, -3000.0 AS fill_value
+        |FROM days d CROSS JOIN types t
+        |WHERE NOT EXISTS (SELECT 1 FROM observed o
+        |  WHERE o.day = d.day AND o.event_type = t.event_type)""".stripMargin,
+
+    "cube_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "rank_topn" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 5""".stripMargin,
+
+    "tumbling_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n, sum(value) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "json_props" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        |FROM events""".stripMargin
+  )
+}
