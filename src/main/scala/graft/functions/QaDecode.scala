@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** QA-bitfield → confidence decoders (reference: F5/F6 —
+  * rastercube/datasources/modis.py:117-202 (slow twin, the semantic spec),
+  * modis_qa.pyx:22-120 (OpenMP kernel), landsat8_qa.pyx:23-84).
+  *
+  * Pure bitwise/when Column chains: whole-stage codegen compiles these to
+  * a tight JVM loop, the engine's analog of the reference's Cython+OpenMP
+  * kernel — no UDF, no JNI.
+  */
+object QaDecode {
+
+  /** MODIS MOD13Q1 VI-Quality 16-bit word → confidence in (-0.25..1].
+    *
+    * Gates to 0: MODLAND_QA == 3 (bits 0-1), aerosol == 3 (6-7),
+    * adjacent cloud (8), mixed cloud (10), land/water != land(1) (11-13),
+    * snow/ice (14), shadow (15). Otherwise 1 - usefulness/12 (bits 2-5;
+    * like the reference this may go negative for usefulness > 12 and is
+    * deliberately not clamped). Result is float32, matching the
+    * reference's dtype.
+    */
+  def modisQaConf(qa: Column): Column = {
+    val q = qa.cast("int").bitwiseAND(lit(0xffff)) // uint16 semantics
+    val viQuality = q.bitwiseAND(lit(0x3))
+    val usefulness = shiftright(q, 2).bitwiseAND(lit(0xf))
+    val aerosol = shiftright(q, 6).bitwiseAND(lit(0x3))
+    val adjCloud = shiftright(q, 8).bitwiseAND(lit(0x1))
+    val cloud = shiftright(q, 10).bitwiseAND(lit(0x1))
+    val land = shiftright(q, 11).bitwiseAND(lit(0x7))
+    val snow = shiftright(q, 14).bitwiseAND(lit(0x1))
+    val shadow = shiftright(q, 15).bitwiseAND(lit(0x1))
+    val gated = viQuality === 3 || aerosol === 3 || adjCloud === 1 ||
+      cloud === 1 || land =!= 1 || snow === 1 || shadow === 1
+    when(gated, lit(0.0f))
+      .otherwise((lit(1.0) - usefulness.cast("double") / lit(12.0)).cast("float"))
+  }
+
+  /** Landsat 8 BQA 16-bit word → binary confidence {0, 1} (float32).
+    *
+    * Gates to 0: designated fill (bit 0), dropped frame (1), terrain
+    * occlusion (2), water conf == 3 (4-5), snow conf == 3 (10-11),
+    * cirrus conf == 3 (12-13), cloud conf == 3 (14-15). Vegetation
+    * confidence (8-9) ignored, as in the reference.
+    */
+  def landsat8QaConf(qa: Column): Column = {
+    val q = qa.cast("int").bitwiseAND(lit(0xffff))
+    val gated =
+      q.bitwiseAND(lit(0x1)) === 1 ||
+        shiftright(q, 1).bitwiseAND(lit(0x1)) === 1 ||
+        shiftright(q, 2).bitwiseAND(lit(0x1)) === 1 ||
+        shiftright(q, 4).bitwiseAND(lit(0x3)) === 3 ||
+        shiftright(q, 10).bitwiseAND(lit(0x3)) === 3 ||
+        shiftright(q, 12).bitwiseAND(lit(0x3)) === 3 ||
+        shiftright(q, 14).bitwiseAND(lit(0x3)) === 3
+    when(gated, lit(0.0f)).otherwise(lit(1.0f))
+  }
+
+  /** The same MODIS decode as a DuckDB SQL expression over a column named
+    * `qa` — used to oracle-check the Spark chain on arbitrary int input.
+    */
+  val modisQaConfDuckSql: String =
+    """CASE WHEN (qa & 3) = 3 OR ((qa >> 6) & 3) = 3 OR ((qa >> 8) & 1) = 1
+      |  OR ((qa >> 10) & 1) = 1 OR ((qa >> 11) & 7) <> 1
+      |  OR ((qa >> 14) & 1) = 1 OR ((qa >> 15) & 1) = 1
+      |THEN CAST(0.0 AS FLOAT)
+      |ELSE CAST(1.0 - ((qa >> 2) & 15) / 12.0 AS FLOAT) END""".stripMargin
+      .replace("\n", " ")
+}
+
+/** GLCF land-cover class decoding (reference: F7 —
+  * rastercube/datasources/glcf.py:9-58): class id → name / RGB as literal
+  * map lookups (broadcast-free: the map is a plan literal).
+  */
+object GlcfClasses {
+  val names: Map[Int, String] = Map(
+    0 -> "Water", 1 -> "Evergreen needleleaf forest",
+    2 -> "Evergreen broadleaf forest", 3 -> "Deciduous needleleaf forest",
+    4 -> "Deciduous broadleaf forest", 5 -> "Mixed forest",
+    6 -> "Closed shrublands", 7 -> "Open shrublands", 8 -> "Woody savannas",
+    9 -> "Savannas", 10 -> "Grasslands", 11 -> "Permanent wetlands",
+    12 -> "Croplands", 13 -> "Urban and built-up",
+    14 -> "Cropland/Natural vegetation mosaic", 15 -> "Snow and ice",
+    16 -> "Barren or sparsely vegetated", 254 -> "Unclassified",
+    255 -> "Fill value")
+
+  private val nameMapCol: Column =
+    map(names.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  def className(classId: Column): Column =
+    element_at(nameMapCol, classId.cast("int"))
+}

@@ -1,0 +1,213 @@
+package graft.grid
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One chunk of the cube (the reference's fraction file, jgrid3.py:17-27)
+  * with its placement metadata. `data` is the dense C-order `[y][x][t]`
+  * payload; [[FractionStore.write]] casts it to the grid's element type.
+  */
+final case class FracRow(
+    frac_num: Int, time_chunk: Int, frac_x: Int, frac_y: Int,
+    x0: Int, y0: Int, t0: Int, w: Int, h: Int, nd: Int,
+    data: Array[Double])
+
+/** The fraction store: chunked cube data as partitioned parquet
+  * (reference: SRC1/SRC3/SNK1/SNK2 + the load paths P1-P3 —
+  * rastercube/jgrid/jgrid3.py:50-77, 320-412, 491-586).
+  *
+  * Layout (designed for the 100 TB case):
+  *  - one parquet row per (frac_num, time_chunk): the reference's `.jdata`
+  *    blob becomes an `array` column, flattened C-order `[y][x][t]` so a
+  *    pixel's time series is contiguous (the cube exists to serve per-pixel
+  *    series — jgrid3.py:3-4);
+  *  - `partitionBy(time_chunk)` gives temporal partition pruning (P7);
+  *  - rows sorted by `frac_num` within partitions, with `frac_x`/`frac_y`
+  *    as plain stats-bearing columns, so parquet row-group min/max skipping
+  *    replaces `fracs_for_rect_xy` spatial pruning (P6) without any custom
+  *    Catalyst rule — the API layer also emits the explicit range
+  *    predicates so pruning shows up in `explain` as PushedFilters;
+  *  - sparsity: an absent (frac, chunk) row is simply no row (jgrid3.py:22-23);
+  *    reads materialize nodata/NULL at the pixel view (P9).
+  *
+  * Fraction row schema:
+  *   frac_num int, time_chunk int, frac_x int, frac_y int,
+  *   x0 int, y0 int, t0 int, w int, h int, nd int, data array<elem>
+  * where elem is int for integer dtypes, float/double for float dtypes.
+  */
+object FractionStore {
+
+  def elementType(dtype: String): DataType = dtype match {
+    case "float32" => FloatType
+    case "float64" => DoubleType
+    case _         => IntegerType // int16/uint16/uint8/int32 all fit exactly
+  }
+
+  def dataPath(root: String): String = s"$root/jdata"
+
+  // ---- write (SNK1/SNK2) ----------------------------------------------
+
+  /** Write fraction rows (schema above). Repartitions to one shuffle
+    * partition per time chunk and sorts by frac_num so each parquet
+    * row-group covers a contiguous spatial band (stats-based pruning).
+    */
+  def write(spark: SparkSession, header: GridHeader, fracRows: DataFrame,
+            root: String, mode: String = "overwrite"): Unit = {
+    header.save(spark, root)
+    fracRows
+      .repartition(col("time_chunk"))
+      .sortWithinPartitions(col("frac_num"))
+      .write.mode(mode)
+      .partitionBy("time_chunk")
+      .parquet(dataPath(root))
+  }
+
+  /** Chunk a pixel-level DataFrame (x, y, t, value) into fraction rows —
+    * the write_all path (jgrid3.py:441-457). Pixels absent from `pixels`
+    * get the header's nodata value.
+    *
+    * One shuffle (groupByKey on the chunk key); the dense C-order scatter
+    * inside a chunk is per-group imperative logic (a fraction fits memory
+    * by construction — the reference sizes chunks to an HDFS block), done
+    * in `mapGroups`. Everything before/after stays relational.
+    */
+  def fromPixels(spark: SparkSession, header: GridHeader, pixels: DataFrame): DataFrame = {
+    import spark.implicits._
+    val g = header.chunkGrid
+    val et = elementType(header.dtype)
+    val keyed = pixels.select(
+      (col("x") / g.fracWidth).cast("int").as("frac_x"),
+      (col("y") / g.fracHeight).cast("int").as("frac_y"),
+      (col("t") / g.fracNDates).cast("int").as("time_chunk"),
+      col("x"), col("y"), col("t"), col("value").cast("double").as("value"))
+      .as[(Int, Int, Int, Int, Int, Int, Double)]
+    val rows = keyed
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapGroups { (key: (Int, Int, Int),
+                    it: Iterator[(Int, Int, Int, Int, Int, Int, Double)]) =>
+        val (fx, fy, tc) = key
+        val x0 = fx * g.fracWidth
+        val y0 = fy * g.fracHeight
+        val t0 = tc * g.fracNDates
+        val w = math.min(g.fracWidth, header.width - x0)
+        val h = math.min(g.fracHeight, header.height - y0)
+        val nd = math.min(g.fracNDates, header.nDates - t0)
+        val data = Array.fill(w * h * nd)(header.nodata)
+        it.foreach { case (_, _, _, x, y, t, v) =>
+          data(((y - y0) * w + (x - x0)) * nd + (t - t0)) = v
+        }
+        FracRow(fy * g.numFracsX + fx, tc, fx, fy, x0, y0, t0, w, h, nd, data)
+      }
+    rows.toDF().withColumn("data", col("data").cast(ArrayType(et)))
+  }
+
+  // ---- read (SRC1/SRC3, P1-P3, P6-P7) ---------------------------------
+
+  /** All available fraction rows (sparse listing is just the scan —
+    * SRC3, jgrid3.py:610-632). */
+  def fractions(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(dataPath(root))
+
+  /** Fraction rows pruned to a pixel/time window. The frac_x/frac_y/
+    * time_chunk predicates are partition- and stats-prunable (P6/P7);
+    * this is the Catalyst analog of fracs_for_rect_xy.
+    */
+  def fractionsForWindow(spark: SparkSession, header: GridHeader, root: String,
+                         xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                         tFrom: Int, tTo: Int): DataFrame = {
+    val g = header.chunkGrid
+    val fx0 = math.max(0, xFrom / g.fracWidth)
+    val fx1 = math.min(g.numFracsX - 1, math.max(0, (xTo - 1) / g.fracWidth))
+    val fy0 = math.max(0, yFrom / g.fracHeight)
+    val fy1 = math.min(g.numFracsY - 1, math.max(0, (yTo - 1) / g.fracHeight))
+    val c0 = math.max(0, tFrom / g.fracNDates)
+    val c1 = math.min(math.max(0, g.numTimeChunks - 1),
+      math.max(0, (tTo - 1) / g.fracNDates))
+    fractions(spark, root)
+      .filter(col("time_chunk").between(c0, c1))
+      .filter(col("frac_x").between(fx0, fx1) && col("frac_y").between(fy0, fy1))
+  }
+
+  /** Explode fraction rows to the relational pixel view
+    * (x, y, t, value) — the deterministic explode of SURVEY §1.4.
+    * `maskNodata=true` turns the header's nodata into NULL (P9).
+    */
+  def pixels(header: GridHeader, fracRows: DataFrame,
+             maskNodata: Boolean = true): DataFrame = {
+    val exploded = fracRows
+      .select(col("x0"), col("y0"), col("t0"), col("w"), col("nd"),
+        posexplode(col("data")).as(Seq("pos", "value")))
+      .withColumn("pix", expr("pos div nd").cast("int"))
+      .withColumn("x", col("x0") + col("pix") % col("w"))
+      .withColumn("y", col("y0") + expr("pix div w").cast("int"))
+      .withColumn("t", col("t0") + col("pos") % col("nd"))
+      .select(col("x"), col("y"), col("t"), col("value"))
+    if (maskNodata && !header.nodata.isNaN)
+      exploded.withColumn("value",
+        nullif(col("value"), lit(header.nodata).cast(elementType(header.dtype))))
+    else exploded
+  }
+
+  /** Rectangular window load as a pixel DataFrame — the P3
+    * `load_slice_xy` analog: chunk pruning, then exact box filter.
+    * Stays relational (no driver-side scatter); callers aggregate or
+    * collect as needed.
+    */
+  def loadSliceXY(spark: SparkSession, header: GridHeader, root: String,
+                  xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                  tFrom: Int, tTo: Int,
+                  maskNodata: Boolean = true): DataFrame = {
+    val fracs = fractionsForWindow(spark, header, root,
+      xFrom, xTo, yFrom, yTo, tFrom, tTo)
+    pixels(header, fracs, maskNodata)
+      .filter(col("x") >= xFrom && col("x") < xTo &&
+        col("y") >= yFrom && col("y") < yTo &&
+        col("t") >= tFrom && col("t") < tTo)
+  }
+
+  /** Lat/lng window load (P4, jgrid3.py:588-605): WGS84 rect -> grid xy
+    * via inverse projection+geotransform, then loadSliceXY.
+    */
+  def loadSliceLatLng(spark: SparkSession, header: GridHeader, root: String,
+                      latMin: Double, latMax: Double,
+                      lngMin: Double, lngMax: Double,
+                      tFrom: Int, tTo: Int): DataFrame = {
+    val corners = Seq(
+      header.latLngToXY(latMin, lngMin), header.latLngToXY(latMin, lngMax),
+      header.latLngToXY(latMax, lngMin), header.latLngToXY(latMax, lngMax))
+    val xs = corners.map(_._1)
+    val ys = corners.map(_._2)
+    loadSliceXY(spark, header, root,
+      math.max(0, xs.min.floor.toInt), math.min(header.width, xs.max.ceil.toInt),
+      math.max(0, ys.min.floor.toInt), math.min(header.height, ys.max.ceil.toInt),
+      tFrom, tTo)
+  }
+
+  /** Polygon load (P5, jgrid/utils.py:27-51): bbox prune + per-pixel
+    * ray-cast containment mask, all inside codegen. Polygon vertices are
+    * WGS84 (lat, lng); mask column `in_poly` mirrors the reference's bool
+    * mask pairing.
+    */
+  def loadPolyLatLng(spark: SparkSession, header: GridHeader, root: String,
+                     poly: Array[(Double, Double)],
+                     tFrom: Int, tTo: Int): DataFrame = {
+    val xyPoly = poly.map { case (lat, lng) => header.latLngToXY(lat, lng) }
+    val xs = xyPoly.map(_._1)
+    val ys = xyPoly.map(_._2)
+    val df = loadSliceXY(spark, header, root,
+      math.max(0, xs.min.floor.toInt), math.min(header.width, xs.max.ceil.toInt),
+      math.max(0, ys.min.floor.toInt), math.min(header.height, ys.max.ceil.toInt),
+      tFrom, tTo)
+    // pixel-center containment, like rasterization of the xy-projected poly
+    df.withColumn("in_poly",
+      PointInPolygon.containsCol(xyPoly,
+        col("x").cast("double") + lit(0.5), col("y").cast("double") + lit(0.5)))
+  }
+
+  /** Attach the time axis (ts epoch millis) to a pixel view — W1 support. */
+  def withTimestamp(header: GridHeader, pixelDf: DataFrame): DataFrame =
+    pixelDf.withColumn("ts_ms",
+      element_at(
+        lit(header.timestampsMs.toArray), col("t") + 1))
+}

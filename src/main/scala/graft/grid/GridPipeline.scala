@@ -1,0 +1,133 @@
+package graft.grid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.util.Try
+
+/** The distributed map-over-fractions pipeline (reference: U1, the
+  * engine's centerpiece — rastercube/hadoop/spark.py:105-256).
+  *
+  * Semantics preserved from the reference:
+  *  - all inputs must share a geogrid (spark.py:146-153);
+  *  - available = intersection of the inputs' chunk sets (J4, :166-167);
+  *  - todo = available − already-written output chunks unless forceAll
+  *    (J5 lazy resume, :171-177) — re-running a finished pipeline is a
+  *    no-op (idempotence);
+  *  - the user function maps N aligned input chunks to one output chunk.
+  *
+  * What Spark replaces: egg shipping, WebHDFS reads, write-in-mapper,
+  * driver-OOM dance, locality TODOs — the multi-way equi-join on
+  * (frac_num, time_chunk) co-locates input chunks, `mapGroups` applies
+  * the kernel, and a partitioned parquet append writes results from the
+  * executors.
+  */
+final class GridPipeline(
+    val inputs: Seq[(GridHeader, String)],
+    val output: GridHeader,
+    val outputRoot: String,
+    val forceAll: Boolean = false) {
+
+  require(inputs.nonEmpty)
+  require(inputs.forall(_._1.sameGeogrid(inputs.head._1)),
+    "all pipeline inputs must share a geogrid (hadoop/spark.py:146-153)")
+  require(output.sameGeogrid(inputs.head._1),
+    "output grid must share the inputs' geogrid")
+
+  private val key = Seq("frac_num", "time_chunk")
+
+  /** Chunk keys already present in the output (done set); empty when the
+    * output store does not exist yet. */
+  def doneKeys(spark: SparkSession): DataFrame =
+    Try(FractionStore.fractions(spark, outputRoot)
+      .select(col("frac_num"), col("time_chunk")).distinct())
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Int, Int)].toDF("frac_num", "time_chunk")
+      }
+
+  /** Run `fn` over every todo chunk. `fn` receives the chunk key and the
+    * aligned input payloads (as doubles, in `inputs` order) and returns
+    * the output payload (length w*h*nd of the output dtype's chunk).
+    */
+  def run(spark: SparkSession)(
+      fn: (FracRow, Seq[Array[Double]]) => Array[Double]): Long = {
+    import spark.implicits._
+
+    // J4: available = ∩ inputs, J5: − done
+    val keySets = inputs.map { case (_, root) =>
+      FractionStore.fractions(spark, root).select(key.map(col): _*).distinct()
+    }
+    val available = keySets.reduce((a, b) => a.join(b, key, "left_semi"))
+    val todo =
+      if (forceAll) available
+      else available.join(doneKeys(spark), key, "left_anti")
+
+    // Align input chunks: multi-way equi-join on the chunk key. Inputs
+    // share chunking, so the join keys are dense and equi — shuffle once
+    // per input, no broadcast needed at scale.
+    val aligned = inputs.zipWithIndex.map { case ((_, root), i) =>
+      FractionStore.fractions(spark, root)
+        .join(todo, key, "left_semi")
+        .select(col("frac_num"), col("time_chunk"), col("frac_x"), col("frac_y"),
+          col("x0"), col("y0"), col("t0"), col("w"), col("h"), col("nd"),
+          col("data").cast(ArrayType(DoubleType)).as(s"data_$i"))
+    }.reduce { (a, b) =>
+      a.join(b.select((Seq("frac_num", "time_chunk") ++
+        b.columns.filter(_.startsWith("data_"))).map(col): _*), key)
+    }
+
+    val dataCols = inputs.indices.map(i => s"data_$i")
+    // pad the fixed AlignedChunk shape (encoder needs all four data cols)
+    val padded = (inputs.size until 4).foldLeft(
+      aligned.select((Seq("frac_num", "time_chunk", "frac_x", "frac_y",
+        "x0", "y0", "t0", "w", "h", "nd") ++ dataCols).map(col): _*)) {
+      (df, i) => df.withColumn(s"data_$i", lit(null).cast(ArrayType(DoubleType)))
+    }
+    val outRows = padded
+      .as[AlignedChunk]
+      .map { c =>
+        val row = FracRow(c.frac_num, c.time_chunk, c.frac_x, c.frac_y,
+          c.x0, c.y0, c.t0, c.w, c.h, c.nd, null)
+        row.copy(data = fn(row, c.payloads))
+      }
+
+    val outDf = outRows.toDF()
+      .withColumn("data",
+        col("data").cast(ArrayType(FractionStore.elementType(output.dtype))))
+
+    output.save(spark, outputRoot)
+    // persist so the count action and the write share one execution (the
+    // reference avoids double work by writing inside the mapper and
+    // returning only filenames — spark.py:199-205)
+    outDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = outDf.count()
+      if (n > 0) {
+        // incremental runs append new chunks; forceAll rewrites the store
+        // (reference overwrites fraction files in place)
+        outDf.repartition(col("time_chunk"))
+          .sortWithinPartitions(col("frac_num"))
+          .write.mode(if (forceAll) "overwrite" else "append")
+          .partitionBy("time_chunk")
+          .parquet(FractionStore.dataPath(outputRoot))
+      }
+      n
+    } finally outDf.unpersist()
+  }
+}
+
+/** Row shape for the aligned multi-input join (up to 4 inputs — the
+  * reference pipelines use 1-2). Extra payload columns are null when
+  * fewer inputs are present.
+  */
+final case class AlignedChunk(
+    frac_num: Int, time_chunk: Int, frac_x: Int, frac_y: Int,
+    x0: Int, y0: Int, t0: Int, w: Int, h: Int, nd: Int,
+    data_0: Array[Double],
+    data_1: Option[Array[Double]] = None,
+    data_2: Option[Array[Double]] = None,
+    data_3: Option[Array[Double]] = None) {
+  def payloads: Seq[Array[Double]] =
+    Seq(Some(data_0), data_1, data_2, data_3).flatten
+}
