@@ -14,7 +14,8 @@ object SparkEntry {
   private val registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracleSql),
-      (graft.queries.GridQueries.queries, graft.queries.GridQueries.oracleSql)
+      (graft.queries.GridQueries.queries, graft.queries.GridQueries.oracleSql),
+      (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

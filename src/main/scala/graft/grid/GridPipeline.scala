@@ -3,7 +3,6 @@ package graft.grid
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import scala.util.Try
 
 /** The distributed map-over-fractions pipeline (reference: U1, the
   * engine's centerpiece — rastercube/hadoop/spark.py:105-256).
@@ -38,13 +37,17 @@ final class GridPipeline(
 
   /** Chunk keys already present in the output (done set); empty when the
     * output store does not exist yet. */
-  def doneKeys(spark: SparkSession): DataFrame =
-    Try(FractionStore.fractions(spark, outputRoot)
-      .select(col("frac_num"), col("time_chunk")).distinct())
-      .getOrElse {
-        import spark.implicits._
-        Seq.empty[(Int, Int)].toDF("frac_num", "time_chunk")
-      }
+  def doneKeys(spark: SparkSession): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(FractionStore.dataPath(outputRoot))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      FractionStore.fractions(spark, outputRoot)
+        .select(col("frac_num"), col("time_chunk")).distinct()
+    else {
+      import spark.implicits._
+      Seq.empty[(Int, Int)].toDF("frac_num", "time_chunk")
+    }
+  }
 
   /** Run `fn` over every todo chunk. `fn` receives the chunk key and the
     * aligned input payloads (as doubles, in `inputs` order) and returns

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Backward as-of join (each left row matched to the latest right row
+  * with rightTs <= leftTs, per key) — an operator Spark lacks natively
+  * (§2.11 gap; DuckDB/kdb/Pandas have it).
+  *
+  * Implementation: the union trick — tag both sides, union on (key, ts),
+  * and carry the last-seen right payload forward with a window
+  * last_value(ignoreNulls) ordered by (ts, side). One shuffle on the key
+  * (same as any windowed op), no range explosion, skew-safe under AQE —
+  * this beats a theta-join (ts <= ts) by a full complexity class at
+  * scale.
+  */
+object AsOfJoin {
+
+  /** @param left       left rows
+    * @param right      right rows
+    * @param key        equi-key column name present on both sides
+    * @param leftTs     left timestamp column name
+    * @param rightTs    right timestamp column name
+    * @param rightCols  right payload columns to attach (null if no match)
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side 0 = right (sorts before left on ties: as-of is inclusive)
+    val r = right.select(
+      (col(key).as("__key") +: col(rightTs).cast("timestamp").as("__ts")
+        +: lit(0).as("__side")
+        +: rightCols.map(c => col(c).as(s"__r_$c"))
+        ++: leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.select(
+      (col(key).as("__key") +: col(leftTs).cast("timestamp").as("__ts")
+        +: lit(1).as("__side")
+        +: rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+        ++: leftCols.map(col): _*))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(r.unionByName(l)) { (df, c) =>
+      df.withColumn(s"__r_$c",
+        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightCols.map(c => col(s"__r_$c").as(s"asof_$c"))): _*)
+  }
+}

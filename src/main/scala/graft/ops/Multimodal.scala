@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted per partition.
+  *
+  * The Spark-side machinery is real — schema, partitioning, per-partition
+  * batch processing (`mapPartitions` on a typed Dataset, the Scala analog
+  * of `mapInPandas` batches), frame-sample explode — while the codec
+  * kernels are STUBS (this container ships no image/audio libraries):
+  * `decodeStub` derives deterministic pseudo-features from the bytes.
+  * Swapping in a real decoder changes one function, not the pipeline.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long, kind: String, media: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int,
+      features: Array[Float])
+
+  final case class Frame(
+      media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Deterministic synthetic media table derived from `documents` (the
+    * fixture corpus has no binary columns): payload = utf8 bytes,
+    * metadata from stable arithmetic. Stands in for a real lakehouse
+    * media table with identical schema.
+    */
+  def syntheticMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("media"),
+      (col("n_chars") % 640 + 16).cast("int").as("width"),
+      (col("n_chars") % 480 + 16).cast("int").as("height"),
+      lit(16000).as("sample_rate"))
+
+  /** STUB decode kernel: 8-bin byte histogram normalized to [0,1].
+    * ??? -> replace with a real codec (JPEG/PNG/PCM) when available;
+    * everything around it (batching, schema, partitioning) is the real
+    * production shape.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      bins((bytes(i) & 0xff) >> 5) += 1.0f
+      i += 1
+    }
+    if (bytes.length > 0) {
+      var b = 0
+      while (b < 8) { bins(b) /= bytes.length; b += 1 }
+    }
+    bins
+  }
+
+  /** Feature extraction over media batches: one task per partition, the
+    * decode loop amortizes any per-batch codec setup (the mapInPandas
+    * batch-shape analog).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      // per-partition codec init would go here (expensive, amortized)
+      it.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.media.length,
+          r.width, r.height, decodeStub(r.media))
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: explode one row per sampled frame
+    * (every `stride` bytes window stands in for a decoded frame). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   stride: Int = 64, maxFrames: Int = 8): Dataset[Frame] = {
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow].flatMap { r =>
+      val n = math.min(maxFrames, math.max(1, r.media.length / stride))
+      (0 until n).iterator.map { f =>
+        Frame(r.media_id, f,
+          r.media.slice(f * stride, math.min((f + 1) * stride, r.media.length)))
+      }
+    }
+  }
+}

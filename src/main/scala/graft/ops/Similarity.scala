@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane-LSH bucketed variant as the scale path (candidates only
+  * within matching buckets — shuffle keys are bucket ids, never
+  * all-pairs).
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order expressions —
+  * codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors of each query vector.
+    * `queries` should be small (it is broadcast); the scan over `corpus`
+    * is a single pass, and per-query top-k uses a rank window over
+    * (query_id) — with AQE this is a broadcast-nested-loop of
+    * |corpus| x |queries| cosine evaluations, the exact-oracle baseline.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic random hyperplanes (seeded), as literal arrays. */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket of a vector under the given hyperplanes: bit i = 1 iff
+    * dot(vec, plane_i) > 0. */
+  def signBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, lit(p)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)): Column
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed approximate top-k: candidates share a sign-bucket in
+    * at least one of `nTables` independent tables, then exact cosine +
+    * rank within candidates. Recall grows with tables; cost stays
+    * bucket-local (the classic SimHash-for-cosine ANN).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dim: Int, bitsPerTable: Int = 8, nTables: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until nTables).map(t =>
+      hyperplanes(dim, bitsPerTable, seed = 42L + t))
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.withColumn("bucket", explode(array(tables.zipWithIndex.map {
+        case (planes, t) =>
+          struct(lit(t).as("table_id"), signBucket(col(vec), planes).as("sig"))
+      }: _*)))
+        .select(col(id), col(vec), col("bucket.table_id").as("table_id"),
+          col("bucket.sig").as("sig"))
+    val c = withBuckets(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")),
+      "corpus_id", "cvec")
+    val q = withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+      "query_id", "qvec")
+    val cand = c.join(q, Seq("table_id", "sig"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (pairs agreeing on a full table signature). */
+  def cosineNearDups(corpus: DataFrame, dim: Int, minCos: Double,
+                     bitsPerTable: Int = 12, nTables: Int = 3,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until nTables).map(t =>
+      hyperplanes(dim, bitsPerTable, seed = 1000L + t))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = base.withColumn("bucket",
+      explode(array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("table_id"), signBucket(col("vec"), planes).as("sig"))
+      }: _*)))
+      .select(col("id"), col("vec"), col("bucket.table_id").as("table_id"),
+        col("bucket.sig").as("sig"))
+    val a = bucketed.select(col("table_id"), col("sig"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("table_id"), col("sig"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table_id", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -72,9 +72,12 @@ object RelationalQueries {
     },
 
     // J5 — incremental anti-join: todo = inputs − done (hadoop/spark.py:171-177).
+    // "done" = customers already seen in 1998; todo = the rest.
     "j5_anti_join" -> { (s, d) =>
       customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     },
 
@@ -107,10 +110,13 @@ object RelationalQueries {
         .distinct()
     },
 
-    // §2.8 — set difference (ndvi_hdf_stats.py:50-56).
+    // §2.8 — set difference (ndvi_hdf_stats.py:50-56): customers who
+    // ordered, minus those who ordered in 1998.
     "set_except_custkeys" -> { (s, d) =>
-      customer(s, d).select(col("c_custkey").as("custkey"))
-        .except(orders(s, d).select(col("o_custkey").as("custkey")))
+      orders(s, d).select(col("o_custkey").as("custkey"))
+        .except(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("custkey")))
     },
 
     // A1 — per-day completeness: dates where not every tile reported
@@ -226,12 +232,14 @@ object RelationalQueries {
     },
 
     // ST2 — late/missing-data detection: expected×observed anti-join
-    // (create_fake_hdf.py:85-105). Cross join of two tiny distinct sets.
+    // (create_fake_hdf.py:85-105). "Observed" = high-value events, so
+    // (day, type) slots lacking one get a synthesized nodata row.
     "st2_gap_fill" -> { (s, d) =>
       val ev = events(s, d)
       val days = ev.select(to_date(col("ts")).as("day")).distinct()
       val types = ev.select(col("event_type")).distinct()
-      val observed = ev.select(to_date(col("ts")).as("day"), col("event_type")).distinct()
+      val observed = ev.filter(col("value") > 90)
+        .select(to_date(col("ts")).as("day"), col("event_type")).distinct()
       days.crossJoin(types)
         .join(observed, Seq("day", "event_type"), "left_anti")
         .withColumn("fill_value", lit(-3000.0))
@@ -279,6 +287,33 @@ object RelationalQueries {
     "hll_approx_users" -> { (s, d) =>
       events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+    },
+
+    // §2.11 gap — backward as-of join (engine operator Spark lacks;
+    // union+window implementation, DuckDB native ASOF JOIN as oracle):
+    // each click matched to the user's latest prior-or-equal purchase.
+    "asof_join" -> { (s, d) =>
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.backward(clicks, purchases, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightCols = Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"),
+          unix_millis(col("asof_ts")).as("asof_ts_ms"),
+          col("asof_value"))
+    },
+
+    // §2.11 — session windows (30-minute inactivity gap per user).
+    "session_windows" -> { (s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          col("n_events"), col("total_value"))
     }
   )
 
@@ -319,7 +354,8 @@ object RelationalQueries {
 
     "j5_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01')""".stripMargin,
 
     "j6_broadcast_lookup" ->
       """SELECT n_nationkey, n_name, r_name
@@ -340,9 +376,10 @@ object RelationalQueries {
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
 
     "set_except_custkeys" ->
-      """SELECT c_custkey AS custkey FROM customer
+      """SELECT o_custkey AS custkey FROM orders
         |EXCEPT
-        |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
 
     "a1_incomplete_days" ->
       """SELECT CAST(ts AS DATE) AS day,
@@ -419,8 +456,9 @@ object RelationalQueries {
     "st2_gap_fill" ->
       """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
         |  types AS (SELECT DISTINCT event_type FROM events),
-        |  observed AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type FROM events)
-        |SELECT d.day, t.event_type, -3000.0 AS fill_value
+        |  observed AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type
+        |    FROM events WHERE value > 90)
+        |SELECT d.day, t.event_type, CAST(-3000.0 AS DOUBLE) AS fill_value
         |FROM days d CROSS JOIN types t
         |WHERE NOT EXISTS (SELECT 1 FROM observed o
         |  WHERE o.day = d.day AND o.event_type = t.event_type)""".stripMargin,
@@ -448,6 +486,31 @@ object RelationalQueries {
     "json_props" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms, l.value,
+        |  epoch_ms(r.ts) AS asof_ts_ms, r.value AS asof_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "session_windows" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+        |  count(*) AS n_events, sum(value) AS total_value
+        |FROM g GROUP BY user_id, sess""".stripMargin
   )
 }

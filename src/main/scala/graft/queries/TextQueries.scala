@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, Similarity}
+
+/** Training-data-pipeline operator surface: text analysis, dedup,
+  * similarity search over the `documents`/`embeddings` fixtures.
+  *
+  * Hash-based ops (MinHash/SimHash/ANN) have no DuckDB equivalent of
+  * Spark's xxhash64, so they carry rows-only checks here and exact
+  * ScalaTest specs with planted duplicates; the arithmetic text ops are
+  * fully oracle-checked.
+  *
+  * To make near-dup results non-degenerate on the all-distinct fixture
+  * corpus, the dedup queries plant deterministic perturbed copies
+  * (doc_id + 100000, one word changed) — the operator must find exactly
+  * those pairs.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ perturbed copies of docs with doc_id % 10 == 0: same
+    * text with the first word replaced — a high-Jaccard near-dup. */
+  private def corpusWithPlants(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val plants = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
+          .as("text"))
+    docs.union(plants)
+  }
+
+  /** embeddings ∪ scaled copies (vec_id + 100000): cosine 1 pairs. */
+  private def vectorsWithPlants(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val plants = vecs.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+    vecs.union(plants)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- text analysis (oracle-checked) ----
+    "text_stats" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.digitCount(col("text")).as("n_digits"),
+        round(TextFunctions.avgTokenLen(col("text")), 4).as("avg_token_len"),
+        TextFunctions.approxBpeTokenCount(col("text")).as("n_bpe_tokens"))
+    },
+
+    "text_quality" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+    },
+
+    "text_lang_id" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("lang_label"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+    },
+
+    "text_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+    },
+
+    // ---- dedup ----
+    "dedup_exact" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // rows-only: xxhash64-based signatures have no DuckDB twin
+    "dedup_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashNearDups(corpusWithPlants(s, d), "doc_id", "text",
+        k = 32, bands = 8, shingleSize = 3, minJaccard = 0.5)
+    },
+
+    "dedup_simhash" -> { (s, d) =>
+      // one-word perturbations on ~40-token docs can flip several bits;
+      // 8 of 64 keeps planted pairs while random pairs stay ~32 apart
+      Dedup.simhashNearDups(corpusWithPlants(s, d), "doc_id", "text",
+        maxDist = 8)
+    },
+
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(corpusWithPlants(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+    },
+
+    "dedup_embedding_cosine" -> { (s, d) =>
+      Similarity.cosineNearDups(vectorsWithPlants(s, d), dim = 64,
+        minCos = 0.999)
+    },
+
+    // ---- similarity search ----
+    "ann_brute_topk" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5)
+    },
+
+    "ann_lsh_topk" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
+        dim = 64, bitsPerTable = 8, nTables = 4)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0)) AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    AS n_digits,
+        |  round(CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0)) > 0
+        |    THEN CAST(list_sum(list_transform(
+        |        list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0),
+        |        t -> len(t))) AS DOUBLE)
+        |      / len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          t -> len(t) > 0))
+        |    ELSE 0.0 END, 4) AS avg_token_len,
+        |  CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0),
+        |      t -> greatest(1, CAST(ceil(len(t) / 4.0) AS BIGINT))))
+        |    AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0)) AS DOUBLE) AS ntok,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |        '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |        AS DOUBLE) AS ndigit,
+        |    CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0)) > 0
+        |      THEN CAST(list_sum(list_transform(
+        |          list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> len(x) > 0), x -> len(x))) AS DOUBLE)
+        |        / len(list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> len(x) > 0))
+        |      ELSE 0.0 END AS atl
+        |  FROM documents)
+        |SELECT doc_id, round(CAST(
+        |  (CASE WHEN ntok >= 10 AND ntok <= 10000 THEN 0.4 ELSE 0.0 END) +
+        |  (CASE WHEN atl >= 2.5 AND atl <= 12.0 THEN 0.3 ELSE 0.0 END) +
+        |  (CASE WHEN npunct / greatest(n, 1.0) <= 0.1 THEN 0.15 ELSE 0.0 END) +
+        |  (CASE WHEN ndigit / greatest(n, 1.0) <= 0.2 THEN 0.15 ELSE 0.0 END)
+        |  AS DOUBLE), 4) AS quality
+        |FROM t""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS lang_label,
+        |    ' ' || lower(text) || ' ' AS p,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS zh
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang_label, zh,
+        |    (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% is %' THEN 1 ELSE 0 END) AS en,
+        |    (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% es %' THEN 1 ELSE 0 END) AS es,
+        |    (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% est %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% une %' THEN 1 ELSE 0 END) AS fr,
+        |    (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% ist %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% das %' THEN 1 ELSE 0 END) AS de
+        |  FROM t)
+        |SELECT doc_id, lang_label,
+        |  CASE WHEN zh THEN 'zh'
+        |    WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+        |    WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+        |    WHEN fr >= de AND fr > 0 THEN 'fr'
+        |    WHEN de > 0 THEN 'de'
+        |    ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft.grid
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Golden-array reprojection tests (reference spec: jgrid/utils.py
+  * nearest/mode/average resample via GDAL; here verified against exact
+  * arithmetic on deterministic grids).
+  */
+class ReprojectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // 40x40 wgs84 grid, 0.01-degree pixels, origin (0, 0), values x*100+y
+  val srcHeader = GridHeader(
+    name = "src", width = 40, height = 40,
+    fracWidth = 10, fracHeight = 10, fracNDates = 1,
+    dtype = "float32", srs = "wgs84",
+    geot = Seq(0.0, 0.01, 0.0, 0.0, 0.0, -0.01),
+    timestampsMs = Seq(0L), nodata = -1.0)
+
+  def valueFn(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+              t: org.apache.spark.sql.Column) =
+    (x * 100 + y).cast("double")
+
+  lazy val srcRoot = {
+    val r = TestSpark.tmpDir("reproj_src")
+    FractionStore.write(spark, srcHeader,
+      FractionStore.fromPixels(spark, srcHeader,
+        SyntheticGrid.pixelDf(spark, srcHeader, valueFn)), r)
+    r
+  }
+
+  test("identity reprojection reproduces the source exactly") {
+    val got = Reproject.nearest(spark, srcHeader, srcRoot, srcHeader,
+      0, 40, 0, 40)
+    val expected = SyntheticGrid.pixelDf(spark, srcHeader, valueFn)
+      .filter(col("t") === 0).select(col("x"), col("y"),
+        col("value").cast("float").as("value"))
+    assert(got.count() == 1600)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
+  test("2x downsample via nearest picks the covering source pixel") {
+    // dst: 20x20 grid, 0.02-degree pixels, origin offset a tenth of a
+    // source pixel so dst centers land strictly INSIDE source pixels
+    // (centers exactly on source-pixel centers are fp-ambiguous, as in
+    // any warp — GDAL included)
+    val dst = srcHeader.copy(name = "dst2x", width = 20, height = 20,
+      geot = Seq(0.001, 0.02, 0.0, -0.001, 0.0, -0.02))
+    val got = Reproject.nearest(spark, srcHeader, srcRoot, dst, 0, 19, 0, 19)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getFloat(2))).toMap
+    // dst pixel (i,j) center x = 0.001+0.02i+0.01 -> src x = 2i+1.1
+    for (i <- 0 until 19; j <- 0 until 19) {
+      val expected = (2 * i + 1) * 100 + (2 * j + 1)
+      assert(got((i, j)) == expected.toFloat, s"dst ($i,$j)")
+    }
+  }
+
+  test("2x downsample via average averages the 2x2 block") {
+    val dst = srcHeader.copy(name = "dst2xa", width = 20, height = 20,
+      geot = Seq(0.0, 0.02, 0.0, 0.0, 0.0, -0.02))
+    val got = Reproject.aggregateResample(spark, srcHeader, srcRoot, dst,
+      "average", 0, 20, 0, 20)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getDouble(2), r.getLong(3)))).toMap
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val vals = for (dx <- 0 to 1; dy <- 0 to 1)
+        yield (2 * i + dx) * 100 + (2 * j + dy)
+      val (v, n) = got((i, j))
+      assert(n == 4)
+      assert(math.abs(v - vals.sum / 4.0) < 1e-9, s"dst ($i,$j)")
+    }
+  }
+
+  test("mode resample returns the majority class") {
+    // class grid: left half class 7, right half class 3
+    val clsHeader = srcHeader.copy(name = "cls", dtype = "uint8", nodata = 255.0)
+    val clsRoot = TestSpark.tmpDir("reproj_cls")
+    FractionStore.write(spark, clsHeader,
+      FractionStore.fromPixels(spark, clsHeader,
+        SyntheticGrid.pixelDf(spark, clsHeader,
+          (x, _, _) => when(x < 20, 7.0).otherwise(3.0))), clsRoot)
+    val dst = srcHeader.copy(name = "dstm", width = 4, height = 4,
+      geot = Seq(0.0, 0.1, 0.0, 0.0, 0.0, -0.1))
+    val got = Reproject.aggregateResample(spark, clsHeader, clsRoot, dst,
+      "mode", 0, 4, 0, 4)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+    for (j <- 0 until 4) {
+      assert(got((0, j)) == 7 && got((1, j)) == 7) // fully left
+      assert(got((2, j)) == 3 && got((3, j)) == 3) // fully right
+    }
+  }
+
+  test("cross-SR align: sinusoidal grid warped onto wgs84 lattice (J1)") {
+    // sinusoidal grid covering roughly the same small area near (0,0):
+    // 0.01 deg ~ 1111.95 m at the equator
+    val sinH = srcHeader.copy(name = "sinsrc", srs = "sinusoidal",
+      geot = Seq(0.0, 1112.0, 0.0, 0.0, 0.0, -1112.0))
+    val sinRoot = TestSpark.tmpDir("reproj_sin")
+    FractionStore.write(spark, sinH,
+      FractionStore.fromPixels(spark, sinH,
+        SyntheticGrid.pixelDf(spark, sinH, valueFn)), sinRoot)
+    val aligned = Reproject.alignOnFirst(spark,
+      Seq((srcHeader, srcRoot), (sinH, sinRoot)), 5, 15, 5, 15)
+    assert(aligned.count() == 100)
+    // spot-check one pixel against scalar math
+    val r = aligned.filter(col("x") === 10 && col("y") === 10).head()
+    val (lat, lng) = srcHeader.xyToLatLng(10.5, 10.5)
+    val (sx, sy) = sinH.latLngToXY(lat, lng)
+    val expected = sx.floor.toInt * 100 + sy.floor.toInt
+    assert(r.getFloat(3) == expected.toFloat)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Planted-duplicate tests: the operators must find exactly the planted
+  * relations and nothing else on an otherwise-unrelated corpus.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 20 unrelated docs + exact dupe of #0 + near dupe of #1
+  def mkDoc(i: Int): String =
+    (0 until 40).map(j => s"w${(i * 97 + j * 13) % 1000}x$j").mkString(" ")
+
+  lazy val corpus = {
+    val base = (0 until 20).map(i => (i.toLong, mkDoc(i)))
+    val exactDupe = Seq((100L, mkDoc(0)))
+    val nearDupe = Seq((101L, "zzz " + mkDoc(1).split(" ").drop(1).mkString(" ")))
+    (base ++ exactDupe ++ nearDupe).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val res = Dedup.exact(corpus, "doc_id", "text").collect()
+    assert(res.length == 21) // 22 rows, one exact pair collapses
+    val dupe = res.filter(_.getLong(2) == 2)
+    assert(dupe.length == 1 && dupe.head.getLong(1) == 0L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair (and the exact pair)") {
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      k = 32, bands = 8, shingleSize = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), "exact pair must surface")
+    assert(pairs.contains((1L, 101L)), "near pair must surface")
+    assert(pairs.size == 2, s"no false positives, got $pairs")
+  }
+
+  test("minhash estimate approximates true jaccard") {
+    val row = Dedup.minhashNearDups(corpus, "doc_id", "text", minJaccard = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 101)
+      .select("est_jaccard", "jaccard").head()
+    val (est, exact) = (row.getDouble(0), row.getDouble(1))
+    // one of 38 3-shingles changed in 3 places: jaccard ~ 35/41
+    assert(exact > 0.7 && exact < 1.0)
+    assert(math.abs(est - exact) < 0.35) // 32 hashes: coarse but close
+  }
+
+  test("simhash: exact pair at distance 0, near pair close, others far") {
+    val sigs = corpus.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(100L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(101L)) <= 12)
+    assert(java.lang.Long.bitCount(sigs(2L) ^ sigs(3L)) > 12)
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text", maxDist = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)))
+  }
+
+  test("ngram jaccard pairs finds planted pairs only") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 100L), (1L, 101L)))
+  }
+}

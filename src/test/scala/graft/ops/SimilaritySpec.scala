@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic corpus of independent 64-dim vectors + a planted
+  // near-copy of #0 (seeded per-id Gaussians: no accidental duplicates)
+  def vec(i: Int): Array[Float] = {
+    val r = new scala.util.Random(i * 7919 + 13)
+    Array.fill(64)(r.nextGaussian().toFloat)
+  }
+
+  lazy val corpus = ((0 until 50).map(i => (i.toLong, vec(i))) :+
+    (999L, vec(0).map(_ * 1.01f))).toDF("vec_id", "embedding")
+
+  def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    dot / (na * nb)
+  }
+
+  test("brute-force top-k matches a local oracle exactly") {
+    val q = corpus.filter(col("vec_id") === 0)
+    val got = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .orderBy("rank").select("corpus_id").as[Long].collect().toSeq
+    val all = ((0 until 50).map(i => (i.toLong, vec(i))) :+
+      (999L, vec(0).map(_ * 1.01f)))
+    val expected = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosineLocal(vec(0), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got == expected)
+    assert(got.head == 999L) // the planted near-copy is rank 1
+  }
+
+  test("LSH top-k finds the planted copy (same bucket by construction)") {
+    val q = corpus.filter(col("vec_id") === 0)
+    val got = Similarity.lshTopK(corpus, q, k = 5, dim = 64,
+      bitsPerTable = 8, nTables = 4)
+      .orderBy("rank").select("corpus_id", "cos").as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.head._1 == 999L && got.head._2 > 0.9999)
+  }
+
+  test("cosine near-dup pairs = exactly the planted pair at cos>=0.999") {
+    val pairs = Similarity.cosineNearDups(corpus, dim = 64, minCos = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 999L)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import graft.TestSpark
+
+/** Streaming semantics: the same transform applied to a file-source
+  * stream (memory sink, processAllAvailable) must equal the batch run.
+  */
+class EventStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // small deterministic event set written as parquet for the file source
+  lazy val srcDir: String = {
+    val d = TestSpark.tmpDir("stream_src")
+    val df = (0 until 500).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, i / 60, i % 60, 0)),
+        (i % 37).toLong,
+        Seq("click", "view", "purchase")(i % 3),
+        (i % 100) / 10.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    df.write.mode("overwrite").parquet(d)
+    d
+  }
+
+  def streamEvents = spark.readStream
+    .schema(StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType))))
+    .parquet(srcDir)
+
+  test("streaming hourly window agg equals the batch result") {
+    val q = EventStreaming.hourlyTypeCounts(streamEvents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode only emits windows below the watermark; compare those
+    val got = spark.table("hourly")
+    val batch = EventStreaming.hourlyTypeCounts(spark.read.parquet(srcDir))
+    // batch mode ignores the watermark and emits everything; the stream
+    // (single batch + AvailableNow) emits all windows closed at end
+    assert(got.count() > 0)
+    val joined = got.join(batch,
+      Seq("hour_start", "event_type", "n", "total_value"), "left_anti")
+    assert(joined.isEmpty, "every streamed window must match batch")
+  }
+
+  test("stateful per-user running summary equals batch totals") {
+    val out = EventStreaming.userRunningSummary(spark,
+      spark.read.parquet(srcDir).as[EventStreaming.EventRow])
+    val got = out.collect().map(s => s.user_id -> (s.n_events, s.total_value)).toMap
+    val batch = spark.read.parquet(srcDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (u, (n, v)) =>
+      assert(n == batch(u)._1 && math.abs(v - batch(u)._2) < 1e-9, s"user $u")
+    }
+  }
+
+  test("streaming dedup drops re-delivered event ids") {
+    // duplicate the source into a second directory batch
+    val d2 = TestSpark.tmpDir("stream_dup")
+    spark.read.parquet(srcDir).write.mode("overwrite").parquet(d2)
+    spark.read.parquet(srcDir).write.mode("append").parquet(d2)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(d2)
+    val q = EventStreaming.dedupByEventId(stream)
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("deduped")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table("deduped").head().getLong(0)
+    assert(n == 500, s"expected 500 unique events, got $n")
+  }
+}
