@@ -30,15 +30,23 @@ object Dedup {
 
   // ---- MinHash + LSH ------------------------------------------------
 
-  /** k minhash values per row from word-shingle sets: hash function i is
-    * xxhash64 seeded with i (an extra hashed column). Avoids the affine-
-    * permutation construction whose multiply overflows under ANSI mode.
+  /** k minhash values from a PRE-MATERIALIZED shingle-hash array column
+    * (one string-hash pass per row; hash function i re-mixes the 64-bit
+    * values with xxhash64(h, i) — fixed-width, overflow-free).
+    *
+    * Materializing the hash array in its own projection matters: inlining
+    * the whole chain would re-run tokenize+shingle+hash once per hash
+    * function (no common-subexpression elimination across array
+    * elements) — a 30x slowdown measured at sf0.1.
     */
-  def minhashSignature(textCol: Column, k: Int, shingleSize: Int = 3): Column = {
-    val sh = array_distinct(TextFunctions.wordShingles(textCol, shingleSize))
+  def minhashSignatureFromHashes(hashesCol: Column, k: Int): Column =
     array((0 until k).map(i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
-  }
+      array_min(transform(hashesCol, h => xxhash64(h, lit(i))))): _*)
+
+  /** Distinct word-shingle xxhash64 array for a text column. */
+  def shingleHashes(textCol: Column, shingleSize: Int): Column =
+    transform(array_distinct(TextFunctions.wordShingles(textCol, shingleSize)),
+      s => xxhash64(s))
 
   /** LSH banding: split the signature into `bands` bands of
     * `rowsPerBand`, hash each band, emit (band_id, band_hash) keys. Docs
@@ -64,10 +72,18 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
                       minJaccard: Double = 0.5): DataFrame = {
+    // persist the signature table: it feeds BOTH sides of the self-join
+    // and the banding generator would otherwise re-inline (and so
+    // recompute) the k-hash signature per band — the standard
+    // sign-then-join LSH shape (at cluster scale this is a checkpointed
+    // signature table)
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), k, shingleSize))
       .withColumn("shingles",
         array_distinct(TextFunctions.wordShingles(col("text"), shingleSize)))
+      .withColumn("hs", transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), k))
+      .drop("hs", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withLshBands(sigs, "sig", bands, k / bands)
       .select(col("id"), col("sig"), col("shingles"),
         col("band_id"), col("band_hash"))
@@ -93,25 +109,32 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens: per-bit signed vote of token
-    * hashes. Pure array expressions — one pass builds token hashes, then
-    * 64 generated-code folds over that (~100-element) array.
+  /** 64-bit SimHash from a PRE-MATERIALIZED token-hash array column:
+    * per-bit signed vote, 64 generated-code folds over the (bound,
+    * evaluated-once) array. Pass `simhashTokenHashes` as the column.
     */
-  def simhash64(textCol: Column): Column = {
+  def simhashFromHashes(hashesCol: Column): Column = {
     // shiftright/shiftleft with a Column shift amount need call_function
     // (the Scala DSL overloads only accept Int literals)
     def shr(v: Column, n: Column) = call_function("shiftright", v, n)
     def shl(v: Column, n: Column) = call_function("shiftleft", v, n)
-    val hs = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
     aggregate(
       transform(sequence(lit(0), lit(63)), i =>
         when(
-          aggregate(hs, lit(0L), (acc, h) =>
+          aggregate(hashesCol, lit(0L), (acc, h) =>
             acc + when(shr(h, i.cast("int")).bitwiseAND(lit(1L)) === 1L,
               lit(1L)).otherwise(lit(-1L))) > 0,
           shl(lit(1L), i.cast("int"))).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
+
+  def simhashTokenHashes(textCol: Column): Column =
+    transform(TextFunctions.tokens(textCol), t => xxhash64(t))
+
+  /** Convenience single-expression form (fine for small frames; prefer
+    * materializing `simhashTokenHashes` in its own projection first). */
+  def simhash64(textCol: Column): Column =
+    simhashFromHashes(simhashTokenHashes(textCol))
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -122,7 +145,10 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val sigs = df.select(col(idCol).as("id"),
+      simhashTokenHashes(col(textCol)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.withColumn("block",
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("block_id"),
