@@ -68,7 +68,10 @@ object IncrementalAppend {
       .union(newAbs.select(col("x"), col("y"), col("t"),
         col("value").cast("double")))
 
-    val rows = FractionStore.fromPixels(spark, h1, window)
+    // localCheckpoint: the rewrite READS the tail partitions it is about
+    // to overwrite — materialize before the destructive write so no task
+    // can recompute against deleted files
+    val rows = FractionStore.fromPixels(spark, h1, window).localCheckpoint()
     // dynamic partition overwrite: replace ONLY the affected time chunks
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

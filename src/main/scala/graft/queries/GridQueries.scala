@@ -147,6 +147,32 @@ object GridQueries {
           sum(col("value")).as("sum_ndvi"))
     },
 
+    // SRC5 — MODIS file-index scan: filename synthesis + regex parse +
+    // per-tile chronology (modis.py:30-110), oracle-checked.
+    "src5_file_index" -> { (s, d) =>
+      val names = Tables.orders(s, d).select(concat(
+        lit("MOD13Q1.A"), date_format(col("o_orderdate"), "yyyyDDD"),
+        lit(".h"), lpad((col("o_custkey") % 36).cast("string"), 2, "0"),
+        lit("v"), lpad((col("o_orderkey") % 18).cast("string"), 2, "0"),
+        lit(".005.2006270052117.hdf")).as("name"))
+      graft.sources.Ingest.parseModisName(col("name"))(names)
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_files"),
+          unix_millis(min(col("ts"))).as("first_ts_ms"),
+          unix_millis(max(col("ts"))).as("last_ts_ms"))
+    },
+
+    // SRC7/SRC8 + P5 — named GeoJSON region drives a masked window query.
+    "grid_region_mask" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      val poly = graft.sources.Regions.polygonForRegion(s,
+        "/root/repo/assets/regions.geojson", "test.box")
+      FractionStore.loadPolyLatLng(s, h, root, poly, 0, 2)
+        .groupBy(col("in_poly"), col("t"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
+    },
+
     // A5 — per-pixel index select over the cube (argmax-style companion).
     "grid_index_select" -> { (s, _) =>
       val root = tinyRoot(s)
@@ -159,6 +185,23 @@ object GridQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "src5_file_index" ->
+      """WITH names AS (SELECT 'MOD13Q1.A' || strftime(o_orderdate, '%Y%j')
+        |    || '.h' || lpad(CAST(o_custkey % 36 AS VARCHAR), 2, '0')
+        |    || 'v' || lpad(CAST(o_orderkey % 18 AS VARCHAR), 2, '0')
+        |    || '.005.2006270052117.hdf' AS name
+        |  FROM orders),
+        |parsed AS (SELECT
+        |    substr(name, 18, 6) AS tile,
+        |    CAST(CAST(substr(name, 10, 4) || '-01-01' AS DATE)
+        |      + (CAST(substr(name, 14, 3) AS INT) - 1) * INTERVAL 1 DAY
+        |      AS TIMESTAMP) AS ts
+        |  FROM names)
+        |SELECT tile, count(*) AS n_files,
+        |  epoch_ms(min(ts)) AS first_ts_ms,
+        |  epoch_ms(max(ts)) AS last_ts_ms
+        |FROM parsed GROUP BY tile""".stripMargin,
+
     "f5_qa_confidence" -> (
       "SELECT l_orderkey, l_linenumber, qa, " + QaDecode.modisQaConfDuckSql +
         " AS conf FROM (SELECT l_orderkey, l_linenumber, CAST((l_partkey * " +

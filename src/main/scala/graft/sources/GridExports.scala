@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
+import graft.grid._
+
+/** Raster/vector exports + store maintenance (reference: SNK4/SNK5/SNK6).
+  *
+  * SNK4 (GeoTIFF export, tiff.py:92-122) is re-expressed as an ENVI
+  * raster export: raw band-sequential binary + text header — a public,
+  * fully documented format every GIS stack (GDAL `ENVI` driver, QGIS)
+  * reads, writable without any native library.
+  * SNK5 (shapefile footprints, shputils.py:65-111) becomes GeoJSON.
+  * SNK6 is the guarded recursive delete (io.py:81-103).
+  */
+object GridExports {
+
+  /** Export one time-plane window as an ENVI raster (`<base>.bin` +
+    * `<base>.hdr`). Executor-parallel up to the final ordered collect of
+    * the window (an export to a single local raster is driver-bound by
+    * definition — same as the reference's GeoTIFF writer).
+    */
+  def exportWindowEnvi(spark: SparkSession, header: GridHeader, root: String,
+                       xFrom: Int, xTo: Int, yFrom: Int, yTo: Int, t: Int,
+                       basePath: String): Unit = {
+    val w = xTo - xFrom
+    val h = yTo - yFrom
+    val px = FractionStore.loadSliceXY(spark, header, root,
+      xFrom, xTo, yFrom, yTo, t, t + 1, maskNodata = false)
+      .select(col("x"), col("y"), col("value").cast("double"))
+      .collect()
+    val arr = Array.fill(w * h)(header.nodata)
+    px.foreach(r => arr((r.getInt(1) - yFrom) * w + (r.getInt(0) - xFrom)) =
+      r.getDouble(2))
+    val (dtCode, put): (Int, (ByteBuffer, Double) => Unit) = header.dtype match {
+      case "uint8"   => (1, (b, v) => b.put((v.toInt & 0xff).toByte))
+      case "int16"   => (2, (b, v) => b.putShort(v.toShort))
+      case "int32"   => (3, (b, v) => b.putInt(v.toInt))
+      case "float32" => (4, (b, v) => b.putFloat(v.toFloat))
+      case "float64" => (5, (b, v) => b.putDouble(v))
+      case "uint16"  => (12, (b, v) => b.putShort((v.toInt & 0xffff).toShort))
+    }
+    val elemSize = Map(1 -> 1, 2 -> 2, 3 -> 4, 4 -> 4, 5 -> 8, 12 -> 2)(dtCode)
+    val buf = ByteBuffer.allocate(w * h * elemSize).order(ByteOrder.LITTLE_ENDIAN)
+    arr.foreach(v => put(buf, v))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$basePath.bin"),
+      buf.array())
+    // map info: projection, upper-left pixel (1-based), its geo coords,
+    // pixel sizes — per the public ENVI header spec
+    val (ulx, uly) = GeoTransform.pixelToGeo(header.geotArray,
+      xFrom.toDouble, yFrom.toDouble)
+    val proj = header.srs match {
+      case "wgs84" => "Geographic Lat/Lon"
+      case "sinusoidal" => "Sinusoidal"
+    }
+    val hdr =
+      s"""ENVI
+         |description = {graft export of ${header.name}}
+         |samples = $w
+         |lines = $h
+         |bands = 1
+         |header offset = 0
+         |file type = ENVI Standard
+         |data type = $dtCode
+         |interleave = bsq
+         |byte order = 0
+         |data ignore value = ${header.nodata}
+         |map info = {$proj, 1, 1, $ulx, $uly, ${header.geot(1)}, ${-header.geot(5)}}
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$basePath.hdr"),
+      hdr.getBytes("UTF-8"))
+  }
+
+  /** Fraction footprint polygons as a GeoJSON FeatureCollection
+    * (SNK5 — QGIS overlay of which chunks exist). */
+  def footprintsGeoJson(spark: SparkSession, header: GridHeader,
+                        root: String): String = {
+    val fracs = FractionStore.fractions(spark, root)
+      .select("frac_num", "x0", "y0", "w", "h").distinct().collect()
+    val features = fracs.map { r =>
+      val (x0, y0, w, h) =
+        (r.getInt(1).toDouble, r.getInt(2).toDouble, r.getInt(3), r.getInt(4))
+      val corners = Seq((x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+        (x0, y0 + h), (x0, y0))
+      val ring = corners.map { case (x, y) =>
+        val (lat, lng) = header.xyToLatLng(x, y)
+        s"[$lng, $lat]"
+      }.mkString("[", ", ", "]")
+      s"""{"type": "Feature", "properties": {"frac_num": ${r.getInt(0)}}, """ +
+        s""""geometry": {"type": "Polygon", "coordinates": [$ring]}}"""
+    }
+    features.mkString(
+      """{"type": "FeatureCollection", "features": [""", ",\n", "]}")
+  }
+
+  /** Guarded recursive delete (SNK6, io.py:81-103): refuses shallow
+    * paths so a malformed root can never wipe a filesystem. */
+  def deleteStore(spark: SparkSession, root: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    require(path.depth() >= 2,
+      s"refusing to delete shallow path $root (guard, io.py:94-97)")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.grid._
+
+class NpyCodecSpec extends AnyFunSuite {
+  test("npy round-trip for every supported dtype") {
+    for (descr <- Seq("<i2", "<u2", "|u1", "<f4", "<f8")) {
+      val shape = Seq(3, 4, 2)
+      val data = Array.tabulate(24) { i =>
+        descr match {
+          case "|u1" => (i * 7 % 256).toDouble
+          case "<u2" => (i * 997 % 65536).toDouble
+          case "<i2" => (i * 997 % 30000 - 15000).toDouble
+          case _     => i * 1.5 - 7
+        }
+      }
+      val bytes = NpyCodec.write(descr, shape, data)
+      val back = NpyCodec.read(bytes)
+      assert(back.descr == descr && back.shape == shape)
+      assert(back.data.toSeq == data.toSeq, descr)
+    }
+  }
+
+  test("reader accepts numpy's own padding/format variants") {
+    // hand-built header with minimal spacing
+    val data = Array(1.0, 2.0, 3.0, 4.0)
+    val bytes = NpyCodec.write("<f8", Seq(4), data)
+    assert(NpyCodec.read(bytes).shape == Seq(4))
+  }
+}
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("NPY blob directory ingests into a correct fraction store (U3/SRC4)") {
+    val h = GridHeader(
+      name = "ingested", width = 20, height = 20,
+      fracWidth = 10, fracHeight = 10, fracNDates = 2,
+      dtype = "int16", srs = "wgs84",
+      geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(10L, 20L), nodata = -3000.0)
+    val blobDir = TestSpark.tmpDir("npy_blobs")
+    // two 10x20x2 blobs covering the grid, values = x*1000+y*10+t
+    for (x0 <- Seq(0, 10)) {
+      val data = for {
+        ly <- 0 until 20; lx <- 0 until 10; t <- 0 until 2
+      } yield ((x0 + lx) * 1000 + ly * 10 + t).toDouble
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$blobDir/${x0}_0_0.npy"),
+        NpyCodec.write("<i2", Seq(20, 10, 2), data.toArray))
+    }
+    val outRoot = TestSpark.tmpDir("npy_store")
+    val nFracs = Ingest.ingestNpyDir(spark, h, blobDir, outRoot)
+    assert(nFracs == 4) // 2x2 fracs x 1 time chunk
+    val px = FractionStore.loadSliceXY(spark, h, outRoot, 0, 20, 0, 20, 0, 2,
+      maskNodata = false)
+    assert(px.count() == 800)
+    val bad = px.filter(col("value") =!=
+      (col("x") * 1000 + col("y") * 10 + col("t"))).count()
+    assert(bad == 0)
+  }
+
+  test("MODIS file-index parse (SRC5/F2)") {
+    import spark.implicits._
+    val names = Seq(
+      "MOD13Q1.A2000049.h10v09.005.2006270052117.hdf",
+      "MOD13Q1.A2000065.h10v09.005.2006270052117.hdf",
+      "MYD13Q1.A2000049.h29v07.005.2008238013448.hdf").toDF("name")
+    val parsed = Ingest.parseModisName(col("name"))(names)
+    val rows = parsed.select("satellite", "tile", "ts").collect()
+    assert(rows.map(_.getString(1)).toSet == Set("h10v09", "h29v07"))
+    assert(rows.head.getTimestamp(2).toInstant.toString.startsWith("2000-02-18"))
+  }
+
+  test("targeted chunk reload repairs exactly one chunk (ST3)") {
+    val root = TestSpark.tmpDir("reload_store")
+    SyntheticGrid.writeTiny(spark, root)
+    val h = GridHeader.load(spark, root)
+    // corrupt-fix: replace frac 0 / chunk 0 with constant 42
+    val replacement = SyntheticGrid.pixelDf(spark, h,
+      (_, _, _) => lit(42.0))
+      .filter(col("x") < 19 && col("y") < 5 && col("t") < 3)
+    Ingest.reloadChunk(spark, root, fracNum = 0, timeChunk = 0, replacement)
+    val px = FractionStore.loadSliceXY(spark, h, root, 0, h.width, 0, h.height,
+      0, h.nDates, maskNodata = false)
+    val inChunk = px.filter(col("x") < 19 && col("y") < 5 && col("t") < 3)
+    assert(inChunk.filter(col("value") =!= 42.0f).count() == 0)
+    assert(inChunk.count() == 19L * 5 * 3)
+    // everything outside the chunk is untouched
+    val outside = px.filter(!(col("x") < 19 && col("y") < 5 && col("t") < 3))
+    val expected = SyntheticGrid.pixelDf(spark, h, SyntheticGrid.tinyValue)
+      .filter(!(col("x") < 19 && col("y") < 5 && col("t") < 3))
+      .withColumn("value", col("value").cast("float"))
+    assert(outside.except(expected).isEmpty)
+  }
+}
+
+class RegionsExportsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("GeoJSON regions load with (lat, lng) vertices (SRC7/SRC8)") {
+    val poly = Regions.polygonForRegion(spark, "assets/regions.geojson",
+      "test.triangle")
+    assert(poly.length == 4)
+    assert(poly.head == (0.0, 0.0))
+    assert(poly(1) == (-0.5, 0.0)) // [lng=0, lat=-0.5] -> (lat, lng)
+  }
+
+  test("region polygon drives a masked grid query end-to-end") {
+    val root = TestSpark.tmpDir("region_grid")
+    SyntheticGrid.writeTiny(spark, root)
+    val h = GridHeader.load(spark, root)
+    val poly = Regions.polygonForRegion(spark, "assets/regions.geojson",
+      "test.box")
+    val df = FractionStore.loadPolyLatLng(spark, h, root, poly, 0, 1)
+    assert(df.filter(col("in_poly")).count() > 0)
+  }
+
+  test("ENVI export writes a parseable raster + header (SNK4)") {
+    val root = TestSpark.tmpDir("envi_grid")
+    SyntheticGrid.writeTiny(spark, root)
+    val h = GridHeader.load(spark, root)
+    val base = TestSpark.tmpDir("envi_out") + "/win"
+    GridExports.exportWindowEnvi(spark, h, root, 0, 10, 0, 6, 0, base)
+    val hdr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base.hdr")), "UTF-8")
+    assert(hdr.contains("samples = 10") && hdr.contains("lines = 6"))
+    assert(hdr.contains("data type = 4")) // float32
+    val bin = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base.bin"))
+    assert(bin.length == 10 * 6 * 4)
+    // spot-check pixel (3, 2, t=0) little-endian float at (2*10+3)
+    val v = java.nio.ByteBuffer.wrap(bin)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asFloatBuffer().get(23)
+    val expected = if ((3 + 2 + 0) % 13 == 0) -999.0f
+      else ((3 * 31 + 2 * 17 + 0 * 7) % 97).toFloat
+    assert(v == expected)
+  }
+
+  test("footprint GeoJSON export covers every fraction (SNK5)") {
+    val root = TestSpark.tmpDir("fp_grid")
+    SyntheticGrid.writeTiny(spark, root)
+    val h = GridHeader.load(spark, root)
+    val json = GridExports.footprintsGeoJson(spark, h, root)
+    val g = h.chunkGrid
+    assert(json.contains("FeatureCollection"))
+    assert("\"frac_num\"".r.findAllIn(json).size == g.numFracsX * g.numFracsY)
+  }
+
+  test("guarded delete refuses shallow paths, removes stores (SNK6)") {
+    intercept[IllegalArgumentException] {
+      GridExports.deleteStore(spark, "/tmp")
+    }
+    val root = TestSpark.tmpDir("del_grid")
+    SyntheticGrid.writeTiny(spark, root)
+    assert(GridExports.deleteStore(spark, root))
+    assert(!new java.io.File(root).exists())
+  }
+}
