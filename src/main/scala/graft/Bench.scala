@@ -41,11 +41,62 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    }
+    } ++ gridMicrobench(spark)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Grid-native microbenches at one-MODIS-tile scale (4800x4800x4 ≈ 92M
+    * px/band — BASELINE.md's contract: window load, multi-grid join, QA
+    * decode, recorded as this repo's own regression baseline since the
+    * reference publishes no throughput numbers).
+    */
+  def gridMicrobench(spark: org.apache.spark.sql.SparkSession): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.grid._
+    import graft.functions.QaDecode
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_tile").toString
+    val (ndviRoot, qaRoot) = (s"$base/ndvi", s"$base/qa")
+
+    def timed[A](name: String)(f: => A): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
+    val nh = SyntheticGrid.modisTileHeader("tile_ndvi", "int16", -3000.0)
+    val qh = SyntheticGrid.modisTileHeader("tile_qa", "uint16", 65535.0)
+    val ingest = timed("grid_tile_ingest_2bands") {
+      SyntheticGrid.writeDirect(spark, nh, ndviRoot, SyntheticGrid.ndviScalar)
+      SyntheticGrid.writeDirect(spark, qh, qaRoot, SyntheticGrid.qaScalar)
+    }
+    val windowLoad = timed("grid_window_load_1600x1600x4") {
+      FractionStore.loadSliceXY(spark, nh, ndviRoot, 1200, 2800, 900, 2500, 0, 4)
+        .agg(count(col("value")), avg(col("value"))).collect()
+    }
+    val qaDecode = timed("grid_qa_decode_92Mpx") {
+      FractionStore.pixels(qh, FractionStore.fractions(spark, qaRoot),
+        maskNodata = false)
+        .agg(sum(QaDecode.modisQaConf(col("value"))),
+          count(lit(1))).collect()
+    }
+    val multiJoin = timed("grid_multigrid_masked_mean_1000x1000") {
+      val ndvi = FractionStore.loadSliceXY(spark, nh, ndviRoot,
+        1000, 2000, 1000, 2000, 0, 4)
+      val qa = FractionStore.loadSliceXY(spark, qh, qaRoot,
+        1000, 2000, 1000, 2000, 0, 4, maskNodata = false)
+        .withColumnRenamed("value", "qa")
+      ndvi.join(qa, Seq("x", "y", "t"))
+        .withColumn("conf", QaDecode.modisQaConf(col("qa")))
+        .groupBy(col("t"))
+        .agg(avg(when(col("conf") > 0.5, col("value"))).as("mean_masked"),
+          count(lit(1)).as("n")).collect()
+    }
+    try { graft.sources.GridExports.deleteStore(spark, base) }
+    catch { case _: Throwable => }
+    Seq(ingest, windowLoad, qaDecode, multiJoin)
   }
 }

@@ -13,6 +13,13 @@ final case class FracRow(
     x0: Int, y0: Int, t0: Int, w: Int, h: Int, nd: Int,
     data: Array[Double])
 
+/** Int-payload twin of [[FracRow]] for integer dtypes (avoids double
+  * materialization + elementwise cast on generation/ingest hot paths). */
+final case class FracRowInt(
+    frac_num: Int, time_chunk: Int, frac_x: Int, frac_y: Int,
+    x0: Int, y0: Int, t0: Int, w: Int, h: Int, nd: Int,
+    data: Array[Int])
+
 /** The fraction store: chunked cube data as partitioned parquet
   * (reference: SRC1/SRC3/SNK1/SNK2 + the load paths P1-P3 —
   * rastercube/jgrid/jgrid3.py:50-77, 320-412, 491-586).
@@ -55,9 +62,29 @@ object FractionStore {
   def write(spark: SparkSession, header: GridHeader, fracRows: DataFrame,
             root: String, mode: String = "overwrite"): Unit = {
     header.save(spark, root)
+    // range-partition by (time_chunk, frac_num): each output file covers a
+    // contiguous frac band WITHIN one time_chunk dir, so (a) writes and
+    // subsequent reads parallelize across files (repartition(time_chunk)
+    // alone serialized a whole chunk's data into one file = one task —
+    // measured 30x slower at tile scale), and (b) per-file frac_num
+    // min/max stats still prune rect windows.
     fracRows
-      .repartition(col("time_chunk"))
-      .sortWithinPartitions(col("frac_num"))
+      .repartitionByRange(col("time_chunk"), col("frac_num"))
+      .sortWithinPartitions(col("time_chunk"), col("frac_num"))
+      .write.mode(mode)
+      .partitionBy("time_chunk")
+      .parquet(dataPath(root))
+  }
+
+  /** Write rows that are ALREADY distributed the way the caller wants
+    * (e.g. one fraction per task from a generator): skips the range
+    * shuffle, keeps the same on-disk layout. */
+  def writePrepartitioned(spark: SparkSession, header: GridHeader,
+                          fracRows: DataFrame, root: String,
+                          mode: String = "overwrite"): Unit = {
+    header.save(spark, root)
+    fracRows
+      .sortWithinPartitions(col("time_chunk"), col("frac_num"))
       .write.mode(mode)
       .partitionBy("time_chunk")
       .parquet(dataPath(root))

@@ -109,7 +109,7 @@ final class GridPipeline(
       if (n > 0) {
         // incremental runs append new chunks; forceAll rewrites the store
         // (reference overwrites fraction files in place)
-        outDf.repartition(col("time_chunk"))
+        outDf.repartitionByRange(col("time_chunk"), col("frac_num"))
           .sortWithinPartitions(col("frac_num"))
           .write.mode(if (forceAll) "overwrite" else "append")
           .partitionBy("time_chunk")

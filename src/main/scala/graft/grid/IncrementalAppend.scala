@@ -76,7 +76,7 @@ object IncrementalAppend {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      rows.repartition(col("time_chunk"))
+      rows.repartitionByRange(col("time_chunk"), col("frac_num"))
         .sortWithinPartitions(col("frac_num"))
         .write.mode("overwrite").partitionBy("time_chunk")
         .parquet(FractionStore.dataPath(root))

@@ -80,6 +80,106 @@ object SyntheticGrid {
         valueFn(col("x"), col("y"), col("t")).as("value"))
   }
 
+  /** Direct fraction-row generation — one task per fraction computes its
+    * dense array straight from (x, y, t) arithmetic, NO pixel shuffle.
+    * This is how a tile-scale (4800x4800) fixture is built in seconds;
+    * `fromPixels` stays the honest path for arbitrary pixel input.
+    */
+  def writeDirect(spark: SparkSession, h: GridHeader, root: String,
+                  value: PixelFn): GridHeader = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val g = h.chunkGrid
+    val nFracs = g.numFracsX * g.numFracsY
+    val intElem = FractionStore.elementType(h.dtype) == IntegerType
+    val base = spark.range(nFracs.toLong * g.numTimeChunks)
+      .repartition(math.min(spark.sparkContext.defaultParallelism * 4,
+        nFracs * g.numTimeChunks))
+    def meta(id: Long): (Int, Int, Int, Int, Int, Int, Int, Int, Int, Int) = {
+      val fracNum = (id / g.numTimeChunks).toInt
+      val tc = (id % g.numTimeChunks).toInt
+      val fx = g.fracX(fracNum); val fy = g.fracY(fracNum)
+      val x0 = fx * h.fracWidth; val y0 = fy * h.fracHeight
+      val t0 = tc * h.fracNDates
+      val w = math.min(h.fracWidth, h.width - x0)
+      val hh = math.min(h.fracHeight, h.height - y0)
+      val nd = math.min(h.fracNDates, h.nDates - t0)
+      (fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd)
+    }
+    // build the payload in the grid's native element type (no double
+    // materialization, no per-element cast)
+    val rows =
+      if (intElem) base.map { id =>
+        val (fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd) = meta(id)
+        val data = new Array[Int](w * hh * nd)
+        var i = 0; var ly = 0
+        while (ly < hh) {
+          var lx = 0
+          while (lx < w) {
+            var lt = 0
+            while (lt < nd) {
+              data(i) = value(x0 + lx, y0 + ly, t0 + lt).toInt; i += 1; lt += 1
+            }
+            lx += 1
+          }
+          ly += 1
+        }
+        FracRowInt(fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd, data)
+      }.toDF()
+      else base.map { id =>
+        val (fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd) = meta(id)
+        val data = new Array[Double](w * hh * nd)
+        var i = 0; var ly = 0
+        while (ly < hh) {
+          var lx = 0
+          while (lx < w) {
+            var lt = 0
+            while (lt < nd) {
+              data(i) = value(x0 + lx, y0 + ly, t0 + lt); i += 1; lt += 1
+            }
+            lx += 1
+          }
+          ly += 1
+        }
+        FracRow(fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd, data)
+      }.toDF().withColumn("data", org.apache.spark.sql.functions.col("data")
+        .cast(ArrayType(FractionStore.elementType(h.dtype))))
+    FractionStore.writePrepartitioned(spark, h, rows, root)
+    h
+  }
+
+  /** Scalar pixel function — a dedicated trait (NOT Function3, which is
+    * unspecialized: 184M boxed calls per tile caused GC storms). */
+  trait PixelFn extends Serializable {
+    def apply(x: Int, y: Int, t: Int): Double
+  }
+
+  /** Scalar twins of the Column value functions (for writeDirect). */
+  object NdviFn extends PixelFn {
+    def apply(x: Int, y: Int, t: Int): Double =
+      if ((x * y + t) % 17 == 0) -3000.0
+      else ((x * 7 + y * 11 + t * 13) % 8000 - 1000).toDouble
+  }
+  object QaFn extends PixelFn {
+    def apply(x: Int, y: Int, t: Int): Double =
+      ((x * 40503 + y * 9973 + t * 65521) % 65536).toDouble
+  }
+  def ndviScalar: PixelFn = NdviFn
+  def qaScalar: PixelFn = QaFn
+
+  /** One full MODIS-like tile (4800x4800, cell 400x400, 4 dates) —
+    * BASELINE.md's grid-microbench scale. */
+  def modisTileHeader(name: String, dtype: String, nodata: Double): GridHeader =
+    GridHeader(
+      name = name, width = 4800, height = 4800,
+      fracWidth = 400, fracHeight = 400, fracNDates = 4,
+      dtype = dtype, srs = "sinusoidal",
+      geot = Seq(1111950.519667, 231.65635826374995, 0.0,
+        1111950.519667, 0.0, -231.65635826395834),
+      timestampsMs = Seq("2000_02_18", "2000_03_05", "2000_03_21", "2004_12_26")
+        .map(parseRefDateMs),
+      nodata = nodata)
+
   /** Materialize a fixture store under root (idempotent overwrite). */
   def writeTiny(spark: SparkSession, root: String): GridHeader = {
     FractionStore.write(spark, tinyHeader,

@@ -93,7 +93,7 @@ object Ingest {
     try {
       // materialize before overwriting the partition being read
       keep.unionByName(rebuilt).localCheckpoint()
-        .repartition(col("time_chunk"))
+        .repartitionByRange(col("time_chunk"), col("frac_num"))
         .sortWithinPartitions(col("frac_num"))
         .write.mode("overwrite").partitionBy("time_chunk")
         .parquet(FractionStore.dataPath(root))
