@@ -226,9 +226,10 @@ object FractionStore {
       math.max(0, xs.min.floor.toInt), math.min(header.width, xs.max.ceil.toInt),
       math.max(0, ys.min.floor.toInt), math.min(header.height, ys.max.ceil.toInt),
       tFrom, tTo)
-    // pixel-center containment, like rasterization of the xy-projected poly
+    // pixel-center containment, like rasterization of the xy-projected
+    // poly; native loop expression keeps codegen O(1) in vertex count
     df.withColumn("in_poly",
-      PointInPolygon.containsCol(xyPoly,
+      graft.functions.PointInPolygonExpr(xyPoly,
         col("x").cast("double") + lit(0.5), col("y").cast("double") + lit(0.5)))
   }
 

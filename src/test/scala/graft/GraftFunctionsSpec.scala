@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL face of the scalar kernels must agree with the Scala face. */
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("registered SQL functions evaluate the same kernels") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT modis_qa_conf(2048) AS a,
+        |  modis_qa_conf(2048 + 4) AS b,
+        |  landsat8_qa_conf(1) AS c,
+        |  glcf_class_name(12) AS d,
+        |  round(sinusoidal_x(0.0, 1.0), 3) AS e,
+        |  lang_id(' the quick and lazy dog is here ') AS f,
+        |  token_count('a b  c') AS g
+        |""".stripMargin).head()
+    assert(row.getFloat(0) == 1.0f)
+    assert(row.getFloat(1) == (1.0 - 1 / 12.0).toFloat)
+    assert(row.getFloat(2) == 0.0f)
+    assert(row.getString(3) == "Croplands")
+    assert(math.abs(row.getDouble(4) -
+      GeoRound(graft.grid.GeoTransform.SinusoidalRadius * math.Pi / 180)) < 1e-9)
+    assert(row.getString(5) == "en")
+    assert(row.getInt(6) == 3)
+  }
+
+  private def GeoRound(v: Double): Double =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("extensions class wires the same registry entries") {
+    // identity check: the extensions entry point injects exactly the
+    // registered function set
+    val names = GraftFunctions.all.keySet
+    assert(names.contains("modis_qa_conf") && names.contains("simhash64"))
+    new GraftExtensions() // constructible (spark.sql.extensions contract)
+  }
+}

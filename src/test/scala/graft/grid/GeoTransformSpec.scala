@@ -98,4 +98,29 @@ class GeoTransformSpec extends AnyFunSuite {
       assert(r.getBoolean(3) == expected, s"(${r.getDouble(1)},${r.getDouble(2)})")
     }
   }
+
+  test("native codegen expression handles a 720-vertex polygon") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions._
+    // a 720-vertex circle of radius 4 centered at (5, 5): the unrolled
+    // fold would emit ~720 nested whens; the native expression loops
+    val circle = Array.tabulate(720) { k =>
+      val a = 2 * math.Pi * k / 720
+      (5.0 + 4.0 * math.cos(a), 5.0 + 4.0 * math.sin(a))
+    }
+    val df = spark.range(100)
+      .withColumn("px", (col("id") % 10).cast("double") + 0.5)
+      .withColumn("py", expr("id div 10").cast("double") + 0.5)
+      .withColumn("inside",
+        graft.functions.PointInPolygonExpr(circle, col("px"), col("py")))
+    df.collect().foreach { r =>
+      val (px, py) = (r.getDouble(1), r.getDouble(2))
+      val expected = math.hypot(px - 5, py - 5) < 4.0 // well off the rim
+      if (math.abs(math.hypot(px - 5, py - 5) - 4.0) > 0.1) {
+        assert(r.getBoolean(3) == expected, s"($px,$py)")
+      }
+      val scalar = PointInPolygon.contains(circle, px, py)
+      assert(r.getBoolean(3) == scalar, s"scalar mismatch ($px,$py)")
+    }
+  }
 }
