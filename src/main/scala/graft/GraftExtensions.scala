@@ -51,9 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // SURVEY §4's optional rule: lat/lng range predicates -> chunk-column
+    // predicates the parquet scan can prune. Post-hoc resolution (not
+    // optimizer) so it sees the lat/lng attributes before predicate
+    // pushdown substitutes them away.
+    e.injectPostHocResolutionRule(_ => graft.plans.LatLngPruning.Rule)
+  }
 }

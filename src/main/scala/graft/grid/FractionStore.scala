@@ -161,15 +161,22 @@ object FractionStore {
     * `maskNodata=true` turns the header's nodata into NULL (P9).
     */
   def pixels(header: GridHeader, fracRows: DataFrame,
-             maskNodata: Boolean = true): DataFrame = {
+             maskNodata: Boolean = true,
+             keepChunkCols: Boolean = false): DataFrame = {
+    // keepChunkCols passes the STORED frac_x/frac_y/time_chunk through
+    // the explode: predicates on them (e.g. added by the LatLngPruning
+    // rule) push below the Generate all the way to the parquet scan
+    val chunkCols =
+      if (keepChunkCols) Seq(col("frac_x"), col("frac_y"), col("time_chunk"))
+      else Seq.empty
     val exploded = fracRows
-      .select(col("x0"), col("y0"), col("t0"), col("w"), col("nd"),
-        posexplode(col("data")).as(Seq("pos", "value")))
+      .select(chunkCols ++ Seq(col("x0"), col("y0"), col("t0"), col("w"),
+        col("nd"), posexplode(col("data")).as(Seq("pos", "value"))): _*)
       .withColumn("pix", expr("pos div nd").cast("int"))
       .withColumn("x", col("x0") + col("pix") % col("w"))
       .withColumn("y", col("y0") + expr("pix div w").cast("int"))
       .withColumn("t", col("t0") + col("pos") % col("nd"))
-      .select(col("x"), col("y"), col("t"), col("value"))
+      .select(chunkCols ++ Seq(col("x"), col("y"), col("t"), col("value")): _*)
     if (maskNodata && !header.nodata.isNaN)
       exploded.withColumn("value",
         nullif(col("value"), lit(header.nodata).cast(elementType(header.dtype))))

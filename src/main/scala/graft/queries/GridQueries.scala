@@ -173,6 +173,51 @@ object GridQueries {
         .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
     },
 
+    // J3 — nearest-neighbor reprojection: the sinusoidal minimodis NDVI
+    // warped onto a WGS84 lattice covering its footprint, then stats.
+    "grid_reproject_nearest" -> { (s, _) =>
+      val (ndviRoot, _) = miniModisRoots(s)
+      val nh = GridHeader.load(s, ndviRoot)
+      // wgs84 target grid over the tile's lat/lng bbox
+      val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
+      val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
+      val dst = GridHeader(
+        name = "wgs84_dst", width = 100, height = 100,
+        fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
+        dtype = nh.dtype, srs = "wgs84",
+        geot = Seq(lngMin, (lngMax - lngMin) / 100, 0.0,
+          latMax, 0.0, -(latMax - latMin) / 100),
+        timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      Reproject.nearest(s, nh, ndviRoot, dst, 0, 100, 0, 100)
+        .agg(count(col("value")).as("n_mapped"),
+          sum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_total"))
+    },
+
+    // ST1 — incremental time append: prefix store + appendDates must
+    // reproduce the full axis; returns per-date pixel counts.
+    "grid_incremental_append" -> { (s, _) =>
+      val root = fixtureCache.getOrElseUpdate("inc_demo", {
+        val r = java.nio.file.Files.createTempDirectory("graft_inc").toString
+        val hFull = SyntheticGrid.tinyHeader
+        val hPre = hFull.copy(timestampsMs = hFull.timestampsMs.take(8))
+        FractionStore.write(s, hPre,
+          FractionStore.fromPixels(s, hPre,
+            SyntheticGrid.pixelDf(s, hPre, SyntheticGrid.tinyValue)), r)
+        val newTs = hFull.timestampsMs.drop(8)
+        val newPx = SyntheticGrid.pixelDf(s,
+          hFull.copy(timestampsMs = newTs),
+          (x, y, t) => SyntheticGrid.tinyValue(x, y, t + lit(8)))
+        IncrementalAppend.appendDates(s, r, newTs, newPx)
+        r
+      })
+      val h = GridHeader.load(s, root)
+      FractionStore.pixels(h, FractionStore.fractions(s, root),
+        maskNodata = false)
+        .groupBy(col("t")).agg(count(lit(1)).as("n_px"),
+          sum(col("value").cast("double")).as("sum_value"))
+    },
+
     // A5 — per-pixel index select over the cube (argmax-style companion).
     "grid_index_select" -> { (s, _) =>
       val root = tinyRoot(s)

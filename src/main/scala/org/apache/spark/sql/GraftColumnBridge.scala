@@ -16,4 +16,9 @@ object GraftColumnBridge {
     * and cannot be codegen'd when embedded in a function builder). */
   def expression(c: Column): Expression =
     SparkSession.active.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** DataFrame from a LogicalPlan (for rule tests). */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
