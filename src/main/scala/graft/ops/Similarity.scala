@@ -95,6 +95,48 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * (MLlib, fixed seed) buckets the corpus by nearest centroid; each
+    * query probes its `nProbe` nearest centroids and ranks exactly
+    * within the probed cells. The classic FAISS-IVF shape: recall is
+    * tuned by nProbe, cost by corpusSize * nProbe / nCentroids — and the
+    * join shuffles only (centroid id), never all-pairs.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("features", array_to_vector(col("cvec")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .fit(c.select("features"))
+    val assigned = model.transform(c)
+      .select(col("corpus_id"), col("cvec"), col("prediction").as("cell"))
+    // per-query nProbe nearest centroids (centers are driver-side literals)
+    val centers = model.clusterCenters.map(_.toArray)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val cellDists = array(centers.zipWithIndex.map { case (ctr, i) =>
+      struct(
+        aggregate(zip_with(col("qvec"), lit(ctr),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (a, v) => a + v).as("dist"),
+        lit(i).as("cell"))
+    }: _*)
+    val probed = q.withColumn("probe",
+      explode(slice(array_sort(cellDists), 1, nProbe)))
+      .select(col("query_id"), col("qvec"), col("probe.cell").as("cell"))
+    val cand = assigned.join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (pairs agreeing on a full table signature). */
   def cosineNearDups(corpus: DataFrame, dim: Int, minCos: Double,

@@ -111,6 +111,12 @@ object TextQueries {
       val vecs = Tables.embeddings(s, d)
       Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
         dim = 64, bitsPerTable = 8, nTables = 4)
+    },
+
+    "ann_ivf_topk" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
+        nCentroids = 16, nProbe = 4)
     }
   )
 

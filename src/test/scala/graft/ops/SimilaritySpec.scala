@@ -47,6 +47,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.head._1 == 999L && got.head._2 > 0.9999)
   }
 
+  test("IVF top-k finds the planted copy (same k-means cell)") {
+    val q = corpus.filter(col("vec_id") === 0)
+    val got = Similarity.ivfTopK(corpus, q, k = 5, nCentroids = 8, nProbe = 3)
+      .orderBy("rank").select("corpus_id", "cos").as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    // the scaled copy is cosine-1 and quantizes to the same cell
+    assert(got.head._1 == 999L && got.head._2 > 0.9999)
+  }
+
   test("cosine near-dup pairs = exactly the planted pair at cos>=0.999") {
     val pairs = Similarity.cosineNearDups(corpus, dim = 64, minCos = 0.999)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
