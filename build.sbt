@@ -9,8 +9,14 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Fork ALL run shapes: `run / fork` alone does NOT cover `Compile/runMain`
+// (observed: driver's `sbt runMain graft.Bench` ran inside sbt's 4g JVM in
+// round 1 — 20x slowdown on tile-scale benchmarks). StdoutOutput keeps the
+// bench's one-line JSON un-prefixed (sbt's LoggedOutput adds "[info] ",
+// which breaks the driver's JSON parse).
 Test / fork := true
-run / fork := true
+Compile / run / fork := true
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,14 +38,22 @@ object Bench {
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        // A failed query reports the -1.0 sentinel, not its wall time —
+        // otherwise a crash is indistinguishable from a pass in the JSON.
+        try {
+          fn(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case t: Throwable =>
+          System.err.println(s"bench query $name failed: $t")
+          name -> -1.0
+        }
       }
     } ++ gridMicrobench(spark)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","heap_gb":${math.round(heapGb * 10) / 10.0}}""")
     spark.stop()
   }
 

@@ -28,26 +28,32 @@ object AsOfJoin {
                leftTs: String, rightTs: String,
                rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The whole right payload travels as ONE struct so a single
+    // last(ignoreNulls) picks the matched row atomically — per-column
+    // carry would backfill a NULL payload column from an older right row
+    // (diverging from ASOF semantics, which attach the matched row's
+    // NULLs as-is). struct(null, ..) is non-null, so an all-NULL payload
+    // row still matches and attaches its NULLs.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     // side 0 = right (sorts before left on ties: as-of is inclusive)
     val r = right.select(
       (col(key).as("__key") +: col(rightTs).cast("timestamp").as("__ts")
         +: lit(0).as("__side")
-        +: rightCols.map(c => col(c).as(s"__r_$c"))
-        ++: leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+        +: struct(rightCols.map(col): _*).as("__r")
+        +: leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val l = left.select(
       (col(key).as("__key") +: col(leftTs).cast("timestamp").as("__ts")
         +: lit(1).as("__side")
-        +: rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
-        ++: leftCols.map(col): _*))
+        +: lit(null).cast(payloadType).as("__r")
+        +: leftCols.map(col): _*))
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(r.unionByName(l)) { (df, c) =>
-      df.withColumn(s"__r_$c",
-        last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = r.unionByName(l)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightCols.map(c => col(s"__r_$c").as(s"asof_$c"))): _*)
+        rightCols.map(c => col("__r")(c).as(s"asof_$c"))): _*)
   }
 }

@@ -99,6 +99,10 @@ object LatLngPruning {
         litD(v).foreach(d => { hi = Some(hi.fold(d)(math.min(_, d))); attr = Some(a) })
       case LessThanOrEqual(v, a: Attribute) if a.name == name =>
         litD(v).foreach(d => { lo = Some(lo.fold(d)(math.max(_, d))); attr = Some(a) })
+      case GreaterThan(v, a: Attribute) if a.name == name => // lit > attr
+        litD(v).foreach(d => { hi = Some(hi.fold(d)(math.min(_, d))); attr = Some(a) })
+      case LessThan(v, a: Attribute) if a.name == name => // lit < attr
+        litD(v).foreach(d => { lo = Some(lo.fold(d)(math.max(_, d))); attr = Some(a) })
       case _ => // other predicates don't constrain monotone bounds
     }
     visit(cond)

@@ -502,7 +502,7 @@ object RelationalQueries {
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |  FROM events),
         |f AS (SELECT user_id, ts, value,
-        |    CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+        |    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
         |      THEN 1 ELSE 0 END AS brk
         |  FROM e),
         |g AS (SELECT user_id, ts, value,

@@ -9,9 +9,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * a Python-dict header `{'descr': '<i2', 'fortran_order': False,
   * 'shape': (h, w, t)}` padded to 64 bytes, then raw C-order data.
   *
-  * Supports `<i2` (int16), `<u2` (uint16), `|u1` (uint8), `<f4`
-  * (float32), `<f8` (float64). Values surface as doubles (exact for all
-  * supported types).
+  * Supports `<i2` (int16), `<u2` (uint16), `|u1` (uint8), `<i4`
+  * (int32), `<f4` (float32), `<f8` (float64). Values surface as doubles
+  * (exact for all supported types).
   */
 object NpyCodec {
 
@@ -48,6 +48,8 @@ object NpyCodec {
       case "|u1" =>
         var i = 0
         while (i < n) { out(i) = (buf.get(buf.position() + i) & 0xff).toDouble; i += 1 }
+      case "<i4" => val b = buf.asIntBuffer()
+        var i = 0; while (i < n) { out(i) = b.get(i).toDouble; i += 1 }
       case "<f4" => val b = buf.asFloatBuffer()
         var i = 0; while (i < n) { out(i) = b.get(i).toDouble; i += 1 }
       case "<f8" => val b = buf.asDoubleBuffer()

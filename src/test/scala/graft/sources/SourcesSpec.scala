@@ -7,13 +7,14 @@ import graft.grid._
 
 class NpyCodecSpec extends AnyFunSuite {
   test("npy round-trip for every supported dtype") {
-    for (descr <- Seq("<i2", "<u2", "|u1", "<f4", "<f8")) {
+    for (descr <- Seq("<i2", "<u2", "|u1", "<i4", "<f4", "<f8")) {
       val shape = Seq(3, 4, 2)
       val data = Array.tabulate(24) { i =>
         descr match {
           case "|u1" => (i * 7 % 256).toDouble
           case "<u2" => (i * 997 % 65536).toDouble
           case "<i2" => (i * 997 % 30000 - 15000).toDouble
+          case "<i4" => (i * 99999989L % 2000000000L - 1000000000L).toDouble
           case _     => i * 1.5 - 7
         }
       }
