@@ -178,15 +178,22 @@ object GridQueries {
     "grid_reproject_nearest" -> { (s, _) =>
       val (ndviRoot, _) = miniModisRoots(s)
       val nh = GridHeader.load(s, ndviRoot)
-      // wgs84 target grid over the tile's lat/lng bbox
+      // wgs84 target grid over the tile's lat/lng bbox. The lattice
+      // steps divide the footprint by NON-round 96.7/97.3 (not 100):
+      // round divisors align every dst pixel center exactly onto a
+      // source pixel boundary (the footprint spans 200 source pixels,
+      // so /100 puts each center at an odd source index ± 1 ulp), and
+      // floor() of a boundary-straddling quotient is engine-dependent —
+      // the oracle would flake. Non-dyadic steps keep every quotient
+      // >= 1e-4 from an integer (verified), far beyond libm ulp noise.
       val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
       val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
       val dst = GridHeader(
         name = "wgs84_dst", width = 100, height = 100,
         fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
         dtype = nh.dtype, srs = "wgs84",
-        geot = Seq(lngMin, (lngMax - lngMin) / 100, 0.0,
-          latMax, 0.0, -(latMax - latMin) / 100),
+        geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
+          latMax, 0.0, -(latMax - latMin) / 97.3),
         timestampsMs = nh.timestampsMs, nodata = nh.nodata)
       Reproject.nearest(s, nh, ndviRoot, dst, 0, 100, 0, 100)
         .agg(count(col("value")).as("n_mapped"),
@@ -286,5 +293,121 @@ object GridQueries {
         |    WHEN 15 THEN 'Snow and ice'
         |    WHEN 16 THEN 'Barren or sparsely vegetated' END AS cls_name
         |FROM part""".stripMargin
-  )
+  ) ++ gridStoreOracles
+
+  // ---- grid-store oracles --------------------------------------------
+  // The synthetic fixtures are closed-form integer arithmetic on
+  // (x, y, t) (SyntheticGrid), so DuckDB recomputes every store-backed
+  // query from range() cross products. Geometry/window constants are
+  // computed by OracleBuilders with the query's own Scala code paths.
+  private def gridStoreOracles: Map[String, String] = {
+    import OracleBuilders._
+
+    // grid_slice_window: tinygrid x[17,40) y[3,12) t[2,11), nodata kept
+    val sliceWindow =
+      s"""SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, CAST(t AS INT) AS t,
+         |  ${tinyValueSql(mask = false)} AS value
+         |FROM range(17, 40) a(x), range(3, 12) b(y), range(2, 11) c(t)""".stripMargin
+
+    // grid_index_select: tinygrid x[0,38) y[0,10) all t, keep t=(x+y)%11
+    val indexSelect =
+      s"""SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+         |  CAST(t AS INT) AS t, ${tinyValueSql(mask = true)} AS value
+         |FROM (SELECT x, y, (x + y) % 11 AS t
+         |      FROM range(0, 38) a(x), range(0, 10) b(y)) g""".stripMargin
+
+    // grid_pixel_timeseries: minimodis 60x60 window, QA-masked mean
+    val pixelTimeseries =
+      s"""WITH g AS (SELECT x, y, t,
+         |    ${ndviValueSql(mask = true)} AS value, $qaValueSql AS qa
+         |  FROM range(0, 60) a(x), range(0, 60) b(y), range(0, 4) c(t)),
+         |c AS (SELECT x, y, value,
+         |    ${graft.functions.QaDecode.modisQaConfDuckSql} AS conf FROM g)
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+         |  avg(CASE WHEN conf > 0.5 THEN value END) AS mean_ndvi_masked,
+         |  count(CASE WHEN conf > 0.5 THEN value END) AS n_clear,
+         |  count(*) AS n_total
+         |FROM c GROUP BY x, y""".stripMargin
+
+    // grid_pipeline_masked: full 200x200x4, QA gate formula, per-t stats.
+    // Output value is NULL iff the QA gate fires or NDVI is nodata
+    // (the pipeline writes -3000 for both; pixels() masks it to NULL).
+    val pipelineMasked =
+      s"""WITH g AS (SELECT x, y, t,
+         |    ${ndviValueSql(mask = true)} AS ndvi, $qaValueSql AS qa
+         |  FROM range(0, 200) a(x), range(0, 200) b(y), range(0, 4) c(t)),
+         |m AS (SELECT t, CASE WHEN (qa & 3) = 3 OR ((qa >> 6) & 3) = 3
+         |      OR ((qa >> 8) & 1) = 1 OR ((qa >> 10) & 1) = 1
+         |      OR ((qa >> 11) & 7) <> 1 OR ((qa >> 14) & 1) = 1
+         |      OR ((qa >> 15) & 1) = 1 OR ((qa >> 2) & 15) >= 12
+         |    THEN NULL ELSE ndvi END AS value FROM g)
+         |SELECT CAST(t AS INT) AS t, count(value) AS n_clear,
+         |  sum(value) AS sum_ndvi
+         |FROM m GROUP BY t""".stripMargin
+
+    // grid_incremental_append: full tinygrid per-date counts, nodata kept
+    val incrementalAppend =
+      s"""SELECT CAST(t AS INT) AS t, count(*) AS n_px,
+         |  sum(CAST(${tinyValueSql(mask = false)} AS DOUBLE)) AS sum_value
+         |FROM range(0, 190) a(x), range(0, 130) b(y), range(0, 11) c(t)
+         |GROUP BY t""".stripMargin
+
+    // grid_polygon_mask: triangle containment on tinygrid pixel centers
+    val (triXy, tx0, tx1, ty0, ty1) =
+      polyWindow(SyntheticGrid.tinyHeader, triangleLatLng)
+    val polygonMask =
+      s"""SELECT ${pipParitySql(triXy, "(x + 0.5)", "(y + 0.5)")} AS in_poly,
+         |  count(*) AS n, sum(${tinyValueSql(mask = true)}) AS sum_value
+         |FROM range($tx0, $tx1) a(x), range($ty0, $ty1) b(y), range(0, 2) c(t)
+         |GROUP BY 1""".stripMargin
+
+    // grid_region_mask: test.box (assets/regions.geojson) on tinygrid
+    val (boxXy, bx0, bx1, by0, by1) =
+      polyWindow(SyntheticGrid.tinyHeader, testBoxLatLng)
+    val regionMask =
+      s"""SELECT ${pipParitySql(boxXy, "(x + 0.5)", "(y + 0.5)")} AS in_poly,
+         |  CAST(t AS INT) AS t, count(*) AS n,
+         |  avg(${tinyValueSql(mask = true)}) AS mean_value
+         |FROM range($bx0, $bx1) a(x), range($by0, $by1) b(y), range(0, 2) c(t)
+         |GROUP BY 1, 2""".stripMargin
+
+    // grid_reproject_nearest: dst wgs84 100x100 lattice over the
+    // minimodis footprint; per dst pixel invert to source pixel indices
+    // and look up NDVI at t=0. The dst geotransform constants mirror the
+    // query's construction exactly (computed with the same Scala code).
+    val nh = SyntheticGrid.miniModisNdviHeader
+    val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
+    val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
+    val d0 = lngMin; val d1 = (lngMax - lngMin) / 96.7
+    val d3 = latMax; val d5 = -(latMax - latMin) / 97.3
+    val g = nh.geot
+    val r = graft.grid.GeoTransform.SinusoidalRadius
+    val reprojectNearest =
+      s"""WITH dst AS (SELECT x, y,
+         |    ${d(d0)} + (x + 0.5) * ${d(d1)} AS lng,
+         |    ${d(d3)} + (y + 0.5) * ${d(d5)} AS lat
+         |  FROM range(0, 100) a(x), range(0, 100) b(y)),
+         |m AS (SELECT
+         |    CAST(floor(((${d(r)} * radians(lng)) * cos(radians(lat))
+         |      - ${d(g(0))}) / ${d(g(1))}) AS INT) AS x,
+         |    CAST(floor((${d(r)} * radians(lat)
+         |      - ${d(g(3))}) / ${d(g(5))}) AS INT) AS y,
+         |    0 AS t
+         |  FROM dst),
+         |v AS (SELECT CASE WHEN x >= 0 AND x < ${nh.width}
+         |      AND y >= 0 AND y < ${nh.height}
+         |    THEN ${ndviValueSql(mask = true)} END AS value FROM m)
+         |SELECT count(value) AS n_mapped, sum(value) AS sum_value,
+         |  count(*) AS n_total FROM v""".stripMargin
+
+    Map(
+      "grid_slice_window" -> sliceWindow,
+      "grid_index_select" -> indexSelect,
+      "grid_pixel_timeseries" -> pixelTimeseries,
+      "grid_pipeline_masked" -> pipelineMasked,
+      "grid_incremental_append" -> incrementalAppend,
+      "grid_polygon_mask" -> polygonMask,
+      "grid_region_mask" -> regionMask,
+      "grid_reproject_nearest" -> reprojectNearest)
+  }
 }

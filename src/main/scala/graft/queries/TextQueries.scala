@@ -78,10 +78,17 @@ object TextQueries {
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
     },
 
-    // rows-only: xxhash64-based signatures have no DuckDB twin
+    // The LSH candidate generation is xxhash64-based (no DuckDB twin),
+    // but the emitted pairs are verified with EXACT shingle Jaccard, and
+    // on the fixture corpus LSH recall at j >= 0.5 is total (k=32,
+    // bands=8: planted near-dups sit at j ~ 0.9 where band-collision
+    // probability is ~1) — so the output equals the brute-force
+    // all-pairs Jaccard >= 0.5 set and is oracle-checked against it.
+    // est_jaccard (hash-dependent) is asserted in DedupSpec instead.
     "dedup_minhash_lsh" -> { (s, d) =>
       Dedup.minhashNearDups(corpusWithPlants(s, d), "doc_id", "text",
         k = 32, bands = 8, shingleSize = 3, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     },
 
     "dedup_simhash" -> { (s, d) =>
@@ -208,6 +215,84 @@ object TextQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
-        |FROM documents GROUP BY md5(text)""".stripMargin
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // Brute-force all-pairs word-3-gram Jaccard >= 0.5 over the planted
+    // corpus. Equals BOTH pair queries: any pair with j >= 0.5 shares a
+    // shingle (blocking is lossless) and no shingle block exceeds the
+    // 1000 cap at sf0.01, so ngramJaccardPairs is exhaustive; minhash
+    // LSH recall is total on this corpus (see the query comment).
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_minhash_lsh" -> ngramJaccardOracle,
+
+    // Brute-force all-pairs cosine >= 0.999 over base + scaled plants.
+    // Positive scaling preserves hyperplane signs, so every qualifying
+    // pair shares all LSH table signatures — bucketing is lossless here.
+    // Dot products in DOUBLE mirror Similarity.dot's left-to-right fold.
+    "dedup_embedding_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |    AS cos
+        |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos FROM p
+        |WHERE cos >= 0.999""".stripMargin,
+
+    // Exact brute-force cosine top-5 per query vector — the ANN
+    // baseline is itself exact, so DuckDB reproduces it fully.
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |    FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+        |s AS (SELECT query_id, corpus_id,
+        |    list_sum(list_transform(range(1, len(cvec) + 1),
+        |      i -> CAST(cvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(cvec) + 1),
+        |        i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
+        |        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))))
+        |    AS cos
+        |  FROM c, q WHERE corpus_id <> query_id),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, corpus_id, rank, round(cos, 6) AS cos
+        |FROM r WHERE rank <= 5""".stripMargin
   )
+
+  /** Shared by dedup_ngram_jaccard and dedup_minhash_lsh (see above). */
+  private def ngramJaccardOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    'zzz ' || substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |      t -> len(t) > 0) AS ts
+      |  FROM corpus),
+      |sh AS (SELECT doc_id AS id, list_distinct(
+      |    CASE WHEN len(ts) >= 3
+      |      THEN list_transform(range(0, len(ts) - 2),
+      |        i -> ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3])
+      |      ELSE [array_to_string(ts, ' ')] END) AS shingles
+      |  FROM toks),
+      |p AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |      / len(list_distinct(a.shingles || b.shingles)) AS jac
+      |  FROM sh a, sh b WHERE a.id < b.id)
+      |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p
+      |WHERE jac >= 0.5""".stripMargin
 }
