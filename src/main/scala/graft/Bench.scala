@@ -92,15 +92,12 @@ object Bench {
           count(lit(1))).collect()
     }
     val multiJoin = timed("grid_multigrid_masked_mean_1000x1000") {
-      val ndvi = FractionStore.loadSliceXY(spark, nh, ndviRoot,
-        1000, 2000, 1000, 2000, 0, 4)
-      val qa = FractionStore.loadSliceXY(spark, qh, qaRoot,
-        1000, 2000, 1000, 2000, 0, 4, maskNodata = false)
-        .withColumnRenamed("value", "qa")
-      ndvi.join(qa, Seq("x", "y", "t"))
-        .withColumn("conf", QaDecode.modisQaConf(col("qa")))
+      // chunk-aligned join: shuffles ~100 chunk rows, not 8M pixel rows
+      FractionStore.loadAlignedSliceXY(spark, Seq((nh, ndviRoot), (qh, qaRoot)),
+        1000, 2000, 1000, 2000, 0, 4, masks = Seq(true, false))
+        .withColumn("conf", QaDecode.modisQaConf(col("value_1")))
         .groupBy(col("t"))
-        .agg(avg(when(col("conf") > 0.5, col("value"))).as("mean_masked"),
+        .agg(avg(when(col("conf") > 0.5, col("value_0"))).as("mean_masked"),
           count(lit(1)).as("n")).collect()
     }
     try { graft.sources.GridExports.deleteStore(spark, base) }

@@ -5,20 +5,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** One chunk of the cube (the reference's fraction file, jgrid3.py:17-27)
-  * with its placement metadata. `data` is the dense C-order `[y][x][t]`
-  * payload; [[FractionStore.write]] casts it to the grid's element type.
+  * with its placement metadata, payload as doubles — the
+  * [[GridPipeline]] kernel-facing shape (`data` is null there; payloads
+  * travel separately).
   */
 final case class FracRow(
     frac_num: Int, time_chunk: Int, frac_x: Int, frac_y: Int,
     x0: Int, y0: Int, t0: Int, w: Int, h: Int, nd: Int,
     data: Array[Double])
 
-/** Int-payload twin of [[FracRow]] for integer dtypes (avoids double
-  * materialization + elementwise cast on generation/ingest hot paths). */
-final case class FracRowInt(
+/** The STORED chunk shape: `data` is the packed little-endian payload
+  * in the grid's native dtype ([[PayloadCodec]]) — raw C-order
+  * `[y][x][t]` bytes, exactly the reference's `.jdata` blob. */
+final case class FracRowBytes(
     frac_num: Int, time_chunk: Int, frac_x: Int, frac_y: Int,
     x0: Int, y0: Int, t0: Int, w: Int, h: Int, nd: Int,
-    data: Array[Int])
+    data: Array[Byte])
 
 /** The fraction store: chunked cube data as partitioned parquet
   * (reference: SRC1/SRC3/SNK1/SNK2 + the load paths P1-P3 —
@@ -26,9 +28,12 @@ final case class FracRowInt(
   *
   * Layout (designed for the 100 TB case):
   *  - one parquet row per (frac_num, time_chunk): the reference's `.jdata`
-  *    blob becomes an `array` column, flattened C-order `[y][x][t]` so a
-  *    pixel's time series is contiguous (the cube exists to serve per-pixel
-  *    series — jgrid3.py:3-4);
+  *    blob stays a packed BINARY column ([[PayloadCodec]]), flattened
+  *    C-order `[y][x][t]` so a pixel's time series is contiguous (the
+  *    cube exists to serve per-pixel series — jgrid3.py:3-4). Binary
+  *    payloads read/write at memcpy speed; `array<T>` payloads paid
+  *    parquet's per-element assembly (~3M elements/s/core — the
+  *    dominant cost of every tile-scale path);
   *  - `partitionBy(time_chunk)` gives temporal partition pruning (P7);
   *  - rows sorted by `frac_num` within partitions, with `frac_x`/`frac_y`
   *    as plain stats-bearing columns, so parquet row-group min/max skipping
@@ -40,8 +45,9 @@ final case class FracRowInt(
   *
   * Fraction row schema:
   *   frac_num int, time_chunk int, frac_x int, frac_y int,
-  *   x0 int, y0 int, t0 int, w int, h int, nd int, data array<elem>
-  * where elem is int for integer dtypes, float/double for float dtypes.
+  *   x0 int, y0 int, t0 int, w int, h int, nd int, data binary
+  * where data is the packed native-dtype payload; the pixel view
+  * surfaces int for integer dtypes, float/double for float dtypes.
   */
 object FractionStore {
 
@@ -50,6 +56,10 @@ object FractionStore {
     case "float64" => DoubleType
     case _         => IntegerType // int16/uint16/uint8/int32 all fit exactly
   }
+
+  /** Payload decode as a codegen'd Column (binary -> array<elem>). */
+  def unpack(header: GridHeader, data: Column): Column =
+    graft.functions.UnpackPayloadExpr(data, header.dtype)
 
   def dataPath(root: String): String = s"$root/jdata"
 
@@ -102,7 +112,7 @@ object FractionStore {
   def fromPixels(spark: SparkSession, header: GridHeader, pixels: DataFrame): DataFrame = {
     import spark.implicits._
     val g = header.chunkGrid
-    val et = elementType(header.dtype)
+    val dtype = header.dtype
     val keyed = pixels.select(
       (col("x") / g.fracWidth).cast("int").as("frac_x"),
       (col("y") / g.fracHeight).cast("int").as("frac_y"),
@@ -124,9 +134,10 @@ object FractionStore {
         it.foreach { case (_, _, _, x, y, t, v) =>
           data(((y - y0) * w + (x - x0)) * nd + (t - t0)) = v
         }
-        FracRow(fy * g.numFracsX + fx, tc, fx, fy, x0, y0, t0, w, h, nd, data)
+        FracRowBytes(fy * g.numFracsX + fx, tc, fx, fy, x0, y0, t0, w, h, nd,
+          PayloadCodec.encodeDouble(data, dtype))
       }
-    rows.toDF().withColumn("data", col("data").cast(ArrayType(et)))
+    rows.toDF()
   }
 
   // ---- read (SRC1/SRC3, P1-P3, P6-P7) ---------------------------------
@@ -171,7 +182,8 @@ object FractionStore {
       else Seq.empty
     val exploded = fracRows
       .select(chunkCols ++ Seq(col("x0"), col("y0"), col("t0"), col("w"),
-        col("nd"), posexplode(col("data")).as(Seq("pos", "value"))): _*)
+        col("nd"),
+        posexplode(unpack(header, col("data"))).as(Seq("pos", "value"))): _*)
       .withColumn("pix", expr("pos div nd").cast("int"))
       .withColumn("x", col("x0") + col("pix") % col("w"))
       .withColumn("y", col("y0") + expr("pix div w").cast("int"))
@@ -195,6 +207,74 @@ object FractionStore {
     val fracs = fractionsForWindow(spark, header, root,
       xFrom, xTo, yFrom, yTo, tFrom, tTo)
     pixels(header, fracs, maskNodata)
+      .filter(col("x") >= xFrom && col("x") < xTo &&
+        col("y") >= yFrom && col("y") < yTo &&
+        col("t") >= tFrom && col("t") < tTo)
+  }
+
+  /** Aligned multi-store window load (J1/J2 fast path): same-geogrid
+    * stores are joined at CHUNK granularity on (frac_num, time_chunk),
+    * payloads unpacked once per chunk, then one explode emits
+    * (x, y, t, value_0..value_{n-1}).
+    *
+    * This is the scale-correct shape of a multi-band query: the join
+    * shuffles chunk keys (hundreds of ~MB rows), never exploded pixels —
+    * an (x, y, t) pixel join of two tile-scale bands shuffles 10^8 rows
+    * and was 100x slower in the tile benchmark. Secondary payloads are
+    * indexed per-pixel with element_at on the ALREADY-materialized
+    * arrays (O(1) each; the unpack sits in its own projection below the
+    * explode so it runs once per chunk, not once per pixel).
+    *
+    * `masks(i)` turns store i's nodata into NULL (P9 per band).
+    */
+  def loadAlignedSliceXY(spark: SparkSession,
+                         stores: Seq[(GridHeader, String)],
+                         xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                         tFrom: Int, tTo: Int,
+                         masks: Seq[Boolean]): DataFrame = {
+    require(stores.nonEmpty && masks.length == stores.length)
+    val (h0, _) = stores.head
+    require(stores.forall(_._1.sameGeogrid(h0)) &&
+      stores.forall(_._1.fracNDates == h0.fracNDates),
+      "aligned load needs one shared geogrid + time chunking")
+    val base = fractionsForWindow(spark, h0, stores.head._2,
+      xFrom, xTo, yFrom, yTo, tFrom, tTo)
+      .withColumnRenamed("data", "data_0")
+    val joined = stores.zipWithIndex.drop(1).foldLeft(base) {
+      case (acc, ((h, root), i)) =>
+        acc.join(fractionsForWindow(spark, h, root,
+          xFrom, xTo, yFrom, yTo, tFrom, tTo)
+          .select(col("frac_num"), col("time_chunk"),
+            col("data").as(s"data_$i")),
+          Seq("frac_num", "time_chunk"))
+    }
+    // materialize every unpacked array in ONE projection below the
+    // generator — Catalyst does not CSE into generators, and element_at
+    // over an inlined unpack would re-decode the chunk per pixel
+    val unpacked = joined.select(
+      Seq(col("x0"), col("y0"), col("t0"), col("w"), col("nd")) ++
+        stores.indices.map(i =>
+          unpack(stores(i)._1, col(s"data_$i")).as(s"arr_$i")): _*)
+    val exploded = unpacked.select(
+      Seq(col("x0"), col("y0"), col("t0"), col("w"), col("nd")) ++
+        stores.indices.drop(1).map(i => col(s"arr_$i")) :+
+        posexplode(col("arr_0")).as(Seq("pos", "value_0")): _*)
+    val withCoords = exploded
+      .withColumn("pix", expr("pos div nd").cast("int"))
+      .withColumn("x", col("x0") + col("pix") % col("w"))
+      .withColumn("y", col("y0") + expr("pix div w").cast("int"))
+      .withColumn("t", col("t0") + col("pos") % col("nd"))
+    val values = stores.indices.map { i =>
+      val raw = if (i == 0) col("value_0")
+                else element_at(col(s"arr_$i"), col("pos") + 1)
+      val h = stores(i)._1
+      val v = if (masks(i) && !h.nodata.isNaN)
+        nullif(raw, lit(h.nodata).cast(elementType(h.dtype)))
+      else raw
+      v.as(s"value_$i")
+    }
+    withCoords
+      .select(Seq(col("x"), col("y"), col("t")) ++ values: _*)
       .filter(col("x") >= xFrom && col("x") < xTo &&
         col("y") >= yFrom && col("y") < yTo &&
         col("t") >= tFrom && col("t") < tTo)

@@ -68,13 +68,14 @@ final class GridPipeline(
 
     // Align input chunks: multi-way equi-join on the chunk key. Inputs
     // share chunking, so the join keys are dense and equi — shuffle once
-    // per input, no broadcast needed at scale.
+    // per input, no broadcast needed at scale. Payloads travel packed
+    // (binary) through the join; decode happens once in the kernel task.
     val aligned = inputs.zipWithIndex.map { case ((_, root), i) =>
       FractionStore.fractions(spark, root)
         .join(todo, key, "left_semi")
         .select(col("frac_num"), col("time_chunk"), col("frac_x"), col("frac_y"),
           col("x0"), col("y0"), col("t0"), col("w"), col("h"), col("nd"),
-          col("data").cast(ArrayType(DoubleType)).as(s"data_$i"))
+          col("data").as(s"data_$i"))
     }.reduce { (a, b) =>
       a.join(b.select((Seq("frac_num", "time_chunk") ++
         b.columns.filter(_.startsWith("data_"))).map(col): _*), key)
@@ -85,19 +86,24 @@ final class GridPipeline(
     val padded = (inputs.size until 4).foldLeft(
       aligned.select((Seq("frac_num", "time_chunk", "frac_x", "frac_y",
         "x0", "y0", "t0", "w", "h", "nd") ++ dataCols).map(col): _*)) {
-      (df, i) => df.withColumn(s"data_$i", lit(null).cast(ArrayType(DoubleType)))
+      (df, i) => df.withColumn(s"data_$i", lit(null).cast(BinaryType))
     }
+    val inCodes = inputs.map(p => PayloadCodec.code(p._1.dtype))
+    val outDtype = output.dtype
     val outRows = padded
       .as[AlignedChunk]
       .map { c =>
         val row = FracRow(c.frac_num, c.time_chunk, c.frac_x, c.frac_y,
           c.x0, c.y0, c.t0, c.w, c.h, c.nd, null)
-        row.copy(data = fn(row, c.payloads))
+        val payloads = c.payloads.zip(inCodes).map { case (b, cd) =>
+          PayloadCodec.decodeDouble(b, cd)
+        }
+        FracRowBytes(c.frac_num, c.time_chunk, c.frac_x, c.frac_y,
+          c.x0, c.y0, c.t0, c.w, c.h, c.nd,
+          PayloadCodec.encodeDouble(fn(row, payloads), outDtype))
       }
 
     val outDf = outRows.toDF()
-      .withColumn("data",
-        col("data").cast(ArrayType(FractionStore.elementType(output.dtype))))
 
     output.save(spark, outputRoot)
     // persist so the count action and the write share one execution (the
@@ -122,15 +128,16 @@ final class GridPipeline(
 
 /** Row shape for the aligned multi-input join (up to 4 inputs — the
   * reference pipelines use 1-2). Extra payload columns are null when
-  * fewer inputs are present.
+  * fewer inputs are present; payloads are packed binary
+  * ([[PayloadCodec]]).
   */
 final case class AlignedChunk(
     frac_num: Int, time_chunk: Int, frac_x: Int, frac_y: Int,
     x0: Int, y0: Int, t0: Int, w: Int, h: Int, nd: Int,
-    data_0: Array[Double],
-    data_1: Option[Array[Double]] = None,
-    data_2: Option[Array[Double]] = None,
-    data_3: Option[Array[Double]] = None) {
-  def payloads: Seq[Array[Double]] =
+    data_0: Array[Byte],
+    data_1: Option[Array[Byte]] = None,
+    data_2: Option[Array[Byte]] = None,
+    data_3: Option[Array[Byte]] = None) {
+  def payloads: Seq[Array[Byte]] =
     Seq(Some(data_0), data_1, data_2, data_3).flatten
 }

@@ -88,14 +88,13 @@ object SyntheticGrid {
   def writeDirect(spark: SparkSession, h: GridHeader, root: String,
                   value: PixelFn): GridHeader = {
     import spark.implicits._
-    import org.apache.spark.sql.types.{ArrayType, IntegerType}
     val g = h.chunkGrid
     val nFracs = g.numFracsX * g.numFracsY
-    val intElem = FractionStore.elementType(h.dtype) == IntegerType
+    val dtype = h.dtype
     val base = spark.range(nFracs.toLong * g.numTimeChunks)
       .repartition(math.min(spark.sparkContext.defaultParallelism * 4,
         nFracs * g.numTimeChunks))
-    def meta(id: Long): (Int, Int, Int, Int, Int, Int, Int, Int, Int, Int) = {
+    val rows = base.map { id =>
       val fracNum = (id / g.numTimeChunks).toInt
       val tc = (id % g.numTimeChunks).toInt
       val fx = g.fracX(fracNum); val fy = g.fracY(fracNum)
@@ -104,46 +103,24 @@ object SyntheticGrid {
       val w = math.min(h.fracWidth, h.width - x0)
       val hh = math.min(h.fracHeight, h.height - y0)
       val nd = math.min(h.fracNDates, h.nDates - t0)
-      (fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd)
-    }
-    // build the payload in the grid's native element type (no double
-    // materialization, no per-element cast)
-    val rows =
-      if (intElem) base.map { id =>
-        val (fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd) = meta(id)
-        val data = new Array[Int](w * hh * nd)
-        var i = 0; var ly = 0
-        while (ly < hh) {
-          var lx = 0
-          while (lx < w) {
-            var lt = 0
-            while (lt < nd) {
-              data(i) = value(x0 + lx, y0 + ly, t0 + lt).toInt; i += 1; lt += 1
-            }
-            lx += 1
+      // one dense double pass + one packed encode pass — both
+      // memory-bandwidth bound, no boxing (PixelFn is specialized)
+      val data = new Array[Double](w * hh * nd)
+      var i = 0; var ly = 0
+      while (ly < hh) {
+        var lx = 0
+        while (lx < w) {
+          var lt = 0
+          while (lt < nd) {
+            data(i) = value(x0 + lx, y0 + ly, t0 + lt); i += 1; lt += 1
           }
-          ly += 1
+          lx += 1
         }
-        FracRowInt(fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd, data)
-      }.toDF()
-      else base.map { id =>
-        val (fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd) = meta(id)
-        val data = new Array[Double](w * hh * nd)
-        var i = 0; var ly = 0
-        while (ly < hh) {
-          var lx = 0
-          while (lx < w) {
-            var lt = 0
-            while (lt < nd) {
-              data(i) = value(x0 + lx, y0 + ly, t0 + lt); i += 1; lt += 1
-            }
-            lx += 1
-          }
-          ly += 1
-        }
-        FracRow(fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd, data)
-      }.toDF().withColumn("data", org.apache.spark.sql.functions.col("data")
-        .cast(ArrayType(FractionStore.elementType(h.dtype))))
+        ly += 1
+      }
+      FracRowBytes(fracNum, tc, fx, fy, x0, y0, t0, w, hh, nd,
+        PayloadCodec.encodeDouble(data, dtype))
+    }.toDF()
     FractionStore.writePrepartitioned(spark, h, rows, root)
     h
   }

@@ -104,15 +104,15 @@ object GridQueries {
       val (ndviRoot, qaRoot) = miniModisRoots(s)
       val nh = GridHeader.load(s, ndviRoot)
       val qh = GridHeader.load(s, qaRoot)
-      val ndvi = FractionStore.loadSliceXY(s, nh, ndviRoot, 0, 60, 0, 60, 0, 4)
-      val qa = FractionStore.loadSliceXY(s, qh, qaRoot, 0, 60, 0, 60, 0, 4,
-        maskNodata = false).withColumnRenamed("value", "qa")
-      ndvi.join(qa, Seq("x", "y", "t"))
-        .withColumn("conf", QaDecode.modisQaConf(col("qa")))
+      // chunk-aligned two-band load: joins (frac_num, time_chunk) keys,
+      // never exploded pixels — the J1 fast path for shared geogrids
+      FractionStore.loadAlignedSliceXY(s, Seq((nh, ndviRoot), (qh, qaRoot)),
+        0, 60, 0, 60, 0, 4, masks = Seq(true, false))
+        .withColumn("conf", QaDecode.modisQaConf(col("value_1")))
         .groupBy(col("x"), col("y"))
         .agg(
-          avg(when(col("conf") > 0.5, col("value"))).as("mean_ndvi_masked"),
-          count(when(col("conf") > 0.5, col("value"))).as("n_clear"),
+          avg(when(col("conf") > 0.5, col("value_0"))).as("mean_ndvi_masked"),
+          count(when(col("conf") > 0.5, col("value_0"))).as("n_clear"),
           count(lit(1)).as("n_total"))
     },
 
