@@ -66,34 +66,76 @@ object Dedup {
       .drop("band")
   }
 
+  /** MinHash signatures via explode + hash aggregation: one row per
+    * (doc, distinct shingle), then k `min(xxhash64(h, i))` aggregates.
+    *
+    * This beats the per-row array-fold form (`transform` + `array_min`
+    * k times) on BOTH axes that matter at scale: Spark's higher-order
+    * array functions are CodegenFallback (every lambda application is
+    * an interpreted Expression.eval), while min-aggregates run inside
+    * whole-stage codegen; and the shuffle carries only map-side-combined
+    * k-long partials per doc, so cost is one codegen pass over the
+    * exploded shingles regardless of k.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleSize: Int): DataFrame =
+    minhashSignaturesFromShingles(
+      df.select(col(idCol).as("id"), array_distinct(
+        TextFunctions.wordShingles(col(textCol), shingleSize)).as("shingles")), k)
+
+  /** Same, from a pre-shingled (id, shingles) frame — callers that also
+    * need the shingle arrays (verification) compute them ONCE and pass
+    * them here: wordShingles is a higher-order-function chain
+    * (interpreted per element), so a second evaluation pass is the
+    * dominant cost at corpus scale. */
+  def minhashSignaturesFromShingles(shingled: DataFrame, k: Int): DataFrame = {
+    val exploded = shingled
+      .select(col("id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    exploded.groupBy(col("id"))
+      .agg(min(xxhash64(col("h"), lit(0))).as("m_0"),
+        (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m_$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m_$i")): _*).as("sig"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
     * shingle-set Jaccard. Output: (id_a, id_b, est_jaccard, jaccard).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
                       minJaccard: Double = 0.5): DataFrame = {
-    // persist the signature table: it feeds BOTH sides of the self-join
-    // and the banding generator would otherwise re-inline (and so
-    // recompute) the k-hash signature per band — the standard
-    // sign-then-join LSH shape (at cluster scale this is a checkpointed
-    // signature table)
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles",
-        array_distinct(TextFunctions.wordShingles(col("text"), shingleSize)))
-      .withColumn("hs", transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("sig", minhashSignatureFromHashes(col("hs"), k))
-      .drop("hs", "text")
+    // shingle ONCE and persist: the arrays feed the signature explode
+    // AND the verify stage, and wordShingles is an interpreted
+    // higher-order chain — recomputing it was the dominant cost here
+    val shingled = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize))
+        .as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withLshBands(sigs, "sig", bands, k / bands)
-      .select(col("id"), col("sig"), col("shingles"),
-        col("band_id"), col("band_hash"))
-    val a = banded.select(col("band_id"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+    // persist the signature table too: it feeds BOTH sides of the
+    // band self-join and the verify joins — the standard sign-then-join
+    // LSH shape (at cluster scale this is a checkpointed signature table)
+    val sigs = minhashSignaturesFromShingles(shingled, k)
+      .join(shingled, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate generation shuffles ONLY (band keys, id) — the signature
+    // and shingle payloads would otherwise ride the band self-join
+    // duplicated once per colliding pair; they re-attach by id AFTER the
+    // pair set is deduplicated (sigs is persisted and pair-count-sized
+    // at this point, so the two id joins are cheap)
+    val banded = withLshBands(sigs.select(col("id"), col("sig")),
+      "sig", bands, k / bands)
+      .select(col("id"), col("band_id"), col("band_hash"))
+    val a = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("shingles").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("shingles").as("sh_b")), "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -143,11 +185,31 @@ object Dedup {
     * (Classic Charikar/Manku-Jain-Sarma blocking: any pair with <= 3
     * differing bits shares at least one of 4 blocks.)
     */
+  /** SimHash signatures via explode + hash aggregation: 64 per-bit
+    * vote sums as codegen'd aggregates (the array-fold form pays
+    * 64 x n_tokens interpreted lambda calls per doc — higher-order
+    * functions are CodegenFallback). explode_outer keeps empty docs:
+    * their single NULL row votes -1 on every bit, so sim = 0 exactly
+    * like the fold over an empty array.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode_outer(simhashTokenHashes(col(textCol))).as("h"))
+    val votes = exploded.groupBy(col("id"))
+      .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as("b_0"),
+        (1 until 64).map(i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)).as(s"b_$i")): _*)
+    val sim = (0 until 64).map(i =>
+      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)): Column)
+      .reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("id"), sim.as("sim"))
+  }
+
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhashTokenHashes(col(textCol)).as("hs"))
-      .select(col("id"), simhashFromHashes(col("hs")).as("sim"))
+    val sigs = simhashSignatures(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.withColumn("block",
       explode(transform(sequence(lit(0), lit(3)),
@@ -179,22 +241,30 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.3,
                         maxBlockSize: Int = 1000): DataFrame = {
+    // persisted: feeds the blocking explode AND both verify-stage joins
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
-    // block by shingle hash; cap pathological blocks (stopword shingles)
-    val blocked = sh.withColumn("shingle", explode(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // block by shingle hash; cap pathological blocks (stopword shingles).
+    // Candidates carry ONLY (block, id): shingle arrays re-attach by id
+    // after pair dedup instead of riding the block self-join duplicated
+    // once per colliding pair.
+    val blocked = sh.select(col("id"), explode(col("shingles")).as("shingle"))
       .withColumn("block", xxhash64(col("shingle")))
+      .select(col("block"), col("id"))
     val smallBlocks = blocked.groupBy("block")
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBlockSize &&
         col("bn") >= 2)
     val cand = blocked.join(smallBlocks, "block")
-    val a = cand.select(col("block"), col("id").as("id_a"),
-      col("shingles").as("sh_a"))
-    val b = cand.select(col("block"), col("id").as("id_b"),
-      col("shingles").as("sh_b"))
-    a.join(b, Seq("block"))
+    val a = cand.select(col("block"), col("id").as("id_a"))
+    val b = cand.select(col("block"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

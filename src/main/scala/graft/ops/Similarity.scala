@@ -145,20 +145,26 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     val tables = (0 until nTables).map(t =>
       hyperplanes(dim, bitsPerTable, seed = 1000L + t))
+    // persisted: feeds the bucketing explode AND both verify-stage joins
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidates carry ONLY (bucket keys, id) — vectors re-attach by id
+    // after pair dedup rather than riding the bucket self-join
     val bucketed = base.withColumn("bucket",
       explode(array(tables.zipWithIndex.map { case (planes, t) =>
         struct(lit(t).as("table_id"), signBucket(col("vec"), planes).as("sig"))
       }: _*)))
-      .select(col("id"), col("vec"), col("bucket.table_id").as("table_id"),
+      .select(col("id"), col("bucket.table_id").as("table_id"),
         col("bucket.sig").as("sig"))
-    val a = bucketed.select(col("table_id"), col("sig"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = bucketed.select(col("table_id"), col("sig"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("table_id", "sig"))
+    val a = bucketed.select(col("table_id"), col("sig"), col("id").as("id_a"))
+    val b = bucketed.select(col("table_id"), col("sig"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("table_id", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
