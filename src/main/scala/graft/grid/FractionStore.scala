@@ -280,6 +280,60 @@ object FractionStore {
         col("t") >= tFrom && col("t") < tTo)
   }
 
+  // ---- bucketed chunk tables (J2: zero-shuffle co-located joins) ------
+
+  /** Save fraction rows as a BUCKETED table on the chunk key. Two grids
+    * written with the same bucket count co-locate their chunks, so the
+    * aligned join ([[bucketedAlignedJoin]]) runs with NO shuffle on
+    * either side — the 100 TB shape for repeated multi-grid pipelines
+    * over the same worldgrid (reference J2: fractions of aligned grids
+    * live on the same HDFS nodes by layout).
+    */
+  def writeBucketed(spark: SparkSession, header: GridHeader,
+                    fracRows: DataFrame, table: String,
+                    nBuckets: Int = 32): Unit = {
+    fracRows.write.mode("overwrite")
+      .bucketBy(nBuckets, "frac_num", "time_chunk")
+      .sortBy("frac_num", "time_chunk")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Chunk-aligned join of two bucketed grid tables: both sides read
+    * pre-bucketed on (frac_num, time_chunk), so the plan contains no
+    * Exchange (verified by BucketedJoinSpec). Returns the pixel view
+    * (x, y, t, value_0, value_1) like [[loadAlignedSliceXY]].
+    */
+  def bucketedAlignedJoin(spark: SparkSession,
+                          h0: GridHeader, table0: String,
+                          h1: GridHeader, table1: String,
+                          masks: Seq[Boolean] = Seq(true, true)): DataFrame = {
+    require(h1.sameGeogrid(h0) && h1.fracNDates == h0.fracNDates)
+    val a = spark.table(table0).withColumnRenamed("data", "data_0")
+    val b = spark.table(table1)
+      .select(col("frac_num"), col("time_chunk"), col("data").as("data_1"))
+    val joined = a.join(b, Seq("frac_num", "time_chunk"))
+    val unpacked = joined.select(
+      col("x0"), col("y0"), col("t0"), col("w"), col("nd"),
+      unpack(h0, col("data_0")).as("arr_0"),
+      unpack(h1, col("data_1")).as("arr_1"))
+    val exploded = unpacked.select(col("x0"), col("y0"), col("t0"),
+      col("w"), col("nd"), col("arr_1"),
+      posexplode(col("arr_0")).as(Seq("pos", "value_0")))
+    val withCoords = exploded
+      .withColumn("pix", expr("pos div nd").cast("int"))
+      .withColumn("x", col("x0") + col("pix") % col("w"))
+      .withColumn("y", col("y0") + expr("pix div w").cast("int"))
+      .withColumn("t", col("t0") + col("pos") % col("nd"))
+      .withColumn("value_1", element_at(col("arr_1"), col("pos") + 1))
+    def masked(i: Int, h: GridHeader, c: Column): Column =
+      if (masks(i) && !h.nodata.isNaN)
+        nullif(c, lit(h.nodata).cast(elementType(h.dtype))).as(s"value_$i")
+      else c.as(s"value_$i")
+    withCoords.select(col("x"), col("y"), col("t"),
+      masked(0, h0, col("value_0")), masked(1, h1, col("value_1")))
+  }
+
   /** Lat/lng window load (P4, jgrid3.py:588-605): WGS84 rect -> grid xy
     * via inverse projection+geotransform, then loadSliceXY.
     */

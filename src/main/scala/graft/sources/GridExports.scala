@@ -7,14 +7,40 @@ import graft.grid._
 
 /** Raster/vector exports + store maintenance (reference: SNK4/SNK5/SNK6).
   *
-  * SNK4 (GeoTIFF export, tiff.py:92-122) is re-expressed as an ENVI
-  * raster export: raw band-sequential binary + text header — a public,
-  * fully documented format every GIS stack (GDAL `ENVI` driver, QGIS)
-  * reads, writable without any native library.
+  * SNK4 (GeoTIFF export, tiff.py:92-122): [[exportWindowGeoTiff]] writes
+  * a real GeoTIFF by hand ([[GeoTiff]], public TIFF 6.0 + GeoTIFF 1.0
+  * specs — no GDAL needed); [[exportWindowEnvi]] remains as the
+  * raw-binary alternative.
   * SNK5 (shapefile footprints, shputils.py:65-111) becomes GeoJSON.
   * SNK6 is the guarded recursive delete (io.py:81-103).
   */
 object GridExports {
+
+  /** Export one time-plane window as a single-band GeoTIFF (SNK4).
+    * Executor-parallel up to the final ordered collect of the window (an
+    * export to one local raster is driver-bound by definition — same as
+    * the reference's GDAL writer, tiff.py:92-122).
+    */
+  def exportWindowGeoTiff(spark: SparkSession, header: GridHeader, root: String,
+                          xFrom: Int, xTo: Int, yFrom: Int, yTo: Int, t: Int,
+                          path: String): Unit = {
+    val w = xTo - xFrom
+    val h = yTo - yFrom
+    val px = FractionStore.loadSliceXY(spark, header, root,
+      xFrom, xTo, yFrom, yTo, t, t + 1, maskNodata = false)
+      .select(col("x"), col("y"), col("value").cast("double"))
+      .collect()
+    val arr = Array.fill(w * h)(header.nodata)
+    px.foreach(r => arr((r.getInt(1) - yFrom) * w + (r.getInt(0) - xFrom)) =
+      r.getDouble(2))
+    // geotransform of the window origin (same affine, shifted origin)
+    val (ulx, uly) = GeoTransform.pixelToGeo(header.geotArray,
+      xFrom.toDouble, yFrom.toDouble)
+    val geot = Seq(ulx, header.geot(1), 0.0, uly, 0.0, header.geot(5))
+    val bytes = GeoTiff.write(w, h, header.dtype, arr, geot, header.srs,
+      header.nodata)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
 
   /** Export one time-plane window as an ENVI raster (`<base>.bin` +
     * `<base>.hdr`). Executor-parallel up to the final ordered collect of

@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.grid._
+
+/** Verifies the hand-written GeoTIFF against an independent minimal
+  * TIFF reader implemented here from the spec (not the writer's code):
+  * header, IFD walk, inline-vs-offset value resolution, strip decode.
+  */
+class GeoTiffSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** tag id -> raw value bytes (+ type/count), per TIFF 6.0. */
+  private def readTags(b: Array[Byte]): (Map[Int, (Int, Int, Array[Byte])]) = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    assert(bb.get() == 'I' && bb.get() == 'I', "little-endian magic")
+    assert(bb.getShort() == 42, "TIFF version")
+    val ifd = bb.getInt()
+    bb.position(ifd)
+    val n = bb.getShort()
+    val out = (0 until n).map { _ =>
+      val id = bb.getShort() & 0xffff
+      val tpe = bb.getShort() & 0xffff
+      val count = bb.getInt()
+      val size = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 12 -> 8)(tpe) * count
+      val valueBytes = new Array[Byte](size)
+      if (size <= 4) {
+        bb.get(valueBytes); (0 until 4 - size).foreach(_ => bb.get())
+      } else {
+        val off = bb.getInt()
+        val save = bb.position()
+        bb.position(off); bb.get(valueBytes); bb.position(save)
+      }
+      id -> (tpe, count, valueBytes)
+    }.toMap
+    assert(bb.getInt() == 0, "single IFD")
+    out
+  }
+
+  private def u16s(v: Array[Byte]): Seq[Int] = {
+    val bb = ByteBuffer.wrap(v).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until v.length / 2).map(_ => bb.getShort() & 0xffff)
+  }
+  private def u32(v: Array[Byte]): Int =
+    ByteBuffer.wrap(v).order(ByteOrder.LITTLE_ENDIAN).getInt()
+  private def f64s(v: Array[Byte]): Seq[Double] = {
+    val bb = ByteBuffer.wrap(v).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until v.length / 8).map(_ => bb.getDouble())
+  }
+
+  test("wgs84 int-dtype window round-trips through GeoTIFF (SNK4)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tiff").toString
+    val h = SyntheticGrid.writeTiny(spark, root) // float32 wgs84
+    val path = s"$root/export.tif"
+    GridExports.exportWindowGeoTiff(spark, h, root, 20, 50, 5, 25, 2, path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val tags = readTags(bytes)
+
+    assert(u32(tags(256)._3) == 30 && u32(tags(257)._3) == 20)
+    assert(u16s(tags(258)._3) == Seq(32))         // float32 bits
+    assert(u16s(tags(259)._3) == Seq(1))          // uncompressed
+    assert(u16s(tags(339)._3) == Seq(3))          // IEEE float
+    assert(u32(tags(278)._3) == 20)               // one strip
+    assert(new String(tags(42113)._3, "US-ASCII").trim == "-999")
+
+    // geo referencing: pixel scale + tiepoint at the WINDOW origin
+    val scale = f64s(tags(33550)._3)
+    assert(scale(0) == 0.01 && scale(1) == 0.01)
+    val tie = f64s(tags(33922)._3)
+    assert(tie(3) == 0.01 * 20 && tie(4) == -0.01 * 5)
+    // GeoKeys: geographic model, WGS84
+    val keys = u16s(tags(34735)._3)
+    val kv = keys.drop(4).grouped(4).map(g => g(0) -> g(3)).toMap
+    assert(kv(1024) == 2 && kv(2048) == 4326)
+
+    // strip decode: values equal the generator (nodata kept raw)
+    val stripOff = u32(tags(273)._3)
+    val stripLen = u32(tags(279)._3)
+    val strip = bytes.slice(stripOff, stripOff + stripLen)
+    val vals = PayloadCodec.decodeDouble(strip, PayloadCodec.F32)
+    assert(vals.length == 30 * 20)
+    for (ly <- 0 until 20; lx <- 0 until 30) {
+      val (x, y, t) = (20 + lx, 5 + ly, 2)
+      val expected = if ((x + y + t) % 13 == 0) -999.0
+                     else ((x * 31 + y * 17 + t * 7) % 97).toDouble
+      assert(vals(ly * 30 + lx) == expected, s"pixel ($x,$y)")
+    }
+    GridExports.deleteStore(spark, root)
+  }
+
+  test("sinusoidal int16 export carries the projected GeoKeys") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tiff2").toString
+    val qr = java.nio.file.Files.createTempDirectory("graft_tiff2_qa").toString
+    val (nh, _) = SyntheticGrid.writeMiniModis(spark, root, qr)
+    val path = s"$root/ndvi.tif"
+    GridExports.exportWindowGeoTiff(spark, nh, root, 0, 40, 0, 30, 1, path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val tags = readTags(bytes)
+    assert(u16s(tags(258)._3) == Seq(16) && u16s(tags(339)._3) == Seq(2))
+    val keys = u16s(tags(34735)._3)
+    val kv = keys.drop(4).grouped(4).map(g => g(0) -> g(3)).toMap
+    assert(kv(1024) == 1)        // projected
+    assert(kv(3075) == 24)       // CT_Sinusoidal
+    assert(kv(3072) == 32767)    // user-defined PCS
+    val citation = new String(tags(34737)._3, "US-ASCII")
+    assert(citation.contains("Sinusoidal"))
+    // strip values match the NDVI generator at t=1
+    val strip = bytes.slice(u32(tags(273)._3), u32(tags(273)._3) + u32(tags(279)._3))
+    val vals = PayloadCodec.decodeDouble(strip, PayloadCodec.I16)
+    for (ly <- 0 until 30; lx <- 0 until 40) {
+      val expected = if ((lx * ly + 1) % 17 == 0) -3000.0
+                     else ((lx * 7 + ly * 11 + 13) % 8000 - 1000).toDouble
+      assert(vals(ly * 40 + lx) == expected, s"pixel ($lx,$ly)")
+    }
+    GridExports.deleteStore(spark, root)
+    GridExports.deleteStore(spark, qr)
+  }
+}
