@@ -75,6 +75,105 @@ object Ingest {
     FractionStore.fractions(spark, outRoot).count()
   }
 
+  /** Chunk-aligned ingest — the at-scale variant of [[ingestNpyDir]]:
+    * instead of exploding blobs to pixel rows (a w*h*nd-row shuffle per
+    * blob), each blob is split map-side into the PACKED sub-boxes it
+    * contributes to each overlapped chunk, and the shuffle carries one
+    * (chunk key, packed bytes) record per (blob, chunk) intersection —
+    * for a typical tile import that is ~100x fewer shuffled bytes and
+    * ~10^5x fewer shuffled rows. The reducer assembles each chunk from
+    * its sub-boxes (nodata-filled where no blob covers it), exactly the
+    * reference's shared-buffer import choreography
+    * (create_ndvi_worldgrid.py:129-148) as a relational groupByKey.
+    */
+  def ingestNpyDirAligned(spark: SparkSession, header: GridHeader,
+                          blobDir: String, outRoot: String): Long = {
+    import spark.implicits._
+    val g = header.chunkGrid
+    val dtype = header.dtype
+    val cd = PayloadCodec.code(dtype)
+    val nodata = header.nodata
+    val (fracW, fracH, fracND) =
+      (header.fracWidth, header.fracHeight, header.fracNDates)
+    val (gw, gh, gnd) = (header.width, header.height, header.nDates)
+    val numFracsX = g.numFracsX
+
+    val blobs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.npy").load(blobDir)
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+
+    val subBoxes = blobs.flatMap { case (name, bytes) =>
+      val Array(x0, y0, t0) = name.stripSuffix(".npy").split("_").map(_.toInt)
+      val npy = NpyCodec.read(bytes)
+      val Seq(bh0, bw0, bnd0) = npy.shape
+      for {
+        fy <- y0 / fracH to (y0 + bh0 - 1) / fracH
+        fx <- x0 / fracW to (x0 + bw0 - 1) / fracW
+        tc <- t0 / fracND to (t0 + bnd0 - 1) / fracND
+      } yield {
+        val ax0 = math.max(x0, fx * fracW)
+        val ax1 = math.min(x0 + bw0, (fx + 1) * fracW)
+        val ay0 = math.max(y0, fy * fracH)
+        val ay1 = math.min(y0 + bh0, (fy + 1) * fracH)
+        val at0 = math.max(t0, tc * fracND)
+        val at1 = math.min(t0 + bnd0, (tc + 1) * fracND)
+        val (bw, bh, bnd) = (ax1 - ax0, ay1 - ay0, at1 - at0)
+        val sub = new Array[Double](bw * bh * bnd)
+        var i = 0; var ly = 0
+        while (ly < bh) {
+          var lx = 0
+          while (lx < bw) {
+            var lt = 0
+            while (lt < bnd) {
+              sub(i) = npy.data(((ay0 - y0 + ly) * bw0 + (ax0 - x0 + lx)) * bnd0
+                + (at0 - t0 + lt))
+              i += 1; lt += 1
+            }
+            lx += 1
+          }
+          ly += 1
+        }
+        (fy * numFracsX + fx, tc, ax0, ay0, at0, bw, bh, bnd,
+          PayloadCodec.encodeDouble(sub, dtype))
+      }
+    }
+    val rows = subBoxes
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Int, Int),
+                    it: Iterator[(Int, Int, Int, Int, Int, Int, Int, Int, Array[Byte])]) =>
+        val (fracNum, tc) = key
+        val fx = fracNum % numFracsX; val fy = fracNum / numFracsX
+        val cx0 = fx * fracW; val cy0 = fy * fracH; val ct0 = tc * fracND
+        val cw = math.min(fracW, gw - cx0)
+        val ch = math.min(fracH, gh - cy0)
+        val cnd = math.min(fracND, gnd - ct0)
+        val data = Array.fill(cw * ch * cnd)(nodata)
+        it.foreach { case (_, _, ax0, ay0, at0, bw, bh, bnd, payload) =>
+          val sub = PayloadCodec.decodeDouble(payload, cd)
+          var i = 0; var ly = 0
+          while (ly < bh) {
+            var lx = 0
+            while (lx < bw) {
+              var lt = 0
+              while (lt < bnd) {
+                data(((ay0 - cy0 + ly) * cw + (ax0 - cx0 + lx)) * cnd
+                  + (at0 - ct0 + lt)) = sub(i)
+                i += 1; lt += 1
+              }
+              lx += 1
+            }
+            ly += 1
+          }
+        }
+        FracRowBytes(fracNum, tc, fx, fy, cx0, cy0, ct0, cw, ch, cnd,
+          PayloadCodec.encodeDouble(data, dtype))
+      }
+    FractionStore.write(spark, header, rows.toDF(), outRoot)
+    FractionStore.fractions(spark, outRoot).count()
+  }
+
   /** Targeted repair (ST3, reload_fraction_worldgrid.py:51-124): rebuild
     * ONE (frac_num, time_chunk) chunk from replacement pixels, leaving
     * every other row of the partition untouched (dynamic partition

@@ -64,6 +64,45 @@ class IngestSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("chunk-aligned ingest equals the pixel-path ingest (U3 at scale)") {
+    val h = GridHeader(
+      name = "ingested2", width = 25, height = 17,
+      fracWidth = 7, fracHeight = 5, fracNDates = 2,
+      dtype = "int16", srs = "wgs84",
+      geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(10L, 20L, 30L), nodata = -3000.0)
+    val blobDir = TestSpark.tmpDir("npy_blobs_al")
+    // blobs deliberately MISALIGNED with the 7x5x2 chunking, with a gap
+    // (no blob covers x >= 21), spanning multiple chunks and time chunks
+    for ((x0, y0, t0, w, hh, nd) <- Seq(
+      (0, 0, 0, 9, 8, 2), (9, 0, 0, 12, 8, 3),
+      (0, 8, 1, 9, 9, 2), (9, 8, 0, 12, 9, 1))) {
+      val data = for {
+        ly <- 0 until hh; lx <- 0 until w; lt <- 0 until nd
+      } yield ((x0 + lx) * 1000 + (y0 + ly) * 10 + (t0 + lt)).toDouble
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$blobDir/${x0}_${y0}_$t0.npy"),
+        NpyCodec.write("<i2", Seq(hh, w, nd), data.toArray))
+    }
+    val alignedRoot = TestSpark.tmpDir("npy_store_aligned")
+    val pixelRoot = TestSpark.tmpDir("npy_store_pixel")
+    Ingest.ingestNpyDirAligned(spark, h, blobDir, alignedRoot)
+    Ingest.ingestNpyDir(spark, h, blobDir, pixelRoot)
+    def all(root: String) = FractionStore.loadSliceXY(spark, h, root,
+      0, h.width, 0, h.height, 0, h.nDates, maskNodata = false)
+      .select("x", "y", "t", "value")
+    // identical pixel views, including nodata fill in uncovered cells
+    assert(all(alignedRoot).except(all(pixelRoot)).isEmpty &&
+      all(pixelRoot).except(all(alignedRoot)).isEmpty)
+    // pixels no blob covers, inside a PRESENT chunk, are nodata-filled:
+    // chunk (fx=1, fy=2, tc=0) is created by blob3 (t=1 only) and blob4
+    // (x >= 9 only), so (x=7..8, y=10..14, t=0) is uncovered
+    val gap = all(alignedRoot).filter(col("x") === 7 &&
+      col("y").between(10, 14) && col("t") === 0)
+    assert(gap.count() == 5 &&
+      gap.filter(col("value") =!= -3000).count() == 0)
+  }
+
   test("MODIS file-index parse (SRC5/F2)") {
     import spark.implicits._
     val names = Seq(
