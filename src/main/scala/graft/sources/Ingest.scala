@@ -87,7 +87,46 @@ object Ingest {
     * (create_ndvi_worldgrid.py:129-148) as a relational groupByKey.
     */
   def ingestNpyDirAligned(spark: SparkSession, header: GridHeader,
-                          blobDir: String, outRoot: String): Long = {
+                          blobDir: String, outRoot: String): Long =
+    ingestBlobsAligned(spark, header, blobDir, "*.npy", outRoot,
+      NpyBlobDecoder)
+
+  /** GeoTIFF landing-directory ingest (the writer's format family, so a
+    * store exported tile-by-tile re-ingests losslessly). Blob naming
+    * mirrors the NPY path: `<x0>_<y0>_<t0>.tif`, one time plane each. */
+  def ingestGeoTiffDirAligned(spark: SparkSession, header: GridHeader,
+                              blobDir: String, outRoot: String): Long =
+    ingestBlobsAligned(spark, header, blobDir, "*.tif", outRoot,
+      GeoTiffBlobDecoder)
+
+  /** Decoded blob: grid placement (x0, y0, t0), box shape
+    * (w, h, nDates), dense C-order [y][x][t] doubles. */
+  trait BlobDecoder extends Serializable {
+    def apply(name: String, bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int, Array[Double])
+  }
+
+  object NpyBlobDecoder extends BlobDecoder {
+    def apply(name: String, bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int, Array[Double]) = {
+      val Array(x0, y0, t0) = name.stripSuffix(".npy").split("_").map(_.toInt)
+      val npy = NpyCodec.read(bytes)
+      val Seq(h, w, nd) = npy.shape
+      (x0, y0, t0, w, h, nd, npy.data)
+    }
+  }
+
+  object GeoTiffBlobDecoder extends BlobDecoder {
+    def apply(name: String, bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int, Array[Double]) = {
+      val Array(x0, y0, t0) = name.stripSuffix(".tif").split("_").map(_.toInt)
+      val r = GeoTiff.read(bytes)
+      // single 2D plane: [y][x] is already [y][x][t] with nd = 1
+      (x0, y0, t0, r.width, r.height, 1, r.data)
+    }
+  }
+
+  private def ingestBlobsAligned(spark: SparkSession, header: GridHeader,
+                                 blobDir: String, glob: String,
+                                 outRoot: String,
+                                 decode: BlobDecoder): Long = {
     import spark.implicits._
     val g = header.chunkGrid
     val dtype = header.dtype
@@ -99,15 +138,13 @@ object Ingest {
     val numFracsX = g.numFracsX
 
     val blobs = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.npy").load(blobDir)
+      .option("pathGlobFilter", glob).load(blobDir)
       .select(element_at(split(col("path"), "/"), -1).as("name"),
         col("content"))
       .as[(String, Array[Byte])]
 
     val subBoxes = blobs.flatMap { case (name, bytes) =>
-      val Array(x0, y0, t0) = name.stripSuffix(".npy").split("_").map(_.toInt)
-      val npy = NpyCodec.read(bytes)
-      val Seq(bh0, bw0, bnd0) = npy.shape
+      val (x0, y0, t0, bw0, bh0, bnd0, blobData) = decode(name, bytes)
       for {
         fy <- y0 / fracH to (y0 + bh0 - 1) / fracH
         fx <- x0 / fracW to (x0 + bw0 - 1) / fracW
@@ -127,7 +164,7 @@ object Ingest {
           while (lx < bw) {
             var lt = 0
             while (lt < bnd) {
-              sub(i) = npy.data(((ay0 - y0 + ly) * bw0 + (ax0 - x0 + lx)) * bnd0
+              sub(i) = blobData(((ay0 - y0 + ly) * bw0 + (ax0 - x0 + lx)) * bnd0
                 + (at0 - t0 + lt))
               i += 1; lt += 1
             }

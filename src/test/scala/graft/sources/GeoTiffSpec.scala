@@ -118,4 +118,36 @@ class GeoTiffSpec extends AnyFunSuite {
     GridExports.deleteStore(spark, root)
     GridExports.deleteStore(spark, qr)
   }
+
+  test("GeoTiff.read round-trips write for every dtype") {
+    for (dtype <- Seq("uint8", "int16", "uint16", "int32", "float32", "float64")) {
+      val vals = Array.tabulate(12 * 7)(i => (i % 250).toDouble)
+      val geot = Seq(3.5, 0.25, 0.0, -1.5, 0.0, -0.25)
+      val bytes = GeoTiff.write(12, 7, dtype, vals, geot, "wgs84", -42.0)
+      val r = GeoTiff.read(bytes)
+      assert(r.width == 12 && r.height == 7 && r.dtype == dtype)
+      assert(r.data.toSeq == vals.toSeq, dtype)
+      assert(r.geot == geot, dtype)
+      assert(r.nodata == -42.0)
+    }
+  }
+
+  test("store -> GeoTIFF tiles -> re-ingest is lossless (SRC + SNK4)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tiff3").toString
+    val h = SyntheticGrid.writeTiny(spark, root)
+    val tileDir = java.nio.file.Files.createTempDirectory("graft_tiles").toString
+    // export the full grid, one GeoTIFF per time plane
+    for (t <- 0 until h.nDates)
+      GridExports.exportWindowGeoTiff(spark, h, root,
+        0, h.width, 0, h.height, t, s"$tileDir/0_0_$t.tif")
+    val back = java.nio.file.Files.createTempDirectory("graft_tiff3b").toString
+    graft.sources.Ingest.ingestGeoTiffDirAligned(spark, h, tileDir, back)
+    def all(r: String) = FractionStore.loadSliceXY(spark, h, r,
+      0, h.width, 0, h.height, 0, h.nDates, maskNodata = false)
+      .select("x", "y", "t", "value")
+    assert(all(back).except(all(root)).isEmpty &&
+      all(root).except(all(back)).isEmpty)
+    GridExports.deleteStore(spark, root)
+    GridExports.deleteStore(spark, back)
+  }
 }
