@@ -231,12 +231,16 @@ object FractionStore {
                          stores: Seq[(GridHeader, String)],
                          xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
                          tFrom: Int, tTo: Int,
-                         masks: Seq[Boolean]): DataFrame = {
+                         masks: Seq[Boolean],
+                         joinType: String = "inner"): DataFrame = {
     require(stores.nonEmpty && masks.length == stores.length)
     val (h0, _) = stores.head
     require(stores.forall(_._1.sameGeogrid(h0)) &&
       stores.forall(_._1.fracNDates == h0.fracNDates),
       "aligned load needs one shared geogrid + time chunking")
+    // joinType "left": chunks absent from a secondary store keep the
+    // base store's pixels with NULL for that band (unpack of a NULL
+    // payload is NULL; element_at on a NULL array is NULL)
     val base = fractionsForWindow(spark, h0, stores.head._2,
       xFrom, xTo, yFrom, yTo, tFrom, tTo)
       .withColumnRenamed("data", "data_0")
@@ -246,7 +250,7 @@ object FractionStore {
           xFrom, xTo, yFrom, yTo, tFrom, tTo)
           .select(col("frac_num"), col("time_chunk"),
             col("data").as(s"data_$i")),
-          Seq("frac_num", "time_chunk"))
+          Seq("frac_num", "time_chunk"), joinType)
     }
     // materialize every unpacked array in ONE projection below the
     // generator — Catalyst does not CSE into generators, and element_at

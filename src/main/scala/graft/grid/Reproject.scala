@@ -127,15 +127,25 @@ object Reproject {
                    xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
                    t: Int = 0): DataFrame = {
     require(grids.nonEmpty)
-    val (h0, r0) = grids.head
+    val (h0, _) = grids.head
+    // fast path: every grid shares grid 1's geogrid AND time chunking →
+    // ONE chunk-keyed aligned load, no pixel-level join at all
+    if (grids.forall { case (h, _) =>
+        h.sameGeogrid(h0) && h.fracNDates == h0.fracNDates })
+      return FractionStore.loadAlignedSliceXY(spark, grids,
+        xFrom, xTo, yFrom, yTo, t, t + 1,
+        masks = grids.map(_ => true), joinType = "left")
+        .drop("t")
+    val (_, r0) = grids.head
     val base = FractionStore.loadSliceXY(spark, h0, r0,
       xFrom, xTo, yFrom, yTo, t, t + 1)
       .select(col("x"), col("y"), col("value").as("value_0"))
     grids.tail.zipWithIndex.foldLeft(base) { case (acc, ((h, r), i)) =>
       val warped =
-        if (h.sameGeogrid(h0))
-          FractionStore.loadSliceXY(spark, h, r, xFrom, xTo, yFrom, yTo, t, t + 1)
-            .select(col("x"), col("y"), col("value").as(s"value_${i + 1}"))
+        if (h.sameGeogrid(h0) && h.fracNDates == h0.fracNDates)
+          FractionStore.loadAlignedSliceXY(spark, Seq((h, r)),
+            xFrom, xTo, yFrom, yTo, t, t + 1, masks = Seq(true))
+            .select(col("x"), col("y"), col("value_0").as(s"value_${i + 1}"))
         else
           nearest(spark, h, r, h0, xFrom, xTo, yFrom, yTo, t)
             .select(col("x"), col("y"), col("value").as(s"value_${i + 1}"))

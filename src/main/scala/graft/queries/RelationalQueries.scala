@@ -289,6 +289,14 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
     },
 
+    // Skew-safe EXACT distinct: two-phase salted aggregation — a hot
+    // group's distinct set spreads over salt buckets instead of one
+    // reducer (SkewTools). Result is exact, so it oracles directly.
+    "skew_salted_distinct" -> { (s, d) =>
+      graft.ops.SkewTools.saltedCountDistinct(
+        events(s, d), "event_type", "user_id", salts = 16)
+    },
+
     // §2.11 gap — backward as-of join (engine operator Spark lacks;
     // union+window implementation, DuckDB native ASOF JOIN as oracle):
     // each click matched to the user's latest prior-or-equal purchase.
@@ -318,6 +326,10 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "skew_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -55,4 +55,42 @@ object EventStreaming {
     * the Dedup module). */
   def dedupByEventId(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 day").dropDuplicates("event_id")
+
+  /** Watermarked SESSION windows per user (30-minute inactivity gap) —
+    * the streaming face of the batch `session_windows` query: state
+    * closes and emits once the watermark passes a session's gap. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Watermarked stream-stream INTERVAL join: each click joins the
+    * impressions of the same user within the preceding `lookback`. Both
+    * sides carry watermarks + the time-range predicate, so state is
+    * bounded and evicted — the canonical bounded-state stream join
+    * shape.
+    */
+  def clicksWithRecentImpressions(impressions: DataFrame,
+                                  clicks: DataFrame,
+                                  lookback: String = "1 hour"): DataFrame = {
+    val imp = impressions
+      .select(col("user_id").as("i_user"), col("ts").as("imp_ts"),
+        col("event_id").as("imp_id"))
+      .withWatermark("imp_ts", lookback)
+    val clk = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", lookback)
+    clk.join(imp,
+      col("c_user") === col("i_user") &&
+        col("imp_ts") <= col("click_ts") &&
+        col("imp_ts") >= col("click_ts") - expr(s"INTERVAL '$lookback'"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("imp_id"),
+        col("click_ts"), col("imp_ts"))
+  }
 }

@@ -80,4 +80,40 @@ class EventStreamingSpec extends AnyFunSuite {
     val n = spark.table("deduped").head().getLong(0)
     assert(n == 500, s"expected 500 unique events, got $n")
   }
+
+  test("streaming session windows equal the batch session windows") {
+    val q = EventStreaming.userSessions(streamEvents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sessions")
+    val batch = EventStreaming.userSessions(spark.read.parquet(srcDir))
+    assert(got.count() > 0)
+    // every emitted (closed) session must exist identically in batch
+    assert(got.join(batch, got.columns.toSeq, "left_anti").isEmpty)
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val impressions = streamEvents.filter(col("event_type") === "view")
+    val clicks = streamEvents.filter(col("event_type") === "click")
+    // fixture users emit every 37 min with types cycling mod 3, so the
+    // nearest same-user view sits 74 min before a click — 2h lookback
+    val q = EventStreaming.clicksWithRecentImpressions(impressions, clicks,
+      lookback = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clickimp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("clickimp")
+    val b = spark.read.parquet(srcDir)
+    val batch = EventStreaming.clicksWithRecentImpressions(
+      b.filter(col("event_type") === "view"),
+      b.filter(col("event_type") === "click"), lookback = "2 hours")
+    assert(got.count() > 0)
+    // inner interval join: stream (all data within watermark by end of
+    // the AvailableNow run) must equal batch exactly
+    assert(got.join(batch, got.columns.toSeq, "left_anti").isEmpty &&
+      batch.join(got, got.columns.toSeq, "left_anti").isEmpty)
+  }
 }
