@@ -1,0 +1,52 @@
+package graft.grid
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-pixel time-series repair and smoothing over the pixel view
+  * (reference domain: QA masking leaves NULL gaps in NDVI series —
+  * the downstream phenology flow expects them filled; the reference
+  * defers this to numpy post-processing, here it is a relational
+  * operator over (x, y, t, value)).
+  *
+  * All window frames partition by pixel and order by t, so at scale the
+  * single shuffle is by pixel key and every frame is bounded — no
+  * whole-series materialization anywhere.
+  */
+object GridTimeSeries {
+
+  /** Linear interpolation of NULL gaps along t per (x, y): each gap
+    * value is the linear blend of the nearest non-null neighbors before
+    * and after; leading/trailing gaps take the nearest single neighbor
+    * (constant extrapolation). Output adds `value_filled`. */
+  def interpolateGaps(px: DataFrame): DataFrame = {
+    val before = Window.partitionBy(col("x"), col("y")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy(col("x"), col("y")).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col("value"), ignoreNulls = true).over(before)
+    val pt = last(when(col("value").isNotNull, col("t")), ignoreNulls = true)
+      .over(before)
+    val nv = first(col("value"), ignoreNulls = true).over(after)
+    val nt = first(when(col("value").isNotNull, col("t")), ignoreNulls = true)
+      .over(after)
+    val interp = pv.cast("double") +
+      (nv.cast("double") - pv.cast("double")) *
+        (col("t") - pt).cast("double") / (nt - pt).cast("double")
+    px.withColumn("value_filled",
+      when(col("value").isNotNull, col("value").cast("double"))
+        .when(pv.isNotNull && nv.isNotNull, interp)
+        .otherwise(coalesce(pv, nv).cast("double")))
+  }
+
+  /** Centered rolling mean over ±`halfWidth` time steps per pixel
+    * (ignores NULLs like the reference's masked means). Adds
+    * `value_smooth`. */
+  def rollingMean(px: DataFrame, halfWidth: Int = 1,
+                  valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col("x"), col("y")).orderBy(col("t"))
+      .rowsBetween(-halfWidth, halfWidth)
+    px.withColumn("value_smooth", avg(col(valueCol).cast("double")).over(w))
+  }
+}

@@ -225,6 +225,15 @@ object GridQueries {
           sum(col("value").cast("double")).as("sum_value"))
     },
 
+    // W/ST — per-pixel temporal gap interpolation (the NDVI repair the
+    // reference defers to numpy post-processing, as a relational op).
+    "grid_interpolate_ts" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      val px = FractionStore.loadSliceXY(s, h, root, 0, 30, 0, 8, 0, h.nDates)
+      GridTimeSeries.interpolateGaps(px)
+    },
+
     // A5 — per-pixel index select over the cube (argmax-style companion).
     "grid_index_select" -> { (s, _) =>
       val root = tinyRoot(s)
@@ -400,7 +409,36 @@ object GridQueries {
          |SELECT count(value) AS n_mapped, sum(value) AS sum_value,
          |  count(*) AS n_total FROM v""".stripMargin
 
+    // grid_interpolate_ts: linear gap fill along t per pixel, mirrored
+    // with IGNORE NULLS window functions (nodata -> NULL gaps)
+    val interpolateTs =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS value
+         |  FROM range(0, 30) a(x), range(0, 8) b(y), range(0, 11) c(t)),
+         |w AS (SELECT x, y, t, value,
+         |    last_value(value IGNORE NULLS) OVER
+         |      (PARTITION BY x, y ORDER BY t
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS)
+         |      OVER (PARTITION BY x, y ORDER BY t
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |    first_value(value IGNORE NULLS) OVER
+         |      (PARTITION BY x, y ORDER BY t
+         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS)
+         |      OVER (PARTITION BY x, y ORDER BY t
+         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         |  FROM g)
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, CAST(t AS INT) AS t,
+         |  value,
+         |  CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE)
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |      THEN CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+         |        * CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)
+         |    ELSE CAST(coalesce(pv, nv) AS DOUBLE) END AS value_filled
+         |FROM w""".stripMargin
+
     Map(
+      "grid_interpolate_ts" -> interpolateTs,
       "grid_slice_window" -> sliceWindow,
       "grid_index_select" -> indexSelect,
       "grid_pixel_timeseries" -> pixelTimeseries,

@@ -1,0 +1,50 @@
+package graft.grid
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class GridTimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def series(vals: Seq[Option[Double]]) =
+    vals.zipWithIndex.map { case (v, t) => (0, 0, t, v) }
+      .toDF("x", "y", "t", "value")
+
+  private def filled(vals: Seq[Option[Double]]): Seq[Double] =
+    GridTimeSeries.interpolateGaps(series(vals))
+      .orderBy("t").select("value_filled").as[Double].collect().toSeq
+
+  test("interior gaps interpolate linearly") {
+    assert(filled(Seq(Some(10.0), None, None, Some(40.0), Some(50.0)))
+      == Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+  }
+
+  test("leading/trailing gaps take the nearest neighbor") {
+    assert(filled(Seq(None, Some(5.0), None, Some(9.0), None, None))
+      == Seq(5.0, 5.0, 7.0, 9.0, 9.0, 9.0))
+  }
+
+  test("all-null series stays null") {
+    val out = GridTimeSeries.interpolateGaps(
+      series(Seq(None, None))).select("value_filled").collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("independent pixels do not leak into each other") {
+    val df = Seq((0, 0, 0, Some(1.0)), (0, 0, 1, None),
+      (1, 0, 0, Some(100.0)), (1, 0, 1, None))
+      .toDF("x", "y", "t", "value")
+    val out = GridTimeSeries.interpolateGaps(df)
+      .orderBy("x", "t").select("value_filled").as[Double].collect().toSeq
+    assert(out == Seq(1.0, 1.0, 100.0, 100.0))
+  }
+
+  test("rolling mean is a centered null-skipping window") {
+    val out = GridTimeSeries.rollingMean(
+      series(Seq(Some(1.0), Some(2.0), None, Some(4.0))), halfWidth = 1)
+      .orderBy("t").select("value_smooth").as[Double].collect().toSeq
+    assert(out == Seq(1.5, 1.5, 3.0, 4.0))
+  }
+}
