@@ -234,6 +234,37 @@ object GridQueries {
       GridTimeSeries.interpolateGaps(px)
     },
 
+    // Zonal statistics — the GLCF pairing: per-landcover-class stats of
+    // a value grid via the aligned two-grid load (class = qa % 17 as a
+    // deterministic GLCF-like labeling of the second grid).
+    "grid_zonal_stats" -> { (s, _) =>
+      val (ndviRoot, qaRoot) = miniModisRoots(s)
+      val nh = GridHeader.load(s, ndviRoot)
+      val qh = GridHeader.load(s, qaRoot)
+      FractionStore.loadAlignedSliceXY(s, Seq((nh, ndviRoot), (qh, qaRoot)),
+        0, 200, 0, 200, 0, 1, masks = Seq(true, false))
+        .withColumn("cls", (col("value_1") % 17).cast("int"))
+        .groupBy(col("cls"))
+        .agg(count(col("value_0")).as("n_valid"),
+          avg(col("value_0")).as("mean_value"),
+          min(col("value_0")).as("min_value"),
+          max(col("value_0")).as("max_value"))
+    },
+
+    // Per-pixel temporal argmax (A5 companion): the date index holding
+    // each pixel's maximum (masked) value — max_by with deterministic
+    // lowest-t tie-break via an encoded (value, -t) ordering.
+    "grid_argmax_t" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates)
+        .filter(col("value").isNotNull)
+        .groupBy(col("x"), col("y"))
+        .agg(max_by(col("t"),
+          struct(col("value"), -col("t"))).as("t_of_max"),
+          max(col("value")).as("max_value"))
+    },
+
     // A5 — per-pixel index select over the cube (argmax-style companion).
     "grid_index_select" -> { (s, _) =>
       val root = tinyRoot(s)
@@ -437,7 +468,30 @@ object GridQueries {
          |    ELSE CAST(coalesce(pv, nv) AS DOUBLE) END AS value_filled
          |FROM w""".stripMargin
 
+    // grid_zonal_stats: per-class stats of the masked NDVI plane at t=0
+    val zonalStats =
+      s"""WITH g AS (SELECT x, y,
+         |    ${ndviValueSql(mask = true)} AS v,
+         |    CAST(($qaValueSql) % 17 AS INT) AS cls
+         |  FROM range(0, 200) a(x), range(0, 200) b(y), (SELECT 0 AS t) c)
+         |SELECT cls, count(v) AS n_valid, avg(v) AS mean_value,
+         |  min(v) AS min_value, max(v) AS max_value
+         |FROM g GROUP BY cls""".stripMargin
+
+    // grid_argmax_t: per pixel the lowest t holding the max masked value
+    val argmaxT =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS value
+         |  FROM range(0, 25) a(x), range(0, 10) b(y), range(0, 11) c(t)),
+         |r AS (SELECT x, y, t, value, row_number() OVER
+         |    (PARTITION BY x, y ORDER BY value DESC, t) AS rn
+         |  FROM g WHERE value IS NOT NULL)
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+         |  CAST(t AS INT) AS t_of_max, value AS max_value
+         |FROM r WHERE rn = 1""".stripMargin
+
     Map(
+      "grid_zonal_stats" -> zonalStats,
+      "grid_argmax_t" -> argmaxT,
       "grid_interpolate_ts" -> interpolateTs,
       "grid_slice_window" -> sliceWindow,
       "grid_index_select" -> indexSelect,
