@@ -124,6 +124,26 @@ object TextQueries {
       val vecs = Tables.embeddings(s, d)
       Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
         nCentroids = 16, nProbe = 4)
+    },
+
+    // ---- multimodal plumbing (stub codecs; see ops/Multimodal) ----
+    // The metadata path of the batch feature-extraction pipeline is
+    // deterministic arithmetic, so it oracles; feature VALUES are
+    // asserted in MultimodalSpec (the byte-histogram stub).
+    "multimodal_features" -> { (s, d) =>
+      val media = graft.ops.Multimodal.syntheticMedia(
+        Tables.documents(s, d).withColumn("n_chars", length(col("text"))))
+      graft.ops.Multimodal.extractFeatures(s, media)
+        .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"))
+    },
+
+    "multimodal_frames" -> { (s, d) =>
+      val media = graft.ops.Multimodal.syntheticMedia(
+        Tables.documents(s, d).withColumn("n_chars", length(col("text"))))
+      graft.ops.Multimodal.sampleFrames(s, media)
+        .toDF().groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"))
     }
   )
 
@@ -247,6 +267,21 @@ object TextQueries {
         |  FROM v a, v b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cos FROM p
         |WHERE cos >= 0.999""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  CAST(length(text) % 640 + 16 AS INT) AS width,
+        |  CAST(length(text) % 480 + 16 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  least(8, greatest(1, octet_length(CAST(text AS BLOB)) // 64))
+        |    AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     // Exact brute-force cosine top-5 per query vector — the ANN
     // baseline is itself exact, so DuckDB reproduces it fully.
