@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.grid._
+
+/** Plan-shape regression tests: the 100 TB design claims (pushdown
+  * below the pixel explode, chunk-level joins, no accidental shuffles)
+  * asserted against executed plans, so a refactor that silently
+  * degrades a plan fails the suite — not just the benchmark.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+    // AQE query stages hide their subtree from `children`
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: walk(q.plan)
+    case r: org.apache.spark.sql.execution.ReusedSubqueryExec => walk(r.child)
+    case other =>
+      other +: (other.children.flatMap(walk) ++ other.subqueries.flatMap(walk))
+  }
+
+  private def executed(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    walk(df.queryExecution.executedPlan)
+  }
+
+  lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    SyntheticGrid.writeTiny(spark, r)
+    r
+  }
+
+  test("window load pushes chunk predicates to the parquet scan") {
+    val h = GridHeader.load(spark, root)
+    val df = FractionStore.loadSliceXY(spark, h, root, 17, 40, 3, 12, 2, 11)
+    val scans = executed(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // frac_x/frac_y range predicates must reach PushedFilters; the
+    // time_chunk predicate must prune partitions
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("frac_x") && pushed.contains("frac_y"), pushed)
+    assert(scan.metadata.getOrElse("PartitionFilters", "")
+      .contains("time_chunk"))
+    // payload read as binary, not array
+    assert(scan.schema.fields.find(_.name == "data")
+      .exists(_.dataType.typeName == "binary"))
+  }
+
+  test("window load + aggregate runs in a single stage (no shuffle before agg)") {
+    val h = GridHeader.load(spark, root)
+    val df = FractionStore.loadSliceXY(spark, h, root, 0, 50, 0, 50, 0, 5)
+      .agg(count(col("value")), sum(col("value")))
+    // partial agg -> at most one exchange -> final agg (AQE may elide
+    // the exchange entirely when the input is a single partition)
+    assert(executed(df).count(_.isInstanceOf[ShuffleExchangeExec]) <= 1)
+  }
+
+  test("aligned two-store load joins chunks, not pixels") {
+    val r2 = java.nio.file.Files.createTempDirectory("graft_audit2").toString
+    SyntheticGrid.writeTiny(spark, r2)
+    val h = GridHeader.load(spark, root)
+    val h2 = GridHeader.load(spark, r2)
+    val df = FractionStore.loadAlignedSliceXY(spark,
+      Seq((h, root), (h2, r2)), 0, 100, 0, 100, 0, 11,
+      masks = Seq(true, true))
+    val plans = executed(df)
+    // the join input is chunk rows: every Generate (pixel explode) sits
+    // ABOVE the join, never below it
+    val joins = plans.filter(p =>
+      p.nodeName.contains("Join") || p.nodeName.contains("BroadcastHashJoin"))
+    assert(joins.nonEmpty, "expected a chunk join")
+    joins.foreach { j =>
+      assert(!j.children.flatMap(walk).exists(_.nodeName.contains("Generate")),
+        "pixel explode must not feed the chunk join")
+    }
+    graft.sources.GridExports.deleteStore(spark, r2)
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => (i, i * 37 % 1000)).toDF("id", "v")
+      .orderBy(col("v").desc).limit(10)
+    assert(executed(df).exists(_.nodeName.contains("TakeOrderedAndProject")))
+  }
+}
