@@ -201,6 +201,25 @@ object GridQueries {
           count(lit(1)).as("n_total"))
     },
 
+    // J3 (mode/average) — aggregate downsampling reprojection: every
+    // source pixel forward-maps onto the (de-aligned, see
+    // grid_reproject_nearest) wgs84 lattice; per-dst-pixel average.
+    "grid_resample_mean" -> { (s, _) =>
+      val (ndviRoot, _) = miniModisRoots(s)
+      val nh = GridHeader.load(s, ndviRoot)
+      val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
+      val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
+      val dst = GridHeader(
+        name = "wgs84_rs", width = 100, height = 100,
+        fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
+        dtype = nh.dtype, srs = "wgs84",
+        geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
+          latMax, 0.0, -(latMax - latMin) / 97.3),
+        timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      Reproject.aggregateResample(s, nh, ndviRoot, dst, "average",
+        0, 100, 0, 100)
+    },
+
     // ST1 — incremental time append: prefix store + appendDates must
     // reproduce the full axis; returns per-date pixel counts.
     "grid_incremental_append" -> { (s, _) =>
@@ -489,7 +508,26 @@ object GridQueries {
          |  CAST(t AS INT) AS t_of_max, value AS max_value
          |FROM r WHERE rn = 1""".stripMargin
 
+    // grid_resample_mean: forward-map every source pixel center to the
+    // dst lattice, average per dst pixel (J3 average resampling)
+    val resampleMean =
+      s"""WITH src AS (SELECT x, y, t,
+         |    ${ndviValueSql(mask = true)} AS v,
+         |    ${d(g(0))} + (x + 0.5) * ${d(g(1))} AS gx,
+         |    ${d(g(3))} + (y + 0.5) * ${d(g(5))} AS gy
+         |  FROM range(0, 200) a(x), range(0, 200) b(y), (SELECT 0 AS t) c),
+         |m AS (SELECT v,
+         |    CAST(floor((degrees(gx / (${d(r)} * cos(gy / ${d(r)})))
+         |      - ${d(d0)}) / ${d(d1)}) AS INT) AS dx,
+         |    CAST(floor((degrees(gy / ${d(r)})
+         |      - ${d(d3)}) / ${d(d5)}) AS INT) AS dy
+         |  FROM src)
+         |SELECT dx AS x, dy AS y, avg(v) AS value, count(v) AS n_src
+         |FROM m WHERE dx BETWEEN 0 AND 99 AND dy BETWEEN 0 AND 99
+         |GROUP BY dx, dy""".stripMargin
+
     Map(
+      "grid_resample_mean" -> resampleMean,
       "grid_zonal_stats" -> zonalStats,
       "grid_argmax_t" -> argmaxT,
       "grid_interpolate_ts" -> interpolateTs,
