@@ -116,12 +116,13 @@ object Similarity {
     // per-query nProbe nearest centroids (centers are driver-side literals)
     val centers = model.clusterCenters.map(_.toArray)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val cellDists = array(centers.zipWithIndex.map { case (ctr, i) =>
-      struct(
-        aggregate(zip_with(col("qvec"), lit(ctr),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (a, v) => a + v).as("dist"),
-        lit(i).as("cell"))
+    val cellDists = array(centers.zipWithIndex.toIndexedSeq.map {
+      case (ctr, i) =>
+        struct(
+          aggregate(zip_with(col("qvec"), lit(ctr),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (a, v) => a + v).as("dist"),
+          lit(i).as("cell"))
     }: _*)
     val probed = q.withColumn("probe",
       explode(slice(array_sort(cellDists), 1, nProbe)))
