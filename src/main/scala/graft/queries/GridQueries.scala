@@ -141,10 +141,14 @@ object GridQueries {
         }
         out
       }
+      // sum over DOUBLE on both sides: DuckDB's integral sum returns
+      // HUGEINT, which the driver's pandas bridge coerces to float64
+      // ("113537.0") while Spark's long stays "113537" — same value,
+      // different canonical form -> hash mismatch (bit us in r2).
       FractionStore.pixels(outH, FractionStore.fractions(s, outRoot))
         .groupBy(col("t")).agg(
           count(col("value")).as("n_clear"),
-          sum(col("value")).as("sum_ndvi"))
+          sum(col("value").cast("double")).as("sum_ndvi"))
     },
 
     // SRC5 — MODIS file-index scan: filename synthesis + regex parse +
@@ -195,9 +199,12 @@ object GridQueries {
         geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
           latMax, 0.0, -(latMax - latMin) / 97.3),
         timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      // DOUBLE sum for the same HUGEINT-vs-long canonicalization reason
+      // as grid_pipeline_masked (values are small ints, so the double
+      // sum is exact regardless of aggregation order).
       Reproject.nearest(s, nh, ndviRoot, dst, 0, 100, 0, 100)
         .agg(count(col("value")).as("n_mapped"),
-          sum(col("value")).as("sum_value"),
+          sum(col("value").cast("double")).as("sum_value"),
           count(lit(1)).as("n_total"))
     },
 
@@ -401,7 +408,7 @@ object GridQueries {
          |      OR ((qa >> 15) & 1) = 1 OR ((qa >> 2) & 15) >= 12
          |    THEN NULL ELSE ndvi END AS value FROM g)
          |SELECT CAST(t AS INT) AS t, count(value) AS n_clear,
-         |  sum(value) AS sum_ndvi
+         |  sum(CAST(value AS DOUBLE)) AS sum_ndvi
          |FROM m GROUP BY t""".stripMargin
 
     // grid_incremental_append: full tinygrid per-date counts, nodata kept
@@ -456,7 +463,8 @@ object GridQueries {
          |v AS (SELECT CASE WHEN x >= 0 AND x < ${nh.width}
          |      AND y >= 0 AND y < ${nh.height}
          |    THEN ${ndviValueSql(mask = true)} END AS value FROM m)
-         |SELECT count(value) AS n_mapped, sum(value) AS sum_value,
+         |SELECT count(value) AS n_mapped,
+         |  sum(CAST(value AS DOUBLE)) AS sum_value,
          |  count(*) AS n_total FROM v""".stripMargin
 
     // grid_interpolate_ts: linear gap fill along t per pixel, mirrored

@@ -67,6 +67,23 @@ def main():
             print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}")
             n_fail += 1
             continue
+        # Numeric-class parity check: the driver's bridge coerces DuckDB
+        # HUGEINT (integral sum results) to float64, so an int64 Spark
+        # column vs a HUGEINT oracle column hash-mismatches even when the
+        # values are equal ("113537" vs "113537.0"). Flag any int/float
+        # class split between the two sides (r2 lesson).
+        tg = con.execute(
+            f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+        te = con.execute(f"DESCRIBE SELECT * FROM ({sql}) oq").fetchall()
+        FLOATY = {"FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT"}
+        cls = {r[0]: (r[1].upper() in FLOATY) for r in tg}
+        clash = [r[0] for r in te
+                 if r[0] in cls and cls[r[0]] != (r[1].upper() in FLOATY)]
+        if clash:
+            print(f"FAIL {name}: int/float class mismatch on {clash} "
+                  f"(HUGEINT oracle sums coerce to float driver-side)")
+            n_fail += 1
+            continue
         cg, ce = canon(got_rows), canon(exp_rows)
         if cg != ce:
             bad = [i for i, (a, b) in enumerate(zip(cg, ce)) if a != b][:3]
