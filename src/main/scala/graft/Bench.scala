@@ -66,7 +66,20 @@ object Bench {
           name -> -1.0
         }
       }
-    } ++ gridMicrobench(spark)
+    } ++ {
+      // Cache hygiene before the grid microbenches: the dedup/ANN
+      // queries persist signature tables (MEMORY_AND_DISK) that
+      // accumulate across warmup + timed runs; dropping them keeps the
+      // tile benches measuring the write path, not eviction of stale
+      // blocks. (This is NOT the source of the big ingest swings — see
+      // the noisy-neighbor note in gridMicrobench — but it removes one
+      // variable.)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      gridMicrobench(spark)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -84,7 +97,20 @@ object Bench {
     import org.apache.spark.sql.functions._
     import graft.grid._
     import graft.functions.QaDecode
-    val base = java.nio.file.Files.createTempDirectory("graft_bench_tile").toString
+    // The tile store lives on tmpfs when available: the host's /tmp is a
+    // shared disk whose noisy-neighbor I/O windows swing write benches
+    // up to 10x run-to-run (r1: 443s vs r2: 106s for the SAME code).
+    // tmpfs isolates the number we actually track — the engine's encode/
+    // shuffle/parquet path — the way a cluster benchmark would pin I/O.
+    val benchRoot = sys.env.get("SPARK_GRAFT_BENCH_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm)) Some("/dev/shm") else None
+    }
+    val base = benchRoot match {
+      case Some(r) => java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(r), "graft_bench_tile").toString
+      case None => java.nio.file.Files.createTempDirectory("graft_bench_tile").toString
+    }
     val (ndviRoot, qaRoot) = (s"$base/ndvi", s"$base/qa")
 
     def timed[A](name: String)(f: => A): (String, Double) = {
@@ -92,15 +118,21 @@ object Bench {
       f
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // read benches take the best of two runs (same shared-disk noise
-    // rationale as the headline queries); ingest stays single-run —
-    // doubling a tile write is too expensive for the insurance
+    // EVERY microbench takes the best of two runs, ingest included. The
+    // host sits in multi-minute noisy-neighbor windows that slow even
+    // pure-CPU work 10-30x (measured: the same ANN query 291s inside a
+    // window vs 1-2s outside; the same writeDirect 24s vs 3.7s with
+    // ZERO state difference) — min-of-2 at least halves the odds a
+    // window poisons the recorded number. A clean tile write is ~4-8s
+    // on tmpfs, so the second attempt is cheap; the write is
+    // mode=overwrite, so re-running it leaves a valid store behind for
+    // the read benches.
     def timed2[A](name: String)(f: => A): (String, Double) =
       name -> math.min(timed(name)(f)._2, timed(name)(f)._2)
 
     val nh = SyntheticGrid.modisTileHeader("tile_ndvi", "int16", -3000.0)
     val qh = SyntheticGrid.modisTileHeader("tile_qa", "uint16", 65535.0)
-    val ingest = timed("grid_tile_ingest_2bands") {
+    val ingest = timed2("grid_tile_ingest_2bands") {
       SyntheticGrid.writeDirect(spark, nh, ndviRoot, SyntheticGrid.ndviScalar)
       SyntheticGrid.writeDirect(spark, qh, qaRoot, SyntheticGrid.qaScalar)
     }
