@@ -56,4 +56,38 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         rightCols.map(c => col("__r")(c).as(s"asof_$c"))): _*)
   }
+
+  /** Forward as-of join: each left row matched to the EARLIEST right row
+    * with rightTs >= leftTs, per key (inclusive). Same union+window
+    * shape as [[backward]], scanned in descending time order — the
+    * carried payload is the nearest future right row. One shuffle, no
+    * range explosion.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String,
+              rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
+    // side 0 = right; in DESC order it sorts before an equal-ts left
+    // row, so ties match (forward as-of is inclusive)
+    val r = right.select(
+      (col(key).as("__key") +: col(rightTs).cast("timestamp").as("__ts")
+        +: lit(0).as("__side")
+        +: struct(rightCols.map(col): _*).as("__r")
+        +: leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.select(
+      (col(key).as("__key") +: col(leftTs).cast("timestamp").as("__ts")
+        +: lit(1).as("__side")
+        +: lit(null).cast(payloadType).as("__r")
+        +: leftCols.map(col): _*))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = r.unionByName(l)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightCols.map(c => col("__r")(c).as(s"asof_$c"))): _*)
+  }
 }

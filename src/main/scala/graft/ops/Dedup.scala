@@ -271,4 +271,64 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  // ---- duplicate clustering (connected components) -------------------
+
+  /** Group near-duplicate PAIRS into clusters: connected components of
+    * the pair graph, each node labeled with the minimum id reachable
+    * from it. Returns one row per node: (id, cluster_id).
+    *
+    * Dedup pipelines need this step — pairwise output alone can't
+    * answer "which copies do I drop": A~B and B~C must collapse into
+    * one {A,B,C} cluster keeping only A.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping
+    * (the two-step of Kiveris et al.'s star contraction):
+    *   1. neighbor-min — lab(v) <- min(lab(v), min over edges lab(u));
+    *   2. pointer jump — lab(v) <- lab(lab(v)) (labels are node ids, so
+    *      one self-join halves every label chain).
+    * Each round is two equi-join shuffles; pointer jumping makes the
+    * round count O(log diameter) instead of O(diameter), and duplicate
+    * clusters are overwhelmingly tiny-diameter cliques, so real corpora
+    * converge in 2-3 rounds. Labels persist per round (and the previous
+    * round unpersists) so lineage stays flat; the convergence check is
+    * one count per round — the standard driver-side scalar any iterative
+    * Spark graph algorithm pays (GraphX does the same).
+    */
+  def clusterDuplicates(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .persist(MEMORY_AND_DISK)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // 1) neighbor-min
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("lab")), "dst")
+        .select(col("src").as("id"), col("lab"))
+      val m1 = labels.select(col("id"), col("lab")).union(viaNbr)
+        .groupBy("id").agg(min(col("lab")).as("lab"))
+      // 2) pointer jump: labels are node ids — follow one hop
+      val next = m1
+        .join(labels.select(col("id").as("lab"), col("lab").as("lab2")),
+          Seq("lab"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("lab2"), col("lab")))
+          .as("lab"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
+        .filter(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lab").as("cluster_id"))
+  }
 }

@@ -322,6 +322,55 @@ object RelationalQueries {
         .select(col("user_id"),
           unix_millis(col("session_window.start")).as("session_start_ms"),
           col("n_events"), col("total_value"))
+    },
+
+    // §2.11 — FORWARD as-of join (next-event attribution): each click
+    // matched to the user's earliest at-or-after purchase. Same
+    // union+window operator scanned in descending time order; DuckDB's
+    // native ASOF with the reversed inequality is the oracle.
+    "asof_join_forward" -> { (s, d) =>
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.forward(clicks, purchases, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightCols = Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"),
+          unix_millis(col("asof_ts")).as("next_ts_ms"),
+          col("asof_value").as("next_value"))
+    },
+
+    // §2.11 — bounded-interval range join, bin-bucketed to stay an
+    // equi-join (ops/RangeJoin): purchases within the 6 hours before
+    // each click, per user. The oracle is the naive theta-join the
+    // operator must reproduce exactly.
+    "range_join_recent" -> { (s, d) =>
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.ops.RangeJoin.byTime(clicks, purchases, key = "user_id",
+        leftTs = "ts", rightTs = "ts",
+        beforeMs = 6L * 3600 * 1000, afterMs = 0L)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("r_event_id"), unix_millis(col("r_ts")).as("r_ts_ms"),
+          col("r_value"))
+    },
+
+    // §2.11 — exact discrete quantiles (SQL-standard percentile_disc
+    // picks an element of the set: no interpolation arithmetic to
+    // diverge between engines).
+    "quantiles_disc" -> { (s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")
+            .as("p90"),
+          count(lit(1)).as("n"))
     }
   )
 
@@ -523,6 +572,33 @@ object RelationalQueries {
         |  FROM f)
         |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
         |  count(*) AS n_events, sum(value) AS total_value
-        |FROM g GROUP BY user_id, sess""".stripMargin
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+
+    "asof_join_forward" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms, l.value,
+        |  epoch_ms(r.ts) AS next_ts_ms, r.value AS next_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+
+    "range_join_recent" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |  r.event_id AS r_event_id, epoch_ms(r.ts) AS r_ts_ms,
+        |  r.value AS r_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') l
+        |JOIN (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 6 HOUR AND r.ts <= l.ts""".stripMargin,
+
+    "quantiles_disc" ->
+      """SELECT event_type,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

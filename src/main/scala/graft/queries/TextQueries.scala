@@ -103,6 +103,16 @@ object TextQueries {
         n = 3, minJaccard = 0.5)
     },
 
+    // Pairs -> clusters: connected components of the near-dup graph
+    // (min-label propagation + pointer jumping); oracle is a DuckDB
+    // recursive-CTE transitive closure over the brute-force pair set.
+    "dedup_clusters" -> { (s, d) =>
+      val pairs = Dedup.minhashNearDups(corpusWithPlants(s, d),
+        "doc_id", "text", k = 32, bands = 8, shingleSize = 3,
+        minJaccard = 0.5)
+      Dedup.clusterDuplicates(pairs.select(col("id_a"), col("id_b")))
+    },
+
     "dedup_embedding_cosine" -> { (s, d) =>
       Similarity.cosineNearDups(vectorsWithPlants(s, d), dim = 64,
         minCos = 0.999)
@@ -244,6 +254,7 @@ object TextQueries {
     // LSH recall is total on this corpus (see the query comment).
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+    "dedup_clusters" -> dedupClustersOracle,
 
     // Brute-force all-pairs cosine >= 0.999 over base + scaled plants.
     // Positive scaling preserves hyperplane signs, so every qualifying
@@ -306,9 +317,11 @@ object TextQueries {
         |FROM r WHERE rank <= 5""".stripMargin
   )
 
-  /** Shared by dedup_ngram_jaccard and dedup_minhash_lsh (see above). */
-  private def ngramJaccardOracle: String =
-    """WITH corpus AS (
+  /** Brute-force all-pairs shingle-Jaccard CTE chain over the planted
+    * corpus — the `p` relation carries every (id_a < id_b, jac) pair.
+    * Shared by the pair oracles and the clustering oracle. */
+  private def dedupPairCtes: String =
+    """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000,
@@ -327,7 +340,26 @@ object TextQueries {
       |p AS (SELECT a.id AS id_a, b.id AS id_b,
       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       |      / len(list_distinct(a.shingles || b.shingles)) AS jac
-      |  FROM sh a, sh b WHERE a.id < b.id)
-      |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p
-      |WHERE jac >= 0.5""".stripMargin
+      |  FROM sh a, sh b WHERE a.id < b.id)""".stripMargin
+
+  /** Shared by dedup_ngram_jaccard and dedup_minhash_lsh (see above). */
+  private def ngramJaccardOracle: String =
+    s"""WITH $dedupPairCtes
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p
+       |WHERE jac >= 0.5""".stripMargin
+
+  /** dedup_clusters: transitive closure of the >= 0.5 pair graph, each
+    * node labeled with its component's minimum id (the recursive CTE
+    * twin of Dedup.clusterDuplicates' min-label propagation). */
+  private def dedupClustersOracle: String =
+    s"""WITH RECURSIVE $dedupPairCtes,
+       |dup AS (SELECT id_a, id_b FROM p WHERE jac >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+       |  UNION SELECT id_b, id_a FROM dup),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin
 }

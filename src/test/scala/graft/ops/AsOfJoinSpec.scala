@@ -66,4 +66,22 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect()(0)
     assert(row.isNullAt(row.fieldIndex("asof_v")))
   }
+
+  test("forward asof picks earliest right row at-or-after, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1, ts("2024-01-01 10:00:00")),
+      (1, ts("2024-01-01 11:00:00")), // exact tie with right "b"
+      (1, ts("2024-01-01 12:00:00")), // nothing after -> NULL
+      (2, ts("2024-01-01 09:00:00"))
+    ).toDF("k", "lts")
+    val right = Seq(
+      (1, ts("2024-01-01 10:30:00"), "a"),
+      (1, ts("2024-01-01 11:00:00"), "b"),
+      (2, ts("2024-01-01 09:30:00"), "c")
+    ).toDF("k", "rts", "v")
+    val got = AsOfJoin.forward(left, right, "k", "lts", "rts", Seq("v"))
+      .orderBy("k", "lts").select("k", "asof_v").as[(Int, String)].collect()
+    assert(got.toSeq == Seq((1, "a"), (1, "b"), (1, null), (2, "c")))
+  }
 }

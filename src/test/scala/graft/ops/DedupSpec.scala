@@ -66,4 +66,20 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 100L), (1L, 101L)))
   }
+
+  test("clusterDuplicates collapses chains into min-id components") {
+    // components: {1,2,3,4} (a chain, forcing propagation through
+    // intermediate labels), {10,11}, and an 8-node path {20..27} whose
+    // diameter exercises the pointer-jumping rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L),
+      (25L, 26L), (26L, 27L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterDuplicates(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert((20L to 27L).forall(got(_) == 20L))
+    assert(got.size == 14)
+  }
 }
