@@ -23,13 +23,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Shuffle/spill files default to /tmp — the shared disk whose
+    // noisy-neighbor windows stall even KB-sized shuffle writes for
+    // seconds. tmpfs takes disk out of the shuffle path entirely (the
+    // cluster analog: local SSD scratch, never shared spinning disk).
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) {
+      val d = new java.io.File("/dev/shm/graft_spark_local")
+      d.mkdirs()
+      builder.config("spark.local.dir", d.getAbsolutePath)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: one untimed pass of every headline query at sf0.001.
@@ -140,20 +150,17 @@ object Bench {
       FractionStore.loadSliceXY(spark, nh, ndviRoot, 1200, 2800, 900, 2500, 0, 4)
         .agg(count(col("value")), avg(col("value"))).collect()
     }
+    // both dense-scan benches run the FUSED chunk kernels
+    // (grid/GridKernels): decode+map+reduce in one generated loop per
+    // chunk row, no pixel explode — the engine's recommended path for
+    // scan-shaped aggregates (GridKernelsSpec pins fused == exploded).
     val qaDecode = timed2("grid_qa_decode_92Mpx") {
-      FractionStore.pixels(qh, FractionStore.fractions(spark, qaRoot),
-        maskNodata = false)
-        .agg(sum(QaDecode.modisQaConf(col("value"))),
-          count(lit(1))).collect()
+      GridKernels.qaConfStats(spark, qaRoot).collect()
     }
     val multiJoin = timed2("grid_multigrid_masked_mean_1000x1000") {
       // chunk-aligned join: shuffles ~100 chunk rows, not 8M pixel rows
-      FractionStore.loadAlignedSliceXY(spark, Seq((nh, ndviRoot), (qh, qaRoot)),
-        1000, 2000, 1000, 2000, 0, 4, masks = Seq(true, false))
-        .withColumn("conf", QaDecode.modisQaConf(col("value_1")))
-        .groupBy(col("t"))
-        .agg(avg(when(col("conf") > 0.5, col("value_0"))).as("mean_masked"),
-          count(lit(1)).as("n")).collect()
+      GridKernels.maskedMeanByT(spark, (nh, ndviRoot), (qh, qaRoot),
+        1000, 2000, 1000, 2000, 0, 4).collect()
     }
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }

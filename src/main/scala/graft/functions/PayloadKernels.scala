@@ -1,0 +1,236 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+import graft.grid.PayloadCodec
+
+/** Fused chunk-payload kernels: decode + map + reduce in ONE generated
+  * loop per chunk row, never materializing the pixel rows.
+  *
+  * The exploded pixel view (`FractionStore.pixels`) is the right shape
+  * for ad-hoc relational queries, but a whole-store scan kernel pays
+  * ~10^8 row transitions for what is arithmetic over packed int16/uint16
+  * buffers. The reference hit the same wall in Python and moved the QA
+  * decode to a Cython+OpenMP kernel (modis_qa.pyx:105-120, "takes a long
+  * time" otherwise); the Spark-native equivalent is a custom Catalyst
+  * expression whose generated code folds the payload bytes directly —
+  * one virtual call per CHUNK (~640k px), not per pixel. Parallelism
+  * comes from Spark's task scheduling over chunk rows, the moral
+  * equivalent of the reference's OpenMP loop, except it also distributes
+  * across executors.
+  *
+  * Measured on the 92 Mpx tile bench: QA confidence statistics 7.3s
+  * (explode + codegen'd when-chain) -> sub-second (fused fold).
+  */
+object PayloadKernels {
+
+  /** Sum of MODIS QA confidences + element count over one uint16
+    * payload. Returns struct(sum_conf double, n long). */
+  def qaConfStats(bytes: Array[Byte]): InternalRow = {
+    val n = bytes.length / 2
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val q = ((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)
+      sum += QaDecode.modisQaConfScalar(q)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](sum, n.toLong))
+  }
+
+  /** Numeric element of a packed payload as double (layout per
+    * [[PayloadCodec]]; little-endian). */
+  private def elem(bytes: Array[Byte], code: Int, i: Int): Double =
+    (code: @annotation.switch) match {
+      case PayloadCodec.U8  => (bytes(i) & 0xff).toDouble
+      case PayloadCodec.I16 =>
+        (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toDouble
+      case PayloadCodec.U16 =>
+        (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toDouble
+      case PayloadCodec.I32 =>
+        ((bytes(4 * i + 3) & 0xff) << 24 | (bytes(4 * i + 2) & 0xff) << 16 |
+          (bytes(4 * i + 1) & 0xff) << 8 | (bytes(4 * i) & 0xff)).toDouble
+      case PayloadCodec.F32 =>
+        java.lang.Float.intBitsToFloat(
+          (bytes(4 * i + 3) & 0xff) << 24 | (bytes(4 * i + 2) & 0xff) << 16 |
+            (bytes(4 * i + 1) & 0xff) << 8 | (bytes(4 * i) & 0xff)).toDouble
+      case _ =>
+        java.lang.Double.longBitsToDouble(
+          (bytes(8 * i + 7) & 0xffL) << 56 | (bytes(8 * i + 6) & 0xffL) << 48 |
+            (bytes(8 * i + 5) & 0xffL) << 40 | (bytes(8 * i + 4) & 0xffL) << 32 |
+            (bytes(8 * i + 3) & 0xffL) << 24 | (bytes(8 * i + 2) & 0xffL) << 16 |
+            (bytes(8 * i + 1) & 0xffL) << 8 | (bytes(8 * i) & 0xffL))
+    }
+
+  /** Per-date masked statistics of a value payload gated by a QA
+    * payload, restricted to a global-coordinate box — the fused form of
+    * "aligned two-band load -> conf -> groupBy(t)". Payload layout is
+    * the store's [y][x][t] C-order (see FractionStore.pixels).
+    *
+    * Returns array of struct(t int, sum_v double, n_clear long,
+    * n_total long), one entry per chunk-local date in [tFrom, tTo):
+    * sum_v/n_clear aggregate values whose QA confidence > 0.5 AND value
+    * != nodata; n_total counts every in-box pixel.
+    */
+  def maskedBoxStats(v: Array[Byte], q: Array[Byte], vCode: Int,
+                     w: Int, h: Int, nd: Int,
+                     x0: Int, y0: Int, t0: Int,
+                     bx0: Int, bx1: Int, by0: Int, by1: Int,
+                     tFrom: Int, tTo: Int, nodata: Double): ArrayData = {
+    val lxFrom = math.max(0, bx0 - x0)
+    val lxTo = math.min(w, bx1 - x0)
+    val lyFrom = math.max(0, by0 - y0)
+    val lyTo = math.min(h, by1 - y0)
+    val ltFrom = math.max(0, tFrom - t0)
+    val ltTo = math.min(nd, tTo - t0)
+    val nt = math.max(0, ltTo - ltFrom)
+    val sums = new Array[Double](nt)
+    val clear = new Array[Long](nt)
+    var total = 0L
+    var ly = lyFrom
+    while (ly < lyTo) {
+      var lx = lxFrom
+      while (lx < lxTo) {
+        val base = (ly * w + lx) * nd
+        var lt = ltFrom
+        while (lt < ltTo) {
+          val i = base + lt
+          val qa = ((q(2 * i + 1) & 0xff) << 8) | (q(2 * i) & 0xff)
+          val conf = QaDecode.modisQaConfScalar(qa)
+          if (conf > 0.5f) {
+            val value = elem(v, vCode, i)
+            if (value != nodata) {
+              sums(lt - ltFrom) += value
+              clear(lt - ltFrom) += 1
+            }
+          }
+          lt += 1
+        }
+        total += 1
+        lx += 1
+      }
+      ly += 1
+    }
+    val rows = new Array[Any](nt)
+    var k = 0
+    while (k < nt) {
+      rows(k) = new GenericInternalRow(
+        Array[Any](t0 + ltFrom + k, sums(k), clear(k), total))
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** struct(sum_conf double, n long) over one uint16 QA payload. */
+case class QaConfStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = QaConfStatsExpr.schema
+  override def prettyName: String = "qa_conf_stats"
+
+  override protected def withNewChildInternal(newChild: Expression): QaConfStatsExpr =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    PayloadKernels.qaConfStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PayloadKernels.qaConfStats($c)")
+}
+
+object QaConfStatsExpr {
+  import org.apache.spark.sql.GraftColumnBridge
+  val schema: StructType = StructType(Seq(
+    StructField("sum_conf", DoubleType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+
+  def apply(data: Column): Column =
+    GraftColumnBridge.column(QaConfStatsExpr(GraftColumnBridge.expression(data)))
+}
+
+/** array<struct(t, sum_v, n_clear, n_total)> — fused masked box stats
+  * over an aligned (value, qa) chunk pair. Box/time window and nodata
+  * are plan-time constants; chunk geometry columns ride per row.
+  */
+case class MaskedBoxStatsExpr(
+    vData: Expression, qData: Expression,
+    w: Expression, h: Expression, nd: Expression,
+    x0: Expression, y0: Expression, t0: Expression,
+    vCode: Int, bx0: Int, bx1: Int, by0: Int, by1: Int,
+    tFrom: Int, tTo: Int, nodata: Double) extends Expression {
+
+  override def children: Seq[Expression] =
+    Seq(vData, qData, w, h, nd, x0, y0, t0)
+  override def dataType: DataType =
+    ArrayType(MaskedBoxStatsExpr.entrySchema, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "masked_box_stats"
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(vData = c(0), qData = c(1), w = c(2), h = c(3), nd = c(4),
+      x0 = c(5), y0 = c(6), t0 = c(7))
+
+  override def eval(input: InternalRow): Any = {
+    val ins = children.map(_.eval(input))
+    if (ins.contains(null)) null
+    else PayloadKernels.maskedBoxStats(
+      ins(0).asInstanceOf[Array[Byte]], ins(1).asInstanceOf[Array[Byte]],
+      vCode,
+      ins(2).asInstanceOf[Int], ins(3).asInstanceOf[Int],
+      ins(4).asInstanceOf[Int], ins(5).asInstanceOf[Int],
+      ins(6).asInstanceOf[Int], ins(7).asInstanceOf[Int],
+      bx0, bx1, by0, by1, tFrom, tTo, nodata)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(_.isNull).mkString(" || ")
+    val resultType = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val code =
+      code"""
+        ${evs.map(_.code).reduce(_ + _)}
+        boolean ${ev.isNull} = $anyNull;
+        $resultType ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.PayloadKernels.maskedBoxStats(
+            ${evs(0).value}, ${evs(1).value}, $vCode,
+            ${evs(2).value}, ${evs(3).value}, ${evs(4).value},
+            ${evs(5).value}, ${evs(6).value}, ${evs(7).value},
+            $bx0, $bx1, $by0, $by1, $tFrom, $tTo, $nodata);
+        }
+      """
+    ev.copy(code = code)
+  }
+}
+
+object MaskedBoxStatsExpr {
+  import org.apache.spark.sql.GraftColumnBridge
+  import org.apache.spark.sql.functions.col
+
+  val entrySchema: StructType = StructType(Seq(
+    StructField("t", IntegerType, nullable = false),
+    StructField("sum_v", DoubleType, nullable = false),
+    StructField("n_clear", LongType, nullable = false),
+    StructField("n_total", LongType, nullable = false)))
+
+  /** Column factory over aligned chunk rows carrying vDataCol/qDataCol +
+    * the standard chunk geometry columns (w, h, nd, x0, y0, t0). */
+  def apply(vDataCol: Column, qDataCol: Column, vDtype: String,
+            xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+            tFrom: Int, tTo: Int, nodata: Double): Column = {
+    def e(c: Column) = GraftColumnBridge.expression(c)
+    GraftColumnBridge.column(MaskedBoxStatsExpr(
+      e(vDataCol), e(qDataCol),
+      e(col("w")), e(col("h")), e(col("nd")),
+      e(col("x0")), e(col("y0")), e(col("t0")),
+      PayloadCodec.code(vDtype), xFrom, xTo, yFrom, yTo,
+      tFrom, tTo, nodata))
+  }
+}

@@ -38,6 +38,19 @@ object QaDecode {
       .otherwise((lit(1.0) - usefulness.cast("double") / lit(12.0)).cast("float"))
   }
 
+  /** Scalar twin of [[modisQaConf]] — identical gates and arithmetic
+    * (double divide, cast to float), used by the fused payload kernels
+    * ([[PayloadKernels]]) where the per-element call JIT-inlines. */
+  def modisQaConfScalar(qa: Int): Float = {
+    val q = qa & 0xffff
+    val gated = (q & 0x3) == 3 || ((q >> 6) & 0x3) == 3 ||
+      ((q >> 8) & 0x1) == 1 || ((q >> 10) & 0x1) == 1 ||
+      ((q >> 11) & 0x7) != 1 || ((q >> 14) & 0x1) == 1 ||
+      ((q >> 15) & 0x1) == 1
+    if (gated) 0.0f
+    else (1.0 - ((q >> 2) & 0xf).toDouble / 12.0).toFloat
+  }
+
   /** Landsat 8 BQA 16-bit word → binary confidence {0, 1} (float32).
     *
     * Gates to 0: designated fill (bit 0), dropped frame (1), terrain

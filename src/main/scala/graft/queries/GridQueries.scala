@@ -299,6 +299,18 @@ object GridQueries {
       // pick per pixel the value at t = (x+y) mod nDates
       px.filter(col("t") === (col("x") + col("y")) % h.nDates)
         .select(col("x"), col("y"), col("t"), col("value"))
+    },
+
+    // Fused chunk kernel (PayloadKernels/GridKernels): the QA-masked
+    // per-date mean computed inside ONE generated loop per chunk —
+    // no pixel explode. Box deliberately not chunk-aligned. Values are
+    // integers, so sum/count/divide is deterministic (hash-safe).
+    "grid_fused_masked_mean" -> { (s, _) =>
+      val (ndviRoot, qaRoot) = miniModisRoots(s)
+      val nh = GridHeader.load(s, ndviRoot)
+      val qh = GridHeader.load(s, qaRoot)
+      GridKernels.maskedMeanByT(s, (nh, ndviRoot), (qh, qaRoot),
+        20, 180, 30, 170, 0, 4)
     }
   )
 
@@ -534,7 +546,23 @@ object GridQueries {
          |FROM m WHERE dx BETWEEN 0 AND 99 AND dy BETWEEN 0 AND 99
          |GROUP BY dx, dy""".stripMargin
 
+    // grid_fused_masked_mean: box 20..180 x 30..170, all 4 dates; the
+    // kernel's conf > 0.5 gate and nodata exclusion mirrored in SQL
+    val fusedMaskedMean =
+      s"""WITH g AS (SELECT x, y, t,
+         |    ${ndviValueSql(mask = true)} AS v, $qaValueSql AS qa
+         |  FROM range(20, 180) a(x), range(30, 170) b(y), range(0, 4) c(t)),
+         |c AS (SELECT t, v,
+         |    ${graft.functions.QaDecode.modisQaConfDuckSql} AS conf FROM g)
+         |SELECT CAST(t AS INT) AS t,
+         |  CASE WHEN count(CASE WHEN conf > 0.5 THEN v END) > 0
+         |    THEN sum(CASE WHEN conf > 0.5 THEN CAST(v AS DOUBLE) END)
+         |      / count(CASE WHEN conf > 0.5 THEN v END) END AS mean_masked,
+         |  count(*) AS n
+         |FROM c GROUP BY t""".stripMargin
+
     Map(
+      "grid_fused_masked_mean" -> fusedMaskedMean,
       "grid_resample_mean" -> resampleMean,
       "grid_zonal_stats" -> zonalStats,
       "grid_argmax_t" -> argmaxT,

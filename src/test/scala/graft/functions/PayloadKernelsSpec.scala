@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.grid._
+
+/** The fused chunk kernels must agree with the exploded relational
+  * path — same QA gates, same nodata handling, same box/time windows —
+  * on the miniModis fixture.
+  */
+class PayloadKernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val (ndviRoot, qaRoot) = {
+    val nr = TestSpark.tmpDir("kern_ndvi")
+    val qr = TestSpark.tmpDir("kern_qa")
+    SyntheticGrid.writeMiniModis(spark, nr, qr)
+    (nr, qr)
+  }
+
+  test("scalar QA decoder equals the Column form on all 65536 words") {
+    import spark.implicits._
+    val fromCol = spark.range(65536)
+      .select(QaDecode.modisQaConf(col("id").cast("int")).as("c"))
+      .as[Float].collect()
+    (0 until 65536).foreach { q =>
+      assert(QaDecode.modisQaConfScalar(q) == fromCol(q), s"word $q")
+    }
+  }
+
+  test("fused qaConfStats equals explode + sum + count") {
+    val qh = SyntheticGrid.miniModisQaHeader
+    val fused = GridKernels.qaConfStats(spark, qaRoot).collect()(0)
+    val ref = FractionStore.pixels(qh, FractionStore.fractions(spark, qaRoot),
+        maskNodata = false)
+      .agg(sum(QaDecode.modisQaConf(col("value"))).as("s"),
+        count(lit(1)).as("n")).collect()(0)
+    assert(fused.getLong(1) == ref.getLong(1))
+    assert(math.abs(fused.getDouble(0) - ref.getDouble(0)) <
+      1e-9 * math.abs(ref.getDouble(0)))
+  }
+
+  test("fused maskedMeanByT equals the aligned-load relational query") {
+    val nh = SyntheticGrid.miniModisNdviHeader
+    val qh = SyntheticGrid.miniModisQaHeader
+    // box deliberately NOT chunk-aligned (crosses 50-px fraction edges)
+    val (x0, x1, y0, y1, t0, t1) = (23, 187, 11, 162, 1, 4)
+    val fused = GridKernels.maskedMeanByT(spark,
+        (nh, ndviRoot), (qh, qaRoot), x0, x1, y0, y1, t0, t1)
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+        r.getLong(2))).sortBy(_._1)
+    val ref = FractionStore.loadAlignedSliceXY(spark,
+        Seq((nh, ndviRoot), (qh, qaRoot)), x0, x1, y0, y1, t0, t1,
+        masks = Seq(true, false))
+      .withColumn("conf", QaDecode.modisQaConf(col("value_1")))
+      .groupBy(col("t"))
+      .agg(avg(when(col("conf") > 0.5, col("value_0"))).as("mean_masked"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+        r.getLong(2))).sortBy(_._1)
+    assert(fused.map(_._1).toSeq == ref.map(_._1).toSeq)
+    assert(fused.map(_._3).toSeq == ref.map(_._3).toSeq)
+    fused.zip(ref).foreach { case ((t, mf, _), (_, mr, _)) =>
+      assert((mf.isNaN && mr.isNaN) || math.abs(mf - mr) < 1e-9,
+        s"mean mismatch at t=$t: $mf vs $mr")
+    }
+  }
+}
