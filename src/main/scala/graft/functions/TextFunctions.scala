@@ -98,6 +98,23 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
+  /** PII redaction for web-scrape corpora: emails, US-SSN-shaped ids,
+    * (NNN) NNN-NNNN phone shapes, and dotted-quad IPs become typed
+    * placeholder tags. Pattern order matters (SSN before phone — the
+    * 3-2-4 digit grouping must not be half-eaten by the phone rule);
+    * all four regexes are RE2-compatible so the DuckDB oracle runs the
+    * byte-identical chain. Pure regexp_replace — codegen'd, no shuffle.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email, "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>")
+    val phone = regexp_replace(ssn,
+      "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}", "<PHONE>")
+    regexp_replace(phone,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+  }
+
   /** Word n-gram shingles as an array of strings. */
   def wordShingles(text: Column, n: Int): Column = {
     val ts = tokens(text)

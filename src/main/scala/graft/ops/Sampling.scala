@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * `df.sample()` is seed-dependent AND partitioning-dependent — rerunning
+  * after a repartition (or on a different cluster) yields a different
+  * subset, which breaks dataset reproducibility and incremental re-runs.
+  * These operators derive the keep/drop decision from a cryptographic
+  * hash of a stable row key instead: the same row always makes the same
+  * decision, on any cluster layout, in any engine that agrees on md5
+  * (DuckDB does — the oracle runs the identical predicate).
+  *
+  * Scale shape: both operators are a single narrow `filter` (hash +
+  * compare, whole-stage codegen, no shuffle); the fixed-size variant
+  * shuffles once on the stratum key — the same cost as any groupBy —
+  * and never materializes more than `n` rows per stratum downstream.
+  */
+object Sampling {
+
+  /** Lowercase-hex first-8 md5 chars of (salt || key) — an effectively
+    * uniform draw in [0, 2^32) encoded so LEXICOGRAPHIC order equals
+    * numeric order (fixed width, one case). */
+  def hashDraw(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
+
+  /** The threshold hex literal t such that `draw < t` keeps ~fraction of
+    * rows: floor(fraction * 2^32) as 8 lowercase hex digits. */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val t = math.min((fraction * 4294967296.0).toLong, 0xffffffffL)
+    f"$t%08x"
+  }
+
+  /** Keep ~`fraction` of rows, decided per row by hash of `keyCol`.
+    * Deterministic across runs, partitionings, and engines; changing
+    * `salt` re-draws an independent sample. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String = "graft"): DataFrame =
+    df.filter(hashDraw(col(keyCol), salt) < lit(thresholdHex(fraction)))
+
+  /** Per-stratum fractions (e.g. downsample dominant languages): strata
+    * missing from `fractions` fall back to `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       salt: String = "graft"): DataFrame = {
+    val threshold = fractions.foldLeft(lit(thresholdHex(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(hashDraw(col(keyCol), salt) < threshold)
+  }
+
+  /** EXACTLY `n` rows per stratum (fewer if the stratum is smaller),
+    * chosen as the n smallest hash draws — a deterministic reservoir.
+    * One shuffle on the stratum key; ties in the 32-bit draw break on
+    * the key itself, so the pick is total-order stable. */
+  def stratifiedFixedSample(df: DataFrame, strataCol: String, keyCol: String,
+                            n: Int, salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashDraw(col(keyCol), salt), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Packing, Sampling, Similarity}
 
 /** Training-data-pipeline operator surface: text analysis, dedup,
   * similarity search over the `documents`/`embeddings` fixtures.
@@ -71,6 +71,61 @@ object TextQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
+    },
+
+    // PII is planted deterministically (the fixture corpus has none), so
+    // the redaction rules demonstrably fire; oracle runs the
+    // byte-identical regex chain with DuckDB's 'g' flag.
+    "text_redact_pii" -> { (s, d) =>
+      val planted = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or (415) 555-2671, SSN 123-45-6789, host 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7."))
+      Tables.documents(s, d).select(
+        col("doc_id"), TextFunctions.redactPii(planted).as("redacted"))
+    },
+
+    // Corpus-level top-k word bigrams: explode + partial-agg count +
+    // TakeOrdered (no global sort); deterministic tiebreak on the ngram.
+    "corpus_top_ngrams" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.wordShingles(lower(col("text")), 2))
+          .as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram"))
+        .limit(20)
+    },
+
+    // ---- deterministic sampling (ops/Sampling) ----
+    "sample_hash" -> { (s, d) =>
+      Sampling.hashSample(Tables.orders(s, d), "o_orderkey", 0.1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    "sample_stratified" -> { (s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+        .select(col("doc_id"), col("lang"))
+    },
+
+    "sample_stratified_fixed" -> { (s, d) =>
+      Sampling.stratifiedFixedSample(Tables.documents(s, d), "lang",
+        "doc_id", n = 30)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+    },
+
+    // ---- sequence packing (ops/Packing) ----
+    // capacity 512 is a power of two so the bin-boundary division is
+    // FP-exact in both engines (cum_before < 2^53).
+    "pack_sequences" -> { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.approxBpeTokenCount(col("text")).as("n_tokens"))
+      Packing.packChunked(toks, "doc_id", "n_tokens", capacity = 512)
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
     },
 
     // ---- dedup ----
@@ -246,6 +301,86 @@ object TextQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // the byte-identical regex chain (RE2-compatible patterns; 'g' flag
+    // — DuckDB replaces only the first match without it)
+    "text_redact_pii" ->
+      """WITH planted AS (SELECT doc_id,
+        |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or (415) 555-2671, SSN 123-45-6789, host 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.7.' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |      '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |    AS redacted
+        |FROM planted""".stripMargin,
+
+    "corpus_top_ngrams" ->
+      """WITH toks AS (SELECT
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |sh AS (SELECT CASE WHEN len(ts) >= 2
+        |    THEN list_transform(range(0, len(ts) - 1),
+        |      i -> ts[i + 1] || ' ' || ts[i + 2])
+        |    ELSE [array_to_string(ts, ' ')] END AS ngrams
+        |  FROM toks),
+        |e AS (SELECT unnest(ngrams) AS ngram FROM sh)
+        |SELECT ngram, count(*) AS cnt FROM e GROUP BY ngram
+        |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    // thresholds are thresholdHex(f) literals: floor(f * 2^32) in hex —
+    // lexicographic compare on fixed-width lowercase hex == numeric
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substr(md5('graft' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+        |  < '19999999'""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |  < CASE WHEN lang = 'en' THEN '80000000'
+        |         WHEN lang = 'zh' THEN 'ffffffff'
+        |         ELSE '40000000' END""".stripMargin,
+
+    "sample_stratified_fixed" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |        doc_id) AS INT) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_rank FROM r
+        |WHERE sample_rank <= 30""".stripMargin,
+
+    // global token prefix sum in doc_id order; capacity 512 = 2^9 keeps
+    // the bin division FP-exact; sums cast to BIGINT (DuckDB sum of
+    // integers is HUGEINT, which the driver bridge would coerce to float)
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    COALESCE(CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0),
+        |      x -> greatest(1, CAST(ceil(len(x) / 4.0) AS BIGINT))))
+        |      AS BIGINT), 0) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM t),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CAST(floor(cb / 512.0) AS BIGINT) AS bin_id FROM c)
+        |SELECT bin_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY bin_id""".stripMargin,
 
     // Brute-force all-pairs word-3-gram Jaccard >= 0.5 over the planted
     // corpus. Equals BOTH pair queries: any pair with j >= 0.5 shares a

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.TestSpark
+
+class SamplingPackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids(n: Int) = spark.range(n).toDF("id")
+
+  test("hashSample is deterministic, near-fraction, and salt-independent") {
+    val a = Sampling.hashSample(ids(20000), "id", 0.1).select("id")
+      .as[Long].collect().sorted
+    val b = Sampling.hashSample(ids(20000), "id", 0.1).select("id")
+      .as[Long].collect().sorted
+    assert(a.sameElements(b))
+    assert(math.abs(a.length - 2000) < 200, s"got ${a.length} of ~2000")
+    // repartitioning must not change the sample (the df.sample failure mode)
+    val c = Sampling.hashSample(ids(20000).repartition(13), "id", 0.1)
+      .select("id").as[Long].collect().sorted
+    assert(a.sameElements(c))
+    val other = Sampling.hashSample(ids(20000), "id", 0.1, salt = "other")
+      .select("id").as[Long].collect().toSet
+    assert(other != a.toSet)
+    // nested fractions: a 5% sample with the same salt is a subset of 10%
+    val five = Sampling.hashSample(ids(20000), "id", 0.05).select("id")
+      .as[Long].collect().toSet
+    assert(five.subsetOf(a.toSet))
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val df = ids(9000).withColumn("grp",
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+        .otherwise("c"))
+    val out = Sampling.stratifiedSample(df, "grp", "id",
+      Map("a" -> 1.0, "b" -> 0.2), defaultFraction = 0.0)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(out("a") == 3000)
+    assert(math.abs(out("b") - 600) < 120, s"got ${out.get("b")}")
+    assert(!out.contains("c"))
+  }
+
+  test("stratifiedFixedSample returns exactly n per stratum, stably") {
+    val df = ids(1000).withColumn("grp",
+      when(col("id") < 10, "tiny").otherwise(concat(lit("g"), col("id") % 4)))
+    val out = Sampling.stratifiedFixedSample(df, "grp", "id", n = 25)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts("tiny") == 10)   // stratum smaller than n: keep all
+    Seq("g0", "g1", "g2", "g3").foreach(g => assert(counts(g) == 25))
+    val again = Sampling.stratifiedFixedSample(df.repartition(7), "grp",
+      "id", n = 25).select("id").as[Long].collect().sorted
+    assert(again.sameElements(out.select("id").as[Long].collect().sorted))
+  }
+
+  test("packChunked equals the single-partition global window reference") {
+    val docs = ids(5000).withColumn("ntok", col("id") % 97 + 1)
+    def run(nParts: Int) =
+      Packing.packChunked(docs, "id", "ntok", capacity = 1024, nParts)
+        .select("id", "cum_before", "bin_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    val reference = docs
+      .withColumn("cum_before", coalesce(sum("ntok").over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("cum_before") / lit(1024.0)).cast("long"))
+      .select("id", "cum_before", "bin_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val four = run(4)
+    assert(four.sameElements(reference))
+    // partitioning-invariant: different nParts, same assignment
+    assert(run(7).sameElements(four))
+  }
+
+  test("packGreedy bins never exceed capacity and cover every doc once") {
+    val docs = ids(3000).withColumn("ntok",
+      when(col("id") % 500 === 0, 5000L).otherwise(col("id") % 80 + 1))
+    val out = Packing.packGreedy(docs, "id", "ntok", capacity = 2048,
+        nParts = 5)
+      .select("id", "ntok", "bin_id").as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == (0L until 3000L).toSeq)
+    val byBin = out.groupBy(_._3)
+    byBin.foreach { case (bin, rows) =>
+      val tot = rows.map(_._2).sum
+      assert(tot <= 2048 || rows.length == 1,
+        s"bin $bin holds $tot tokens in ${rows.length} docs")
+    }
+    // oversized docs sit alone in their bin
+    out.filter(_._2 == 5000L).foreach { case (id, _, bin) =>
+      assert(byBin(bin).length == 1, s"oversized doc $id shares bin $bin")
+    }
+    // bins are contiguous runs of the key order
+    byBin.foreach { case (bin, rows) =>
+      val ks = rows.map(_._1).sorted
+      assert(ks.last - ks.head == ks.length - 1,
+        s"bin $bin keys not contiguous")
+    }
+  }
+}
