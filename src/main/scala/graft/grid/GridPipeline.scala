@@ -37,17 +37,8 @@ final class GridPipeline(
 
   /** Chunk keys already present in the output (done set); empty when the
     * output store does not exist yet. */
-  def doneKeys(spark: SparkSession): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(FractionStore.dataPath(outputRoot))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path))
-      FractionStore.fractions(spark, outputRoot)
-        .select(col("frac_num"), col("time_chunk")).distinct()
-    else {
-      import spark.implicits._
-      Seq.empty[(Int, Int)].toDF("frac_num", "time_chunk")
-    }
-  }
+  def doneKeys(spark: SparkSession): DataFrame =
+    GridPipeline.doneKeysFor(spark, outputRoot)
 
   /** Run `fn` over every todo chunk. `fn` receives the chunk key and the
     * aligned input payloads (as doubles, in `inputs` order) and returns
@@ -58,36 +49,12 @@ final class GridPipeline(
     import spark.implicits._
 
     // J4: available = ∩ inputs, J5: − done
-    val keySets = inputs.map { case (_, root) =>
-      FractionStore.fractions(spark, root).select(key.map(col): _*).distinct()
-    }
-    val available = keySets.reduce((a, b) => a.join(b, key, "left_semi"))
+    val available = GridPipeline.availableKeys(spark, inputs)
     val todo =
       if (forceAll) available
       else available.join(doneKeys(spark), key, "left_anti")
 
-    // Align input chunks: multi-way equi-join on the chunk key. Inputs
-    // share chunking, so the join keys are dense and equi — shuffle once
-    // per input, no broadcast needed at scale. Payloads travel packed
-    // (binary) through the join; decode happens once in the kernel task.
-    val aligned = inputs.zipWithIndex.map { case ((_, root), i) =>
-      FractionStore.fractions(spark, root)
-        .join(todo, key, "left_semi")
-        .select(col("frac_num"), col("time_chunk"), col("frac_x"), col("frac_y"),
-          col("x0"), col("y0"), col("t0"), col("w"), col("h"), col("nd"),
-          col("data").as(s"data_$i"))
-    }.reduce { (a, b) =>
-      a.join(b.select((Seq("frac_num", "time_chunk") ++
-        b.columns.filter(_.startsWith("data_"))).map(col): _*), key)
-    }
-
-    val dataCols = inputs.indices.map(i => s"data_$i")
-    // pad the fixed AlignedChunk shape (encoder needs all four data cols)
-    val padded = (inputs.size until 4).foldLeft(
-      aligned.select((Seq("frac_num", "time_chunk", "frac_x", "frac_y",
-        "x0", "y0", "t0", "w", "h", "nd") ++ dataCols).map(col): _*)) {
-      (df, i) => df.withColumn(s"data_$i", lit(null).cast(BinaryType))
-    }
+    val padded = GridPipeline.alignedPadded(spark, inputs, todo)
     val inCodes = inputs.map(p => PayloadCodec.code(p._1.dtype))
     val outDtype = output.dtype
     val outRows = padded
@@ -123,6 +90,152 @@ final class GridPipeline(
       }
       n
     } finally outDf.unpersist()
+  }
+}
+
+object GridPipeline {
+  private val key = Seq("frac_num", "time_chunk")
+
+  private[grid] def doneKeysFor(spark: SparkSession, root: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(FractionStore.dataPath(root))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      FractionStore.fractions(spark, root)
+        .select(col("frac_num"), col("time_chunk")).distinct()
+    else {
+      import spark.implicits._
+      Seq.empty[(Int, Int)].toDF("frac_num", "time_chunk")
+    }
+  }
+
+  private[grid] def availableKeys(spark: SparkSession,
+                                  inputs: Seq[(GridHeader, String)]): DataFrame =
+    inputs.map { case (_, root) =>
+      FractionStore.fractions(spark, root).select(key.map(col): _*).distinct()
+    }.reduce((a, b) => a.join(b, key, "left_semi"))
+
+  /** Align input chunks on the chunk key and pad to the fixed
+    * AlignedChunk shape. Inputs share chunking, so the join keys are
+    * dense and equi — shuffle once per input, no broadcast needed at
+    * scale. Payloads travel packed (binary) through the join; decode
+    * happens once in the kernel task. */
+  private[grid] def alignedPadded(spark: SparkSession,
+                                  inputs: Seq[(GridHeader, String)],
+                                  todo: DataFrame): DataFrame = {
+    val aligned = inputs.zipWithIndex.map { case ((_, root), i) =>
+      FractionStore.fractions(spark, root)
+        .join(todo, key, "left_semi")
+        .select(col("frac_num"), col("time_chunk"), col("frac_x"), col("frac_y"),
+          col("x0"), col("y0"), col("t0"), col("w"), col("h"), col("nd"),
+          col("data").as(s"data_$i"))
+    }.reduce { (a, b) =>
+      a.join(b.select((Seq("frac_num", "time_chunk") ++
+        b.columns.filter(_.startsWith("data_"))).map(col): _*), key)
+    }
+    val dataCols = inputs.indices.map(i => s"data_$i")
+    (inputs.size until 4).foldLeft(
+      aligned.select((Seq("frac_num", "time_chunk", "frac_x", "frac_y",
+        "x0", "y0", "t0", "w", "h", "nd") ++ dataCols).map(col): _*)) {
+      (df, i) => df.withColumn(s"data_$i", lit(null).cast(BinaryType))
+    }
+  }
+}
+
+/** One aligned pass, SEVERAL derived grids: the multi-output form of
+  * [[GridPipeline]]. The reference derives one output per job, so a
+  * product that needs k derived layers from the same inputs re-reads
+  * and re-joins them k times; here the kernel returns k payloads per
+  * chunk and each goes to its own store — inputs are scanned, joined,
+  * and decoded ONCE regardless of k (at 100 TB the input scan dominates,
+  * so k outputs cost ~1 input pass + k cheap writes).
+  *
+  * Same resume semantics as the single-output pipeline, per store: todo
+  * is available − (chunks present in EVERY output), and each store's
+  * write anti-joins its own done set, so a run that died between store
+  * writes backfills only what is missing where.
+  */
+final class GridMultiPipeline(
+    val inputs: Seq[(GridHeader, String)],
+    val outputs: Seq[(GridHeader, String)],
+    val forceAll: Boolean = false) {
+
+  require(inputs.nonEmpty)
+  require(outputs.nonEmpty && outputs.size <= 4,
+    "1 to 4 output grids (AlignedChunk payload shape)")
+  require(inputs.forall(_._1.sameGeogrid(inputs.head._1)),
+    "all pipeline inputs must share a geogrid")
+  require(outputs.forall(_._1.sameGeogrid(inputs.head._1)),
+    "output grids must share the inputs' geogrid")
+
+  private val key = Seq("frac_num", "time_chunk")
+
+  /** Run `fn` over every todo chunk; it returns one payload per output
+    * grid (in `outputs` order). Returns the number of chunks computed. */
+  def run(spark: SparkSession)(
+      fn: (FracRow, Seq[Array[Double]]) => Seq[Array[Double]]): Long = {
+    import spark.implicits._
+
+    // materialize each store's done set BEFORE any write so the write
+    // loop never plans a scan of a directory it is appending to
+    val perOutputDone = outputs.map { case (_, root) =>
+      val d = GridPipeline.doneKeysFor(spark, root)
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
+    val available = GridPipeline.availableKeys(spark, inputs)
+    val doneEverywhere = perOutputDone.reduce((a, b) => a.join(b, key, "left_semi"))
+    val todo =
+      if (forceAll) available
+      else available.join(doneEverywhere, key, "left_anti")
+
+    val padded = GridPipeline.alignedPadded(spark, inputs, todo)
+    val inCodes = inputs.map(p => PayloadCodec.code(p._1.dtype))
+    val outDtypes = outputs.map(_._1.dtype)
+    val nOut = outDtypes.size
+    val outRows = padded
+      .as[AlignedChunk]
+      .map { c =>
+        val row = FracRow(c.frac_num, c.time_chunk, c.frac_x, c.frac_y,
+          c.x0, c.y0, c.t0, c.w, c.h, c.nd, null)
+        val payloads = c.payloads.zip(inCodes).map { case (b, cd) =>
+          PayloadCodec.decodeDouble(b, cd)
+        }
+        val outs = fn(row, payloads)
+        require(outs.length == nOut,
+          s"kernel returned ${outs.length} payloads for $nOut outputs")
+        val enc = outs.zip(outDtypes).map { case (a, dt) =>
+          PayloadCodec.encodeDouble(a, dt)
+        }
+        AlignedChunk(c.frac_num, c.time_chunk, c.frac_x, c.frac_y,
+          c.x0, c.y0, c.t0, c.w, c.h, c.nd,
+          enc.head, enc.lift(1), enc.lift(2), enc.lift(3))
+      }
+
+    val outDf = outRows.toDF()
+    outputs.foreach { case (h, root) => h.save(spark, root) }
+    // one kernel execution feeds every store write + the count
+    outDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = outDf.count()
+      if (n > 0) outputs.zipWithIndex.foreach { case ((_, root), i) =>
+        val one = outDf.select(col("frac_num"), col("time_chunk"),
+          col("frac_x"), col("frac_y"), col("x0"), col("y0"), col("t0"),
+          col("w"), col("h"), col("nd"), col(s"data_$i").as("data"))
+        val fresh =
+          if (forceAll) one
+          else one.join(perOutputDone(i), key, "left_anti")
+        fresh.repartitionByRange(col("time_chunk"), col("frac_num"))
+          .sortWithinPartitions(col("frac_num"))
+          .write.mode(if (forceAll) "overwrite" else "append")
+          .partitionBy("time_chunk")
+          .parquet(FractionStore.dataPath(root))
+      }
+      n
+    } finally {
+      outDf.unpersist()
+      perOutputDone.foreach(_.unpersist())
+    }
   }
 }
 

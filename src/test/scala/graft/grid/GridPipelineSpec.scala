@@ -87,6 +87,76 @@ class GridPipelineSpec extends AnyFunSuite {
     assert(pipe2.run(spark)(identity) == 0)
   }
 
+  test("multi-output pipeline equals two single-output runs, one pass") {
+    val ndviH = GridHeader.load(spark, ndviRoot)
+    val qaH = GridHeader.load(spark, qaRoot)
+    val ins = Seq((ndviH, ndviRoot), (qaH, qaRoot))
+    def maskedKernel(ps: Seq[Array[Double]]): Array[Double] = {
+      val Seq(ndvi, qa) = ps
+      Array.tabulate(ndvi.length) { i =>
+        if (QaDecode.modisQaConfScalar(qa(i).toInt) > 0) ndvi(i) else -3000.0
+      }
+    }
+    def confKernel(ps: Seq[Array[Double]]): Array[Double] =
+      ps(1).map(q => math.round(
+        QaDecode.modisQaConfScalar(q.toInt) * 100.0).toDouble)
+
+    // single-output references
+    val refMasked = TestSpark.tmpDir("mm_ref_masked")
+    val refConf = TestSpark.tmpDir("mm_ref_conf")
+    val maskedH = ndviH.copy(name = "m_masked")
+    val confH = ndviH.copy(name = "m_conf", dtype = "uint8", nodata = 255.0)
+    new GridPipeline(ins, maskedH, refMasked)
+      .run(spark)((_, ps) => maskedKernel(ps))
+    new GridPipeline(ins, confH, refConf)
+      .run(spark)((_, ps) => confKernel(ps))
+
+    // one multi-output pass
+    val outMasked = TestSpark.tmpDir("mm_multi_masked")
+    val outConf = TestSpark.tmpDir("mm_multi_conf")
+    val multi = new GridMultiPipeline(ins,
+      Seq((maskedH, outMasked), (confH, outConf)))
+    val n = multi.run(spark) { (_, ps) =>
+      Seq(maskedKernel(ps), confKernel(ps))
+    }
+    assert(n == 32)
+    // idempotence across BOTH stores
+    assert(multi.run(spark)((_, ps) =>
+      Seq(maskedKernel(ps), confKernel(ps))) == 0)
+
+    Seq((maskedH, refMasked, outMasked), (confH, refConf, outConf)).foreach {
+      case (h, ref, got) =>
+        val a = FractionStore.pixels(h,
+          FractionStore.fractions(spark, ref), maskNodata = false)
+        val b = FractionStore.pixels(h,
+          FractionStore.fractions(spark, got), maskNodata = false)
+        assert(a.count() == b.count())
+        assert(a.except(b).isEmpty && b.except(a).isEmpty, h.name)
+    }
+
+    // partial-done resume: drop chunks from ONE store only; the rerun
+    // backfills just that store's missing chunks
+    val pruned = FractionStore.fractions(spark, outConf)
+      .filter(!(col("frac_num") === 1))
+    val prunedRoot = TestSpark.tmpDir("mm_multi_conf2")
+    FractionStore.write(spark, confH, pruned, prunedRoot)
+    val multi2 = new GridMultiPipeline(ins,
+      Seq((maskedH, outMasked), (confH, prunedRoot)))
+    assert(multi2.run(spark)((_, ps) =>
+      Seq(maskedKernel(ps), confKernel(ps))) == 2)
+    val refConfPx = FractionStore.pixels(confH,
+      FractionStore.fractions(spark, refConf), maskNodata = false)
+    val gotConfPx = FractionStore.pixels(confH,
+      FractionStore.fractions(spark, prunedRoot), maskNodata = false)
+    assert(gotConfPx.count() == refConfPx.count())
+    assert(gotConfPx.except(refConfPx).isEmpty)
+    // ...and the store that was already complete gained no duplicates
+    val maskedChunks = FractionStore.fractions(spark, outMasked)
+      .groupBy(col("frac_num"), col("time_chunk")).count()
+      .filter(col("count") > 1).count()
+    assert(maskedChunks == 0)
+  }
+
   test("forceAll recomputes everything") {
     val ndviH = GridHeader.load(spark, ndviRoot)
     val outRoot = TestSpark.tmpDir("mm_force")
