@@ -26,8 +26,11 @@ import graft.grid.PayloadCodec
   * equivalent of the reference's OpenMP loop, except it also distributes
   * across executors.
   *
-  * Measured on the 92 Mpx tile bench: QA confidence statistics 7.3s
-  * (explode + codegen'd when-chain) -> sub-second (fused fold).
+  * The speedup is RECORDED, not claimed: Bench times the exploded and
+  * fused paths back-to-back in the same process (the
+  * `grid_qa_decode_{exploded,fused}` / `grid_window_load_{exploded,
+  * fused}` entry pairs, wall + executor-CPU seconds) so each round's
+  * BENCH json carries the measured A/B on the 92 Mpx tile.
   */
 object PayloadKernels {
 
@@ -68,6 +71,69 @@ object PayloadKernels {
             (bytes(8 * i + 3) & 0xffL) << 24 | (bytes(8 * i + 2) & 0xffL) << 16 |
             (bytes(8 * i + 1) & 0xffL) << 8 | (bytes(8 * i) & 0xffL))
     }
+
+  /** Per-date statistics of a single value payload restricted to a
+    * global-coordinate box — the fused form of "window load -> agg"
+    * (the P3 hot path). No QA gate: nodata is the only mask. Payload
+    * layout is the store's [y][x][t] C-order.
+    *
+    * Returns array of struct(t int, sum_v double, n_valid long,
+    * n_total long, min_v double?, max_v double?), one entry per
+    * chunk-local date in [tFrom, tTo): sum_v/n_valid/min/max aggregate
+    * values != nodata; n_total counts every in-box pixel; min_v/max_v
+    * are NULL for dates with no valid pixel (so min()/max() upstream
+    * aggregates skip them).
+    */
+  def boxStats(v: Array[Byte], vCode: Int,
+               w: Int, h: Int, nd: Int,
+               x0: Int, y0: Int, t0: Int,
+               bx0: Int, bx1: Int, by0: Int, by1: Int,
+               tFrom: Int, tTo: Int, nodata: Double): ArrayData = {
+    val lxFrom = math.max(0, bx0 - x0)
+    val lxTo = math.min(w, bx1 - x0)
+    val lyFrom = math.max(0, by0 - y0)
+    val lyTo = math.min(h, by1 - y0)
+    val ltFrom = math.max(0, tFrom - t0)
+    val ltTo = math.min(nd, tTo - t0)
+    val nt = math.max(0, ltTo - ltFrom)
+    val sums = new Array[Double](nt)
+    val valid = new Array[Long](nt)
+    val mins = Array.fill(nt)(Double.PositiveInfinity)
+    val maxs = Array.fill(nt)(Double.NegativeInfinity)
+    var total = 0L
+    var ly = lyFrom
+    while (ly < lyTo) {
+      var lx = lxFrom
+      while (lx < lxTo) {
+        val base = (ly * w + lx) * nd
+        var lt = ltFrom
+        while (lt < ltTo) {
+          val value = elem(v, vCode, base + lt)
+          if (value != nodata) {
+            val k = lt - ltFrom
+            sums(k) += value
+            valid(k) += 1
+            if (value < mins(k)) mins(k) = value
+            if (value > maxs(k)) maxs(k) = value
+          }
+          lt += 1
+        }
+        total += 1
+        lx += 1
+      }
+      ly += 1
+    }
+    val rows = new Array[Any](nt)
+    var k = 0
+    while (k < nt) {
+      val mn: Any = if (valid(k) > 0) mins(k) else null
+      val mx: Any = if (valid(k) > 0) maxs(k) else null
+      rows(k) = new GenericInternalRow(
+        Array[Any](t0 + ltFrom + k, sums(k), valid(k), total, mn, mx))
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
 
   /** Per-date masked statistics of a value payload gated by a QA
     * payload, restricted to a global-coordinate box — the fused form of
@@ -207,6 +273,89 @@ case class MaskedBoxStatsExpr(
         }
       """
     ev.copy(code = code)
+  }
+}
+
+/** array<struct(t, sum_v, n_valid, n_total, min_v, max_v)> — fused
+  * per-date box statistics over ONE chunk payload (no QA gate; nodata
+  * is the only mask). The fused twin of the exploded window-load
+  * aggregate: decode + box filter + per-date fold in one generated
+  * loop per chunk row.
+  */
+case class BoxStatsExpr(
+    vData: Expression,
+    w: Expression, h: Expression, nd: Expression,
+    x0: Expression, y0: Expression, t0: Expression,
+    vCode: Int, bx0: Int, bx1: Int, by0: Int, by1: Int,
+    tFrom: Int, tTo: Int, nodata: Double) extends Expression {
+
+  override def children: Seq[Expression] =
+    Seq(vData, w, h, nd, x0, y0, t0)
+  override def dataType: DataType =
+    ArrayType(BoxStatsExpr.entrySchema, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "box_stats"
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(vData = c(0), w = c(1), h = c(2), nd = c(3),
+      x0 = c(4), y0 = c(5), t0 = c(6))
+
+  override def eval(input: InternalRow): Any = {
+    val ins = children.map(_.eval(input))
+    if (ins.contains(null)) null
+    else PayloadKernels.boxStats(
+      ins(0).asInstanceOf[Array[Byte]], vCode,
+      ins(1).asInstanceOf[Int], ins(2).asInstanceOf[Int],
+      ins(3).asInstanceOf[Int], ins(4).asInstanceOf[Int],
+      ins(5).asInstanceOf[Int], ins(6).asInstanceOf[Int],
+      bx0, bx1, by0, by1, tFrom, tTo, nodata)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(_.isNull).mkString(" || ")
+    val resultType = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val code =
+      code"""
+        ${evs.map(_.code).reduce(_ + _)}
+        boolean ${ev.isNull} = $anyNull;
+        $resultType ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.PayloadKernels.boxStats(
+            ${evs(0).value}, $vCode,
+            ${evs(1).value}, ${evs(2).value}, ${evs(3).value},
+            ${evs(4).value}, ${evs(5).value}, ${evs(6).value},
+            $bx0, $bx1, $by0, $by1, $tFrom, $tTo, $nodata);
+        }
+      """
+    ev.copy(code = code)
+  }
+}
+
+object BoxStatsExpr {
+  import org.apache.spark.sql.GraftColumnBridge
+  import org.apache.spark.sql.functions.col
+
+  val entrySchema: StructType = StructType(Seq(
+    StructField("t", IntegerType, nullable = false),
+    StructField("sum_v", DoubleType, nullable = false),
+    StructField("n_valid", LongType, nullable = false),
+    StructField("n_total", LongType, nullable = false),
+    StructField("min_v", DoubleType, nullable = true),
+    StructField("max_v", DoubleType, nullable = true)))
+
+  /** Column factory over chunk rows carrying vDataCol + the standard
+    * chunk geometry columns (w, h, nd, x0, y0, t0). */
+  def apply(vDataCol: Column, vDtype: String,
+            xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+            tFrom: Int, tTo: Int, nodata: Double): Column = {
+    def e(c: Column) = GraftColumnBridge.expression(c)
+    GraftColumnBridge.column(BoxStatsExpr(
+      e(vDataCol),
+      e(col("w")), e(col("h")), e(col("nd")),
+      e(col("x0")), e(col("y0")), e(col("t0")),
+      PayloadCodec.code(vDtype), xFrom, xTo, yFrom, yTo,
+      tFrom, tTo, nodata))
   }
 }
 

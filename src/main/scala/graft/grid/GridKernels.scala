@@ -3,7 +3,7 @@ package graft.grid
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MaskedBoxStatsExpr, QaConfStatsExpr}
+import graft.functions.{BoxStatsExpr, MaskedBoxStatsExpr, QaConfStatsExpr}
 
 /** Fused whole-store scan kernels (see [[graft.functions.PayloadKernels]]):
   * the chunk-at-a-time execution shape for dense scans whose answer is an
@@ -20,6 +20,44 @@ object GridKernels {
     FractionStore.fractions(spark, root)
       .select(QaConfStatsExpr(col("data")).as("s"))
       .agg(sum(col("s.sum_conf")).as("sum_conf"), sum(col("s.n")).as("n_px"))
+
+  /** Per-date statistics of one grid over a pixel/time box — the fused
+    * form of `loadSliceXY(...).groupBy(t).agg(...)` (the P3 window-load
+    * hot path without the pixel explode). Output: (t, mean_v, n_valid,
+    * n_total, min_v, max_v); nodata pixels are excluded from
+    * mean/min/max and n_valid, counted in n_total. Equality vs the
+    * exploded path is pinned by GridKernelsSpec. */
+  def boxStatsByT(spark: SparkSession, header: GridHeader, root: String,
+                  xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                  tFrom: Int, tTo: Int): DataFrame =
+    FractionStore.fractionsForWindow(spark, header, root,
+      xFrom, xTo, yFrom, yTo, tFrom, tTo)
+      .select(explode(BoxStatsExpr(col("data"), header.dtype,
+        xFrom, xTo, yFrom, yTo, tFrom, tTo, header.nodata)).as("s"))
+      .groupBy(col("s.t").as("t"))
+      .agg(sum(col("s.sum_v")).as("sv"), sum(col("s.n_valid")).as("nv"),
+        sum(col("s.n_total")).as("n"),
+        min(col("s.min_v")).as("min_v"), max(col("s.max_v")).as("max_v"))
+      .select(col("t"),
+        when(col("nv") > 0, col("sv") / col("nv")).as("mean_v"),
+        col("nv").as("n_valid"), col("n").as("n_total"),
+        col("min_v"), col("max_v"))
+
+  /** Whole-box aggregate of one grid over a pixel/time box (one row:
+    * n_valid, mean_v, min_v, max_v) — the fused twin of
+    * `loadSliceXY(...).agg(count(value), avg(value), ...)`. */
+  def boxAgg(spark: SparkSession, header: GridHeader, root: String,
+             xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+             tFrom: Int, tTo: Int): DataFrame =
+    FractionStore.fractionsForWindow(spark, header, root,
+      xFrom, xTo, yFrom, yTo, tFrom, tTo)
+      .select(explode(BoxStatsExpr(col("data"), header.dtype,
+        xFrom, xTo, yFrom, yTo, tFrom, tTo, header.nodata)).as("s"))
+      .agg(sum(col("s.sum_v")).as("sv"), sum(col("s.n_valid")).as("nv"),
+        min(col("s.min_v")).as("min_v"), max(col("s.max_v")).as("max_v"))
+      .select(col("nv").as("n_valid"),
+        when(col("nv") > 0, col("sv") / col("nv")).as("mean_v"),
+        col("min_v"), col("max_v"))
 
   /** QA-masked per-date mean of a value grid over a pixel box — the
     * fused form of the aligned two-band load + conf gate + groupBy(t).

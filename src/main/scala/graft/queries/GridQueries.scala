@@ -311,6 +311,16 @@ object GridQueries {
       val qh = GridHeader.load(s, qaRoot)
       GridKernels.maskedMeanByT(s, (nh, ndviRoot), (qh, qaRoot),
         20, 180, 30, 170, 0, 4)
+    },
+
+    // Fused single-band window kernel (BoxStatsExpr): per-date stats of
+    // a non-chunk-aligned box with NO pixel explode — the P3 window-load
+    // hot path in its fused form (the exploded twin is pinned equal by
+    // PayloadKernelsSpec and A/B-timed by Bench).
+    "grid_box_stats" -> { (s, _) =>
+      val (ndviRoot, _) = miniModisRoots(s)
+      val nh = GridHeader.load(s, ndviRoot)
+      GridKernels.boxStatsByT(s, nh, ndviRoot, 37, 173, 8, 141, 1, 4)
     }
   )
 
@@ -561,7 +571,20 @@ object GridQueries {
          |  count(*) AS n
          |FROM c GROUP BY t""".stripMargin
 
+    // grid_box_stats: per-date stats over box x[37,173) y[8,141) t[1,4);
+    // integer values -> sums exact in doubles, hash-safe
+    val boxStats =
+      s"""WITH g AS (SELECT x, y, t, ${ndviValueSql(mask = true)} AS v
+         |  FROM range(37, 173) a(x), range(8, 141) b(y), range(1, 4) c(t))
+         |SELECT CAST(t AS INT) AS t,
+         |  CASE WHEN count(v) > 0
+         |    THEN sum(CAST(v AS DOUBLE)) / count(v) END AS mean_v,
+         |  count(v) AS n_valid, count(*) AS n_total,
+         |  CAST(min(v) AS DOUBLE) AS min_v, CAST(max(v) AS DOUBLE) AS max_v
+         |FROM g GROUP BY t""".stripMargin
+
     Map(
+      "grid_box_stats" -> boxStats,
       "grid_fused_masked_mean" -> fusedMaskedMean,
       "grid_resample_mean" -> resampleMean,
       "grid_zonal_stats" -> zonalStats,

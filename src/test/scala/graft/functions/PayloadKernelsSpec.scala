@@ -41,6 +41,50 @@ class PayloadKernelsSpec extends AnyFunSuite {
       1e-9 * math.abs(ref.getDouble(0)))
   }
 
+  test("fused boxStatsByT equals the exploded window load, per date") {
+    val nh = SyntheticGrid.miniModisNdviHeader
+    // box deliberately NOT chunk-aligned (crosses 50-px fraction edges)
+    val (x0, x1, y0, y1, t0, t1) = (37, 173, 8, 141, 1, 4)
+    def key(r: org.apache.spark.sql.Row) = r.getInt(0)
+    val fused = GridKernels.boxStatsByT(spark, nh, ndviRoot,
+        x0, x1, y0, y1, t0, t1).collect().sortBy(key)
+    val ref = FractionStore.loadSliceXY(spark, nh, ndviRoot,
+        x0, x1, y0, y1, t0, t1)
+      .groupBy(col("t"))
+      .agg(avg(col("value")).as("mean_v"),
+        count(col("value")).as("n_valid"), count(lit(1)).as("n_total"),
+        min(col("value")).cast("double").as("min_v"),
+        max(col("value")).cast("double").as("max_v"))
+      .collect().sortBy(key)
+    assert(fused.length == ref.length && fused.nonEmpty)
+    fused.zip(ref).foreach { case (f, r) =>
+      assert(f.getInt(0) == r.getInt(0))
+      assert(f.getLong(2) == r.getLong(2), s"n_valid at t=${f.getInt(0)}")
+      assert(f.getLong(3) == r.getLong(3), s"n_total at t=${f.getInt(0)}")
+      // int16 values sum exactly in doubles -> means are bit-equal
+      assert(f.isNullAt(1) == r.isNullAt(1))
+      if (!f.isNullAt(1)) assert(f.getDouble(1) == r.getDouble(1))
+      assert(f.getDouble(4) == r.getDouble(4) && f.getDouble(5) == r.getDouble(5))
+    }
+  }
+
+  test("fused boxAgg equals the exploded window aggregate") {
+    val nh = SyntheticGrid.miniModisNdviHeader
+    val (x0, x1, y0, y1, t0, t1) = (12, 160, 30, 190, 0, 3)
+    val fused = GridKernels.boxAgg(spark, nh, ndviRoot,
+      x0, x1, y0, y1, t0, t1).collect()(0)
+    val ref = FractionStore.loadSliceXY(spark, nh, ndviRoot,
+        x0, x1, y0, y1, t0, t1)
+      .agg(count(col("value")).as("n_valid"), avg(col("value")).as("mean_v"),
+        min(col("value")).cast("double").as("min_v"),
+        max(col("value")).cast("double").as("max_v"))
+      .collect()(0)
+    assert(fused.getLong(0) == ref.getLong(0))
+    assert(fused.getDouble(1) == ref.getDouble(1))
+    assert(fused.getDouble(2) == ref.getDouble(2))
+    assert(fused.getDouble(3) == ref.getDouble(3))
+  }
+
   test("fused maskedMeanByT equals the aligned-load relational query") {
     val nh = SyntheticGrid.miniModisNdviHeader
     val qh = SyntheticGrid.miniModisQaHeader
