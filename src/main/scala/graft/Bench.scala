@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.{GraftCpuTimeListener, GraftMetricsBridge}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR at
@@ -10,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   * the grid fixture-building queries are excluded (they time tmp-dir
   * parquet writes, not operator throughput; their correctness is covered
   * by Verify and the ScalaTest suite).
+  *
+  * Every entry records TWO numbers: wall seconds (min-of-2) and
+  * executor CPU seconds (stage-metric sum, via [[GraftCpuTimeListener]]).
+  * Wall-clock on this shared host swings 10-85x inside noisy-neighbor
+  * windows (two rounds of misleading artifacts: r1 443s ingest, r3 131s
+  * ANN — both ~1-2s steady-state); CPU time is immune to another
+  * tenant's I/O stalls and is the number that predicts cluster
+  * throughput. The JSON carries both: `queries` (wall, the driver
+  * contract) and `cpu_sec` (per query).
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -19,6 +29,40 @@ object Bench {
     "cube_rollup", "rank_topn", "f5_qa_confidence", "f9_chunk_math",
     "text_stats", "text_lang_id", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "ann_brute_topk", "ann_lsh_topk")
+
+  /** (name, wall_sec, cpu_sec); wall is min-of-2, cpu pairs with the
+    * faster run. A failed query reports the -1.0 sentinel for both. */
+  final case class Timing(name: String, wall: Double, cpu: Double)
+
+  private var listener: GraftCpuTimeListener = _
+
+  /** Time one action: returns (wall_sec, executor_cpu_sec). */
+  private def timedOnce[A](spark: SparkSession)(f: => A): (Double, Double) = {
+    val sc = spark.sparkContext
+    GraftMetricsBridge.flush(sc)
+    val cpu0 = listener.cpuNanos.get()
+    val t0 = System.nanoTime()
+    f
+    val wall = (System.nanoTime() - t0) / 1e9
+    GraftMetricsBridge.flush(sc)
+    (wall, (listener.cpuNanos.get() - cpu0) / 1e9)
+  }
+
+  /** Best-of-2 wall with its paired CPU reading. min-of-2 restores the
+    * steady-state wall number when one run lands in a host noise
+    * window; the paired CPU reading is stable either way. */
+  private def timed2[A](spark: SparkSession, name: String)(f: => A): Timing = {
+    try {
+      val a = timedOnce(spark)(f)
+      val b = timedOnce(spark)(f)
+      val (w, c) = if (a._1 <= b._1) a else b
+      Timing(name, w, c)
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"bench query $name failed: $t")
+        Timing(name, -1.0, -1.0)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,6 +85,7 @@ object Bench {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    listener = GraftMetricsBridge.install(spark.sparkContext)
 
     // warm-up: one untimed pass of every headline query at sf0.001.
     // Plan SHAPES are identical across scale factors, so this hits the
@@ -57,44 +102,31 @@ object Bench {
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        // A failed query reports the -1.0 sentinel, not its wall time —
-        // otherwise a crash is indistinguishable from a pass in the JSON.
-        // Headline queries take the BEST of two timed runs: the host's
-        // disk is shared and a noisy-neighbor window can inflate a
-        // sub-second query 10x; min-of-2 restores the steady-state
-        // number the cluster-throughput estimate needs. (The tile
-        // microbenches below stay single-run — doubling a tile ingest
-        // is too expensive for the same insurance.)
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        try { name -> math.min(once(), once()) }
-        catch { case t: Throwable =>
-          System.err.println(s"bench query $name failed: $t")
-          name -> -1.0
-        }
+        val t = timed2(spark, name) { fn(spark, sfDir).count() }
+        // the entry's terminal action is done — drop its tracked caches
+        // (both timed runs share them; release BETWEEN entries so one
+        // query's signature tables don't squeeze the next one's memory)
+        graft.ops.CacheRegistry.releaseAll()
+        t
       }
     } ++ {
-      // Cache hygiene before the grid microbenches: the dedup/ANN
-      // queries persist signature tables (MEMORY_AND_DISK) that
-      // accumulate across warmup + timed runs; dropping them keeps the
-      // tile benches measuring the write path, not eviction of stale
-      // blocks. (This is NOT the source of the big ingest swings — see
-      // the noisy-neighbor note in gridMicrobench — but it removes one
-      // variable.)
+      // Cache hygiene before the grid microbenches: drop any cached
+      // blocks left over from warmup + timed runs so the tile benches
+      // measure the write path, not eviction of stale blocks.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
       gridMicrobench(spark)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map(r => "\"" + r.name + "\":" + r.wall)
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val cs = results.map(r => "\"" + r.name + "\":" +
+      math.round(r.cpu * 1000) / 1000.0).mkString("{", ",", "}")
+    val total = results.map(_.wall).filter(_ >= 0).sum
+    val totalCpu = results.map(_.cpu).filter(_ >= 0).sum
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","heap_gb":${math.round(heapGb * 10) / 10.0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"total_cpu_sec":${math.round(totalCpu * 1000) / 1000.0},"sf":"$sfDir","heap_gb":${math.round(heapGb * 10) / 10.0}}""")
     spark.stop()
   }
 
@@ -102,8 +134,14 @@ object Bench {
     * px/band — BASELINE.md's contract: window load, multi-grid join, QA
     * decode, recorded as this repo's own regression baseline since the
     * reference publishes no throughput numbers).
+    *
+    * The window-load and QA-decode benches run as in-process A/B pairs —
+    * the same aggregate through the EXPLODED pixel view and through the
+    * FUSED chunk kernel (grid/GridKernels) back-to-back — so the fused
+    * kernels' speedup is a recorded per-round fact, not a code comment.
+    * GridKernelsSpec pins result equality of the two paths.
     */
-  def gridMicrobench(spark: org.apache.spark.sql.SparkSession): Seq[(String, Double)] = {
+  def gridMicrobench(spark: org.apache.spark.sql.SparkSession): Seq[Timing] = {
     import org.apache.spark.sql.functions._
     import graft.grid._
     import graft.functions.QaDecode
@@ -123,47 +161,42 @@ object Bench {
     }
     val (ndviRoot, qaRoot) = (s"$base/ndvi", s"$base/qa")
 
-    def timed[A](name: String)(f: => A): (String, Double) = {
-      val t0 = System.nanoTime()
-      f
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    // EVERY microbench takes the best of two runs, ingest included. The
-    // host sits in multi-minute noisy-neighbor windows that slow even
-    // pure-CPU work 10-30x (measured: the same ANN query 291s inside a
-    // window vs 1-2s outside; the same writeDirect 24s vs 3.7s with
-    // ZERO state difference) — min-of-2 at least halves the odds a
-    // window poisons the recorded number. A clean tile write is ~4-8s
-    // on tmpfs, so the second attempt is cheap; the write is
-    // mode=overwrite, so re-running it leaves a valid store behind for
-    // the read benches.
-    def timed2[A](name: String)(f: => A): (String, Double) =
-      name -> math.min(timed(name)(f)._2, timed(name)(f)._2)
-
     val nh = SyntheticGrid.modisTileHeader("tile_ndvi", "int16", -3000.0)
     val qh = SyntheticGrid.modisTileHeader("tile_qa", "uint16", 65535.0)
-    val ingest = timed2("grid_tile_ingest_2bands") {
+    // EVERY microbench takes the best of two runs, ingest included (the
+    // write is mode=overwrite, so re-running leaves a valid store).
+    val ingest = timed2(spark, "grid_tile_ingest_2bands") {
       SyntheticGrid.writeDirect(spark, nh, ndviRoot, SyntheticGrid.ndviScalar)
       SyntheticGrid.writeDirect(spark, qh, qaRoot, SyntheticGrid.qaScalar)
     }
-    val windowLoad = timed2("grid_window_load_1600x1600x4") {
+    // A/B №1 — window load (1600x1600x4 box, count+avg): exploded
+    // posexplode pixel view vs fused BoxStatsExpr chunk fold.
+    val windowExploded = timed2(spark, "grid_window_load_exploded_1600x1600x4") {
       FractionStore.loadSliceXY(spark, nh, ndviRoot, 1200, 2800, 900, 2500, 0, 4)
         .agg(count(col("value")), avg(col("value"))).collect()
     }
-    // both dense-scan benches run the FUSED chunk kernels
-    // (grid/GridKernels): decode+map+reduce in one generated loop per
-    // chunk row, no pixel explode — the engine's recommended path for
-    // scan-shaped aggregates (GridKernelsSpec pins fused == exploded).
-    val qaDecode = timed2("grid_qa_decode_92Mpx") {
+    val windowFused = timed2(spark, "grid_window_load_fused_1600x1600x4") {
+      GridKernels.boxAgg(spark, nh, ndviRoot, 1200, 2800, 900, 2500, 0, 4)
+        .collect()
+    }
+    // A/B №2 — store-wide QA confidence stats (92 Mpx): exploded pixel
+    // view + codegen'd conf column vs fused QaConfStatsExpr fold.
+    val qaExploded = timed2(spark, "grid_qa_decode_exploded_92Mpx") {
+      FractionStore.pixels(qh, FractionStore.fractions(spark, qaRoot),
+        maskNodata = false)
+        .select(QaDecode.modisQaConf(col("value")).as("conf"))
+        .agg(sum(col("conf")), count(lit(1))).collect()
+    }
+    val qaFused = timed2(spark, "grid_qa_decode_fused_92Mpx") {
       GridKernels.qaConfStats(spark, qaRoot).collect()
     }
-    val multiJoin = timed2("grid_multigrid_masked_mean_1000x1000") {
+    val multiJoin = timed2(spark, "grid_multigrid_masked_mean_1000x1000") {
       // chunk-aligned join: shuffles ~100 chunk rows, not 8M pixel rows
       GridKernels.maskedMeanByT(spark, (nh, ndviRoot), (qh, qaRoot),
         1000, 2000, 1000, 2000, 0, 4).collect()
     }
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }
-    Seq(ingest, windowLoad, qaDecode, multiJoin)
+    Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, multiJoin)
   }
 }
