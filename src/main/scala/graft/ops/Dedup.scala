@@ -110,13 +110,13 @@ object Dedup {
     val shingled = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize))
         .as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheRegistry.persist)
     // persist the signature table too: it feeds BOTH sides of the
     // band self-join and the verify joins — the standard sign-then-join
     // LSH shape (at cluster scale this is a checkpointed signature table)
     val sigs = minhashSignaturesFromShingles(shingled, k)
       .join(shingled, "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheRegistry.persist)
     // candidate generation shuffles ONLY (band keys, id) — the signature
     // and shingle payloads would otherwise ride the band self-join
     // duplicated once per colliding pair; they re-attach by id AFTER the
@@ -151,9 +151,20 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
-  /** 64-bit SimHash from a PRE-MATERIALIZED token-hash array column:
-    * per-bit signed vote, 64 generated-code folds over the (bound,
-    * evaluated-once) array. Pass `simhashTokenHashes` as the column.
+  /** SimHash width: 60 bits — the first 15 hex chars of md5(token)
+    * ([[simhashTokenHashes]]). md5 rather than xxhash64 so the hash is
+    * ENGINE-PORTABLE: DuckDB (the correctness oracle) replays the
+    * signatures bit-exactly, which xxhash64 cannot (no DuckDB twin —
+    * this op was the one rows-only dedup entry until round 4). 15 hex
+    * chars because 16 would overflow a signed long. md5 costs ~2x
+    * xxhash64 per token; swap the one line in [[simhashTokenHashes]] if
+    * portability ever stops mattering. */
+  val SimhashBits = 60
+
+  /** SimHash from a PRE-MATERIALIZED token-hash array column:
+    * per-bit signed vote, [[SimhashBits]] generated-code folds over the
+    * (bound, evaluated-once) array. Pass `simhashTokenHashes` as the
+    * column.
     */
   def simhashFromHashes(hashesCol: Column): Column = {
     // shiftright/shiftleft with a Column shift amount need call_function
@@ -161,7 +172,7 @@ object Dedup {
     def shr(v: Column, n: Column) = call_function("shiftright", v, n)
     def shl(v: Column, n: Column) = call_function("shiftleft", v, n)
     aggregate(
-      transform(sequence(lit(0), lit(63)), i =>
+      transform(sequence(lit(0), lit(SimhashBits - 1)), i =>
         when(
           aggregate(hashesCol, lit(0L), (acc, h) =>
             acc + when(shr(h, i.cast("int")).bitwiseAND(lit(1L)) === 1L,
@@ -170,8 +181,11 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** 60-bit engine-portable token hash: first 15 hex chars of
+    * md5(token), base-16 decoded (see [[SimhashBits]]). */
   def simhashTokenHashes(textCol: Column): Column =
-    transform(TextFunctions.tokens(textCol), t => xxhash64(t))
+    transform(TextFunctions.tokens(textCol), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
 
   /** Convenience single-expression form (fine for small frames; prefer
     * materializing `simhashTokenHashes` in its own projection first). */
@@ -180,14 +194,9 @@ object Dedup {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: band the 64 bits into 4x16-bit blocks;
-    * pairs sharing any block are candidates; verify hamming <= maxDist.
-    * (Classic Charikar/Manku-Jain-Sarma blocking: any pair with <= 3
-    * differing bits shares at least one of 4 blocks.)
-    */
-  /** SimHash signatures via explode + hash aggregation: 64 per-bit
-    * vote sums as codegen'd aggregates (the array-fold form pays
-    * 64 x n_tokens interpreted lambda calls per doc — higher-order
+  /** SimHash signatures via explode + hash aggregation: [[SimhashBits]]
+    * per-bit vote sums as codegen'd aggregates (the array-fold form pays
+    * bits x n_tokens interpreted lambda calls per doc — higher-order
     * functions are CodegenFallback). explode_outer keeps empty docs:
     * their single NULL row votes -1 on every bit, so sim = 0 exactly
     * like the fold over an empty array.
@@ -198,24 +207,29 @@ object Dedup {
     val votes = exploded.groupBy(col("id"))
       .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as("b_0"),
-        (1 until 64).map(i =>
+        (1 until SimhashBits).map(i =>
           sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
             .otherwise(-1L)).as(s"b_$i")): _*)
-    val sim = (0 until 64).map(i =>
+    val sim = (0 until SimhashBits).map(i =>
       when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)): Column)
       .reduce((a, b) => a.bitwiseOR(b))
     votes.select(col("id"), sim.as("sim"))
   }
 
+  /** SimHash near-dup pairs: band the 60 bits into 4x15-bit blocks;
+    * pairs sharing any block are candidates; verify hamming <= maxDist.
+    * (Classic Charikar/Manku-Jain-Sarma blocking: any pair with <= 3
+    * differing bits shares at least one of 4 blocks.)
+    */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blockBits = SimhashBits / 4
+    val sigs = CacheRegistry.persist(simhashSignatures(df, idCol, textCol))
     val banded = sigs.withColumn("block",
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("block_id"),
-          call_function("shiftright", col("sim"), (b * 16).cast("int"))
-            .bitwiseAND(lit(0xffffL)).as("block_bits")))))
+          call_function("shiftright", col("sim"), (b * blockBits).cast("int"))
+            .bitwiseAND(lit((1L << blockBits) - 1)).as("block_bits")))))
       .select(col("id"), col("sim"),
         col("block.block_id").as("block_id"),
         col("block.block_bits").as("block_bits"))
@@ -244,7 +258,7 @@ object Dedup {
     // persisted: feeds the blocking explode AND both verify-stage joins
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheRegistry.persist)
     // block by shingle hash; cap pathological blocks (stopword shingles).
     // Candidates carry ONLY (block, id): shingle arrays re-attach by id
     // after pair dedup instead of riding the block self-join duplicated
@@ -329,6 +343,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // the surviving round's persist backs the returned DF; tracked so the
+    // caller's CacheRegistry.releaseAll() drops it after the terminal action
+    CacheRegistry.track(labels)
     labels.select(col("id"), col("lab").as("cluster_id"))
   }
 }

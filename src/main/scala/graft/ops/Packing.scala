@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Sequence packing: assign documents to fixed-capacity context-window
   * bins for LLM training batches.
@@ -23,14 +23,23 @@ import org.apache.spark.sql.functions._
   *   partition independently (bins never span partitions — at worst
   *   nParts-1 underfull bins, negligible for nParts ≪ nBins).
   *
-  * Scale shape: the global prefix sum in [[packChunked]] is NOT a
-  * single-partition window (the classic driver-sized bottleneck) — it is
-  * the two-phase scan: per-range-partition local cumsum in parallel,
-  * per-partition totals (one tiny row each) prefix-summed and joined
-  * back as offsets. Wall-clock is one range shuffle + one narrow pass,
-  * at any corpus size.
+  * Scale shape: the global prefix sum is NOT a single-partition window
+  * (the classic driver-sized bottleneck) — it is the two-phase scan over
+  * ONE range-shuffled RDD lineage (the RDD.zipWithIndex pattern): job 1
+  * collects per-partition totals (nParts tiny rows), job 2 re-reads the
+  * SAME shuffle output with the prefix offsets closed over. Sharing the
+  * RDD object means the range shuffle is sampled and executed once and
+  * its map output reused by the second job — deterministic partition
+  * contents with NO persist (round-3 review flagged the previous
+  * persist-as-pin here as a cache leak; shuffle files are cleaned by the
+  * ContextCleaner when the lineage is GC'd).
   */
 object Packing {
+
+  private def longAt(r: Row, i: Int): Long = r.get(i) match {
+    case l: Long => l
+    case n: Number => n.longValue()
+  }
 
   /** df + columns (bin_id long, cum_before long): bin assignment by
     * global token prefix sum over `keyCol` order. */
@@ -38,32 +47,29 @@ object Packing {
                   capacity: Long, nParts: Int = 32): DataFrame = {
     require(capacity > 0, s"capacity $capacity")
     val spark = df.sparkSession
-    val ranged = df.repartitionByRange(nParts, col(keyCol))
-      .withColumn("_part", spark_partition_id())
-    // local prefix sums, all partitions in parallel
-    val w = Window.partitionBy(col("_part")).orderBy(col(keyCol))
-    val local = ranged.withColumn("_cum_local",
-      sum(col(tokensCol)).over(w) - col(tokensCol))
-    // pin the range partitioning: it is re-sampled per job, and the
-    // totals scan + the final query must see the SAME partition ids
-    local.persist()
-    // phase 2: per-partition totals are nParts rows — scan them on the
-    // driver and broadcast-join the offsets back (no global sort).
-    val totals = local.groupBy(col("_part"))
-      .agg(sum(col(tokensCol)).as("_tot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) {
-      case ((_, acc), (p, tot)) => (p, acc + tot)
-    }.tail.map { case (p, cumIncl) =>
-      (p, cumIncl - totals.find(_._1 == p).get._2)
+    val tokIdx = df.schema.fieldIndex(tokensCol)
+    // ONE RDD lineage: both jobs below reuse its shuffle map output, so
+    // they see identical range partitions (re-planning a DataFrame
+    // re-samples the range exchange per job; an RDD does not).
+    val rdd = df.repartitionByRange(nParts, col(keyCol))
+      .sortWithinPartitions(col(keyCol)).rdd
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += longAt(r, tokIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // offsets(i) = tokens before part i
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      it.map { r =>
+        val before = cum
+        cum += longAt(r, tokIdx)
+        Row.fromSeq(r.toSeq :+ (before / capacity) :+ before)
+      }
     }
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("_part", "_offset")
-    local.join(broadcast(offsetDf), Seq("_part"))
-      .withColumn("cum_before", col("_cum_local") + col("_offset"))
-      .withColumn("bin_id",
-        floor(col("cum_before") / lit(capacity.toDouble)).cast("long"))
-      .drop("_part", "_cum_local", "_offset")
+    spark.createDataFrame(out, StructType(df.schema.fields ++ Seq(
+      StructField("bin_id", LongType, nullable = false),
+      StructField("cum_before", LongType, nullable = false))))
   }
 
   /** df + column (bin_id long): first-fit-in-key-order bins that never
@@ -73,40 +79,34 @@ object Packing {
                  capacity: Long, nParts: Int = 32): DataFrame = {
     require(capacity > 0, s"capacity $capacity")
     val spark = df.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
-      org.apache.spark.sql.types.StructField("local_bin",
-        org.apache.spark.sql.types.LongType, nullable = false))
-    val keyIdx = df.schema.fieldIndex(keyCol)
     val tokIdx = df.schema.fieldIndex(tokensCol)
-    val packed = df.repartitionByRange(nParts, col(keyCol))
-      .sortWithinPartitions(col(keyCol))
-      .mapPartitions { rows =>
-        var bin = 0L; var used = 0L; var first = true
-        rows.map { r =>
-          val t = r.getLong(tokIdx)
-          if (!first && used + t > capacity) { bin += 1; used = 0L }
-          first = false
-          used += t
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
-        }
-      }(org.apache.spark.sql.Encoders.row(schema))
-    // pin the range partitioning: it is re-sampled per job, and the
-    // offset scan below + the final query must see the SAME partitions
-    packed.persist()
-    // globalize bin ids with the same tiny-driver-scan offset trick
-    val binCounts = packed.groupBy(spark_partition_id().as("_part"))
-      .agg((max(col("local_bin")) + 1).as("_nbins"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = binCounts.scanLeft((0, 0L)) {
-      case ((_, acc), (p, nb)) => (p, acc + nb)
-    }.tail.map { case (p, cumIncl) =>
-      (p, cumIncl - binCounts.find(_._1 == p).get._2)
+    val rdd = df.repartitionByRange(nParts, col(keyCol))
+      .sortWithinPartitions(col(keyCol)).rdd
+    // job 1: bins used per partition (same first-fit simulation, counts
+    // only); job 2 re-runs it over the SAME shuffle output with offsets.
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var bin = 0L; var used = 0L; var first = true; var any = false
+      it.foreach { r =>
+        any = true
+        val t = longAt(r, tokIdx)
+        if (!first && used + t > capacity) { bin += 1; used = 0L }
+        first = false
+        used += t
+      }
+      Iterator((i, if (any) bin + 1 else 0L))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var bin = 0L; var used = 0L; var first = true
+      it.map { r =>
+        val t = longAt(r, tokIdx)
+        if (!first && used + t > capacity) { bin += 1; used = 0L }
+        first = false
+        used += t
+        Row.fromSeq(r.toSeq :+ (offsets(i) + bin))
+      }
     }
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("_part", "_offset")
-    packed.withColumn("_part", spark_partition_id())
-      .join(broadcast(offsetDf), Seq("_part"))
-      .withColumn("bin_id", col("local_bin") + col("_offset"))
-      .drop("_part", "local_bin", "_offset")
+    spark.createDataFrame(out, StructType(df.schema.fields :+
+      StructField("bin_id", LongType, nullable = false)))
   }
 }

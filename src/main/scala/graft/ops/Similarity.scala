@@ -148,7 +148,7 @@ object Similarity {
       hyperplanes(dim, bitsPerTable, seed = 1000L + t))
     // persisted: feeds the bucketing explode AND both verify-stage joins
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheRegistry.persist)
     // candidates carry ONLY (bucket keys, id) — vectors re-attach by id
     // after pair dedup rather than riding the bucket self-join
     val bucketed = base.withColumn("bucket",

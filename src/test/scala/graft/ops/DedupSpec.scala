@@ -29,6 +29,23 @@ class DedupSpec extends AnyFunSuite {
     assert(dupe.length == 1 && dupe.head.getLong(1) == 0L)
   }
 
+  test("tracked caches are fully released after the terminal action") {
+    CacheRegistry.releaseAll(blocking = true)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashNearDups(corpus, "doc_id", "text").count()
+    Dedup.ngramJaccardPairs(corpus, "doc_id", "text").count()
+    Similarity.cosineNearDups(
+      (0 until 30).map(i => (i.toLong,
+        Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat)))
+        .toDF("vec_id", "embedding"), dim = 8, minCos = 0.95).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "ops should have persisted intermediates before release")
+    val released = CacheRegistry.releaseAll(blocking = true)
+    assert(released >= 4, s"expected >=4 tracked caches, got $released")
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "no cached blocks may survive CacheRegistry.releaseAll")
+  }
+
   test("minhash LSH finds the planted near-dup pair (and the exact pair)") {
     val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
       k = 32, bands = 8, shingleSize = 3, minJaccard = 0.5)
