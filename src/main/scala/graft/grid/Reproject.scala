@@ -67,17 +67,45 @@ object Reproject {
     val mapped = targets
       .withColumn("src_x", floor(sxCol).cast("int"))
       .withColumn("src_y", floor(syCol).cast("int"))
-    // source window bound: only load the fractions the mapped box needs
-    val bounds = mapped.agg(
-      min(col("src_x")).as("x0"), max(col("src_x")).as("x1"),
-      min(col("src_y")).as("y0"), max(col("src_y")).as("y1")).head()
+    // source window bound: closed-form from the dst window BOUNDARY,
+    // sampled densely driver-side (the projection chains here have all
+    // coordinate extrema on the box boundary; the one boundary-interior
+    // critical line, the equator crossing of a sinusoidal edge, is
+    // covered by dense sampling + the 1-px pad). Replaces a full Spark
+    // action over the target lattice — the lattice used to materialize
+    // twice per call (once for bounds, once for the join).
+    val (sx0, sx1, sy0, sy1) = sourceBounds(dst, src, xFrom, xTo, yFrom, yTo)
     val srcPx = FractionStore.loadSliceXY(spark, src, srcRoot,
-      math.max(0, bounds.getInt(0)), math.min(src.width, bounds.getInt(1) + 1),
-      math.max(0, bounds.getInt(2)), math.min(src.height, bounds.getInt(3) + 1),
+      math.max(0, sx0), math.min(src.width, sx1),
+      math.max(0, sy0), math.min(src.height, sy1),
       tSrc, tSrc + 1)
       .select(col("x").as("src_x"), col("y").as("src_y"), col("value"))
     mapped.join(srcPx, Seq("src_x", "src_y"), "left")
       .select(col("x"), col("y"), col("value"))
+  }
+
+  /** Conservative source-pixel bounds [x0, x1) x [y0, y1) covering every
+    * dst-window pixel center mapped into source space: the full window
+    * boundary (a superset of the center lattice's convex position) is
+    * sampled at 129 points per edge through the same scalar transform
+    * chain, then padded one pixel each way. Driver-side closed form —
+    * no Spark job. */
+  private def sourceBounds(dst: GridHeader, src: GridHeader,
+                           xFrom: Int, xTo: Int,
+                           yFrom: Int, yTo: Int): (Int, Int, Int, Int) = {
+    val n = 128
+    val pts = (0 to n).flatMap { i =>
+      val fx = xFrom + (xTo - xFrom) * i.toDouble / n
+      val fy = yFrom + (yTo - yFrom) * i.toDouble / n
+      Seq((fx, yFrom.toDouble), (fx, yTo.toDouble),
+        (xFrom.toDouble, fy), (xTo.toDouble, fy))
+    }.map { case (px, py) =>
+      val (lat, lng) = dst.xyToLatLng(px, py)
+      src.latLngToXY(lat, lng)
+    }
+    val xs = pts.map(_._1); val ys = pts.map(_._2)
+    (xs.min.floor.toInt - 1, xs.max.floor.toInt + 2,
+      ys.min.floor.toInt - 1, ys.max.floor.toInt + 2)
   }
 
   /** Mode/average downsampling reprojection: forward-map every source
