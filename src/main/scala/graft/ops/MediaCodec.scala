@@ -1,0 +1,129 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
+
+/** Real media decode kernels from the JDK — no external libraries:
+  * `javax.imageio` reads PNG/JPEG/BMP/GIF, `javax.sound.sampled` reads
+  * WAV PCM. Formats are sniffed from magic bytes; anything unrecognized
+  * (or corrupt) falls back to [[Multimodal.decodeStub]] so the pipeline
+  * never throws on a bad blob — exactly how a production media pipeline
+  * quarantines undecodable rows rather than failing the job.
+  *
+  * Decoding is deterministic: PNG/BMP/GIF/WAV are lossless formats and
+  * the JDK decoders are pure Java (MultimodalSpec pins byte-exact
+  * features on in-spec generated fixtures).
+  */
+object MediaCodec {
+
+  /** Magic-byte format sniff: "png" | "jpeg" | "bmp" | "gif" | "wav" |
+    * "unknown". Cheap (no decode) and safe on arbitrary bytes. */
+  def sniff(bytes: Array[Byte]): String = {
+    def b(i: Int) = bytes(i) & 0xff
+    if (bytes.length < 12) "unknown"
+    else if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) "jpeg"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else "unknown"
+  }
+
+  /** Decode an image blob: (width, height, 8-bin luminance histogram
+    * normalized to [0,1]). Luma = (299 r + 587 g + 114 b) / 1000, the
+    * integer BT.601 weights, so the histogram is integer-deterministic.
+    * None if the blob does not decode. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val bins = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+              + 114 * (rgb & 0xff)) / 1000
+            bins(luma >> 5) += 1.0f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var i = 0
+        while (i < 8) { bins(i) /= n; i += 1 }
+        Some((w, h, bins))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode a WAV PCM blob: (sample_rate, n_samples, features) where
+    * features = [rms, peak, mean_abs, zero_crossing_rate] over channel-0
+    * samples normalized to [-1, 1]. Supports 8/16-bit PCM (the
+    * javax.sound baseline). None if the blob does not decode. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Long, Array[Float])] = {
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val bits = fmt.getSampleSizeInBits
+      if (bits != 8 && bits != 16) return None
+      val frameSize = fmt.getFrameSize
+      val data = in.readAllBytes()
+      in.close()
+      val nFrames = data.length / frameSize
+      var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
+      var crossings = 0L; var prevNeg = false
+      var i = 0
+      while (i < nFrames) {
+        val off = i * frameSize
+        val s: Double =
+          if (bits == 16) {
+            val lo = data(off) & 0xff
+            val hi = data(off + 1)
+            val v = if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                    else ((hi << 8) | lo).toShort
+            v / 32768.0
+          } else {
+            // 8-bit WAV PCM is unsigned per the RIFF spec
+            ((data(off) & 0xff) - 128) / 128.0
+          }
+        sumSq += s * s
+        sumAbs += math.abs(s)
+        if (math.abs(s) > peak) peak = math.abs(s)
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        i += 1
+      }
+      val n = math.max(1L, nFrames.toLong)
+      Some((fmt.getSampleRate.toInt, nFrames.toLong, Array(
+        math.sqrt(sumSq / n).toFloat, peak.toFloat,
+        (sumAbs / n).toFloat, crossings.toFloat / n)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode any media blob into (width, height, features), falling back
+    * to the byte-histogram stub (and the caller's metadata dims) when
+    * the format is unrecognized or corrupt. For WAV, width carries the
+    * decoded sample rate and height the sample count (capped to Int) —
+    * the typed-metadata convention for non-spatial media. */
+  def decodeAny(bytes: Array[Byte], metaW: Int, metaH: Int): (Int, Int, Array[Float]) =
+    sniff(bytes) match {
+      case "png" | "jpeg" | "bmp" | "gif" =>
+        decodeImage(bytes).getOrElse((metaW, metaH, Multimodal.decodeStub(bytes)))
+      case "wav" =>
+        decodeWav(bytes) match {
+          case Some((rate, n, feats)) =>
+            (rate, math.min(n, Int.MaxValue.toLong).toInt, feats)
+          case None => (metaW, metaH, Multimodal.decodeStub(bytes))
+        }
+      case _ => (metaW, metaH, Multimodal.decodeStub(bytes))
+    }
+}

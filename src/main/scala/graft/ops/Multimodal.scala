@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * The Spark-side machinery is real — schema, partitioning, per-partition
-  * batch processing (`mapPartitions` on a typed Dataset, the Scala analog
-  * of `mapInPandas` batches), frame-sample explode — while the codec
-  * kernels are STUBS (this container ships no image/audio libraries):
-  * `decodeStub` derives deterministic pseudo-features from the bytes.
-  * Swapping in a real decoder changes one function, not the pipeline.
+  * The Spark-side machinery — schema, partitioning, per-partition batch
+  * processing (`mapPartitions` on a typed Dataset, the Scala analog of
+  * `mapInPandas` batches), frame-sample explode — pairs with REAL
+  * decode kernels from the JDK ([[MediaCodec]]: `javax.imageio`
+  * PNG/JPEG/BMP/GIF, `javax.sound.sampled` WAV PCM). Blobs whose format
+  * is unrecognized or corrupt fall back to [[decodeStub]]'s
+  * deterministic byte-histogram pseudo-features, so the pipeline never
+  * fails on a bad row (video stays stub-decoded: the JDK ships no video
+  * codec).
   */
 object Multimodal {
 
@@ -43,10 +46,11 @@ object Multimodal {
       (col("n_chars") % 480 + 16).cast("int").as("height"),
       lit(16000).as("sample_rate"))
 
-  /** STUB decode kernel: 8-bin byte histogram normalized to [0,1].
-    * ??? -> replace with a real codec (JPEG/PNG/PCM) when available;
-    * everything around it (batching, schema, partitioning) is the real
-    * production shape.
+  /** Fallback decode kernel for unrecognized/corrupt formats: 8-bin
+    * byte histogram normalized to [0,1] — deterministic pseudo-features
+    * so undecodable rows are quarantined with a signal instead of
+    * failing the job. Recognized formats take the real JDK decoders in
+    * [[MediaCodec]].
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](8)
@@ -71,8 +75,8 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       // per-partition codec init would go here (expensive, amortized)
       it.map { r =>
-        MediaFeatures(r.media_id, r.kind, r.media.length,
-          r.width, r.height, decodeStub(r.media))
+        val (w, h, feats) = MediaCodec.decodeAny(r.media, r.width, r.height)
+        MediaFeatures(r.media_id, r.kind, r.media.length, w, h, feats)
       }
     }
   }

@@ -38,6 +38,90 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(_.features.toSeq).toSeq)
   }
 
+  // ---- real JDK codecs (MediaCodec) ---------------------------------
+
+  /** Deterministic 16x12 RGB fixture: pixel (x, y) has r=16x, g=20y,
+    * b=(x*y)%256 — written as PNG (lossless) in-spec. */
+  private def pngFixture(): (Array[Byte], Array[Float]) = {
+    val (w, h) = (16, 12)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bins = new Array[Float](8)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = (16 * x, 20 * y, (x * y) % 256)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      bins((299 * r + 587 * g + 114 * b) / 1000 >> 5) += 1.0f / (w * h)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    (out.toByteArray, bins)
+  }
+
+  /** 16 kHz mono 16-bit WAV fixture: 800-sample square wave at half
+    * amplitude (+/-16384), alternating every sample. */
+  private def wavFixture(): Array[Byte] = {
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("PNG decode is byte-for-byte deterministic against the fixture") {
+    val (bytes, expected) = pngFixture()
+    assert(MediaCodec.sniff(bytes) == "png")
+    val Some((w, h, feats)) = MediaCodec.decodeImage(bytes)
+    assert(w == 16 && h == 12)
+    assert(feats.length == 8)
+    feats.zip(expected).zipWithIndex.foreach { case ((f, e), i) =>
+      assert(math.abs(f - e) < 1e-6f, s"bin $i: $f vs $e")
+    }
+    // decode twice -> identical bits (determinism pin)
+    assert(MediaCodec.decodeImage(bytes).get._3.toSeq == feats.toSeq)
+  }
+
+  test("WAV decode recovers exact PCM statistics") {
+    val bytes = wavFixture()
+    assert(MediaCodec.sniff(bytes) == "wav")
+    val Some((rate, n, feats)) = MediaCodec.decodeWav(bytes)
+    assert(rate == 16000 && n == 800L)
+    val Array(rms, peak, meanAbs, zcr) = feats
+    assert(rms == 0.5f && peak == 0.5f && meanAbs == 0.5f)
+    assert(math.abs(zcr - 799f / 800f) < 1e-6f)
+  }
+
+  test("extractFeatures routes real formats to real decoders, rest to stub") {
+    val (png, expected) = pngFixture()
+    val wav = wavFixture()
+    val junk = "not a media file at all, just text".getBytes("UTF-8")
+    val media = Seq(
+      (10L, "image", png, 1, 1, 0),
+      (11L, "audio", wav, 1, 1, 16000),
+      (12L, "image", junk, 7, 9, 0)
+    ).toDF("media_id", "kind", "media", "width", "height", "sample_rate")
+    val out = Multimodal.extractFeatures(spark, media)
+      .collect().sortBy(_.media_id)
+    // PNG: decoded dims override metadata
+    assert(out(0).width == 16 && out(0).height == 12)
+    assert(out(0).features.zip(expected).forall {
+      case (f, e) => math.abs(f - e) < 1e-6f })
+    // WAV: width=sample rate, height=sample count
+    assert(out(1).width == 16000 && out(1).height == 800)
+    assert(out(1).features(0) == 0.5f)
+    // junk: stub histogram, metadata dims pass through
+    assert(out(2).width == 7 && out(2).height == 9)
+    assert(out(2).features.toSeq == Multimodal.decodeStub(junk).toSeq)
+  }
+
   test("frame sampling explodes video rows only") {
     val frames = Multimodal.sampleFrames(spark,
       Multimodal.syntheticMedia(docs)).collect()
