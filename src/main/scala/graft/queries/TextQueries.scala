@@ -389,6 +389,7 @@ object TextQueries {
     // LSH recall is total on this corpus (see the query comment).
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+    "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> dedupClustersOracle,
 
     // Brute-force all-pairs cosine >= 0.999 over base + scaled plants.
@@ -482,6 +483,56 @@ object TextQueries {
     s"""WITH $dedupPairCtes
        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p
        |WHERE jac >= 0.5""".stripMargin
+
+  /** dedup_simhash: bit-exact DuckDB replay of the whole SimHash
+    * pipeline (Dedup.simhashSignatures/simhashNearDups) — possible
+    * because token hashes are md5-derived (both engines agree on md5;
+    * xxhash64 has no DuckDB twin, which kept this entry rows-only
+    * until round 4). Token hash = first 15 hex chars of md5 decoded
+    * base-16 (exact BIGINT digit arithmetic, no doubles); signatures =
+    * 60 per-bit majority votes; candidates = pairs sharing any of the
+    * 4 x 15-bit blocks, EXACTLY like the op (blocking is part of the
+    * operator's semantics, so the oracle replicates it rather than
+    * brute-forcing hamming <= 8 over all pairs). */
+  private def simhashOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    'zzz ' || substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |toks AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |      t -> len(t) > 0)) AS t
+      |  FROM corpus),
+      |hv AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 15), k ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(t), 15 - CAST(k AS INT), 1)) - 1
+      |        AS BIGINT) * (CAST(1 AS BIGINT) << CAST(4 * k AS INT))))
+      |      AS BIGINT) AS h
+      |  FROM toks),
+      |bits AS (SELECT doc_id, CAST(bs.b AS INT) AS b,
+      |    SUM(CASE WHEN (h >> CAST(bs.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM hv, (SELECT unnest(range(0, 60)) AS b) bs
+      |  GROUP BY doc_id, bs.b),
+      |sig0 AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+      |      AS BIGINT) AS sim
+      |  FROM bits GROUP BY doc_id),
+      |sig AS (SELECT c.doc_id, COALESCE(s.sim, 0) AS sim
+      |  FROM (SELECT DISTINCT doc_id FROM corpus) c
+      |  LEFT JOIN sig0 s ON c.doc_id = s.doc_id),
+      |blk AS (SELECT doc_id, sim, CAST(bs.b AS INT) AS block_id,
+      |    (sim >> CAST(15 * bs.b AS INT)) & 32767 AS block_bits
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+      |    a.sim AS sim_a, c.sim AS sim_b
+      |  FROM blk a JOIN blk c
+      |    ON a.block_id = c.block_id AND a.block_bits = c.block_bits
+      |    AND a.doc_id < c.doc_id)
+      |SELECT id_a, id_b,
+      |  CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+      |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin
 
   /** dedup_clusters: transitive closure of the >= 0.5 pair graph, each
     * node labeled with its component's minimum id (the recursive CTE
