@@ -9,13 +9,40 @@ import graft.grid.PayloadCodec
   * the format is written by hand from the public TIFF 6.0 + GeoTIFF 1.0
   * specs, no native library).
   *
-  * Produces a classic little-endian TIFF: one uncompressed strip,
-  * BlackIsZero, with ModelPixelScale/ModelTiepoint + a GeoKey directory
-  * (EPSG 4326 for wgs84 grids; user-defined sinusoidal projection with
-  * CT_Sinusoidal for MODIS-style grids) and the GDAL_NODATA ascii tag.
-  * Readable by GDAL/QGIS/rasterio.
+  * Produces a classic little-endian TIFF: one strip — DEFLATE-compressed
+  * by default, matching the reference's COMPRESS=DEFLATE
+  * (tiff.py:103-108), via stdlib `java.util.zip` — BlackIsZero, with
+  * ModelPixelScale/ModelTiepoint + a GeoKey directory (EPSG 4326 for
+  * wgs84 grids; user-defined sinusoidal projection with CT_Sinusoidal
+  * for MODIS-style grids) and the GDAL_NODATA ascii tag. Readable by
+  * GDAL/QGIS/rasterio.
   */
 object GeoTiff {
+
+  /** zlib-wrapped DEFLATE (TIFF compression 8, "Adobe deflate"). */
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(packed: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(packed)
+    val out = new java.io.ByteArrayOutputStream(packed.length * 3 + 64)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) sys.error("truncated DEFLATE strip")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
 
   /** One IFD entry: `payload` is the raw little-endian value bytes;
     * per TIFF 6.0 they live inline in the 4-byte slot when they fit,
@@ -76,9 +103,10 @@ object GeoTiff {
                           data: Array[Double], geot: Seq[Double],
                           nodata: Double)
 
-  /** Parse a classic little-endian single-band uncompressed striped
-    * TIFF/GeoTIFF (the subset [[write]] produces, which is also what
-    * GDAL writes for `-co COMPRESS=NONE` single-band rasters). */
+  /** Parse a classic little-endian single-band striped TIFF/GeoTIFF,
+    * uncompressed or DEFLATE (compression 8/32946) — the subset
+    * [[write]] produces, which is also what GDAL writes for single-band
+    * rasters with COMPRESS=NONE or COMPRESS=DEFLATE. */
   def read(bytes: Array[Byte]): Raster = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.get() == 'I' && bb.get() == 'I' && bb.getShort() == 42,
@@ -110,7 +138,9 @@ object GeoTiff {
       (0 until count).map(_ => b.getDouble())
     }.getOrElse(Seq.empty)
 
-    require(ints(259).headOption.forall(_ == 1), "compressed TIFF unsupported")
+    val compression = ints(259).headOption.getOrElse(1)
+    require(compression == 1 || compression == 8 || compression == 32946,
+      s"unsupported TIFF compression $compression (none/DEFLATE only)")
     require(ints(277).headOption.forall(_ == 1), "multi-band TIFF unsupported")
     val width = ints(256).head
     val height = ints(257).head
@@ -118,10 +148,15 @@ object GeoTiff {
       ints(339).headOption.getOrElse(1))
     val strip = {
       val offs = ints(273); val lens = ints(279)
-      val out = new Array[Byte](lens.sum)
+      // strips are independently compressed: inflate each, then concat
+      val parts = offs.zip(lens).map { case (o, l) =>
+        val raw = java.util.Arrays.copyOfRange(bytes, o, o + l)
+        if (compression == 1) raw else inflate(raw)
+      }
+      val out = new Array[Byte](parts.map(_.length).sum)
       var pos = 0
-      offs.zip(lens).foreach { case (o, l) =>
-        System.arraycopy(bytes, o, out, pos, l); pos += l
+      parts.foreach { p =>
+        System.arraycopy(p, 0, out, pos, p.length); pos += p.length
       }
       out
     }
@@ -144,14 +179,21 @@ object GeoTiff {
     * w*h); packed to the grid dtype with [[PayloadCodec]] (identical
     * value semantics to the fraction store). `geot` is the 6-element
     * GDAL-order geotransform of the EXPORTED window's origin.
+    * `compress` is "deflate" (default — the reference's setting) or
+    * "none".
     */
   def write(width: Int, height: Int, dtype: String, data: Array[Double],
-            geot: Seq[Double], srs: String, nodata: Double): Array[Byte] = {
+            geot: Seq[Double], srs: String, nodata: Double,
+            compress: String = "deflate"): Array[Byte] = {
     require(data.length == width * height,
       s"data length ${data.length} != $width x $height")
     require(geot.length == 6 && geot(2) == 0.0 && geot(4) == 0.0,
       "north-up geotransform required")
-    val strip = PayloadCodec.encodeDouble(data, dtype)
+    val (strip, compTag) = compress match {
+      case "deflate" => (deflate(PayloadCodec.encodeDouble(data, dtype)), 8)
+      case "none"    => (PayloadCodec.encodeDouble(data, dtype), 1)
+      case c         => sys.error(s"unsupported compression $c")
+    }
     val (bits, sampleFormat) = sampleLayout(dtype)
 
     // GeoKey directory: version 1.1.0 + keys sorted by id.
@@ -196,7 +238,7 @@ object GeoTiff {
       long1(width)(256),               // ImageWidth
       long1(height)(257),              // ImageLength
       short1(bits)(258),               // BitsPerSample
-      short1(1)(259),                  // uncompressed
+      short1(compTag)(259),            // compression: 1 none / 8 DEFLATE
       short1(1)(262),                  // BlackIsZero
       long1(8)(273),                   // StripOffsets: right after header
       short1(1)(277),                  // SamplesPerPixel

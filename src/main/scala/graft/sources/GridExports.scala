@@ -120,6 +120,25 @@ object GridExports {
       """{"type": "FeatureCollection", "features": [""", ",\n", "]}")
   }
 
+  /** Fraction footprint polygons as a real ESRI shapefile
+    * (SNK5 parity — scripts/worldgrid_fracs_to_shapefile.py:25-61 writes
+    * the same QGIS overlay through OGR; here via [[Shapefile]]). Writes
+    * `<base>.shp` / `.shx` / `.dbf` with a frac_num attribute. */
+  def footprintsShapefile(spark: SparkSession, header: GridHeader,
+                          root: String, basePath: String): Unit = {
+    val fracs = FractionStore.fractions(spark, root)
+      .select("frac_num", "x0", "y0", "w", "h").distinct().collect()
+      .sortBy(_.getInt(0))
+    val rings = fracs.map { r =>
+      val (x0, y0, w, h) =
+        (r.getInt(1).toDouble, r.getInt(2).toDouble, r.getInt(3), r.getInt(4))
+      Array((x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h),
+        (x0, y0)).map { case (x, y) => header.xyToLatLng(x, y) }
+    }
+    val attrs = fracs.map(r => Map("frac_num" -> r.getInt(0).toString))
+    Shapefile.writePolygons(basePath, rings.toSeq, attrs.toSeq)
+  }
+
   /** Guarded recursive delete (SNK6, io.py:81-103): refuses shallow
     * paths so a malformed root can never wipe a filesystem. */
   def deleteStore(spark: SparkSession, root: String): Boolean = {

@@ -99,6 +99,14 @@ object Ingest {
     ingestBlobsAligned(spark, header, blobDir, "*.tif", outRoot,
       GeoTiffBlobDecoder)
 
+  /** Gzipped GeoTIFF ingest (SRC6: GLCF tiles arrive `.tif.gz` and the
+    * reference gunzips before GDAL, create_glcf_worldgrid.py:39-59;
+    * here the gunzip happens streaming inside the decode task). */
+  def ingestGeoTiffGzDirAligned(spark: SparkSession, header: GridHeader,
+                                blobDir: String, outRoot: String): Long =
+    ingestBlobsAligned(spark, header, blobDir, "*.tif.gz", outRoot,
+      GzipBlobDecoder(GeoTiffBlobDecoder))
+
   /** Decoded blob: grid placement (x0, y0, t0), box shape
     * (w, h, nDates), dense C-order [y][x][t] doubles. */
   trait BlobDecoder extends Serializable {
@@ -120,6 +128,19 @@ object Ingest {
       val r = GeoTiff.read(bytes)
       // single 2D plane: [y][x] is already [y][x][t] with nd = 1
       (x0, y0, t0, r.width, r.height, 1, r.data)
+    }
+  }
+
+  /** Gunzip wrapper around any [[BlobDecoder]]: inflates the blob
+    * (stdlib GZIPInputStream) and strips the `.gz` suffix before
+    * delegating, so `<x0>_<y0>_<t0>.tif.gz` decodes like its plain
+    * twin. */
+  final case class GzipBlobDecoder(inner: BlobDecoder) extends BlobDecoder {
+    def apply(name: String, bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int, Array[Double]) = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = try in.readAllBytes() finally in.close()
+      inner(name.stripSuffix(".gz"), raw)
     }
   }
 

@@ -51,6 +51,17 @@ class GeoTiffSpec extends AnyFunSuite {
     (0 until v.length / 8).map(_ => bb.getDouble())
   }
 
+  /** independent zlib inflate (spec-side, not the writer's code) */
+  private def inflate(packed: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(packed)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!inf.finished()) out.write(buf, 0, inf.inflate(buf))
+    inf.end()
+    out.toByteArray
+  }
+
   test("wgs84 int-dtype window round-trips through GeoTIFF (SNK4)") {
     val root = java.nio.file.Files.createTempDirectory("graft_tiff").toString
     val h = SyntheticGrid.writeTiny(spark, root) // float32 wgs84
@@ -61,7 +72,7 @@ class GeoTiffSpec extends AnyFunSuite {
 
     assert(u32(tags(256)._3) == 30 && u32(tags(257)._3) == 20)
     assert(u16s(tags(258)._3) == Seq(32))         // float32 bits
-    assert(u16s(tags(259)._3) == Seq(1))          // uncompressed
+    assert(u16s(tags(259)._3) == Seq(8))          // DEFLATE (ref default)
     assert(u16s(tags(339)._3) == Seq(3))          // IEEE float
     assert(u32(tags(278)._3) == 20)               // one strip
     assert(new String(tags(42113)._3, "US-ASCII").trim == "-999")
@@ -79,7 +90,7 @@ class GeoTiffSpec extends AnyFunSuite {
     // strip decode: values equal the generator (nodata kept raw)
     val stripOff = u32(tags(273)._3)
     val stripLen = u32(tags(279)._3)
-    val strip = bytes.slice(stripOff, stripOff + stripLen)
+    val strip = inflate(bytes.slice(stripOff, stripOff + stripLen))
     val vals = PayloadCodec.decodeDouble(strip, PayloadCodec.F32)
     assert(vals.length == 30 * 20)
     for (ly <- 0 until 20; lx <- 0 until 30) {
@@ -108,7 +119,8 @@ class GeoTiffSpec extends AnyFunSuite {
     val citation = new String(tags(34737)._3, "US-ASCII")
     assert(citation.contains("Sinusoidal"))
     // strip values match the NDVI generator at t=1
-    val strip = bytes.slice(u32(tags(273)._3), u32(tags(273)._3) + u32(tags(279)._3))
+    val strip = inflate(bytes.slice(u32(tags(273)._3),
+      u32(tags(273)._3) + u32(tags(279)._3)))
     val vals = PayloadCodec.decodeDouble(strip, PayloadCodec.I16)
     for (ly <- 0 until 30; lx <- 0 until 40) {
       val expected = if ((lx * ly + 1) % 17 == 0) -3000.0
@@ -119,17 +131,29 @@ class GeoTiffSpec extends AnyFunSuite {
     GridExports.deleteStore(spark, qr)
   }
 
-  test("GeoTiff.read round-trips write for every dtype") {
-    for (dtype <- Seq("uint8", "int16", "uint16", "int32", "float32", "float64")) {
+  test("GeoTiff.read round-trips write for every dtype and compression") {
+    for (dtype <- Seq("uint8", "int16", "uint16", "int32", "float32", "float64");
+         compress <- Seq("deflate", "none")) {
       val vals = Array.tabulate(12 * 7)(i => (i % 250).toDouble)
       val geot = Seq(3.5, 0.25, 0.0, -1.5, 0.0, -0.25)
-      val bytes = GeoTiff.write(12, 7, dtype, vals, geot, "wgs84", -42.0)
+      val bytes = GeoTiff.write(12, 7, dtype, vals, geot, "wgs84", -42.0,
+        compress)
       val r = GeoTiff.read(bytes)
       assert(r.width == 12 && r.height == 7 && r.dtype == dtype)
-      assert(r.data.toSeq == vals.toSeq, dtype)
-      assert(r.geot == geot, dtype)
+      assert(r.data.toSeq == vals.toSeq, s"$dtype/$compress")
+      assert(r.geot == geot, s"$dtype/$compress")
       assert(r.nodata == -42.0)
     }
+  }
+
+  test("DEFLATE shrinks a redundant raster and survives gzip re-wrap") {
+    val vals = Array.tabulate(64 * 64)(i => (i % 7).toDouble) // compressible
+    val geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    val deflated = GeoTiff.write(64, 64, "int16", vals, geot, "wgs84", -1.0)
+    val plain = GeoTiff.write(64, 64, "int16", vals, geot, "wgs84", -1.0,
+      "none")
+    assert(deflated.length < plain.length / 2,
+      s"expected real compression: ${deflated.length} vs ${plain.length}")
   }
 
   test("store -> GeoTIFF tiles -> re-ingest is lossless (SRC + SNK4)") {
@@ -147,7 +171,24 @@ class GeoTiffSpec extends AnyFunSuite {
       .select("x", "y", "t", "value")
     assert(all(back).except(all(root)).isEmpty &&
       all(root).except(all(back)).isEmpty)
+
+    // SRC6 twin: gzip every tile (the GLCF arrival format, .tif.gz) and
+    // ingest through the gunzip decoder — byte-identical store
+    val gzDir = java.nio.file.Files.createTempDirectory("graft_tiles_gz").toString
+    new java.io.File(tileDir).listFiles().filter(_.getName.endsWith(".tif"))
+      .foreach { f =>
+        val out = new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(s"$gzDir/${f.getName}.gz"))
+        out.write(java.nio.file.Files.readAllBytes(f.toPath))
+        out.close()
+      }
+    val backGz = java.nio.file.Files.createTempDirectory("graft_tiff3c").toString
+    graft.sources.Ingest.ingestGeoTiffGzDirAligned(spark, h, gzDir, backGz)
+    assert(all(backGz).except(all(root)).isEmpty &&
+      all(root).except(all(backGz)).isEmpty)
+
     GridExports.deleteStore(spark, root)
     GridExports.deleteStore(spark, back)
+    GridExports.deleteStore(spark, backGz)
   }
 }

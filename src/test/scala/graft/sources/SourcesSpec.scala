@@ -190,6 +190,60 @@ class RegionsExportsSpec extends AnyFunSuite {
     assert("\"frac_num\"".r.findAllIn(json).size == g.numFracsX * g.numFracsY)
   }
 
+  test("shapefile round-trips rings and attributes bit-exactly (SRC7/SNK5)") {
+    val ringA = Array((-0.1, 0.1), (-0.1, 0.9), (-0.9, 0.9), (-0.9, 0.1),
+      (-0.1, 0.1))
+    val ringB = Array((1.0, 2.0), (1.5, 2.5), (1.0, 3.0)) // open: writer closes
+    val base = TestSpark.tmpDir("shp_out") + "/regions"
+    Shapefile.writePolygons(base, Seq(ringA, ringB),
+      Seq(Map("name" -> "test.box", "kind" -> "box"),
+        Map("name" -> "tri", "kind" -> "triangle")))
+    val feats = Shapefile.loadPolygons(s"$base.shp")
+    assert(feats.length == 2)
+    assert(feats(0).ring.toSeq == ringA.toSeq) // doubles round-trip exactly
+    assert(feats(1).ring.toSeq == (ringB :+ ringB.head).toSeq)
+    assert(feats(0).attrs == Map("name" -> "test.box", "kind" -> "box"))
+    assert(feats(1).attrs == Map("name" -> "tri", "kind" -> "triangle"))
+    val df = Shapefile.asDataFrame(spark, s"$base.shp")
+    assert(df.count() == 2 && df.columns.contains("ring_lat_lng"))
+  }
+
+  test("shapefile region drives the same mask query as its GeoJSON twin") {
+    val root = TestSpark.tmpDir("shp_grid")
+    SyntheticGrid.writeTiny(spark, root)
+    val h = GridHeader.load(spark, root)
+    val geoPoly = Regions.polygonForRegion(spark, "assets/regions.geojson",
+      "test.box")
+    val base = TestSpark.tmpDir("shp_twin") + "/regions"
+    Shapefile.writePolygons(base, Seq(geoPoly),
+      Seq(Map("name" -> "test.box")))
+    val shpPoly = Shapefile.loadPolygons(s"$base.shp")
+      .find(_.attrs("name") == "test.box").get.ring
+    assert(shpPoly.toSeq == geoPoly.toSeq)
+    def maskCounts(p: Array[(Double, Double)]) =
+      FractionStore.loadPolyLatLng(spark, h, root, p, 0, 2)
+        .groupBy(col("in_poly"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(maskCounts(shpPoly) == maskCounts(geoPoly))
+  }
+
+  test("footprint shapefile export covers every fraction (SNK5)") {
+    val root = TestSpark.tmpDir("fp_shp_grid")
+    SyntheticGrid.writeTiny(spark, root)
+    val h = GridHeader.load(spark, root)
+    val base = TestSpark.tmpDir("fp_shp") + "/fracs"
+    GridExports.footprintsShapefile(spark, h, root, base)
+    val feats = Shapefile.loadPolygons(s"$base.shp")
+    val g = h.chunkGrid
+    assert(feats.length == g.numFracsX * g.numFracsY)
+    assert(feats.map(_.attrs("frac_num")).toSet ==
+      (0 until g.numFracsX * g.numFracsY).map(_.toString).toSet)
+    // each footprint is a closed 5-vertex ring
+    assert(feats.forall(f => f.ring.length == 5 && f.ring.head == f.ring.last))
+  }
+
   test("guarded delete refuses shallow paths, removes stores (SNK6)") {
     intercept[IllegalArgumentException] {
       GridExports.deleteStore(spark, "/tmp")
