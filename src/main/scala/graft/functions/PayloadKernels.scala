@@ -101,6 +101,11 @@ object PayloadKernels {
     val mins = Array.fill(nt)(Double.PositiveInfinity)
     val maxs = Array.fill(nt)(Double.NegativeInfinity)
     var total = 0L
+    // the box scan is decoded ONCE per chunk into a primitive array,
+    // then folded in a branch-light loop — a per-element dtype switch
+    // in the hot loop measured ~2x slower than bulk-decode + fold (the
+    // same reason the exploded path's unpack-then-codegen is fast)
+    val decoded = PayloadCodec.decodeDouble(v, vCode)
     var ly = lyFrom
     while (ly < lyTo) {
       var lx = lxFrom
@@ -108,7 +113,7 @@ object PayloadKernels {
         val base = (ly * w + lx) * nd
         var lt = ltFrom
         while (lt < ltTo) {
-          val value = elem(v, vCode, base + lt)
+          val value = decoded(base + lt)
           if (value != nodata) {
             val k = lt - ltFrom
             sums(k) += value
