@@ -10,10 +10,11 @@ import graft.grid._
   * -> chunk shuffle -> partitioned parquet write) and the file-index
   * scan (SRC5, datasources/modis.py:30-110).
   *
-  * HDF4 decoding needs a codec this container doesn't ship; the blob
-  * format here is NPY (the reference's own fraction serialization,
-  * jgrid3.py:65-77), which [[NpyCodec]] decodes for real — swapping in
-  * an HDF reader changes only `decode`.
+  * Blob formats: NPY (the reference's own fraction serialization,
+  * jgrid3.py:65-77), GeoTIFF (plain or gzipped), and HDF4 SDS
+  * ([[Hdf4]] — the reference's MODIS input format, uncompressed
+  * subset; datasets selectable by name like modis.py:224-229). Each is
+  * one [[BlobDecoder]]; adding a format changes only `decode`.
   */
 object Ingest {
 
@@ -128,6 +129,35 @@ object Ingest {
       val r = GeoTiff.read(bytes)
       // single 2D plane: [y][x] is already [y][x][t] with nd = 1
       (x0, y0, t0, r.width, r.height, 1, r.data)
+    }
+  }
+
+  /** HDF4 SDS landing-directory ingest (SRC4): `<x0>_<y0>_<t0>.hdf`,
+    * one [h, w] plane or [h, w, nd] box per blob; `datasetName` picks
+    * the labeled dataset the way the reference selects "250m 16 days
+    * NDVI" vs "VI Quality" from one archive (modis.py:205-229). */
+  def ingestHdf4DirAligned(spark: SparkSession, header: GridHeader,
+                           blobDir: String, outRoot: String,
+                           datasetName: Option[String] = None): Long =
+    ingestBlobsAligned(spark, header, blobDir, "*.hdf", outRoot,
+      Hdf4BlobDecoder(datasetName))
+
+  /** See [[ingestHdf4DirAligned]]. */
+  final case class Hdf4BlobDecoder(datasetName: Option[String])
+      extends BlobDecoder {
+    def apply(name: String, bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int, Array[Double]) = {
+      val Array(x0, y0, t0) = name.stripSuffix(".hdf").split("_").map(_.toInt)
+      val sds = datasetName match {
+        case Some(n) => Hdf4.selectByName(bytes, n)
+          .getOrElse(sys.error(s"no dataset named '$n' in $name"))
+        case None => Hdf4.readSds(bytes).headOption
+          .getOrElse(sys.error(s"no SDS in $name"))
+      }
+      sds.dims match {
+        case Seq(h, w)     => (x0, y0, t0, w, h, 1, sds.data)
+        case Seq(h, w, nd) => (x0, y0, t0, w, h, nd, sds.data)
+        case d => sys.error(s"unsupported SDS rank ${d.length} in $name")
+      }
     }
   }
 

@@ -138,6 +138,73 @@ class IngestSpec extends AnyFunSuite {
   }
 }
 
+class Hdf4Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("HDF4 SDS round-trips every dtype with names intact (SRC4)") {
+    for (dtype <- Seq("uint8", "int16", "uint16", "int32", "float32", "float64")) {
+      val data = Array.tabulate(6 * 4) { i =>
+        dtype match {
+          case "uint8"  => (i * 11 % 256).toDouble
+          case "uint16" => (i * 997 % 65536).toDouble
+          case "int16"  => (i * 997 % 30000 - 15000).toDouble
+          case "int32"  => (i * 99991 % 200000 - 100000).toDouble
+          case _        => i * 0.75 - 4
+        }
+      }
+      val bytes = Hdf4.writeSds(Seq(
+        Hdf4.Sds("250m 16 days NDVI", Seq(4, 6), dtype, data)))
+      val back = Hdf4.readSds(bytes)
+      assert(back.length == 1)
+      assert(back.head.name == "250m 16 days NDVI")
+      assert(back.head.dims == Seq(4, 6) && back.head.dtype == dtype)
+      assert(back.head.data.toSeq == data.toSeq, dtype)
+    }
+  }
+
+  test("multi-dataset archive selects by name like the reference") {
+    val ndvi = Array.tabulate(12)(i => (i * 7 % 8000 - 1000).toDouble)
+    val qa = Array.tabulate(12)(i => (i * 40503 % 65536).toDouble)
+    val bytes = Hdf4.writeSds(Seq(
+      Hdf4.Sds("250m 16 days NDVI", Seq(3, 4), "int16", ndvi),
+      Hdf4.Sds("250m 16 days VI Quality", Seq(3, 4), "uint16", qa)))
+    val n = Hdf4.selectByName(bytes, "NDVI").get
+    val q = Hdf4.selectByName(bytes, "VI Quality").get
+    assert(n.data.toSeq == ndvi.toSeq && n.dtype == "int16")
+    assert(q.data.toSeq == qa.toSeq && q.dtype == "uint16")
+    assert(Hdf4.selectByName(bytes, "no such dataset").isEmpty)
+  }
+
+  test("HDF4 blob directory ingests identically to its NPY twin") {
+    val h = GridHeader(
+      name = "hdf_ingested", width = 20, height = 20,
+      fracWidth = 10, fracHeight = 10, fracNDates = 2,
+      dtype = "int16", srs = "wgs84",
+      geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(10L, 20L), nodata = -3000.0)
+    val hdfDir = TestSpark.tmpDir("hdf_blobs")
+    for (x0 <- Seq(0, 10)) {
+      val data = for {
+        ly <- 0 until 20; lx <- 0 until 10; t <- 0 until 2
+      } yield ((x0 + lx) * 1000 + ly * 10 + t).toDouble
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$hdfDir/${x0}_0_0.hdf"),
+        Hdf4.writeSds(Seq(Hdf4.Sds("250m 16 days NDVI",
+          Seq(20, 10, 2), "int16", data.toArray))))
+    }
+    val outRoot = TestSpark.tmpDir("hdf_store")
+    val nFracs = Ingest.ingestHdf4DirAligned(spark, h, hdfDir, outRoot,
+      Some("NDVI"))
+    assert(nFracs == 4)
+    val px = FractionStore.loadSliceXY(spark, h, outRoot, 0, 20, 0, 20, 0, 2,
+      maskNodata = false)
+    assert(px.count() == 800)
+    val bad = px.filter(col("value") =!=
+      (col("x") * 1000 + col("y") * 10 + col("t"))).count()
+    assert(bad == 0)
+  }
+}
+
 class RegionsExportsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
