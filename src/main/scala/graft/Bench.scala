@@ -28,7 +28,7 @@ object Bench {
     "tumbling_daily", "session_windows", "asof_join", "o1_topk",
     "cube_rollup", "rank_topn", "f5_qa_confidence", "f9_chunk_math",
     "text_stats", "text_lang_id", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_brute_topk", "ann_lsh_topk")
+    "dedup_simhash", "decontaminate", "ann_brute_topk", "ann_lsh_topk")
 
   /** (name, wall_sec, cpu_sec); wall is min-of-2, cpu pairs with the
     * faster run. A failed query reports the -1.0 sentinel for both. */

@@ -202,8 +202,15 @@ object Dedup {
     * like the fold over an empty array.
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // explode the tokens FIRST, hash the exploded column: md5 inside the
+    // transform() lambda is a CodegenFallback higher-order call
+    // (interpreted, measured ~2x the CPU); on a plain column it codegens.
+    // Semantics identical: explode_outer keeps empty docs as one NULL
+    // token whose NULL hash votes -1 on every bit -> sim = 0.
     val exploded = df.select(col(idCol).as("id"),
-      explode_outer(simhashTokenHashes(col(textCol))).as("h"))
+      explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
     val votes = exploded.groupBy(col("id"))
       .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as("b_0"),
@@ -284,6 +291,37 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- benchmark decontamination -------------------------------------
+
+  /** Flag corpus documents sharing at least `minShared` distinct word
+    * n-grams with ANY benchmark document — the standard pre-training
+    * hygiene step (the GPT-3-appendix-C / PaLM-style n-gram overlap
+    * filter) that keeps eval sets out of the training corpus.
+    *
+    * Scale shape: the benchmark side collapses to a DISTINCT shingle
+    * set (eval suites are tiny next to a training corpus, so AQE turns
+    * the join into a broadcast); the corpus side explodes to
+    * (shingle, id) pairs carrying nothing else, and only matching pairs
+    * survive. No all-pairs work anywhere. Output: (id, n_shared) for
+    * flagged documents — anti-join the ids against the corpus to drop
+    * them.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 5, minShared: Int = 1): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
+        .as("sh"))
+    val benchSh = benchmark.select(
+      explode(array_distinct(TextFunctions.wordShingles(col(benchTextCol), n)))
+        .as("sh"))
+      .distinct()
+    corpusSh.join(benchSh, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   // ---- duplicate clustering (connected components) -------------------

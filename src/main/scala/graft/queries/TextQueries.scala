@@ -158,6 +158,16 @@ object TextQueries {
         n = 3, minJaccard = 0.5)
     },
 
+    // Benchmark decontamination: every 37th document stands in for a
+    // leaked eval item; flagged docs share >= 2 distinct 3-grams with it.
+    "decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 37 === 0).select(col("text"))
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "text",
+        n = 3, minShared = 2)
+        .select(col("id").as("doc_id"), col("n_shared"))
+    },
+
     // Pairs -> clusters: connected components of the near-dup graph
     // (min-label propagation + pointer jumping); oracle is a DuckDB
     // recursive-CTE transitive closure over the brute-force pair set.
@@ -391,6 +401,23 @@ object TextQueries {
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> dedupClustersOracle,
+
+    // decontaminate: distinct-3-gram overlap count vs the benchmark set
+    "decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(0, len(ts) - 2),
+        |        i -> ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3])
+        |      ELSE [array_to_string(ts, ' ')] END)) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN bench USING (s)
+        |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin,
 
     // Brute-force all-pairs cosine >= 0.999 over base + scaled plants.
     // Positive scaling preserves hyperplane signs, so every qualifying

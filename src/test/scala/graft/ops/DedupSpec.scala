@@ -46,6 +46,21 @@ class DedupSpec extends AnyFunSuite {
       "no cached blocks may survive CacheRegistry.releaseAll")
   }
 
+  test("decontaminate flags exactly the docs overlapping the benchmark") {
+    // benchmark = doc 3's text; doc 103 copies a long span of doc 3
+    val leaked = mkDoc(3).split(" ").slice(5, 25).mkString(" ")
+    val corpus2 = corpus.union(Seq(
+      (103L, "prefix words here " + leaked + " and a suffix")
+    ).toDF("doc_id", "text"))
+    val bench = Seq(Tuple1(mkDoc(3))).toDF("text")
+    val flagged = Dedup.decontaminate(corpus2, "doc_id", "text",
+      bench, "text", n = 3, minShared = 2)
+      .select("id").as[Long].collect().toSet
+    assert(flagged.contains(3L), "the verbatim source must be flagged")
+    assert(flagged.contains(103L), "the spanning copy must be flagged")
+    assert(flagged.size == 2, s"no false positives, got $flagged")
+  }
+
   test("minhash LSH finds the planted near-dup pair (and the exact pair)") {
     val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
       k = 32, bands = 8, shingleSize = 3, minJaccard = 0.5)
