@@ -35,6 +35,7 @@ object GraftFunctions {
     "quality_score" -> lift1(TextFunctions.qualityScore),
     "text_fingerprint" -> lift1(TextFunctions.fingerprint),
     "token_count" -> lift1(TextFunctions.tokenCount),
+    "repetition_ratio" -> lift1(TextFunctions.repetitionRatio(_)),
     "bpe_token_count" -> lift1(TextFunctions.approxBpeTokenCount),
     "simhash64" -> lift1(Dedup.simhash64))
 

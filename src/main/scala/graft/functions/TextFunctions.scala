@@ -123,4 +123,18 @@ object TextFunctions {
         i => array_join(slice(ts, i + 1, lit(n)), " ")))
       .otherwise(array(array_join(ts, " ")))
   }
+
+  /** Within-document repetition: the fraction of word n-gram
+    * occurrences that are duplicates (1 - distinct/total) — the
+    * Gopher-style boilerplate/spam gate ("fraction of duplicate
+    * n-grams"). 0 for docs with at most one shingle. Pure column
+    * arithmetic; integer-ratio doubles, so engine-exact.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = wordShingles(text, n)
+    when(size(sh) > 1,
+      lit(1.0) - size(array_distinct(sh)).cast("double")
+        / size(sh).cast("double"))
+      .otherwise(lit(0.0))
+  }
 }

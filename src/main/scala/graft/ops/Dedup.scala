@@ -301,16 +301,21 @@ object Dedup {
     * filter) that keeps eval sets out of the training corpus.
     *
     * Scale shape: the benchmark side collapses to a DISTINCT shingle
-    * set (eval suites are tiny next to a training corpus, so AQE turns
-    * the join into a broadcast); the corpus side explodes to
-    * (shingle, id) pairs carrying nothing else, and only matching pairs
-    * survive. No all-pairs work anywhere. Output: (id, n_shared) for
-    * flagged documents — anti-join the ids against the corpus to drop
-    * them.
+    * set and is broadcast (eval suites are MBs next to a training
+    * corpus; the hint matters — a 250k-string shingle set already
+    * exceeds the AQE auto-broadcast threshold, and the fallback
+    * sort-merge join sorts the full corpus shingle stream: measured 10x
+    * the wall time). The corpus side explodes to (shingle, id) pairs
+    * carrying nothing else, and only matching pairs survive. No
+    * all-pairs work anywhere. Output: (id, n_shared) for flagged
+    * documents — anti-join the ids against the corpus to drop them.
+    * Set `broadcastBenchmark = false` only if the benchmark set is too
+    * big for executor memory (then the shuffle join is the right plan).
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
-                    n: Int = 5, minShared: Int = 1): DataFrame = {
+                    n: Int = 5, minShared: Int = 1,
+                    broadcastBenchmark: Boolean = true): DataFrame = {
     val corpusSh = corpus.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
         .as("sh"))
@@ -318,7 +323,8 @@ object Dedup {
       explode(array_distinct(TextFunctions.wordShingles(col(benchTextCol), n)))
         .as("sh"))
       .distinct()
-    corpusSh.join(benchSh, "sh")
+    corpusSh.join(
+      if (broadcastBenchmark) broadcast(benchSh) else benchSh, "sh")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

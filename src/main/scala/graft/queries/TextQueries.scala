@@ -67,6 +67,14 @@ object TextQueries {
         TextFunctions.langId(col("text")).as("lang_pred"))
     },
 
+    // Gopher-style within-doc repetition gate (duplicate n-gram fraction)
+    "text_repetition" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.repetitionRatio(col("text"), 2).as("rep2"),
+        TextFunctions.repetitionRatio(col("text"), 3).as("rep3"))
+    },
+
     "text_fingerprint" -> { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -401,6 +409,31 @@ object TextQueries {
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> dedupClustersOracle,
+
+    // text_repetition: 1 - distinct/total word n-grams (n = 2, 3)
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(ts) >= 2
+        |      THEN list_transform(range(0, len(ts) - 1),
+        |        i -> ts[i + 1] || ' ' || ts[i + 2])
+        |      ELSE [array_to_string(ts, ' ')] END AS s2,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(0, len(ts) - 2),
+        |        i -> ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3])
+        |      ELSE [array_to_string(ts, ' ')] END AS s3
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(s2) > 1
+        |    THEN 1.0 - CAST(len(list_distinct(s2)) AS DOUBLE) / len(s2)
+        |    ELSE 0.0 END AS rep2,
+        |  CASE WHEN len(s3) > 1
+        |    THEN 1.0 - CAST(len(list_distinct(s3)) AS DOUBLE) / len(s3)
+        |    ELSE 0.0 END AS rep3
+        |FROM sh""".stripMargin,
 
     // decontaminate: distinct-3-gram overlap count vs the benchmark set
     "decontaminate" ->

@@ -27,6 +27,19 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getInt(6) == 3)
   }
 
+  test("repetition ratio: known duplicate-shingle fractions") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT repetition_ratio('a b c a b c a b c') AS rep,
+        |  repetition_ratio('all words are unique here today') AS uniq,
+        |  repetition_ratio('one') AS single,
+        |  repetition_ratio('') AS empty""".stripMargin).head()
+    // 7 trigram occurrences, 3 distinct -> 1 - 3/7
+    assert(row.getDouble(0) == 1.0 - 3.0 / 7.0)
+    assert(row.getDouble(1) == 0.0)
+    assert(row.getDouble(2) == 0.0 && row.getDouble(3) == 0.0)
+  }
+
   private def GeoRound(v: Double): Double =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
 

@@ -87,6 +87,34 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.sources.GridExports.deleteStore(spark, r2)
   }
 
+  test("fused box-stats pushes the same chunk predicates as the exploded path") {
+    val h = GridHeader.load(spark, root)
+    val df = GridKernels.boxStatsByT(spark, h, root, 17, 40, 3, 12, 2, 11)
+    val scans = executed(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("frac_x") && pushed.contains("frac_y"), pushed)
+    assert(scans.head.metadata.getOrElse("PartitionFilters", "")
+      .contains("time_chunk"))
+  }
+
+  test("decontaminate broadcasts the benchmark shingle set") {
+    import spark.implicits._
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 11} tok${i % 13} tok${i % 5} tok$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1("tok1 tok1 tok1 tok1")).toDF("text")
+    val df = graft.ops.Dedup.decontaminate(corpus, "doc_id", "text",
+      bench, "text", n = 3)
+    val plans = executed(df)
+    assert(plans.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "benchmark side must broadcast — a sort-merge join here sorts the " +
+        "full corpus shingle stream")
+    assert(!plans.exists(_.nodeName.contains("SortMergeJoin")))
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     import spark.implicits._
     val df = (0 until 10000).map(i => (i, i * 37 % 1000)).toDF("id", "v")
