@@ -102,12 +102,15 @@ object Bench {
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t = timed2(spark, name) { fn(spark, sfDir).count() }
-        // the entry's terminal action is done — drop its tracked caches
-        // (both timed runs share them; release BETWEEN entries so one
-        // query's signature tables don't squeeze the next one's memory)
-        graft.ops.CacheRegistry.releaseAll()
-        t
+        // tracked caches release INSIDE the timed region: ops that
+        // persist intermediates (minhash/LSH signature tables) would
+        // otherwise hand their second timed run a warm cache while
+        // persist-free ops run cold twice — min-of-2 must compare
+        // like-for-like cold runs across entries
+        timed2(spark, name) {
+          fn(spark, sfDir).count()
+          graft.ops.CacheRegistry.releaseAll()
+        }
       }
     } ++ {
       // Cache hygiene before the grid microbenches: drop any cached
