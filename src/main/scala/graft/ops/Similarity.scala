@@ -10,15 +10,17 @@ import org.apache.spark.sql.expressions.Window
   * within matching buckets — shuffle keys are bucket ids, never
   * all-pairs).
   *
-  * All vector math is `zip_with`/`aggregate` higher-order expressions —
-  * codegen'd, no UDFs.
+  * All vector math runs through [[graft.functions.DotProductExpr]], a
+  * native codegen expression (the `zip_with`/`aggregate` higher-order
+  * form is CodegenFallback — an interpreted lambda per element, which
+  * multiplies across the |corpus| x |queries| brute-force scan; the
+  * native loop has bit-identical left-to-right double semantics).
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, computed in double. */
+  /** Dot product of two numeric-array columns, computed in double. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpr(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

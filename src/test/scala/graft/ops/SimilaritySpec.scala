@@ -5,6 +5,31 @@ import org.apache.spark.sql.functions._
 import graft.TestSpark
 
 class SimilaritySpec extends AnyFunSuite {
+
+  test("native dot product is bit-identical to the zip_with/aggregate fold") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.75f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.7f, 0.8f, 0.9f)),
+      (Array.empty[Float], Array.empty[Float])
+    ).toDF("a", "b")
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // length mismatch -> NULL, exactly like zip_with's null padding
+    val mm = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d")).collect()
+    assert(mm.head.isNullAt(0))
+    // double-typed side (hyperplane literals)
+    val planes = Seq((Array(1.0f, 2.0f), Array(0.25, -0.5))).toDF("a", "p")
+      .select(Similarity.dot(col("a"), col("p")).as("d")).collect()
+    assert(planes.head.getDouble(0) == 1.0 * 0.25 + 2.0 * -0.5)
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
