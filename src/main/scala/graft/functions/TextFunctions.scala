@@ -115,8 +115,17 @@ object TextFunctions {
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
   }
 
-  /** Word n-gram shingles as an array of strings. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles as an array of strings — the native
+    * [[WordShinglesExpr]] kernel (one generated call per row; see its
+    * scaladoc for why the higher-order column form was retired from the
+    * hot path). [[wordShinglesColumnForm]] keeps the original chain for
+    * the equality pin in GraftFunctionsSpec. */
+  def wordShingles(text: Column, n: Int): Column =
+    WordShinglesExpr(text, n)
+
+  /** The original higher-order formulation (CodegenFallback) — retained
+    * as the differential-test reference for [[wordShingles]]. */
+  def wordShinglesColumnForm(text: Column, n: Int): Column = {
     val ts = tokens(text)
     when(size(ts) >= n,
       transform(sequence(lit(0), size(ts) - n),

@@ -27,6 +27,28 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getInt(6) == 3)
   }
 
+  test("native word shingles equal the higher-order column form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "one", "", "   ", "  leading and trailing  ",
+      "tab\tseparated\nand newline separated tokens",
+      "x " * 50 // long repetitive doc
+    ).map(Tuple1(_)).toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = texts.select(
+        TextFunctions.wordShingles(col("text"), n).as("native"),
+        TextFunctions.wordShinglesColumnForm(col("text"), n).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n text shingles diverge")
+      }
+    }
+  }
+
   test("repetition ratio: known duplicate-shingle fractions") {
     GraftFunctions.register(spark)
     val row = spark.sql(
