@@ -21,7 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+  def wordShingles(text: UTF8String, n: Int): ArrayData =
+    wordShingles(text, n, minOne = true)
+
+  /** `minOne = true` (shingle semantics): fewer than n tokens yield ONE
+    * whole-text shingle. `minOne = false` (token semantics, n = 1):
+    * an empty/whitespace text yields an EMPTY array — exactly
+    * `filter(split(trim(text), "\s+"), len > 0)`. */
+  def wordShingles(text: UTF8String, n: Int, minOne: Boolean): ArrayData = {
     // String.split drops trailing empty pieces; the leading empty piece
     // (text starting with whitespace) is filtered like the column form
     val raw = text.toString.split("\\s+")
@@ -34,7 +41,9 @@ object TextKernels {
       if (raw(i).nonEmpty) { toks(j) = raw(i); j += 1 }
       i += 1
     }
-    if (nTok < n) {
+    if (nTok == 0 && !minOne) {
+      new GenericArrayData(Array.empty[Any])
+    } else if (nTok < n) {
       new GenericArrayData(Array[Any](
         UTF8String.fromString(toks.mkString(" "))))
     } else {
@@ -52,22 +61,23 @@ object TextKernels {
   }
 }
 
-case class WordShinglesExpr(child: Expression, n: Int)
+case class WordShinglesExpr(child: Expression, n: Int,
+                            minOne: Boolean = true)
     extends UnaryExpression {
   require(n >= 1, s"shingle size $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_shingles"
+  override def prettyName: String = if (minOne) "word_shingles" else "tokens"
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)
 
   override def nullSafeEval(input: Any): Any =
-    TextKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+    TextKernels.wordShingles(input.asInstanceOf[UTF8String], n, minOne)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.TextKernels.wordShingles($c, $n)")
+      s"graft.functions.TextKernels.wordShingles($c, $n, $minOne)")
 }
 
 object WordShinglesExpr {
@@ -75,4 +85,9 @@ object WordShinglesExpr {
   def apply(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordShinglesExpr(
       GraftColumnBridge.expression(text), n))
+
+  /** Token semantics: n = 1 and an empty array for token-less text. */
+  def tokens(text: Column): Column =
+    GraftColumnBridge.column(WordShinglesExpr(
+      GraftColumnBridge.expression(text), 1, minOne = false))
 }

@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization; empty string -> empty array. */
-  def tokens(text: Column): Column =
+  /** Whitespace tokenization; empty string -> empty array. Native
+    * kernel ([[WordShinglesExpr]] in token mode) — the
+    * `filter(split(...))` column form pays an interpreted lambda per
+    * token (higher-order functions are CodegenFallback);
+    * [[tokensColumnForm]] retains it as the equality-pin reference. */
+  def tokens(text: Column): Column = WordShinglesExpr.tokens(text)
+
+  /** The original higher-order formulation — differential-test twin. */
+  def tokensColumnForm(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -124,9 +131,10 @@ object TextFunctions {
     WordShinglesExpr(text, n)
 
   /** The original higher-order formulation (CodegenFallback) — retained
-    * as the differential-test reference for [[wordShingles]]. */
+    * as the differential-test reference for [[wordShingles]] (built on
+    * [[tokensColumnForm]] so the reference shares NO native code). */
   def wordShinglesColumnForm(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+    val ts = tokensColumnForm(text)
     when(size(ts) >= n,
       transform(sequence(lit(0), size(ts) - n),
         i => array_join(slice(ts, i + 1, lit(n)), " ")))

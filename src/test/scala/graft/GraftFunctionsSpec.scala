@@ -47,6 +47,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
           s"n=$n text shingles diverge")
       }
     }
+    // token mode: empty array (not one empty shingle) for token-less text
+    val toks = texts.select(
+      TextFunctions.tokens(col("text")).as("native"),
+      TextFunctions.tokensColumnForm(col("text")).as("hof")).collect()
+    toks.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
   test("repetition ratio: known duplicate-shingle fractions") {
