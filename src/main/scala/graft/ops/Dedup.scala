@@ -194,23 +194,32 @@ object Dedup {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash signatures via explode + hash aggregation: [[SimhashBits]]
-    * per-bit vote sums as codegen'd aggregates (the array-fold form pays
-    * bits x n_tokens interpreted lambda calls per doc — higher-order
-    * functions are CodegenFallback). explode_outer keeps empty docs:
-    * their single NULL row votes -1 on every bit, so sim = 0 exactly
-    * like the fold over an empty array.
-    */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // explode the tokens FIRST, hash the exploded column: md5 inside the
-    // transform() lambda is a CodegenFallback higher-order call
-    // (interpreted, measured ~2x the CPU); on a plain column it codegens.
-    // Semantics identical: explode_outer keeps empty docs as one NULL
-    // token whose NULL hash votes -1 on every bit -> sim = 0.
-    val exploded = df.select(col(idCol).as("id"),
+  /** Exploded (id, token hash) rows: tokens explode FIRST and md5 runs
+    * on the plain column (codegen'd; md5 inside a transform() lambda is
+    * a CodegenFallback higher-order call — interpreted, measured ~2x
+    * the CPU). explode_outer keeps empty docs as one NULL-hash row. */
+  private def explodedTokenHashes(df: DataFrame, idCol: String,
+                                  textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
       explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+
+  /** SimHash signatures: explode + ONE custom vote aggregate
+    * ([[graft.functions.SimhashVotesAgg]] — all [[SimhashBits]] per-bit
+    * counters in a single typed buffer, vs 60 separate sum() columns).
+    * A NULL hash (empty doc) votes -1 on every bit, so sim = 0.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    explodedTokenHashes(df, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(graft.functions.SimhashVotesAgg(col("h"), SimhashBits).as("sim"))
+
+  /** The original 60-sum-column formulation — retained as the
+    * differential-test reference for [[simhashSignatures]]. */
+  def simhashSignaturesColumnForm(df: DataFrame, idCol: String,
+                                  textCol: String): DataFrame = {
+    val exploded = explodedTokenHashes(df, idCol, textCol)
     val votes = exploded.groupBy(col("id"))
       .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as("b_0"),

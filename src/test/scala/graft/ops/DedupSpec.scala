@@ -46,6 +46,19 @@ class DedupSpec extends AnyFunSuite {
       "no cached blocks may survive CacheRegistry.releaseAll")
   }
 
+  test("custom simhash vote aggregate equals the 60-sum-column form") {
+    val withEmpty = corpus.union(
+      Seq((200L, ""), (201L, "   ")).toDF("doc_id", "text"))
+    val agg = Dedup.simhashSignatures(withEmpty, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cols = Dedup.simhashSignaturesColumnForm(withEmpty, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(agg.toSeq == cols.toSeq)
+    // empty docs: the NULL-hash row votes -1 everywhere -> sim = 0
+    assert(agg.find(_._1 == 200L).exists(_._2 == 0L))
+    assert(agg.find(_._1 == 201L).exists(_._2 == 0L))
+  }
+
   test("decontaminate flags exactly the docs overlapping the benchmark") {
     // benchmark = doc 3's text; doc 103 copies a long span of doc 3
     val leaked = mkDoc(3).split(" ").slice(5, 25).mkString(" ")
