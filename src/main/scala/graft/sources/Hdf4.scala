@@ -9,15 +9,21 @@ import java.nio.{ByteBuffer, ByteOrder}
   * public HDF 4.2 specification, matching this repo's hand-written
   * TIFF/NPY/shapefile ethos).
   *
-  * Supported subset: uncompressed big-endian SDS — data descriptor (DD)
-  * block chain, numeric-data groups (DFTAG_NDG) tying a dimension
-  * record (DFTAG_SDD) + number type (DFTAG_NT) + raw data (DFTAG_SD),
-  * with optional dataset-name labels (DFTAG_DIL) so datasets are
-  * selectable by name exactly like the reference's
-  * `load_gdal_dataset("250m 16 days NDVI")`. Real MODIS archives add
-  * deflate-compressed special elements; that extension plugs into the
-  * same [[Ingest.BlobDecoder]] seam (the DD walk and group/dimension
-  * parsing below are unchanged by it).
+  * Supported subset: big-endian SDS — data descriptor (DD) block
+  * chain, numeric-data groups (DFTAG_NDG) tying a dimension record
+  * (DFTAG_SDD) + number type (DFTAG_NT) + raw data (DFTAG_SD), with
+  * optional dataset-name labels (DFTAG_DIL) so datasets are selectable
+  * by name exactly like the reference's
+  * `load_gdal_dataset("250m 16 days NDVI")`. Data elements may be
+  * PLAIN (raw bytes at the DD offset) or DEFLATE-COMPRESSED special
+  * elements — the layout real MODIS archives use: the DD carries the
+  * extended tag (DFTAG_SD | 0x4000) whose content is a SPECIAL_COMP
+  * header (special code u16 = 3, header version u16, uncompressed
+  * length i32, compressed-data ref u16, model type u16 = stdio,
+  * compression code u16 = 4 for deflate, deflate level u16), pointing
+  * at a DFTAG_COMPRESSED element holding one zlib stream. Linked-block
+  * and chunked special elements (rare in MOD13 archives) are rejected
+  * with a clear error.
   *
   * HDF4 numeric data is big-endian (class DFNTC_HDF); DFNT type codes
   * per the spec: 5 float32, 6 float64, 21 uint8, 22 int16, 23 uint16,
@@ -31,6 +37,11 @@ object Hdf4 {
   private val TagSDD = 701
   private val TagSD = 702
   private val TagNDG = 720
+  private val TagCompressed = 40 // DFTAG_COMPRESSED: the raw zlib stream
+  private val SpecialBit = 0x4000 // extended-tag bit marking special elements
+  private val SpecialComp = 3 // SPECIAL_COMP special-element code
+  private val CompCodeDeflate = 4 // COMP_CODE_DEFLATE
+  private val CompHeaderVersion = 0
 
   private val dfntOf = Map("float32" -> 5, "float64" -> 6, "uint8" -> 21,
     "int16" -> 22, "uint16" -> 23, "int32" -> 24)
@@ -78,8 +89,11 @@ object Hdf4 {
       }
       val sdd = members.collectFirst { case (TagSDD, r) => find(TagSDD, r).get }
         .getOrElse(sys.error(s"NDG ref ${g.ref} lacks a dimension record"))
-      val sd = members.collectFirst { case (TagSD, r) => find(TagSD, r).get }
-        .getOrElse(sys.error(s"NDG ref ${g.ref} lacks a data element"))
+      // the data element: plain DFTAG_SD, or its extended-tag twin when
+      // the element is special (compressed MODIS archives)
+      val sd = members.collectFirst { case (TagSD, r) =>
+        find(TagSD, r).orElse(find(TagSD | SpecialBit, r)).get
+      }.getOrElse(sys.error(s"NDG ref ${g.ref} lacks a data element"))
       // dimension record: rank u16, dims u32[rank], (tag,ref) of data NT,
       // then per-dim scale NTs (ignored here, like the reference)
       val rank = bb.getShort(sdd.offset) & 0xffff
@@ -90,23 +104,41 @@ object Hdf4 {
       val dfnt = bytes(nt.offset + 1) & 0xff
       val dtype = dtypeOf.getOrElse(dfnt,
         sys.error(s"unsupported DFNT type $dfnt"))
+      // resolve the element payload: raw bytes in place, or inflate the
+      // DFTAG_COMPRESSED stream a SPECIAL_COMP header points at
+      val (payload, d) =
+        if ((sd.tag & SpecialBit) == 0) (bytes, sd.offset)
+        else {
+          val code = bb.getShort(sd.offset) & 0xffff
+          require(code == SpecialComp,
+            s"unsupported HDF4 special element code $code (only " +
+              s"SPECIAL_COMP=$SpecialComp compressed elements are handled)")
+          val uncompLen = bb.getInt(sd.offset + 4)
+          val compRef = bb.getShort(sd.offset + 8) & 0xffff
+          val compType = bb.getShort(sd.offset + 12) & 0xffff
+          require(compType == CompCodeDeflate,
+            s"unsupported HDF4 compression code $compType (deflate only)")
+          val cdd = find(TagCompressed, compRef).getOrElse(
+            sys.error(s"NDG ref ${g.ref}: missing compressed element $compRef"))
+          (inflate(bytes, cdd.offset, cdd.length, uncompLen), 0)
+        }
+      val pb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
       val n = dims.product
       val data = new Array[Double](n)
       var i = 0
-      val d = sd.offset
       dtype match {
         case "uint8" =>
-          while (i < n) { data(i) = (bytes(d + i) & 0xff).toDouble; i += 1 }
+          while (i < n) { data(i) = (payload(d + i) & 0xff).toDouble; i += 1 }
         case "int16" =>
-          while (i < n) { data(i) = bb.getShort(d + 2 * i).toDouble; i += 1 }
+          while (i < n) { data(i) = pb.getShort(d + 2 * i).toDouble; i += 1 }
         case "uint16" =>
-          while (i < n) { data(i) = (bb.getShort(d + 2 * i) & 0xffff).toDouble; i += 1 }
+          while (i < n) { data(i) = (pb.getShort(d + 2 * i) & 0xffff).toDouble; i += 1 }
         case "int32" =>
-          while (i < n) { data(i) = bb.getInt(d + 4 * i).toDouble; i += 1 }
+          while (i < n) { data(i) = pb.getInt(d + 4 * i).toDouble; i += 1 }
         case "float32" =>
-          while (i < n) { data(i) = bb.getFloat(d + 4 * i).toDouble; i += 1 }
+          while (i < n) { data(i) = pb.getFloat(d + 4 * i).toDouble; i += 1 }
         case "float64" =>
-          while (i < n) { data(i) = bb.getDouble(d + 8 * i); i += 1 }
+          while (i < n) { data(i) = pb.getDouble(d + 8 * i); i += 1 }
       }
       Sds(labels.getOrElse((TagNDG, g.ref), ""), dims, dtype, data)
     }.toSeq
@@ -117,10 +149,31 @@ object Hdf4 {
   def selectByName(bytes: Array[Byte], name: String): Option[Sds] =
     readSds(bytes).find(_.name.contains(name))
 
+  /** Inflate one zlib stream of known uncompressed size. */
+  private def inflate(src: Array[Byte], off: Int, len: Int,
+                      outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(src, off, len)
+    val out = new Array[Byte](outLen)
+    var done = 0
+    while (done < outLen && !inf.finished()) {
+      val k = inf.inflate(out, done, outLen - done)
+      if (k == 0 && inf.needsInput())
+        sys.error("truncated HDF4 compressed element")
+      done += k
+    }
+    inf.end()
+    require(done == outLen,
+      s"HDF4 compressed element inflated to $done bytes, expected $outLen")
+    out
+  }
+
   /** Write datasets as a minimal classic HDF4 file (one DD block,
-    * uncompressed big-endian data) — the fixture/export twin of
-    * [[readSds]]. */
-  def writeSds(datasets: Seq[Sds]): Array[Byte] = {
+    * big-endian data) — the fixture/export twin of [[readSds]].
+    * `deflateLevel` 0 writes plain DFTAG_SD elements; 1-9 writes each
+    * data element as a SPECIAL_COMP + DFTAG_COMPRESSED pair, the layout
+    * of real (GDAL-written) MODIS archives. */
+  def writeSds(datasets: Seq[Sds], deflateLevel: Int = 0): Array[Byte] = {
     // per dataset: NT, SDD, SD, NDG (+ DIL if named); one DD block
     val entries = scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Byte])]()
     datasets.zipWithIndex.foreach { case (s, idx) =>
@@ -160,7 +213,27 @@ object Hdf4 {
           case "float64" => sd.putDouble(v)
         }
       }
-      entries += ((TagSD, ref, sd.array()))
+      if (deflateLevel == 0) entries += ((TagSD, ref, sd.array()))
+      else {
+        val defl = new java.util.zip.Deflater(deflateLevel)
+        defl.setInput(sd.array())
+        defl.finish()
+        val buf = new Array[Byte](sd.array().length + 64)
+        val outBuf = scala.collection.mutable.ArrayBuffer[Byte]()
+        while (!defl.finished())
+          outBuf ++= buf.take(defl.deflate(buf))
+        defl.end()
+        entries += ((TagCompressed, ref, outBuf.toArray))
+        val hdr = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+        hdr.putShort(SpecialComp.toShort)
+          .putShort(CompHeaderVersion.toShort)
+          .putInt(sd.array().length)
+          .putShort(ref.toShort) // compressed-data ref (shared numbering)
+          .putShort(0.toShort) // COMP_MODEL_STDIO
+          .putShort(CompCodeDeflate.toShort)
+          .putShort(deflateLevel.toShort)
+        entries += ((TagSD | SpecialBit, ref, hdr.array()))
+      }
       // NDG group: members (SDD, SD)
       val ndg = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
       ndg.putShort(TagSDD.toShort).putShort(ref.toShort)

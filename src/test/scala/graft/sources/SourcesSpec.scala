@@ -142,7 +142,10 @@ class Hdf4Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("HDF4 SDS round-trips every dtype with names intact (SRC4)") {
-    for (dtype <- Seq("uint8", "int16", "uint16", "int32", "float32", "float64")) {
+    // level 0 = plain DFTAG_SD; level 6 = SPECIAL_COMP + DFTAG_COMPRESSED,
+    // the layout of real (GDAL-written) MODIS archives
+    for (dtype <- Seq("uint8", "int16", "uint16", "int32", "float32", "float64");
+         level <- Seq(0, 6)) {
       val data = Array.tabulate(6 * 4) { i =>
         dtype match {
           case "uint8"  => (i * 11 % 256).toDouble
@@ -153,13 +156,31 @@ class Hdf4Spec extends AnyFunSuite {
         }
       }
       val bytes = Hdf4.writeSds(Seq(
-        Hdf4.Sds("250m 16 days NDVI", Seq(4, 6), dtype, data)))
+        Hdf4.Sds("250m 16 days NDVI", Seq(4, 6), dtype, data)), level)
       val back = Hdf4.readSds(bytes)
       assert(back.length == 1)
       assert(back.head.name == "250m 16 days NDVI")
       assert(back.head.dims == Seq(4, 6) && back.head.dtype == dtype)
-      assert(back.head.data.toSeq == data.toSeq, dtype)
+      assert(back.head.data.toSeq == data.toSeq, s"$dtype level $level")
     }
+  }
+
+  test("compressed SDS really compresses and selects by name") {
+    // compressible payload: long runs
+    val data = Array.tabulate(64 * 64)(i => (i / 512).toDouble)
+    val qa = Array.tabulate(64 * 64)(i => (i % 7).toDouble)
+    val plain = Hdf4.writeSds(Seq(
+      Hdf4.Sds("250m 16 days NDVI", Seq(64, 64), "int16", data),
+      Hdf4.Sds("250m 16 days VI Quality", Seq(64, 64), "uint16", qa)))
+    val packed = Hdf4.writeSds(Seq(
+      Hdf4.Sds("250m 16 days NDVI", Seq(64, 64), "int16", data),
+      Hdf4.Sds("250m 16 days VI Quality", Seq(64, 64), "uint16", qa)), 6)
+    assert(packed.length < plain.length / 4,
+      s"deflate must bite: ${packed.length} vs ${plain.length}")
+    val n = Hdf4.selectByName(packed, "NDVI").get
+    val q = Hdf4.selectByName(packed, "VI Quality").get
+    assert(n.data.toSeq == data.toSeq && n.dtype == "int16")
+    assert(q.data.toSeq == qa.toSeq && q.dtype == "uint16")
   }
 
   test("multi-dataset archive selects by name like the reference") {
@@ -176,32 +197,35 @@ class Hdf4Spec extends AnyFunSuite {
   }
 
   test("HDF4 blob directory ingests identically to its NPY twin") {
-    val h = GridHeader(
-      name = "hdf_ingested", width = 20, height = 20,
-      fracWidth = 10, fracHeight = 10, fracNDates = 2,
-      dtype = "int16", srs = "wgs84",
-      geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
-      timestampsMs = Seq(10L, 20L), nodata = -3000.0)
-    val hdfDir = TestSpark.tmpDir("hdf_blobs")
-    for (x0 <- Seq(0, 10)) {
-      val data = for {
-        ly <- 0 until 20; lx <- 0 until 10; t <- 0 until 2
-      } yield ((x0 + lx) * 1000 + ly * 10 + t).toDouble
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$hdfDir/${x0}_0_0.hdf"),
-        Hdf4.writeSds(Seq(Hdf4.Sds("250m 16 days NDVI",
-          Seq(20, 10, 2), "int16", data.toArray))))
+    // plain and DEFLATE-compressed archives must land the SAME store
+    for ((level, suffix) <- Seq((0, "plain"), (6, "deflate"))) {
+      val h = GridHeader(
+        name = s"hdf_ingested_$suffix", width = 20, height = 20,
+        fracWidth = 10, fracHeight = 10, fracNDates = 2,
+        dtype = "int16", srs = "wgs84",
+        geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+        timestampsMs = Seq(10L, 20L), nodata = -3000.0)
+      val hdfDir = TestSpark.tmpDir(s"hdf_blobs_$suffix")
+      for (x0 <- Seq(0, 10)) {
+        val data = for {
+          ly <- 0 until 20; lx <- 0 until 10; t <- 0 until 2
+        } yield ((x0 + lx) * 1000 + ly * 10 + t).toDouble
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$hdfDir/${x0}_0_0.hdf"),
+          Hdf4.writeSds(Seq(Hdf4.Sds("250m 16 days NDVI",
+            Seq(20, 10, 2), "int16", data.toArray)), level))
+      }
+      val outRoot = TestSpark.tmpDir(s"hdf_store_$suffix")
+      val nFracs = Ingest.ingestHdf4DirAligned(spark, h, hdfDir, outRoot,
+        Some("NDVI"))
+      assert(nFracs == 4)
+      val px = FractionStore.loadSliceXY(spark, h, outRoot, 0, 20, 0, 20, 0, 2,
+        maskNodata = false)
+      assert(px.count() == 800)
+      val bad = px.filter(col("value") =!=
+        (col("x") * 1000 + col("y") * 10 + col("t"))).count()
+      assert(bad == 0, suffix)
     }
-    val outRoot = TestSpark.tmpDir("hdf_store")
-    val nFracs = Ingest.ingestHdf4DirAligned(spark, h, hdfDir, outRoot,
-      Some("NDVI"))
-    assert(nFracs == 4)
-    val px = FractionStore.loadSliceXY(spark, h, outRoot, 0, 20, 0, 20, 0, 2,
-      maskNodata = false)
-    assert(px.count() == 800)
-    val bad = px.filter(col("value") =!=
-      (col("x") * 1000 + col("y") * 10 + col("t"))).count()
-    assert(bad == 0)
   }
 }
 
