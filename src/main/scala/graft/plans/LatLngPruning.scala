@@ -121,6 +121,33 @@ object LatLngPruning {
   private def xForLng(g: Geo, lng: Double): Double =
     (lng - g.geot(0)) / g.geot(1) - 0.5 // wgs84 only (separable)
 
+  /** Candidate pixel-x extremes for a (lng, lat) box. wgs84 is
+    * separable: x depends on lng alone. Sinusoidal x = R·rad(lng)·cos φ
+    * couples the axes, but over a lat interval cos φ ranges inside
+    * [cMin, cMax] (endpoint cosines, plus 1 when the interval crosses
+    * the equator), so the product's extremes sit at the corner
+    * combinations — the closed-form conservative hull of the
+    * reference's `fracs_for_rect_xy` x-pruning (jgrid3.py:470-489).
+    * None when the box under-constrains x (sinusoidal without lat
+    * bounds). */
+  private def xCandidates(g: Geo, lngLo: Double, lngHi: Double,
+                          latB: (Option[Double], Option[Double]))
+      : Option[Seq[Double]] = g.srs match {
+    case "wgs84" => Some(Seq(xForLng(g, lngLo), xForLng(g, lngHi)))
+    case "sinusoidal" => latB match {
+      case (Some(la0), Some(la1)) =>
+        val cosines = Seq(la0, la1).map(l => math.cos(math.toRadians(l))) ++
+          (if (la0 <= 0 && la1 >= 0) Seq(1.0) else Nil)
+        // clamp at 0: poleward-of-90° assertions aren't physical, and a
+        // zero cosine only widens the hull toward gx = 0 (conservative)
+        val cs = Seq(cosines.min.max(0.0), cosines.max)
+        val gxs = for (lng <- Seq(lngLo, lngHi); c <- cs)
+          yield GeoTransform.SinusoidalRadius * math.toRadians(lng) * c
+        Some(gxs.map(gx => (gx - g.geot(0)) / g.geot(1) - 0.5))
+      case _ => None
+    }
+  }
+
   object Rule extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case f @ Filter(cond, child) =>
@@ -144,15 +171,18 @@ object LatLngPruning {
                   LessThanOrEqual(fy, Literal((y1 / g.fracHeight).toInt)))
               case _ =>
             }
-            // lng bounds -> frac_x range (wgs84 only: x independent of y)
-            if (g.srs == "wgs84") (lngLo, lngHi, attrNamed("frac_x")) match {
+            // lng bounds -> frac_x range (wgs84: separable; sinusoidal:
+            // lng+lat box -> conservative corner hull, see xCandidates)
+            (lngLo, lngHi, attrNamed("frac_x")) match {
               case (Some(lo), Some(hi), Some(fx)) =>
-                val x0 = math.floor(math.min(xForLng(g, lo), xForLng(g, hi))) - 1
-                val x1 = math.ceil(math.max(xForLng(g, lo), xForLng(g, hi))) + 1
-                extra ++= Seq(
-                  GreaterThanOrEqual(fx, Literal(math.max(0,
-                    (x0 / g.fracWidth).toInt))),
-                  LessThanOrEqual(fx, Literal((x1 / g.fracWidth).toInt)))
+                xCandidates(g, lo, hi, (latLo, latHi)).foreach { cand =>
+                  val x0 = math.floor(cand.min) - 1
+                  val x1 = math.ceil(cand.max) + 1
+                  extra ++= Seq(
+                    GreaterThanOrEqual(fx, Literal(math.max(0,
+                      (x0 / g.fracWidth).toInt))),
+                    LessThanOrEqual(fx, Literal((x1 / g.fracWidth).toInt)))
+                }
               case _ =>
             }
             val fresh = extra.filterNot(p => cond.exists(_.semanticEquals(p)))

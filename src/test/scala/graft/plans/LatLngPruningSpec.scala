@@ -64,6 +64,37 @@ class LatLngPruningSpec extends AnyFunSuite {
     assert(fx.exists(v => v >= 2 && v <= 3), s"frac_x upper: $fx in $s")
   }
 
+  test("sinusoidal grid: a lat+lng box prunes BOTH frac_x and frac_y") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // minimodis: sinusoidal 200x200, 4x4 fractions of 50 px, lat in
+    // ~[0, 10], lng in ~[10, 20.3] (h19v08-style geot scaled down)
+    val ndviRoot = TestSpark.tmpDir("prune_sinu_ndvi")
+    val qaRoot = TestSpark.tmpDir("prune_sinu_qa")
+    val (nh, _) = SyntheticGrid.writeMiniModis(spark, ndviRoot, qaRoot)
+    def q = LatLngPruning.withGeoColumns(nh,
+      FractionStore.fractions(spark, ndviRoot))
+      .filter(col("lat").between(2.0, 4.0) && col("lng").between(12.0, 14.0))
+      .filter(col("t") === 0)
+    val pruned = GraftColumnBridge.ofRows(spark,
+      LatLngPruning.Rule(q.queryExecution.analyzed))
+    // (a) results never change
+    val without = q.select("x", "y", "t", "value").collect().toSet
+    val got = pruned.select("x", "y", "t", "value").collect().toSet
+    assert(got == without && without.nonEmpty)
+    // (b) both axes land bounded ranges on the scan:
+    // lat [2,4] -> y ~[119.5, 159.5] -> frac_y [2,3]±margin
+    // lng [12,14] x cos(lat) -> x ~[38.9, 79.3] -> frac_x [0,1]±margin
+    val s = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case sc: FileSourceScanExec => sc.dataFilters.mkString(";")
+    }.mkString(";")
+    val fxHi = "frac_x#\\d+ <= (\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    val fyLo = "frac_y#\\d+ >= (\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    val fyHi = "frac_y#\\d+ <= (\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    assert(fxHi.exists(v => v >= 1 && v <= 2), s"frac_x upper: $fxHi in $s")
+    assert(fyLo.exists(v => v >= 1 && v <= 2), s"frac_y lower: $fyLo in $s")
+    assert(fyHi.exists(v => v == 3), s"frac_y upper: $fyHi in $s")
+  }
+
   test("without geo metadata the rule is a no-op") {
     import spark.implicits._
     val plain = Seq((1.0, 2.0)).toDF("lat", "lng")
