@@ -107,16 +107,30 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = fitQuantizer(corpus, nCentroids, idCol, vecCol)
+    val assigned = model.transform(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+        .withColumn("features",
+          org.apache.spark.ml.functions.array_to_vector(col("cvec"))))
+      .select(col("corpus_id"), col("cvec"), col("prediction").as("cell"))
+    val probed = probeCells(queries, model.clusterCenters.map(_.toArray),
+      nProbe, idCol, vecCol)
+    rankCandidates(assigned.join(probed, Seq("cell")), k)
+  }
+
+  private def fitQuantizer(corpus: DataFrame, nCentroids: Int,
+                           idCol: String, vecCol: String) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-      .withColumn("features", array_to_vector(col("cvec")))
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
-      .fit(c.select("features"))
-    val assigned = model.transform(c)
-      .select(col("corpus_id"), col("cvec"), col("prediction").as("cell"))
-    // per-query nProbe nearest centroids (centers are driver-side literals)
-    val centers = model.clusterCenters.map(_.toArray)
+    new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .fit(corpus.select(array_to_vector(col(vecCol)).as("features")))
+  }
+
+  /** (query_id, qvec, cell) — each query exploded to its nProbe nearest
+    * centroids; centers are driver-side literals (the coarse quantizer
+    * is nCentroids rows — FAISS keeps it in RAM the same way). */
+  private def probeCells(queries: DataFrame, centers: Array[Array[Double]],
+                         nProbe: Int, idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val cellDists = array(centers.zipWithIndex.toIndexedSeq.map {
       case (ctr, i) =>
@@ -126,18 +140,71 @@ object Similarity {
             lit(0.0), (a, v) => a + v).as("dist"),
           lit(i).as("cell"))
     }: _*)
-    val probed = q.withColumn("probe",
+    q.withColumn("probe",
       explode(slice(array_sort(cellDists), 1, nProbe)))
       .select(col("query_id"), col("qvec"), col("probe.cell").as("cell"))
-    val cand = assigned.join(probed, Seq("cell"))
+  }
+
+  private def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("cvec"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("rank"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Build the IVF index ONCE and persist it as parquet tables — the
+    * FAISS build/query split ([[ivfTopK]] refits the quantizer on every
+    * call, which is fine as a one-shot query but wrong as a corpus
+    * index: at corpus scale you build once and probe many times).
+    * Layout under `dir`:
+    *   - `centroids`: (cell int, centroid array<double>), nCentroids rows;
+    *   - `assignments`: (corpus_id, cvec) PARTITIONED BY cell — a query
+    *     probing nProbe cells touches nProbe/nCentroids of the corpus
+    *     files, via static partition pruning when the probe list is a
+    *     literal filter and dynamic partition pruning when it arrives
+    *     through the broadcast join below.
+    */
+  def buildIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = fitQuantizer(corpus, nCentroids, idCol, vecCol)
+    model.clusterCenters.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1) // nCentroids rows: one tiny file
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    model.transform(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+        .withColumn("features", array_to_vector(col("cvec"))))
+      .select(col("corpus_id"), col("cvec"), col("prediction").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+  }
+
+  /** Probe a persisted IVF index built by [[buildIvfIndex]]: same
+    * output contract as [[ivfTopK]], but the quantizer fit is paid once
+    * at build time. The probe side is broadcast (queries are small next
+    * to a corpus), so the assignments scan prunes probed cells via
+    * dynamic partition pruning instead of shuffling the corpus.
+    */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, k: Int, nProbe: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    val probed = probeCells(queries, centers, nProbe, idCol, vecCol)
+    rankCandidates(assigned.join(broadcast(probed), Seq("cell")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH

@@ -81,6 +81,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.head._1 == 999L && got.head._2 > 0.9999)
   }
 
+  test("persisted IVF index: build, reload, query == per-call ivfTopK") {
+    val dir = TestSpark.tmpDir("ivf_index")
+    Similarity.buildIvfIndex(corpus, dir, nCentroids = 8)
+    // index really is on disk as parquet, assignments partitioned by cell
+    assert(new java.io.File(s"$dir/centroids").exists())
+    assert(new java.io.File(s"$dir/assignments").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+    val q = corpus.filter(col("vec_id") === 0)
+    val got = Similarity.queryIvfIndex(spark, dir, q, k = 5, nProbe = 3)
+      .orderBy("rank").select("corpus_id", "cos").as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.head._1 == 999L && got.head._2 > 0.9999)
+    // same quantizer seed + data -> identical output to the one-shot form
+    val oneShot = Similarity.ivfTopK(corpus, q, k = 5, nCentroids = 8,
+      nProbe = 3)
+      .orderBy("rank").select("corpus_id", "cos").as[(Long, Double)].collect()
+    assert(got.toSeq == oneShot.toSeq)
+  }
+
   test("cosine near-dup pairs = exactly the planted pair at cos>=0.999") {
     val pairs = Similarity.cosineNearDups(corpus, dim = 64, minCos = 0.999)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
