@@ -303,39 +303,62 @@ object FractionStore {
       .saveAsTable(table)
   }
 
-  /** Chunk-aligned join of two bucketed grid tables: both sides read
-    * pre-bucketed on (frac_num, time_chunk), so the plan contains no
-    * Exchange (verified by BucketedJoinSpec). Returns the pixel view
-    * (x, y, t, value_0, value_1) like [[loadAlignedSliceXY]].
-    */
+  /** Chunk-aligned join of two bucketed grid tables — the common case
+    * of [[bucketedAlignedJoinN]]. */
   def bucketedAlignedJoin(spark: SparkSession,
                           h0: GridHeader, table0: String,
                           h1: GridHeader, table1: String,
-                          masks: Seq[Boolean] = Seq(true, true)): DataFrame = {
-    require(h1.sameGeogrid(h0) && h1.fracNDates == h0.fracNDates)
-    val a = spark.table(table0).withColumnRenamed("data", "data_0")
-    val b = spark.table(table1)
-      .select(col("frac_num"), col("time_chunk"), col("data").as("data_1"))
-    val joined = a.join(b, Seq("frac_num", "time_chunk"))
+                          masks: Seq[Boolean] = Seq(true, true)): DataFrame =
+    bucketedAlignedJoinN(spark, Seq((h0, table0), (h1, table1)), masks)
+
+  /** Chunk-aligned join of N bucketed grid tables: every side reads
+    * pre-bucketed on (frac_num, time_chunk), so the whole N-way join
+    * plans with NO Exchange (verified by BucketedJoinSpec for 2 and 3
+    * grids). Returns the pixel view (x, y, t, value_0..value_{n-1})
+    * like [[loadAlignedSliceXY]] — the zero-shuffle input path for
+    * multi-band pipelines over a shared worldgrid (reference J2).
+    */
+  def bucketedAlignedJoinN(spark: SparkSession,
+                           stores: Seq[(GridHeader, String)],
+                           masks: Seq[Boolean]): DataFrame = {
+    require(stores.length >= 2 && masks.length == stores.length)
+    val (h0, _) = stores.head
+    require(stores.forall(_._1.sameGeogrid(h0)) &&
+      stores.forall(_._1.fracNDates == h0.fracNDates),
+      "bucketed aligned join needs one shared geogrid + time chunking")
+    val base = spark.table(stores.head._2).withColumnRenamed("data", "data_0")
+    val joined = stores.zipWithIndex.drop(1).foldLeft(base) {
+      case (acc, ((_, table), i)) =>
+        acc.join(spark.table(table)
+          .select(col("frac_num"), col("time_chunk"),
+            col("data").as(s"data_$i")),
+          Seq("frac_num", "time_chunk"))
+    }
+    // one projection materializes every unpacked array below the
+    // generator (same no-CSE-into-generators rule as loadAlignedSliceXY)
     val unpacked = joined.select(
-      col("x0"), col("y0"), col("t0"), col("w"), col("nd"),
-      unpack(h0, col("data_0")).as("arr_0"),
-      unpack(h1, col("data_1")).as("arr_1"))
-    val exploded = unpacked.select(col("x0"), col("y0"), col("t0"),
-      col("w"), col("nd"), col("arr_1"),
-      posexplode(col("arr_0")).as(Seq("pos", "value_0")))
+      Seq(col("x0"), col("y0"), col("t0"), col("w"), col("nd")) ++
+        stores.indices.map(i =>
+          unpack(stores(i)._1, col(s"data_$i")).as(s"arr_$i")): _*)
+    val exploded = unpacked.select(
+      Seq(col("x0"), col("y0"), col("t0"), col("w"), col("nd")) ++
+        stores.indices.drop(1).map(i => col(s"arr_$i")) :+
+        posexplode(col("arr_0")).as(Seq("pos", "value_0")): _*)
     val withCoords = exploded
       .withColumn("pix", expr("pos div nd").cast("int"))
       .withColumn("x", col("x0") + col("pix") % col("w"))
       .withColumn("y", col("y0") + expr("pix div w").cast("int"))
       .withColumn("t", col("t0") + col("pos") % col("nd"))
-      .withColumn("value_1", element_at(col("arr_1"), col("pos") + 1))
-    def masked(i: Int, h: GridHeader, c: Column): Column =
-      if (masks(i) && !h.nodata.isNaN)
-        nullif(c, lit(h.nodata).cast(elementType(h.dtype))).as(s"value_$i")
-      else c.as(s"value_$i")
-    withCoords.select(col("x"), col("y"), col("t"),
-      masked(0, h0, col("value_0")), masked(1, h1, col("value_1")))
+    val values = stores.indices.map { i =>
+      val raw = if (i == 0) col("value_0")
+                else element_at(col(s"arr_$i"), col("pos") + 1)
+      val h = stores(i)._1
+      val v = if (masks(i) && !h.nodata.isNaN)
+        nullif(raw, lit(h.nodata).cast(elementType(h.dtype)))
+      else raw
+      v.as(s"value_$i")
+    }
+    withCoords.select(Seq(col("x"), col("y"), col("t")) ++ values: _*)
   }
 
   /** Lat/lng window load (P4, jgrid3.py:588-605): WGS84 rect -> grid xy

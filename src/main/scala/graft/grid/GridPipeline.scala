@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
   * (frac_num, time_chunk) co-locates input chunks, `mapGroups` applies
   * the kernel, and a partitioned parquet append writes results from the
   * executors.
+  *
+  * An input root of the form `table:<name>` reads a bucketed chunk
+  * table ([[FractionStore.writeBucketed]]) instead of a store path;
+  * with all inputs bucketed on the chunk key the aligned join runs
+  * shuffle-free (J2).
   */
 final class GridPipeline(
     val inputs: Seq[(GridHeader, String)],
@@ -96,6 +101,16 @@ final class GridPipeline(
 object GridPipeline {
   private val key = Seq("frac_num", "time_chunk")
 
+  /** Chunk rows for a pipeline input. A root of the form
+    * `table:<name>` names a BUCKETED chunk table
+    * ([[FractionStore.writeBucketed]]) instead of a store path: inputs
+    * bucketed on (frac_num, time_chunk) with one bucket count make the
+    * pipeline's N-way aligned join plan with no Exchange on any input
+    * (J2 — the reference's co-located-fractions layout). */
+  private[grid] def chunkRows(spark: SparkSession, root: String): DataFrame =
+    if (root.startsWith("table:")) spark.table(root.stripPrefix("table:"))
+    else FractionStore.fractions(spark, root)
+
   private[grid] def doneKeysFor(spark: SparkSession, root: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(FractionStore.dataPath(root))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,7 +126,7 @@ object GridPipeline {
   private[grid] def availableKeys(spark: SparkSession,
                                   inputs: Seq[(GridHeader, String)]): DataFrame =
     inputs.map { case (_, root) =>
-      FractionStore.fractions(spark, root).select(key.map(col): _*).distinct()
+      chunkRows(spark, root).select(key.map(col): _*).distinct()
     }.reduce((a, b) => a.join(b, key, "left_semi"))
 
   /** Align input chunks on the chunk key and pad to the fixed
@@ -123,7 +138,7 @@ object GridPipeline {
                                   inputs: Seq[(GridHeader, String)],
                                   todo: DataFrame): DataFrame = {
     val aligned = inputs.zipWithIndex.map { case ((_, root), i) =>
-      FractionStore.fractions(spark, root)
+      chunkRows(spark, root)
         .join(todo, key, "left_semi")
         .select(col("frac_num"), col("time_chunk"), col("frac_x"), col("frac_y"),
           col("x0"), col("y0"), col("t0"), col("w"), col("h"), col("nd"),
