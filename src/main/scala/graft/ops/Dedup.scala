@@ -28,6 +28,34 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** The call every real corpus pipeline makes: the input ROWS with
+    * exact duplicates dropped — one surviving row (the smallest id) per
+    * distinct (optionally normalized) content. [[exact]] reports groups;
+    * this returns rows. The keeper-id set re-attaches as a left-semi
+    * join on the id column, so payload columns never ride a shuffle —
+    * at corpus scale the semi-join side is one id per distinct document.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String,
+                          normalize: Boolean = false): DataFrame =
+    df.join(exact(df, idCol, textCol, normalize)
+      .select(col("keeper_id").as(idCol)), Seq(idCol), "left_semi")
+
+  /** Near-duplicate twin: given the PAIR output of any near-dup
+    * detector ([[minhashNearDups]], [[simhashNearDups]],
+    * [[ngramJaccardPairs]], embedding cosine), keep one row per
+    * duplicate cluster (the minimum id) plus every unpaired row.
+    * Clusters come from [[clusterDuplicates]]; the losers — each
+    * cluster's non-minimum members — anti-join against the corpus by
+    * id, so payloads never shuffle and the anti side is |duplicates|,
+    * not |corpus|. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = clusterDuplicates(pairs, idA, idB)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- MinHash + LSH ------------------------------------------------
 
   /** k minhash values from a PRE-MATERIALIZED shingle-hash array column

@@ -118,4 +118,23 @@ class WorkflowSpec extends AnyFunSuite {
     assert(all(backRoot).except(all(derivedRoot)).isEmpty &&
       all(derivedRoot).except(all(backRoot)).isEmpty)
   }
+
+  test("corpus journey: near-dup pairs -> drop wrappers keep one per cluster") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    def mk(i: Int): String =
+      (0 until 40).map(j => s"w${(i * 97 + j * 13) % 1000}x$j").mkString(" ")
+    val docs = ((0 until 12).map(i => (i.toLong, mk(i))) ++ Seq(
+      (100L, mk(0)), // exact copy of 0
+      (101L, "zzz " + mk(1).split(" ").drop(1).mkString(" ")) // near dup of 1
+    )).toDF("doc_id", "text")
+    // the two calls a real corpus pipeline makes before training
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(
+      Dedup.dropExactDuplicates(docs, "doc_id", "text"), "doc_id", pairs)
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      (0L until 12L).toSet)
+    graft.ops.CacheRegistry.releaseAll()
+  }
 }

@@ -29,6 +29,26 @@ class DedupSpec extends AnyFunSuite {
     assert(dupe.length == 1 && dupe.head.getLong(1) == 0L)
   }
 
+  test("dropExactDuplicates returns the surviving rows") {
+    val kept = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 21)
+    assert(kept.contains(0L) && !kept.contains(100L),
+      "the exact dupe must drop, its min-id keeper must survive")
+    assert(kept.contains(101L), "near dupes are NOT exact dupes")
+  }
+
+  test("dropNearDuplicates keeps one row per cluster plus unpaired rows") {
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      k = 32, bands = 8, shingleSize = 3, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // planted pairs (0,100) and (1,101) each lose their non-min member
+    assert(kept == (0L until 20L).toSet,
+      s"expected the 20 base docs to survive, got $kept")
+  }
+
   test("tracked caches are fully released after the terminal action") {
     CacheRegistry.releaseAll(blocking = true)
     val before = spark.sparkContext.getPersistentRDDs.size
