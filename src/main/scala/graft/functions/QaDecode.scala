@@ -99,10 +99,36 @@ object GlcfClasses {
     16 -> "Barren or sparsely vegetated", 254 -> "Unclassified",
     255 -> "Fill value")
 
-  private val nameMapCol: Column =
-    map(names.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+  /** Class id → display RGB (reference CMAP, glcf.py:31-51). 254 and 255
+    * share the magenta "not a class" color, as in the reference. */
+  val colors: Map[Int, (Int, Int, Int)] = Map(
+    0 -> (31, 120, 180), 1 -> (51, 160, 44), 2 -> (51, 121, 44),
+    3 -> (178, 223, 138), 4 -> (178, 188, 138), 5 -> (90, 160, 44),
+    6 -> (119, 160, 44), 7 -> (104, 160, 44), 8 -> (205, 191, 111),
+    9 -> (202, 160, 44), 10 -> (51, 219, 44), 11 -> (166, 206, 227),
+    12 -> (255, 127, 0), 13 -> (106, 106, 106), 14 -> (255, 77, 0),
+    15 -> (36, 243, 253), 16 -> (220, 240, 0), 254 -> (255, 0, 255),
+    255 -> (255, 0, 255))
+
+  private def literalMap[V](m: Map[Int, V]): Column =
+    map(m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  private val nameMapCol: Column = literalMap(names)
+  private val rMapCol: Column = literalMap(colors.map { case (k, v) => k -> v._1 })
+  private val gMapCol: Column = literalMap(colors.map { case (k, v) => k -> v._2 })
+  private val bMapCol: Column = literalMap(colors.map { case (k, v) => k -> v._3 })
 
   def className(classId: Column): Column =
     element_at(nameMapCol, classId.cast("int"))
+
+  def classR(classId: Column): Column = element_at(rMapCol, classId.cast("int"))
+  def classG(classId: Column): Column = element_at(gMapCol, classId.cast("int"))
+  def classB(classId: Column): Column = element_at(bMapCol, classId.cast("int"))
+
+  /** Packed 0xRRGGBB int — the vectorized recolor (glcf_to_rgb,
+    * glcf.py:54-58) as one codegen'd literal-map lookup per pixel;
+    * unknown ids → NULL, like the name lookup. */
+  def classRgb(classId: Column): Column =
+    (classR(classId) * lit(65536) + classG(classId) * lit(256) +
+      classB(classId)).cast("int")
 }

@@ -78,6 +78,20 @@ object GridQueries {
         .withColumn("cls_name", GlcfClasses.className(col("cls")))
     },
 
+    // F7 — GLCF class → RGB recolor (reference CMAP, glcf.py:31-58).
+    // cls covers all 19 palette entries incl. 254/255 sentinels.
+    "f7_class_rgb" -> { (s, d) =>
+      val m = (col("p_partkey") % 19).cast("int")
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        when(m === 17, 254).when(m === 18, 255).otherwise(m)
+          .cast("int").as("cls"))
+        .withColumn("r", GlcfClasses.classR(col("cls")))
+        .withColumn("g", GlcfClasses.classG(col("cls")))
+        .withColumn("b", GlcfClasses.classB(col("cls")))
+        .withColumn("rgb", GlcfClasses.classRgb(col("cls")))
+    },
+
     // ---- grid-native (rows-only): deterministic synthetic fixtures ----
 
     // P1-P3/P6/P7 — windowed slice through the fraction store.
@@ -380,7 +394,22 @@ object GridQueries {
         |    WHEN 14 THEN 'Cropland/Natural vegetation mosaic'
         |    WHEN 15 THEN 'Snow and ice'
         |    WHEN 16 THEN 'Barren or sparsely vegetated' END AS cls_name
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+
+    "f7_class_rgb" ->
+      """SELECT t.p_partkey, t.cls, c.r, c.g, c.b,
+        |  CAST(c.r * 65536 + c.g * 256 + c.b AS INT) AS rgb
+        |FROM (SELECT p_partkey,
+        |    CAST(CASE WHEN p_partkey % 19 = 17 THEN 254
+        |              WHEN p_partkey % 19 = 18 THEN 255
+        |              ELSE p_partkey % 19 END AS INT) AS cls
+        |  FROM part) t
+        |JOIN (VALUES (0,31,120,180),(1,51,160,44),(2,51,121,44),
+        |  (3,178,223,138),(4,178,188,138),(5,90,160,44),(6,119,160,44),
+        |  (7,104,160,44),(8,205,191,111),(9,202,160,44),(10,51,219,44),
+        |  (11,166,206,227),(12,255,127,0),(13,106,106,106),(14,255,77,0),
+        |  (15,36,243,253),(16,220,240,0),(254,255,0,255),(255,255,0,255))
+        |  AS c(cls, r, g, b) ON t.cls = c.cls""".stripMargin
   ) ++ gridStoreOracles
 
   // ---- grid-store oracles --------------------------------------------

@@ -141,6 +141,11 @@ object TextQueries {
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // the keep-rows API: corpus rows with exact duplicates dropped
+    "dedup_drop_exact" -> { (s, d) =>
+      Dedup.dropExactDuplicates(Tables.documents(s, d), "doc_id", "text")
+    },
+
     // The LSH candidate generation is xxhash64-based (no DuckDB twin),
     // but the emitted pairs are verified with EXACT shingle Jaccard, and
     // on the fixture corpus LSH recall at j >= 0.5 is total (k=32,
@@ -207,6 +212,17 @@ object TextQueries {
       val vecs = Tables.embeddings(s, d)
       Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
         nCentroids = 16, nProbe = 4)
+    },
+
+    // the FAISS-style build/query split: index persisted as parquet
+    // (centroids + cell-partitioned assignments), then probed
+    "ann_ivf_index_topk" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      Similarity.buildIvfIndex(vecs, dir, nCentroids = 16)
+      Similarity.queryIvfIndex(s, dir, vecs.filter(col("vec_id") < 8),
+        k = 5, nProbe = 4)
     },
 
     // ---- multimodal plumbing (stub codecs; see ops/Multimodal) ----
@@ -319,6 +335,11 @@ object TextQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_drop_exact" ->
+      """SELECT d.* FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents
+        |      GROUP BY md5(text)) k USING (doc_id)""".stripMargin,
 
     // the byte-identical regex chain (RE2-compatible patterns; 'g' flag
     // — DuckDB replaces only the first match without it)
