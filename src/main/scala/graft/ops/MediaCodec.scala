@@ -19,7 +19,7 @@ import javax.sound.sampled.AudioSystem
 object MediaCodec {
 
   /** Magic-byte format sniff: "png" | "jpeg" | "bmp" | "gif" | "wav" |
-    * "unknown". Cheap (no decode) and safe on arbitrary bytes. */
+    * "avi" | "unknown". Cheap (no decode) and safe on arbitrary bytes. */
   def sniff(bytes: Array[Byte]): String = {
     def b(i: Int) = bytes(i) & 0xff
     if (bytes.length < 12) "unknown"
@@ -29,6 +29,8 @@ object MediaCodec {
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "avi"
     else "unknown"
   }
 
@@ -109,6 +111,80 @@ object MediaCodec {
     } catch { case _: Exception => None }
   }
 
+  // ---- MJPEG-in-AVI (public RIFF/AVI layout, hand-parsed like the
+  // repo's HDF4/TIFF/NPY/shapefile codecs) ----------------------------
+
+  /** Video-frame chunks of an MJPEG AVI: walk the RIFF chunk tree to
+    * the 'movi' LIST and collect '..dc'/'..db' stream chunks (each one
+    * JPEG image in MJPEG files). 'rec ' sub-LISTs are recursed into.
+    * None if the blob is not a parseable AVI. */
+  def decodeAviFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (sniff(bytes) != "avi") return None
+    try {
+      def u32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      def fourcc(o: Int): String = new String(bytes, o, 4, "ASCII")
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      // walk chunks in [from, to); inMovi: collect frame chunks
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = fourcc(off)
+          val size = u32(off + 4)
+          if (id == "LIST" && size >= 4) {
+            val listType = fourcc(off + 8)
+            walk(off + 12, off + 8 + size,
+              inMovi || listType == "movi" || listType == "rec ")
+          } else if (inMovi && id.length == 4 &&
+            (id.endsWith("dc") || id.endsWith("db")) && size > 0) {
+            frames += java.util.Arrays.copyOfRange(bytes, off + 8,
+              off + 8 + size)
+          }
+          off += 8 + size + (size & 1) // chunks pad to even
+        }
+      }
+      walk(12, math.min(bytes.length, 8 + u32(4)), inMovi = false)
+      if (frames.isEmpty) None else Some(frames.toSeq)
+    } catch { case _: Exception => None }
+  }
+
+  /** Write an MJPEG AVI from JPEG frame blobs — the fixture/export twin
+    * of [[decodeAviFrames]]: RIFF('AVI ' LIST('hdrl' avih LIST('strl'
+    * strh strf)) LIST('movi' '00dc'...)). Minimal but spec-shaped (56-
+    * byte avih/strh, 40-byte BITMAPINFOHEADER with 'MJPG'). */
+  def writeMjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+                    fps: Int = 10): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("ASCII") ++ body)
+    val avih = le32(1000000 / math.max(1, fps)) ++ le32(0) ++ le32(0) ++
+      le32(0x10) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("ASCII") ++ "MJPG".getBytes("ASCII") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      Array.fill(8)(0.toByte)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++
+      "MJPG".getBytes("ASCII") ++ le32(width * height * 3) ++
+      Array.fill(16)(0.toByte)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+    out.write("RIFF".getBytes("ASCII"))
+    out.write(le32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
   /** Decode any media blob into (width, height, features), falling back
     * to the byte-histogram stub (and the caller's metadata dims) when
     * the format is unrecognized or corrupt. For WAV, width carries the
@@ -124,6 +200,10 @@ object MediaCodec {
             (rate, math.min(n, Int.MaxValue.toLong).toInt, feats)
           case None => (metaW, metaH, Multimodal.decodeStub(bytes))
         }
+      case "avi" =>
+        // video features = first frame's image features (keyframe proxy)
+        decodeAviFrames(bytes).flatMap(fs => decodeImage(fs.head))
+          .getOrElse((metaW, metaH, Multimodal.decodeStub(bytes)))
       case _ => (metaW, metaH, Multimodal.decodeStub(bytes))
     }
 }

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * processing (`mapPartitions` on a typed Dataset, the Scala analog of
   * `mapInPandas` batches), frame-sample explode — pairs with REAL
   * decode kernels from the JDK ([[MediaCodec]]: `javax.imageio`
-  * PNG/JPEG/BMP/GIF, `javax.sound.sampled` WAV PCM). Blobs whose format
-  * is unrecognized or corrupt fall back to [[decodeStub]]'s
+  * PNG/JPEG/BMP/GIF, `javax.sound.sampled` WAV PCM, and a hand-parsed
+  * MJPEG-in-AVI reader for video frames — the JDK ships no video codec,
+  * so AVI container walking is implemented from the public RIFF spec
+  * and each MJPEG frame decodes through the ImageIO JPEG path). Blobs
+  * whose format is unrecognized or corrupt fall back to [[decodeStub]]'s
   * deterministic byte-histogram pseudo-features, so the pipeline never
-  * fails on a bad row (video stays stub-decoded: the JDK ships no video
-  * codec).
+  * fails on a bad row.
   */
 object Multimodal {
 
@@ -81,16 +83,24 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: explode one row per sampled frame
-    * (every `stride` bytes window stands in for a decoded frame). */
+  /** Frame sampling for video rows: explode one row per sampled frame.
+    * MJPEG-in-AVI blobs decode REAL frames ([[MediaCodec.decodeAviFrames]]
+    * — each emitted frame is one JPEG image); other payloads fall back
+    * to the deterministic stride-window stub so the pipeline never
+    * fails on an undecodable blob. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    stride: Int = 64, maxFrames: Int = 8): Dataset[Frame] = {
     import spark.implicits._
     media.filter(col("kind") === "video").as[MediaRow].flatMap { r =>
-      val n = math.min(maxFrames, math.max(1, r.media.length / stride))
-      (0 until n).iterator.map { f =>
-        Frame(r.media_id, f,
-          r.media.slice(f * stride, math.min((f + 1) * stride, r.media.length)))
+      MediaCodec.decodeAviFrames(r.media) match {
+        case Some(frames) => frames.iterator.take(maxFrames).zipWithIndex
+          .map { case (b, f) => Frame(r.media_id, f, b) }
+        case None =>
+          val n = math.min(maxFrames, math.max(1, r.media.length / stride))
+          (0 until n).iterator.map { f =>
+            Frame(r.media_id, f, r.media.slice(f * stride,
+              math.min((f + 1) * stride, r.media.length)))
+          }
       }
     }
   }

@@ -122,6 +122,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).features.toSeq == Multimodal.decodeStub(junk).toSeq)
   }
 
+  /** 3-frame MJPEG AVI fixture: each frame a deterministic 16x12 JPEG
+    * (solid gray level 32 + 64f, so JPEG encodes it losslessly enough
+    * to sniff and decode). Returns (avi bytes, frame jpeg blobs). */
+  private def mjpegFixture(): (Array[Byte], Seq[Array[Byte]]) = {
+    val frames = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = 32 + 64 * f
+      for (y <- 0 until 12; x <- 0 until 16)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    (MediaCodec.writeMjpegAvi(frames, 16, 12), frames)
+  }
+
+  test("MJPEG AVI round-trips its 3 frames deterministically") {
+    val (avi, frames) = mjpegFixture()
+    assert(MediaCodec.sniff(avi) == "avi")
+    val got = MediaCodec.decodeAviFrames(avi).get
+    assert(got.length == 3)
+    // container walk is byte-exact: each chunk equals the source JPEG
+    got.zip(frames).foreach { case (g, f) => assert(g.sameElements(f)) }
+    // and every frame decodes as a real image through the ImageIO path
+    got.zipWithIndex.foreach { case (g, i) =>
+      assert(MediaCodec.sniff(g) == "jpeg")
+      val Some((w, h, feats)) = MediaCodec.decodeImage(g)
+      assert(w == 16 && h == 12, s"frame $i")
+      assert(math.abs(feats.sum - 1.0f) < 1e-4, s"frame $i")
+    }
+    // avi features = first-frame image features (keyframe proxy)
+    val (fw, fh, ffeats) = MediaCodec.decodeAny(avi, 1, 1)
+    assert(fw == 16 && fh == 12)
+    assert(ffeats.toSeq == MediaCodec.decodeImage(frames.head).get._3.toSeq)
+  }
+
+  test("sampleFrames decodes real frames from AVI video rows") {
+    val (avi, frames) = mjpegFixture()
+    val media = Seq((42L, "video", avi, 16, 12, 0))
+      .toDF("media_id", "kind", "media", "width", "height", "sample_rate")
+    val got = Multimodal.sampleFrames(spark, media)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 3)
+    got.zip(frames).foreach { case (g, f) =>
+      assert(g.media_id == 42L && g.frame_bytes.sameElements(f))
+    }
+  }
+
   test("frame sampling explodes video rows only") {
     val frames = Multimodal.sampleFrames(spark,
       Multimodal.syntheticMedia(docs)).collect()
