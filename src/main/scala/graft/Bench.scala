@@ -80,6 +80,41 @@ object Bench {
     }
   }
 
+  /** Interleaved A/B timing for the fused-vs-exploded pairs: alternate
+    * the two workloads each round so BOTH sides sample the same host-
+    * noise windows — with back-to-back timed2 blocks, a noise burst
+    * spanning one side's runs flips the recorded winner even under the
+    * min/retry rule (observed: the QA pair inverted between two
+    * otherwise-quiet full-bench runs). Per side: min wall and min cpu
+    * taken independently across rounds; keep alternating (up to 4
+    * rounds) while either side's two smallest cpu readings disagree
+    * more than 2x. */
+  private def timedAB[A](spark: SparkSession, nameA: String, nameB: String)(
+      fa: => A)(fb: => A): Seq[Timing] = {
+    val MaxRounds = 4
+    def unconfirmed(runs: Seq[(Double, Double)]): Boolean = {
+      val c = runs.map(_._2).sorted
+      c(1) > 2.0 * c(0) && c(1) - c(0) > 0.05
+    }
+    val as = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    val bs = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    try {
+      var round = 0
+      while (round < 2 || (round < MaxRounds &&
+          (unconfirmed(as.toSeq) || unconfirmed(bs.toSeq)))) {
+        as += timedOnce(spark)(fa)
+        bs += timedOnce(spark)(fb)
+        round += 1
+      }
+      Seq(Timing(nameA, as.map(_._1).min, as.map(_._2).min),
+        Timing(nameB, bs.map(_._1).min, bs.map(_._2).min))
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"bench pair $nameA/$nameB failed: $t")
+        Seq(Timing(nameA, -1.0, -1.0), Timing(nameB, -1.0, -1.0))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -190,23 +225,25 @@ object Bench {
     }
     // A/B №1 — window load (1600x1600x4 box, count+avg): exploded
     // posexplode pixel view vs fused BoxStatsExpr chunk fold.
-    val windowExploded = timed2(spark, "grid_window_load_exploded_1600x1600x4") {
+    // Interleaved (timedAB) so both sides see the same noise windows.
+    val Seq(windowExploded, windowFused) = timedAB(spark,
+      "grid_window_load_exploded_1600x1600x4",
+      "grid_window_load_fused_1600x1600x4") {
       FractionStore.loadSliceXY(spark, nh, ndviRoot, 1200, 2800, 900, 2500, 0, 4)
         .agg(count(col("value")), avg(col("value"))).collect()
-    }
-    val windowFused = timed2(spark, "grid_window_load_fused_1600x1600x4") {
+    } {
       GridKernels.boxAgg(spark, nh, ndviRoot, 1200, 2800, 900, 2500, 0, 4)
         .collect()
     }
     // A/B №2 — store-wide QA confidence stats (92 Mpx): exploded pixel
     // view + codegen'd conf column vs fused QaConfStatsExpr fold.
-    val qaExploded = timed2(spark, "grid_qa_decode_exploded_92Mpx") {
+    val Seq(qaExploded, qaFused) = timedAB(spark,
+      "grid_qa_decode_exploded_92Mpx", "grid_qa_decode_fused_92Mpx") {
       FractionStore.pixels(qh, FractionStore.fractions(spark, qaRoot),
         maskNodata = false)
         .select(QaDecode.modisQaConf(col("value")).as("conf"))
         .agg(sum(col("conf")), count(lit(1))).collect()
-    }
-    val qaFused = timed2(spark, "grid_qa_decode_fused_92Mpx") {
+    } {
       GridKernels.qaConfStats(spark, qaRoot).collect()
     }
     val multiJoin = timed2(spark, "grid_multigrid_masked_mean_1000x1000") {
