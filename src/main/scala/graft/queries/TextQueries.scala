@@ -191,6 +191,16 @@ object TextQueries {
       Dedup.clusterDuplicates(pairs.select(col("id_a"), col("id_b")))
     },
 
+    // the end-to-end near-dup drop: corpus rows surviving cluster dedup
+    "dedup_drop_near" -> { (s, d) =>
+      val corpus = corpusWithPlants(s, d)
+      val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        k = 32, bands = 8, shingleSize = 3, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+        .select(col("doc_id"))
+    },
+
     "dedup_embedding_cosine" -> { (s, d) =>
       Similarity.cosineNearDups(vectorsWithPlants(s, d), dim = 64,
         minCos = 0.999)
@@ -430,6 +440,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_drop_near" -> dedupDropNearOracle,
 
     // text_repetition: 1 - distinct/total word n-grams (n = 2, 3)
     "text_repetition" ->
@@ -629,4 +640,22 @@ object TextQueries {
        |  UNION
        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
        |SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** dedup_drop_near: the corpus rows that SURVIVE cluster dedup — every
+    * unpaired row plus each component's minimum id (clusters via the
+    * same recursive-CTE closure as dedup_clusters). */
+  private def dedupDropNearOracle: String =
+    s"""WITH RECURSIVE $dedupPairCtes,
+       |dup AS (SELECT id_a, id_b FROM p WHERE jac >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+       |  UNION SELECT id_b, id_a FROM dup),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+       |losers AS (SELECT id FROM reach GROUP BY id
+       |  HAVING id <> min(lab))
+       |SELECT doc_id FROM corpus
+       |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin
 }

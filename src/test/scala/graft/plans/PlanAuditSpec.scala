@@ -115,6 +115,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plans.exists(_.nodeName.contains("SortMergeJoin")))
   }
 
+  test("persisted IVF query broadcasts probes and prunes assignment cells") {
+    import spark.implicits._
+    def vec(i: Int): Array[Float] = {
+      val r = new scala.util.Random(i * 7919 + 13)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val corpus = (0 until 200).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit_ivf").toString
+    graft.ops.Similarity.buildIvfIndex(corpus, dir, nCentroids = 8)
+    val df = graft.ops.Similarity.queryIvfIndex(spark, dir,
+      corpus.filter(col("vec_id") < 2), k = 3, nProbe = 2)
+    val plans = executed(df)
+    // the probe side must broadcast: the corpus-side assignments scan
+    // never shuffles on the cell key
+    assert(plans.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "probes must broadcast against the assignments table")
+    // the assignments table is partitioned by cell, so the scan carries
+    // a cell partition filter (dynamic pruning from the broadcast side)
+    val scans = plans.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val assignScan = scans.find(_.schema.fieldNames.contains("corpus_id"))
+    assert(assignScan.nonEmpty, "expected the assignments scan")
+    assert(assignScan.get.metadata.getOrElse("PartitionFilters", "")
+      .contains("cell"),
+      s"cell pruning missing: ${assignScan.get.metadata}")
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     import spark.implicits._
     val df = (0 until 10000).map(i => (i, i * 37 % 1000)).toDF("id", "v")
