@@ -207,6 +207,36 @@ object Similarity {
     rankCandidates(assigned.join(broadcast(probed), Seq("cell")), k)
   }
 
+  // ---- int8 embedding quantization ----------------------------------
+
+  /** Per-vector symmetric quantization scale: max|x| / 127 (double). */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** Symmetric per-vector int8 quantization — the standard embedding
+    * compression step before corpus-scale storage/ANN: q_i =
+    * round(x_i / scale) with scale = max|x|/127, so every component
+    * lands in [-127, 127] and the stored vector shrinks 4x (and so do
+    * the bytes every ANN candidate shuffle carries). Engine-portable
+    * arithmetic: double divide + round-half-away, replayed exactly by
+    * the DuckDB oracle. A zero vector quantizes to zeros.
+    *
+    * Runs as a higher-order Column (interpreted per element) — fine
+    * for the once-per-corpus storage transform; the hot QUERY path
+    * reads the already-quantized table. */
+  def quantizeInt8(vec: Column): Column = {
+    val s = int8Scale(vec)
+    transform(vec, x =>
+      when(s === 0, lit(0.0))
+        .otherwise(round(x.cast("double") / s, 0))
+        .cast("tinyint"))
+  }
+
+  /** Inverse of [[quantizeInt8]] given the stored per-vector scale:
+    * component-wise q_i * scale, max abs error scale/2. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, v => v.cast("double") * scale)
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (pairs agreeing on a full table signature). */
   def cosineNearDups(corpus: DataFrame, dim: Int, minCos: Double,

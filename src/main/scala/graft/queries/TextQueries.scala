@@ -224,6 +224,16 @@ object TextQueries {
         nCentroids = 16, nProbe = 4)
     },
 
+    // int8 embedding quantization (exploded to scalar rows so the
+    // oracle hashes component-exact values)
+    "embed_quantize_int8" -> { (s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          round(Similarity.int8Scale(col("embedding")), 6).as("scale"),
+          posexplode(Similarity.quantizeInt8(col("embedding")))
+            .as(Seq("i", "q")))
+    },
+
     // the FAISS-style build/query split: index persisted as parquet
     // (centroids + cell-partitioned assignments), then probed
     "ann_ivf_index_topk" -> { (s, d) =>
@@ -542,7 +552,23 @@ object TextQueries {
         |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
         |  FROM s)
         |SELECT query_id, corpus_id, rank, round(cos, 6) AS cos
-        |FROM r WHERE rank <= 5""".stripMargin
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // int8 quantization replay: identical double arithmetic (IEEE) and
+    // round-half-away-from-zero in both engines
+    "embed_quantize_int8" ->
+      """SELECT t.vec_id, round(t.amax / 127.0, 6) AS scale,
+        |  CAST(p.i AS INT) AS i,
+        |  CAST(CASE WHEN t.amax = 0 THEN 0
+        |       ELSE round(CAST(t.embedding[CAST(p.i AS INT) + 1] AS DOUBLE)
+        |            / (t.amax / 127.0))
+        |       END AS TINYINT) AS q
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS amax
+        |  FROM embeddings WHERE vec_id < 200) t,
+        |  LATERAL (SELECT unnest(range(len(t.embedding))) AS i) p""".stripMargin
   )
 
   /** Brute-force all-pairs shingle-Jaccard CTE chain over the planted

@@ -100,6 +100,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == oneShot.toSeq)
   }
 
+  test("int8 quantize: bounded error round-trip, zero vector safe") {
+    val withZero = corpus.union(
+      Seq((500L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val rows = withZero.select(col("vec_id"),
+      Similarity.int8Scale(col("embedding")).as("scale"),
+      col("embedding"),
+      Similarity.quantizeInt8(col("embedding")).as("q"))
+      .withColumn("deq", Similarity.dequantizeInt8(col("q"), col("scale")))
+      .collect()
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val orig = r.getSeq[Float](2)
+      val q = r.getSeq[Byte](3)
+      val deq = r.getSeq[Double](4)
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec ${r.getLong(0)}")
+      // round-to-nearest: per-component error bounded by scale/2
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o.toDouble - d) <= scale / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: $o vs $d (scale $scale)")
+      }
+      if (r.getLong(0) == 500L)
+        assert(scale == 0.0 && q.forall(_ == 0) && deq.forall(_ == 0.0))
+    }
+    // the quantized corpus still resolves the planted near-copy: cosine
+    // over dequantized vectors keeps 999 as rank-1 neighbor of 0
+    val deqCorpus = corpus.select(col("vec_id"),
+      Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("embedding")),
+        Similarity.int8Scale(col("embedding")))
+        .as("embedding"))
+    val top = Similarity.bruteForceTopK(deqCorpus,
+      deqCorpus.filter(col("vec_id") === 0), k = 1)
+      .select("corpus_id").as[Long].head()
+    assert(top == 999L)
+  }
+
   test("cosine near-dup pairs = exactly the planted pair at cos>=0.999") {
     val pairs = Similarity.cosineNearDups(corpus, dim = 64, minCos = 0.999)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
