@@ -12,9 +12,11 @@ import graft.grid._
   *
   * Blob formats: NPY (the reference's own fraction serialization,
   * jgrid3.py:65-77), GeoTIFF (plain or gzipped), and HDF4 SDS
-  * ([[Hdf4]] — the reference's MODIS input format, uncompressed
-  * subset; datasets selectable by name like modis.py:224-229). Each is
-  * one [[BlobDecoder]]; adding a format changes only `decode`.
+  * ([[Hdf4]] — the reference's MODIS input format, plain or
+  * DEFLATE-compressed elements; datasets selectable by name like
+  * modis.py:224-229). Each is one [[BlobDecoder]]; adding a format
+  * changes only `decode`, and [[ingestHdf4DirAlignedMulti]] lands every
+  * band of a granule in one archive pass.
   */
 object Ingest {
 
@@ -174,6 +176,147 @@ object Ingest {
     }
   }
 
+  /** One-pass MULTI-BAND HDF4 ingest: every archive is read and parsed
+    * ONCE and each labeled dataset lands in its own store — the
+    * reference's granule semantics (modis.py imports "250m 16 days
+    * NDVI" and "...VI Quality" from the same file). At archive scale
+    * this halves (for 2 bands; 1/N generally) the ingest I/O and blob
+    * parsing vs calling [[ingestHdf4DirAligned]] per band: the shuffle
+    * carries (band, chunk key, packed sub-box) records and the
+    * assembled chunk rows persist once, so the per-store writes re-read
+    * nothing. Bands must share the geogrid + time chunking; dtype and
+    * nodata may differ per band. Returns per-band chunk counts in
+    * `bands` order.
+    */
+  def ingestHdf4DirAlignedMulti(spark: SparkSession, blobDir: String,
+      bands: Seq[(GridHeader, String, String)]): Seq[Long] = {
+    import spark.implicits._
+    require(bands.nonEmpty)
+    val h0 = bands.head._1
+    require(bands.forall(_._1.sameGeogrid(h0)) &&
+      bands.forall(_._1.fracNDates == h0.fracNDates),
+      "multi-band ingest needs one shared geogrid + time chunking")
+    val g = h0.chunkGrid
+    val names = bands.map(_._2)
+    val dtypes = bands.map(_._1.dtype)
+    val codes = dtypes.map(PayloadCodec.code)
+    val nodatas = bands.map(_._1.nodata)
+    val (fracW, fracH, fracND) = (h0.fracWidth, h0.fracHeight, h0.fracNDates)
+    val (gw, gh, gnd) = (h0.width, h0.height, h0.nDates)
+    val numFracsX = g.numFracsX
+
+    val blobs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.hdf").load(blobDir)
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+
+    val subBoxes = blobs.flatMap { case (name, bytes) =>
+      val Array(x0, y0, t0) = name.stripSuffix(".hdf").split("_").map(_.toInt)
+      val all = Hdf4.readSds(bytes) // ONE parse serves every band
+      names.indices.iterator.flatMap { b =>
+        val sds = all.find(_.name.contains(names(b)))
+          .getOrElse(sys.error(s"no dataset named '${names(b)}' in $name"))
+        val (bw0, bh0, bnd0) = sds.dims match {
+          case Seq(h, w)     => (w, h, 1)
+          case Seq(h, w, nd) => (w, h, nd)
+          case d => sys.error(s"unsupported SDS rank ${d.length} in $name")
+        }
+        for {
+          fy <- (y0 / fracH to (y0 + bh0 - 1) / fracH).iterator
+          fx <- x0 / fracW to (x0 + bw0 - 1) / fracW
+          tc <- t0 / fracND to (t0 + bnd0 - 1) / fracND
+        } yield {
+          val ax0 = math.max(x0, fx * fracW)
+          val ax1 = math.min(x0 + bw0, (fx + 1) * fracW)
+          val ay0 = math.max(y0, fy * fracH)
+          val ay1 = math.min(y0 + bh0, (fy + 1) * fracH)
+          val at0 = math.max(t0, tc * fracND)
+          val at1 = math.min(t0 + bnd0, (tc + 1) * fracND)
+          val (bw, bh, bnd) = (ax1 - ax0, ay1 - ay0, at1 - at0)
+          val sub = copySubBox(sds.data, x0, y0, t0, bw0, bnd0,
+            ax0, ay0, at0, bw, bh, bnd)
+          (b, fy * numFracsX + fx, tc, ax0, ay0, at0, bw, bh, bnd,
+            PayloadCodec.encodeDouble(sub, dtypes(b)))
+        }
+      }
+    }
+    val rows = subBoxes
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapGroups { (key: (Int, Int, Int),
+                    it: Iterator[(Int, Int, Int, Int, Int, Int, Int, Int, Int, Array[Byte])]) =>
+        val (band, fracNum, tc) = key
+        val fx = fracNum % numFracsX; val fy = fracNum / numFracsX
+        val cx0 = fx * fracW; val cy0 = fy * fracH; val ct0 = tc * fracND
+        val cw = math.min(fracW, gw - cx0)
+        val ch = math.min(fracH, gh - cy0)
+        val cnd = math.min(fracND, gnd - ct0)
+        val data = Array.fill(cw * ch * cnd)(nodatas(band))
+        it.foreach { case (_, _, _, ax0, ay0, at0, bw, bh, bnd, payload) =>
+          fillChunk(data, cw, cnd, cx0, cy0, ct0, ax0, ay0, at0, bw, bh, bnd,
+            PayloadCodec.decodeDouble(payload, codes(band)))
+        }
+        (band, FracRowBytes(fracNum, tc, fx, fy, cx0, cy0, ct0,
+          cw, ch, cnd, PayloadCodec.encodeDouble(data, dtypes(band))))
+      }
+      .toDF("band", "row")
+      .select(col("band"), col("row.*"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bands.zipWithIndex.map { case ((h, _, outRoot), b) =>
+        FractionStore.write(spark, h,
+          rows.filter(col("band") === b).drop("band"), outRoot)
+        FractionStore.fractions(spark, outRoot).count()
+      }
+    } finally rows.unpersist()
+  }
+
+  /** Copy the [ay0, ay0+bh) x [ax0, ax0+bw) x [at0, at0+bnd) sub-box of
+    * a dense C-order [y][x][t] blob anchored at (x0, y0, t0). */
+  private def copySubBox(blobData: Array[Double], x0: Int, y0: Int, t0: Int,
+                         bw0: Int, bnd0: Int, ax0: Int, ay0: Int, at0: Int,
+                         bw: Int, bh: Int, bnd: Int): Array[Double] = {
+    val sub = new Array[Double](bw * bh * bnd)
+    var i = 0; var ly = 0
+    while (ly < bh) {
+      var lx = 0
+      while (lx < bw) {
+        var lt = 0
+        while (lt < bnd) {
+          sub(i) = blobData(((ay0 - y0 + ly) * bw0 + (ax0 - x0 + lx)) * bnd0
+            + (at0 - t0 + lt))
+          i += 1; lt += 1
+        }
+        lx += 1
+      }
+      ly += 1
+    }
+    sub
+  }
+
+  /** Write a packed sub-box into a chunk buffer anchored at
+    * (cx0, cy0, ct0) with row stride cw and time depth cnd. */
+  private def fillChunk(data: Array[Double], cw: Int, cnd: Int,
+                        cx0: Int, cy0: Int, ct0: Int,
+                        ax0: Int, ay0: Int, at0: Int,
+                        bw: Int, bh: Int, bnd: Int,
+                        sub: Array[Double]): Unit = {
+    var i = 0; var ly = 0
+    while (ly < bh) {
+      var lx = 0
+      while (lx < bw) {
+        var lt = 0
+        while (lt < bnd) {
+          data(((ay0 - cy0 + ly) * cw + (ax0 - cx0 + lx)) * cnd
+            + (at0 - ct0 + lt)) = sub(i)
+          i += 1; lt += 1
+        }
+        lx += 1
+      }
+      ly += 1
+    }
+  }
+
   private def ingestBlobsAligned(spark: SparkSession, header: GridHeader,
                                  blobDir: String, glob: String,
                                  outRoot: String,
@@ -208,21 +351,8 @@ object Ingest {
         val at0 = math.max(t0, tc * fracND)
         val at1 = math.min(t0 + bnd0, (tc + 1) * fracND)
         val (bw, bh, bnd) = (ax1 - ax0, ay1 - ay0, at1 - at0)
-        val sub = new Array[Double](bw * bh * bnd)
-        var i = 0; var ly = 0
-        while (ly < bh) {
-          var lx = 0
-          while (lx < bw) {
-            var lt = 0
-            while (lt < bnd) {
-              sub(i) = blobData(((ay0 - y0 + ly) * bw0 + (ax0 - x0 + lx)) * bnd0
-                + (at0 - t0 + lt))
-              i += 1; lt += 1
-            }
-            lx += 1
-          }
-          ly += 1
-        }
+        val sub = copySubBox(blobData, x0, y0, t0, bw0, bnd0,
+          ax0, ay0, at0, bw, bh, bnd)
         (fy * numFracsX + fx, tc, ax0, ay0, at0, bw, bh, bnd,
           PayloadCodec.encodeDouble(sub, dtype))
       }
@@ -239,21 +369,8 @@ object Ingest {
         val cnd = math.min(fracND, gnd - ct0)
         val data = Array.fill(cw * ch * cnd)(nodata)
         it.foreach { case (_, _, ax0, ay0, at0, bw, bh, bnd, payload) =>
-          val sub = PayloadCodec.decodeDouble(payload, cd)
-          var i = 0; var ly = 0
-          while (ly < bh) {
-            var lx = 0
-            while (lx < bw) {
-              var lt = 0
-              while (lt < bnd) {
-                data(((ay0 - cy0 + ly) * cw + (ax0 - cx0 + lx)) * cnd
-                  + (at0 - ct0 + lt)) = sub(i)
-                i += 1; lt += 1
-              }
-              lx += 1
-            }
-            ly += 1
-          }
+          fillChunk(data, cw, cnd, cx0, cy0, ct0, ax0, ay0, at0, bw, bh, bnd,
+            PayloadCodec.decodeDouble(payload, cd))
         }
         FracRowBytes(fracNum, tc, fx, fy, cx0, cy0, ct0, cw, ch, cnd,
           PayloadCodec.encodeDouble(data, dtype))

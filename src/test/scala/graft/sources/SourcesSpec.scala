@@ -165,6 +165,47 @@ class Hdf4Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-band one-pass ingest equals per-band ingest (deflate archives)") {
+    val base = GridHeader(
+      name = "hdf_multi_ndvi", width = 20, height = 20,
+      fracWidth = 10, fracHeight = 10, fracNDates = 2,
+      dtype = "int16", srs = "wgs84",
+      geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(10L, 20L), nodata = -3000.0)
+    val qaH = base.copy(name = "hdf_multi_qa", dtype = "uint16",
+      nodata = 65535.0)
+    def ndvi(x: Int, y: Int, t: Int) = (x * 1000 + y * 10 + t).toDouble
+    def qa(x: Int, y: Int, t: Int) = ((x * 31 + y * 7 + t) % 65536).toDouble
+    val hdfDir = TestSpark.tmpDir("hdf_multi_blobs")
+    for (x0 <- Seq(0, 10)) {
+      def plane(f: (Int, Int, Int) => Double) = (for {
+        ly <- 0 until 20; lx <- 0 until 10; t <- 0 until 2
+      } yield f(x0 + lx, ly, t)).toArray
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$hdfDir/${x0}_0_0.hdf"),
+        Hdf4.writeSds(Seq(
+          Hdf4.Sds("250m 16 days NDVI", Seq(20, 10, 2), "int16", plane(ndvi)),
+          Hdf4.Sds("250m 16 days VI Quality", Seq(20, 10, 2), "uint16",
+            plane(qa))), deflateLevel = 6))
+    }
+    // one-pass multi-band vs two per-band passes over the same archives
+    val (mN, mQ) = (TestSpark.tmpDir("hdf_multi_n"), TestSpark.tmpDir("hdf_multi_q"))
+    val counts = Ingest.ingestHdf4DirAlignedMulti(spark, hdfDir,
+      Seq((base, "NDVI", mN), (qaH, "VI Quality", mQ)))
+    assert(counts == Seq(4L, 4L))
+    val (sN, sQ) = (TestSpark.tmpDir("hdf_single_n"), TestSpark.tmpDir("hdf_single_q"))
+    Ingest.ingestHdf4DirAligned(spark, base, hdfDir, sN, Some("NDVI"))
+    Ingest.ingestHdf4DirAligned(spark, qaH, hdfDir, sQ, Some("VI Quality"))
+    def all(h: GridHeader, r: String) =
+      FractionStore.loadSliceXY(spark, h, r, 0, 20, 0, 20, 0, 2,
+        maskNodata = false).select("x", "y", "t", "value")
+    assert(all(base, mN).except(all(base, sN)).isEmpty &&
+      all(base, sN).except(all(base, mN)).isEmpty)
+    assert(all(qaH, mQ).except(all(qaH, sQ)).isEmpty &&
+      all(qaH, sQ).except(all(qaH, mQ)).isEmpty)
+    assert(all(base, mN).count() == 800)
+  }
+
   test("compressed SDS really compresses and selects by name") {
     // compressible payload: long runs
     val data = Array.tabulate(64 * 64)(i => (i / 512).toDouble)
