@@ -224,6 +224,16 @@ object TextQueries {
         nCentroids = 16, nProbe = 4)
     },
 
+    // exact top-k over the QUANTIZED corpus — the compact-storage ANN
+    // path: int8 vectors dequantize on the fly, ranking stays exact
+    "ann_int8_topk" -> { (s, d) =>
+      val deq = Tables.embeddings(s, d).select(col("vec_id"),
+        Similarity.dequantizeInt8(
+          Similarity.quantizeInt8(col("embedding")),
+          Similarity.int8Scale(col("embedding"))).as("embedding"))
+      Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 8), k = 5)
+    },
+
     // int8 embedding quantization (exploded to scalar rows so the
     // oracle hashes component-exact values)
     "embed_quantize_int8" -> { (s, d) =>
@@ -545,6 +555,36 @@ object TextQueries {
         |        i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
         |        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))))
+        |    AS cos
+        |  FROM c, q WHERE corpus_id <> query_id),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, corpus_id, rank, round(cos, 6) AS cos
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // quantize -> dequantize -> exact cosine top-k, replayed end-to-end
+    "ann_int8_topk" ->
+      """WITH dq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN amax = 0 THEN 0.0
+        |           ELSE round(CAST(x AS DOUBLE) / (amax / 127.0))
+        |                * (amax / 127.0) END) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |        AS amax
+        |    FROM embeddings) t),
+        |q AS (SELECT vec_id AS query_id, v AS qvec FROM dq WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS corpus_id, v AS cvec FROM dq),
+        |s AS (SELECT query_id, corpus_id,
+        |    list_sum(list_transform(range(1, len(cvec) + 1),
+        |      i -> cvec[i] * qvec[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(cvec) + 1),
+        |        i -> cvec[i] * cvec[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
+        |        i -> qvec[i] * qvec[i]))))
         |    AS cos
         |  FROM c, q WHERE corpus_id <> query_id),
         |r AS (SELECT query_id, corpus_id, cos,
