@@ -100,6 +100,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == oneShot.toSeq)
   }
 
+  test("int8-quantized IVF index: tinyint storage, full-probe == brute") {
+    val dir = TestSpark.tmpDir("ivf_index_int8")
+    Similarity.buildIvfIndex(corpus, dir, nCentroids = 8, quantize = true)
+    // storage really is int8: assignments schema carries tinyint vectors
+    val stored = spark.read.parquet(s"$dir/assignments")
+    val elemType = stored.schema("cvec_q").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(elemType == org.apache.spark.sql.types.ByteType)
+    // planted near-copy survives quantization + probing
+    val q = corpus.filter(col("vec_id") === 0)
+    val got = Similarity.queryIvfIndex(spark, dir, q, k = 5, nProbe = 3)
+      .orderBy("rank").select("corpus_id", "cos").as[(Long, Double)].collect()
+    assert(got.head._1 == 999L && got.head._2 > 0.999)
+    // probing ALL cells makes IVF exhaustive: must equal brute force of
+    // the RAW queries against the dequantized corpus (the index stores
+    // int8; queries arrive unquantized; ranking is exact post-dequantize)
+    val full = Similarity.queryIvfIndex(spark, dir, q, k = 5, nProbe = 8)
+      .select("corpus_id", "rank", "cos").as[(Long, Int, Double)]
+      .collect().sortBy(_._2)
+    val deq = corpus.select(col("vec_id"),
+      Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("embedding")),
+        Similarity.int8Scale(col("embedding"))).as("embedding"))
+    val brute = Similarity.bruteForceTopK(deq, q, k = 5)
+      .select("corpus_id", "rank", "cos").as[(Long, Int, Double)]
+      .collect().sortBy(_._2)
+    assert(full.toSeq == brute.toSeq)
+  }
+
   test("int8 quantize: bounded error round-trip, zero vector safe") {
     val withZero = corpus.union(
       Seq((500L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
