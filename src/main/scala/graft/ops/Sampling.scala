@@ -55,6 +55,41 @@ object Sampling {
     df.filter(hashDraw(col(keyCol), salt) < threshold)
   }
 
+  /** Resample a multi-source corpus toward target mixture RATIOS — the
+    * training-mix step: kept counts come out proportional to `weights`
+    * (any positive ratios; they need not sum to 1), scaled to the
+    * largest mix that no source can satisfy only by upsampling. With
+    * K = min over sources of floor(n_s / w_s), each source keeps
+    * ~w_s * K rows via the same deterministic hash draw as
+    * [[stratifiedSample]]; the binding source keeps (almost) all its
+    * rows, the rest downsample. Sources absent from `weights` are
+    * dropped. Engine-portable by construction: K and the per-source
+    * fractions use only IEEE double ops in a fixed order (no
+    * normalizing sum, whose addition order would differ between
+    * engines), so the DuckDB oracle reproduces the row set exactly.
+    *
+    * Scale shape: one column-pruned count pass (collects one row per
+    * source, bounded by |weights|) + one narrow codegen filter — no
+    * shuffle of the payload anywhere.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, keyCol: String,
+                    weights: Map[String, Double],
+                    salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "mixture weights must be positive")
+    val counts = df.filter(col(sourceCol).isin(weights.keySet.toSeq: _*))
+      .groupBy(col(sourceCol)).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty, s"sources absent from the corpus: $missing")
+    val k = weights.map { case (s, w) => math.floor(counts(s) / w) }.min
+    val fractions = weights.map { case (s, w) =>
+      s -> math.min(1.0, w * k / counts(s))
+    }
+    stratifiedSample(df, sourceCol, keyCol, fractions,
+      defaultFraction = 0.0, salt = salt)
+  }
+
   /** EXACTLY `n` rows per stratum (fewer if the stratum is smaller),
     * chosen as the n smallest hash draws — a deterministic reservoir.
     * One shuffle on the stratum key; ties in the 32-bit draw break on

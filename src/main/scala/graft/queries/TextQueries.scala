@@ -122,6 +122,14 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("sample_rank"))
     },
 
+    // training-mix resample: kept counts proportional to 5:3:2 across
+    // three sources, scaled to the largest mix needing no upsampling
+    "sample_mixture" -> { (s, d) =>
+      Sampling.mixtureSample(Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"))
+    },
+
     // ---- sequence packing (ops/Packing) ----
     // capacity 512 is a power of two so the bin-boundary division is
     // FP-exact in both engines (cum_before < 2^53).
@@ -428,6 +436,26 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang, sample_rank FROM r
         |WHERE sample_rank <= 30""".stripMargin,
+
+    // mixture resample replay: K and per-source fractions recomputed in
+    // the same fixed-order IEEE double arithmetic, thresholds rebuilt as
+    // 8-hex-digit literals (floor matches Scala's toLong truncation;
+    // least(..., 4294967295) matches the thresholdHex clamp at f=1.0)
+    "sample_mixture" ->
+      """WITH w(src, wt) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+        |    ('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.2 AS DOUBLE))),
+        |n AS (SELECT source, count(*) AS cnt FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+        |tot AS (SELECT min(floor(cnt / wt)) AS k
+        |  FROM n JOIN w ON n.source = w.src),
+        |fr AS (SELECT src, lpad(lower(to_hex(least(CAST(floor(
+        |      least(1.0, wt * (SELECT k FROM tot) / cnt) * 4294967296.0)
+        |      AS BIGINT), 4294967295))), 8, '0') AS thr
+        |  FROM w JOIN n ON n.source = w.src)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN fr ON d.source = fr.src
+        |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |  < thr""".stripMargin,
 
     // global token prefix sum in doc_id order; capacity 512 = 2^9 keeps
     // the bin division FP-exact; sums cast to BIGINT (DuckDB sum of

@@ -43,6 +43,47 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(!out.contains("c"))
   }
 
+  test("mixtureSample hits the target mix; differential vs local md5") {
+    // 3 sources with unequal counts: web 6000, books 1500, code 500
+    val df = ids(8000).withColumn("src",
+      when(col("id") < 6000, "web")
+        .when(col("id") < 7500, "books").otherwise("code"))
+    // ratios 6:3:1 → K = min(6000/6, 1500/3, 500/1)=500; targets
+    // web 3000 (f=.5), books 1500 (f=1: the binding source keeps all),
+    // code 500 (f=1)... make code binding instead: weights 6:3:2 →
+    // K = min(1000, 500, 250) = 250 → web 1500, books 750, code 500(all)
+    val weights = Map("web" -> 6.0, "books" -> 3.0, "code" -> 2.0)
+    val out = Sampling.mixtureSample(df, "src", "id", weights)
+      .select("id", "src").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // the binding source is kept whole; others land near w_s * K
+    assert(bySrc("code") == 500)
+    assert(math.abs(bySrc("web") - 1500) < 150, s"web ${bySrc("web")}")
+    assert(math.abs(bySrc("books") - 750) < 100, s"books ${bySrc("books")}")
+    // exact differential: recompute the keep set with java's own md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): String = md.digest(s"graft$id".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val counts = Map("web" -> 6000L, "books" -> 1500L, "code" -> 500L)
+    val k = weights.map { case (s, w) => math.floor(counts(s) / w) }.min
+    def thr(s: String): String = Sampling.thresholdHex(
+      math.min(1.0, weights(s) * k / counts(s)))
+    val expected = (0L until 8000L).filter { id =>
+      val s = if (id < 6000) "web" else if (id < 7500) "books" else "code"
+      draw(id) < thr(s)
+    }.toSet
+    assert(out.map(_._1).toSet == expected)
+    // partitioning must not change the mix (incremental-rerun contract)
+    val again = Sampling.mixtureSample(df.repartition(17), "src", "id",
+      weights).select("id").as[Long].collect().toSet
+    assert(again == expected)
+    // unweighted sources are dropped
+    val extra = df.union(ids(100).withColumn("src", lit("junk")))
+    val noJunk = Sampling.mixtureSample(extra, "src", "id", weights)
+      .filter(col("src") === "junk").count()
+    assert(noJunk == 0)
+  }
+
   test("stratifiedFixedSample returns exactly n per stratum, stably") {
     val df = ids(1000).withColumn("grp",
       when(col("id") < 10, "tiny").otherwise(concat(lit("g"), col("id") % 4)))
