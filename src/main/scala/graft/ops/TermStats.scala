@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics for training-data analysis.
+  *
+  * TF-IDF keyword extraction surfaces each document's most DISTINCTIVE
+  * terms (what is this doc about, relative to the corpus) — the
+  * standard tool for domain analysis, cluster labeling, and spot-
+  * checking a curation pipeline's source mix. The idf factor here is
+  * the raw ratio N/df rather than the textbook ln(N/df): ranking is
+  * identical (ln is monotone), and the ratio keeps every arithmetic
+  * step an exact IEEE double op (integer-valued products, one divide)
+  * that the DuckDB oracle replays bit-for-bit — ln's libm rounding is
+  * not portable across engines.
+  */
+object TermStats {
+
+  /** Top-k terms per document by tf * N / df, ties broken on the term
+    * itself. Tokenization is the engine-wide whitespace tokenizer
+    * ([[graft.functions.TextFunctions.tokens]], the native kernel).
+    *
+    * Scale shape: explode carries (doc_id, term) pairs only; both
+    * aggregates are partial (map-side combined); the doc-frequency
+    * join keys on term — vocab-sized, NOT broadcast (a 100 TB corpus
+    * vocabulary does not fit one executor); the final top-k is a
+    * per-doc rank window. One column-pruned count() action for N —
+    * a single long on the driver.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 3): DataFrame = {
+    val nDocs = df.count()
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Packing, Sampling, Similarity}
+import graft.ops.{Dedup, Packing, Sampling, Similarity, TermStats}
 
 /** Training-data-pipeline operator surface: text analysis, dedup,
   * similarity search over the `documents`/`embeddings` fixtures.
@@ -120,6 +120,12 @@ object TextQueries {
       Sampling.stratifiedFixedSample(Tables.documents(s, d), "lang",
         "doc_id", n = 30)
         .select(col("doc_id"), col("lang"), col("sample_rank"))
+    },
+
+    // per-doc distinctive terms: tf * N / df (ratio idf — same ranking
+    // as ln, exact IEEE replay), top-3 with term tiebreak
+    "tfidf_top_terms" -> { (s, d) =>
+      TermStats.tfidfTopTerms(Tables.documents(s, d), k = 3)
     },
 
     // training-mix resample: kept counts proportional to 5:3:2 across
@@ -436,6 +442,27 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang, sample_rank FROM r
         |WHERE sample_rank <= 30""".stripMargin,
+
+    // tf-idf replay: same tokenizer, same (tf * N) / df double chain
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * (SELECT n FROM n) / df AS score
+        |  FROM tf JOIN dfreq USING (term)),
+        |r AS (SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, rank, round(score, 6) AS score
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     // mixture resample replay: K and per-source fractions recomputed in
     // the same fixed-order IEEE double arithmetic, thresholds rebuilt as
