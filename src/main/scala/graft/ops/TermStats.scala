@@ -29,6 +29,40 @@ object TermStats {
     * per-doc rank window. One column-pruned count() action for N —
     * a single long on the driver.
     */
+  /** Pairwise content overlap between corpus SOURCES: Jaccard over each
+    * source's distinct n-gram shingle set — the redundancy/contamination
+    * matrix a curation run consults before choosing mixture weights
+    * (two highly-overlapping sources should not both be upweighted).
+    *
+    * Scale shape: the distinct (source, shingle) set is the only big
+    * intermediate (shuffle-keyed on both columns, partial-combined);
+    * the intersection self-join keys on the shingle, where each group
+    * is at most |sources| rows, so the pair explosion is bounded by
+    * |sources| choose 2 per shingle — never all-pairs of documents.
+    * The set feeds three consumers (sizes + both join sides), so it is
+    * persisted and registry-released. Output is |sources|^2 rows: tiny.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String = "source",
+                    textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = df.select(col(sourceCol).as("src"),
+        explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
+          .as("s"))
+      .distinct()
+      .transform(CacheRegistry.persist)
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("n_sh").as("na")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n_sh").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("na") + col("nb") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   def tfidfTopTerms(df: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 3): DataFrame = {
     val nDocs = df.count()

@@ -128,6 +128,11 @@ object TextQueries {
       TermStats.tfidfTopTerms(Tables.documents(s, d), k = 3)
     },
 
+    // source-pair redundancy matrix: Jaccard over distinct 3-gram sets
+    "source_overlap" -> { (s, d) =>
+      TermStats.sourceOverlap(Tables.documents(s, d), n = 3)
+    },
+
     // training-mix resample: kept counts proportional to 5:3:2 across
     // three sources, scaled to the largest mix needing no upsampling
     "sample_mixture" -> { (s, d) =>
@@ -463,6 +468,29 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, term, rank, round(score, 6) AS score
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // source overlap replay: same shingle construction, integer set
+    // sizes, one double divide at the end
+    "source_overlap" ->
+      """WITH toks AS (SELECT source, list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |shl AS (SELECT source, unnest(CASE WHEN len(ts) >= 3
+        |    THEN list_transform(range(0, len(ts) - 2),
+        |      i -> ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3])
+        |    ELSE [array_to_string(ts, ' ')] END) AS s
+        |  FROM toks),
+        |sh AS (SELECT DISTINCT source AS src, s FROM shl),
+        |sizes AS (SELECT src, count(*) AS n_sh FROM sh GROUP BY src),
+        |inter AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |  round(CAST(n_common AS DOUBLE)
+        |    / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+        |FROM inter JOIN sizes na ON inter.src_a = na.src
+        |JOIN sizes nb ON inter.src_b = nb.src""".stripMargin,
 
     // mixture resample replay: K and per-source fractions recomputed in
     // the same fixed-order IEEE double arithmetic, thresholds rebuilt as

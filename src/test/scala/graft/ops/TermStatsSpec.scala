@@ -30,4 +30,20 @@ class TermStatsSpec extends AnyFunSuite {
       .orderBy("rank").as[(Long, String, Int, Double)].collect().toList
     assert(t.map(_._2) == List("aa", "zz"))
   }
+
+  test("sourceOverlap computes exact pairwise shingle Jaccard") {
+    // srcA: shingles {a b c, b c d}; srcB: {b c d, c d e}; srcC disjoint
+    val docs = Seq(
+      ("A", "a b c d"),      // shingles: "a b c", "b c d"
+      ("B", "b c d e"),      // shingles: "b c d", "c d e"
+      ("C", "x y z w")       // shingles: "x y z", "y z w"
+    ).toDF("source", "text")
+    val out = TermStats.sourceOverlap(docs, n = 3)
+      .as[(String, String, Long, Double)].collect().toList
+    // only (A,B) intersect: 1 common of (2 + 2 - 1) = 1/3
+    assert(out == List(("A", "B", 1L, 0.333333)))
+    // persisted shingle set must be registry-released after the action
+    CacheRegistry.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
