@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Packing, Sampling, Similarity, TermStats}
+import graft.ops.{Dedup, Denoise, Packing, Sampling, Similarity, TermStats}
 
 /** Training-data-pipeline operator surface: text analysis, dedup,
   * similarity search over the `documents`/`embeddings` fixtures.
@@ -131,6 +131,13 @@ object TextQueries {
     // source-pair redundancy matrix: Jaccard over distinct 3-gram sets
     "source_overlap" -> { (s, d) =>
       TermStats.sourceOverlap(Tables.documents(s, d), n = 3)
+    },
+
+    // T5-style span corruption: deterministic per-(doc, span) mask
+    // draw at 20% (threshold 0x33333333), spans collapse to <mask>
+    "mask_spans" -> { (s, d) =>
+      Denoise.maskSpans(Tables.documents(s, d),
+        maskFraction = 0.2, spanLen = 3)
     },
 
     // training-mix resample: kept counts proportional to 5:3:2 across
@@ -491,6 +498,27 @@ object TextQueries {
         |    / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
         |FROM inter JOIN sizes na ON inter.src_a = na.src
         |JOIN sizes nb ON inter.src_b = nb.src""".stripMargin,
+
+    // span corruption replay: same tokenizer, same per-(doc, span-block)
+    // md5 draw, sentinel at block starts, in-span tokens dropped
+    "mask_spans" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |m AS (SELECT doc_id, ts,
+        |    list_transform(range(0, len(ts)), i ->
+        |      CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)
+        |          || '#' || CAST(i // 3 AS VARCHAR)), 1, 8) < '33333333'
+        |        THEN 1 ELSE 0 END) AS mk
+        |  FROM toks)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(list_transform(range(0, len(ts)),
+        |    i -> CASE WHEN mk[i + 1] = 1 AND i % 3 = 0 THEN '<mask>'
+        |              WHEN mk[i + 1] = 1 THEN ''
+        |              ELSE ts[i + 1] END), x -> x <> ''), ' ')
+        |    AS text_masked,
+        |  CAST(list_sum(mk) AS BIGINT) AS n_masked
+        |FROM m""".stripMargin,
 
     // mixture resample replay: K and per-source fractions recomputed in
     // the same fixed-order IEEE double arithmetic, thresholds rebuilt as
