@@ -85,3 +85,121 @@ object DotProductExpr {
     GraftColumnBridge.column(DotProductExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
+
+object Int8Kernels {
+
+  /** array<tinyint> -> raw bytes; NULL on any NULL element (a byte
+    * cannot encode one). */
+  def pack(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      out(i) = a.getByte(i)
+      i += 1
+    }
+    out
+  }
+
+  /** raw bytes -> array<double>, each SIGNED byte times `scale` — the
+    * fused unpack+dequantize for stored int8 embeddings. */
+  def unpack(bin: Array[Byte], scale: Double): ArrayData = {
+    val out = new Array[Double](bin.length)
+    var i = 0
+    while (i < bin.length) {
+      out(i) = bin(i).toDouble * scale
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** Pack an int8-quantized vector into a parquet-friendly BINARY value.
+  * Parquet has no 1-byte physical integer — `array<tinyint>` lands as
+  * physical INT32 per element plus per-element repetition levels, which
+  * measured LARGER on disk than the float32 array it was meant to
+  * shrink. A BYTE_ARRAY is one byte per component, the FAISS layout.
+  */
+case class PackInt8Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pack_int8"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(ByteType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack_int8 needs array<tinyint>, got $t")
+    }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def nullSafeEval(a: Any): Any =
+    Int8Kernels.pack(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bytes = ctx.freshName("packed")
+      s"""
+        byte[] $bytes = graft.functions.Int8Kernels.pack($a);
+        if ($bytes == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $bytes; }
+      """
+    })
+}
+
+object PackInt8Expr {
+  import org.apache.spark.sql.GraftColumnBridge
+  def apply(a: Column): Column =
+    GraftColumnBridge.column(PackInt8Expr(GraftColumnBridge.expression(a)))
+}
+
+/** Fused unpack+dequantize: BINARY int8 payload times a per-vector
+  * double scale -> array<double>, one tight loop, no intermediate
+  * tinyint array. */
+case class UnpackInt8Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "unpack_int8"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unpack_int8 needs (binary, double), got ($l, $r)")
+    }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+
+  override def nullSafeEval(bin: Any, scale: Any): Any =
+    Int8Kernels.unpack(bin.asInstanceOf[Array[Byte]],
+      scale.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (bin, scale) => {
+      s"""
+        ${ev.value} = graft.functions.Int8Kernels.unpack($bin, $scale);
+      """
+    })
+}
+
+object UnpackInt8Expr {
+  import org.apache.spark.sql.GraftColumnBridge
+  def apply(bin: Column, scale: Column): Column =
+    GraftColumnBridge.column(UnpackInt8Expr(
+      GraftColumnBridge.expression(bin), GraftColumnBridge.expression(scale)))
+}

@@ -170,11 +170,14 @@ object Similarity {
     *     through the broadcast join below.
     *
     * `quantize = true` stores the vectors int8-quantized instead — the
-    * FAISS IVF-SQ8 layout: assignments carry (cvec_q tinyint array,
-    * cscale double), 4x smaller on disk AND 4x fewer bytes per probed
-    * candidate; [[queryIvfIndex]] dequantizes on the fly and ranking
-    * stays exact over the dequantized values (max per-component error
-    * cscale/2, the [[quantizeInt8]] contract).
+    * FAISS IVF-SQ8 layout: assignments carry (cvec_q BINARY — one raw
+    * byte per component via [[graft.functions.PackInt8Expr]]; a
+    * tinyint array would land as parquet physical INT32 and measured
+    * LARGER than the float array — plus cscale double).
+    * SimilaritySpec pins the on-disk ratio; [[queryIvfIndex]]
+    * dequantizes on the fly and ranking stays exact over the
+    * dequantized values (max per-component error cscale/2, the
+    * [[quantizeInt8]] contract).
     */
   def buildIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
                     idCol: String = "vec_id",
@@ -195,7 +198,8 @@ object Similarity {
     val payload =
       if (quantize)
         assigned.select(col("corpus_id"),
-          quantizeInt8(col("cvec")).as("cvec_q"),
+          graft.functions.PackInt8Expr(quantizeInt8(col("cvec")))
+            .as("cvec_q"),
           int8Scale(col("cvec")).as("cscale"),
           col("prediction").as("cell"))
       else
@@ -224,7 +228,8 @@ object Similarity {
     val assigned =
       if (raw.columns.contains("cvec_q"))
         raw.select(col("corpus_id"),
-          dequantizeInt8(col("cvec_q"), col("cscale")).as("cvec"),
+          graft.functions.UnpackInt8Expr(col("cvec_q"), col("cscale"))
+            .as("cvec"),
           col("cell"))
       else raw
     val probed = probeCells(queries, centers, nProbe, idCol, vecCol)

@@ -100,14 +100,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == oneShot.toSeq)
   }
 
-  test("int8-quantized IVF index: tinyint storage, full-probe == brute") {
+  test("int8-quantized IVF index: packed binary storage, full-probe == brute") {
     val dir = TestSpark.tmpDir("ivf_index_int8")
     Similarity.buildIvfIndex(corpus, dir, nCentroids = 8, quantize = true)
-    // storage really is int8: assignments schema carries tinyint vectors
+    // the compression claim, measured at the COLUMN-CHUNK level (file
+    // sizes would mostly compare parquet footers on this micro fixture:
+    // 23 tiny files x ~1.3 KB of metadata vs ~75 B/row of data): the
+    // stored vector bytes must shrink >= 3x vs the float layout
+    val fdir = TestSpark.tmpDir("ivf_index_f32")
+    Similarity.buildIvfIndex(corpus, fdir, nCentroids = 8)
+    def vecBytes(d: String, colName: String): Long = {
+      import scala.jdk.CollectionConverters._
+      new java.io.File(s"$d/assignments").listFiles.filter(_.isDirectory)
+        .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+              new org.apache.hadoop.conf.Configuration()))
+          val n = rd.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString.startsWith(colName))
+            .map(_.getTotalSize).sum
+          rd.close(); n
+        }.sum
+    }
+    val f32 = vecBytes(fdir, "cvec")
+    val i8 = vecBytes(dir, "cvec_q")
+    assert(f32 > 3 * i8, s"float vector bytes $f32 vs int8 $i8")
+    // storage really is int8: one raw BINARY byte per component (a
+    // tinyint array would be parquet physical INT32 — measured larger
+    // than the float array)
     val stored = spark.read.parquet(s"$dir/assignments")
-    val elemType = stored.schema("cvec_q").dataType
-      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-    assert(elemType == org.apache.spark.sql.types.ByteType)
+    assert(stored.schema("cvec_q").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val oneVec = stored.select("cvec_q").head.getAs[Array[Byte]](0)
+    assert(oneVec.length == 64)
     // planted near-copy survives quantization + probing
     val q = corpus.filter(col("vec_id") === 0)
     val got = Similarity.queryIvfIndex(spark, dir, q, k = 5, nProbe = 3)
