@@ -180,6 +180,20 @@ class SimilaritySpec extends AnyFunSuite {
       if (r.getLong(0) == 500L)
         assert(scale == 0.0 && q.forall(_ == 0) && deq.forall(_ == 0.0))
     }
+    // native pack->unpack is bit-identical to the Column
+    // quantize->dequantize chain (swapping the storage path cannot
+    // move a value)
+    val pu = corpus.select(
+      Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("embedding")),
+        Similarity.int8Scale(col("embedding"))).as("col_form"),
+      graft.functions.UnpackInt8Expr(
+        graft.functions.PackInt8Expr(
+          Similarity.quantizeInt8(col("embedding"))),
+        Similarity.int8Scale(col("embedding"))).as("native_form"))
+      .collect()
+    pu.foreach(r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1)))
     // the quantized corpus still resolves the planted near-copy: cosine
     // over dequantized vectors keeps 999 as rank-1 neighbor of 0
     val deqCorpus = corpus.select(col("vec_id"),
