@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
@@ -65,6 +66,23 @@ object TextQueries {
       Tables.documents(s, d).select(
         col("doc_id"), col("lang").as("lang_label"),
         TextFunctions.langId(col("text")).as("lang_pred"))
+    },
+
+    // per-language quality gate: keep the top half by quality score
+    // (row_number with doc_id tiebreak — percentile cutoffs on the
+    // coarse rule-sum score would be tie-ambiguous across engines)
+    "quality_gate" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("q").desc, col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") <= (col("n") / lit(2)).cast("long"))
+        .select(col("doc_id"), col("lang"),
+          round(col("q"), 4).as("quality"))
     },
 
     // Gopher-style within-doc repetition gate (duplicate n-gram fraction)
@@ -454,6 +472,40 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang, sample_rank FROM r
         |WHERE sample_rank <= 30""".stripMargin,
+
+    // quality gate replay: same rule-sum score, same rank + floor(n/2)
+    "quality_gate" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0)) AS DOUBLE) AS ntok,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |        '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '',
+        |        'g')) AS DOUBLE) AS ndigit,
+        |    CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0)) > 0
+        |      THEN CAST(list_sum(list_transform(
+        |          list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> len(x) > 0), x -> len(x))) AS DOUBLE)
+        |        / len(list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> len(x) > 0))
+        |      ELSE 0.0 END AS atl
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, CAST(
+        |  (CASE WHEN ntok >= 10 AND ntok <= 10000 THEN 0.4 ELSE 0.0 END) +
+        |  (CASE WHEN atl >= 2.5 AND atl <= 12.0 THEN 0.3 ELSE 0.0 END) +
+        |  (CASE WHEN npunct / greatest(n, 1.0) <= 0.1
+        |    THEN 0.15 ELSE 0.0 END) +
+        |  (CASE WHEN ndigit / greatest(n, 1.0) <= 0.2
+        |    THEN 0.15 ELSE 0.0 END)
+        |  AS DOUBLE) AS q FROM t),
+        |r AS (SELECT doc_id, lang, q,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY q DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM s)
+        |SELECT doc_id, lang, round(q, 4) AS quality
+        |FROM r WHERE rn <= n // 2""".stripMargin,
 
     // tf-idf replay: same tokenizer, same (tf * N) / df double chain
     "tfidf_top_terms" ->
