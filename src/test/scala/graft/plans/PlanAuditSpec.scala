@@ -150,4 +150,20 @@ class PlanAuditSpec extends AnyFunSuite {
       .orderBy(col("v").desc).limit(10)
     assert(executed(df).exists(_.nodeName.contains("TakeOrderedAndProject")))
   }
+
+  test("quality gate shuffles once on lang; mixture filter never shuffles") {
+    val sf = "/root/testdata/sf0.001"
+    // both rank windows (row_number + count) share the lang partitioning
+    // -> exactly ONE exchange in the whole gate
+    val qg = graft.SparkEntry.queries("quality_gate")(spark, sf)
+    val qgShuffles = executed(qg).collect { case s: ShuffleExchangeExec => s }
+    assert(qgShuffles.size == 1, s"expected 1 lang shuffle, got ${qgShuffles.size}")
+    // the mixture resample's data pass is a pure codegen filter: the
+    // bounded count() job runs inside the builder, and the RETURNED
+    // plan must not move a single payload row
+    val mix = graft.SparkEntry.queries("sample_mixture")(spark, sf)
+    val mixShuffles = executed(mix).collect { case s: ShuffleExchangeExec => s }
+    assert(mixShuffles.isEmpty,
+      s"mixture filter must not shuffle, got ${mixShuffles.size}")
+  }
 }
