@@ -90,6 +90,28 @@ object Sampling {
       defaultFraction = 0.0, salt = salt)
   }
 
+  /** Deterministic TOKEN-budget subset per stratum — "give me ~N
+    * tokens per source": rows are ordered by their hash draw (a stable
+    * shuffle of the stratum), the running token total accumulates in
+    * that order, and the kept set is the maximal prefix whose
+    * cumulative count stays within `budget`. Same-input re-runs and
+    * repartitionings keep the identical subset; a larger budget keeps
+    * a superset (prefix property), so growing a dataset never churns
+    * the rows already selected.
+    *
+    * Scale shape: one shuffle on the stratum key + an ordered
+    * per-partition window scan — the same cost as any keyed groupBy;
+    * no global window, no driver state.
+    */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, keyCol: String,
+                        tokensCol: String, budget: Long,
+                        salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashDraw(col(keyCol), salt), col(keyCol))
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** EXACTLY `n` rows per stratum (fewer if the stratum is smaller),
     * chosen as the n smallest hash draws — a deterministic reservoir.
     * One shuffle on the stratum key; ties in the 32-bit draw break on

@@ -166,6 +166,17 @@ object TextQueries {
         .select(col("doc_id"), col("source"))
     },
 
+    // token-budget subset: ~2000 BPE-ish tokens per source, the maximal
+    // hash-ordered prefix within budget
+    "sample_token_budget" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.approxBpeTokenCount(col("text")).as("n_tokens"))
+      Sampling.tokenBudgetSample(docs, "source", "doc_id", "n_tokens",
+        budget = 2000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+    },
+
     // ---- sequence packing (ops/Packing) ----
     // capacity 512 is a power of two so the bin-boundary division is
     // FP-exact in both engines (cum_before < 2^53).
@@ -571,6 +582,26 @@ object TextQueries {
         |    AS text_masked,
         |  CAST(list_sum(mk) AS BIGINT) AS n_masked
         |FROM m""".stripMargin,
+
+    // token-budget replay: same token count, same (draw, doc_id)
+    // ordering, same running-sum prefix cut
+    "sample_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    COALESCE(CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0),
+        |      x -> greatest(1, CAST(ceil(len(x) / 4.0) AS BIGINT))))
+        |      AS BIGINT), 0) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |        doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 2000""".stripMargin,
 
     // mixture resample replay: K and per-source fractions recomputed in
     // the same fixed-order IEEE double arithmetic, thresholds rebuilt as

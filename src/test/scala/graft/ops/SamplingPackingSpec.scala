@@ -84,6 +84,30 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(noJunk == 0)
   }
 
+  test("tokenBudgetSample keeps the maximal hash-ordered prefix") {
+    val df = ids(3000).withColumn("grp", concat(lit("s"), col("id") % 3))
+      .withColumn("toks", (col("id") % 7) + 1)
+    val out = Sampling.tokenBudgetSample(df, "grp", "id", "toks",
+      budget = 500).select("id", "cum_tokens")
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._2 <= 500))
+    // local replay: per group, order by (md5 draw, id), accumulate
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): String = md.digest(s"graft$id".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val expected = (0L until 3000L).groupBy(_ % 3).values.flatMap { g =>
+      var cum = 0L
+      g.toSeq.sortBy(id => (draw(id), id)).takeWhile { id =>
+        cum += (id % 7) + 1; cum <= 500
+      }
+    }.toSet
+    assert(out.map(_._1).toSet == expected)
+    // prefix property: a larger budget keeps a strict superset
+    val bigger = Sampling.tokenBudgetSample(df, "grp", "id", "toks",
+      budget = 1000).select("id").as[Long].collect().toSet
+    assert(expected.subsetOf(bigger) && bigger.size > expected.size)
+  }
+
   test("stratifiedFixedSample returns exactly n per stratum, stably") {
     val df = ids(1000).withColumn("grp",
       when(col("id") < 10, "tiny").otherwise(concat(lit("g"), col("id") % 4)))
