@@ -20,9 +20,15 @@ import org.apache.spark.sql.SparkSession
   * "fused 6.7x slower" — all ~1-2s steady-state), and cpu_sec itself
   * inflates up to ~7x there because memory-stall cycles count as
   * on-CPU. [[timed2]] therefore takes min wall and min cpu separately
-  * and retries while its cpu readings disagree >2x. The JSON carries
-  * both: `queries` (wall, the driver contract) and `cpu_sec` (per
-  * query).
+  * and retries while its cpu readings disagree >2x. A sustained noise
+  * window defeats even that (readings agree per side — consistently
+  * wrong), so every round is preceded by an independent memory-
+  * bandwidth [[noiseProbe]]; rounds keep going (bounded) while no
+  * quiet window has been sampled, and queries whose best round still
+  * read >2x the run's quietest probe are disclosed in `noise_flags`
+  * (ratio vs quiet) so the record can't silently present a hot-window
+  * reading as steady-state. The JSON carries `queries` (wall, the
+  * driver contract), `cpu_sec`, `noise_flags`, `probe_quiet_sec`.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -33,15 +39,46 @@ object Bench {
     "text_stats", "text_lang_id", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "decontaminate", "ann_brute_topk", "ann_lsh_topk")
 
-  /** (name, wall_sec, cpu_sec); wall and cpu are each the MINIMUM across
-    * the query's runs, taken independently — see [[timed2]]. A failed
-    * query reports the -1.0 sentinel for both. */
-  final case class Timing(name: String, wall: Double, cpu: Double)
+  /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
+    * MINIMUM across the query's runs, taken independently — see
+    * [[timed2]]; probe is the noise-probe reading of the BEST round
+    * (its min across rounds). A failed query reports the -1.0 sentinel. */
+  final case class Timing(name: String, wall: Double, cpu: Double,
+                          probe: Double = -1.0)
 
   private var listener: GraftCpuTimeListener = _
 
-  /** Time one action: returns (wall_sec, executor_cpu_sec). */
-  private def timedOnce[A](spark: SparkSession)(f: => A): (Double, Double) = {
+  /** Host-noise probe: a timed pass over a fixed 64 MiB array —
+    * memory-BANDWIDTH-bound, which is exactly the resource noisy
+    * neighbors contend on (the mechanism that inflates both wall AND
+    * executor-cpu readings: stall cycles count as on-CPU). A round
+    * whose probe reads far above the run's minimum probe ran inside a
+    * noise window — detectable WITHOUT assuming anything about the
+    * workloads being timed. ~20-40ms quiet; the array writes keep the
+    * JIT from eliminating the loop. */
+  private val probeArr = new Array[Long](8 * 1024 * 1024) // 64 MiB
+  @volatile private var probeMin = Double.MaxValue
+  private def noiseProbe(): Double = {
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < 2) {
+      var i = 0
+      while (i < probeArr.length) {
+        acc += probeArr(i); probeArr(i) = acc; i += 1
+      }
+      pass += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (dt < probeMin) probeMin = dt
+    dt
+  }
+  private def probeNoisy(p: Double): Boolean = p > 2.0 * probeMin
+
+  /** Time one action: returns (wall_sec, executor_cpu_sec, probe_sec);
+    * the probe runs immediately before the action. */
+  private def timedOnce[A](spark: SparkSession)(f: => A): (Double, Double, Double) = {
+    val probe = noiseProbe()
     val sc = spark.sparkContext
     GraftMetricsBridge.flush(sc)
     val cpu0 = listener.cpuNanos.get()
@@ -49,7 +86,7 @@ object Bench {
     f
     val wall = (System.nanoTime() - t0) / 1e9
     GraftMetricsBridge.flush(sc)
-    (wall, (listener.cpuNanos.get() - cpu0) / 1e9)
+    (wall, (listener.cpuNanos.get() - cpu0) / 1e9, probe)
   }
 
   /** Noise-robust best-of-N: min wall AND min cpu taken INDEPENDENTLY
@@ -63,16 +100,18 @@ object Bench {
     * reading — run again, up to 4 runs total, then keep the minima. */
   private def timed2[A](spark: SparkSession, name: String)(f: => A): Timing = {
     val MaxRuns = 4
-    def unconfirmed(runs: List[(Double, Double)]): Boolean = {
+    val MaxRunsNoisy = 6 // extra budget when the probe says every round was hot
+    def unconfirmed(runs: List[(Double, Double, Double)]): Boolean = {
       val c = runs.map(_._2).sorted
       // absolute floor: sub-50ms disagreement is timer jitter, not noise
       c(1) > 2.0 * c(0) && c(1) - c(0) > 0.05
     }
     try {
       var runs = List(timedOnce(spark)(f), timedOnce(spark)(f))
-      while (runs.size < MaxRuns && unconfirmed(runs))
+      while ((runs.size < MaxRuns && unconfirmed(runs)) ||
+          (runs.size < MaxRunsNoisy && runs.forall(r => probeNoisy(r._3))))
         runs ::= timedOnce(spark)(f)
-      Timing(name, runs.map(_._1).min, runs.map(_._2).min)
+      Timing(name, runs.map(_._1).min, runs.map(_._2).min, runs.map(_._3).min)
     } catch {
       case t: Throwable =>
         System.err.println(s"bench query $name failed: $t")
@@ -92,22 +131,29 @@ object Bench {
   private def timedAB[A](spark: SparkSession, nameA: String, nameB: String)(
       fa: => A)(fb: => A): Seq[Timing] = {
     val MaxRounds = 4
-    def unconfirmed(runs: Seq[(Double, Double)]): Boolean = {
+    val MaxRoundsNoisy = 6 // a SUSTAINED noise window defeats the
+    // disagreement rule (readings agree per side — consistently wrong —
+    // while inflating the memory-bound side more); the probe detects it
+    // independently, so spend extra rounds hunting for one quiet window
+    def unconfirmed(runs: Seq[(Double, Double, Double)]): Boolean = {
       val c = runs.map(_._2).sorted
       c(1) > 2.0 * c(0) && c(1) - c(0) > 0.05
     }
-    val as = scala.collection.mutable.ListBuffer[(Double, Double)]()
-    val bs = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    val as = scala.collection.mutable.ListBuffer[(Double, Double, Double)]()
+    val bs = scala.collection.mutable.ListBuffer[(Double, Double, Double)]()
     try {
       var round = 0
       while (round < 2 || (round < MaxRounds &&
-          (unconfirmed(as.toSeq) || unconfirmed(bs.toSeq)))) {
+          (unconfirmed(as.toSeq) || unconfirmed(bs.toSeq))) ||
+          (round < MaxRoundsNoisy &&
+            (as.forall(r => probeNoisy(r._3)) ||
+             bs.forall(r => probeNoisy(r._3))))) {
         as += timedOnce(spark)(fa)
         bs += timedOnce(spark)(fb)
         round += 1
       }
-      Seq(Timing(nameA, as.map(_._1).min, as.map(_._2).min),
-        Timing(nameB, bs.map(_._1).min, bs.map(_._2).min))
+      Seq(Timing(nameA, as.map(_._1).min, as.map(_._2).min, as.map(_._3).min),
+        Timing(nameB, bs.map(_._1).min, bs.map(_._2).min, bs.map(_._3).min))
     } catch {
       case t: Throwable =>
         System.err.println(s"bench pair $nameA/$nameB failed: $t")
@@ -150,6 +196,8 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
+    // seed the probe's quiet reference (and its JIT) before timing
+    (0 until 3).foreach(_ => noiseProbe())
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -180,7 +228,16 @@ object Bench {
     val total = results.map(_.wall).filter(_ >= 0).sum
     val totalCpu = results.map(_.cpu).filter(_ >= 0).sum
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"total_cpu_sec":${math.round(totalCpu * 1000) / 1000.0},"sf":"$sfDir","heap_gb":${math.round(heapGb * 10) / 10.0}}""")
+    // Noise disclosure: a query is flagged when even its BEST round's
+    // probe read >2x the whole run's quietest probe — its recorded
+    // minima never sampled a quiet window, so treat them as upper
+    // bounds, not steady-state (the recurring record-vs-reality trap:
+    // r1 ingest, r3 ANN, r4 fused-window were all such readings).
+    val flagged = results.filter(r => r.probe > 0 && probeNoisy(r.probe))
+      .map(r => "\"" + r.name + "\":" +
+        math.round(r.probe / probeMin * 10) / 10.0)
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"total_cpu_sec":${math.round(totalCpu * 1000) / 1000.0},"noise_flags":$flagged,"probe_quiet_sec":${math.round(probeMin * 10000) / 10000.0},"sf":"$sfDir","heap_gb":${math.round(heapGb * 10) / 10.0}}""")
     spark.stop()
   }
 
