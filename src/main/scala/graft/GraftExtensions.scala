@@ -37,6 +37,8 @@ object GraftFunctions {
     "token_count" -> lift1(TextFunctions.tokenCount),
     "repetition_ratio" -> lift1(TextFunctions.repetitionRatio(_)),
     "bpe_token_count" -> lift1(TextFunctions.approxBpeTokenCount),
+    "nfc_normalize" -> lift1(graft.functions.NfcNormalizeExpr(_)),
+    "normalize_text" -> lift1(TextFunctions.normalizeText),
     "simhash64" -> lift1(Dedup.simhash64))
 
   /** Imperative registration on an existing session. */

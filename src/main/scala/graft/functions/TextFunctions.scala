@@ -141,6 +141,40 @@ object TextFunctions {
       .otherwise(array(array_join(ts, " ")))
   }
 
+  /** Canonical text normalization for ingest: Unicode NFC (native
+    * [[NfcNormalizeExpr]] kernel — Spark has no built-in), lowercase,
+    * collapse whitespace runs to one space, trim. Run FIRST in a corpus
+    * pipeline so every downstream hash (dedup, fingerprint, shingles)
+    * sees one canonical byte sequence per canonically-equal string.
+    * DuckDB mirrors it exactly:
+    * `trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))`.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(NfcNormalizeExpr(text)), "\\s+", " "))
+
+  /** C4/Gopher-style heuristic keep/drop gates from surface features —
+    * the cheap rule filter that runs BEFORE any model-based scoring.
+    * Every gate is a codegen'd regex/length test (no higher-order
+    * functions), so the filter is a narrow projection at any scale.
+    * Returned struct fields (all also exposed by the `heuristic_filter`
+    * query): n_words, has_long_word (a 26+-char token — markup/base64
+    * debris), has_lorem ("lorem ipsum" boilerplate), has_brace (code or
+    * templating in a prose corpus), digit_ratio, and the combined
+    * `keep` verdict.
+    */
+  def heuristicKeep(text: Column,
+                    minWords: Int = 5, maxWords: Int = 50000,
+                    maxDigitRatio: Double = 0.2): Column = {
+    val nWords = tokenCount(text)
+    val longWord = text.rlike("\\S{26,}")
+    val lorem = lower(text).contains("lorem ipsum")
+    val brace = text.contains("{") || text.contains("}")
+    val digitR = digitCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    nWords >= minWords && nWords <= maxWords &&
+      !longWord && !lorem && !brace && digitR <= maxDigitRatio
+  }
+
   /** Within-document repetition: the fraction of word n-gram
     * occurrences that are duplicates (1 - distinct/total) — the
     * Gopher-style boilerplate/spam gate ("fraction of duplicate

@@ -367,6 +367,87 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-document contamination SCORE — the graded companion to
+    * [[decontaminate]]'s boolean gate: the fraction of a document's
+    * DISTINCT word n-grams that also occur anywhere in the benchmark
+    * set. Pipelines threshold this ("drop above 10% overlap, audit
+    * 1-10%") rather than dropping on a single shared shingle.
+    * Returns one row per corpus document: (id, n_shingles,
+    * n_contaminated, contamination) — zero-overlap docs included.
+    *
+    * Scale shape: identical to [[decontaminate]] — benchmark collapses
+    * to a broadcast distinct-shingle set; the corpus side explodes to
+    * (id, shingle) pairs; the per-doc denominator rides the exploded
+    * rows as one int column so no second pass over the text is needed.
+    */
+  def contaminationScore(corpus: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 5,
+                         broadcastBenchmark: Boolean = true): DataFrame = {
+    val docSh = corpus.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n))
+        .as("shingles"))
+    val exploded = docSh.select(col("id"), size(col("shingles"))
+      .as("n_shingles"), explode(col("shingles")).as("sh"))
+    val benchSh = benchmark.select(
+      explode(array_distinct(TextFunctions.wordShingles(col(benchTextCol), n)))
+        .as("sh"))
+      .distinct()
+    exploded.join(
+        if (broadcastBenchmark) broadcast(benchSh) else benchSh,
+        Seq("sh"), "left_semi")
+      .groupBy(col("id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      // re-attach zero-hit docs (one row per doc on both sides)
+      .join(docSh.select(col("id"), size(col("shingles")).as("n_shingles")),
+        Seq("id", "n_shingles"), "right")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          greatest(col("n_shingles"), lit(1)).cast("double"), 4)
+          .as("contamination"))
+  }
+
+  // ---- paragraph-level dedup -----------------------------------------
+
+  /** Paragraph-level exact dedup (the CCNet / MassiveText line-dedup
+    * step): split each document on `sep`, keep only the GLOBALLY first
+    * occurrence of every distinct paragraph — first by document id,
+    * then by position within the document — and reassemble each
+    * document from its surviving paragraphs in original order. Kills
+    * boilerplate (headers, footers, cookie banners) that document-level
+    * dedup can't see because the surrounding text differs.
+    *
+    * Returns one row per input document:
+    * (id, n_paras, n_kept, text_deduped) — `text_deduped` is NULL when
+    * every paragraph of the document occurred earlier elsewhere.
+    *
+    * Scale shape: two keyed shuffles of paragraph-level rows and
+    * nothing else — a window partitioned BY PARAGRAPH HASH (groups =
+    * duplicate sets, overwhelmingly tiny; never a global window) picks
+    * the first occurrence, then a groupBy(id) reassembles. No
+    * all-pairs joins; payload rides as one paragraph string per row.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sep)).as(Seq("para_idx", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val w = Window.partitionBy(md5(col("para")))
+      .orderBy(col("id"), col("para_idx"))
+    paras.withColumn("rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("rn") === 1,
+          struct(col("para_idx"), col("para"))))).as("kept"))
+      .select(col("id"), col("n_paras"), col("n_kept"),
+        when(col("n_kept") > 0,
+          array_join(transform(col("kept"), k => k.getField("para")), sep))
+          .as("text_deduped"))
+  }
+
   // ---- duplicate clustering (connected components) -------------------
 
   /** Group near-duplicate PAIRS into clusters: connected components of

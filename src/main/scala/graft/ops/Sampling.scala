@@ -123,4 +123,68 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= n)
   }
+
+  /** Deterministic train/val/test assignment: each row lands in exactly
+    * one named split, decided by where its hash draw falls among the
+    * cumulative fraction thresholds (`splits` in order; fractions must
+    * sum to ≤ 1, any remainder goes to the LAST split so no row is
+    * unassigned). The same row gets the same split on any cluster, any
+    * partitioning, any engine that agrees on md5 — the property a
+    * held-out set must have, or retraining after an ingest reshuffle
+    * contaminates eval with former training rows.
+    *
+    * Scale shape: a single narrow projection (hash + when-chain,
+    * whole-stage codegen) — no shuffle, no state.
+    */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)],
+                  salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0), s"splits $splits")
+    // cumulative thresholds in declaration order — fixed IEEE add order,
+    // so the DuckDB oracle reproduces the exact same hex literals.
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    require(cum.last <= 1.0 + 1e-9, s"split fractions sum to ${cum.last} > 1")
+    val draw = hashDraw(col(keyCol), salt)
+    val label = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), c), acc) =>
+      when(draw < lit(thresholdHex(c)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Deterministic global shuffle: adds `pos` — the row's position in
+    * the corpus ordered by its hash draw (ties broken on the key) — a
+    * reproducible random permutation for epoch-order materialization.
+    * Re-running on a differently-partitioned copy of the same rows
+    * yields the identical permutation; changing `salt` re-shuffles.
+    *
+    * Scale shape: NOT a single-partition window (the classic global
+    * row_number bottleneck) — the same two-phase range-shuffle scan as
+    * [[Packing.packChunked]]: job 1 collects per-partition COUNTS
+    * (nParts tiny rows), job 2 re-reads the same shuffle output with
+    * the prefix offsets closed over, so the draw order is materialized
+    * once and the driver never sees a data row.
+    */
+  def globalShuffle(df: DataFrame, keyCol: String, salt: String = "graft",
+                    nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val withDraw = df.withColumn("shuffle_draw", hashDraw(col(keyCol), salt))
+    // ONE RDD lineage shared by both jobs (see Packing.packChunked: a
+    // DataFrame would re-sample the range exchange per job; an RDD not).
+    val rdd = withDraw.repartitionByRange(nParts, col("shuffle_draw"), col(keyCol))
+      .sortWithinPartitions(col("shuffle_draw"), col(keyCol)).rdd
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var p = offsets(i)
+      it.map { r => val row = Row.fromSeq(r.toSeq :+ p); p += 1; row }
+    }
+    spark.createDataFrame(out, StructType(withDraw.schema.fields :+
+      StructField("pos", LongType, nullable = false)))
+      .drop("shuffle_draw")
+  }
 }

@@ -122,6 +122,94 @@ object TextQueries {
         .limit(20)
     },
 
+    // Canonical normalization: NFC (native kernel) + lower + whitespace
+    // collapse. Unicode is planted (the fixture corpus is ASCII) so the
+    // NFC path demonstrably fires; DuckDB nfc_normalize is the twin.
+    "text_normalize" -> { (s, d) =>
+      import s.implicits._
+      // the accents below are DECOMPOSED combining marks (base letter +
+      // U+0301/U+0308), so NFC actually composes them — the oracle
+      // builds the same byte sequences with chr()
+      val plants = Seq(
+        (900001L, "CAFÉ  du  Parc"),
+        (900002L, " été\tÉTÉ "),
+        (900003L, "Ängström   42")).toDF("doc_id", "text")
+      Tables.documents(s, d).select(col("doc_id"), col("text")).union(plants)
+        .select(col("doc_id"),
+          TextFunctions.normalizeText(col("text")).as("norm"))
+    },
+
+    // C4/Gopher rule gates with planted violations (boilerplate, too
+    // short, code braces, base64-ish long token, digit spam) — the
+    // fixture corpus trips none of them, so each plant isolates one rule.
+    "heuristic_filter" -> { (s, d) =>
+      import s.implicits._
+      val plants = Seq(
+        (900001L, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+        (900002L, "short doc"),
+        (900003L, "function render(x) { return x.map(item => item.id); }"),
+        (900004L, "the quick aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa brown fox jumps over"),
+        (900005L, "codes 404 500 12345 67890 11111 22222 33333"))
+        .toDF("doc_id", "text")
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .union(plants)
+      corpus.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
+        col("text").rlike("\\S{26,}").cast("int").as("has_long_word"),
+        lower(col("text")).contains("lorem ipsum").cast("int")
+          .as("has_lorem"),
+        (col("text").contains("{") || col("text").contains("}")).cast("int")
+          .as("has_brace"),
+        round(TextFunctions.digitCount(col("text")).cast("double") /
+          greatest(length(col("text")).cast("double"), lit(1.0)), 4)
+          .as("digit_ratio"),
+        TextFunctions.heuristicKeep(col("text")).cast("int").as("keep"))
+    },
+
+    // Paragraph-level (CCNet/MassiveText line) dedup: the corpus is
+    // re-laid-out as 12-token paragraphs; the zzz plants then share
+    // every paragraph but their first with their source doc, so the op
+    // must strip plants down to one line while keeping originals whole.
+    "dedup_paragraphs" -> { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val para = array_join(
+        transform(
+          sequence(lit(0), ceil(size(toks) / lit(12.0)).cast("int") - 1),
+          i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")), "\n")
+      val corpus = corpusWithPlants(s, d)
+        .select(col("doc_id"), para.as("text"))
+      Dedup.dedupParagraphs(corpus, "doc_id", "text", "\n")
+        .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"),
+          col("text_deduped"))
+    },
+
+    // Graded contamination: fraction of each doc's distinct 3-grams
+    // found in the benchmark set (docs with doc_id % 37 == 0) — the
+    // thresholdable companion to the boolean decontaminate gate.
+    "contamination_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 37 === 0).select(col("text"))
+      Dedup.contaminationScore(docs, "doc_id", "text", bench, "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          col("n_contaminated"), col("contamination"))
+    },
+
+    // Deterministic train/val/test assignment by hash-draw thresholds
+    "split_assign" -> { (s, d) =>
+      Sampling.assignSplit(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    },
+
+    // Reproducible global permutation (epoch shuffle order): pos is the
+    // rank in hash-draw order, built by the two-phase range scan — the
+    // oracle's single-window row_number must agree exactly.
+    "shuffle_global" -> { (s, d) =>
+      Sampling.globalShuffle(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+    },
+
     // ---- deterministic sampling (ops/Sampling) ----
     "sample_hash" -> { (s, d) =>
       Sampling.hashSample(Tables.orders(s, d), "o_orderkey", 0.1)
@@ -483,6 +571,119 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang, sample_rank FROM r
         |WHERE sample_rank <= 30""".stripMargin,
+
+    "text_normalize" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (900001, 'CAFE' || chr(769) || '  du  Parc'),
+        |    (900002, ' e' || chr(769) || 'te' || chr(769) || chr(9) ||
+        |      'E' || chr(769) || 'TE' || chr(769) || ' '),
+        |    (900003, 'A' || chr(776) || 'ngstro' || chr(776) || 'm   42'))
+        |    v(doc_id, text))
+        |SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |    AS norm
+        |FROM corpus""".stripMargin,
+
+    "heuristic_filter" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (900001, 'lorem ipsum dolor sit amet consectetur adipiscing elit'),
+        |    (900002, 'short doc'),
+        |    (900003, 'function render(x) { return x.map(item => item.id); }'),
+        |    (900004, 'the quick aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa brown fox jumps over'),
+        |    (900005, 'codes 404 500 12345 67890 11111 22222 33333'))
+        |    v(doc_id, text)),
+        |t AS (SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS n_words,
+        |    CASE WHEN regexp_matches(text, '\S{26,}') THEN 1 ELSE 0 END
+        |      AS has_long_word,
+        |    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+        |      AS has_lorem,
+        |    CASE WHEN contains(text, '{') OR contains(text, '}')
+        |      THEN 1 ELSE 0 END AS has_brace,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)
+        |      AS draw_ratio
+        |  FROM corpus)
+        |SELECT doc_id, n_words, has_long_word, has_lorem, has_brace,
+        |  round(draw_ratio, 4) AS digit_ratio,
+        |  CASE WHEN n_words >= 5 AND n_words <= 50000
+        |    AND has_long_word = 0 AND has_lorem = 0 AND has_brace = 0
+        |    AND draw_ratio <= 0.2 THEN 1 ELSE 0 END AS keep
+        |FROM t""".stripMargin,
+
+    "dedup_paragraphs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    'zzz ' || substr(text, strpos(text, ' ') + 1)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM base),
+        |paras AS (SELECT doc_id, unnest(
+        |    list_transform(range(0, CAST(ceil(len(tk) / 12.0) AS BIGINT)),
+        |      i -> struct_pack(idx := i,
+        |        para := array_to_string(tk[(i*12+1):(i*12+12)], ' ')))) AS p
+        |  FROM toks),
+        |flat AS (SELECT doc_id, p.idx AS para_idx, p.para AS para
+        |  FROM paras WHERE len(trim(p.para)) > 0),
+        |ranked AS (SELECT doc_id, para_idx, para,
+        |    row_number() OVER (PARTITION BY md5(para)
+        |      ORDER BY doc_id, para_idx) AS rn
+        |  FROM flat)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+        |    ORDER BY para_idx) AS text_deduped
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "contamination_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(0, len(ts) - 2),
+        |        i -> ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3])
+        |      ELSE [array_to_string(ts, ' ')] END) AS shs
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 37 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_contaminated
+        |  FROM ex JOIN bench USING (s) GROUP BY doc_id)
+        |SELECT sh.doc_id, len(sh.shs) AS n_shingles,
+        |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+        |    / greatest(len(sh.shs), 1), 4) AS contamination
+        |FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id""".stripMargin,
+
+    // thresholds interpolated from the SAME cumulative-sum + floor
+    // arithmetic the operator uses, so the hex literals match bit-for-bit
+    "split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |      < '${graft.ops.Sampling.thresholdHex(0.8)}' THEN 'train'
+         |    WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |      < '${graft.ops.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "shuffle_global" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (
+        |    ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |      doc_id) - 1 AS pos
+        |FROM documents""".stripMargin,
 
     // quality gate replay: same rule-sum score, same rank + floor(n/2)
     "quality_gate" ->

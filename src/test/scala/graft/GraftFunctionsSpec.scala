@@ -67,6 +67,47 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == 0.0 && row.getDouble(3) == 0.0)
   }
 
+  test("nfc normalization: native kernel vs java.text.Normalizer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{NfcNormalizeExpr, TextFunctions}
+    val cases = Seq(
+      "CAFÉ",           // combining acute -> composes
+      "ÄÖ",       // combining diaeresis x2
+      "already composed éÄ", // NFC fixed point
+      "plain ascii stays",    // fast path (isNormalized)
+      "")
+    val df = cases.map(Tuple1(_)).toDF("s")
+    val got = df.select(NfcNormalizeExpr(col("s"))).as[String].collect()
+    val want = cases.map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.sameElements(want))
+    assert(got(0) == "CAFÉ" && got(1) == "ÄÖ")
+    // the full normalizeText chain: NFC + lower + whitespace collapse
+    val norm = Seq(Tuple1(" CAFÉ  du\tParc ")).toDF("s")
+      .select(TextFunctions.normalizeText(col("s"))).as[String].head()
+    assert(norm == "café du parc")
+  }
+
+  test("heuristic gates fire on exactly the planted violations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1L, "a clean document with plenty of ordinary words in it", true),
+      (2L, "too short", false),                       // < 5 words
+      (3L, "this has lorem ipsum buried in the middle", false),
+      (4L, "code like { return x } is not prose at all", false),
+      (5L, "one aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa token is suspicious here", false),
+      (6L, "numbers 11111 22222 33333 44444 55555 66666 77777", false))
+    val out = rows.map(r => (r._1, r._2)).toDF("id", "text")
+      .select(col("id"), TextFunctions.heuristicKeep(col("text")).as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    rows.foreach { case (id, _, want) =>
+      assert(out(id) == want, s"doc $id keep=${out(id)}, want $want")
+    }
+  }
+
   private def GeoRound(v: Double): Double =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
 

@@ -147,4 +147,42 @@ class DedupSpec extends AnyFunSuite {
     assert((20L to 27L).forall(got(_) == 20L))
     assert(got.size == 14)
   }
+
+  test("dedupParagraphs keeps globally-first occurrences, reassembles in order") {
+    val df = Seq(
+      (1L, "alpha beta\ncommon footer\nunique one"),
+      (2L, "common footer\nunique two"),
+      (3L, "common footer"),            // all paragraphs seen earlier
+      (4L, "solo\n\nafter blank")       // empty segment must not count
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((3L, 3L, Some("alpha beta\ncommon footer\nunique one"))))
+    assert(out(2L) == ((2L, 1L, Some("unique two"))))
+    assert(out(3L) == ((1L, 0L, None)))
+    assert(out(4L) == ((2L, 2L, Some("solo\nafter blank"))))
+    // first occurrence is by (doc id, position): repartitioning the
+    // input must not flip which copy survives
+    val again = Dedup.dedupParagraphs(df.repartition(5), "doc_id", "text")
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(again == out)
+  }
+
+  test("contaminationScore is the exact distinct-shingle overlap fraction") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4"),        // identical to the benchmark doc -> 1.0
+      (2L, "w1 w2 w3 x1 x2"),     // shares 1 of its 3 distinct 3-grams
+      (3L, "p1 p2 p3 p4")         // disjoint -> 0.0, must still appear
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("w1 w2 w3 w4")).toDF("text")
+    val out = Dedup.contaminationScore(corpus, "doc_id", "text",
+      bench, "text", n = 3)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((2, 2L, 1.0)))
+    assert(out(2L) == ((3, 1L, 0.3333)))
+    assert(out(3L) == ((2, 0L, 0.0)))
+  }
 }

@@ -162,4 +162,52 @@ class SamplingPackingSpec extends AnyFunSuite {
         s"bin $bin keys not contiguous")
     }
   }
+
+  test("assignSplit: total, partition-stable, md5-replayable") {
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val out = Sampling.assignSplit(ids(10000), "id", splits)
+      .select("id", "split").as[(Long, String)].collect()
+    assert(out.length == 10000) // every row assigned exactly once
+    val counts = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 8000) < 400, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 1000) < 200, s"val ${counts("val")}")
+    // partitioning must not move any row across splits (the holdout
+    // contamination failure mode)
+    val again = Sampling.assignSplit(ids(10000).repartition(13), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out.toMap == again)
+    // exact differential: java md5 + the operator's own cumulative hexes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): String = md.digest(s"graft$id".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val h1 = Sampling.thresholdHex(0.8)
+    val h2 = Sampling.thresholdHex(0.8 + 0.1)
+    out.foreach { case (id, s) =>
+      val expect = if (draw(id) < h1) "train"
+        else if (draw(id) < h2) "val" else "test"
+      assert(s == expect, s"id $id: $s != $expect")
+    }
+  }
+
+  test("globalShuffle: deterministic permutation in md5-draw order") {
+    val out = Sampling.globalShuffle(ids(5000), "id", nParts = 7)
+      .select("id", "pos").as[(Long, Long)].collect()
+    assert(out.map(_._2).sorted.sameElements(0L until 5000L)) // permutation
+    // input partitioning must not change the epoch order
+    val again = Sampling.globalShuffle(ids(5000).repartition(13), "id",
+      nParts = 7).select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(out.toMap == again)
+    // the permutation IS the (md5 draw, id) sort order, replayed locally
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): String = md.digest(s"graft$id".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val local = (0L until 5000L).sortBy(id => (draw(id), id))
+      .zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    assert(out.toMap == local)
+    // a different salt yields a different epoch order
+    val other = Sampling.globalShuffle(ids(5000), "id", salt = "epoch2",
+      nParts = 7).select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(other != out.toMap)
+  }
 }
