@@ -448,6 +448,72 @@ object Dedup {
           .as("text_deduped"))
   }
 
+  /** Repeated-SPAN removal — the ExactSubstr dedup of "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2022),
+    * reformulated for a distributed engine: any token span of length ≥
+    * `k` that occurs more than once in the corpus survives only at its
+    * globally-first occurrence (by document id, then position); every
+    * later occurrence is cut out of its document, within-document
+    * repeats included. Document-level dedup can't see these — a page
+    * that quotes a duplicated paragraph keeps its unique text and loses
+    * just the quote.
+    *
+    * Formulation: a maximal duplicated span of length L ≥ k is exactly
+    * the union of its L-k+1 duplicated k-grams, so flagging non-first
+    * k-gram occurrences and removing the token positions they cover
+    * removes precisely the spans the suffix-array formulation finds.
+    * Documents shorter than `k` tokens never flag (no span to match).
+    *
+    * Returns one row per input document: (id, n_tokens, n_removed,
+    * text_clean) — `text_clean` NULL when everything was removed (an
+    * exact duplicate document).
+    *
+    * Scale shape: rows are only ever (id, pos) pairs — one per token
+    * and one per k-gram, the same order of work as tokenization itself.
+    * The first-occurrence window partitions by K-GRAM HASH (duplicate
+    * sets, tiny groups); covered positions explode flagged grams k-fold
+    * (bounded by k × true duplication volume, not corpus size); the
+    * final anti-join and reassembly shuffle by document id. No suffix
+    * array, no driver state, no all-pairs work.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 10): DataFrame = {
+    require(k >= 2, s"span length $k")
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    // k-gram occurrences with their start-token position
+    val kg = toks.filter(size(col("toks")) >= k)
+      .select(col("id"),
+        posexplode(TextFunctions.wordShingles(
+          array_join(col("toks"), " "), k)).as(Seq("pos", "gram")))
+    val w = Window.partitionBy(md5(col("gram")))
+      .orderBy(col("id"), col("pos"))
+    // non-first occurrences cover token range [pos, pos+k)
+    val covered = kg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + k - 1)).as("j"))
+      .distinct()
+    val tokPos = toks.select(col("id"), size(col("toks")).as("n_tokens"),
+      posexplode(col("toks")).as(Seq("j", "tok")))
+    val kept = tokPos.join(covered, Seq("id", "j"), "left_anti")
+      .groupBy(col("id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("j"), col("tok")))).as("ks"))
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"),
+        array_join(transform(col("ks"), x => x.getField("tok")), " ")
+          .as("text_clean"))
+    // re-attach fully-removed docs (kept has no row for them)
+    toks.select(col("id"), size(col("toks")).as("n_tokens"))
+      .join(kept.select(col("id"), col("n_removed"), col("text_clean")),
+        Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_removed"), col("n_tokens")).as("n_removed"),
+        col("text_clean"))
+  }
+
   // ---- duplicate clustering (connected components) -------------------
 
   /** Group near-duplicate PAIRS into clusters: connected components of

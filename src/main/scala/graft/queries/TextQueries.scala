@@ -184,6 +184,18 @@ object TextQueries {
           col("text_deduped"))
     },
 
+    // ExactSubstr span dedup (Lee et al.): every ≥10-token span that
+    // repeats anywhere in the corpus survives only at its first
+    // occurrence. The zzz plants repeat their source doc from token 1
+    // on, so the operator must cut that whole span out of the plant
+    // while leaving the original untouched.
+    "dedup_spans" -> { (s, d) =>
+      Dedup.removeRepeatedSpans(corpusWithPlants(s, d), "doc_id", "text",
+        k = 10)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          col("text_clean"))
+    },
+
     // Graded contamination: fraction of each doc's distinct 3-grams
     // found in the benchmark set (docs with doc_id % 37 == 0) — the
     // thresholdable companion to the boolean decontaminate gate.
@@ -645,6 +657,45 @@ object TextQueries {
         |  string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
         |    ORDER BY para_idx) AS text_deduped
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    'zzz ' || substr(text, strpos(text, ' ') + 1)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM base),
+        |kg AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(tk) - 9),
+        |      i -> struct_pack(pos := i,
+        |        gram := array_to_string(tk[(i+1):(i+10)], ' ')))) AS u
+        |  FROM toks WHERE len(tk) >= 10)),
+        |ranked AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY md5(gram)
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM kg),
+        |cov AS (SELECT DISTINCT doc_id, j FROM (
+        |  SELECT doc_id, unnest(range(pos, pos + 10)) AS j
+        |  FROM ranked WHERE rn > 1)),
+        |tokpos AS (SELECT doc_id, u.j AS j, u.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(tk)),
+        |      j -> struct_pack(j := j, tok := tk[j + 1]))) AS u
+        |  FROM toks)),
+        |kept AS (SELECT t.doc_id, t.j, t.tok
+        |  FROM tokpos t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.j = c.j
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY j) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.tk) AS n_tokens,
+        |  CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  a.text_clean
+        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
 
     "contamination_score" ->
       """WITH toks AS (SELECT doc_id,

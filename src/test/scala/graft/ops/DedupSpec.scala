@@ -170,6 +170,26 @@ class DedupSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("removeRepeatedSpans cuts later occurrences of long spans only") {
+    val d1 = "a b c d e f g h i j k l"            // 12 tokens, first
+    val d3 = "p q r s t u v w x y z0 z1"          // 12 unique tokens
+    val df = Seq(
+      (1L, d1),
+      (2L, d1 + " x y z"),   // repeats d1's full span, adds 3 own tokens
+      (3L, d3),
+      (4L, "a b c d e"),     // 5-token prefix of d1: below k, untouched
+      (5L, d1)               // exact duplicate: fully removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(df, "doc_id", "text", k = 10)
+      .as[(Long, Int, Long, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((12, 0L, Some(d1))))
+    assert(out(2L) == ((15, 12L, Some("x y z"))))
+    assert(out(3L) == ((12, 0L, Some(d3))))
+    assert(out(4L) == ((5, 0L, Some("a b c d e"))))
+    assert(out(5L) == ((12, 12L, None)))
+  }
+
   test("contaminationScore is the exact distinct-shingle overlap fraction") {
     val corpus = Seq(
       (1L, "w1 w2 w3 w4"),        // identical to the benchmark doc -> 1.0

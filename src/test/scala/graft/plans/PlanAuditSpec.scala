@@ -166,4 +166,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(mixShuffles.isEmpty,
       s"mixture filter must not shuffle, got ${mixShuffles.size}")
   }
+
+  test("contamination score broadcasts the benchmark; narrow gates never shuffle") {
+    val sf = "/root/testdata/sf0.001"
+    // same broadcast contract as decontaminate: the graded variant must
+    // not fall back to sorting the corpus shingle stream either
+    val cs = graft.SparkEntry.queries("contamination_score")(spark, sf)
+    val csPlans = executed(cs)
+    assert(csPlans.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "benchmark shingle set must broadcast")
+    assert(!csPlans.exists(_.nodeName.contains("SortMergeJoin")))
+    // heuristic gates and split assignment are pure per-row projections:
+    // zero exchanges end-to-end
+    for (q <- Seq("heuristic_filter", "split_assign")) {
+      val plans = executed(graft.SparkEntry.queries(q)(spark, sf))
+      val shuffles = plans.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"$q must not shuffle, got ${shuffles.size}")
+    }
+  }
+
+  test("paragraph/span dedup windows by content hash, never a global window") {
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("dedup_paragraphs", "dedup_spans")) {
+      val plans = executed(graft.SparkEntry.queries(q)(spark, sf))
+      val windows = plans.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$q: expected the first-occurrence window")
+      // an empty partition spec would drag the whole corpus to one task —
+      // the classic scale killer this suite exists to catch
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q: window must be partitioned by the content hash"))
+    }
+  }
 }
