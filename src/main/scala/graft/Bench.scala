@@ -37,7 +37,10 @@ object Bench {
     "tumbling_daily", "session_windows", "asof_join", "o1_topk",
     "cube_rollup", "rank_topn", "f5_qa_confidence", "f9_chunk_math",
     "text_stats", "text_lang_id", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "decontaminate", "ann_brute_topk", "ann_lsh_topk")
+    "dedup_simhash", "decontaminate", "ann_brute_topk", "ann_lsh_topk",
+    // round-5 additions: paragraph + span dedup (the two windowed
+    // first-occurrence ops) and the two-phase global epoch shuffle
+    "dedup_paragraphs", "dedup_spans", "shuffle_global")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see
@@ -184,6 +187,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     listener = GraftMetricsBridge.install(spark.sparkContext)
 
+    // Force FULL result production, not a row count: .count() lets
+    // Catalyst legitimately delete work — an outer join against a
+    // grouped (unique-key) side with no referenced columns is
+    // eliminated, taking its whole windowed subtree with it, so
+    // dedup_spans "measured" 13ms of cpu (a parquet row count). The
+    // checksum aggregate references every output column of every row —
+    // what a real pipeline sinks — while still collecting one row.
+    // XOR-fold, not sum: ANSI mode (Spark 4 default) throws on Long
+    // overflow, which a sum of 2^63-ranged hashes hits immediately.
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+    }
+
     // warm-up: one untimed pass of every headline query at sf0.001.
     // Plan SHAPES are identical across scale factors, so this hits the
     // codegen cache and JIT for the timed runs — the wide dedup/LSH
@@ -193,7 +211,7 @@ object Bench {
     // Steady-state is the number that predicts cluster throughput.
     val warmDir = "/root/testdata/sf0.001"
     headline.foreach { name =>
-      try SparkEntry.queries(name)(spark, warmDir).count()
+      try force(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => }
     }
     // seed the probe's quiet reference (and its JIT) before timing
@@ -207,7 +225,7 @@ object Bench {
         // persist-free ops run cold twice — min-of-2 must compare
         // like-for-like cold runs across entries
         timed2(spark, name) {
-          fn(spark, sfDir).count()
+          force(fn(spark, sfDir))
           graft.ops.CacheRegistry.releaseAll()
         }
       }
