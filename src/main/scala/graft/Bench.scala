@@ -39,8 +39,10 @@ object Bench {
     "text_stats", "text_lang_id", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "decontaminate", "ann_brute_topk", "ann_lsh_topk",
     // round-5 additions: paragraph + span dedup (the two windowed
-    // first-occurrence ops) and the two-phase global epoch shuffle
-    "dedup_paragraphs", "dedup_spans", "shuffle_global")
+    // first-occurrence ops), the two-phase global epoch shuffle, and
+    // the bloom-gated incremental novelty check
+    "dedup_paragraphs", "dedup_spans", "shuffle_global",
+    "dedup_bloom_novel")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

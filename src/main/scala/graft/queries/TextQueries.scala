@@ -301,6 +301,22 @@ object TextQueries {
       Dedup.dropExactDuplicates(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // Incremental ingest: a bloom filter over the history corpus gates
+    // the exact novelty check. Incoming plants exact copies of history
+    // docs (doc_id % 8 == 1, re-idd +200000) so the duplicate path is
+    // exercised deterministically; the fixture corpus itself is
+    // all-distinct, so the %4==0 slice is wholly novel.
+    "dedup_bloom_novel" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val history = docs.filter(col("doc_id") % 4 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 4 === 0)
+        .union(docs.filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.novelAgainstHistory(incoming, "doc_id", "text",
+          history, "text", expectedItems = 4096)
+        .select(col("doc_id"), col("content_hash"))
+    },
+
     // The LSH candidate generation is xxhash64-based (no DuckDB twin),
     // but the emitted pairs are verified with EXACT shingle Jaccard, and
     // on the fixture corpus LSH recall at j >= 0.5 is total (k=32,
@@ -525,6 +541,18 @@ object TextQueries {
       """SELECT d.* FROM documents d
         |JOIN (SELECT min(doc_id) AS doc_id FROM documents
         |      GROUP BY md5(text)) k USING (doc_id)""".stripMargin,
+
+    // exact semantics regardless of the bloom gate: incoming rows whose
+    // content hash is absent from the history slice
+    "dedup_bloom_novel" ->
+      """WITH incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 8 = 1)
+        |SELECT doc_id, md5(text) AS content_hash FROM incoming
+        |WHERE md5(text) NOT IN
+        |  (SELECT md5(text) FROM documents WHERE doc_id % 4 <> 0)""".stripMargin,
 
     // the byte-identical regex chain (RE2-compatible patterns; 'g' flag
     // — DuckDB replaces only the first match without it)

@@ -205,4 +205,39 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == ((3, 1L, 0.3333)))
     assert(out(3L) == ((2, 0L, 0.0)))
   }
+
+  test("novelAgainstHistory equals the plain anti-join, both confirm paths") {
+    val history = (0 until 150).map(i => (i.toLong, mkDoc(i)))
+      .toDF("doc_id", "text")
+    // incoming: 50 novel docs + 30 exact copies of history content
+    val incoming = ((200 until 250).map(i => (i.toLong, mkDoc(i))) ++
+      (0 until 30).map(i => (1000L + i, mkDoc(i * 4))))
+      .toDF("doc_id", "text")
+    val expected = (200L until 250L).toSet
+    for (bcast <- Seq(true, false)) {
+      val kept = Dedup.novelAgainstHistory(incoming, "doc_id", "text",
+          history, "text", expectedItems = 256, broadcastCandidates = bcast)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == expected, s"broadcastCandidates=$bcast")
+    }
+  }
+
+  test("bloom probe has no false negatives; persisted image is reusable") {
+    val history = (0 until 100).map(i => (i.toLong, mkDoc(i)))
+      .toDF("doc_id", "text")
+    val bytes = Dedup.contentBloom(history, "text", expectedItems = 128)
+    // every history doc must probe true against its own bloom
+    val hits = history
+      .filter(Dedup.bloomMightContain(bytes, xxhash64(col("text"))))
+      .count()
+    assert(hits == 100L, "a bloom filter cannot produce false negatives")
+    // a saved image drives the same novel set as an inline build
+    val incoming = ((300 until 320).map(i => (i.toLong, mkDoc(i))) ++
+      (0 until 10).map(i => (2000L + i, mkDoc(i))))
+      .toDF("doc_id", "text")
+    val kept = Dedup.novelAgainstHistory(incoming, "doc_id", "text",
+        history, "text", expectedItems = 128, bloom = Some(bytes))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (300L until 320L).toSet)
+  }
 }

@@ -115,6 +115,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plans.exists(_.nodeName.contains("SortMergeJoin")))
   }
 
+  test("bloom novelty gate: codegen probe, broadcast confirm, history unshuffled") {
+    import spark.implicits._
+    def doc(i: Int): String =
+      (0 until 20).map(j => s"w${(i * 89 + j * 17) % 900}y$j").mkString(" ")
+    // parquet-backed, not local: Filter-over-LocalRelation is evaluated
+    // away at optimization time, which would hide the probe from the
+    // physical plan this test audits
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit_bloom")
+    (0 until 200).map(i => (i.toLong, doc(i)))
+      .toDF("doc_id", "text").write.parquet(s"$dir/history")
+    ((500 until 550).map(i => (i.toLong, doc(i))) ++
+      (0 until 20).map(i => (2000L + i, doc(i))))
+      .toDF("doc_id", "text").write.parquet(s"$dir/incoming")
+    val history = spark.read.parquet(s"$dir/history")
+    val incoming = spark.read.parquet(s"$dir/incoming")
+    val df = graft.ops.Dedup.novelAgainstHistory(incoming, "doc_id", "text",
+      history, "text", expectedItems = 512)
+    val plans = executed(df)
+    val tree = plans.map(_.toString).mkString("\n")
+    assert(tree.contains("might_contain"),
+      "the bloom probe must gate the scan as a native filter expression")
+    assert(plans.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "confirm joins must broadcast the candidate-key set")
+    assert(!plans.exists(_.nodeName.contains("SortMergeJoin")),
+      "the history side must never sort-merge — it would shuffle the " +
+        "full history hash stream on every increment")
+  }
+
   test("persisted IVF query broadcasts probes and prunes assignment cells") {
     import spark.implicits._
     def vec(i: Int): Array[Float] = {
