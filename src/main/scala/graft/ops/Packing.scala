@@ -109,4 +109,38 @@ object Packing {
     spark.createDataFrame(out, StructType(df.schema.fields :+
       StructField("bin_id", LongType, nullable = false)))
   }
+
+  /** Split long documents into fixed-size overlapping token windows —
+    * the other half of context-window prep ([[packChunked]] packs short
+    * docs together; this cuts long docs down). Window i covers tokens
+    * [i·stride, i·stride + chunkTokens) with stride = chunkTokens −
+    * overlap; the window count ⌈(n − overlap) / stride⌉ (min 1)
+    * guarantees every window past the first starts with `overlap`
+    * repeated tokens and contributes at least one new one. Documents
+    * with zero tokens emit no rows.
+    *
+    * Output: (id, chunk_idx, n_chunk_tokens, chunk_text).
+    *
+    * Scale shape: one projection + one generator — no shuffle, no
+    * window function, no driver state; rows fan out by the per-doc
+    * chunk count only (plan-pinned shuffle-free).
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens, s"overlap $overlap")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_chunks", greatest(lit(1L),
+        ceil((size(col("toks")) - lit(overlap)).cast("double") / lit(stride))))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk", slice(col("toks"),
+        (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
 }

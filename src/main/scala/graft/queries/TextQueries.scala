@@ -278,6 +278,14 @@ object TextQueries {
     },
 
     // ---- sequence packing (ops/Packing) ----
+    // long docs cut into 64-token windows overlapping by 16 — the
+    // context-window sibling of pack_sequences (short docs pack, long
+    // docs chunk); pure projection + generator, no shuffle (plan-pinned)
+    "chunk_documents" -> { (s, d) =>
+      Packing.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+    },
+
     // capacity 512 is a power of two so the bin-boundary division is
     // FP-exact in both engines (cum_before < 2^53).
     "pack_sequences" -> { (s, d) =>
@@ -904,6 +912,26 @@ object TextQueries {
         |  < thr""".stripMargin,
 
     // global token prefix sum in doc_id order; capacity 512 = 2^9 keeps
+    // same tokenizer replay as text_stats; list slices are 1-based
+    // inclusive and end-clipped in both engines
+    "chunk_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS t
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(1, ceil((len(t) - 16) / 48.0)) AS BIGINT) - 1))
+        |      AS chunk_idx
+        |  FROM toks WHERE len(t) > 0)
+        |SELECT doc_id, chunk_idx,
+        |  len(t[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_chunk_tokens,
+        |  array_to_string(t[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')
+        |    AS chunk_text
+        |FROM ch""".stripMargin,
+
     // the bin division FP-exact; sums cast to BIGINT (DuckDB sum of
     // integers is HUGEINT, which the driver bridge would coerce to float)
     "pack_sequences" ->

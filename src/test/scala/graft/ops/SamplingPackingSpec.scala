@@ -210,4 +210,32 @@ class SamplingPackingSpec extends AnyFunSuite {
       nParts = 7).select("id", "pos").as[(Long, Long)].collect().toMap
     assert(other != out.toMap)
   }
+
+  test("chunkByTokens: coverage, overlap, and boundary cases") {
+    def words(n: Int): String = (0 until n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(100)), // 2 chunks: [0,64), [48,100)
+      (2L, words(64)),  // exactly one full chunk
+      (3L, words(65)),  // second chunk = 16 overlap + 1 new token
+      (4L, words(5)),   // shorter than overlap: still one chunk
+      (5L, "")          // zero tokens: no rows
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(docs, "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L).map(c => (c._2, c._3)).toSeq == Seq((0L, 64), (1L, 52)))
+    // stride 48: chunk 1 starts at token 48, overlapping 16 tokens
+    assert(out(1L)(1)._4.startsWith("t48 ") && out(1L)(0)._4.endsWith(" t63"))
+    assert(out(2L).map(c => (c._2, c._3)).toSeq == Seq((0L, 64)))
+    assert(out(3L).map(c => (c._2, c._3)).toSeq == Seq((0L, 64), (1L, 17)))
+    assert(out(4L).map(c => (c._2, c._3)).toSeq == Seq((0L, 5)))
+    assert(!out.contains(5L))
+    // every token of every doc appears in at least one chunk, in order
+    val rebuilt = out(1L).map(_._4.split(" ")).reduce { (a, b) =>
+      a ++ b.drop(16) // drop the overlap when stitching
+    }
+    assert(rebuilt.sameElements((0 until 100).map(i => s"t$i")))
+  }
 }

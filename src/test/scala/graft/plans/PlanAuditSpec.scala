@@ -172,6 +172,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cell pruning missing: ${assignScan.get.metadata}")
   }
 
+  test("document chunking never shuffles — projection + generator only") {
+    val df = graft.SparkEntry.queries("chunk_documents")(
+      spark, "/root/testdata/sf0.001")
+    val shuffles = executed(df).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"chunking is per-row fan-out; found ${shuffles.size} exchange(s)")
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     import spark.implicits._
     val df = (0 until 10000).map(i => (i, i * 37 % 1000)).toDF("id", "v")
