@@ -79,4 +79,44 @@ object TermStats {
       .select(col("doc_id"), col("term"), col("rank"),
         round(col("score"), 6).as("score"))
   }
+
+  /** Heavy hitters: every token whose corpus-wide count reaches
+    * `minCount`, with its EXACT count — the Count-Min-Sketch companion
+    * of the Bloom novelty gate (same shape: a one-sided sketch prunes,
+    * an exact pass confirms, the result stays oracle-checkable).
+    *
+    * Why not a plain groupBy? At corpus scale the token→count shuffle
+    * carries the full distinct vocabulary — billions of near-unique
+    * keys (typos, ids, urls) that can never reach `minCount`. The CMS
+    * estimate is an overcount, so filtering the exploded stream on
+    * `estimate >= minCount` BEFORE the aggregation drops the long tail
+    * map-side while provably keeping every true heavy hitter; all
+    * occurrences of a token share one hash, so surviving tokens arrive
+    * with complete counts and the confirm `count >= minCount` is exact.
+    * The shuffle shrinks to true heavies + the sketch's eps·N
+    * collision sliver.
+    *
+    * Two scans of the token stream (sketch build, gated count) — the
+    * sketch is driver-merged `depth x width` counters, broadcast back
+    * inside [[graft.functions.CmsEstimateExpr]]; size it by eps ~
+    * minCount/(10·total_tokens) so the overcount stays well under the
+    * threshold.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, minCount: Long,
+                   eps: Double = 1e-4, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(minCount > 0, s"minCount $minCount")
+    val toks = df.select(
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val cms = toks.stat.countMinSketch("h", eps, confidence, seed)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    toks
+      .filter(graft.functions.CmsEstimateExpr(bos.toByteArray, col("h"))
+        >= minCount)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 }

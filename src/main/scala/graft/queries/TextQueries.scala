@@ -251,6 +251,16 @@ object TextQueries {
       TermStats.sourceOverlap(Tables.documents(s, d), n = 3)
     },
 
+    // CMS-gated heavy hitters. The fixture vocabulary is 31 tokens (all
+    // heavy), so each doc plants two unique tokens — the long tail the
+    // sketch gate must reject map-side; the result is exact either way.
+    "heavy_hitters" -> { (s, d) =>
+      val planted = Tables.documents(s, d).select(
+        concat(col("text"), lit(" ux"), col("doc_id").cast("string"),
+          lit("a ux"), col("doc_id").cast("string"), lit("b")).as("text"))
+      TermStats.heavyHitters(planted, "text", minCount = 50)
+    },
+
     // T5-style span corruption: deterministic per-(doc, span) mask
     // draw at 20% (threshold 0x33333333), spans collapse to <mask>
     "mask_spans" -> { (s, d) =>
@@ -826,6 +836,16 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, term, rank, round(score, 6) AS score
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // exact semantics regardless of the CMS gate: tokens at or above
+    // the count threshold, same planted long tail
+    "heavy_hitters" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(
+        |    concat(text, ' ux', doc_id, 'a ux', doc_id, 'b')), '\s+'),
+        |    t -> len(t) > 0)) AS token
+        |  FROM documents)
+        |GROUP BY token HAVING count(*) >= 50""".stripMargin,
 
     // source overlap replay: same shingle construction, integer set
     // sizes, one double divide at the end

@@ -46,4 +46,41 @@ class TermStatsSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("heavyHitters equals the exact groupBy on a skewed corpus") {
+    import org.apache.spark.sql.functions._
+    // 60 docs: each repeats "hot0".."hot4" and adds 5 unique-ish tail
+    // tokens; hot tokens count 60 each, tail tokens <= 3
+    val docs = (0 until 60).map { i =>
+      val hot = (0 until 5).map(h => s"hot$h").mkString(" ")
+      val tail = (0 until 5).map(j => s"tail${(i * 5 + j) % 97}").mkString(" ")
+      (i.toLong, s"$hot $tail")
+    }.toDF("doc_id", "text")
+    val exact = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 10)
+      .as[(String, Long)].collect().toMap
+    val gated = TermStats.heavyHitters(docs, "text", minCount = 10)
+      .as[(String, Long)].collect().toMap
+    assert(gated == exact, "the CMS gate must not change the exact result")
+    assert(gated.keySet == (0 until 5).map(h => s"hot$h").toSet)
+    assert(gated.values.forall(_ == 60L))
+  }
+
+  test("cms estimate is one-sided: never below the true count") {
+    import org.apache.spark.sql.functions._
+    val toks = (0 until 2000).map(i => Tuple1(s"w${i % 150}"))
+      .toDF("token").withColumn("h", xxhash64(col("token")))
+    val cms = toks.stat.countMinSketch("h", 0.001, 0.99, 42)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val under = toks.groupBy("token")
+      .agg(count(lit(1)).as("cnt"),
+        first(graft.functions.CmsEstimateExpr(bos.toByteArray, col("h")))
+          .as("est"))
+      .filter(col("est") < col("cnt")).count()
+    assert(under == 0L, "CMS must overestimate, never underestimate")
+  }
 }

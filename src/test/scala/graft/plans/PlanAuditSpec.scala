@@ -172,6 +172,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cell pruning missing: ${assignScan.get.metadata}")
   }
 
+  test("heavy hitters: CMS gate filters below the aggregate's shuffle") {
+    val df = graft.SparkEntry.queries("heavy_hitters")(
+      spark, "/root/testdata/sf0.001")
+    val plans = executed(df)
+    // the probe expression must appear in a Filter, and that filter must
+    // sit BELOW every exchange: the point is pruning the long tail
+    // map-side, before the token->count shuffle
+    val filters = plans.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("cms_estimate") => f
+    }
+    assert(filters.nonEmpty, "the CMS gate must survive as a native filter")
+    assert(filters.forall(f => walk(f).forall {
+      case _: ShuffleExchangeExec => false
+      case _ => true
+    }), "the gate must run map-side, below the aggregation shuffle")
+  }
+
   test("document chunking never shuffles — projection + generator only") {
     val df = graft.SparkEntry.queries("chunk_documents")(
       spark, "/root/testdata/sf0.001")
