@@ -222,16 +222,22 @@ object Dedup {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Exploded (id, token hash) rows: tokens explode FIRST and md5 runs
-    * on the plain column (codegen'd; md5 inside a transform() lambda is
-    * a CodegenFallback higher-order call — interpreted, measured ~2x
-    * the CPU). explode_outer keeps empty docs as one NULL-hash row. */
+  /** Exploded (id, token hash) rows: tokens explode FIRST and the hash
+    * runs on the plain column (codegen'd; hashing inside a transform()
+    * lambda is a CodegenFallback higher-order call — interpreted,
+    * measured ~2x the CPU). The hash itself is the native
+    * [[graft.functions.Md5Prefix60Expr]] — value-identical to the
+    * `conv(substring(md5(tok),1,15),16,10)` chain the oracle replays,
+    * minus that chain's three per-token string materializations
+    * (simhash was the engine's most CPU-dense text op; the chain is
+    * kept in [[simhashTokenHashes]] as the differential twin).
+    * explode_outer keeps empty docs as one NULL-hash row. */
   private def explodedTokenHashes(df: DataFrame, idCol: String,
                                   textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Prefix60Expr(col("tok")).as("h"))
 
   /** SimHash signatures: explode + ONE custom vote aggregate
     * ([[graft.functions.SimhashVotesAgg]] — all [[SimhashBits]] per-bit

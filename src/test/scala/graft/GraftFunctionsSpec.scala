@@ -118,4 +118,18 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(names.contains("modis_qa_conf") && names.contains("simhash64"))
     new GraftExtensions() // constructible (spark.sql.extensions contract)
   }
+
+  test("native md5-prefix60 hash equals the conv/substring/md5 chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // unicode, empty string, long strings — the chain is the oracle's
+    // definition, so the native kernel must match it bit-for-bit
+    val rows = (0 until 500).map(i => s"tok$i-é中${"x" * (i % 37)}") :+ ""
+    val df = rows.toDF("tok")
+      .select(col("tok"),
+        graft.functions.Md5Prefix60Expr(col("tok")).as("native"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          .as("chain"))
+    assert(df.filter(col("native") =!= col("chain")).count() == 0)
+  }
 }
