@@ -80,6 +80,69 @@ object TermStats {
         round(col("score"), 6).as("score"))
   }
 
+  /** Per-document LM quality score: the average smoothed bigram
+    * transition probability avg((c12+1)/(c1+V)) over the document's
+    * token bigrams, where c12 is the corpus count of the bigram, c1 the
+    * corpus count of its head token (as a bigram head) and V the
+    * distinct-token vocabulary size — the CCNet-style "train an n-gram
+    * LM on a reference corpus, keep documents it finds predictable"
+    * quality gate (reference analog: the quality-scoring stage next to
+    * [[graft.functions.TextFunctions.qualityScore]]; gibberish and
+    * boilerplate-free spam score near the 1/(c1+V) smoothing floor).
+    *
+    * Deliberately NO logarithm: perplexity's ln ranks identically
+    * (monotone) but libm rounding is not portable across engines,
+    * while every step here — integer counts, one IEEE divide, a short
+    * per-doc mean — replays exactly in the DuckDB oracle.
+    *
+    * `train` is the reference corpus the counts come from (defaults to
+    * `df` itself — score-against-self). At 100 TB the CCNet recipe is
+    * `train = Sampling.hashSample(corpus, ...)`: the count tables stay
+    * bounded by the sample's vocabulary while the full corpus streams
+    * through the scoring join. Bigrams unseen in the training side get
+    * the (0+1)/(c1+V) smoothing mass via the left joins.
+    *
+    * Scale shape: both count aggregates are partial (map-side
+    * combined), keyed on the bigram / head token; the scoring join
+    * keys on the bigram — vocabulary-sized, NOT broadcast (an open-
+    * vocabulary bigram table does not fit one executor; AQE broadcasts
+    * it when a sampled train side makes it small). The vocabulary size
+    * V is a one-row aggregate, broadcast by construction. When scoring
+    * against itself the exploded bigram stream feeds both the count
+    * build and the scoring join, so it is persisted and
+    * registry-released ([[CacheRegistry]]).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    train: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.TextFunctions
+    val selfTrain = train.isEmpty
+    val bg = {
+      val raw = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordShingles(lower(col(textCol)), 2)).as("b"))
+      if (selfTrain) CacheRegistry.persist(raw) else raw
+    }
+    val trainDf = train.getOrElse(df)
+    val trainBg =
+      if (selfTrain) bg.select(col("b"))
+      else trainDf.select(
+        explode(TextFunctions.wordShingles(lower(col(textCol)), 2)).as("b"))
+    val cnt = trainBg.groupBy("b").agg(count(lit(1)).as("c12"))
+    val hd = cnt.groupBy(substring_index(col("b"), " ", 1).as("w"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = trainDf.select(
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    bg.join(cnt, Seq("b"), "left")
+      .withColumn("w", substring_index(col("b"), " ", 1))
+      .join(hd, Seq("w"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg((coalesce(col("c12"), lit(0L)) + lit(1L)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))).as("lm_score"))
+  }
+
   /** Heavy hitters: every token whose corpus-wide count reaches
     * `minCount`, with its EXACT count — the Count-Min-Sketch companion
     * of the Bloom novelty gate (same shape: a one-sided sketch prunes,

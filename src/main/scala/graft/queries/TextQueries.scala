@@ -251,6 +251,23 @@ object TextQueries {
       TermStats.sourceOverlap(Tables.documents(s, d), n = 3)
     },
 
+    // CCNet-style LM quality: avg smoothed bigram transition
+    // probability, TRAINED on the clean documents table and scored over
+    // documents ∪ plants — the real train/score split (training on the
+    // scored corpus itself would hand unique-token gibberish its own
+    // self-counts). The gibberish plant's bigrams are all unseen, so its
+    // score is exactly the smoothing mass 1/V via the left-join path;
+    // the repetition plant exercises in-vocabulary repeated bigrams.
+    "lm_quality" -> { (s, d) =>
+      import s.implicits._
+      val plants = Seq(
+        (900001L, "zq1 xv9 qj3 wv7 nb2 mx8 kd4 pr9 tz5 lw6"),
+        (900002L, "table hash table hash table hash table hash table hash"))
+        .toDF("doc_id", "text")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TermStats.bigramLmScore(docs.union(plants), train = Some(docs))
+    },
+
     // CMS-gated heavy hitters. The fixture vocabulary is 31 tokens (all
     // heavy), so each doc plants two unique tokens — the long tail the
     // sketch gate must reject map-side; the result is exact either way.
@@ -606,6 +623,44 @@ object TextQueries {
         |e AS (SELECT unnest(ngrams) AS ngram FROM sh)
         |SELECT ngram, count(*) AS cnt FROM e GROUP BY ngram
         |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    // integer counts + one IEEE divide + a short per-doc mean — every
+    // step replays exactly (no ln: libm rounding is engine-specific);
+    // counts TRAIN on documents only, scoring runs over documents ∪
+    // plants, so unseen bigrams take the coalesce smoothing path
+    "lm_quality" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT CAST(900001 AS BIGINT),
+        |    'zq1 xv9 qj3 wv7 nb2 mx8 kd4 pr9 tz5 lw6'
+        |  UNION ALL SELECT CAST(900002 AS BIGINT),
+        |    'table hash table hash table hash table hash table hash'),
+        |tokt AS (SELECT
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> len(t) > 0) AS ts
+        |  FROM corpus),
+        |bgt AS (SELECT unnest(list_transform(range(0, len(ts) - 1),
+        |    i -> ts[i + 1] || ' ' || ts[i + 2])) AS b
+        |  FROM tokt),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(ts) - 1),
+        |    i -> ts[i + 1] || ' ' || ts[i + 2])) AS b
+        |  FROM toks),
+        |cnt AS (SELECT b, count(*) AS c12 FROM bgt GROUP BY b),
+        |hd AS (SELECT split_part(b, ' ', 1) AS w, sum(c12) AS c1
+        |  FROM cnt GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(ts) AS t FROM tokt) u)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  avg((coalesce(cnt.c12, 0) + 1) / (coalesce(hd.c1, 0) + vv.v))
+        |    AS lm_score
+        |FROM bg LEFT JOIN cnt USING (b)
+        |LEFT JOIN hd ON split_part(bg.b, ' ', 1) = hd.w
+        |CROSS JOIN vv
+        |GROUP BY bg.doc_id""".stripMargin,
 
     // thresholds are thresholdHex(f) literals: floor(f * 2^32) in hex —
     // lexicographic compare on fixed-width lowercase hex == numeric

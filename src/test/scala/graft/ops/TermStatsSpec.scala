@@ -47,6 +47,39 @@ class TermStatsSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("bigramLmScore: hand-computed smoothed transition means") {
+    // self-train: corpus bigrams "a b"x3, "b a"x1, "b x"x1
+    // heads: a->3, b->2; V = |{a,b,x}| = 3
+    val docs = Seq((1L, "a b a b"), (2L, "a b x")).toDF("doc_id", "text")
+    val out = TermStats.bigramLmScore(docs)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toList
+    CacheRegistry.releaseAll()
+    val pAB = 4.0 / 6.0 // (3+1)/(3+3)
+    val pBA = 2.0 / 5.0 // (1+1)/(2+3)
+    val pBX = 2.0 / 5.0
+    assert(out.map(r => (r._1, r._2)) == List((1L, 3L), (2L, 2L)))
+    assert(math.abs(out(0)._3 - (pAB + pBA + pAB) / 3) < 1e-12)
+    assert(math.abs(out(1)._3 - (pAB + pBX) / 2) < 1e-12)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "self-train persists the bigram stream; it must be released")
+  }
+
+  test("bigramLmScore train/score split: unseen mass and ranking") {
+    // LM trained on a structured reference; scored docs include pure
+    // gibberish whose every bigram is unseen -> exactly 1/V each
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text") // V = 2
+    val score = Seq((9L, "x z"), (10L, "a b")).toDF("doc_id", "text")
+    val out = TermStats.bigramLmScore(score, train = Some(train))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toList
+    // doc 9: (0+1)/(0+2) = 0.5 (coalesce path); doc 10: (2+1)/(2+2)
+    assert(out.map(_._1) == List(9L, 10L))
+    assert(math.abs(out(0)._3 - 0.5) < 1e-12)
+    assert(math.abs(out(1)._3 - 3.0 / 4.0) < 1e-12)
+    // in-vocabulary text must outrank gibberish once the reference has
+    // sharp transitions (each head has ONE dominant follower)
+    assert(out(1)._3 > out(0)._3)
+  }
+
   test("heavyHitters equals the exact groupBy on a skewed corpus") {
     import org.apache.spark.sql.functions._
     // 60 docs: each repeats "hot0".."hot4" and adds 5 unique-ish tail
