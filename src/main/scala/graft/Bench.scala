@@ -42,7 +42,14 @@ object Bench {
     // first-occurrence ops), the two-phase global epoch shuffle, and
     // the bloom-gated incremental novelty check
     "dedup_paragraphs", "dedup_spans", "shuffle_global",
-    "dedup_bloom_novel")
+    "dedup_bloom_novel",
+    // round-7 additions: the rest of the round-5 operator wave — their
+    // scale claims (CMS gate below the shuffle, shuffle-free chunk/pack
+    // generators, broadcast contamination probe) were plan-pinned but
+    // never time-tracked
+    "heavy_hitters", "lm_quality", "contamination_score",
+    "dedup_drop_near", "chunk_documents", "pack_sequences",
+    "split_assign")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see
@@ -231,7 +238,7 @@ object Bench {
           graft.ops.CacheRegistry.releaseAll()
         }
       }
-    } ++ {
+    } ++ annIvfBench(spark, sfDir, force) ++ {
       // Cache hygiene before the grid microbenches: drop any cached
       // blocks left over from warmup + timed runs so the tile benches
       // measure the write path, not eviction of stale blocks.
@@ -259,6 +266,49 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"total_cpu_sec":${math.round(totalCpu * 1000) / 1000.0},"noise_flags":$flagged,"probe_quiet_sec":${math.round(probeMin * 10000) / 10000.0},"sf":"$sfDir","heap_gb":${math.round(heapGb * 10) / 10.0}}""")
     spark.stop()
+  }
+
+  /** Scratch dir on tmpfs when available (same rationale as the grid
+    * microbenches: keep the shared disk's noisy-neighbor I/O out of the
+    * timed path). */
+  private def benchTmpDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
+  /** The point of the persisted IVF index (Similarity.buildIvfIndex) is
+    * probe-time savings — the FAISS-style build/query split amortizes
+    * KMeans + cell assignment across every later query batch. Record it:
+    * an interleaved A/B of probing the prebuilt parquet index vs the
+    * one-shot ivfTopK (which re-fits the quantizer per call). The build
+    * itself is timed separately once — it's the amortized side of the
+    * trade, a real number users budget for. */
+  def annIvfBench(spark: SparkSession, sfDir: String,
+                  force: org.apache.spark.sql.DataFrame => Unit): Seq[Timing] = {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Similarity
+    val dir = benchTmpDir("graft_bench_ivf")
+    try {
+      val vecs = Tables.embeddings(spark, sfDir)
+      val qs = vecs.filter(col("vec_id") < 8)
+      val build = timed2(spark, "ann_ivf_index_build") {
+        Similarity.buildIvfIndex(vecs, dir, nCentroids = 16)
+        graft.ops.CacheRegistry.releaseAll()
+      }
+      val pair = timedAB(spark, "ann_ivf_probe_indexed", "ann_ivf_oneshot") {
+        force(Similarity.queryIvfIndex(spark, dir, qs, k = 5, nProbe = 4))
+        graft.ops.CacheRegistry.releaseAll()
+      } {
+        force(Similarity.ivfTopK(vecs, qs, k = 5, nCentroids = 16, nProbe = 4))
+        graft.ops.CacheRegistry.releaseAll()
+      }
+      build +: pair
+    } finally {
+      try { graft.sources.GridExports.deleteStore(spark, dir) }
+      catch { case _: Throwable => }
+    }
   }
 
   /** Grid-native microbenches at one-MODIS-tile scale (4800x4800x4 ≈ 92M
@@ -328,8 +378,30 @@ object Bench {
       GridKernels.maskedMeanByT(spark, (nh, ndviRoot), (qh, qaRoot),
         1000, 2000, 1000, 2000, 0, 4).collect()
     }
+    // A/B №3 — the sinusoidal lat/lng pruning rule (plans/LatLngPruning,
+    // the Catalyst form of the reference's fracs_for_rect_xy,
+    // jgrid3.py:470-489): the same lat+lng box aggregate over the full
+    // MODIS tile with and without the rule applied. The tile is
+    // sinusoidal (lat ~[0°,10°], lng·cosφ ~[10°,20°]); the box covers
+    // ~2°x2°, so the rule's frac_x+frac_y hull should cut the scanned
+    // fraction set by an order of magnitude. Rule applied post-analysis
+    // exactly as the GraftExtensions injection point does.
+    def latLngBox = graft.plans.LatLngPruning
+      .withGeoColumns(nh, FractionStore.fractions(spark, ndviRoot))
+      .filter(col("lat").between(2.0, 4.0) && col("lng").between(13.0, 15.0)
+        && col("t") === 0)
+      .agg(count(col("value")), avg(col("value")))
+    val Seq(boxUnpruned, boxPruned) = timedAB(spark,
+      "grid_latlng_box_unpruned", "grid_latlng_box_pruned") {
+      latLngBox.collect()
+    } {
+      org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+        graft.plans.LatLngPruning.Rule(latLngBox.queryExecution.analyzed))
+        .collect()
+    }
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }
-    Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, multiJoin)
+    Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, multiJoin,
+      boxUnpruned, boxPruned)
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off scale probe for the dedup chain: replicates the sf0.1
+  * documents fixture Nx (default 10x ≈ the sf1 row budget) and runs the
+  * three heaviest dedup operators at 1x and Nx, printing one JSON line
+  * per (query, scale) with wall/cpu seconds — the order-of-magnitude
+  * sanity datapoint that the plan shapes (windowed span cover, banded
+  * LSH, blocked simhash) hold when the corpus grows 10x.
+  *
+  * Replicas are near-duplicates (each replica r > 0 prefixes a replica
+  * token to the text), so the near-dup operators face 10-deep duplicate
+  * groups — harder than organic data, bounded pair growth (45 pairs per
+  * group), which is exactly the stress the banded/blocked designs must
+  * absorb without quadratic blowup.
+  *
+  * Usage: runMain graft.ScalingProbe [multiplier] — writes scratch under
+  * /dev/shm when available, never touches /root/testdata.
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = org.apache.spark.GraftMetricsBridge.install(spark.sparkContext)
+
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = (if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_scaling")
+    else java.nio.file.Files.createTempDirectory("graft_scaling")).toString
+
+    // Nx corpus: replica 0 is the fixture verbatim; replicas 1..N-1 get
+    // distinct doc_ids (10M stride clears corpusWithPlants' +100000
+    // planted band) and a replica-token prefix -> 10-deep NEAR-duplicate
+    // groups for the similarity ops.
+    val src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def scaled(n: Int): String = {
+      val dir = s"$base/sf_x$n"
+      val reps = spark.range(n).select(col("id").cast("int").as("rep"))
+      src.crossJoin(broadcast(reps))
+        .select(
+          (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat(lit("rep"), col("rep"), lit(" "), col("text")))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+
+    def force(df: DataFrame): Long = df.count()
+
+    val chain = Seq("dedup_spans", "dedup_simhash", "dedup_minhash_lsh")
+    Seq(1 -> scaled(1), mult -> scaled(mult)).foreach { case (n, dir) =>
+      chain.foreach { name =>
+        // one warm pass at 1x only would skew; instead run each (query,
+        // scale) twice and keep the second (steady-state JIT/codegen)
+        var rows = 0L
+        var best = (Double.MaxValue, Double.MaxValue)
+        (0 until 2).foreach { _ =>
+          org.apache.spark.GraftMetricsBridge.flush(spark.sparkContext)
+          val cpu0 = listener.cpuNanos.get()
+          val t0 = System.nanoTime()
+          rows = force(SparkEntry.queries(name)(spark, dir))
+          val wall = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.GraftMetricsBridge.flush(spark.sparkContext)
+          val cpu = (listener.cpuNanos.get() - cpu0) / 1e9
+          graft.ops.CacheRegistry.releaseAll()
+          if (wall < best._1) best = (wall, best._2)
+          if (cpu < best._2) best = (best._1, cpu)
+        }
+        println(f"""{"query":"$name","scale_x":$n,"rows":$rows,"wall_sec":${best._1}%.3f,"cpu_sec":${best._2}%.3f}""")
+      }
+    }
+    try { graft.sources.GridExports.deleteStore(spark, base) }
+    catch { case _: Throwable => }
+    spark.stop()
+  }
+}

@@ -13,10 +13,19 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a long (legacy
-    * nanosAsLong) and truncate to micros — the same floor-truncation DuckDB
-    * applies when casting its ns timestamp, so oracles agree.
+  /** events.ts has shipped in several parquet encodings across fixture
+    * generations; normalize them all to a session-TZ TIMESTAMP here so
+    * every downstream query (window lag, as-of joins, session windows)
+    * can rely on `unix_millis(ts)` analyzing:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp
+    *    (PARQUET_TYPE_ILLEGAL). Read as long (legacy nanosAsLong) and
+    *    truncate to micros — the same floor-truncation DuckDB applies
+    *    when casting its ns timestamp, so oracles agree.
+    *  - TIMESTAMP_NTZ (isAdjustedToUTC=false): cast to TIMESTAMP. Exact
+    *    under the pinned UTC session TZ (every entry point sets
+    *    spark.sql.session.timeZone=UTC), and matches DuckDB, whose
+    *    TIMESTAMP is TZ-naive.
     */
   private def eventsNormalized(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -26,6 +35,10 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -69,6 +69,48 @@ object EventStreaming {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  final case class LastPurchase(ts: java.sql.Timestamp, value: Double)
+  final case class ClickAttribution(user_id: Long, click_id: Long,
+                                    click_ts: java.sql.Timestamp,
+                                    asof_purchase_ts: Option[java.sql.Timestamp],
+                                    asof_value: Option[Double])
+
+  /** Streaming AS-OF attribution: each click attributed to the latest
+    * same-user purchase with purchase_ts <= click_ts — the streaming
+    * face of [[graft.ops.AsOfJoin.backward]] (whose unbounded window
+    * cannot run on a stream). State per user is ONE row (the last
+    * purchase seen), so unlike an interval join there is no lookback
+    * horizon and no per-event state growth — exactly the property that
+    * makes as-of the scalable attribution shape at 100 TB.
+    *
+    * Within a micro-batch rows are sorted by event time (purchases
+    * before clicks on ties — as-of is inclusive, AsOfJoin.backward's
+    * `__side` rule); across micro-batches results are exact when
+    * batches respect event-time order (the file-source replay and
+    * AvailableNow cases). EventStreamingSpec pins stream == batch.
+    */
+  def clickPurchaseAttribution(spark: SparkSession, events: Dataset[EventRow])
+      : Dataset[ClickAttribution] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastPurchase, ClickAttribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[LastPurchase]) =>
+          val ordered = rows.toSeq.sortBy(r =>
+            (r.ts.getTime, if (r.event_type == "purchase") 0 else 1))
+          var last = state.getOption
+          val out = Seq.newBuilder[ClickAttribution]
+          ordered.foreach { r =>
+            if (r.event_type == "purchase") last = Some(LastPurchase(r.ts, r.value))
+            else if (r.event_type == "click")
+              out += ClickAttribution(userId, r.event_id, r.ts,
+                last.map(_.ts), last.map(_.value))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream-stream INTERVAL join: each click joins the
     * impressions of the same user within the preceding `lookback`. Both
     * sides carry watermarks + the time-range predicate, so state is

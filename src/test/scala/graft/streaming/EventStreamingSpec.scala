@@ -94,6 +94,41 @@ class EventStreamingSpec extends AnyFunSuite {
     assert(got.join(batch, got.columns.toSeq, "left_anti").isEmpty)
   }
 
+  test("streaming as-of attribution equals the batch AsOfJoin.backward") {
+    val typed = streamEvents.as[EventStreaming.EventRow]
+    val q = EventStreaming.clickPurchaseAttribution(spark, typed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_attr")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("asof_attr")
+      .select("user_id", "click_id", "click_ts", "asof_purchase_ts", "asof_value")
+
+    // batch twin: the union+window as-of join on the same fixture
+    val b = spark.read.parquet(srcDir)
+    val clicks = b.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = b.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+    val batch = graft.ops.AsOfJoin.backward(clicks, purchases, "user_id",
+      "click_ts", "purchase_ts", Seq("purchase_ts", "value"))
+
+    // clicks before any purchase carry NULL attribution, and NULL never
+    // equals NULL under join keys — compare materialized row sets instead
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Option[Long], Option[Double])] =
+      df.collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          Option(r.getTimestamp(3)).map(_.getTime),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      }.toSet
+    val gotSet = rows(got)
+    val batchSet = rows(batch.select("user_id", "click_id", "click_ts",
+      "asof_purchase_ts", "asof_value"))
+    assert(gotSet.nonEmpty)
+    assert(gotSet == batchSet)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val impressions = streamEvents.filter(col("event_type") === "view")
     val clicks = streamEvents.filter(col("event_type") === "click")
