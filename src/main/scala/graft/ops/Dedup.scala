@@ -615,9 +615,16 @@ object Dedup {
     * round count O(log diameter) instead of O(diameter), and duplicate
     * clusters are overwhelmingly tiny-diameter cliques, so real corpora
     * converge in 2-3 rounds. Labels persist per round (and the previous
-    * round unpersists) so lineage stays flat; the convergence check is
-    * one count per round — the standard driver-side scalar any iterative
-    * Spark graph algorithm pays (GraphX does the same).
+    * round unpersists), and each round's frame is REBASED onto its
+    * materialized RDD (GraftColumnBridge.truncateLineage): persistence
+    * alone only truncates physical recompute — the LOGICAL plan still
+    * triples per round (labels referenced three times), and driver-side
+    * analysis + cache-lookup grows with it (measured 1.9s -> 8.6s
+    * between rounds on an 81-edge graph; at corpus scale the compounding
+    * plan would overwhelm the driver long before the data hurts the
+    * executors). The convergence check is one count per round — the
+    * standard driver-side scalar any iterative Spark graph algorithm
+    * pays (GraphX does the same).
     */
   def clusterDuplicates(pairs: DataFrame, idA: String = "id_a",
                         idB: String = "id_b", maxIter: Int = 25): DataFrame = {
@@ -639,11 +646,11 @@ object Dedup {
       val m1 = labels.select(col("id"), col("lab")).union(viaNbr)
         .groupBy("id").agg(min(col("lab")).as("lab"))
       // 2) pointer jump: labels are node ids — follow one hop
-      val next = m1
+      val next = org.apache.spark.sql.GraftColumnBridge.truncateLineage(m1
         .join(labels.select(col("id").as("lab"), col("lab").as("lab2")),
           Seq("lab"), "left")
         .select(col("id"), least(col("lab"), coalesce(col("lab2"), col("lab")))
-          .as("lab"))
+          .as("lab")))
         .persist(MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
         .filter(col("lab") =!= col("old")).count()

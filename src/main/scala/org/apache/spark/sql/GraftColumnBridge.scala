@@ -21,4 +21,21 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
              plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Rebase a DataFrame onto its physical RDD (a LogicalRDD scan) —
+    * truncates the logical plan so iterative algorithms (label
+    * propagation) keep O(1) plan size per round. Without this the plan
+    * triples every iteration (each round references the previous labels
+    * three times), and analyzer + cache-lookup time compounds: measured
+    * 1.9s -> 8.6s between rounds 1 and 2 of clusterDuplicates on an
+    * 81-edge graph. Lazy — nothing computes here; the caller's
+    * persist + action materializes the RDD (internal rows, no Row
+    * conversion).
+    */
+  def truncateLineage(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
 }
