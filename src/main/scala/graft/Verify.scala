@@ -1,28 +1,28 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Run every query against `sfDir`, writing one parquet dir per query
+    * under `outDir`, plus `oracle_sql.json` and `_errors.json`.
+    *
+    * Failures must be LOUD: a throwing query used to print to stderr and
+    * write nothing, so the driver's correctness record silently shrank —
+    * a broken entry was indistinguishable from a removed one (this hid a
+    * 5-query analysis regression for two rounds). Every failure is
+    * recorded as `{name: "Class: message"}` in `_errors.json` (written
+    * even when empty, so its absence is itself a signal), and the run
+    * continues to the next query. Returns the error map; VerifySpec
+    * pins the failure path with a deliberately-broken query.
+    */
+  def runAll(spark: SparkSession, sfDir: String, outDir: String,
+             queries: Map[String, (SparkSession, String) => DataFrame],
+             oracleSql: Map[String, String]): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    // Failures must be LOUD: a throwing query used to print to stderr and
-    // write nothing, so the driver's correctness record silently shrank —
-    // a broken entry was indistinguishable from a removed one (this hid a
-    // 5-query analysis regression for two rounds). Collect every failure
-    // into _errors.json next to oracle_sql.json so a broken query is a
-    // visible red artifact, and still continue to the next query.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -44,7 +44,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors
@@ -52,6 +52,20 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
+    errors.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    runAll(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
     spark.stop()
   }
 }

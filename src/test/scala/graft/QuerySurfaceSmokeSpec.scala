@@ -22,6 +22,18 @@ class QuerySurfaceSmokeSpec extends AnyFunSuite {
 
   private val fixturesPresent = new java.io.File(sfDir).isDirectory
 
+  /** Entries whose condition-less join is a DELIBERATE bounded cross
+    * join (a broadcast brute-force pass over a few query vectors, or a
+    * tiny-literal expansion) — every other entry must keep all joins
+    * keyed, or it is a cartesian product at corpus scale. */
+  private val crossJoinAllowed = Set(
+    "ann_brute_topk",   // broadcast brute-force baseline: 8 query vecs x corpus
+    "ann_int8_topk",    // same shape over the dequantized corpus
+    "lm_quality",       // broadcast of a ONE-ROW vocab-size aggregate
+    "st2_gap_fill"      // expected days x event-types grid (ST2 synthesis):
+                        // both sides are small distinct dimension sets
+  )
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query '$name' analyzes against $sfDir") {
       assume(fixturesPresent, s"driver fixtures missing at $sfDir")
@@ -32,6 +44,18 @@ class QuerySurfaceSmokeSpec extends AnyFunSuite {
       val df = fn(spark, sfDir)
       assert(df.queryExecution.analyzed != null)
       assert(df.schema.fields.nonEmpty, s"$name produced an empty schema")
+      // scale audit on the same frame: no condition-less join may appear
+      // in the optimized plan unless declared above — a join Catalyst
+      // cannot key is all-pairs row multiplication at 100 TB
+      if (!crossJoinAllowed(name)) {
+        val crosses = df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.condition.isEmpty => j
+        }
+        assert(crosses.isEmpty,
+          s"$name has a condition-less join (cartesian at scale): " +
+            crosses.map(_.joinType).mkString(", "))
+      }
       graft.ops.CacheRegistry.releaseAll()
     }
   }
