@@ -49,7 +49,7 @@ object Bench {
     // never time-tracked
     "heavy_hitters", "lm_quality", "contamination_score",
     "dedup_drop_near", "chunk_documents", "pack_sequences",
-    "split_assign")
+    "split_assign", "dedup_semantic")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

@@ -266,6 +266,56 @@ object Similarity {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, v => v.cast("double") * scale)
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): bucket the corpus with a coarse quantizer, then
+    * compare pairwise ONLY within a bucket — expected cost O(n²/k)
+    * spread over a keyed join instead of all-pairs, which is what makes
+    * semantic dedup tractable at corpus scale (the LSH variant
+    * [[cosineNearDups]] needs near-identical vectors to collide;
+    * cell-scoped comparison catches the looser "same meaning" band).
+    *
+    * The quantizer here is DETERMINISTIC and engine-portable: the
+    * `nCells` lowest-id vectors serve as centroids (one assignment
+    * step, no iterative fit), so the whole operator — including the
+    * argmax cell assignment — replays exactly in the DuckDB oracle,
+    * unlike a fitted KMeans. Assignment is a shuffle-free projection:
+    * the centroids are driver-side literals (like [[probeCells]]) and
+    * each row takes `array_max` over per-cell (cosine, -cell) structs,
+    * tie-breaking to the lowest cell. The only shuffle is the
+    * cell-keyed pair join.
+    */
+  def semanticDedupPairs(corpus: DataFrame, nCells: Int, minCos: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .transform(CacheRegistry.persist)
+    // nCells rows to the driver — the coarse quantizer is RAM-resident
+    // the same way FAISS keeps one (and the same bound as probeCells)
+    val centers: Array[(Int, Array[Double])] = base
+      .filter(col("id") < nCells)
+      .select(col("id").cast("int"), col("vec").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cellScores = array(centers.map { case (cellId, ctr) =>
+      struct(cosine(col("vec"), lit(ctr)).as("cos"),
+        lit(-cellId).as("negcell"))
+    }.toIndexedSeq: _*)
+    val assigned = base
+      .withColumn("m", array_max(cellScores))
+      .select(col("id"), col("vec"), (-col("m.negcell")).as("cell"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cell"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (pairs agreeing on a full table signature). */
   def cosineNearDups(corpus: DataFrame, dim: Int, minCos: Double,

@@ -412,6 +412,15 @@ object TextQueries {
         minCos = 0.999)
     },
 
+    // SemDeDup: cell-scoped semantic near-dup pairs under a
+    // deterministic coarse quantizer (exactly DuckDB-replayable,
+    // unlike a fitted KMeans) — the looser-threshold complement of
+    // the LSH near-identical path above
+    "dedup_semantic" -> { (s, d) =>
+      Similarity.semanticDedupPairs(vectorsWithPlants(s, d),
+        nCells = 16, minCos = 0.9)
+    },
+
     // ---- similarity search ----
     "ann_brute_topk" -> { (s, d) =>
       val vecs = Tables.embeddings(s, d)
@@ -1103,6 +1112,44 @@ object TextQueries {
         |  FROM v a, v b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cos FROM p
         |WHERE cos >= 0.999""".stripMargin,
+
+    // SemDeDup replay: same plants; centroids = the 16 lowest-id
+    // vectors; assignment = argmax cosine (ties to the lowest cell,
+    // mirroring the engine's array_max over (cos, -cell) structs);
+    // pairs compared only within a cell.
+    "dedup_semantic" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
+        |  FROM v WHERE vec_id < 16),
+        |s AS (SELECT a.vec_id AS id, a.embedding AS vec, c.cell,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1),
+        |        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))))
+        |    AS ccos
+        |  FROM v a, c),
+        |asg AS (SELECT id, vec, cell FROM (
+        |    SELECT id, vec, cell,
+        |      row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cell ASC) AS rn
+        |    FROM s) WHERE rn = 1),
+        |p AS (SELECT x.id AS id_a, y.id AS id_b, x.cell AS cell,
+        |    list_sum(list_transform(range(1, len(x.vec) + 1),
+        |      i -> CAST(x.vec[i] AS DOUBLE) * CAST(y.vec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(x.vec) + 1),
+        |        i -> CAST(x.vec[i] AS DOUBLE) * CAST(x.vec[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(y.vec) + 1),
+        |        i -> CAST(y.vec[i] AS DOUBLE) * CAST(y.vec[i] AS DOUBLE)))))
+        |    AS cos
+        |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.id < y.id)
+        |SELECT id_a, id_b, cell, round(cos, 6) AS cos FROM p
+        |WHERE cos >= 0.9""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -81,6 +81,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.head._1 == 999L && got.head._2 > 0.9999)
   }
 
+  test("semantic dedup pairs == local per-cell oracle; planted pair found") {
+    val got = Similarity.semanticDedupPairs(corpus, nCells = 16, minCos = 0.9)
+      .select("id_a", "id_b", "cell").as[(Long, Long, Int)].collect().toSet
+    graft.ops.CacheRegistry.releaseAll()
+    // local oracle: same deterministic quantizer (centroids = ids < 16),
+    // argmax-cosine assignment (ties to lowest cell), within-cell pairs
+    val all = ((0 until 50).map(i => (i.toLong, vec(i))) :+
+      (999L, vec(0).map(_ * 1.01f)))
+    val centers = all.filter(_._1 < 16).sortBy(_._1)
+    def cellOf(v: Array[Float]): Int =
+      centers.maxBy { case (cid, c) => (cosineLocal(v, c), -cid) }._1.toInt
+    val assigned = all.map { case (id, v) => (id, v, cellOf(v)) }
+    val expected = (for {
+      (ia, va, ca) <- assigned
+      (ib, vb, cb) <- assigned
+      if ia < ib && ca == cb && cosineLocal(va, vb) >= 0.9
+    } yield (ia, ib, ca)).toSet
+    assert(got == expected)
+    // the planted scaled copy of vector 0 shares cell 0 with it
+    assert(got.contains((0L, 999L, 0)))
+    // and nothing outside a shared cell was compared (pairs only within)
+    assert(got.forall { case (a, b, c) =>
+      assigned.find(_._1 == a).get._3 == c &&
+        assigned.find(_._1 == b).get._3 == c })
+  }
+
   test("persisted IVF index: build, reload, query == per-call ivfTopK") {
     val dir = TestSpark.tmpDir("ivf_index")
     Similarity.buildIvfIndex(corpus, dir, nCentroids = 8)
