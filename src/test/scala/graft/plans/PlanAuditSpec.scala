@@ -253,4 +253,35 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q: window must be partitioned by the content hash"))
     }
   }
+
+  test("semantic dedup: every shuffle is cell-keyed (assignment never shuffles)") {
+    // force the pair join into its at-scale shape (shuffled, not
+    // broadcast) so the partitioning claim is actually exercised
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("dedup_semantic")(
+        spark, "/root/testdata/sf0.001")
+      val exchanges = executed(df).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected the cell-keyed pair-join shuffle")
+      // the ONLY shuffle keys allowed are (cell): the argmax cell
+      // assignment itself must remain a projection — an id- or
+      // vector-keyed exchange would mean the corpus is shuffled to be
+      // assigned, which defeats the O(n^2/k) cell-join design
+      exchanges.foreach { e =>
+        val keys = e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.flatMap(_.references.toSeq).map(_.name)
+          case _ => Nil
+        }
+        assert(keys.nonEmpty && keys.forall(_ == "cell"),
+          s"unexpected shuffle keys: $keys")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.ops.CacheRegistry.releaseAll()
+    }
+  }
 }
