@@ -49,7 +49,10 @@ object Bench {
     // never time-tracked
     "heavy_hitters", "lm_quality", "contamination_score",
     "dedup_drop_near", "chunk_documents", "pack_sequences",
-    "split_assign", "dedup_semantic")
+    "split_assign", "dedup_semantic",
+    // PQ-ADC vs brute force is the recorded trade: same broadcast-
+    // nested-loop shape, per-candidate work 8 lookups vs 64 multiplies
+    "ann_pq_topk", "dedup_keep_best")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

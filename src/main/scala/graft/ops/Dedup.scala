@@ -56,6 +56,33 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-dedup: keep the BEST member of each duplicate
+    * cluster by an explicit score, not the first-seen id — what
+    * production pipelines actually do (keep the longest / highest-
+    * quality / preferred-source copy; e.g. CCNet keeps by source order,
+    * RefinedWeb by quality). `score` is any Column over `df`'s columns;
+    * ties break to the lowest id so the keeper is deterministic.
+    *
+    * Shape: clusters from [[clusterDuplicates]] label only the paired
+    * ids (|duplicates| rows, never |corpus|); the corpus left-joins that
+    * label table on id, unpaired rows fall back to their own id as a
+    * singleton cluster, and one row_number window over cluster_id picks
+    * the keeper. The window partitions by cluster — duplicate-group-
+    * sized partitions plus singletons, never a global sort. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                         score: Column,
+                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val clusters = clusterDuplicates(pairs, idA, idB)
+      .withColumnRenamed("id", idCol)
+    val labeled = df.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(score.desc, col(idCol))
+    labeled.withColumn("graft_keep_rn", row_number().over(w))
+      .filter(col("graft_keep_rn") === 1)
+      .drop("graft_keep_rn", "cluster_id")
+  }
+
   // ---- MinHash + LSH ------------------------------------------------
 
   /** k minhash values from a PRE-MATERIALIZED shingle-hash array column

@@ -266,6 +266,151 @@ object Similarity {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, v => v.cast("double") * scale)
 
+  // ---- product quantization (PQ) ------------------------------------
+
+  /** Deterministic PQ codebooks: subspace `m`'s centroids are the m-th
+    * subvectors of the `ksub` lowest-id corpus vectors, collected
+    * driver-side (ksub rows — the same RAM-resident-quantizer bound as
+    * [[probeCells]] and [[semanticDedupPairs]]). Deterministic selection
+    * instead of per-subspace k-means keeps the whole PQ pipeline —
+    * encode AND query — exactly replayable by the DuckDB oracle; a
+    * fitted codebook drops in by swapping this one function.
+    * Returns codebooks(m)(j) = centroid j of subspace m (dsub doubles).
+    */
+  def pqCodebooks(corpus: DataFrame, dim: Int, nSub: Int, ksub: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val dsub = dim / nSub
+    val seeds = corpus.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("int"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    Array.tabulate(nSub)(m => seeds.map(_._2.slice(m * dsub, (m + 1) * dsub)))
+  }
+
+  /** Squared L2 distance between a vector-slice column and a literal
+    * centroid, as a left-to-right fold in double — the exact arithmetic
+    * the DuckDB oracle's `list_sum(list_transform(...))` replays.
+    * Interpreted per element; used on the once-per-corpus encode and the
+    * |queries| x ksub LUT build, never on the per-candidate hot path. */
+  private def sqDistLit(sub: Column, ctr: Array[Double]): Column =
+    aggregate(zip_with(sub, lit(ctr),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (a, v) => a + v)
+
+  /** PQ-encode a vector column: array of `nSub` int codes, code m =
+    * argmin_j ||subvec_m - codebook(m)(j)||² (ties to the lowest j).
+    * A shuffle-free projection — codebooks are driver-side literals. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val nSub = codebooks.length
+    val dsub = codebooks(0)(0).length
+    array((0 until nSub).map { m =>
+      val sub = slice(vec, m * dsub + 1, dsub)
+      val scored = array(codebooks(m).zipWithIndex.toIndexedSeq.map {
+        case (ctr, j) =>
+          struct((-sqDistLit(sub, ctr)).as("negdist"), lit(-j).as("negj"))
+      }: _*)
+      (-array_max(scored).getField("negj")).cast("int")
+    }: _*)
+  }
+
+  /** PQ approximate top-k by asymmetric distance computation (ADC) —
+    * Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search" (TPAMI): the corpus is stored as nSub byte-sized codes per
+    * vector (dim doubles → nSub ints, the memory ratio that lets a
+    * 100 TB embedding corpus fit a cluster's RAM); each query
+    * precomputes a (nSub x ksub) lookup table of subspace distances to
+    * every centroid, and a candidate's approximate distance is nSub
+    * array lookups + adds instead of dim multiplies.
+    *
+    * Plan shape: encode is a shuffle-free projection; queries (with
+    * their LUTs built in-plan from literal codebooks) broadcast into the
+    * scan — the same broadcast-nested-loop as [[bruteForceTopK]], with
+    * the per-candidate work collapsed from O(dim) float math to O(nSub)
+    * lookups. At scale the scan side composes with the IVF cell
+    * restriction ([[buildIvfIndex]]) exactly as FAISS IVFADC does.
+    *
+    * Fully deterministic ([[pqCodebooks]]), so unlike the LSH/IVF
+    * entries this ANN path is hash-checked against a DuckDB replay, not
+    * rows-only. Output: (query_id, corpus_id, rank, adist) — rank by
+    * (adist asc, corpus_id), adist rounded to 6 decimals.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             nSub: Int = 8, ksub: Int = 16,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val cbs = pqCodebooks(corpus, dim, nSub, ksub, idCol, vecCol)
+    val dsub = dim / nSub
+    val codes = corpus.select(col(idCol).as("corpus_id"),
+      pqEncode(col(vecCol), cbs).as("codes"))
+    // per-query distance LUT: lut[m][j] = ||subq_m - c(m)(j)||²
+    val lutCol = array((0 until nSub).map { m =>
+      val sub = slice(col(vecCol), m * dsub + 1, dsub)
+      array(cbs(m).toIndexedSeq.map(ctr => sqDistLit(sub, ctr)): _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), lutCol.as("lut"))
+    // adist: left-to-right sum over m — the order the oracle replays
+    val adist = (0 until nSub).map(m =>
+      element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1): Column).reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("adist"), 6).as("adist"))
+  }
+
+  /** FAISS-style IVFADC (Jégou et al. 2011 §IV): the coarse k-means
+    * quantizer restricts candidates to each query's nProbe cells, and
+    * PQ-ADC ranks within them — the standard billion-scale ANN shape:
+    * candidate count drops by nProbe/nCentroids AND each candidate costs
+    * nSub lookups instead of dim multiplies. The corpus side carries
+    * (cell, codes) only — never raw vectors — so the probe join moves
+    * nSub ints per row; queries (with in-plan LUTs) broadcast into it.
+    * Codes here quantize the raw vectors, not residuals — one codebook
+    * set serves every cell, which keeps the LUT per query instead of
+    * per (query, cell) and stays exactly [[pqTopK]]-comparable. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nSub: Int = 8, ksub: Int = 16,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = fitQuantizer(corpus, nCentroids, idCol, vecCol)
+    val cbs = pqCodebooks(corpus, dim, nSub, ksub, idCol, vecCol)
+    val dsub = dim / nSub
+    val codes = model.transform(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+        .withColumn("features", array_to_vector(col("cvec"))))
+      .select(col("corpus_id"), pqEncode(col("cvec"), cbs).as("codes"),
+        col("prediction").as("cell"))
+    val probed = probeCells(queries, model.clusterCenters.map(_.toArray),
+      nProbe, idCol, vecCol)
+    val lutCol = array((0 until nSub).map { m =>
+      val sub = slice(col("qvec"), m * dsub + 1, dsub)
+      array(cbs(m).toIndexedSeq.map(ctr => sqDistLit(sub, ctr)): _*)
+    }: _*)
+    val q = probed.select(col("query_id"), col("cell"), lutCol.as("lut"))
+    val adist = (0 until nSub).map(m =>
+      element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1): Column).reduce(_ + _)
+    val scored = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("adist"), 6).as("adist"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * arXiv:2303.09540): bucket the corpus with a coarse quantizer, then
     * compare pairwise ONLY within a bucket — expected cost O(n²/k)

@@ -407,6 +407,19 @@ object TextQueries {
         .select(col("doc_id"))
     },
 
+    // quality-aware keep: the cluster member with the LONGEST text
+    // survives (ties to the lowest id) — the production alternative to
+    // drop_near's keep-min-id (plants prepend "zzz " to a dropped first
+    // word, so some clusters keep the plant, distinguishing the two ops)
+    "dedup_keep_best" -> { (s, d) =>
+      val corpus = corpusWithPlants(s, d)
+      val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        k = 32, bands = 8, shingleSize = 3, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepBestPerCluster(corpus, "doc_id", pairs, length(col("text")))
+        .select(col("doc_id"))
+    },
+
     "dedup_embedding_cosine" -> { (s, d) =>
       Similarity.cosineNearDups(vectorsWithPlants(s, d), dim = 64,
         minCos = 0.999)
@@ -457,6 +470,35 @@ object TextQueries {
           round(Similarity.int8Scale(col("embedding")), 6).as("scale"),
           posexplode(Similarity.quantizeInt8(col("embedding")))
             .as(Seq("i", "q")))
+    },
+
+    // PQ codes (exploded to scalar rows): deterministic codebooks →
+    // the encode step itself is hash-checked against the DuckDB replay
+    "embed_pq_codes" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val cbs = Similarity.pqCodebooks(Tables.embeddings(s, d),
+        dim = 64, nSub = 8, ksub = 16)
+      vecs.select(col("vec_id"),
+        posexplode(Similarity.pqEncode(col("embedding"), cbs))
+          .as(Seq("m", "code")))
+    },
+
+    // PQ-ADC approximate top-k (Jégou et al. 2011): corpus as 8 codes
+    // per vector, per-query LUT, distance = 8 lookups. Deterministic
+    // codebooks make this the one ANN entry with a full hash oracle.
+    "ann_pq_topk" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
+        dim = 64, nSub = 8, ksub = 16)
+    },
+
+    // IVFADC: k-means cells restrict candidates, PQ-ADC ranks within —
+    // rows-only (the fitted coarse quantizer is not oracle-replayable);
+    // planted-recall pinned in SimilaritySpec
+    "ann_ivfpq_topk" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
+        dim = 64, nSub = 8, ksub = 16, nCentroids = 16, nProbe = 4)
     },
 
     // the FAISS-style build/query split: index persisted as parquet
@@ -1048,6 +1090,8 @@ object TextQueries {
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_drop_near" -> dedupDropNearOracle,
 
+    "dedup_keep_best" -> dedupKeepBestOracle,
+
     // text_repetition: 1 - distinct/total word n-grams (n = 2, 3)
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id,
@@ -1232,8 +1276,76 @@ object TextQueries {
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
         |      AS amax
         |  FROM embeddings WHERE vec_id < 200) t,
-        |  LATERAL (SELECT unnest(range(len(t.embedding))) AS i) p""".stripMargin
+        |  LATERAL (SELECT unnest(range(len(t.embedding))) AS i) p""".stripMargin,
+
+    // PQ encode replay: codebook m = subvectors [m*8+1 .. m*8+8] of the
+    // 16 lowest-id vectors; code = argmin squared L2 (ties to lowest j),
+    // identical left-to-right double arithmetic on both sides
+    "embed_pq_codes" ->
+      s"""WITH cb AS ($pqCodebookCte),
+         |d AS (
+         |  SELECT v.vec_id, cb.m, cb.j,
+         |    ${pqSqDist("v")} AS dist
+         |  FROM embeddings v, cb WHERE v.vec_id < 200),
+         |code AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT vec_id, m, j,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY dist ASC, j ASC) AS rn
+         |    FROM d) WHERE rn = 1)
+         |SELECT vec_id, CAST(m AS INT) AS m, CAST(j AS INT) AS code
+         |FROM code""".stripMargin,
+
+    // PQ-ADC replay: corpus codes as above, per-query subspace distances
+    // to every centroid, adist = the 8 looked-up distances summed in
+    // subspace order (list(... ORDER BY m) pins the fold order to the
+    // engine's m = 0..7 reduce)
+    "ann_pq_topk" ->
+      s"""WITH cb AS ($pqCodebookCte),
+         |enc AS (
+         |  SELECT v.vec_id AS corpus_id, cb.m, cb.j,
+         |    ${pqSqDist("v")} AS dist
+         |  FROM embeddings v, cb),
+         |code AS (
+         |  SELECT corpus_id, m, j AS code FROM (
+         |    SELECT corpus_id, m, j,
+         |      row_number() OVER (PARTITION BY corpus_id, m
+         |        ORDER BY dist ASC, j ASC) AS rn
+         |    FROM enc) WHERE rn = 1),
+         |qd AS (
+         |  SELECT q.vec_id AS query_id, cb.m, cb.j,
+         |    ${pqSqDist("q")} AS qdist
+         |  FROM embeddings q, cb WHERE q.vec_id < 8),
+         |s AS (
+         |  SELECT c.corpus_id, qd.query_id,
+         |    list_sum(list(qd.qdist ORDER BY qd.m)) AS adist
+         |  FROM code c JOIN qd ON c.m = qd.m AND c.code = qd.j
+         |  WHERE c.corpus_id <> qd.query_id
+         |  GROUP BY c.corpus_id, qd.query_id),
+         |r AS (SELECT query_id, corpus_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, corpus_id) AS INT) AS rank
+         |  FROM s)
+         |SELECT query_id, corpus_id, rank, round(adist, 6) AS adist
+         |FROM r WHERE rank <= 5""".stripMargin
   )
+
+  /** Shared PQ codebook CTE body: (m 0..7, j = seed vec_id < 16,
+    * ctr = 8-double subvector). */
+  private def pqCodebookCte: String =
+    """SELECT m.m, CAST(e.vec_id AS INT) AS j,
+      |    list_transform(range(1, 9),
+      |      i -> CAST(e.embedding[CAST(m.m * 8 + i AS INT)] AS DOUBLE)) AS ctr
+      |  FROM embeddings e,
+      |    (SELECT CAST(unnest(range(8)) AS INT) AS m) m
+      |  WHERE e.vec_id < 16""".stripMargin
+
+  /** Squared L2 between `tbl`.embedding's m-th subvector and cb.ctr —
+    * the left-to-right list_sum matching Similarity.sqDistLit's fold. */
+  private def pqSqDist(tbl: String): String =
+    s"""list_sum(list_transform(range(1, 9), i ->
+       |      (CAST($tbl.embedding[CAST(cb.m * 8 + i AS INT)] AS DOUBLE) - cb.ctr[i])
+       |      * (CAST($tbl.embedding[CAST(cb.m * 8 + i AS INT)] AS DOUBLE) - cb.ctr[i])))""".stripMargin
 
   /** Brute-force all-pairs shingle-Jaccard CTE chain over the planted
     * corpus — the `p` relation carries every (id_a < id_b, jac) pair.
@@ -1330,6 +1442,28 @@ object TextQueries {
        |  UNION
        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
        |SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** dedup_keep_best: one survivor per cluster, chosen by
+    * (length(text) DESC, doc_id) instead of min-id — the closure CTEs
+    * of dedup_clusters plus a singleton fallback and a keeper window. */
+  private def dedupKeepBestOracle: String =
+    s"""WITH RECURSIVE $dedupPairCtes,
+       |dup AS (SELECT id_a, id_b FROM p WHERE jac >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+       |  UNION SELECT id_b, id_a FROM dup),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+       |lab AS (SELECT c.doc_id, c.text,
+       |    coalesce(cl.cluster_id, c.doc_id) AS cluster_id
+       |  FROM corpus c LEFT JOIN cl ON c.doc_id = cl.id)
+       |SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY length(text) DESC, doc_id) AS rn
+       |  FROM lab) WHERE rn = 1""".stripMargin
 
   /** dedup_drop_near: the corpus rows that SURVIVE cluster dedup — every
     * unpaired row plus each component's minimum id (clusters via the

@@ -49,6 +49,23 @@ class DedupSpec extends AnyFunSuite {
       s"expected the 20 base docs to survive, got $kept")
   }
 
+  test("keepBestPerCluster keeps the highest score, ties to lowest id") {
+    val docs = Seq(
+      (1L, "aa"), (2L, "aaaa"),          // cluster {1,2}: 2 is longer
+      (4L, "cc"), (5L, "cc"),            // cluster {4,5}: tie -> min id 4
+      (7L, "solo")                        // unpaired singleton survives
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", pairs,
+      length(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 7L))
+    // and the min-id policy of dropNearDuplicates differs on cluster 1:
+    val minId = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 4L, 7L))
+  }
+
   test("tracked caches are fully released after the terminal action") {
     CacheRegistry.releaseAll(blocking = true)
     val before = spark.sparkContext.getPersistentRDDs.size

@@ -107,6 +107,73 @@ class SimilaritySpec extends AnyFunSuite {
         assigned.find(_._1 == b).get._3 == c })
   }
 
+  test("PQ encode + ADC top-k == full local replay; planted copy rank 1") {
+    val nSub = 8; val dsub = 8; val ksub = 16
+    val all = ((0 until 50).map(i => (i.toLong, vec(i))) :+
+      (999L, vec(0).map(_ * 1.01f)))
+    // local codebooks: subvectors of the ksub lowest-id vectors
+    val seeds = all.filter(_._1 < ksub).sortBy(_._1).map(_._2)
+    def sqDist(a: Array[Float], off: Int, c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) {
+        val d = a(off + i).toDouble - c(i); s += d * d; i += 1
+      }
+      s
+    }
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(nSub)(m =>
+      seeds.map(_.slice(m * dsub, (m + 1) * dsub).map(_.toDouble)).toArray)
+    def encode(v: Array[Float]): Array[Int] = Array.tabulate(nSub) { m =>
+      (0 until ksub).minBy(j => (sqDist(v, m * dsub, cb(m)(j)), j))
+    }
+    // engine codes equal the local encode (exact: same fold order)
+    val gotCodes = Similarity
+      .pqEncode(col("embedding"), Similarity.pqCodebooks(corpus, 64, nSub, ksub))
+    val codeRows = corpus.select(col("vec_id"), gotCodes.as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    all.foreach { case (id, v) =>
+      assert(codeRows(id) == encode(v).toSeq, s"codes differ for $id") }
+    // the planted scaled copy collapses to vector 0's codes
+    assert(codeRows(999L) == codeRows(0L))
+    // ADC top-k for query 0 equals the local replay
+    val q = corpus.filter(col("vec_id") === 0)
+    val got = Similarity.pqTopK(corpus, q, k = 5, dim = 64, nSub, ksub)
+      .orderBy("rank")
+      .select("corpus_id", "rank", "adist").as[(Long, Int, Double)].collect()
+    val lut: Array[Array[Double]] = Array.tabulate(nSub)(m =>
+      (0 until ksub).map(j => sqDist(vec(0), m * dsub, cb(m)(j))).toArray)
+    val expected = all.filter(_._1 != 0L).map { case (id, v) =>
+      val codes = encode(v)
+      var s = 0.0; var m = 0
+      while (m < nSub) { s += lut(m)(codes(m)); m += 1 }
+      (id, s)
+    }.sortBy { case (id, s) => (s, id) }.take(5)
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, _, a), (_, e)) =>
+      assert(a == math.round(e * 1e6) / 1e6.toDouble ||
+        math.abs(a - e) < 1e-6, s"adist $a vs $e") }
+    // the planted near-copy of the query vector wins with adist ~ 0
+    assert(got.head._1 == 999L && got.head._3 < 1e-3)
+  }
+
+  test("IVFADC finds the planted copy; candidates stay inside probed cells") {
+    val q = corpus.filter(col("vec_id") === 0)
+    val got = Similarity.ivfPqTopK(corpus, q, k = 5, dim = 64,
+      nSub = 8, ksub = 16, nCentroids = 8, nProbe = 3)
+      .orderBy("rank")
+      .select("corpus_id", "rank", "adist").as[(Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    // the scaled copy lands in the query's own k-means cell and shares
+    // vector 0's PQ codes, so its ADC distance is the LUT's near-zero row
+    assert(got.head._1 == 999L && got.head._3 < 1e-3)
+    // cell restriction changes WHICH candidates are ranked, never their
+    // ADC distance: every returned (id, adist) must agree with the
+    // unrestricted PQ scan's distance for that id
+    val full = Similarity.pqTopK(corpus, q, k = 51, dim = 64, 8, 16)
+      .select("corpus_id", "adist").as[(Long, Double)].collect().toMap
+    got.foreach { case (id, _, a) =>
+      assert(full(id) == a, s"adist mismatch for $id: $a vs ${full(id)}") }
+  }
+
   test("persisted IVF index: build, reload, query == per-call ivfTopK") {
     val dir = TestSpark.tmpDir("ivf_index")
     Similarity.buildIvfIndex(corpus, dir, nCentroids = 8)

@@ -254,6 +254,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ADC: queries broadcast; the only shuffle is the rank window's") {
+    val df = graft.SparkEntry.queries("ann_pq_topk")(
+      spark, "/root/testdata/sf0.001")
+    val plans = executed(df)
+    // the corpus side must reach the candidate join as a pure projection
+    // (encode is argmin over literal codebooks — shuffling the corpus to
+    // encode it would break the 100 TB shape); the ONLY exchange allowed
+    // is the per-query rank window, keyed on query_id
+    val exchanges = plans.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected the rank window's shuffle")
+    exchanges.foreach { e =>
+      val keys = e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.toSeq).map(_.name)
+        case _ => Nil
+      }
+      assert(keys.nonEmpty && keys.forall(_ == "query_id"),
+        s"unexpected shuffle keys: $keys")
+    }
+    // and the query side (with its LUTs) rides a broadcast, not a shuffle
+    assert(plans.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "expected the broadcast candidate join")
+  }
+
   test("semantic dedup: every shuffle is cell-keyed (assignment never shuffles)") {
     // force the pair join into its at-scale shape (shuffled, not
     // broadcast) so the partitioning claim is actually exercised
