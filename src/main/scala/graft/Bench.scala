@@ -179,6 +179,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local iteration aid: comma-separated entry names to run alone
+    // (skips the grid/IVF sections too unless named "grid"/"ivf");
+    // the driver never sets it, so recorded rounds are always full
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -222,14 +227,18 @@ object Bench {
     // (measured: minhash 10.9s cold vs 1.2s steady-state at sf0.1).
     // Steady-state is the number that predicts cluster throughput.
     val warmDir = "/root/testdata/sf0.001"
-    headline.foreach { name =>
+    val selected = only match {
+      case Some(names) => headline.filter(names.contains)
+      case None => headline
+    }
+    selected.foreach { name =>
       try force(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => }
     }
     // seed the probe's quiet reference (and its JIT) before timing
     (0 until 3).foreach(_ => noiseProbe())
 
-    val results = headline.flatMap { name =>
+    val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // tracked caches release INSIDE the timed region: ops that
         // persist intermediates (minhash/LSH signature tables) would
@@ -241,15 +250,20 @@ object Bench {
           graft.ops.CacheRegistry.releaseAll()
         }
       }
-    } ++ annIvfBench(spark, sfDir, force) ++ {
-      // Cache hygiene before the grid microbenches: drop any cached
-      // blocks left over from warmup + timed runs so the tile benches
-      // measure the write path, not eviction of stale blocks.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-      gridMicrobench(spark)
+    } ++ {
+      if (only.forall(_.contains("ivf"))) annIvfBench(spark, sfDir, force)
+      else Nil
+    } ++ {
+      if (only.forall(_.contains("grid"))) {
+        // Cache hygiene before the grid microbenches: drop any cached
+        // blocks left over from warmup + timed runs so the tile benches
+        // measure the write path, not eviction of stale blocks.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+        gridMicrobench(spark)
+      } else Nil
     }
     val qs = results.map(r => "\"" + r.name + "\":" + r.wall)
       .mkString("{", ",", "}")

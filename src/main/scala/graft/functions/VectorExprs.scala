@@ -86,6 +86,109 @@ object DotProductExpr {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
+object PqKernels {
+
+  /** PQ-encode one vector against flattened codebooks
+    * (`cb[((m*ksub)+j)*dsub + t]`): per subspace the argmin of squared
+    * L2 over ksub centroids, accumulated left-to-right in double —
+    * the exact arithmetic of the higher-order
+    * `aggregate(zip_with(...))` form and of the DuckDB oracle's
+    * `list_sum(list_transform(...))`, with strict `<` keeping the
+    * lowest j on ties (the argmax-over-(negdist,-j) tiebreak).
+    * NULL when the vector is shorter than nSub*dsub or any element is
+    * NULL (no real embedding is). */
+  def encode(vec: ArrayData, isFloat: Boolean, cb: Array[Double],
+             nSub: Int, ksub: Int): ArrayData = {
+    val dsub = cb.length / (nSub * ksub)
+    val dim = nSub * dsub
+    if (vec.numElements() < dim) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < ksub) {
+        var acc = 0.0
+        val base = (m * ksub + j) * dsub
+        val voff = m * dsub
+        var t = 0
+        while (t < dsub) {
+          val d = v(voff + t) - cb(base + t)
+          acc += d * d
+          t += 1
+        }
+        if (acc < bestD) { bestD = acc; best = j }
+        j += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** Native PQ encode: array<float|double> -> array<int> of nSub codes.
+  * The higher-order formulation is CodegenFallback and pays
+  * nSub * ksub * dsub interpreted lambda dispatches per row — measured
+  * dominating the whole PQ query at bench scale (the encode side is
+  * |corpus|-proportional). One tight loop instead; semantics pinned to
+  * the interpreted form by SimilaritySpec's local replay. */
+case class PqEncodeExpr(child: Expression, cb: Array[Double],
+                        nSub: Int, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"pq_encode needs array<float|double>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.encode(a.asInstanceOf[ArrayData], isFloat, cb, nSub, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloat
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val codes = ctx.freshName("pqcodes")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $codes =
+          graft.functions.PqKernels.encode($a, $f, $cbRef, $nSub, $ksub);
+        if ($codes == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $codes; }
+      """
+    })
+  }
+}
+
+object PqEncodeExpr {
+  import org.apache.spark.sql.GraftColumnBridge
+  def apply(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val nSub = codebooks.length
+    val ksub = codebooks(0).length
+    GraftColumnBridge.column(PqEncodeExpr(
+      GraftColumnBridge.expression(vec), codebooks.flatten.flatten,
+      nSub, ksub))
+  }
+}
+
 object Int8Kernels {
 
   /** array<tinyint> -> raw bytes; NULL on any NULL element (a byte

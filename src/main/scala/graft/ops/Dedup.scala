@@ -63,24 +63,28 @@ object Dedup {
     * RefinedWeb by quality). `score` is any Column over `df`'s columns;
     * ties break to the lowest id so the keeper is deterministic.
     *
-    * Shape: clusters from [[clusterDuplicates]] label only the paired
-    * ids (|duplicates| rows, never |corpus|); the corpus left-joins that
-    * label table on id, unpaired rows fall back to their own id as a
-    * singleton cluster, and one row_number window over cluster_id picks
-    * the keeper. The window partitions by cluster — duplicate-group-
-    * sized partitions plus singletons, never a global sort. */
+    * Shape (the same payload discipline as [[dropNearDuplicates]]):
+    * unpaired rows always survive, so only the PAIRED ids are scored —
+    * the cluster label table (|duplicates| rows, broadcastable)
+    * inner-joins the corpus, the score projects down to
+    * (id, cluster_id, score) BEFORE the keeper window, and each
+    * cluster's non-winners anti-join back against the corpus by id.
+    * Payload columns never ride a shuffle; the window partitions are
+    * duplicate-group-sized. */
   def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
                          score: Column,
                          idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     val clusters = clusterDuplicates(pairs, idA, idB)
       .withColumnRenamed("id", idCol)
-    val labeled = df.join(clusters, Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val scored = df.join(clusters, Seq(idCol))
+      .withColumn("graft_score", score)
+      .select(col(idCol), col("cluster_id"), col("graft_score"))
     val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(score.desc, col(idCol))
-    labeled.withColumn("graft_keep_rn", row_number().over(w))
-      .filter(col("graft_keep_rn") === 1)
-      .drop("graft_keep_rn", "cluster_id")
+      .orderBy(col("graft_score").desc, col(idCol))
+    val losers = scored.withColumn("graft_keep_rn", row_number().over(w))
+      .filter(col("graft_keep_rn") =!= 1)
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   // ---- MinHash + LSH ------------------------------------------------

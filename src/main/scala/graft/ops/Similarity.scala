@@ -302,19 +302,15 @@ object Similarity {
 
   /** PQ-encode a vector column: array of `nSub` int codes, code m =
     * argmin_j ||subvec_m - codebook(m)(j)||² (ties to the lowest j).
-    * A shuffle-free projection — codebooks are driver-side literals. */
-  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val nSub = codebooks.length
-    val dsub = codebooks(0)(0).length
-    array((0 until nSub).map { m =>
-      val sub = slice(vec, m * dsub + 1, dsub)
-      val scored = array(codebooks(m).zipWithIndex.toIndexedSeq.map {
-        case (ctr, j) =>
-          struct((-sqDistLit(sub, ctr)).as("negdist"), lit(-j).as("negj"))
-      }: _*)
-      (-array_max(scored).getField("negj")).cast("int")
-    }: _*)
-  }
+    * A shuffle-free projection through the native
+    * [[graft.functions.PqEncodeExpr]] kernel — the higher-order
+    * slice/zip_with/array_max form is CodegenFallback and paid
+    * nSub * ksub * dsub interpreted dispatches per corpus row, which
+    * dominated the whole ADC query at bench scale. Arithmetic and
+    * tie-break are identical (left-to-right double fold, lowest j),
+    * so the DuckDB oracle replay is unchanged. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqEncodeExpr(vec, codebooks)
 
   /** PQ approximate top-k by asymmetric distance computation (ADC) —
     * Jégou et al. 2011, "Product Quantization for Nearest Neighbor

@@ -279,6 +279,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the broadcast candidate join")
   }
 
+  test("keep-best dedup: payload columns never ride a shuffle") {
+    // the keeper window must run over (id, cluster_id, score) — a
+    // text-carrying exchange would mean the corpus payload is shuffled
+    // to pick winners, which dropNearDuplicates' anti-join shape avoids
+    try {
+      val df = graft.SparkEntry.queries("dedup_keep_best")(
+        spark, "/root/testdata/sf0.001")
+      val exchanges = executed(df).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.contains("text"),
+          s"payload column in shuffle output: $names")
+      }
+    } finally graft.ops.CacheRegistry.releaseAll()
+  }
+
   test("semantic dedup: every shuffle is cell-keyed (assignment never shuffles)") {
     // force the pair join into its at-scale shape (shuffled, not
     // broadcast) so the partitioning claim is actually exercised
