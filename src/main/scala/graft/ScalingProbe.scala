@@ -43,6 +43,7 @@ object ScalingProbe {
     // planted band) and a replica-token prefix -> 10-deep NEAR-duplicate
     // groups for the similarity ops.
     val src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val vsrc = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     def scaled(n: Int): String = {
       val dir = s"$base/sf_x$n"
       val reps = spark.range(n).select(col("id").cast("int").as("rep"))
@@ -54,12 +55,29 @@ object ScalingProbe {
             .as("text"),
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // embeddings replicas: rep 0 verbatim (so the PQ codebook seeds —
+      // the lowest-id vectors — are scale-invariant); later replicas
+      // slightly scaled, distinct ids. Volume test for the
+      // |corpus|-proportional encode + ADC scan.
+      vsrc.crossJoin(broadcast(reps))
+        .select(
+          (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+          when(col("rep") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"),
+              x => x * (lit(1.0f) + col("rep").cast("float") / lit(1000.0f))))
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       dir
     }
 
     def force(df: DataFrame): Long = df.count()
 
-    val chain = Seq("dedup_spans", "dedup_simhash", "dedup_minhash_lsh")
+    val chain = Seq("dedup_spans", "dedup_simhash", "dedup_minhash_lsh",
+      // round-7 additions: keep-best faces the same 10-deep clusters
+      // with the score window on top; PQ-ADC's encode is the
+      // |corpus|-proportional stage the 10x run must scale linearly
+      "dedup_keep_best", "ann_pq_topk")
     Seq(1 -> scaled(1), mult -> scaled(mult)).foreach { case (n, dir) =>
       chain.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,

@@ -312,6 +312,41 @@ object Similarity {
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     graft.functions.PqEncodeExpr(vec, codebooks)
 
+  /** Per-query ADC lookup table over `vec`: lut[m][j] =
+    * ||subvec_m - codebook(m)(j)||², built in-plan from literal
+    * codebooks (|queries| × nSub × ksub evaluations — query-side only,
+    * never |corpus|-proportional). */
+  private def pqLut(vec: Column,
+                    cbs: Array[Array[Array[Double]]]): Column = {
+    val dsub = cbs(0)(0).length
+    array(cbs.indices.map { m =>
+      val sub = slice(vec, m * dsub + 1, dsub)
+      array(cbs(m).toIndexedSeq.map(ctr => sqDistLit(sub, ctr)): _*)
+    }: _*)
+  }
+
+  /** ADC distance of a `codes` row against a `lut` column: nSub array
+    * lookups summed left-to-right in subspace order (the fold the
+    * DuckDB oracle replays). */
+  private def adcDist(nSub: Int): Column =
+    (0 until nSub).map(m =>
+      element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1): Column).reduce(_ + _)
+
+  /** Rank (codes ⨝ query-LUT) candidates by ADC distance: shared tail of
+    * [[pqTopK]], [[ivfPqTopK]] and [[queryIvfPqIndex]]. */
+  private def adcRank(cand: DataFrame, nSub: Int, k: Int): DataFrame = {
+    val scored = cand
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("adist", adcDist(nSub))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("adist"), 6).as("adist"))
+  }
+
   /** PQ approximate top-k by asymmetric distance computation (ADC) —
     * Jégou et al. 2011, "Product Quantization for Nearest Neighbor
     * Search" (TPAMI): the corpus is stored as nSub byte-sized codes per
@@ -338,28 +373,11 @@ object Similarity {
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val cbs = pqCodebooks(corpus, dim, nSub, ksub, idCol, vecCol)
-    val dsub = dim / nSub
     val codes = corpus.select(col(idCol).as("corpus_id"),
       pqEncode(col(vecCol), cbs).as("codes"))
-    // per-query distance LUT: lut[m][j] = ||subq_m - c(m)(j)||²
-    val lutCol = array((0 until nSub).map { m =>
-      val sub = slice(col(vecCol), m * dsub + 1, dsub)
-      array(cbs(m).toIndexedSeq.map(ctr => sqDistLit(sub, ctr)): _*)
-    }: _*)
-    val q = queries.select(col(idCol).as("query_id"), lutCol.as("lut"))
-    // adist: left-to-right sum over m — the order the oracle replays
-    val adist = (0 until nSub).map(m =>
-      element_at(element_at(col("lut"), m + 1),
-        element_at(col("codes"), m + 1) + 1): Column).reduce(_ + _)
-    val scored = codes.crossJoin(broadcast(q))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("adist", adist)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("rank"),
-        round(col("adist"), 6).as("adist"))
+    val q = queries.select(col(idCol).as("query_id"),
+      pqLut(col(vecCol), cbs).as("lut"))
+    adcRank(codes.crossJoin(broadcast(q)), nSub, k)
   }
 
   /** FAISS-style IVFADC (Jégou et al. 2011 §IV): the coarse k-means
@@ -380,7 +398,6 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val model = fitQuantizer(corpus, nCentroids, idCol, vecCol)
     val cbs = pqCodebooks(corpus, dim, nSub, ksub, idCol, vecCol)
-    val dsub = dim / nSub
     val codes = model.transform(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
         .withColumn("features", array_to_vector(col("cvec"))))
@@ -388,23 +405,73 @@ object Similarity {
         col("prediction").as("cell"))
     val probed = probeCells(queries, model.clusterCenters.map(_.toArray),
       nProbe, idCol, vecCol)
-    val lutCol = array((0 until nSub).map { m =>
-      val sub = slice(col("qvec"), m * dsub + 1, dsub)
-      array(cbs(m).toIndexedSeq.map(ctr => sqDistLit(sub, ctr)): _*)
-    }: _*)
-    val q = probed.select(col("query_id"), col("cell"), lutCol.as("lut"))
-    val adist = (0 until nSub).map(m =>
-      element_at(element_at(col("lut"), m + 1),
-        element_at(col("codes"), m + 1) + 1): Column).reduce(_ + _)
-    val scored = codes.join(broadcast(q), Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("adist", adist)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("rank"),
-        round(col("adist"), 6).as("adist"))
+    val q = probed.select(col("query_id"), col("cell"),
+      pqLut(col("qvec"), cbs).as("lut"))
+    adcRank(codes.join(broadcast(q), Seq("cell")), nSub, k)
+  }
+
+  /** Persist the IVF-PQ index — the FAISS IVFADC on-disk layout, the
+    * build/query split of [[ivfPqTopK]] (which refits quantizer and
+    * codebooks per call). Layout under `dir`:
+    *   - `centroids`: (cell, centroid) — the coarse quantizer;
+    *   - `pq_codebooks`: (m, j, ctr) — nSub × ksub subspace centroids;
+    *   - `assignments`: (corpus_id, codes array<int>) PARTITIONED BY
+    *     cell — nSub ints per corpus vector, the full compression of
+    *     the corpus payload (raw vectors are not stored at all; at
+    *     100 TB of embeddings the index is the only thing that needs
+    *     to exist cluster-side, which is the point of IVFADC).
+    * Probes prune cells via partition pruning exactly like
+    * [[queryIvfIndex]]. */
+  def buildIvfPqIndex(corpus: DataFrame, dir: String, dim: Int,
+                      nCentroids: Int = 16, nSub: Int = 8, ksub: Int = 16,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = fitQuantizer(corpus, nCentroids, idCol, vecCol)
+    val cbs = pqCodebooks(corpus, dim, nSub, ksub, idCol, vecCol)
+    model.clusterCenters.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    (for (m <- cbs.indices; j <- cbs(m).indices)
+      yield (m, j, cbs(m)(j).toSeq)).toDF("m", "j", "ctr")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    model.transform(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+        .withColumn("features", array_to_vector(col("cvec"))))
+      .select(col("corpus_id"), pqEncode(col("cvec"), cbs).as("codes"),
+        col("prediction").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+  }
+
+  /** Probe a persisted IVF-PQ index: same output contract as
+    * [[ivfPqTopK]], with quantizer + codebooks paid once at build time.
+    * Centroids and codebooks load driver-side (nCentroids + nSub*ksub
+    * rows); the probe side broadcasts, so the cell-partitioned codes
+    * scan prunes to the probed cells. */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      queries: DataFrame, k: Int, nProbe: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(s"$dir/pq_codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val nSub = cbRows.map(_._1).max + 1
+    val ksub = cbRows.map(_._2).max + 1
+    val cbs = Array.tabulate(nSub, ksub)((m, j) =>
+      cbRows.find(c => c._1 == m && c._2 == j).get._3)
+    val codes = spark.read.parquet(s"$dir/assignments")
+    val probed = probeCells(queries, centers, nProbe, idCol, vecCol)
+    val q = probed.select(col("query_id"), col("cell"),
+      pqLut(col("qvec"), cbs).as("lut"))
+    adcRank(codes.join(broadcast(q), Seq("cell")), nSub, k)
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,

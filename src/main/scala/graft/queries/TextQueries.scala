@@ -501,6 +501,18 @@ object TextQueries {
         dim = 64, nSub = 8, ksub = 16, nCentroids = 16, nProbe = 4)
     },
 
+    // the persisted IVFADC layout: cell-partitioned CODES (no raw
+    // vectors stored), codebooks + coarse centroids as tiny tables
+    "ann_ivfpq_index_topk" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_index").toString
+      Similarity.buildIvfPqIndex(vecs, dir, dim = 64,
+        nCentroids = 16, nSub = 8, ksub = 16)
+      Similarity.queryIvfPqIndex(s, dir, vecs.filter(col("vec_id") < 8),
+        k = 5, nProbe = 4)
+    },
+
     // the FAISS-style build/query split: index persisted as parquet
     // (centroids + cell-partitioned assignments), then probed
     "ann_ivf_index_topk" -> { (s, d) =>

@@ -174,6 +174,30 @@ class SimilaritySpec extends AnyFunSuite {
       assert(full(id) == a, s"adist mismatch for $id: $a vs ${full(id)}") }
   }
 
+  test("persisted IVF-PQ index: reloaded probe == per-call ivfPqTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    try {
+      Similarity.buildIvfPqIndex(corpus, dir, dim = 64,
+        nCentroids = 8, nSub = 8, ksub = 16)
+      val q = corpus.filter(col("vec_id") === 0)
+      val fromIndex = Similarity.queryIvfPqIndex(spark, dir, q,
+        k = 5, nProbe = 3)
+        .select("query_id", "corpus_id", "rank", "adist")
+        .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+      val oneShot = Similarity.ivfPqTopK(corpus, q, k = 5, dim = 64,
+        nSub = 8, ksub = 16, nCentroids = 8, nProbe = 3)
+        .select("query_id", "corpus_id", "rank", "adist")
+        .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+      assert(fromIndex.toSeq == oneShot.toSeq)
+      assert(fromIndex.head._2 == 999L) // planted copy still rank 1
+      // the stored corpus payload really is codes-only: no vector column
+      val schema = spark.read.parquet(s"$dir/assignments").schema
+      assert(schema.fieldNames.toSet == Set("corpus_id", "codes", "cell"))
+    } finally {
+      graft.sources.GridExports.deleteStore(spark, dir)
+    }
+  }
+
   test("persisted IVF index: build, reload, query == per-call ivfTopK") {
     val dir = TestSpark.tmpDir("ivf_index")
     Similarity.buildIvfIndex(corpus, dir, nCentroids = 8)
