@@ -492,6 +492,32 @@ object Similarity {
     * tie-breaking to the lowest cell. The only shuffle is the
     * cell-keyed pair join.
     */
+  /** Collect the deterministic coarse quantizer: the `nCells` lowest-id
+    * vectors of `base` (driver-side, nCells rows — the probeCells
+    * bound). `base` must carry (id, vec). */
+  private def lowIdCenters(base: DataFrame,
+                           nCells: Int): Array[(Int, Array[Double])] =
+    base.filter(col("id") < nCells)
+      .select(col("id").cast("int"), col("vec").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+
+  /** Shuffle-free argmax-cosine cell assignment against literal
+    * centroids (ties to the lowest cell): adds `cell` to a (.., vecCol)
+    * frame. The engine-portable quantizer shared by
+    * [[semanticDedupPairs]] and [[semanticDecontaminate]]. */
+  private def assignCells(df: DataFrame, vecCol: String,
+                          centers: Array[(Int, Array[Double])]): DataFrame = {
+    val cellScores = array(centers.map { case (cellId, ctr) =>
+      struct(cosine(col(vecCol), lit(ctr)).as("cos"),
+        lit(-cellId).as("negcell"))
+    }.toIndexedSeq: _*)
+    df.withColumn("graft_m", array_max(cellScores))
+      .withColumn("cell", -col("graft_m.negcell"))
+      .drop("graft_m")
+  }
+
   def semanticDedupPairs(corpus: DataFrame, nCells: Int, minCos: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
@@ -499,19 +525,9 @@ object Similarity {
       .transform(CacheRegistry.persist)
     // nCells rows to the driver — the coarse quantizer is RAM-resident
     // the same way FAISS keeps one (and the same bound as probeCells)
-    val centers: Array[(Int, Array[Double])] = base
-      .filter(col("id") < nCells)
-      .select(col("id").cast("int"), col("vec").cast("array<double>"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1)
-    val cellScores = array(centers.map { case (cellId, ctr) =>
-      struct(cosine(col("vec"), lit(ctr)).as("cos"),
-        lit(-cellId).as("negcell"))
-    }.toIndexedSeq: _*)
-    val assigned = base
-      .withColumn("m", array_max(cellScores))
-      .select(col("id"), col("vec"), (-col("m.negcell")).as("cell"))
+    val centers = lowIdCenters(base, nCells)
+    val assigned = assignCells(base, "vec", centers)
+      .select(col("id"), col("vec"), col("cell"))
     val a = assigned.select(col("cell"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
@@ -522,6 +538,38 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cell"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Semantic (embedding-space) benchmark decontamination — the
+    * complement of the n-gram [[Dedup.decontaminate]]: flag corpus
+    * members whose embedding is cosine-close to ANY benchmark
+    * embedding, catching paraphrased leaks that share no surface
+    * n-grams. Same cell discipline as [[semanticDedupPairs]]: both
+    * sides take the deterministic argmax-cosine assignment against the
+    * corpus' nCells lowest-id vectors (scale-invariant, so a scaled
+    * leak always lands in its source's cell), and comparison happens
+    * only inside a cell — the benchmark side is |bench| rows, the join
+    * shuffles on cell, and nothing ever goes all-pairs. Deterministic
+    * end to end, so the DuckDB oracle replays it exactly.
+    * Output: (id, n_hits, max_cos) per FLAGGED corpus member. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            nCells: Int, minCos: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .transform(CacheRegistry.persist)
+    val centers = lowIdCenters(base, nCells)
+    val c = assignCells(base, "vec", centers)
+      .select(col("id"), col("vec"), col("cell"))
+    val b = assignCells(
+      bench.select(col(vecCol).as("bvec")), "bvec", centers)
+      .select(col("bvec"), col("cell"))
+    c.join(b, Seq("cell"))
+      .withColumn("cos", cosine(col("vec"), col("bvec")))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        round(max(col("cos")), 6).as("max_cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH

@@ -434,6 +434,19 @@ object TextQueries {
         nCells = 16, minCos = 0.9)
     },
 
+    // Semantic decontamination: every 37th embedding, scaled, stands in
+    // for a paraphrased benchmark leak; flagged = cosine >= 0.95 to any
+    // bench vector within the deterministic quantizer's cell
+    "decontaminate_semantic" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      val bench = vecs.filter(col("vec_id") % 37 === 0)
+        .select(transform(col("embedding"), x => x * lit(1.01f))
+          .as("embedding"))
+      Similarity.semanticDecontaminate(vecs, bench,
+        nCells = 16, minCos = 0.95)
+        .select(col("id").as("vec_id"), col("n_hits"), col("max_cos"))
+    },
+
     // ---- similarity search ----
     "ann_brute_topk" -> { (s, d) =>
       val vecs = Tables.embeddings(s, d)
@@ -1206,6 +1219,55 @@ object TextQueries {
         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.id < y.id)
         |SELECT id_a, id_b, cell, round(cos, 6) AS cos FROM p
         |WHERE cos >= 0.9""".stripMargin,
+
+    // Semantic decontamination replay: same centroids/assignment CTEs
+    // as dedup_semantic; bench = scaled %37 copies assigned through the
+    // same argmax (scale-invariant, so each leak shares its source's
+    // cell); hits joined on cell, grouped per corpus id
+    "decontaminate_semantic" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
+        |  FROM embeddings WHERE vec_id < 16),
+        |sa AS (SELECT a.vec_id AS id, a.embedding AS vec, c.cell,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1),
+        |        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))))
+        |    AS ccos
+        |  FROM embeddings a, c),
+        |asg AS (SELECT id, vec, cell FROM (
+        |    SELECT id, vec, cell,
+        |      row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cell ASC) AS rn
+        |    FROM sa) WHERE rn = 1),
+        |bv AS (SELECT vec_id AS bid,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT)) AS bvec
+        |  FROM embeddings WHERE vec_id % 37 = 0),
+        |sb AS (SELECT b.bid, b.bvec, c.cell,
+        |    list_sum(list_transform(range(1, len(b.bvec) + 1),
+        |      i -> CAST(b.bvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(b.bvec) + 1),
+        |        i -> CAST(b.bvec[i] AS DOUBLE) * CAST(b.bvec[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1),
+        |        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))))
+        |    AS ccos
+        |  FROM bv b, c),
+        |basg AS (SELECT bid, bvec, cell FROM (
+        |    SELECT bid, bvec, cell,
+        |      row_number() OVER (PARTITION BY bid ORDER BY ccos DESC, cell ASC) AS rn
+        |    FROM sb) WHERE rn = 1),
+        |j AS (SELECT a.id,
+        |    list_sum(list_transform(range(1, len(a.vec) + 1),
+        |      i -> CAST(a.vec[i] AS DOUBLE) * CAST(b.bvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1),
+        |        i -> CAST(a.vec[i] AS DOUBLE) * CAST(a.vec[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.bvec) + 1),
+        |        i -> CAST(b.bvec[i] AS DOUBLE) * CAST(b.bvec[i] AS DOUBLE)))))
+        |    AS cos
+        |  FROM asg a JOIN basg b ON a.cell = b.cell)
+        |SELECT id AS vec_id, count(*) AS n_hits,
+        |  round(max(cos), 6) AS max_cos
+        |FROM j WHERE cos >= 0.95 GROUP BY id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -107,6 +107,43 @@ class SimilaritySpec extends AnyFunSuite {
         assigned.find(_._1 == b).get._3 == c })
   }
 
+  test("semantic decontamination flags exactly the cell-local leaks") {
+    // bench = scaled copies of vectors 0 and 7 (paraphrased-leak stand-in)
+    val bench = corpus.filter(col("vec_id").isin(0L, 7L))
+      .select(transform(col("embedding"), x => x * lit(1.01f))
+        .as("embedding"))
+    val got = Similarity.semanticDecontaminate(corpus, bench,
+      nCells = 16, minCos = 0.95)
+      .select("id", "n_hits", "max_cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    graft.ops.CacheRegistry.releaseAll()
+    // local oracle: same quantizer, same cell-scoped comparison
+    val all = ((0 until 50).map(i => (i.toLong, vec(i))) :+
+      (999L, vec(0).map(_ * 1.01f)))
+    val centers = all.filter(_._1 < 16).sortBy(_._1)
+    def cellOf(v: Array[Float]): Int =
+      centers.maxBy { case (cid, c) => (cosineLocal(v, c), -cid) }._1.toInt
+    val benchLocal = Seq(vec(0), vec(7)).map(_.map(x => x * 1.01f))
+      .map(b => (cellOf(b), b))
+    val expected = all.flatMap { case (id, v) =>
+      val hits = benchLocal.filter(_._1 == cellOf(v))
+        .map(b => cosineLocal(v, b._2)).filter(_ >= 0.95)
+      if (hits.isEmpty) None
+      else Some(id -> (hits.size.toLong,
+        math.round(hits.max * 1e6) / 1e6))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, mc)) =>
+      assert(got(id)._1 == n)
+      assert(math.abs(got(id)._2 - mc) < 2e-6, s"max_cos for $id") }
+    // the source of each leak is flagged, and so is the source's own
+    // scaled near-copy (999 sits in cell 0 with bench-leak 0)
+    assert(got.contains(0L) && got.contains(999L) && got.contains(7L))
+    // unrelated vectors are not flagged
+    assert(!got.contains(23L))
+  }
+
   test("PQ encode + ADC top-k == full local replay; planted copy rank 1") {
     val nSub = 8; val dsub = 8; val ksub = 16
     val all = ((0 until 50).map(i => (i.toLong, vec(i))) :+
