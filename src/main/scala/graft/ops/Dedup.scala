@@ -637,7 +637,11 @@ object Dedup {
     * answer "which copies do I drop": A~B and B~C must collapse into
     * one {A,B,C} cluster keeping only A.
     *
-    * Algorithm: iterative min-label propagation with pointer jumping
+    * Graphs at or under `smallGraphEdges` distinct directed edges (and
+    * long-typed ids) take a driver-side union-find fast path — same
+    * min-label output, one job instead of ~5 iterative rounds of
+    * scheduling overhead; see the inline rationale. At-scale algorithm:
+    * iterative min-label propagation with pointer jumping
     * (the two-step of Kiveris et al.'s star contraction):
     *   1. neighbor-min — lab(v) <- min(lab(v), min over edges lab(u));
     *   2. pointer jump — lab(v) <- lab(lab(v)) (labels are node ids, so
@@ -658,12 +662,49 @@ object Dedup {
     * pays (GraphX does the same).
     */
   def clusterDuplicates(pairs: DataFrame, idA: String = "id_a",
-                        idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+                        idB: String = "id_b", maxIter: Int = 25,
+                        smallGraphEdges: Long = 1000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
+    // Small-graph fast path: the duplicate-pair graph of a corpus is
+    // |duplicates|-sized, not |corpus|-sized — at bench scale it is a
+    // few hundred edges, and the iterative path below pays ~5 rounds of
+    // multi-stage jobs in pure scheduling overhead to converge it. Under
+    // the edge bound (1M edges ≈ 16 MB — the same bounded-collect
+    // discipline as SkewTools' hot-key list), union-find on the driver
+    // produces the identical min-label components in one job. Above the
+    // bound — the genuinely-at-scale case — the distributed propagation
+    // runs unchanged. The count also materializes the edge cache the
+    // distributed path would build anyway.
+    val isLongIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (isLongIds && edges.count() <= smallGraphEdges) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root: the component label IS the minimum id
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id)))
+        .toDF("id", "cluster_id")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
       .persist(MEMORY_AND_DISK)

@@ -49,6 +49,21 @@ class DedupSpec extends AnyFunSuite {
       s"expected the 20 base docs to survive, got $kept")
   }
 
+  test("clusterDuplicates: distributed propagation equals the union-find fast path") {
+    // chain 1-2-3-4 + separate pair (7,8) + self-contained clique
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 8L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id_a", "id_b")
+    val fast = Dedup.clusterDuplicates(pairs)
+      .as[(Long, Long)].collect().toSet
+    val distributed = Dedup.clusterDuplicates(pairs, smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    graft.ops.CacheRegistry.releaseAll()
+    val expected = Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 10L -> 10L, 11L -> 10L, 12L -> 10L)
+    assert(fast == expected)
+    assert(distributed == expected)
+  }
+
   test("keepBestPerCluster keeps the highest score, ties to lowest id") {
     val docs = Seq(
       (1L, "aa"), (2L, "aaaa"),          // cluster {1,2}: 2 is longer
