@@ -97,10 +97,14 @@ object Dedup {
     * the whole chain would re-run tokenize+shingle+hash once per hash
     * function (no common-subexpression elimination across array
     * elements) — a 30x slowdown measured at sf0.1.
+    *
+    * Runs through the native one-pass [[graft.functions.MinhashSigExpr]]
+    * kernel (bit-identical to the k-pass
+    * `array_min(transform(.., xxhash64(h, i)))` column form — pinned by
+    * GraftFunctionsSpec).
     */
   def minhashSignatureFromHashes(hashesCol: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(hashesCol, h => xxhash64(h, lit(i))))): _*)
+    graft.functions.MinhashSigExpr(hashesCol, k)
 
   /** Distinct word-shingle xxhash64 array for a text column. */
   def shingleHashes(textCol: Column, shingleSize: Int): Column =

@@ -132,4 +132,23 @@ class GraftFunctionsSpec extends AnyFunSuite {
           .as("chain"))
     assert(df.filter(col("native") =!= col("chain")).count() == 0)
   }
+
+  test("native minhash signature equals the k-pass column form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 32
+    // random long arrays of varied length, plus the empty array whose
+    // signature is k nulls (array_min over an empty transform)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(i =>
+      Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong())) :+ Seq.empty[Long]
+    val hof = array((0 until k).map(i =>
+      array_min(transform(col("hs"), h => xxhash64(h, lit(i))))): _*)
+    val df = rows.toDF("hs")
+      .select(
+        graft.functions.MinhashSigExpr(col("hs"), k).as("native"),
+        hof.as("chain"))
+    // element-wise bit equality including the null pattern
+    assert(df.filter(not(col("native") <=> col("chain"))).count() == 0)
+  }
 }
