@@ -297,6 +297,36 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.ops.CacheRegistry.releaseAll()
   }
 
+  test("semantic decontamination: shuffles only on cell and the hit agg's id") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("decontaminate_semantic")(
+        spark, "/root/testdata/sf0.001")
+      val exchanges = executed(df).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      // cell-keyed exchanges feed the bench join; the only other
+      // allowed key is the per-corpus-id hit aggregation (|hits| rows,
+      // duplicate-density-sized). An embedding- or full-corpus-id-keyed
+      // shuffle BEFORE the join would mean assignment shuffled the
+      // corpus, defeating the cell design.
+      exchanges.foreach { e =>
+        val keys = e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.flatMap(_.references.toSeq).map(_.name)
+          case _ => Nil
+        }
+        assert(keys.nonEmpty && keys.forall(k => k == "cell" || k == "id"),
+          s"unexpected shuffle keys: $keys")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.ops.CacheRegistry.releaseAll()
+    }
+  }
+
   test("semantic dedup: every shuffle is cell-keyed (assignment never shuffles)") {
     // force the pair join into its at-scale shape (shuffled, not
     // broadcast) so the partitioning claim is actually exercised
