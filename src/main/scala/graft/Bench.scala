@@ -52,7 +52,11 @@ object Bench {
     "split_assign", "dedup_semantic",
     // PQ-ADC vs brute force is the recorded trade: same broadcast-
     // nested-loop shape, per-candidate work 8 lookups vs 64 multiplies
-    "ann_pq_topk", "dedup_keep_best")
+    "ann_pq_topk", "dedup_keep_best",
+    // tokenizer-support pair: corpus-weighted BPE pair stats (the
+    // char-pair explode must stay vocab-sized) and top-k-vocab OOV
+    // coverage (the vocab join must broadcast)
+    "bpe_pair_counts", "vocab_oov_rate")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

@@ -143,6 +143,72 @@ object TermStats {
           (coalesce(col("c1"), lit(0L)) + col("v"))).as("lm_score"))
   }
 
+  /** First-iteration BPE merge statistics: the corpus-weighted count of
+    * every adjacent symbol pair, where the initial symbol vocabulary is
+    * single characters — exactly the quantity byte-pair-encoding
+    * tokenizer training maximizes on its first merge (Sennrich et al.
+    * 2016). A curation pipeline runs this to train/refresh the
+    * tokenizer on the corpus it just built (reference analog: the
+    * vocabulary/stats passes next to the quality stage).
+    *
+    * Scale shape: the corpus token stream is aggregated ONCE into the
+    * distinct-word frequency table (partial agg, keyed on the word);
+    * the character-pair explode then runs over the VOCABULARY — orders
+    * of magnitude smaller than the token stream — with each word
+    * carrying its frequency weight, so the expensive per-character work
+    * never touches corpus-sized data. Final top-k is TakeOrdered (no
+    * global sort). Every step is integer arithmetic — the DuckDB
+    * oracle replays it exactly.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String = "text",
+                    k: Int = 50): DataFrame = {
+    val wf = df.select(
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Per-document vocabulary coverage: the fraction of a document's
+    * tokens OUTSIDE the corpus's top-`vocabSize` token vocabulary — the
+    * OOV-rate audit a pipeline runs before committing to a tokenizer or
+    * when diagnosing a source whose text the model will see as rare
+    * pieces (high OOV = transliteration, code, or junk).
+    *
+    * Scale shape: the token stream feeds two consumers (vocabulary
+    * build and the coverage join), so it is persisted and
+    * registry-released; the vocabulary is top-k BY CONSTRUCTION —
+    * bounded at `vocabSize` rows regardless of corpus size — so the
+    * coverage join broadcasts it (contrast [[bigramLmScore]]'s
+    * open-vocabulary count table, which must NOT broadcast); the
+    * per-doc aggregate is partial. No corpus-sized shuffle carries
+    * payloads.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    vocabSize: Int = 500): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("t"))
+      .transform(CacheRegistry.persist)
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+  }
+
   /** Heavy hitters: every token whose corpus-wide count reaches
     * `minCount`, with its EXACT count — the Count-Min-Sketch companion
     * of the Bloom novelty gate (same shape: a one-sided sketch prunes,

@@ -278,6 +278,20 @@ object TextQueries {
       TermStats.heavyHitters(planted, "text", minCount = 50)
     },
 
+    // first-iteration BPE merge statistics: corpus-weighted adjacent
+    // character-pair counts over the distinct-word vocabulary (the
+    // quantity tokenizer training maximizes on merge 1)
+    "bpe_pair_counts" -> { (s, d) =>
+      TermStats.bpePairCounts(Tables.documents(s, d), k = 50)
+    },
+
+    // per-doc OOV rate against the corpus's top-500 token vocabulary
+    // (tokenizer-coverage audit; the top-k vocab is bounded by
+    // construction, so its join broadcasts)
+    "vocab_oov_rate" -> { (s, d) =>
+      TermStats.vocabCoverage(Tables.documents(s, d), vocabSize = 500)
+    },
+
     // T5-style span corruption: deterministic per-(doc, span) mask
     // draw at 20% (threshold 0x33333333), spans collapse to <mask>
     "mask_spans" -> { (s, d) =>
@@ -977,6 +991,41 @@ object TextQueries {
         |    t -> len(t) > 0)) AS token
         |  FROM documents)
         |GROUP BY token HAVING count(*) >= 50""".stripMargin,
+
+    // BPE pair replay: same word-frequency table, same 2-char substring
+    // pairs, integer weights end to end (sum cast: DuckDB sums to
+    // HUGEINT, Spark to BIGINT)
+    "bpe_pair_counts" ->
+      """WITH toks AS (SELECT
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+        |pairs AS (SELECT freq,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> substring(w, i, 2))) AS pair
+        |  FROM wf WHERE len(w) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // vocabulary coverage replay: same top-500 vocab (count desc, token
+    // tiebreak), same null-flag left join and per-doc ratio
+    "vocab_oov_rate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> len(t) > 0)) AS t
+        |  FROM documents),
+        |vocab AS (SELECT t FROM (
+        |    SELECT t, count(*) AS cnt FROM toks GROUP BY t
+        |    ORDER BY cnt DESC, t LIMIT 500)),
+        |j AS (SELECT toks.doc_id, vocab.t AS vt
+        |  FROM toks LEFT JOIN vocab ON toks.t = vocab.t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     // source overlap replay: same shingle construction, integer set
     // sizes, one double divide at the end

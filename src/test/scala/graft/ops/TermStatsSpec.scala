@@ -102,6 +102,46 @@ class TermStatsSpec extends AnyFunSuite {
     assert(gated.values.forall(_ == 60L))
   }
 
+  test("bpePairCounts: weighted character-pair counts over the vocab") {
+    // words: banana x1, bana x1 -> pairs banana{ba,an,na,an,na},
+    // bana{ba,an,na} -> an:3, na:3, ba:2 (ordered cnt desc, pair asc)
+    val docs = Seq((1L, "banana bana")).toDF("doc_id", "text")
+    val out = TermStats.bpePairCounts(docs)
+      .as[(String, Long)].collect().toList
+    assert(out == List(("an", 3L), ("na", 3L), ("ba", 2L)))
+    // word frequency weights multiply, not re-tokenize: "aa" twice in
+    // one doc and once in another counts 3
+    val w = Seq((1L, "aa aa"), (2L, "AA ab")).toDF("doc_id", "text")
+    val o2 = TermStats.bpePairCounts(w).as[(String, Long)].collect().toList
+    assert(o2 == List(("aa", 3L), ("ab", 1L)))
+    // single-character words contribute no pairs
+    val s1 = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TermStats.bpePairCounts(s1).count() == 0L)
+  }
+
+  test("vocabCoverage: OOV rate against the bounded top-k vocabulary") {
+    // counts a:3 b:2 z:1 c:1 -> top-2 vocab {a, b}
+    val docs = Seq((1L, "a a b z"), (2L, "a b c")).toDF("doc_id", "text")
+    val cov = TermStats.vocabCoverage(docs, vocabSize = 2)
+    // the bounded vocab side must broadcast (contrast the open-vocab
+    // LM-count join, which must not)
+    assert(cov.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "top-k vocab join should be a broadcast join")
+    val out = cov.orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toList
+    CacheRegistry.releaseAll()
+    assert(out == List((1L, 4L, 1L, 0.25), (2L, 3L, 1L, 0.333333)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the token stream persist must be registry-released")
+    // tiebreak pins the vocab: with k=3 the token 'c' (ties 'z' on
+    // count, wins alphabetically) enters the vocab, flipping doc 2
+    val o3 = TermStats.vocabCoverage(docs, vocabSize = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toList
+    CacheRegistry.releaseAll()
+    assert(o3 == List((1L, 4L, 1L, 0.25), (2L, 3L, 0L, 0.0)))
+  }
+
   test("cms estimate is one-sided: never below the true count") {
     import org.apache.spark.sql.functions._
     val toks = (0 until 2000).map(i => Tuple1(s"w${i % 150}"))
