@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.TextFunctions
+import graft.ops.{CacheRegistry, Dedup}
 
 /** Streaming corpus curation (beyond the reference, §2.12 as a STREAM):
   * documents land as files in a directory and flow through the same
@@ -39,4 +41,138 @@ object CorpusStreamIngest {
         col("repetition") <= maxRepetition)
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
+
+  // ---- incremental NEAR-duplicate curation --------------------------
+
+  /** MinHash estimate of Jaccard similarity from two signature arrays:
+    * the fraction of equal components. */
+  private def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+
+  /** One micro-batch of incremental near-duplicate curation — the
+    * `foreachBatch` target of [[startNear]], exposed for tests and for
+    * cron-style batch reruns.
+    *
+    * Semantics: quality gates + exact dedup ([[curate]]) first; then a
+    * document is KEPT iff it is not a near-duplicate (any-band LSH
+    * collision AND signature-estimated Jaccard >= `minEstJaccard`) of
+    * any previously KEPT document, with ties inside a micro-batch
+    * resolved by the batch operator's cluster semantics (pairs ->
+    * connected components -> lowest id survives, exactly
+    * [[graft.ops.Dedup.dropNearDuplicates]]). The kept corpus therefore
+    * carries a standing invariant: NO kept pair collides above the
+    * threshold — each batch only ever adds documents independent of
+    * everything already kept. Across batches the policy is
+    * first-arrival-wins (the online greedy rule every production
+    * ingest-time deduper uses); when all data lands in one batch it
+    * degenerates to the batch operator exactly.
+    *
+    * State under `stateDir` (all parquet, append-only):
+    * `kept/` (doc_id, text, content_hash) — the curated corpus;
+    * `sigs/` (id, sig) and `bands/` (id, band_id, band_hash) — the
+    * MinHash index of the kept corpus. Incoming batches probe the index
+    * with a (band_id, band_hash)-keyed equi-join — the history is
+    * scanned but its TEXT never is (the index tables carry hashes
+    * only), and no shuffle ever carries document payloads: kept rows
+    * re-attach by id at the end. At cluster scale the band index is a
+    * bucketed table on (band_id, band_hash) and the probe is a
+    * shuffle-free co-located join.
+    *
+    * Verification against history uses the SIGNATURE estimate (the
+    * standard online-LSH rule): exact shingle Jaccard would require
+    * retaining every kept document's shingle set. Identical re-delivered
+    * texts estimate 1.0, so redelivery is idempotent.
+    */
+  def curateNearBatch(spark: SparkSession, stateDir: String,
+                      batch: DataFrame,
+                      k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                      minEstJaccard: Double = 0.5,
+                      minChars: Int = 50, minQuality: Double = 0.3,
+                      maxRepetition: Double = 0.5): Unit = {
+    val keptDir = s"$stateDir/kept"
+    val sigDir = s"$stateDir/sigs"
+    val bandDir = s"$stateDir/bands"
+    val curated = CacheRegistry.persist(
+      curate(batch, minChars, minQuality, maxRepetition)
+        .select(col("doc_id"), col("text"), col("content_hash")))
+    try {
+      if (curated.isEmpty) return
+      val sigs = CacheRegistry.persist(
+        Dedup.minhashSignatures(curated, "doc_id", "text", k, shingleSize))
+      val banded = CacheRegistry.persist(
+        Dedup.withLshBands(sigs, "sig", bands, k / bands)
+          .select(col("id"), col("band_id"), col("band_hash")))
+      val hasHistory = new java.io.File(bandDir).exists()
+      // 1) drop incoming docs near-duplicating the KEPT history: band
+      //    collision candidates (keys + ids only ride the join), then
+      //    the signature-estimate confirm
+      val vsHistory =
+        if (!hasHistory) sigs
+        else {
+          val hb = spark.read.parquet(bandDir)
+            .select(col("id").as("hist_id"), col("band_id"), col("band_hash"))
+          val hs = spark.read.parquet(sigDir)
+            .select(col("id").as("hist_id"), col("sig").as("hist_sig"))
+          val cand = banded.join(hb, Seq("band_id", "band_hash"))
+            .select(col("id"), col("hist_id")).distinct()
+          val dups = cand
+            .join(sigs, "id")
+            .join(hs, "hist_id")
+            .filter(estJaccard(col("sig"), col("hist_sig")) >= minEstJaccard)
+            .select(col("id")).distinct()
+          sigs.join(dups, Seq("id"), "left_anti")
+        }
+      // 2) within-batch near-dedup among the history survivors — the
+      //    batch operator's shape: band self-join on keys only, est
+      //    confirm, connected components, lowest id per cluster survives
+      val sb = banded.join(vsHistory.select(col("id")), "id")
+      val pairs = sb.select(col("band_id"), col("band_hash"),
+          col("id").as("id_a"))
+        .join(sb.select(col("band_id"), col("band_hash"),
+          col("id").as("id_b")), Seq("band_id", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+        .join(vsHistory.select(col("id").as("id_a"), col("sig").as("sig_a")),
+          "id_a")
+        .join(vsHistory.select(col("id").as("id_b"), col("sig").as("sig_b")),
+          "id_b")
+        .filter(estJaccard(col("sig_a"), col("sig_b")) >= minEstJaccard)
+        .select(col("id_a"), col("id_b"))
+      val losers = Dedup.clusterDuplicates(pairs)
+        .filter(col("id") =!= col("cluster_id")).select(col("id"))
+      val keptIds = CacheRegistry.persist(
+        vsHistory.select(col("id")).join(losers, Seq("id"), "left_anti"))
+      // 3) append the survivors and their index rows
+      curated.join(keptIds, col("doc_id") === col("id")).drop("id")
+        .write.mode("append").parquet(keptDir)
+      sigs.join(keptIds, "id").write.mode("append").parquet(sigDir)
+      banded.join(keptIds, "id").write.mode("append").parquet(bandDir)
+    } finally CacheRegistry.releaseAll()
+  }
+
+  /** Start the incremental near-dedup stream: parquet documents landing
+    * in `landingDir` flow through [[curateNearBatch]]; the curated
+    * corpus and its MinHash index accumulate under `stateDir`.
+    * `Trigger.AvailableNow` drains and stops (the cron shape). */
+  def startNear(spark: SparkSession, landingDir: String, stateDir: String,
+                checkpointDir: String,
+                trigger: Trigger = Trigger.AvailableNow(),
+                k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                minEstJaccard: Double = 0.5): StreamingQuery =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateNearBatch(spark, stateDir, batch, k = k, bands = bands,
+          shingleSize = shingleSize, minEstJaccard = minEstJaccard)
+      }
+      .start()
 }
