@@ -325,7 +325,28 @@ object Bench {
         force(Similarity.ivfTopK(vecs, qs, k = 5, nCentroids = 16, nProbe = 4))
         graft.ops.CacheRegistry.releaseAll()
       }
-      build +: pair
+      // the IVFADC split (codes-only index): same build/probe trade one
+      // level up — probe scans int codes in probed cells, never vectors
+      val dir2 = benchTmpDir("graft_bench_ivfpq")
+      val build2 = timed2(spark, "ann_ivfpq_index_build") {
+        Similarity.buildIvfPqIndex(vecs, dir2, dim = 64,
+          nCentroids = 16, nSub = 8, ksub = 16)
+        graft.ops.CacheRegistry.releaseAll()
+      }
+      val pair2 = try {
+        timedAB(spark, "ann_ivfpq_probe_indexed", "ann_ivfpq_oneshot") {
+          force(Similarity.queryIvfPqIndex(spark, dir2, qs, k = 5, nProbe = 4))
+          graft.ops.CacheRegistry.releaseAll()
+        } {
+          force(Similarity.ivfPqTopK(vecs, qs, k = 5, dim = 64, nSub = 8,
+            ksub = 16, nCentroids = 16, nProbe = 4))
+          graft.ops.CacheRegistry.releaseAll()
+        }
+      } finally {
+        try { graft.sources.GridExports.deleteStore(spark, dir2) }
+        catch { case _: Throwable => }
+      }
+      (build +: pair) ++ (build2 +: pair2)
     } finally {
       try { graft.sources.GridExports.deleteStore(spark, dir) }
       catch { case _: Throwable => }

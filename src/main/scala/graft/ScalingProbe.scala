@@ -77,7 +77,12 @@ object ScalingProbe {
       // round-7 additions: keep-best faces the same 10-deep clusters
       // with the score window on top; PQ-ADC's encode is the
       // |corpus|-proportional stage the 10x run must scale linearly
-      "dedup_keep_best", "ann_pq_topk")
+      "dedup_keep_best", "ann_pq_topk",
+      // round-7 wave 2: semantic dedup's cell-scoped pair join must
+      // stay O(n^2/cells) when every cell gains 10x members; the BPE
+      // pair explode must stay vocab-bounded while the token stream
+      // grows 10x
+      "dedup_semantic", "bpe_pair_counts")
     Seq(1 -> scaled(1), mult -> scaled(mult)).foreach { case (n, dir) =>
       chain.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,
