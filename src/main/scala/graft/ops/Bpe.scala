@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and application over a corpus
+  * (Sennrich et al. 2016) — the step a training-data pipeline runs
+  * between curation and tokenization: train the merge table ON the
+  * corpus it just built, then segment that corpus with it.
+  * [[TermStats.bpePairCounts]] is this trainer's first iteration,
+  * exposed separately because it is the oracle-checkable part.
+  *
+  * Scale shape (the SentencePiece/HF-tokenizers shape): the ONLY
+  * corpus-sized work is the word-count aggregation — one partial-agg
+  * shuffle keyed on the word. Training then runs on the word-count
+  * table capped to the `maxWords` most frequent words (bounded driver
+  * collect, the [[SkewTools]] discipline — identical to how production
+  * trainers feed word counts, not corpora, to the merge loop; the tail
+  * beyond the cap carries negligible pair mass by construction).
+  * Applying the merges is again vocabulary-sized: each DISTINCT word is
+  * encoded once (an inherently sequential per-word loop — executor-side
+  * `mapPartitions` over the vocab, never over the corpus), and the
+  * corpus token stream broadcast-joins the word -> piece-count map.
+  */
+object Bpe {
+
+  /** Greedy left-to-right application of one merge to a symbol list:
+    * non-overlapping, restart scanning AFTER each merged pair — the
+    * reference BPE semantics ("aaa" under (a,a) gives [aa, a]). */
+  def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var cur = syms
+    while (cur.nonEmpty) {
+      cur match {
+        case a :: b :: rest if a == l && b == r =>
+          out += (l + r); cur = rest
+        case a :: rest =>
+          out += a; cur = rest
+        case Nil => ()
+      }
+    }
+    out.toList
+  }
+
+  /** Encode one word under an ordered merge table: repeatedly apply the
+    * LOWEST-RANKED merge present until none applies (rank order, not
+    * scan order — the standard BPE encode). */
+  def encodeWord(word: String, rank: Map[(String, String), Int]): List[String] = {
+    var syms = word.map(_.toString).toList
+    var done = false
+    while (!done && syms.size > 1) {
+      val best = syms.zip(syms.tail)
+        .flatMap(p => rank.get(p).map(r => (r, p)))
+        .sortBy(_._1).headOption
+      best match {
+        case Some((_, (l, r))) => syms = applyMerge(syms, l, r)
+        case None => done = true
+      }
+    }
+    syms
+  }
+
+  /** Train `nMerges` merges from an in-memory word-count table: each
+    * round counts adjacent symbol pairs weighted by word frequency,
+    * merges the most frequent pair (ties to the lexicographically
+    * smallest (left, right) — deterministic across runs and engines),
+    * and rewrites the affected words. Exact greedy BPE. */
+  def trainFromCounts(wordCounts: Seq[(String, Long)],
+                      nMerges: Int): List[(String, String)] = {
+    var words: Seq[(List[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val merges = scala.collection.mutable.ListBuffer[(String, String)]()
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (l, r) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += ((l, r))
+        words = words.map { case (syms, c) =>
+          (if (syms.zip(syms.tail).contains((l, r))) applyMerge(syms, l, r)
+           else syms, c)
+        }
+        round += 1
+      }
+    }
+    merges.toList
+  }
+
+  /** Distributed word counts -> bounded driver collect -> exact greedy
+    * training. `maxWords` caps driver memory (most-frequent-first with
+    * a word tiebreak, so the cap is deterministic). */
+  def trainMerges(df: DataFrame, textCol: String = "text",
+                  nMerges: Int = 50,
+                  maxWords: Int = 1 << 20): List[(String, String)] = {
+    val wc = df.select(
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(wc, nMerges)
+  }
+
+  /** The trained merge table as a DataFrame (rank, left, right) — the
+    * `queries` surface for the trainer (deterministic, tiny). */
+  def mergesDf(spark: SparkSession,
+               merges: List[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("rank", "left_sym", "right_sym")
+  }
+
+  /** Per-document piece count under a trained merge table. The
+    * inherently-sequential encode loop runs ONCE PER DISTINCT WORD
+    * (mapPartitions over the vocabulary, merge ranks broadcast by
+    * closure — at 100 TB this is the one legitimate mapPartitions in
+    * the text stack: per-element imperative logic on vocab-sized data);
+    * the corpus token stream then joins the word -> piece-count map ON
+    * THE WORD. Deliberately NOT a forced broadcast: the distinct-word
+    * table is open-vocabulary, the same cardinality class as
+    * [[TermStats.bigramLmScore]]'s count table — it does not fit one
+    * executor at corpus scale (AQE broadcasts it when it is small). */
+  def pieceCounts(df: DataFrame, merges: List[(String, String)],
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("w"))
+      .transform(CacheRegistry.persist)
+    val vocabPieces = toks.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, encodeWord(w, rank).size.toLong))
+      }.toDF("w", "pieces")
+    toks.join(vocabPieces, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_pieces"))
+  }
+}

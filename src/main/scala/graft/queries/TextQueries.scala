@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Denoise, Packing, Sampling, Similarity, TermStats}
+import graft.ops.{Bpe, Dedup, Denoise, Packing, Sampling, Similarity, TermStats}
 
 /** Training-data-pipeline operator surface: text analysis, dedup,
   * similarity search over the `documents`/`embeddings` fixtures.
@@ -290,6 +290,20 @@ object TextQueries {
     // construction, so its join broadcasts)
     "vocab_oov_rate" -> { (s, d) =>
       TermStats.vocabCoverage(Tables.documents(s, d), vocabSize = 500)
+    },
+
+    // exact greedy BPE training on the corpus word counts (rows-only:
+    // the merge loop is not SQL-expressible; merge 1 is oracle-checked
+    // as bpe_pair_counts, and BpeSpec pins the classic worked example)
+    "bpe_train_merges" -> { (s, d) =>
+      Bpe.mergesDf(s, Bpe.trainMerges(Tables.documents(s, d), nMerges = 20))
+    },
+
+    // per-doc piece counts under the trained merges (rows-only; exact
+    // encode semantics pinned in BpeSpec)
+    "bpe_piece_counts" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20))
     },
 
     // T5-style span corruption: deterministic per-(doc, span) mask

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("applyMerge is greedy left-to-right, restarting after a merge") {
+    assert(Bpe.applyMerge(List("a", "a", "a"), "a", "a") == List("aa", "a"))
+    assert(Bpe.applyMerge(List("a", "a", "a", "a"), "a", "a")
+      == List("aa", "aa"))
+    assert(Bpe.applyMerge(List("b", "a", "n"), "a", "n") == List("b", "an"))
+    assert(Bpe.applyMerge(List("x"), "a", "n") == List("x"))
+    // no false match across symbol boundaries: ("xa","n") has no (a,n)
+    assert(Bpe.applyMerge(List("xa", "n"), "a", "n") == List("xa", "n"))
+  }
+
+  test("encodeWord applies merges in RANK order, not scan order") {
+    // rank0 (b,c) fires before rank1 (a,b) even though (a,b) comes
+    // first in the scan: abc -> a,bc (then rank2 joins them)
+    val rank = Map(("b", "c") -> 0, ("a", "b") -> 1, ("a", "bc") -> 2)
+    assert(Bpe.encodeWord("abc", rank) == List("abc"))
+    // without the (a,bc) merge the encode stops at [a, bc]
+    assert(Bpe.encodeWord("abc", rank - (("a", "bc"))) == List("a", "bc"))
+    // unknown word: falls back to characters
+    assert(Bpe.encodeWord("xyz", rank) == List("x", "y", "z"))
+    assert(Bpe.encodeWord("banana", Map(("a", "n") -> 0))
+      == List("b", "an", "an", "a"))
+  }
+
+  test("trainFromCounts reproduces the classic worked example") {
+    // Sennrich et al. 2016 flavor: low:5 lower:2 newest:6 widest:3
+    // pair masses: (e,s)=(s,t)=9 -> lexicographic tie to (e,s);
+    // then (es,t)=9; (l,o)=7; (lo,w)=7; then the 6-mass tie
+    // {(e,w),(n,e),(w,est)} resolves to (e,w)
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.trainFromCounts(wc, 5)
+    assert(merges == List(("e", "s"), ("es", "t"), ("l", "o"),
+      ("lo", "w"), ("e", "w")))
+    // training exhausts gracefully when every word is one symbol
+    val tiny = Bpe.trainFromCounts(Seq(("ab", 1L)), 10)
+    assert(tiny == List(("a", "b")))
+  }
+
+  test("trainMerges: distributed counts equal in-memory training") {
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, nMerges = 5)
+    assert(m == List(("e", "s"), ("es", "t"), ("l", "o"),
+      ("lo", "w"), ("e", "w")))
+    // case folding: the tokenizer lowercases before counting
+    val up = Seq((1L, "AB ab Ab")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(up, nMerges = 1) == List(("a", "b")))
+  }
+
+  test("pieceCounts: per-doc piece totals under a fixed merge table") {
+    val merges = List(("a", "n"), ("an", "an"))
+    // banana -> b,an,an,a -> b,anan,a (3); bana -> b,an,a (3); x -> 1
+    val docs = Seq((1L, "banana x"), (2L, "bana bana")).toDF("doc_id", "text")
+    val out = Bpe.pieceCounts(docs, merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toList
+    CacheRegistry.releaseAll()
+    assert(out == List((1L, 2L, 4L), (2L, 2L, 6L)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the token-stream persist must be registry-released")
+  }
+}
