@@ -122,6 +122,25 @@ object TextQueries {
         .limit(20)
     },
 
+    // Per-source corpus report: the summary a curation run consults
+    // before choosing mixture weights. Every column is engine-exact:
+    // integer sums, a distinct count, a threshold count on the
+    // deterministic per-doc quality score (no FP averages whose
+    // summation order could diverge), one final divide.
+    "corpus_report" -> { (s, d) =>
+      Tables.documents(s, d).groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(when(TextFunctions.qualityScore(col("text")) >= 0.7, 1L)
+            .otherwise(0L)).as("n_high_quality"))
+        .withColumn("mean_doc_tokens",
+          round(col("n_tokens").cast("double") / col("n_docs").cast("double"),
+            6))
+    },
+
     // Canonical normalization: NFC (native kernel) + lower + whitespace
     // collapse. Unicode is planted (the fixture corpus is ASCII) so the
     // NFC path demonstrably fires; DuckDB nfc_normalize is the twin.
@@ -788,6 +807,49 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang, sample_rank FROM r
         |WHERE sample_rank <= 30""".stripMargin,
+
+    // per-source report: same tokenizer, same quality rule-sum (the
+    // text_quality expression, unrounded, compared at the 0.7 gate),
+    // integer sums end to end, one final divide
+    "corpus_report" ->
+      """WITH t AS (SELECT source, lang,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS ntok,
+        |    length(text) AS nch,
+        |    (SELECT
+        |      (CASE WHEN q.ntok >= 10 AND q.ntok <= 10000
+        |        THEN 0.4 ELSE 0.0 END) +
+        |      (CASE WHEN q.atl >= 2.5 AND q.atl <= 12.0
+        |        THEN 0.3 ELSE 0.0 END) +
+        |      (CASE WHEN q.npunct / greatest(q.n, 1.0) <= 0.1
+        |        THEN 0.15 ELSE 0.0 END) +
+        |      (CASE WHEN q.ndigit / greatest(q.n, 1.0) <= 0.2
+        |        THEN 0.15 ELSE 0.0 END)
+        |     FROM (SELECT
+        |        CAST(length(text) AS DOUBLE) AS n,
+        |        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> len(x) > 0)) AS DOUBLE) AS ntok,
+        |        CAST(length(text) - length(regexp_replace(text,
+        |          '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) AS npunct,
+        |        CAST(length(text) - length(regexp_replace(text,
+        |          '[0-9]', '', 'g')) AS DOUBLE) AS ndigit,
+        |        CASE WHEN len(list_filter(string_split_regex(trim(text),
+        |            '\s+'), x -> len(x) > 0)) > 0
+        |          THEN CAST(list_sum(list_transform(
+        |              list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> len(x) > 0), x -> len(x))) AS DOUBLE)
+        |            / len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> len(x) > 0))
+        |          ELSE 0.0 END AS atl) q) AS quality
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nch) AS BIGINT) AS n_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(CASE WHEN quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high_quality,
+        |  round(CAST(sum(ntok) AS DOUBLE) / count(*), 6) AS mean_doc_tokens
+        |FROM t GROUP BY source""".stripMargin,
 
     "text_normalize" ->
       """WITH corpus AS (
