@@ -212,6 +212,77 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** MinHash signature estimate of Jaccard: fraction of equal
+    * signature components. */
+  private def estJaccardSig(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+
+  /** The probe-able MinHash index of a corpus: `(sigs, bands)` =
+    * ((id, sig), (id, band_id, band_hash)). Build once, persist/store,
+    * probe many times — the incremental-dedup analog of the ANN
+    * build/query split ([[graft.ops.Similarity.buildIvfIndex]]); the
+    * streaming curator ([[graft.streaming.CorpusStreamIngest]])
+    * accumulates exactly these two tables as its history state. */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8,
+                        shingleSize: Int = 3): (DataFrame, DataFrame) = {
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleSize)
+    val banded = withLshBands(sigs, "sig", bands, k / bands)
+      .select(col("id"), col("band_id"), col("band_hash"))
+    (sigs, banded)
+  }
+
+  /** Ids of `incoming` documents that near-duplicate the indexed
+    * history: any-band LSH collision confirmed by the signature
+    * Jaccard estimate (the standard online-LSH rule — exact shingle
+    * verification would require retaining history shingle sets).
+    *
+    * Scale shape: the collision join keys on (band_id, band_hash) and
+    * carries ids only; the confirm joins attach signatures per
+    * CANDIDATE (collision-count-sized, not corpus-sized). History text
+    * is never touched. At cluster scale store the band index bucketed
+    * on the band key for shuffle-free probes. */
+  def nearDupsAgainstIndex(inSigs: DataFrame, inBands: DataFrame,
+                           histSigs: DataFrame, histBands: DataFrame,
+                           minEstJaccard: Double = 0.5): DataFrame = {
+    val cand = inBands
+      .join(histBands
+        .select(col("id").as("hist_id"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
+      .select(col("id"), col("hist_id")).distinct()
+    cand
+      .join(inSigs, "id")
+      .join(histSigs.select(col("id").as("hist_id"),
+        col("sig").as("hist_sig")), "hist_id")
+      .filter(estJaccardSig(col("sig"), col("hist_sig")) >= minEstJaccard)
+      .select(col("id")).distinct()
+  }
+
+  /** The batch cross-corpus near-dedup call ("keep only what crawl N
+    * adds over crawls 1..N-1"): rows of `incoming` that are NOT
+    * near-duplicates of any `history` document. Builds both indexes in
+    * place; callers probing one history repeatedly should
+    * [[buildMinhashIndex]] it once, store the two tables, and use
+    * [[nearDupsAgainstIndex]] directly (the streaming curator's shape).
+    */
+  def nearNovelAgainstHistory(incoming: DataFrame, idCol: String,
+                              textCol: String, history: DataFrame,
+                              k: Int = 32, bands: Int = 8,
+                              shingleSize: Int = 3,
+                              minEstJaccard: Double = 0.5): DataFrame = {
+    val (inSigs0, inBands) =
+      buildMinhashIndex(incoming, idCol, textCol, k, bands, shingleSize)
+    val inSigs = CacheRegistry.persist(inSigs0)
+    val (hSigs0, hBands) =
+      buildMinhashIndex(history, idCol, textCol, k, bands, shingleSize)
+    val hSigs = CacheRegistry.persist(hSigs0)
+    val dups = nearDupsAgainstIndex(inSigs, inBands, hSigs, hBands,
+      minEstJaccard)
+    incoming.join(dups.withColumnRenamed("id", idCol), Seq(idCol),
+      "left_anti")
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** SimHash width: 60 bits — the first 15 hex chars of md5(token)

@@ -325,6 +325,27 @@ object TextQueries {
       Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20))
     },
 
+    // batch cross-corpus near-dedup ("what does crawl N add"): history
+    // is the documents table; incoming plants near-copies of docs
+    // %10 == 0 (must be dropped: shingle Jaccard ~0.93) and token-
+    // REVERSED docs %7 == 3 (share every word but almost no 3-shingle
+    // -> must survive). The oracle states the planted ground truth —
+    // the reversed docs, replayed exactly.
+    "dedup_near_novel" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
+            .as("text"))
+      val reversed = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(reverse(TextFunctions.tokens(col("text"))), " ")
+            .as("text"))
+      Dedup.nearNovelAgainstHistory(copies.union(reversed),
+          "doc_id", "text", docs)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    },
+
     // T5-style span corruption: deterministic per-(doc, span) mask
     // draw at 20% (threshold 0x33333333), spans collapse to <mask>
     "mask_spans" -> { (s, d) =>
@@ -711,6 +732,16 @@ object TextQueries {
         |SELECT doc_id, md5(text) AS content_hash FROM incoming
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 4 <> 0)""".stripMargin,
+
+    // planted ground truth: the near-copies must be dropped, the
+    // token-reversed docs (same words, disjoint 3-shingles) must
+    // survive — replayed with the same tokenizer + list_reverse
+    "dedup_near_novel" ->
+      """SELECT doc_id + 200000 AS doc_id,
+        |  md5(array_to_string(list_reverse(list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> len(t) > 0)), ' '))
+        |    AS content_hash
+        |FROM documents WHERE doc_id % 7 = 3""".stripMargin,
 
     // the byte-identical regex chain (RE2-compatible patterns; 'g' flag
     // — DuckDB replaces only the first match without it)

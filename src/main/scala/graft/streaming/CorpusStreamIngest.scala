@@ -98,29 +98,22 @@ object CorpusStreamIngest {
         .select(col("doc_id"), col("text"), col("content_hash")))
     try {
       if (curated.isEmpty) return
-      val sigs = CacheRegistry.persist(
-        Dedup.minhashSignatures(curated, "doc_id", "text", k, shingleSize))
-      val banded = CacheRegistry.persist(
-        Dedup.withLshBands(sigs, "sig", bands, k / bands)
-          .select(col("id"), col("band_id"), col("band_hash")))
+      val (sigs0, banded0) =
+        Dedup.buildMinhashIndex(curated, "doc_id", "text", k, bands,
+          shingleSize)
+      val sigs = CacheRegistry.persist(sigs0)
+      val banded = CacheRegistry.persist(banded0)
       val hasHistory = new java.io.File(bandDir).exists()
-      // 1) drop incoming docs near-duplicating the KEPT history: band
-      //    collision candidates (keys + ids only ride the join), then
-      //    the signature-estimate confirm
+      // 1) drop incoming docs near-duplicating the KEPT history — the
+      //    shared probe ([[graft.ops.Dedup.nearDupsAgainstIndex]]):
+      //    band-collision candidates carry keys + ids only, then the
+      //    signature-estimate confirm
       val vsHistory =
         if (!hasHistory) sigs
         else {
-          val hb = spark.read.parquet(bandDir)
-            .select(col("id").as("hist_id"), col("band_id"), col("band_hash"))
-          val hs = spark.read.parquet(sigDir)
-            .select(col("id").as("hist_id"), col("sig").as("hist_sig"))
-          val cand = banded.join(hb, Seq("band_id", "band_hash"))
-            .select(col("id"), col("hist_id")).distinct()
-          val dups = cand
-            .join(sigs, "id")
-            .join(hs, "hist_id")
-            .filter(estJaccard(col("sig"), col("hist_sig")) >= minEstJaccard)
-            .select(col("id")).distinct()
+          val dups = Dedup.nearDupsAgainstIndex(sigs, banded,
+            spark.read.parquet(sigDir), spark.read.parquet(bandDir),
+            minEstJaccard)
           sigs.join(dups, Seq("id"), "left_anti")
         }
       // 2) within-batch near-dedup among the history survivors — the

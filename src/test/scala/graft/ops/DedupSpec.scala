@@ -254,6 +254,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("nearNovelAgainstHistory: copies drop, rewordings survive; " +
+    "prebuilt-index probe equals the from-corpus call") {
+    val history = (0 until 30).map(i => (i.toLong, mkDoc(i)))
+      .toDF("doc_id", "text")
+    // near-copies of docs 0..9 (first word swapped: Jaccard ~0.95) and
+    // token-REVERSED docs 10..14 (same words, disjoint 3-shingles)
+    val copies = (0 until 10).map(i =>
+      (100L + i, "zzz " + mkDoc(i).split(" ").drop(1).mkString(" ")))
+    val reworded = (10 until 15).map(i =>
+      (200L + i, mkDoc(i).split(" ").reverse.mkString(" ")))
+    val incoming = (copies ++ reworded).toDF("doc_id", "text")
+    val kept = Dedup.nearNovelAgainstHistory(incoming, "doc_id", "text",
+        history)
+      .select("doc_id").as[Long].collect().toSet
+    CacheRegistry.releaseAll()
+    assert(kept == (210L until 215L).toSet,
+      s"only the reworded docs are novel, got $kept")
+    // probing a prebuilt index yields the same duplicate set
+    val (hs, hb) = Dedup.buildMinhashIndex(history, "doc_id", "text")
+    val (is2, ib2) = Dedup.buildMinhashIndex(incoming, "doc_id", "text")
+    val dups = Dedup.nearDupsAgainstIndex(is2, ib2, hs, hb)
+      .as[Long].collect().toSet
+    assert(dups == (100L until 110L).toSet)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("bloom probe has no false negatives; persisted image is reusable") {
     val history = (0 until 100).map(i => (i.toLong, mkDoc(i)))
       .toDF("doc_id", "text")
