@@ -56,7 +56,11 @@ object Bench {
     // tokenizer-support pair: corpus-weighted BPE pair stats (the
     // char-pair explode must stay vocab-sized) and top-k-vocab OOV
     // coverage (the vocab join must broadcast)
-    "bpe_pair_counts", "vocab_oov_rate")
+    "bpe_pair_counts", "vocab_oov_rate",
+    // cross-corpus near-dedup (index build + probe), BPE segmentation
+    // (vocab-sized encode + word-keyed join), and the one-pass
+    // per-source report
+    "dedup_near_novel", "bpe_piece_counts", "corpus_report")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

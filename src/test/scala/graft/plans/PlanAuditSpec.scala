@@ -297,6 +297,68 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.ops.CacheRegistry.releaseAll()
   }
 
+  test("near-novel probe: no text-carrying shuffle; collision join " +
+    "keys on the band") {
+    // the history index probe must shuffle hashes and ids only — a
+    // text-carrying exchange would mean a corpus payload rides the
+    // probe; and at scale (broadcast off) the collision join must key
+    // on (band_id, band_hash), never on raw document attributes
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("dedup_near_novel")(
+        spark, "/root/testdata/sf0.001")
+      val exchanges = executed(df).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      // the whole INDEX + PROBE side is payload-free; the one place a
+      // text column may legally ride a shuffle is the final anti-join
+      // re-attach, and only keyed on the document id (at scale AQE
+      // broadcasts the |dups| id set and even that exchange vanishes)
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        val keys = e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.flatMap(_.references.toSeq).map(_.name).toSet
+          case _ => Set.empty[String]
+        }
+        if (names.contains("text"))
+          assert(keys == Set("doc_id"),
+            s"text may only ride the id-keyed re-attach, keys were $keys")
+      }
+      val keyed = exchanges.flatMap { e =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            Seq(h.expressions.flatMap(_.references.toSeq).map(_.name).toSet)
+          case _ => Nil
+        }
+      }
+      assert(keyed.contains(Set("band_id", "band_hash")),
+        s"expected a band-keyed collision join, got $keyed")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.ops.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("corpus report aggregates in one exchange on the source key") {
+    val df = graft.SparkEntry.queries("corpus_report")(
+      spark, "/root/testdata/sf0.001")
+    val exchanges = executed(df).collect { case e: ShuffleExchangeExec => e }
+    // one hash exchange (the groupBy source; count_distinct's partial
+    // expand stays inside it) and no text column ever shuffles
+    exchanges.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"))
+      val keys = e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.toSeq).map(_.name).toSet
+        case _ => Set.empty[String]
+      }
+      assert(keys.subsetOf(Set("source", "lang")), s"unexpected keys $keys")
+    }
+  }
+
   test("semantic decontamination: shuffles only on cell and the hit agg's id") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
