@@ -66,6 +66,79 @@ object MediaCodec {
     } catch { case _: Exception => None }
   }
 
+  /** 64-bit perceptual average-hash (aHash) of an image blob: luminance
+    * box-sampled to an 8x8 grid (integer sums / pixel counts), each
+    * cell votes 1 if it exceeds the 64-cell mean. Robust to
+    * re-encoding, resizing, and small edits — Hamming-near hashes are
+    * near-identical images. Same integer BT.601 luma as [[decodeImage]],
+    * so the hash is deterministic. None if the blob does not decode. */
+  def imageAHash(bytes: Array[Byte]): Option[Long] = {
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = math.min(7, y * 8 / h)
+          var x = 0
+          while (x < w) {
+            val cx = math.min(7, x * 8 / w)
+            val rgb = img.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+              + 114 * (rgb & 0xff)) / 1000
+            sums(cy * 8 + cx) += luma
+            counts(cy * 8 + cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(thresholdHash(sums, counts))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** The aHash construction over raw BYTES (64 equal chunks, chunk mean
+    * vs global mean) — the quarantine fallback for undecodable blobs,
+    * mirroring [[Multimodal.decodeStub]]: identical blobs hash equal,
+    * byte-near blobs hash Hamming-near, and the dedup op stays total
+    * over mixed/corrupt media columns. */
+  def byteAHash(bytes: Array[Byte]): Long = {
+    if (bytes.isEmpty) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < bytes.length) {
+      val c = math.min(63, i * 64 / bytes.length)
+      sums(c) += (bytes(i) & 0xff)
+      counts(c) += 1
+      i += 1
+    }
+    thresholdHash(sums, counts)
+  }
+
+  private def thresholdHash(sums: Array[Long], counts: Array[Long]): Long = {
+    val cells = new Array[Long](64)
+    var i = 0
+    var total = 0L
+    while (i < 64) {
+      cells(i) = if (counts(i) > 0) sums(i) / counts(i) else 0L
+      total += cells(i)
+      i += 1
+    }
+    val mean = total / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /** Decode a WAV PCM blob: (sample_rate, n_samples, features) where
     * features = [rms, peak, mean_abs, zero_crossing_rate] over channel-0
     * samples normalized to [-1, 1]. Supports 8/16-bit PCM (the

@@ -83,6 +83,57 @@ object Multimodal {
     }
   }
 
+  /** Near-duplicate media pairs by 64-bit perceptual hash: real images
+    * hash via [[MediaCodec.imageAHash]] (8x8 luminance aHash — robust
+    * to re-encode/resize/small edits), undecodable blobs via the
+    * byte-level fallback ([[MediaCodec.byteAHash]]), so the op is total
+    * over mixed media columns. Candidates block on the hash's four
+    * 16-bit quarters (the SimHash discipline): Hamming distance <=
+    * `maxDist` <= 3 GUARANTEES at least one equal quarter (pigeonhole),
+    * so blocking loses no pair the verify step would keep.
+    *
+    * Scale shape: the decode+hash pass is mapPartitions over the media
+    * rows (one 8-byte hash out per blob — payloads never shuffle); the
+    * block self-join carries (block key, id) only; hashes re-attach per
+    * candidate pair for the exact bit_count verify.
+    */
+  def nearDupMedia(spark: SparkSession, media: DataFrame,
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist $maxDist: 4-block pigeonhole covers Hamming <= 3")
+    import spark.implicits._
+    val hashes = CacheRegistry.persist(
+      media.as[MediaRow].mapPartitions { it =>
+        it.map { r =>
+          val h = MediaCodec.imageAHash(r.media)
+            .getOrElse(MediaCodec.byteAHash(r.media))
+          (r.media_id, h)
+        }
+      }.toDF("media_id", "ahash"))
+    def shr(v: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      call_function("shiftright", v, n)
+    val blocks = hashes
+      .select(col("media_id"), col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("media_id"), col("b"),
+        shr(col("ahash"), col("b") * 16).bitwiseAND(lit(0xffffL)).as("bv"))
+    val pairs = blocks
+      .select(col("b"), col("bv"), col("media_id").as("id_a"))
+      .join(blocks.select(col("b"), col("bv"), col("media_id").as("id_b")),
+        Seq("b", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs
+      .join(hashes.select(col("media_id").as("id_a"),
+        col("ahash").as("ha")), "id_a")
+      .join(hashes.select(col("media_id").as("id_b"),
+        col("ahash").as("hb")), "id_b")
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Frame sampling for video rows: explode one row per sampled frame.
     * MJPEG-in-AVI blobs decode REAL frames ([[MediaCodec.decodeAviFrames]]
     * — each emitted frame is one JPEG image); other payloads fall back

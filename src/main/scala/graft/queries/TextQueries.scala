@@ -346,6 +346,25 @@ object TextQueries {
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
     },
 
+    // perceptual-hash media near-dedup over the synthetic media table.
+    // Plants swap the first and last characters: the byte MULTISET is
+    // preserved, so the aHash global threshold is identical and at most
+    // the two edge cells change -> Hamming <= 2, guaranteed within the
+    // 4-block pigeonhole. The oracle states the planted ground truth.
+    // Real image blobs take the 8x8 luminance aHash path
+    // (MultimodalSpec pins edit-tolerance/scale-invariance there).
+    "multimodal_near_dups" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val media = graft.ops.Multimodal.syntheticMedia(docs)
+      val plants = graft.ops.Multimodal.syntheticMedia(
+          docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("text", expr(
+              "concat(substr(text, -1, 1), substring(text, 2, length(text) - 2), substr(text, 1, 1))")))
+        .withColumn("media_id", col("media_id") + 100000)
+      graft.ops.Multimodal.nearDupMedia(s, media.union(plants))
+        .select(col("id_a"), col("id_b"))
+    },
+
     // T5-style span corruption: deterministic per-(doc, span) mask
     // draw at 20% (threshold 0x33333333), spans collapse to <mask>
     "mask_spans" -> { (s, d) =>
@@ -732,6 +751,13 @@ object TextQueries {
         |SELECT doc_id, md5(text) AS content_hash FROM incoming
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 4 <> 0)""".stripMargin,
+
+    // planted ground truth: every edge-swapped copy pairs with its
+    // source (byte-multiset-preserving edit -> Hamming <= 2 under the
+    // byte aHash; the 4-block pigeonhole guarantees candidacy)
+    "multimodal_near_dups" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     // planted ground truth: the near-copies must be dropped, the
     // token-reversed docs (same words, disjoint 3-shingles) must

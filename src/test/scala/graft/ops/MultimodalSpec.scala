@@ -122,6 +122,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).features.toSeq == Multimodal.decodeStub(junk).toSeq)
   }
 
+  private def grayPng(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("imageAHash: stable, edit-tolerant, scale-invariant, " +
+    "content-sensitive") {
+    val base = grayPng(32, 32, (x, _) => x * 8) // left-dark gradient
+    val h1 = MediaCodec.imageAHash(base).get
+    assert(MediaCodec.imageAHash(base).get == h1, "decode is deterministic")
+    // one-pixel edit: Hamming-near (the whole point of a perceptual hash)
+    val tweaked = grayPng(32, 32,
+      (x, y) => if (x == 0 && y == 0) 255 else x * 8)
+    val h2 = MediaCodec.imageAHash(tweaked).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 3, "small edit, near hash")
+    // nearest-neighbor 2x upscale preserves every cell mean exactly
+    val up = grayPng(64, 64, (x, y) => (x / 2) * 8)
+    assert(MediaCodec.imageAHash(up).get == h1, "aHash is scale-invariant")
+    // inverted content flips the vote of every decided cell
+    val inv = grayPng(32, 32, (x, _) => 248 - x * 8)
+    val h3 = MediaCodec.imageAHash(inv).get
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 10, "different content, far hash")
+    // undecodable bytes: the byte-level fallback is deterministic and
+    // single-byte-edit tolerant
+    val blobA = ("alpha bravo " * 20).getBytes("UTF-8")
+    val blobB = blobA.clone(); blobB(0) = 'z'.toByte
+    assert(MediaCodec.imageAHash(blobA).isEmpty)
+    val (ba, bb) = (MediaCodec.byteAHash(blobA), MediaCodec.byteAHash(blobB))
+    assert(java.lang.Long.bitCount(ba ^ bb) <= 3)
+  }
+
+  test("nearDupMedia pairs the planted near-copies only, image and byte") {
+    val base = grayPng(32, 32, (x, _) => x * 8)
+    val tweaked = grayPng(32, 32,
+      (x, y) => if (x == 0 && y == 0) 255 else x * 8)
+    val inv = grayPng(32, 32, (x, _) => 248 - x * 8)
+    val blobA = ("the quick brown fox jumps over the lazy dog " * 8)
+      .getBytes("UTF-8")
+    val blobB = blobA.clone(); blobB(0) = 'z'.toByte
+    val blobC = ("zzzz 9999 ZZZZ @@@@ " * 16).getBytes("UTF-8")
+    val media = Seq(
+      (1L, "image", base, 32, 32, 0),
+      (2L, "image", tweaked, 32, 32, 0),
+      (3L, "image", inv, 32, 32, 0),
+      (10L, "image", blobA, 1, 1, 0),
+      (11L, "image", blobB, 1, 1, 0),
+      (12L, "image", blobC, 1, 1, 0)
+    ).toDF("media_id", "kind", "media", "width", "height", "sample_rate")
+    val pairs = Multimodal.nearDupMedia(spark, media)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    CacheRegistry.releaseAll()
+    assert(pairs == Set((1L, 2L), (10L, 11L)),
+      s"expected exactly the planted pairs, got $pairs")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   /** 3-frame MJPEG AVI fixture: each frame a deterministic 16x12 JPEG
     * (solid gray level 32 + 64f, so JPEG encodes it losslessly enough
     * to sniff and decode). Returns (avi bytes, frame jpeg blobs). */
