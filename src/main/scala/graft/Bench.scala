@@ -60,7 +60,10 @@ object Bench {
     // cross-corpus near-dedup (index build + probe), BPE segmentation
     // (vocab-sized encode + word-keyed join), and the one-pass
     // per-source report
-    "dedup_near_novel", "bpe_piece_counts", "corpus_report")
+    "dedup_near_novel", "bpe_piece_counts", "corpus_report",
+    // perceptual-hash media dedup: decode+hash mapPartitions pass +
+    // 4-quarter block join
+    "multimodal_near_dups")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see
