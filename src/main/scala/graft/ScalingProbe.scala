@@ -82,7 +82,11 @@ object ScalingProbe {
       // stay O(n^2/cells) when every cell gains 10x members; the BPE
       // pair explode must stay vocab-bounded while the token stream
       // grows 10x
-      "dedup_semantic", "bpe_pair_counts")
+      "dedup_semantic", "bpe_pair_counts",
+      // round-7 wave 3: cross-corpus near-novelty (two index builds +
+      // band probe) and perceptual-hash media dedup (hash pass + block
+      // join) — both must stay linear in corpus volume
+      "dedup_near_novel", "multimodal_near_dups")
     Seq(1 -> scaled(1), mult -> scaled(mult)).foreach { case (n, dir) =>
       chain.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,
