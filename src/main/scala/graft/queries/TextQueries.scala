@@ -122,6 +122,18 @@ object TextQueries {
         .limit(20)
     },
 
+    // PIVOT (§2.11 built-ins showcase): source x lang doc-count matrix
+    // — Spark's relational pivot with an explicit value list (the
+    // at-scale form: no extra distinct-scan job to discover columns),
+    // absent combinations filled to 0 so both engines agree
+    "pivot_lang_counts" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
     // Per-source corpus report: the summary a curation run consults
     // before choosing mixture weights. Every column is engine-exact:
     // integer sums, a distinct count, a threshold count on the
@@ -864,6 +876,16 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang, sample_rank FROM r
         |WHERE sample_rank <= 30""".stripMargin,
+
+    // pivot replay: conditional counts under the pivoted column names
+    "pivot_lang_counts" ->
+      """SELECT source,
+        |  CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+        |  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+        |  CAST(count(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+        |  CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+        |  CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
 
     // per-source report: same tokenizer, same quality rule-sum (the
     // text_quality expression, unrounded, compared at the 0.7 gate),
