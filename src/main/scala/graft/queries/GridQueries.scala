@@ -102,6 +102,25 @@ object GridQueries {
         maskNodata = false)
     },
 
+    // Patch extraction (the grid -> ML-training bridge): 8 deterministic
+    // 6x6 x t[2,6) patches cut in ONE distributed job (GridPatches),
+    // per-patch checksums. In-bounds origins -> every patch complete
+    // (n_px = 144); the oracle recomputes from the closed form.
+    "grid_patch_extract" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      val patches = s.range(8).select(col("id").as("patch_id"),
+        ((col("id") * 23) % 180).cast("int").as("px0"),
+        ((col("id") * 17) % 122).cast("int").as("py0"))
+      GridPatches.extractPatches(s, h, root, patches, pw = 6, ph = 6,
+          tFrom = 2, tTo = 6, maskNodata = false)
+        .groupBy(col("patch_id"))
+        .agg(count(lit(1)).as("n_px"),
+          sum(col("value").cast("double")).as("sum_value"),
+          min(col("value")).cast("double").as("min_value"),
+          max(col("value")).cast("double").as("max_value"))
+    },
+
     // P4/P5/F8 — polygon load with containment mask.
     "grid_polygon_mask" -> { (s, _) =>
       val root = tinyRoot(s)
@@ -433,6 +452,19 @@ object GridQueries {
          |FROM (SELECT x, y, (x + y) % 11 AS t
          |      FROM range(0, 38) a(x), range(0, 10) b(y)) g""".stripMargin
 
+    // grid_patch_extract: the 8 planted patches recomputed from the
+    // closed form (sums are integer-valued doubles — order-exact)
+    val patchExtract =
+      s"""WITH p AS (SELECT patch_id, (patch_id * 23) % 180 AS px0,
+         |    (patch_id * 17) % 122 AS py0 FROM range(0, 8) r(patch_id)),
+         |px AS (SELECT patch_id, px0 + dx AS x, py0 + dy AS y, t
+         |  FROM p, range(0, 6) a(dx), range(0, 6) b(dy), range(2, 6) c(t))
+         |SELECT patch_id, count(*) AS n_px,
+         |  sum(CAST(${tinyValueSql(mask = false)} AS DOUBLE)) AS sum_value,
+         |  CAST(min(${tinyValueSql(mask = false)}) AS DOUBLE) AS min_value,
+         |  CAST(max(${tinyValueSql(mask = false)}) AS DOUBLE) AS max_value
+         |FROM px GROUP BY patch_id""".stripMargin
+
     // grid_pixel_timeseries: minimodis 60x60 window, QA-masked mean
     val pixelTimeseries =
       s"""WITH g AS (SELECT x, y, t,
@@ -626,6 +658,7 @@ object GridQueries {
       "grid_incremental_append" -> incrementalAppend,
       "grid_polygon_mask" -> polygonMask,
       "grid_region_mask" -> regionMask,
-      "grid_reproject_nearest" -> reprojectNearest)
+      "grid_reproject_nearest" -> reprojectNearest,
+      "grid_patch_extract" -> patchExtract)
   }
 }
