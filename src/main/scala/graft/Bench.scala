@@ -422,6 +422,20 @@ object Bench {
     } {
       GridKernels.qaConfStats(spark, qaRoot).collect()
     }
+    // Patch extraction at tile scale: 256 32x32x4 training patches cut
+    // from the 4800x4800 tile in ONE job (the grid -> ML bridge; the
+    // alternative — 256 loadSliceXY jobs — is the driver-loop shape the
+    // operator exists to avoid).
+    val patches256 = timed2(spark, "grid_patch_extract_256x32x32") {
+      val ps = spark.range(256).select(
+        col("id").as("patch_id"),
+        ((col("id") * 293) % 4768).cast("int").as("px0"),
+        ((col("id") * 181) % 4768).cast("int").as("py0"))
+      graft.grid.GridPatches.extractPatches(spark, nh, ndviRoot, ps,
+          pw = 32, ph = 32, tFrom = 0, tTo = 4, maskNodata = false)
+        .agg(count(col("value")), sum(col("value").cast("double")))
+        .collect()
+    }
     val multiJoin = timed2(spark, "grid_multigrid_masked_mean_1000x1000") {
       // chunk-aligned join: shuffles ~100 chunk rows, not 8M pixel rows
       GridKernels.maskedMeanByT(spark, (nh, ndviRoot), (qh, qaRoot),
@@ -450,7 +464,7 @@ object Bench {
     }
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }
-    Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, multiJoin,
-      boxUnpruned, boxPruned)
+    Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, patches256,
+      multiJoin, boxUnpruned, boxPruned)
   }
 }

@@ -342,6 +342,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("patch extraction shuffles only the per-patch aggregate") {
+    // the patch fan-out must broadcast onto the chunk scan and the
+    // pixel generators must run in place — the ONLY hash exchange is
+    // the final patch_id-keyed aggregate; a chunk- or pixel-keyed
+    // shuffle would mean patches are assembled by moving raster data
+    val df = graft.SparkEntry.queries("grid_patch_extract")(
+      spark, "/root/testdata/sf0.001")
+    val exchanges = executed(df).collect { case e: ShuffleExchangeExec => e }
+    exchanges.foreach { e =>
+      val keys = e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.toSeq).map(_.name).toSet
+        case _ => Set.empty[String]
+      }
+      assert(keys.subsetOf(Set("patch_id")), s"unexpected shuffle keys $keys")
+      assert(!e.output.map(_.name).contains("data"),
+        "chunk payloads must never ride a shuffle")
+    }
+  }
+
   test("corpus report aggregates in one exchange on the source key") {
     val df = graft.SparkEntry.queries("corpus_report")(
       spark, "/root/testdata/sf0.001")
