@@ -63,7 +63,11 @@ object Bench {
     "dedup_near_novel", "bpe_piece_counts", "corpus_report",
     // perceptual-hash media dedup: decode+hash mapPartitions pass +
     // 4-quarter block join
-    "multimodal_near_dups")
+    "multimodal_near_dups",
+    // single-regex-pass gates (blocklist alternation, sentence
+    // segmentation) and the bucketed quality histogram — the cheap
+    // curation ops whose cost must stay one codegen pass per doc
+    "blocklist_filter", "text_sentences", "quality_histogram")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

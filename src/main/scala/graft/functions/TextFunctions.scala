@@ -175,6 +175,38 @@ object TextFunctions {
       !longWord && !lorem && !brace && digitR <= maxDigitRatio
   }
 
+  /** Term-blocklist gate (the C4 "bad words" filter class): one
+    * case-insensitive word-boundary alternation over the whole blocklist
+    * — a SINGLE regex pass per document regardless of list size (the
+    * per-term `contains` chain is |terms| passes), codegen'd, no
+    * shuffle. Terms are regex-escaped, so the list can hold arbitrary
+    * phrases. `\b`/`(?i)` are RE2-compatible — the DuckDB oracle runs
+    * the byte-identical pattern.
+    */
+  def blocklistPattern(terms: Seq[String]): String =
+    "(?i)\\b(" +
+      terms.map(_.replaceAll("([\\\\.^$|?*+\\[\\]{}()])", "\\\\$1"))
+        .mkString("|") + ")\\b"
+
+  def blocklistHit(text: Column, terms: Seq[String]): Column =
+    text.rlike(blocklistPattern(terms))
+
+  def blocklistHitCount(text: Column, terms: Seq[String]): Column =
+    regexp_count(text, lit(blocklistPattern(terms)))
+
+  /** Sentence segmentation without lookbehind (RE2 has none): maximal
+    * runs of non-terminator chars plus their trailing `.!?` run are the
+    * sentences; whitespace-only fragments (the gap after a terminator)
+    * are dropped after trim. Shared by the per-doc sentence stats — a
+    * Gopher-style quality feature (too few / degenerate sentences flag
+    * boilerplate and markup debris).
+    */
+  val sentencePattern = "[^.!?]+[.!?]*"
+
+  def sentences(text: Column): Column =
+    filter(transform(regexp_extract_all(text, lit(sentencePattern), lit(0)),
+      s => trim(s)), s => length(s) > 0)
+
   /** Within-document repetition: the fraction of word n-gram
     * occurrences that are duplicates (1 - distinct/total) — the
     * Gopher-style boilerplate/spam gate ("fraction of duplicate

@@ -310,6 +310,49 @@ object GridQueries {
           max(col("value_0")).as("max_value"))
     },
 
+    // Per-pixel temporal anomaly z-score — the NDVI time-series anomaly
+    // detection the reference defers to numpy: each observation scored
+    // against its own pixel's series mean/std. One window partitioning
+    // on (x, y) computes n/sum/sumsq (integer-valued doubles — exact in
+    // any accumulation order, so the oracle replays bit-for-bit); at
+    // tile scale this is one shuffle of the sliced box, never a
+    // per-pixel driver loop.
+    "grid_anomaly_z" -> { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      val w = Window.partitionBy(col("x"), col("y"))
+      FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates)
+        .filter(col("value").isNotNull)
+        .withColumn("v", col("value").cast("double"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sm", sum(col("v")).over(w))
+        .withColumn("ss", sum(col("v") * col("v")).over(w))
+        .withColumn("variance",
+          (col("ss") - col("sm") * col("sm") / col("n")) / col("n"))
+        .select(col("x"), col("y"), col("t"),
+          when(col("variance") > 0,
+            round((col("v") - col("sm") / col("n")) / sqrt(col("variance")),
+              4)).otherwise(lit(0.0)).as("z"))
+    },
+
+    // MODIS-style max-value composite (the classic 16-day NDVI MVC,
+    // here period=4 over the tiny cube): per pixel per period keep the
+    // max value and the (lowest) date holding it. One partial-agg
+    // shuffle on (x, y, period) — at tile scale the composite is the
+    // same single groupBy, never a per-period re-scan.
+    "grid_mvc_composite" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates)
+        .filter(col("value").isNotNull)
+        .withColumn("period", expr("CAST(t DIV 4 AS INT)"))
+        .groupBy(col("x"), col("y"), col("period"))
+        .agg(max_by(col("t"),
+          struct(col("value"), -col("t"))).as("t_of_max"),
+          max(col("value")).as("max_value"))
+    },
+
     // Per-pixel temporal argmax (A5 companion): the date index holding
     // each pixel's maximum (masked) value — max_by with deterministic
     // lowest-t tie-break via an encoded (value, -t) ordering.
@@ -588,6 +631,37 @@ object GridQueries {
          |  min(v) AS min_value, max(v) AS max_value
          |FROM g GROUP BY cls""".stripMargin
 
+    // grid_anomaly_z: the same window stats replayed on the closed form
+    // (identical double chain: sums of integer-valued doubles, then the
+    // same divide/sqrt/round sequence)
+    val anomalyZ =
+      s"""WITH g AS (SELECT x, y, t,
+         |    CAST(${tinyValueSql(mask = true)} AS DOUBLE) AS v
+         |  FROM range(0, 25) a(x), range(0, 10) b(y), range(0, 11) c(t)),
+         |w AS (SELECT x, y, t, v,
+         |    count(*) OVER pw AS n, sum(v) OVER pw AS sm,
+         |    sum(v * v) OVER pw AS ss
+         |  FROM g WHERE v IS NOT NULL
+         |  WINDOW pw AS (PARTITION BY x, y))
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, CAST(t AS INT) AS t,
+         |  CASE WHEN (ss - sm * sm / n) / n > 0
+         |    THEN round((v - sm / n) / sqrt((ss - sm * sm / n) / n), 4)
+         |    ELSE 0.0 END AS z
+         |FROM w""".stripMargin
+
+    // grid_mvc_composite: per pixel per 4-date period, max value + its
+    // lowest t (the MVC compositing rule replayed on the closed form)
+    val mvcComposite =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS value
+         |  FROM range(0, 25) a(x), range(0, 10) b(y), range(0, 11) c(t)),
+         |r AS (SELECT x, y, CAST(floor(t / 4) AS INT) AS period, t, value,
+         |    row_number() OVER (PARTITION BY x, y, CAST(floor(t / 4) AS INT)
+         |      ORDER BY value DESC, t) AS rn
+         |  FROM g WHERE value IS NOT NULL)
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, period,
+         |  CAST(t AS INT) AS t_of_max, value AS max_value
+         |FROM r WHERE rn = 1""".stripMargin
+
     // grid_argmax_t: per pixel the lowest t holding the max masked value
     val argmaxT =
       s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS value
@@ -650,6 +724,8 @@ object GridQueries {
       "grid_resample_mean" -> resampleMean,
       "grid_zonal_stats" -> zonalStats,
       "grid_argmax_t" -> argmaxT,
+      "grid_mvc_composite" -> mvcComposite,
+      "grid_anomaly_z" -> anomalyZ,
       "grid_interpolate_ts" -> interpolateTs,
       "grid_slice_window" -> sliceWindow,
       "grid_index_select" -> indexSelect,

@@ -361,6 +361,44 @@ object RelationalQueries {
           col("r_value"))
     },
 
+    // §2.11 — cohort retention (the classic event-analytics matrix):
+    // users grouped by first-activity day, counted per week-offset of
+    // later activity. The cohort aggregate and the activity join share
+    // the user_id partitioning (one exchange reused), then two
+    // partial-agg shuffles on day-keyed groups; all-integer arithmetic,
+    // engine-exact.
+    "cohort_retention" -> { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("day0"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("day0"),
+          floor(datediff(col("day"), col("day0")) / 7.0).cast("int")
+            .as("week_offset"))
+        .distinct()
+        .groupBy(col("day0").as("cohort_day"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // §2.11 — UNPIVOT/melt (inverse of the pivot showcase): per-nation
+    // order metrics wide -> (n_name, metric, value) long form via the
+    // built-in unpivot — a pure per-row generator above the aggregate,
+    // no extra shuffle. Metrics are exact (counts + min/max; no
+    // order-dependent FP sums), nation is broadcast.
+    "unpivot_metrics" -> { (s, d) =>
+      val wide = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          count_distinct(col("o_custkey")).cast("double").as("n_customers"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+      wide.unpivot(Array(col("n_name")),
+        Array(col("n_orders"), col("n_customers"), col("max_price"),
+          col("min_price")), "metric", "value")
+    },
+
     // §2.11 — exact discrete quantiles (SQL-standard percentile_disc
     // picks an element of the set: no interpolation arithmetic to
     // diverge between engines).
@@ -375,6 +413,35 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // cohort replay: same day truncation (both engines naive/UTC),
+    // same floor(days/7) offset, distinct then count
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS day0 FROM e GROUP BY user_id),
+        |w AS (SELECT DISTINCT e.user_id, f.day0,
+        |    CAST(floor(date_diff('day', f.day0, e.day) / 7.0) AS INT)
+        |      AS week_offset
+        |  FROM e JOIN f USING (user_id))
+        |SELECT day0 AS cohort_day, week_offset, count(*) AS n_users
+        |FROM w GROUP BY day0, week_offset""".stripMargin,
+
+    // unpivot replay: the wide aggregate UNPIVOTed (DuckDB's UNPIVOT
+    // emits the same (id, name, value) long form as Spark's melt)
+    "unpivot_metrics" ->
+      """WITH wide AS (
+        |  SELECT n_name,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers,
+        |    max(o_totalprice) AS max_price,
+        |    min(o_totalprice) AS min_price
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, metric, value FROM wide
+        |UNPIVOT (value FOR metric IN
+        |  (n_orders, n_customers, max_price, min_price))""".stripMargin,
+
     "skew_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type""".stripMargin,

@@ -111,6 +111,60 @@ object TextQueries {
         col("doc_id"), TextFunctions.redactPii(planted).as("redacted"))
     },
 
+    // Term-blocklist gate (the C4 "bad words" filter class): ONE
+    // case-insensitive word-boundary alternation regex over the whole
+    // list — a single codegen pass per doc regardless of list size, no
+    // shuffle. Planted violations (the fixture corpus is clean) prove
+    // each phrase fires and that `\b` blocks substring false-positives
+    // ("casinos" must NOT hit "casino").
+    "blocklist_filter" -> { (s, d) =>
+      import s.implicits._
+      val terms = Seq("casino", "free money", "click here", "winner")
+      val plants = Seq(
+        (900001L, "win FREE MONEY now at our casino tonight"),
+        (900002L, "a casino-adjacent bird with a hyphen boundary"),
+        (900003L, "click here to claim it, certified WINNER"),
+        (900004L, "the casinos plural and moneyfree must not match"))
+        .toDF("doc_id", "text")
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .union(plants)
+      corpus.select(
+        col("doc_id"),
+        TextFunctions.blocklistHitCount(col("text"), terms).cast("int")
+          .as("n_hits"),
+        (!TextFunctions.blocklistHit(col("text"), terms)).cast("int")
+          .as("keep"))
+    },
+
+    // Per-doc sentence stats (Gopher-style quality features: boilerplate
+    // and markup debris segment degenerately). RE2 has no lookbehind, so
+    // segmentation is "maximal non-terminator run + trailing .!? run",
+    // whitespace-only fragments dropped — byte-identical in DuckDB.
+    "text_sentences" -> { (s, d) =>
+      val sents = TextFunctions.sentences(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(sents).as("n_sentences"),
+        when(size(sents) > 0,
+          round(aggregate(sents, lit(0L), (a, x) => a + length(x).cast("long"))
+            .cast("double") / size(sents).cast("double"), 4))
+          .otherwise(lit(0.0)).as("mean_sent_chars"))
+    },
+
+    // Quality-score distribution per source (0.05-wide buckets) — the
+    // threshold-picking dashboard a curation run reads before setting
+    // the gate. The rule-sum score is the same double chain on both
+    // engines (corpus_report already pins parity at the 0.7 gate), so
+    // floor(q*20) buckets identically; one partial-agg shuffle.
+    "quality_histogram" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .withColumn("bucket", floor(col("q") * 20).cast("int"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     // Corpus-level top-k word bigrams: explode + partial-agg count +
     // TakeOrdered (no global sort); deterministic tiebreak on the ngram.
     "corpus_top_ngrams" -> { (s, d) =>
@@ -886,6 +940,76 @@ object TextQueries {
         |  CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
         |  CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    // blocklist replay: the byte-identical RE2 alternation; DuckDB
+    // counts via regexp_extract_all, gates via regexp_matches
+    "blocklist_filter" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (900001, 'win FREE MONEY now at our casino tonight'),
+        |    (900002, 'a casino-adjacent bird with a hyphen boundary'),
+        |    (900003, 'click here to claim it, certified WINNER'),
+        |    (900004, 'the casinos plural and moneyfree must not match'))
+        |    v(doc_id, text))
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '(?i)\b(casino|free money|click here|winner)\b')) AS INT)
+        |    AS n_hits,
+        |  CASE WHEN regexp_matches(text,
+        |    '(?i)\b(casino|free money|click here|winner)\b')
+        |    THEN 0 ELSE 1 END AS keep
+        |FROM corpus""".stripMargin,
+
+    // sentence stats replay: same pattern, same trim/filter, integer
+    // char sum + one divide + round
+    "text_sentences" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |      s -> len(s) > 0) AS sents
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences,
+        |  CASE WHEN len(sents) > 0
+        |    THEN round(CAST(list_sum(list_transform(sents, s -> len(s)))
+        |      AS DOUBLE) / len(sents), 4)
+        |    ELSE 0.0 END AS mean_sent_chars
+        |FROM t""".stripMargin,
+
+    // histogram replay: the corpus_report quality chain (same term
+    // order), bucketed by floor(q*20)
+    "quality_histogram" ->
+      """WITH t AS (SELECT source,
+        |    (SELECT
+        |      (CASE WHEN q.ntok >= 10 AND q.ntok <= 10000
+        |        THEN 0.4 ELSE 0.0 END) +
+        |      (CASE WHEN q.atl >= 2.5 AND q.atl <= 12.0
+        |        THEN 0.3 ELSE 0.0 END) +
+        |      (CASE WHEN q.npunct / greatest(q.n, 1.0) <= 0.1
+        |        THEN 0.15 ELSE 0.0 END) +
+        |      (CASE WHEN q.ndigit / greatest(q.n, 1.0) <= 0.2
+        |        THEN 0.15 ELSE 0.0 END)
+        |     FROM (SELECT
+        |        CAST(length(text) AS DOUBLE) AS n,
+        |        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> len(x) > 0)) AS DOUBLE) AS ntok,
+        |        CAST(length(text) - length(regexp_replace(text,
+        |          '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) AS npunct,
+        |        CAST(length(text) - length(regexp_replace(text,
+        |          '[0-9]', '', 'g')) AS DOUBLE) AS ndigit,
+        |        CASE WHEN len(list_filter(string_split_regex(trim(text),
+        |            '\s+'), x -> len(x) > 0)) > 0
+        |          THEN CAST(list_sum(list_transform(
+        |              list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> len(x) > 0), x -> len(x))) AS DOUBLE)
+        |            / len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> len(x) > 0))
+        |          ELSE 0.0 END AS atl) q) AS quality
+        |  FROM documents)
+        |SELECT source, CAST(floor(quality * 20) AS INT) AS bucket,
+        |  count(*) AS n_docs
+        |FROM t GROUP BY source, bucket""".stripMargin,
 
     // per-source report: same tokenizer, same quality rule-sum (the
     // text_quality expression, unrounded, compared at the 0.7 gate),

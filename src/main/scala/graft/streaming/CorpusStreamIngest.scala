@@ -32,15 +32,21 @@ object CorpusStreamIngest {
     * (content_hash attached for downstream lineage). */
   def curate(docs: DataFrame, minChars: Int = 50,
              minQuality: Double = 0.3,
-             maxRepetition: Double = 0.5): DataFrame =
-    docs
+             maxRepetition: Double = 0.5,
+             blocklist: Seq[String] = Nil): DataFrame = {
+    val gated = docs
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("repetition", TextFunctions.repetitionRatio(col("text"), 2))
       .filter(length(col("text")) >= minChars &&
         col("quality") >= minQuality &&
         col("repetition") <= maxRepetition)
+    val blocked =
+      if (blocklist.isEmpty) gated
+      else gated.filter(!TextFunctions.blocklistHit(col("text"), blocklist))
+    blocked
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
+  }
 
   // ---- incremental NEAR-duplicate curation --------------------------
 

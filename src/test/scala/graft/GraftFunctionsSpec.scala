@@ -151,4 +151,48 @@ class GraftFunctionsSpec extends AnyFunSuite {
     // element-wise bit equality including the null pattern
     assert(df.filter(not(col("native") <=> col("chain"))).count() == 0)
   }
+
+  test("blocklist gate: word boundaries, case folding, phrases, escaping") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val terms = Seq("casino", "free money", "c.e.o")
+    val rows = Seq(
+      ("hit plain", "a night at the casino downtown", 1, false),
+      ("hit case", "CASINO lights", 1, false),
+      ("hit phrase", "get free money fast", 1, false),
+      ("hit punct boundary", "casino-adjacent", 1, false),
+      ("hit two", "casino free money", 2, false),
+      ("miss plural", "casinos are plural", 0, true),
+      ("miss substring", "moneyfree is glued", 0, true),
+      // the dot in "c.e.o" is escaped — "cxexo" must NOT match
+      ("miss regex meta", "the cxexo spoke", 0, true),
+      ("hit escaped dots", "our c.e.o spoke", 1, false),
+      ("miss empty", "", 0, true))
+    val df = rows.map(r => (r._1, r._2)).toDF("name", "text")
+      .select(col("name"),
+        TextFunctions.blocklistHitCount(col("text"), terms).as("n"),
+        TextFunctions.blocklistHit(col("text"), terms).as("hit"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    rows.foreach { case (name, _, n, keep) =>
+      assert(df(name) == ((n, !keep)), name)
+    }
+  }
+
+  test("sentence segmentation: terminator runs, fragments, no-terminator") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      ("two", "First one. Second one!", Seq("First one.", "Second one!")),
+      ("ellipsis run", "Wait... Really?!", Seq("Wait...", "Really?!")),
+      ("no terminator", "just a fragment", Seq("just a fragment")),
+      ("trailing space", "Done.   ", Seq("Done.")),
+      ("empty", "", Seq.empty[String]))
+    val got = rows.map(r => (r._1, r._2)).toDF("name", "text")
+      .select(col("name"), TextFunctions.sentences(col("text")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { case (name, _, want) => assert(got(name) == want, name) }
+  }
 }

@@ -198,6 +198,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"chunking is per-row fan-out; found ${shuffles.size} exchange(s)")
   }
 
+  test("blocklist gate and sentence stats never shuffle; histogram " +
+      "shuffles once") {
+    val sf = "/root/testdata/sf0.001"
+    // both are narrow per-row projections (one regex pass / one
+    // segmentation pass) — any exchange means the gate stopped being a
+    // map-only filter at scale
+    Seq("blocklist_filter", "text_sentences").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val shuffles = executed(df).collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"$name must not shuffle, got ${shuffles.size}")
+    }
+    // the histogram's only exchange is the (source, bucket) partial agg
+    val h = graft.SparkEntry.queries("quality_histogram")(spark, sf)
+    val hs = executed(h).collect { case s: ShuffleExchangeExec => s }
+    assert(hs.size == 1, s"expected 1 partial-agg shuffle, got ${hs.size}")
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     import spark.implicits._
     val df = (0 until 10000).map(i => (i, i * 37 % 1000)).toDF("id", "v")

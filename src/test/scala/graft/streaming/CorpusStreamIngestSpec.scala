@@ -25,7 +25,9 @@ class CorpusStreamIngestSpec extends AnyFunSuite {
     val short = Seq((100L, "too short"))
     val repetitive = Seq((101L, ("spam " * 60).trim))
     val dupes = Seq((102L, mkDoc(0)), (103L, mkDoc(1)))
-    (good ++ short ++ repetitive ++ dupes).toDF("doc_id", "text")
+    // passes every surface gate, trips only the term blocklist
+    val blocked = Seq((104L, mkDoc(41) + " visit our casino tonight"))
+    (good ++ short ++ repetitive ++ dupes ++ blocked).toDF("doc_id", "text")
       .repartition(3) // several files -> several stream micro-batches
       .write.mode("overwrite").parquet(d)
     d
@@ -35,15 +37,17 @@ class CorpusStreamIngestSpec extends AnyFunSuite {
     StructField("doc_id", LongType), StructField("text", StringType)))
 
   test("streamed curation equals batch curation (gates + exact dedup)") {
+    val terms = Seq("casino", "free money")
     val q = CorpusStreamIngest.curate(
-      spark.readStream.schema(schema).parquet(srcDir))
+      spark.readStream.schema(schema).parquet(srcDir), blocklist = terms)
       .writeStream.outputMode("append")
       .format("memory").queryName("curated_stream")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val got = spark.table("curated_stream")
       .select("content_hash", "text").as[(String, String)].collect().toSet
-    val batch = CorpusStreamIngest.curate(spark.read.parquet(srcDir))
+    val batch = CorpusStreamIngest.curate(spark.read.parquet(srcDir),
+      blocklist = terms)
       .select("content_hash", "text").as[(String, String)].collect().toSet
     assert(got == batch, "stream and batch must keep the same documents")
     // the gates really bit: shorts/repetitive/dupes are gone, one
