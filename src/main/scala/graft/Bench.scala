@@ -67,7 +67,11 @@ object Bench {
     // single-regex-pass gates (blocklist alternation, sentence
     // segmentation) and the bucketed quality histogram — the cheap
     // curation ops whose cost must stay one codegen pass per doc
-    "blocklist_filter", "text_sentences", "quality_histogram")
+    "blocklist_filter", "text_sentences", "quality_histogram",
+    // event-sequence analytics (single user_id shuffle + array cascade;
+    // user-partitioned lead window) and the one-scan multi-distinct
+    // column profiler — the Expand pattern's cost is the thing to track
+    "funnel_steps", "event_transitions", "profile_columns")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

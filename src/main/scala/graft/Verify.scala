@@ -55,8 +55,12 @@ object Verify {
     errors.toMap
   }
 
+  /** args: sfDir outDir [queryName...] — names (if given) restrict the
+    * run to those entries, for cheap targeted local checks; the driver's
+    * 2-arg form runs everything. */
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,7 +69,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    runAll(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    val qs = if (only.isEmpty) SparkEntry.queries
+             else SparkEntry.queries.view.filterKeys(only).toMap
+    val os = if (only.isEmpty) SparkEntry.oracleSql
+             else SparkEntry.oracleSql.view.filterKeys(only).toMap
+    runAll(spark, sfDir, outDir, qs, os)
     spark.stop()
   }
 }

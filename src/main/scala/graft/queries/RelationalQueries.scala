@@ -409,10 +409,88 @@ object RelationalQueries {
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")
             .as("p90"),
           count(lit(1)).as("n"))
+    },
+
+    // §2.11 — strict-order funnel cascade (ops/EventAnalytics): how many
+    // users did view -> click -> purchase IN ORDER. One shuffle on
+    // user_id; each later step is array arithmetic above it (no
+    // per-step self-join). Oracle = the cascading min-after-min CTEs.
+    "funnel_steps" -> { (s, d) =>
+      graft.ops.EventAnalytics.funnelCounts(events(s, d), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+    },
+
+    // §2.11 — event-transition matrix: (event, user's next event)
+    // counts in (ts, event_id) order — the Markov view of the log.
+    // User-partitioned window: partitions are entity-sized, never a
+    // global sort.
+    "event_transitions" -> { (s, d) =>
+      graft.ops.EventAnalytics.transitionCounts(events(s, d), "user_id",
+        "event_type", "ts", "event_id")
+    },
+
+    // §2.5 — one-pass column profiling (the warehouse ANALYZE shape):
+    // nulls / exact distinct / min / max for every metric column in ONE
+    // scan. The multi-distinct lands as Catalyst's Expand (rows×k into
+    // one shuffle, not k scans); the 1-row aggregate explodes to
+    // per-column rows in-plan, so the driver never sees data.
+    "profile_columns" -> { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = lineitem(s, d)
+      val aggs = cols.flatMap { c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+      }
+      val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val rows = cols.map { c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"${c}_nulls").as("n_nulls"),
+          col(s"${c}_distinct").as("n_distinct"),
+          col(s"${c}_min").as("min_val"), col(s"${c}_max").as("max_val"))
+      }
+      one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    // funnel replay: cascading min-after-min CTEs; ms-resolution strict
+    // inequality on both sides (epoch_ms truncates like unix_millis)
+    "funnel_steps" ->
+      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |  c AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t1
+        |    FROM events e JOIN v USING (user_id)
+        |    WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t0
+        |    GROUP BY e.user_id),
+        |  p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+        |    FROM events e JOIN c USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t1
+        |    GROUP BY e.user_id)
+        |SELECT * FROM (VALUES
+        |  (0, 'view', (SELECT count(*) FROM v)),
+        |  (1, 'click', (SELECT count(*) FROM c)),
+        |  (2, 'purchase', (SELECT count(*) FROM p)))
+        |  AS t(step_idx, step, n_users)""".stripMargin,
+
+    "event_transitions" ->
+      """WITH nxt AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n FROM nxt
+        |WHERE to_type IS NOT NULL GROUP BY from_type, to_type""".stripMargin,
+
+    "profile_columns" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_val,
+           |  CAST(max($c) AS DOUBLE) AS max_val FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
     // cohort replay: same day truncation (both engines naive/UTC),
     // same floor(days/7) offset, distinct then count
     "cohort_retention" ->

@@ -456,4 +456,50 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.ops.CacheRegistry.releaseAll()
     }
   }
+
+  test("funnel cascade shuffles once on user_id; no per-step self-join") {
+    val df = graft.SparkEntry.queries("funnel_steps")(
+      spark, "/root/testdata/sf0.001")
+    val plans = executed(df)
+    // one user_id hash exchange (the collect_list groupBy) plus the
+    // final 1-row summary's single-partition exchange — a per-step
+    // cascade implemented as self-joins would add a user_id exchange
+    // (and a join) per step
+    val hashKeyed = plans.collect { case e: ShuffleExchangeExec =>
+      e.outputPartitioning
+    }.collect {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.flatMap(_.references.toSeq).map(_.name).toSet
+    }
+    assert(hashKeyed.forall(_ == Set("user_id")),
+      s"unexpected hash-shuffle keys: $hashKeyed")
+    assert(hashKeyed.size <= 1, s"cascade re-shuffled: $hashKeyed")
+    val joins = plans.filter(p => p.nodeName.toLowerCase.contains("join"))
+    assert(joins.isEmpty, s"funnel must not self-join, found: ${joins.map(_.nodeName)}")
+  }
+
+  test("event transitions window is user-partitioned, never global") {
+    val df = graft.SparkEntry.queries("event_transitions")(
+      spark, "/root/testdata/sf0.001")
+    val windows = executed(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "global window = single-partition sort")
+    }
+  }
+
+  test("profile columns runs in ONE scan (multi-distinct via Expand)") {
+    val df = graft.SparkEntry.queries("profile_columns")(
+      spark, "/root/testdata/sf0.001")
+    val plans = executed(df)
+    val scans = plans.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"per-column profiling must not rescan; got ${scans.size} scans")
+    assert(plans.exists(_.nodeName.toLowerCase.contains("expand")),
+      "expected Catalyst Expand for the one-pass multi-distinct")
+  }
 }
