@@ -40,6 +40,30 @@ object GridTimeSeries {
         .otherwise(coalesce(pv, nv).cast("double")))
   }
 
+  /** Per-pixel OLS trend slope of value over t (the greening/browning
+    * trend map of NDVI analysis) via the closed-form normal equations:
+    * slope = (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²). One groupBy(x, y) with
+    * partial aggregation — a trend map over any tile is ONE shuffle of
+    * the sliced box, never a per-pixel fit loop. All sums are of
+    * integer-valued doubles, so they are exact in any accumulation
+    * order and the final divide is engine-portable; degenerate series
+    * (n < 2 or zero t-variance) report slope 0. */
+  def trendSlope(px: DataFrame, roundTo: Int = 6): DataFrame = {
+    val v = col("value").cast("double")
+    val t = col("t").cast("double")
+    val det = col("n") * col("stt") - col("st") * col("st")
+    px.filter(col("value").isNotNull)
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(t).as("st"), sum(v).as("sv"),
+        sum(t * v).as("stv"), sum(t * t).as("stt"))
+      .select(col("x"), col("y"), col("n"),
+        when(det > 0,
+          round((col("n") * col("stv") - col("st") * col("sv")) / det,
+            roundTo))
+          .otherwise(lit(0.0)).as("slope"))
+  }
+
   /** Centered rolling mean over ±`halfWidth` time steps per pixel
     * (ignores NULLs like the reference's masked means). Adds
     * `value_smooth`. */

@@ -353,6 +353,17 @@ object GridQueries {
           max(col("value")).as("max_value"))
     },
 
+    // W — per-pixel OLS trend map (GridTimeSeries.trendSlope): the
+    // greening/browning slope of each pixel's series — the phenology
+    // trend product the reference derives in numpy after export, as one
+    // partial-agg shuffle on (x, y).
+    "grid_trend_slope" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      GridTimeSeries.trendSlope(
+        FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates))
+    },
+
     // Per-pixel temporal argmax (A5 companion): the date index holding
     // each pixel's maximum (masked) value — max_by with deterministic
     // lowest-t tie-break via an encoded (value, -t) ordering.
@@ -718,7 +729,26 @@ object GridQueries {
          |  CAST(min(v) AS DOUBLE) AS min_v, CAST(max(v) AS DOUBLE) AS max_v
          |FROM g GROUP BY t""".stripMargin
 
+    // grid_trend_slope: the same normal-equation arithmetic replayed on
+    // the closed form (sums of integer-valued doubles — exact in any
+    // order — then the identical divide/round)
+    val trendSlope =
+      s"""WITH g AS (SELECT x, y, t,
+         |    CAST(${tinyValueSql(mask = true)} AS DOUBLE) AS v
+         |  FROM range(0, 25) a(x), range(0, 10) b(y), range(0, 11) c(t)),
+         |s AS (SELECT x, y, count(*) AS n,
+         |    sum(CAST(t AS DOUBLE)) AS st, sum(v) AS sv,
+         |    sum(CAST(t AS DOUBLE) * v) AS stv,
+         |    sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS stt
+         |  FROM g WHERE v IS NOT NULL GROUP BY x, y)
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, n,
+         |  CASE WHEN n * stt - st * st > 0
+         |    THEN round((n * stv - st * sv) / (n * stt - st * st), 6)
+         |    ELSE 0.0 END AS slope
+         |FROM s""".stripMargin
+
     Map(
+      "grid_trend_slope" -> trendSlope,
       "grid_box_stats" -> boxStats,
       "grid_fused_masked_mean" -> fusedMaskedMean,
       "grid_resample_mean" -> resampleMean,

@@ -47,4 +47,34 @@ class GridTimeSeriesSpec extends AnyFunSuite {
       .orderBy("t").select("value_smooth").as[Double].collect().toSeq
     assert(out == Seq(1.5, 1.5, 3.0, 4.0))
   }
+
+  test("trend slope recovers a planted linear series exactly") {
+    // v = 3t + 7, with a null gap the fit must skip
+    val out = GridTimeSeries.trendSlope(
+      series(Seq(Some(7.0), Some(10.0), None, Some(16.0), Some(19.0))))
+      .select("n", "slope").as[(Long, Double)].collect().head
+    assert(out == ((4L, 3.0)))
+  }
+
+  test("trend slope is 0 for constant and degenerate series") {
+    val df = Seq(
+      (0, 0, 0, Some(5.0)), (0, 0, 1, Some(5.0)), (0, 0, 2, Some(5.0)),
+      (1, 0, 3, Some(42.0)), // single observation: zero t-variance
+      (2, 0, 0, None), (2, 0, 1, Some(8.0)))
+      .toDF("x", "y", "t", "value")
+    val out = GridTimeSeries.trendSlope(df)
+      .orderBy("x").select("x", "n", "slope")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out == Seq((0, 3L, 0.0), (1, 1L, 0.0), (2, 1L, 0.0)))
+  }
+
+  test("trend slope fits each pixel independently") {
+    val df = Seq(
+      (0, 0, 0, Some(0.0)), (0, 0, 1, Some(2.0)),
+      (5, 9, 0, Some(10.0)), (5, 9, 1, Some(5.0)))
+      .toDF("x", "y", "t", "value")
+    val out = GridTimeSeries.trendSlope(df)
+      .orderBy("x").select("slope").as[Double].collect().toSeq
+    assert(out == Seq(2.0, -5.0))
+  }
 }
