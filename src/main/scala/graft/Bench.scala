@@ -71,7 +71,10 @@ object Bench {
     // event-sequence analytics (single user_id shuffle + array cascade;
     // user-partitioned lead window) and the one-scan multi-distinct
     // column profiler — the Expand pattern's cost is the thing to track
-    "funnel_steps", "event_transitions", "profile_columns")
+    "funnel_steps", "event_transitions", "profile_columns",
+    // snapshot diff: the id-keyed fingerprint join whose cost must stay
+    // projection-sized (payloads never shuffle)
+    "corpus_delta")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

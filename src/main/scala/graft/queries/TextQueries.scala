@@ -207,6 +207,27 @@ object TextQueries {
             6))
     },
 
+    // Snapshot diff (ops/CorpusDiff): added / removed / changed docs
+    // between two crawls, detected by content fingerprint. The previous
+    // snapshot is derived deterministically from the fixture: docs with
+    // doc_id % 7 == 0 absent (-> added), % 5 == 0 re-texted (-> changed),
+    // plus shifted-id phantoms (-> removed). md5 is the fingerprint so
+    // the oracle replays it; payloads never ride the join's shuffle
+    // (plan-pinned).
+    "corpus_delta" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val previous = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      graft.ops.CorpusDiff.snapshotDelta(
+        docs.withColumn("fp", md5(col("text"))),
+        previous.withColumn("fp", md5(col("text"))),
+        "doc_id", "fp")
+    },
+
     // Canonical normalization: NFC (native kernel) + lower + whitespace
     // collapse. Unicode is planted (the fixture corpus is ASCII) so the
     // NFC path demonstrably fires; DuckDB nfc_normalize is the twin.
@@ -712,6 +733,26 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // snapshot-diff replay: same derived previous snapshot, same md5
+    // fingerprints, same full-outer classification
+    "corpus_delta" ->
+      """WITH cur AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |  prev AS (
+        |    SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0
+        |        THEN text || ' v1' ELSE text END) AS fp
+        |      FROM documents WHERE doc_id % 7 <> 0
+        |    UNION ALL
+        |    SELECT doc_id + 10000000 AS doc_id, md5(text) AS fp
+        |      FROM documents WHERE doc_id % 97 = 0)
+        |SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+        |  CASE WHEN prev.fp IS NULL THEN 'added'
+        |    WHEN cur.fp IS NULL THEN 'removed'
+        |    WHEN cur.fp <> prev.fp THEN 'changed' END AS status
+        |FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+        |WHERE (CASE WHEN prev.fp IS NULL THEN 'added'
+        |    WHEN cur.fp IS NULL THEN 'removed'
+        |    WHEN cur.fp <> prev.fp THEN 'changed' END) IS NOT NULL""".stripMargin,
+
     "text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,

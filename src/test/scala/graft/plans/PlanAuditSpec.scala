@@ -490,6 +490,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus delta: document text never rides the diff join's shuffle") {
+    val df = graft.SparkEntry.queries("corpus_delta")(
+      spark, "/root/testdata/sf0.001")
+    val exchanges = executed(df).collect { case e: ShuffleExchangeExec => e }
+    exchanges.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        "snapshot diff must shuffle (id, fingerprint) projections only")
+    }
+  }
+
   test("profile columns runs in ONE scan (multi-distinct via Expand)") {
     val df = graft.SparkEntry.queries("profile_columns")(
       spark, "/root/testdata/sf0.001")
