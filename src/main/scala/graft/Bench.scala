@@ -473,9 +473,19 @@ object Bench {
         graft.plans.LatLngPruning.Rule(latLngBox.queryExecution.analyzed))
         .collect()
     }
+    // Tile-scale trend map: per-pixel OLS slope over a 1600x1600x4
+    // window (10M observations -> 2.5M pixel fits) — the phenology
+    // product as ONE partial-agg shuffle; a per-pixel fit loop is the
+    // shape this operator exists to avoid.
+    val trend = timed2(spark, "grid_trend_slope_1600x1600") {
+      GridTimeSeries.trendSlope(
+        FractionStore.loadSliceXY(spark, nh, ndviRoot,
+          1200, 2800, 900, 2500, 0, 4))
+        .agg(count(lit(1)), sum(col("slope"))).collect()
+    }
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }
     Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, patches256,
-      multiJoin, boxUnpruned, boxPruned)
+      multiJoin, boxUnpruned, boxPruned, trend)
   }
 }

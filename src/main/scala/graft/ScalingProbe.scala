@@ -44,6 +44,8 @@ object ScalingProbe {
     // groups for the similarity ops.
     val src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val vsrc = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val esrc = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
     def scaled(n: Int): String = {
       val dir = s"$base/sf_x$n"
       val reps = spark.range(n).select(col("id").cast("int").as("rep"))
@@ -68,6 +70,20 @@ object ScalingProbe {
             .as("embedding"),
           col("label"))
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // events replicas: N times the USERS (id strides keep replicas
+      // disjoint), each carrying the original per-user series verbatim —
+      // the event-sequence ops' claim is that cost scales with user
+      // count while per-user window/array state stays bounded, and this
+      // replication grows exactly the user dimension.
+      esrc.crossJoin(broadcast(reps))
+        .select(
+          (col("event_id") + col("rep").cast("long") * 1000000000L)
+            .as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep").cast("long") * 10000000L)
+            .as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
       dir
     }
 
@@ -86,9 +102,20 @@ object ScalingProbe {
       // round-7 wave 3: cross-corpus near-novelty (two index builds +
       // band probe) and perceptual-hash media dedup (hash pass + block
       // join) — both must stay linear in corpus volume
-      "dedup_near_novel", "multimodal_near_dups")
+      "dedup_near_novel", "multimodal_near_dups",
+      // round-7 wave 4: snapshot diff (id-keyed fingerprint join must
+      // stay projection-sized) and the event-sequence ops (funnel's
+      // user_id shuffle + transition's per-user window must scale with
+      // user count, never super-linearly)
+      "corpus_delta", "funnel_steps", "event_transitions")
+    // optional 2nd arg: comma-separated query filter for targeted probes
+    val only = args.drop(1).headOption.map(_.split(',').toSet)
+    val selected = only match {
+      case Some(names) => chain.filter(names.contains)
+      case None => chain
+    }
     Seq(1 -> scaled(1), mult -> scaled(mult)).foreach { case (n, dir) =>
-      chain.foreach { name =>
+      selected.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,
         // scale) twice and keep the second (steady-state JIT/codegen)
         var rows = 0L
