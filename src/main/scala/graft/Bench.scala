@@ -74,7 +74,10 @@ object Bench {
     "funnel_steps", "event_transitions", "profile_columns",
     // snapshot diff: the id-keyed fingerprint join whose cost must stay
     // projection-sized (payloads never shuffle)
-    "corpus_delta")
+    "corpus_delta",
+    // SQL-text path (TPC-H Q3 through spark.sql) and explicit grouping
+    // sets — parser + Expand cost tracked alongside the DataFrame forms
+    "sql_tpch_q3", "grouping_sets_report")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

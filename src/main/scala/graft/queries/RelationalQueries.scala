@@ -411,6 +411,47 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     },
 
+    // §2.11 — the SQL-parser surface itself: TPC-H Q3 (shippable
+    // revenue of unshipped orders) submitted as TEXT through spark.sql
+    // over temp views — the one entry that proves a reference user can
+    // bring plain SQL, not just the DataFrame API. Catalyst plans it
+    // identically to the DataFrame form: dim filter pushed to the
+    // customer scan, fact join shuffles on the keys.
+    "sql_tpch_q3" -> { (s, d) =>
+      customer(s, d).createOrReplaceTempView("g_customer")
+      orders(s, d).createOrReplaceTempView("g_orders")
+      lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+          o_orderpriority,
+          sum(l_extendedprice * (1 - l_discount)) AS revenue,
+          count(*) AS n_items
+        FROM g_customer
+        JOIN g_orders ON c_custkey = o_custkey
+        JOIN g_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-01'
+          AND l_shipdate > TIMESTAMP '1997-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority""")
+    },
+
+    // §2.11 — explicit GROUPING SETS (finer than cube_rollup's
+    // ROLLUP): the two one-dimension marginals plus the full cross,
+    // with arithmetic grouping flags so both engines report identical
+    // provenance bits. Plans as ONE scan + Expand — never one scan per
+    // grouping set.
+    "grouping_sets_report" -> { (s, d) =>
+      lineitem(s, d).createOrReplaceTempView("g_lineitem_gs")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          coalesce(l_linestatus, 'ALL') AS linestatus,
+          grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+          sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM g_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          (l_returnflag, l_linestatus))""")
+    },
+
     // §2.11 — strict-order funnel cascade (ops/EventAnalytics): how many
     // users did view -> click -> purchase IN ORDER. One shuffle on
     // user_id; each later step is array arithmetic above it (no
@@ -455,6 +496,28 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sql_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+        |  o_orderpriority,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+
+    "grouping_sets_report" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |  (l_returnflag, l_linestatus))""".stripMargin,
+
     // funnel replay: cascading min-after-min CTEs; ms-resolution strict
     // inequality on both sides (epoch_ms truncates like unix_millis)
     "funnel_steps" ->

@@ -500,6 +500,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-text Q3 pushes the segment filter into the customer scan") {
+    val df = graft.SparkEntry.queries("sql_tpch_q3")(
+      spark, "/root/testdata/sf0.001")
+    val scans = executed(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 3, s"expected 3 table scans, got ${scans.size}")
+    // the text-submitted predicate must reach parquet like the
+    // DataFrame form's would
+    assert(scans.exists(_.dataFilters.exists(
+        _.references.exists(_.name == "c_mktsegment"))),
+      "c_mktsegment filter did not reach the customer scan")
+  }
+
+  test("grouping sets plan as one scan + Expand, not one scan per set") {
+    val df = graft.SparkEntry.queries("grouping_sets_report")(
+      spark, "/root/testdata/sf0.001")
+    val plans = executed(df)
+    val scans = plans.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected a single lineitem scan, got ${scans.size}")
+    assert(plans.exists(_.nodeName.toLowerCase.contains("expand")))
+  }
+
   test("profile columns runs in ONE scan (multi-distinct via Expand)") {
     val df = graft.SparkEntry.queries("profile_columns")(
       spark, "/root/testdata/sf0.001")
