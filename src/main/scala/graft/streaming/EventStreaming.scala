@@ -111,6 +111,44 @@ object EventStreaming {
       }
   }
 
+  final case class FunnelTimes(user_id: Long, n_seen: Long,
+                               times: Seq[Option[Long]])
+
+  /** Streaming strict-order funnel: the incremental face of
+    * [[graft.ops.EventAnalytics.funnelSteps]]. State per user is ONE
+    * Option[Long] per step (the cascade times so far) — constant-size,
+    * no event retention — and each batch emits the user's updated
+    * snapshot tagged with a monotone `n_seen` so a sink can keep the
+    * latest. The greedy in-time-order update (take the first step-k
+    * event strictly after t_(k-1)) IS the batch min-after-min cascade
+    * when batches respect event-time order (file replay / AvailableNow —
+    * the same contract as [[clickPurchaseAttribution]]).
+    */
+  def funnelProgress(spark: SparkSession, events: Dataset[EventRow],
+                     steps: Seq[String]): Dataset[FunnelTimes] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelTimes, FunnelTimes](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelTimes]) =>
+          val prev = state.getOption
+          val cur = prev.map(_.times.toArray)
+            .getOrElse(Array.fill[Option[Long]](steps.size)(None))
+          var seen = prev.map(_.n_seen).getOrElse(0L)
+          // ties: ts then event_id, matching the batch op's determinism
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            seen += 1
+            val k = steps.indexOf(r.event_type)
+            if (k >= 0 && cur(k).isEmpty &&
+                (k == 0 || cur(k - 1).exists(_ < r.ts.getTime)))
+              cur(k) = Some(r.ts.getTime)
+          }
+          val next = FunnelTimes(userId, seen, cur.toSeq)
+          state.update(next)
+          next
+      }
+  }
+
   /** Watermarked stream-stream INTERVAL join: each click joins the
     * impressions of the same user within the preceding `lookback`. Both
     * sides carry watermarks + the time-range predicate, so state is

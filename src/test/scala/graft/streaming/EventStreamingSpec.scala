@@ -151,4 +151,51 @@ class EventStreamingSpec extends AnyFunSuite {
     assert(got.join(batch, got.columns.toSeq, "left_anti").isEmpty &&
       batch.join(got, got.columns.toSeq, "left_anti").isEmpty)
   }
+
+  test("streaming funnel state equals the batch funnel cascade") {
+    // two event-time-ordered waves delivered as separate micro-batches,
+    // so the cascade state genuinely carries across batches
+    val d = TestSpark.tmpDir("stream_funnel")
+    val all = spark.read.parquet(srcDir)
+    all.filter(col("event_id") < 250)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/wave=1")
+    all.filter(col("event_id") >= 250)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/wave=2")
+    val stream = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(d)
+      .as[EventStreaming.EventRow]
+    val steps = Seq("view", "click", "purchase")
+    val q = EventStreaming.funnelProgress(spark, stream, steps)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_state")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // latest snapshot per user = the row with the max n_seen
+    val got = spark.table("funnel_state")
+      .orderBy(col("user_id"), col("n_seen").desc)
+      .collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) =>
+        // Option[Long] elements land in the Row as nullable longs
+        u -> rows.head.getSeq[Any](2)
+          .map(v => Option(v).map(_.asInstanceOf[Long])).toList
+      }
+    val batch = graft.ops.EventAnalytics.funnelSteps(
+        all, "user_id", "event_type", "ts", steps)
+      .collect().map { r =>
+        r.getLong(0) -> (1 to steps.size).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))).toList
+      }.toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (u, times) =>
+      assert(got(u) === times, s"user $u")
+    }
+    // users the batch op omits (never reached step 0) must show an
+    // empty cascade in the stream state too
+    (got.keySet -- batch.keySet).foreach { u =>
+      assert(got(u).head.isEmpty, s"user $u should not have reached view")
+    }
+  }
 }
