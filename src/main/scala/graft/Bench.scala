@@ -77,7 +77,10 @@ object Bench {
     "corpus_delta",
     // SQL-text path (TPC-H Q3 through spark.sql) and explicit grouping
     // sets — parser + Expand cost tracked alongside the DataFrame forms
-    "sql_tpch_q3", "grouping_sets_report")
+    "sql_tpch_q3", "grouping_sets_report",
+    // line-level curation: explode + codegen rules + one reassembly
+    // shuffle — the per-line pass whose cost must track token volume
+    "clean_lines")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

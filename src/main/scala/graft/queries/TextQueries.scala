@@ -207,6 +207,31 @@ object TextQueries {
             6))
     },
 
+    // Line-level boilerplate curation (ops/LineFilter): CCNet-style
+    // line rules — reflow the fixture prose into 8-word lines, plant
+    // docs carrying nav/ALL-CAPS/digit-spam/fragment lines, and keep
+    // only prose-like lines, reassembling each doc. All-integer rule
+    // arithmetic; DuckDB replays line building + rules + reassembly.
+    "clean_lines" -> { (s, d) =>
+      import s.implicits._
+      val toks = TextFunctions.tokens(col("text"))
+      val lined = array_join(
+        transform(
+          sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
+          i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n")
+      val plants = Seq(
+        (920001L, "HOME | ABOUT | CONTACT US\nA perfectly ordinary prose sentence that should survive the filter.\n12345 67890 13579 24680 999"),
+        (920002L, "COOKIE NOTICE\nshort\nanother normal lowercase sentence with plenty of words here"),
+        (920003L, "ALL CAPS SHOUTING HEADER LINE\nMixed Case is fine when lowercase dominates the letters."))
+        .toDF("doc_id", "text")
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"), lined.as("text"))
+        .union(plants)
+      graft.ops.LineFilter.cleanLines(corpus, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("text_clean"))
+    },
+
     // Snapshot diff (ops/CorpusDiff): added / removed / changed docs
     // between two crawls, detected by content fingerprint. The previous
     // snapshot is derived deterministically from the fixture: docs with
@@ -733,6 +758,49 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // line-curation replay: same 8-word line reflow, same planted
+    // boilerplate docs, same integer rule arithmetic, same reassembly
+    "clean_lines" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+        |      i -> array_to_string(tk[(i*8+1):(i*8+8)], ' ')), chr(10))
+        |    AS text
+        |  FROM toks
+        |  UNION ALL SELECT 920001, 'HOME | ABOUT | CONTACT US'
+        |    || chr(10) ||
+        |    'A perfectly ordinary prose sentence that should survive the filter.'
+        |    || chr(10) || '12345 67890 13579 24680 999'
+        |  UNION ALL SELECT 920002, 'COOKIE NOTICE' || chr(10) || 'short'
+        |    || chr(10) ||
+        |    'another normal lowercase sentence with plenty of words here'
+        |  UNION ALL SELECT 920003, 'ALL CAPS SHOUTING HEADER LINE'
+        |    || chr(10) ||
+        |    'Mixed Case is fine when lowercase dominates the letters.'),
+        |flat AS (SELECT doc_id, u.idx AS line_idx, u.line AS line FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(ls)),
+        |      i -> struct_pack(idx := i, line := ls[i+1]))) AS u
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |    FROM base))),
+        |k AS (SELECT doc_id, line_idx, line,
+        |    (len(trim(line)) >= 10
+        |     AND len(list_filter(string_split(trim(line), ' '),
+        |       w -> len(w) > 0)) >= 3
+        |     AND len(regexp_replace(line, '[^a-z]', '', 'g'))
+        |       >= len(regexp_replace(line, '[^A-Z]', '', 'g'))
+        |     AND len(regexp_replace(line, '[^0-9]', '', 'g')) * 5
+        |       < len(line) * 2) AS keep
+        |  FROM flat)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  string_agg(CASE WHEN keep THEN line END, chr(10)
+        |    ORDER BY line_idx) AS text_clean
+        |FROM k GROUP BY doc_id""".stripMargin,
+
     // snapshot-diff replay: same derived previous snapshot, same md5
     // fingerprints, same full-outer classification
     "corpus_delta" ->
