@@ -353,6 +353,23 @@ object GridQueries {
           max(col("value")).as("max_value"))
     },
 
+    // W — per-pixel seasonal climatology (the NDVI seasonal-cycle
+    // product: mean per pixel per phase of the annual cycle, here
+    // period 4 over the tiny cube). One partial-agg shuffle on
+    // (x, y, season); integer-exact sums so mean = sum/n replays.
+    "grid_climatology" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates)
+        .filter(col("value").isNotNull)
+        .withColumn("season", (col("t") % 4).cast("int"))
+        .groupBy(col("x"), col("y"), col("season"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("double")) / count(lit(1))).as("mean_value"),
+          min(col("value")).cast("double").as("min_value"),
+          max(col("value")).cast("double").as("max_value"))
+    },
+
     // W — per-pixel OLS trend map (GridTimeSeries.trendSlope): the
     // greening/browning slope of each pixel's series — the phenology
     // trend product the reference derives in numpy after export, as one
@@ -747,8 +764,22 @@ object GridQueries {
          |    ELSE 0.0 END AS slope
          |FROM s""".stripMargin
 
+    // grid_climatology: per-(pixel, season) stats replayed on the
+    // closed form (integer-exact sum / count, double min/max casts)
+    val climatology =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS v
+         |  FROM range(0, 25) a(x), range(0, 10) b(y), range(0, 11) c(t))
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+         |  CAST(t % 4 AS INT) AS season, count(*) AS n,
+         |  sum(CAST(v AS DOUBLE)) / count(*) AS mean_value,
+         |  CAST(min(v) AS DOUBLE) AS min_value,
+         |  CAST(max(v) AS DOUBLE) AS max_value
+         |FROM g WHERE v IS NOT NULL
+         |GROUP BY x, y, t % 4""".stripMargin
+
     Map(
       "grid_trend_slope" -> trendSlope,
+      "grid_climatology" -> climatology,
       "grid_box_stats" -> boxStats,
       "grid_fused_masked_mean" -> fusedMaskedMean,
       "grid_resample_mean" -> resampleMean,
