@@ -24,11 +24,34 @@ object GridExports {
   def exportWindowGeoTiff(spark: SparkSession, header: GridHeader, root: String,
                           xFrom: Int, xTo: Int, yFrom: Int, yTo: Int, t: Int,
                           path: String): Unit = {
-    val w = xTo - xFrom
-    val h = yTo - yFrom
     val px = FractionStore.loadSliceXY(spark, header, root,
       xFrom, xTo, yFrom, yTo, t, t + 1, maskNodata = false)
-      .select(col("x"), col("y"), col("value").cast("double"))
+    exportPlaneGeoTiff(header, px, xFrom, xTo, yFrom, yTo, path,
+      valueCol = "value", dtype = header.dtype)
+  }
+
+  /** Export ANY single-band pixel plane — a derived product (trend map,
+    * climatology season, anomaly plane), not just raw store values — as
+    * a GeoTIFF. `df` needs (x, y, `valueCol`) rows inside the window;
+    * missing pixels write nodata. Georeferencing comes from `header`'s
+    * affine shifted to the window origin, so a derived raster drops
+    * straight into GIS next to its source grid. Executor-parallel up to
+    * the final window collect (a single local raster is driver-bound by
+    * definition — the reference's GDAL writer has the same shape,
+    * tiff.py:92-122); the window is raster-sized, the
+    * contract-bounded collect class.
+    */
+  def exportPlaneGeoTiff(header: GridHeader, df: org.apache.spark.sql.DataFrame,
+                         xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                         path: String, valueCol: String = "value",
+                         dtype: String = "float64"): Unit = {
+    val w = xTo - xFrom
+    val h = yTo - yFrom
+    val px = df
+      .filter(col("x") >= xFrom && col("x") < xTo &&
+        col("y") >= yFrom && col("y") < yTo)
+      .select(col("x"), col("y"), col(valueCol).cast("double"))
+      .filter(col(valueCol).isNotNull)
       .collect()
     val arr = Array.fill(w * h)(header.nodata)
     px.foreach(r => arr((r.getInt(1) - yFrom) * w + (r.getInt(0) - xFrom)) =
@@ -37,7 +60,7 @@ object GridExports {
     val (ulx, uly) = GeoTransform.pixelToGeo(header.geotArray,
       xFrom.toDouble, yFrom.toDouble)
     val geot = Seq(ulx, header.geot(1), 0.0, uly, 0.0, header.geot(5))
-    val bytes = GeoTiff.write(w, h, header.dtype, arr, geot, header.srs,
+    val bytes = GeoTiff.write(w, h, dtype, arr, geot, header.srs,
       header.nodata)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
   }

@@ -191,4 +191,30 @@ class GeoTiffSpec extends AnyFunSuite {
     GridExports.deleteStore(spark, back)
     GridExports.deleteStore(spark, backGz)
   }
+
+  test("derived product (trend map) exports as a georeferenced GeoTIFF") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    val h = SyntheticGrid.writeTiny(spark, root)
+    val px = FractionStore.loadSliceXY(spark, h, root,
+      0, 20, 0, 10, 0, h.nDates)
+    val trend = graft.grid.GridTimeSeries.trendSlope(px)
+    val path = java.nio.file.Files.createTempDirectory("graft_trend_out")
+      .resolve("trend.tif").toString
+    GridExports.exportPlaneGeoTiff(h, trend, 0, 20, 0, 10, path,
+      valueCol = "slope", dtype = "float64")
+    val r = GeoTiff.read(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    assert(r.width == 20 && r.height == 10)
+    // raster values equal the recomputed per-pixel slopes
+    val expect = trend.select(col("x"), col("y"), col("slope"))
+      .collect().map(row => (row.getInt(0), row.getInt(1)) -> row.getDouble(2))
+      .toMap
+    for (y <- 0 until 10; x <- 0 until 20)
+      assert(math.abs(r.data(y * 20 + x) - expect((x, y))) < 1e-12,
+        s"pixel ($x,$y)")
+    // georeferencing: window origin at (0,0) keeps the grid's affine
+    assert(r.geot.take(2) == Seq(h.geot(0), h.geot(1)))
+    GridExports.deleteStore(spark, root)
+  }
 }
