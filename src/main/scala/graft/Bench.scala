@@ -80,7 +80,10 @@ object Bench {
     "sql_tpch_q3", "grouping_sets_report",
     // line-level curation: explode + codegen rules + one reassembly
     // shuffle — the per-line pass whose cost must track token volume
-    "clean_lines")
+    "clean_lines",
+    // diff/patch merge: the broadcast-delta apply whose cost must stay
+    // one corpus scan
+    "corpus_patch")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

@@ -38,4 +38,39 @@ object CorpusDiff {
       .filter(col("status").isNotNull)
       .select(col("id").as(idCol), col("status"))
   }
+
+  /** [[snapshotDelta]] plus the NEW payload for added/changed rows
+    * (null payload for removed) — the self-contained patch a downstream
+    * consumer ships instead of the full snapshot. The classification
+    * join still carries fingerprints only; payloads attach by one
+    * id-keyed semi-lookup against the delta ids (delta-sized, so at
+    * crawl scale it broadcasts). */
+  def snapshotDeltaWithPayload(current: DataFrame, previous: DataFrame,
+                               idCol: String, fpCol: String,
+                               payloadCols: Seq[String]): DataFrame = {
+    val delta = snapshotDelta(current, previous, idCol, fpCol)
+    delta.join(current.select((col(idCol) +: payloadCols.map(col)): _*),
+        Seq(idCol), "left_outer")
+      .select((col(idCol) +: col("status") +: payloadCols.map(col)): _*)
+  }
+
+  /** Apply a payload-carrying delta to `previous`, producing the next
+    * snapshot: removed/changed rows drop, added/changed payloads land.
+    * Round-trip law (pinned by CorpusDiffSpec):
+    * applyDelta(prev, snapshotDeltaWithPayload(cur, prev)) == cur.
+    *
+    * Scale stance: the delta is BROADCAST to both the anti-join and the
+    * union (a daily delta is orders of magnitude smaller than the
+    * corpus), so the surviving snapshot payloads never shuffle — the
+    * merge costs one corpus scan. */
+  def applyDelta(previous: DataFrame, delta: DataFrame,
+                 idCol: String, payloadCols: Seq[String]): DataFrame = {
+    val gone = delta.filter(col("status").isin("removed", "changed", "added"))
+      .select(col(idCol))
+    val landed = delta.filter(col("status").isin("added", "changed"))
+      .select((col(idCol) +: payloadCols.map(col)): _*)
+    previous.select((col(idCol) +: payloadCols.map(col)): _*)
+      .join(broadcast(gone), Seq(idCol), "left_anti")
+      .unionByName(landed)
+  }
 }

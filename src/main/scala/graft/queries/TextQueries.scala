@@ -24,6 +24,18 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The deterministic "previous crawl" snapshot the diff/patch queries
+    * derive from the fixture: docs with doc_id % 7 == 0 absent (they
+    * read as added), % 5 == 0 re-texted (changed), plus shifted-id
+    * phantoms (removed). */
+  private def derivedPreviousSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+
   /** documents ∪ perturbed copies of docs with doc_id % 10 == 0: same
     * text with the first word replaced — a high-Jaccard near-dup. */
   private def corpusWithPlants(s: SparkSession, d: String): DataFrame = {
@@ -241,16 +253,26 @@ object TextQueries {
     // (plan-pinned).
     "corpus_delta" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val previous = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v1")))
-            .otherwise(col("text")).as("text"))
-        .union(docs.filter(col("doc_id") % 97 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
       graft.ops.CorpusDiff.snapshotDelta(
         docs.withColumn("fp", md5(col("text"))),
-        previous.withColumn("fp", md5(col("text"))),
+        derivedPreviousSnapshot(docs).withColumn("fp", md5(col("text"))),
         "doc_id", "fp")
+    },
+
+    // Diff/patch duality (ops/CorpusDiff): build the payload-carrying
+    // patch against the derived previous snapshot, apply it back, and
+    // the result must BE the current corpus — the driver's oracle is
+    // literally `SELECT doc_id, text FROM documents`, so the round-trip
+    // law is hash-checked end-to-end. applyDelta broadcasts the delta;
+    // surviving snapshot payloads never shuffle.
+    "corpus_patch" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val previous = derivedPreviousSnapshot(docs)
+      val patch = graft.ops.CorpusDiff.snapshotDeltaWithPayload(
+        docs.withColumn("fp", md5(col("text"))),
+        previous.withColumn("fp", md5(col("text"))),
+        "doc_id", "fp", Seq("text"))
+      graft.ops.CorpusDiff.applyDelta(previous, patch, "doc_id", Seq("text"))
     },
 
     // Canonical normalization: NFC (native kernel) + lower + whitespace
@@ -800,6 +822,10 @@ object TextQueries {
         |  string_agg(CASE WHEN keep THEN line END, chr(10)
         |    ORDER BY line_idx) AS text_clean
         |FROM k GROUP BY doc_id""".stripMargin,
+
+    // diff/patch round-trip: applying the patch to the derived previous
+    // snapshot must reproduce the current corpus EXACTLY
+    "corpus_patch" -> "SELECT doc_id, text FROM documents",
 
     // snapshot-diff replay: same derived previous snapshot, same md5
     // fingerprints, same full-outer classification

@@ -31,4 +31,41 @@ class CorpusDiffSpec extends AnyFunSuite {
     val cur = snap((7L, "same content"))
     assert(CorpusDiff.snapshotDelta(cur, prev, "doc_id", "fp").count() === 0L)
   }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("diff/patch round-trip: applyDelta(prev, delta(cur, prev)) == cur") {
+    val prev = snap((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (5L, "keep me"))
+    val cur  = snap((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta"),
+      (5L, "keep me"))
+    val patch = CorpusDiff.snapshotDeltaWithPayload(cur, prev,
+      "doc_id", "fp", Seq("text"))
+    val next = CorpusDiff.applyDelta(prev, patch, "doc_id", Seq("text"))
+    assert(asSet(next) === asSet(cur))
+  }
+
+  test("patch carries payloads only for added/changed; removed is null") {
+    val prev = snap((1L, "a"), (2L, "b"))
+    val cur  = snap((1L, "a2"), (3L, "c"))
+    val rows = CorpusDiff.snapshotDeltaWithPayload(cur, prev,
+        "doc_id", "fp", Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(rows === Set(
+      (1L, "changed", Some("a2")),
+      (2L, "removed", None),
+      (3L, "added", Some("c"))))
+  }
+
+  test("re-applying the same patch is a no-op") {
+    val prev = snap((1L, "a"), (2L, "b"))
+    val cur  = snap((1L, "a2"), (3L, "c"))
+    val patch = CorpusDiff.snapshotDeltaWithPayload(cur, prev,
+      "doc_id", "fp", Seq("text"))
+    val once = CorpusDiff.applyDelta(prev, patch, "doc_id", Seq("text"))
+    val twice = CorpusDiff.applyDelta(once, patch, "doc_id", Seq("text"))
+    assert(asSet(twice) === asSet(once))
+  }
 }

@@ -490,6 +490,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus patch: snapshot payloads never shuffle (broadcast delta)") {
+    val df = graft.SparkEntry.queries("corpus_patch")(
+      spark, "/root/testdata/sf0.001")
+    val plans = executed(df)
+    assert(plans.exists(_.nodeName.toLowerCase.contains("broadcast")),
+      "expected the delta to broadcast into the anti-join")
+    plans.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        "the merged snapshot's payloads must not ride a shuffle")
+    }
+  }
+
   test("corpus delta: document text never rides the diff join's shuffle") {
     val df = graft.SparkEntry.queries("corpus_delta")(
       spark, "/root/testdata/sf0.001")
