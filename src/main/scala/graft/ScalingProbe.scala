@@ -110,6 +110,11 @@ object ScalingProbe {
       "corpus_delta", "funnel_steps", "event_transitions")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names -- chain.toSet
+      require(unknown.isEmpty,
+        s"unknown probe name(s): ${unknown.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => chain.filter(names.contains)
       case None => chain

@@ -28,13 +28,19 @@ object CorpusDiff {
     * present on both sides (hash there, diff here). */
   def snapshotDelta(current: DataFrame, previous: DataFrame,
                     idCol: String, fpCol: String): DataFrame = {
-    val cur = current.select(col(idCol).as("id"), col(fpCol).as("fp_cur"))
-    val prev = previous.select(col(idCol).as("id"), col(fpCol).as("fp_prev"))
+    // membership is tracked by explicit presence flags, NOT fingerprint
+    // nullability — a NULL fingerprint (e.g. md5 of a NULL payload) is a
+    // legal value and must not read as "absent"; likewise the changed
+    // test is null-safe so value<->NULL payload transitions surface
+    val cur = current.select(col(idCol).as("id"), col(fpCol).as("fp_cur"),
+      lit(true).as("in_cur"))
+    val prev = previous.select(col(idCol).as("id"), col(fpCol).as("fp_prev"),
+      lit(true).as("in_prev"))
     cur.join(prev, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("fp_prev").isNull, lit("added"))
-          .when(col("fp_cur").isNull, lit("removed"))
-          .when(col("fp_cur") =!= col("fp_prev"), lit("changed")))
+        when(col("in_prev").isNull, lit("added"))
+          .when(col("in_cur").isNull, lit("removed"))
+          .when(!(col("fp_cur") <=> col("fp_prev")), lit("changed")))
       .filter(col("status").isNotNull)
       .select(col("id").as(idCol), col("status"))
   }
@@ -65,8 +71,10 @@ object CorpusDiff {
     * merge costs one corpus scan. */
   def applyDelta(previous: DataFrame, delta: DataFrame,
                  idCol: String, payloadCols: Seq[String]): DataFrame = {
-    val gone = delta.filter(col("status").isin("removed", "changed", "added"))
-      .select(col(idCol))
+    // every delta id leaves the previous snapshot (added ids are
+    // defensively included so re-applying a patch stays a no-op), then
+    // added/changed payloads land
+    val gone = delta.select(col(idCol))
     val landed = delta.filter(col("status").isin("added", "changed"))
       .select((col(idCol) +: payloadCols.map(col)): _*)
     previous.select((col(idCol) +: payloadCols.map(col)): _*)

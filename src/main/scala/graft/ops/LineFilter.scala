@@ -32,16 +32,22 @@ object LineFilter {
 
   /** One row per input document: (id, n_lines, n_kept, text_clean) —
     * `text_clean` is the document reassembled from kept lines in
-    * original order, NULL when no line survives. */
+    * original order, NULL when no line survives. A NULL-text document
+    * stays in the output as (id, 0, 0, NULL). */
   def cleanLines(df: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame = {
+    // sep is a LITERAL separator on both the split and the rejoin (a
+    // regex-metachar sep like "|" must not explode per character);
+    // posexplode_outer keeps NULL-text documents in the output (one
+    // all-dropped row) instead of silently losing them
     val lines = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), sep)).as(Seq("line_idx", "line")))
+      posexplode_outer(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("line_idx", "line")))
     lines
       .withColumn("keep", lineKeep(col("line")))
       .groupBy(col("id"))
       .agg(
-        count(lit(1)).as("n_lines"),
+        count(col("line")).as("n_lines"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         array_sort(collect_list(when(col("keep"),
           struct(col("line_idx"), col("line"))))).as("kept"))

@@ -537,10 +537,13 @@ object RelationalQueries {
         |  (2, 'purchase', (SELECT count(*) FROM p)))
         |  AS t(step_idx, step, n_users)""".stripMargin,
 
+    // order by epoch_us, not raw ts: a nanosecond-encoded fixture would
+    // otherwise tie-break at ns in DuckDB while Spark (micros) uses
+    // event_id — same resolution pinning as the funnel's epoch_ms
     "event_transitions" ->
       """WITH nxt AS (SELECT event_type AS from_type,
         |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS to_type
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
         |  FROM events)
         |SELECT from_type, to_type, count(*) AS n FROM nxt
         |WHERE to_type IS NOT NULL GROUP BY from_type, to_type""".stripMargin,

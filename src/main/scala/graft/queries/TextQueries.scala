@@ -33,8 +33,11 @@ object TextQueries {
       .select(col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v1")))
           .otherwise(col("text")).as("text"))
+      // phantom shift is NOT a multiple of any corpus replication stride
+      // (ScalingProbe replicates at 10M strides; 500M clears every
+      // replica band, keeping snapshot ids unique at any probe scale)
       .union(docs.filter(col("doc_id") % 97 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 500000000L).as("doc_id"), col("text")))
 
   /** documents ∪ perturbed copies of docs with doc_id % 10 == 0: same
     * text with the first word replaced — a high-Jaccard near-dup. */
@@ -227,9 +230,13 @@ object TextQueries {
     "clean_lines" -> { (s, d) =>
       import s.implicits._
       val toks = TextFunctions.tokens(col("text"))
+      // greatest(..., 0) guards the zero-token doc: sequence(0, -1)
+      // would DESCEND ([0, -1] -> two phantom lines) where the oracle's
+      // range(0, 0) is empty — both sides now emit one empty line
       val lined = array_join(
         transform(
-          sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
+          sequence(lit(0),
+            greatest(ceil(size(toks) / lit(8.0)).cast("int") - 1, lit(0))),
           i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n")
       val plants = Seq(
         (920001L, "HOME | ABOUT | CONTACT US\nA perfectly ordinary prose sentence that should survive the filter.\n12345 67890 13579 24680 999"),
@@ -836,7 +843,7 @@ object TextQueries {
         |        THEN text || ' v1' ELSE text END) AS fp
         |      FROM documents WHERE doc_id % 7 <> 0
         |    UNION ALL
-        |    SELECT doc_id + 10000000 AS doc_id, md5(text) AS fp
+        |    SELECT doc_id + 500000000 AS doc_id, md5(text) AS fp
         |      FROM documents WHERE doc_id % 97 = 0)
         |SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
         |  CASE WHEN prev.fp IS NULL THEN 'added'

@@ -138,10 +138,14 @@ object EventStreaming {
           // ties: ts then event_id, matching the batch op's determinism
           rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
             seen += 1
-            val k = steps.indexOf(r.event_type)
-            if (k >= 0 && cur(k).isEmpty &&
-                (k == 0 || cur(k - 1).exists(_ < r.ts.getTime)))
-              cur(k) = Some(r.ts.getTime)
+            // every step index matching the type (a funnel may repeat a
+            // type, e.g. view -> view): the strict-> cascade means one
+            // event can fill at most one of them
+            steps.indices.foreach { k =>
+              if (steps(k) == r.event_type && cur(k).isEmpty &&
+                  (k == 0 || cur(k - 1).exists(_ < r.ts.getTime)))
+                cur(k) = Some(r.ts.getTime)
+            }
           }
           val next = FunnelTimes(userId, seen, cur.toSeq)
           state.update(next)

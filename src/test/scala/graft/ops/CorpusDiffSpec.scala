@@ -59,6 +59,19 @@ class CorpusDiffSpec extends AnyFunSuite {
       (3L, "added", Some("c"))))
   }
 
+  test("NULL fingerprints are values, not absence") {
+    import spark.implicits._
+    // doc 1: null fp on both sides -> unchanged; doc 2: value -> null
+    // -> changed; doc 3 present only in prev -> removed
+    def s(rows: (Long, Option[String])*) =
+      rows.toDF("doc_id", "fp")
+    val prev = s((1L, None), (2L, Some("x")), (3L, Some("y")))
+    val cur  = s((1L, None), (2L, None))
+    val got = CorpusDiff.snapshotDelta(cur, prev, "doc_id", "fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((2L, "changed"), (3L, "removed")))
+  }
+
   test("re-applying the same patch is a no-op") {
     val prev = snap((1L, "a"), (2L, "b"))
     val cur  = snap((1L, "a2"), (3L, "c"))

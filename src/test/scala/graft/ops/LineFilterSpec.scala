@@ -42,4 +42,28 @@ class LineFilterSpec extends AnyFunSuite {
     val (_, kept, out) = clean(line)
     assert(kept === 1L && out.contains(line))
   }
+
+  test("NULL-text documents stay in the output as empty results") {
+    import spark.implicits._
+    val df = Seq((1L, Some("good prose line with words here")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    val got = LineFilter.cleanLines(df, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(got.length === 2)
+    val nullDoc = got(1)
+    assert(nullDoc.getLong(1) === 0L && nullDoc.getLong(2) === 0L &&
+      nullDoc.isNullAt(3))
+  }
+
+  test("separator is literal, not a regex") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "first decent prose chunk here|second decent prose chunk here"))
+      .toDF("doc_id", "text")
+    val r = LineFilter.cleanLines(df, "doc_id", "text", sep = "|")
+      .collect().head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getString(3) ===
+      "first decent prose chunk here|second decent prose chunk here")
+  }
 }

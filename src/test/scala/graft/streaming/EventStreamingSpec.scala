@@ -152,6 +152,22 @@ class EventStreamingSpec extends AnyFunSuite {
       batch.join(got, got.columns.toSeq, "left_anti").isEmpty)
   }
 
+  test("funnel with a repeated step type matches the batch cascade") {
+    // steps view -> view: the second view event must fill step 1
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 0.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreaming.funnelProgress(spark,
+        rows.as[EventStreaming.EventRow], Seq("view", "view"))
+      .collect().head
+    val times = got.times.map(_.map(identity))
+    val batch = graft.ops.EventAnalytics.funnelSteps(
+        rows, "user_id", "event_type", "ts", Seq("view", "view"))
+      .collect().head
+    assert(times === Seq(Some(batch.getLong(1)), Some(batch.getLong(2))))
+  }
+
   test("streaming funnel state equals the batch funnel cascade") {
     // two event-time-ordered waves delivered as separate micro-batches,
     // so the cascade state genuinely carries across batches
