@@ -83,7 +83,10 @@ object Bench {
     "clean_lines",
     // diff/patch merge: the broadcast-delta apply whose cost must stay
     // one corpus scan
-    "corpus_patch")
+    "corpus_patch",
+    // vocabulary-free vectorizer: token explode + one (id, bucket)
+    // partial agg — cost must track token volume, nothing else
+    "embed_feature_hash")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

@@ -222,6 +222,16 @@ object TextQueries {
             6))
     },
 
+    // Feature hashing (ops/FeatureHash): vocabulary-free signed
+    // bag-of-words vectors — the engine MAKES vectors from raw text
+    // (hashing trick) instead of only consuming precomputed embeddings.
+    // md5-derived bucket/sign so DuckDB replays the exact sparse rows.
+    "embed_feature_hash" -> { (s, d) =>
+      graft.ops.FeatureHash.hashedTf(
+        Tables.documents(s, d), "doc_id", "text", dim = 64)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // Line-level boilerplate curation (ops/LineFilter): CCNet-style
     // line rules — reflow the fixture prose into 8-word lines, plant
     // docs carrying nav/ALL-CAPS/digit-spam/fragment lines, and keep
@@ -833,6 +843,28 @@ object TextQueries {
     // diff/patch round-trip: applying the patch to the derived previous
     // snapshot must reproduce the current corpus EXACTLY
     "corpus_patch" -> "SELECT doc_id, text FROM documents",
+
+    // feature-hash replay: same md5 bucket (first 8 hex chars as a
+    // 32-bit big-endian value mod 64) and sign (9th hex char parity)
+    "embed_feature_hash" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0)) AS t
+        |  FROM documents),
+        |hb AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 8), k ->
+        |      CAST(strpos('0123456789abcdef',
+        |          substr(md5(t), 8 - CAST(k AS INT), 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << CAST(4 * k AS INT))))
+        |      AS BIGINT) AS h,
+        |    CAST(strpos('0123456789abcdef', substr(md5(t), 9, 1)) - 1
+        |      AS INT) AS sd
+        |  FROM toks)
+        |SELECT doc_id, CAST(h % 64 AS INT) AS bucket,
+        |  CAST(sum(CASE WHEN sd % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+        |    AS weight
+        |FROM hb GROUP BY doc_id, h % 64
+        |HAVING sum(CASE WHEN sd % 2 = 0 THEN 1 ELSE -1 END) <> 0""".stripMargin,
 
     // snapshot-diff replay: same derived previous snapshot, same md5
     // fingerprints, same full-outer classification
