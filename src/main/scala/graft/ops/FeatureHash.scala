@@ -41,4 +41,20 @@ object FeatureHash {
       .agg(sum(col("sign")).as("weight"))
       .filter(col("weight") =!= 0)
   }
+
+  /** Densify [[hashedTf]] output into the (id, embedding) shape the
+    * Similarity/ANN surface consumes: one Array[Float] of length `dim`
+    * per id, absent buckets as 0. One groupBy(id) — the map lookup per
+    * slot is in-plan column arithmetic (try_element_at: ANSI-safe on
+    * missing keys). */
+  def densify(sparse: DataFrame, dim: Int,
+              idOut: String = "vec_id",
+              vecOut: String = "embedding"): DataFrame =
+    sparse.groupBy(col("id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("bucket"), col("weight")))).as("m"))
+      .select(col("id").as(idOut),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(try_element_at(col("m"), i), lit(0L)).cast("float"))
+          .as(vecOut))
 }

@@ -137,4 +137,25 @@ class WorkflowSpec extends AnyFunSuite {
       (0L until 12L).toSet)
     graft.ops.CacheRegistry.releaseAll()
   }
+
+  test("vectorizer journey: text -> hashing trick -> ANN finds the near-dup") {
+    import spark.implicits._
+    import graft.ops.{FeatureHash, Similarity}
+    def mk(i: Int): String =
+      (0 until 40).map(j => s"w${(i * 97 + j * 13) % 1000}x$j").mkString(" ")
+    // doc 100 = doc 0 with one word changed; everything else unrelated
+    val docs = ((0 until 10).map(i => (i.toLong, mk(i))) ++ Seq(
+      (100L, "zzz " + mk(0).split(" ").drop(1).mkString(" "))))
+      .toDF("doc_id", "text")
+    val dense = FeatureHash.densify(
+      FeatureHash.hashedTf(docs, "doc_id", "text", dim = 64), dim = 64)
+    // engine-made vectors feed the stock ANN surface unchanged
+    val queries = dense.filter($"vec_id" === 100L)
+    val top = Similarity.bruteForceTopK(
+        dense.filter($"vec_id" =!= 100L), queries, k = 1)
+      .collect().head
+    assert(top.getAs[Long]("corpus_id") === 0L,
+      "nearest neighbor of the near-dup must be its source doc")
+    graft.ops.CacheRegistry.releaseAll()
+  }
 }
