@@ -461,6 +461,22 @@ object RelationalQueries {
         "event_type", "ts", Seq("view", "click", "purchase"))
     },
 
+    // §2.11 — funnel conversion latency: over users who completed the
+    // cascade, the distribution of view -> purchase time. All-integer
+    // millis + percentile_disc (element-picking), so the oracle replays
+    // exactly on the same cascading CTEs.
+    "funnel_latency" -> { (s, d) =>
+      val times = graft.ops.EventAnalytics.funnelSteps(events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      times.filter(col("t_2").isNotNull)
+        .select((col("t_2") - col("t_0")).as("ms"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("ms")).as("min_ms"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ms)")
+            .cast("long").as("p50_ms"),
+          max(col("ms")).as("max_ms"))
+    },
+
     // §2.11 — event-transition matrix: (event, user's next event)
     // counts in (ts, event_id) order — the Markov view of the log.
     // User-partitioned window: partitions are entity-sized, never a
@@ -536,6 +552,22 @@ object RelationalQueries {
         |  (1, 'click', (SELECT count(*) FROM c)),
         |  (2, 'purchase', (SELECT count(*) FROM p)))
         |  AS t(step_idx, step, n_users)""".stripMargin,
+
+    "funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |  c AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t1
+        |    FROM events e JOIN v USING (user_id)
+        |    WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t0
+        |    GROUP BY e.user_id),
+        |  p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+        |    FROM events e JOIN c USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t1
+        |    GROUP BY e.user_id),
+        |  lat AS (SELECT p.t2 - v.t0 AS ms FROM p JOIN v USING (user_id))
+        |SELECT count(*) AS n_converted, min(ms) AS min_ms,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY ms) AS p50_ms,
+        |  max(ms) AS max_ms FROM lat""".stripMargin,
 
     // order by epoch_us, not raw ts: a nanosecond-encoded fixture would
     // otherwise tie-break at ns in DuckDB while Spark (micros) uses

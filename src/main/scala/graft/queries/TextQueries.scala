@@ -83,6 +83,18 @@ object TextQueries {
         TextFunctions.langId(col("text")).as("lang_pred"))
     },
 
+    // lang-id confusion matrix: labeled vs detected language counts —
+    // the calibration table a curation run reads before trusting the
+    // detector's gates. Pure codegen detection + one partial-agg
+    // shuffle on the (label, pred) pair.
+    "lang_confusion" -> { (s, d) =>
+      Tables.documents(s, d).select(
+          col("lang").as("lang_label"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // per-language quality gate: keep the top half by quality score
     // (row_number with doc_id tiebreak — percentile cutoffs on the
     // coarse rule-sum score would be tie-ambiguous across engines)
@@ -933,37 +945,13 @@ object TextQueries {
         |  AS DOUBLE), 4) AS quality
         |FROM t""".stripMargin,
 
-    "text_lang_id" ->
-      """WITH t AS (SELECT doc_id, lang AS lang_label,
-        |    ' ' || lower(text) || ' ' AS p,
-        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS zh
-        |  FROM documents),
-        |s AS (SELECT doc_id, lang_label, zh,
-        |    (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% is %' THEN 1 ELSE 0 END) AS en,
-        |    (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% es %' THEN 1 ELSE 0 END) AS es,
-        |    (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% est %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% une %' THEN 1 ELSE 0 END) AS fr,
-        |    (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% ist %' THEN 1 ELSE 0 END) +
-        |    (CASE WHEN p LIKE '% das %' THEN 1 ELSE 0 END) AS de
-        |  FROM t)
-        |SELECT doc_id, lang_label,
-        |  CASE WHEN zh THEN 'zh'
-        |    WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
-        |    WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
-        |    WHEN fr >= de AND fr > 0 THEN 'fr'
-        |    WHEN de > 0 THEN 'de'
-        |    ELSE 'und' END AS lang_pred
-        |FROM s""".stripMargin,
+    "text_lang_id" -> langIdOracleSql,
+
+    // confusion matrix = the same lang-id replay, cross-tabulated
+    "lang_confusion" ->
+      s"""WITH pred AS ($langIdOracleSql)
+         |SELECT lang_label, lang_pred, count(*) AS n
+         |FROM pred GROUP BY lang_label, lang_pred""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
@@ -1964,6 +1952,40 @@ object TextQueries {
     * 4 x 15-bit blocks, EXACTLY like the op (blocking is part of the
     * operator's semantics, so the oracle replicates it rather than
     * brute-forcing hamming <= 8 over all pairs). */
+  /** Shared lang-id replay (stopword scores + argmax cascade) for
+    * text_lang_id and the confusion matrix. */
+  private def langIdOracleSql: String =
+    """WITH t AS (SELECT doc_id, lang AS lang_label,
+        |    ' ' || lower(text) || ' ' AS p,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS zh
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang_label, zh,
+        |    (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% is %' THEN 1 ELSE 0 END) AS en,
+        |    (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% es %' THEN 1 ELSE 0 END) AS es,
+        |    (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% est %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% une %' THEN 1 ELSE 0 END) AS fr,
+        |    (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% ist %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% das %' THEN 1 ELSE 0 END) AS de
+        |  FROM t)
+        |SELECT doc_id, lang_label,
+        |  CASE WHEN zh THEN 'zh'
+        |    WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+        |    WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+        |    WHEN fr >= de AND fr > 0 THEN 'fr'
+        |    WHEN de > 0 THEN 'de'
+        |    ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin
+
   private def simhashOracle: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
