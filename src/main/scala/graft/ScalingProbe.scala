@@ -107,7 +107,11 @@ object ScalingProbe {
       // stay projection-sized) and the event-sequence ops (funnel's
       // user_id shuffle + transition's per-user window must scale with
       // user count, never super-linearly)
-      "corpus_delta", "funnel_steps", "event_transitions")
+      "corpus_delta", "funnel_steps", "event_transitions",
+      // round-7 wave 5: the two token-volume passes — line curation
+      // (explode + codegen rules + reassembly) and the hashing-trick
+      // vectorizer (explode + (id, bucket) agg) must track token count
+      "clean_lines", "embed_feature_hash")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
