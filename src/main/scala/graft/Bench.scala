@@ -288,6 +288,9 @@ object Bench {
       if (only.forall(_.contains("ivf"))) annIvfBench(spark, sfDir, force)
       else Nil
     } ++ {
+      if (only.forall(_.contains("funnel"))) funnelAB(spark, sfDir, force)
+      else Nil
+    } ++ {
       if (only.forall(_.contains("grid"))) {
         // Cache hygiene before the grid microbenches: drop any cached
         // blocks left over from warmup + timed runs so the tile benches
@@ -394,6 +397,37 @@ object Bench {
     * kernels' speedup is a recorded per-round fact, not a code comment.
     * GridKernelsSpec pins result equality of the two paths.
     */
+  /** A/B №4 — funnel as one user_id shuffle + array cascade (the
+    * shipped EventAnalytics shape) vs the textbook per-step-join form
+    * (each step = filter + join-back + re-aggregate: 3 joins, a shuffle
+    * chain per step). Same answer, interleaved timing — the recorded
+    * evidence for why the cascade is the at-scale shape. */
+  def funnelAB(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+               force: org.apache.spark.sql.DataFrame => Unit): Seq[Timing] = {
+    import org.apache.spark.sql.functions._
+    def naive = {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t0"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ms") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ms") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
+      v.agg(count(lit(1)).as("users_view"))
+        .crossJoin(c.agg(count(lit(1)).as("users_click")))
+        .crossJoin(p.agg(count(lit(1)).as("users_purchase")))
+    }
+    timedAB(spark, "funnel_cascade", "funnel_per_step_joins") {
+      force(SparkEntry.queries("funnel_steps")(spark, sfDir))
+    } {
+      force(naive)
+    }
+  }
+
   def gridMicrobench(spark: org.apache.spark.sql.SparkSession): Seq[Timing] = {
     import org.apache.spark.sql.functions._
     import graft.grid._
