@@ -1,0 +1,242 @@
+package graft.grid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A halo strip: the sliver of a source chunk that a NEIGHBORING chunk
+  * needs to compute focal windows over its own border pixels. Keyed by
+  * the TARGET chunk; `data` stays packed in the grid's native dtype
+  * (sliced straight out of the source payload — never decoded on the
+  * emit side).
+  */
+final case class HaloStrip(
+    frac_x: Int, frac_y: Int, time_chunk: Int,
+    sx0: Int, sy0: Int, t0: Int, sw: Int, sh: Int, nd: Int,
+    data: Array[Byte])
+
+/** Per-pixel focal (neighborhood) statistics output. */
+final case class FocalPixel(
+    x: Int, y: Int, t: Int, n_valid: Long,
+    mean_nbr: Option[Double], min_nbr: Option[Double],
+    max_nbr: Option[Double])
+
+/** Focal (moving-window neighborhood) statistics over the fraction
+  * store — the raster-algebra "focal mean" / smoothing pass the
+  * reference leaves to numpy post-processing on collected slices
+  * (doc/notebooks/ndvi_anomaly.ipynb-style array ops), here as one
+  * distributed operator.
+  *
+  * Scale design (the 100 TB shape): a focal window only crosses chunk
+  * borders by `radius` pixels, so the operator does HALO EXCHANGE at
+  * chunk granularity instead of a pixel-level 9-way self-join:
+  *
+  *  - every chunk emits up to 8 boundary strips (≤ radius wide, sliced
+  *    byte-for-byte from the packed payload — no decode, native dtype)
+  *    keyed to the neighbor that needs them. Shuffled halo bytes are
+  *    perimeter-sized: ~ 4·r·(w+h)/(w·h) of the data (≈ 8 % at 50×50
+  *    chunks, r=1) — vs the naive pixel-view offset-explode join, which
+  *    shuffles (2r+1)² = 9× the FULL cube;
+  *  - chunks group on their own key (one payload shuffle, gone entirely
+  *    when the input is a bucketed chunk table), meet their halos in a
+  *    cogroup, and each group decodes once and runs the stencil over a
+  *    padded plane — per-chunk imperative logic, the mapGroups niche;
+  *  - absent neighbors (sparse store, or beyond the grid edge) simply
+  *    contribute no strip: their pixels count as invalid, the same
+  *    nodata semantics the pixel view gives absent chunks.
+  *
+  * Emits one row per pixel of every PRESENT chunk, valid-neighbor count
+  * and mean/min/max over the valid pixels of the in-bounds
+  * (2r+1)×(2r+1) window (center included). Integer-valued doubles sum
+  * exactly in any order, so `mean_nbr` is engine-reproducible
+  * (sum/count, one double divide).
+  */
+object GridFocal {
+
+  /** Halo-exchange focal stats over dates [tFrom, tTo).
+    * `maskNodata=true` excludes the header's nodata from window stats
+    * (they still get their own output row, possibly with n_valid = 0).
+    */
+  def focalStats(spark: SparkSession, header: GridHeader, root: String,
+                 radius: Int, tFrom: Int, tTo: Int,
+                 maskNodata: Boolean = true): DataFrame = {
+    val fracs = FractionStore.fractionsForWindow(spark, header, root,
+      0, header.width, 0, header.height, tFrom, tTo)
+    focalStatsOnChunks(spark, header, fracs, radius, tFrom, tTo, maskNodata)
+  }
+
+  /** Same, over an explicit chunk DataFrame (fraction-row schema) — the
+    * entry point for bucketed tables, where the chunk-side groupByKey
+    * plans with no Exchange.
+    */
+  def focalStatsOnChunks(spark: SparkSession, header: GridHeader,
+                         fracRows: DataFrame, radius: Int,
+                         tFrom: Int, tTo: Int,
+                         maskNodata: Boolean): DataFrame = {
+    import spark.implicits._
+    require(radius >= 1 && radius <= math.min(header.fracWidth, header.fracHeight),
+      s"radius must be in [1, min(fracWidth, fracHeight)], got $radius")
+    val g = header.chunkGrid
+    val code = PayloadCodec.code(header.dtype)
+    val bpe = PayloadCodec.bytesPerElem(code)
+    val nodata = if (maskNodata) header.nodata else Double.NaN
+    val r = radius
+
+    val chunks = fracRows.select("frac_num", "time_chunk", "frac_x", "frac_y",
+      "x0", "y0", "t0", "w", "h", "nd", "data").as[FracRowBytes]
+
+    // 1. Emit boundary strips to the 8 neighbors — pure byte slicing of
+    // the packed C-order [y][x][t] payload (a row segment of nd
+    // elements per (y, x) is contiguous).
+    val strips = chunks.flatMap { c =>
+      def slice(xa: Int, xb: Int, ya: Int, yb: Int): Array[Byte] = {
+        val rowLen = (xb - xa) * c.nd * bpe
+        val out = new Array[Byte](rowLen * (yb - ya))
+        var yy = ya
+        while (yy < yb) {
+          System.arraycopy(c.data, ((yy * c.w + xa) * c.nd) * bpe,
+            out, (yy - ya) * rowLen, rowLen)
+          yy += 1
+        }
+        out
+      }
+      for {
+        dy <- -1 to 1
+        dx <- -1 to 1
+        if !(dx == 0 && dy == 0)
+        nfx = c.frac_x + dx
+        nfy = c.frac_y + dy
+        if nfx >= 0 && nfx < g.numFracsX && nfy >= 0 && nfy < g.numFracsY
+      } yield {
+        // the part of THIS chunk within `r` of the border shared with
+        // the (dx, dy) neighbor (in this chunk's local coordinates)
+        val xa = if (dx > 0) math.max(0, c.w - r) else 0
+        val xb = if (dx < 0) math.min(r, c.w) else c.w
+        val ya = if (dy > 0) math.max(0, c.h - r) else 0
+        val yb = if (dy < 0) math.min(r, c.h) else c.h
+        HaloStrip(nfx, nfy, c.time_chunk,
+          c.x0 + xa, c.y0 + ya, c.t0, xb - xa, yb - ya, c.nd,
+          slice(xa, xb, ya, yb))
+      }
+    }
+
+    // 2. Chunks meet their halos; one decode per payload; stencil over
+    // a NaN-padded plane per date.
+    val tLo = tFrom; val tHi = tTo
+    chunks.groupByKey(c => (c.frac_x, c.frac_y, c.time_chunk))
+      .cogroup(strips.groupByKey(s => (s.frac_x, s.frac_y, s.time_chunk))) {
+        (_, cs, ss) =>
+          if (!cs.hasNext) Iterator.empty
+          else {
+            val c = cs.next()
+            // decode once per payload (strips would otherwise re-decode
+            // per date inside the t loop)
+            val halos = ss.map(s =>
+              (s, PayloadCodec.decodeDouble(s.data, code))).toArray
+            val core = PayloadCodec.decodeDouble(c.data, code)
+            val pw = c.w + 2 * r
+            val ph = c.h + 2 * r
+            val out = scala.collection.mutable.ArrayBuffer.empty[FocalPixel]
+            var ti = 0
+            while (ti < c.nd) {
+              val t = c.t0 + ti
+              if (t >= tLo && t < tHi) {
+                // padded plane for date t, NaN = absent/invalid
+                val plane = Array.fill(pw * ph)(Double.NaN)
+                var i = 0
+                val n = c.w * c.h
+                while (i < n) {
+                  val v = core(i * c.nd + ti)
+                  if (!(v == nodata))
+                    plane(((i / c.w) + r) * pw + (i % c.w) + r) = v
+                  i += 1
+                }
+                halos.foreach { case (s, sv) =>
+                  val sti = t - s.t0
+                  if (sti >= 0 && sti < s.nd) {
+                    var j = 0
+                    val m = s.sw * s.sh
+                    while (j < m) {
+                      val v = sv(j * s.nd + sti)
+                      if (!(v == nodata)) {
+                        val px = s.sx0 + (j % s.sw) - c.x0 + r
+                        val py = s.sy0 + (j / s.sw) - c.y0 + r
+                        plane(py * pw + px) = v
+                      }
+                      j += 1
+                    }
+                  }
+                }
+                var yy = 0
+                while (yy < c.h) {
+                  var xx = 0
+                  while (xx < c.w) {
+                    var cnt = 0L; var sum = 0.0
+                    var mn = Double.MaxValue; var mx = Double.MinValue
+                    var wy = yy
+                    while (wy <= yy + 2 * r) {
+                      var wx = xx
+                      while (wx <= xx + 2 * r) {
+                        val v = plane(wy * pw + wx)
+                        if (!v.isNaN) {
+                          cnt += 1; sum += v
+                          if (v < mn) mn = v
+                          if (v > mx) mx = v
+                        }
+                        wx += 1
+                      }
+                      wy += 1
+                    }
+                    out += (if (cnt > 0)
+                      FocalPixel(c.x0 + xx, c.y0 + yy, t, cnt,
+                        Some(sum / cnt), Some(mn), Some(mx))
+                    else
+                      FocalPixel(c.x0 + xx, c.y0 + yy, t, 0L,
+                        None, None, None))
+                    xx += 1
+                  }
+                  yy += 1
+                }
+              }
+              ti += 1
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
+  /** The declarative baseline: pixel-view offset-explode self-
+    * aggregation. Correct and pure-Catalyst, but every pixel rides the
+    * shuffle (2r+1)² times — the differential-test twin and the bench
+    * A/B loser, kept as the semantics definition.
+    *
+    * Emits centers for pixels of present chunks only (semi-join on the
+    * pixel keys), matching [[focalStats]].
+    */
+  def focalStatsNaive(spark: SparkSession, header: GridHeader, root: String,
+                      radius: Int, tFrom: Int, tTo: Int,
+                      maskNodata: Boolean = true): DataFrame = {
+    val fracs = FractionStore.fractionsForWindow(spark, header, root,
+      0, header.width, 0, header.height, tFrom, tTo)
+    val px = FractionStore.pixels(header, fracs, maskNodata)
+      .filter(col("t") >= tFrom && col("t") < tTo)
+    val offs = (-radius to radius).flatMap(dy =>
+      (-radius to radius).map(dx => (dx, dy)))
+    val contrib = px
+      .select(col("x"), col("y"), col("t"), col("value"),
+        explode(array(offs.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy"))
+        }: _*)).as("o"))
+      .select((col("x") + col("o.dx")).as("cx"),
+        (col("y") + col("o.dy")).as("cy"), col("t"), col("value"))
+      .filter(col("cx").between(0, header.width - 1) &&
+        col("cy").between(0, header.height - 1))
+    val stats = contrib.groupBy(col("cx").as("x"), col("cy").as("y"), col("t"))
+      .agg(count(col("value")).as("n_valid"),
+        (sum(col("value").cast("double")) / count(col("value"))).as("mean_nbr"),
+        min(col("value")).cast("double").as("min_nbr"),
+        max(col("value")).cast("double").as("max_nbr"))
+    stats.join(px.select("x", "y", "t").distinct(), Seq("x", "y", "t"),
+        "left_semi")
+      .select("x", "y", "t", "n_valid", "mean_nbr", "min_nbr", "max_nbr")
+  }
+}

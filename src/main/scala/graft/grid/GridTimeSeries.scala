@@ -73,4 +73,32 @@ object GridTimeSeries {
       .rowsBetween(-halfWidth, halfWidth)
     px.withColumn("value_smooth", avg(col(valueCol).cast("double")).over(w))
   }
+
+  /** Season-onset detection (greenup date): per pixel, the FIRST date t
+    * whose value and the `k − 1` following dates all reach `threshold`
+    * — the standard threshold-crossing phenology rule (k consecutive
+    * exceedances guard against single-date spikes; NULL/nodata dates
+    * break a run).
+    *
+    * One pixel-keyed shuffle; the exceedance run-check is a bounded
+    * forward window frame (k rows), the per-pixel reduce a partial
+    * min — same cost envelope as any windowed op on the sliced box.
+    * Emits (x, y, onset_t nullable, n_valid): pixels that never
+    * sustain the threshold report NULL.
+    */
+  def seasonOnset(px: DataFrame, threshold: Double, k: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val runW = Window.partitionBy(col("x"), col("y")).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, k - 1)
+    val hit = when(col("value").isNotNull &&
+      col("value").cast("double") >= threshold, 1).otherwise(0)
+    // count of rows AND count of hits over the frame: a run needs k
+    // hits in k ROWS (a series tail shorter than k can't qualify)
+    px.withColumn("run_hits", sum(hit).over(runW))
+      .withColumn("run_len", count(lit(1)).over(runW))
+      .groupBy(col("x"), col("y"))
+      .agg(min(when(col("run_hits") === k && col("run_len") === k,
+          col("t"))).as("onset_t"),
+        count(col("value")).as("n_valid"))
+  }
 }

@@ -381,6 +381,27 @@ object GridQueries {
         FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates))
     },
 
+    // Focal 3x3 neighborhood stats (GridFocal): raster-algebra
+    // smoothing via chunk-level HALO EXCHANGE — shuffled halo bytes
+    // are perimeter-sized, never the (2r+1)^2 x cube of the naive
+    // pixel self-join. Full tiny grid (edges included), dates [0, 3).
+    "grid_focal_mean" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      GridFocal.focalStats(s, h, root, radius = 1, tFrom = 0, tTo = 3)
+    },
+
+    // Season-onset phenology (GridTimeSeries.seasonOnset): first date
+    // sustaining value >= 60 for 2 consecutive dates per pixel — the
+    // greenup-date product (threshold-crossing rule, spike-guarded).
+    "grid_season_onset" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      GridTimeSeries.seasonOnset(
+        FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates),
+        threshold = 60.0, k = 2)
+    },
+
     // Per-pixel temporal argmax (A5 companion): the date index holding
     // each pixel's maximum (masked) value — max_by with deterministic
     // lowest-t tie-break via an encoded (value, -t) ordering.
@@ -777,7 +798,45 @@ object GridQueries {
          |FROM g WHERE v IS NOT NULL
          |GROUP BY x, y, t % 4""".stripMargin
 
+    // grid_focal_mean: the 3x3 window replayed as a 9-offset
+    // contribution join over the closed form (edges clip, nodata
+    // masked); integer-valued doubles -> exact sums, one divide
+    val focalMean =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS v
+         |  FROM range(0, 190) a(x), range(0, 130) b(y), range(0, 3) c(t)),
+         |n AS (SELECT x + dx AS cx, y + dy AS cy, t, v
+         |  FROM g, range(-1, 2) ox(dx), range(-1, 2) oy(dy)
+         |  WHERE x + dx BETWEEN 0 AND 189 AND y + dy BETWEEN 0 AND 129)
+         |SELECT CAST(cx AS INT) AS x, CAST(cy AS INT) AS y,
+         |  CAST(t AS INT) AS t, count(v) AS n_valid,
+         |  CASE WHEN count(v) > 0
+         |    THEN sum(CAST(v AS DOUBLE)) / count(v) END AS mean_nbr,
+         |  CAST(min(v) AS DOUBLE) AS min_nbr,
+         |  CAST(max(v) AS DOUBLE) AS max_nbr
+         |FROM n GROUP BY cx, cy, t""".stripMargin
+
+    // grid_season_onset: the same bounded forward frame replayed —
+    // k=2 consecutive dates at or above 60, NULLs break runs, series
+    // tails shorter than k cannot qualify
+    val seasonOnset =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS v
+         |  FROM range(0, 25) a(x), range(0, 10) b(y), range(0, 11) c(t)),
+         |w AS (SELECT x, y, t, v,
+         |    sum(CASE WHEN v IS NOT NULL AND CAST(v AS DOUBLE) >= 60.0
+         |      THEN 1 ELSE 0 END) OVER fw AS run_hits,
+         |    count(*) OVER fw AS run_len
+         |  FROM g
+         |  WINDOW fw AS (PARTITION BY x, y ORDER BY t
+         |    ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING))
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+         |  CAST(min(CASE WHEN run_hits = 2 AND run_len = 2 THEN t END)
+         |    AS INT) AS onset_t,
+         |  count(v) AS n_valid
+         |FROM w GROUP BY x, y""".stripMargin
+
     Map(
+      "grid_focal_mean" -> focalMean,
+      "grid_season_onset" -> seasonOnset,
       "grid_trend_slope" -> trendSlope,
       "grid_climatology" -> climatology,
       "grid_box_stats" -> boxStats,

@@ -244,6 +244,26 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // DSIR importance weights (ops/Dsir, Xie et al. 2023): per-doc
+    // hashed-unigram log-likelihood ratio against the English
+    // subcorpus as the target, snapped to integer micro-nats so the
+    // weight is an order-independent exact BIGINT sum — DuckDB
+    // replays buckets, smoothing, and the micro-nat grid bit-for-bit.
+    "dsir_weights" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.Dsir.importanceWeights(docs,
+        docs.filter(col("lang") === "en"), nBuckets = 256)
+    },
+
+    // DSIR selection: the top quarter by (weight desc, doc_id) — the
+    // threshold + boundary-tie-fill path, equivalent to (and replayed
+    // by the oracle as) an exact top-k under that total order.
+    "dsir_resample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.Dsir.resampleTop(docs,
+        docs.filter(col("lang") === "en"), fraction = 0.25, nBuckets = 256)
+    },
+
     // Line-level boilerplate curation (ops/LineFilter): CCNet-style
     // line rules — reflow the fixture prose into 8-word lines, plant
     // docs carrying nav/ALL-CAPS/digit-spam/fragment lines, and keep
@@ -877,6 +897,21 @@ object TextQueries {
         |    AS weight
         |FROM hb GROUP BY doc_id, h % 64
         |HAVING sum(CASE WHEN sd % 2 = 0 THEN 1 ELSE -1 END) <> 0""".stripMargin,
+
+    // DSIR weights replay: exact integer micro-nat chain end to end
+    "dsir_weights" ->
+      s"""WITH $dsirWeightsCte
+         |SELECT doc_id, n_tokens, weight_micro FROM dw""".stripMargin,
+
+    // DSIR top quarter: the threshold + tie-fill selection IS top-k
+    // under (weight desc, doc_id asc) — replayed as the explicit rank
+    "dsir_resample" ->
+      s"""WITH $dsirWeightsCte,
+         |r AS (SELECT doc_id, n_tokens, weight_micro,
+         |    row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rn
+         |  FROM dw)
+         |SELECT doc_id, n_tokens, weight_micro FROM r
+         |WHERE rn <= (SELECT count(*) // 4 FROM documents)""".stripMargin,
 
     // snapshot-diff replay: same derived previous snapshot, same md5
     // fingerprints, same full-outer classification
@@ -1893,6 +1928,44 @@ object TextQueries {
          |SELECT query_id, corpus_id, rank, round(adist, 6) AS adist
          |FROM r WHERE rank <= 5""".stripMargin
   )
+
+  /** DSIR weights CTE chain ending in relation `dw(doc_id, n_tokens,
+    * weight_micro)` — the full importanceWeights replay: md5 hex8
+    * buckets mod 256, +1 Laplace smoothing, per-bucket micro-nat
+    * log-ratio as BIGINT, per-doc integer sum + n_tokens * g. */
+  private def dsirWeightsCte: String =
+    """toks AS (SELECT doc_id, lang,
+      |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |      t -> len(t) > 0)) AS t
+      |  FROM documents),
+      |hb AS (SELECT doc_id, lang,
+      |    CAST(CAST(list_sum(list_transform(range(0, 8), k ->
+      |      CAST(strpos('0123456789abcdef',
+      |          substr(md5(t), 8 - CAST(k AS INT), 1)) - 1 AS BIGINT)
+      |        * (CAST(1 AS BIGINT) << CAST(4 * k AS INT))))
+      |      AS BIGINT) % 256 AS INT) AS bucket
+      |  FROM toks),
+      |cr AS (SELECT bucket, count(*) AS cr FROM hb GROUP BY bucket),
+      |ct AS (SELECT bucket, count(*) AS ct FROM hb WHERE lang = 'en'
+      |  GROUP BY bucket),
+      |lr AS (SELECT CAST(k.b AS INT) AS bucket,
+      |    CAST(round((ln(coalesce(ct.ct, 0) + 1.0)
+      |      - ln(coalesce(cr.cr, 0) + 1.0)) * 1000000) AS BIGINT) AS lrm
+      |  FROM range(0, 256) k(b)
+      |  LEFT JOIN cr ON k.b = cr.bucket
+      |  LEFT JOIN ct ON k.b = ct.bucket),
+      |gm AS (SELECT CAST(round((
+      |    ln((SELECT coalesce(sum(cr), 0) FROM cr) + 256.0)
+      |    - ln((SELECT coalesce(sum(ct), 0) FROM ct) + 256.0)) * 1000000)
+      |  AS BIGINT) AS g),
+      |per AS (SELECT hb.doc_id, count(*) AS n_tokens,
+      |    CAST(sum(lr.lrm) AS BIGINT) AS slr
+      |  FROM hb JOIN lr USING (bucket) GROUP BY hb.doc_id),
+      |dw AS (SELECT d.doc_id,
+      |    coalesce(per.n_tokens, 0) AS n_tokens,
+      |    coalesce(per.slr + per.n_tokens * (SELECT g FROM gm), 0)
+      |      AS weight_micro
+      |  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)""".stripMargin
 
   /** Shared PQ codebook CTE body: (m 0..7, j = seed vec_id < 16,
     * ctr = 8-double subvector). */

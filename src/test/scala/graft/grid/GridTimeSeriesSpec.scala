@@ -77,4 +77,43 @@ class GridTimeSeriesSpec extends AnyFunSuite {
       .orderBy("x").select("slope").as[Double].collect().toSeq
     assert(out == Seq(2.0, -5.0))
   }
+
+  private def onset(vals: Seq[Option[Double]], thr: Double, k: Int) = {
+    val r = GridTimeSeries.seasonOnset(series(vals), thr, k).collect()(0)
+    (if (r.isNullAt(2)) None else Some(r.getInt(2)), r.getLong(3))
+  }
+
+  test("season onset: first sustained threshold crossing wins") {
+    // spike at t=1 must NOT trigger with k=2; the run at t=3 does
+    assert(onset(Seq(Some(1.0), Some(9.0), Some(2.0), Some(8.0),
+      Some(9.0), Some(3.0)), thr = 5.0, k = 2) == ((Some(3), 6L)))
+  }
+
+  test("season onset: k=1 accepts the spike") {
+    assert(onset(Seq(Some(1.0), Some(9.0), Some(2.0)), 5.0, 1)
+      == ((Some(1), 3L)))
+  }
+
+  test("season onset: nulls break a run") {
+    assert(onset(Seq(Some(9.0), None, Some(9.0), Some(9.0)), 5.0, 2)
+      == ((Some(2), 3L)))
+  }
+
+  test("season onset: never sustained -> NULL onset") {
+    assert(onset(Seq(Some(9.0), Some(1.0), Some(9.0)), 5.0, 2)
+      == ((None, 3L)))
+    // a tail shorter than k cannot qualify
+    assert(onset(Seq(Some(1.0), Some(9.0)), 5.0, 2) == ((None, 2L)))
+  }
+
+  test("season onset: per-pixel independence") {
+    val df = Seq(
+      (0, 0, 0, Some(9.0)), (0, 0, 1, Some(9.0)),
+      (1, 0, 0, Some(1.0)), (1, 0, 1, Some(9.0)), (1, 0, 2, Some(9.0)))
+      .toDF("x", "y", "t", "value")
+    val out = GridTimeSeries.seasonOnset(df, 5.0, 2)
+      .orderBy("x").select("x", "onset_t").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(out == Seq((0, 0), (1, 1)))
+  }
 }
