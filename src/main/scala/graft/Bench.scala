@@ -86,7 +86,14 @@ object Bench {
     "corpus_patch",
     // vocabulary-free vectorizer: token explode + one (id, bucket)
     // partial agg — cost must track token volume, nothing else
-    "embed_feature_hash")
+    "embed_feature_hash",
+    // DSIR importance scoring: token explode + broadcast bucket join +
+    // per-doc partial agg — the weights pass must track token volume;
+    // the resample adds only bounded-table scalar reads + a tie window
+    "dsir_weights", "dsir_resample",
+    // BM25 search: the tf shuffle must stay hit-sized (terms filtered
+    // below the agg) and top-k must stay TakeOrderedAndProject
+    "bm25_search")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see
@@ -529,9 +536,31 @@ object Bench {
           1200, 2800, 900, 2500, 0, 4))
         .agg(count(lit(1)), sum(col("slope"))).collect()
     }
+    // A/B №5 — focal 3x3 stats (grid/GridFocal): chunk-level halo
+    // exchange vs the declarative offset-explode self-join, on a
+    // 1600x1600x2 int16 grid (16 chunks of 400x400; 5.1M windows).
+    // The naive side shuffles every pixel 9x (46M contribution rows);
+    // the halo side shuffles 16 packed chunks + perimeter strips —
+    // the recorded evidence for the halo design's shuffle claim.
+    val fh = SyntheticGrid.modisTileHeader("tile_focal", "int16", -3000.0)
+      .copy(width = 1600, height = 1600, fracNDates = 2,
+        timestampsMs = SyntheticGrid
+          .modisTileHeader("t", "int16", -3000.0).timestampsMs.take(2))
+    val focalRoot = s"$base/focal"
+    SyntheticGrid.writeDirect(spark, fh, focalRoot, SyntheticGrid.ndviScalar)
+    val Seq(focalHalo, focalNaive) = timedAB(spark,
+      "grid_focal_halo_1600x1600x2", "grid_focal_naive_1600x1600x2") {
+      GridFocal.focalStats(spark, fh, focalRoot, radius = 1, 0, 2)
+        .agg(count(col("mean_nbr")), sum(col("mean_nbr")),
+          sum(col("n_valid"))).collect()
+    } {
+      GridFocal.focalStatsNaive(spark, fh, focalRoot, radius = 1, 0, 2)
+        .agg(count(col("mean_nbr")), sum(col("mean_nbr")),
+          sum(col("n_valid"))).collect()
+    }
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }
     Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, patches256,
-      multiJoin, boxUnpruned, boxPruned, trend)
+      multiJoin, boxUnpruned, boxPruned, trend, focalHalo, focalNaive)
   }
 }

@@ -264,6 +264,17 @@ object TextQueries {
         docs.filter(col("lang") === "en"), fraction = 0.25, nBuckets = 256)
     },
 
+    // BM25 full-text search (ops/TextSearch): ad-hoc relevance top-k
+    // over the corpus — mixed-df query (rare 'dup' gets positive idf,
+    // common 'key'/'vector' go negative: the classic-BM25 regime the
+    // oracle must replay sign-exactly). idf micro-nat-snapped, fixed
+    // per-term addition order, TakeOrderedAndProject top-k.
+    "bm25_search" -> { (s, d) =>
+      graft.ops.TextSearch.bm25TopK(Tables.documents(s, d),
+        Seq("dup", "key", "vector"), k = 25)
+        .withColumn("score", round(col("score"), 6))
+    },
+
     // Line-level boilerplate curation (ops/LineFilter): CCNet-style
     // line rules — reflow the fixture prose into 8-word lines, plant
     // docs carrying nav/ALL-CAPS/digit-spam/fragment lines, and keep
@@ -897,6 +908,10 @@ object TextQueries {
         |    AS weight
         |FROM hb GROUP BY doc_id, h % 64
         |HAVING sum(CASE WHEN sd % 2 = 0 THEN 1 ELSE -1 END) <> 0""".stripMargin,
+
+    // BM25 replay: same tokenizer, same micro-nat idf snap, same
+    // fixed left-associated contribution sum, same (k1, b) literals
+    "bm25_search" -> bm25OracleSql,
 
     // DSIR weights replay: exact integer micro-nat chain end to end
     "dsir_weights" ->
@@ -1928,6 +1943,64 @@ object TextQueries {
          |SELECT query_id, corpus_id, rank, round(adist, 6) AS adist
          |FROM r WHERE rank <= 5""".stripMargin
   )
+
+  /** BM25 oracle: replays TextSearch.bm25TopK for terms
+    * (dup, key, vector), k1=1.2, b=0.75, k=25 — df/N/avgdl computed in
+    * SQL from the same token stream, idf snapped to micro-nats, and the
+    * per-term contributions added in the SAME left-associated order
+    * with the SAME arithmetic shape (idf * (tf * (k1+1))) / (tf + k1 *
+    * ((1-b) + b * (dl / avgdl))). Constants embedded via exact
+    * round-trip literals. */
+  private def bm25OracleSql: String = {
+    import OracleBuilders.d
+    val (k1, b) = (1.2, 0.75)
+    val terms = Seq("dup", "key", "vector")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN t = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
+    }.mkString(",\n        |    ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(", ")
+    val idfCols = terms.indices.map(i =>
+      s"CAST(round(ln(((SELECT n FROM n) - df_$i + 0.5) / (df_$i + 0.5)) " +
+        s"* 1000000) AS BIGINT) / 1000000.0 AS idf_$i").mkString(",\n        |    ")
+    val contribs = terms.indices.map { i =>
+      s"""CASE WHEN coalesce(tf_$i, 0) > 0
+         |      THEN (c.idf_$i * (coalesce(tf_$i, 0) * ${d(k1 + 1.0)}))
+         |        / (coalesce(tf_$i, 0) + ${d(k1)} * (${d(1.0 - b)}
+         |          + ${d(b)} * (s.dl / c.avgdl)))
+         |      ELSE 0.0 END""".stripMargin
+    }.mkString("\n        |    + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> len(t) > 0)) AS t
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT doc_id,
+       |    $tfCols
+       |  FROM toks WHERE t IN (${terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id),
+       |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |dfs AS (SELECT $dfCols FROM tf),
+       |c AS (SELECT
+       |    CAST((SELECT count(*) FROM toks) AS DOUBLE)
+       |      / (SELECT n FROM n) AS avgdl,
+       |    $idfCols
+       |  FROM dfs),
+       |s AS (SELECT d.doc_id, coalesce(dls.dl, 0) AS dl,
+       |    ${terms.indices.map(i => s"tf.tf_$i").mkString(", ")}
+       |  FROM documents d
+       |  LEFT JOIN dls ON d.doc_id = dls.doc_id
+       |  LEFT JOIN tf ON d.doc_id = tf.doc_id),
+       |scored AS (SELECT s.doc_id, s.dl,
+       |    $contribs AS score
+       |  FROM s, c),
+       |r AS (SELECT doc_id, dl, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+       |  FROM scored)
+       |SELECT doc_id, dl, round(score, 6) AS score FROM r
+       |WHERE rn <= 25""".stripMargin
+  }
 
   /** DSIR weights CTE chain ending in relation `dw(doc_id, n_tokens,
     * weight_micro)` — the full importanceWeights replay: md5 hex8

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** BM25: exact agreement with a pure-JVM replay of the score chain,
+  * ranking sanity (rarer matches outrank common ones; tf saturates;
+  * longer docs penalized), tie-break and k semantics.
+  */
+class TextSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // df(rare)=1 -> positive idf; df(common)=4 of 6 -> NEGATIVE idf
+  // (the classic-BM25 regime); df = n/2 would give idf exactly 0
+  private val docs = Seq(
+    (1L, "common common filler filler filler filler"),
+    (2L, "common filler filler"),
+    (3L, "rare rare common filler"),
+    (4L, "filler filler filler filler"),
+    (5L, "common"),
+    (6L, ""))
+
+  private val terms = Seq("rare", "common")
+  private val (k1, b) = (1.2, 0.75)
+
+  /** Pure-JVM replay of bm25TopK's exact arithmetic. */
+  private def localScores: Map[Long, Double] = {
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val n = docs.size.toLong
+    val dls = docs.map { case (id, t) => id -> toks(t).length.toLong }.toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val tf = docs.map { case (id, t) =>
+      id -> terms.map(q => toks(t).count(_ == q).toLong)
+    }.toMap
+    val idf = terms.indices.map { i =>
+      val df = docs.count { case (id, _) => tf(id)(i) > 0 }.toLong
+      math.round(math.log((n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6
+    }
+    docs.map { case (id, _) =>
+      id -> terms.indices.map { i =>
+        val t = tf(id)(i)
+        if (t > 0)
+          idf(i) * (t * (k1 + 1.0)) /
+            (t + k1 * ((1.0 - b) + b * (dls(id) / avgdl)))
+        else 0.0
+      }.reduceLeft(_ + _)
+    }.toMap
+  }
+
+  test("scores equal the pure-JVM replay exactly; ranking is sane") {
+    val got = TextSearch.bm25TopK(docs.toDF("doc_id", "text"), terms, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val local = localScores
+    got.foreach { case (id, _, s) => assert(s == local(id), s"doc $id") }
+    // ranking: returned in (score desc, id asc) order
+    val ranked = got.map(_._1).toSeq
+    assert(ranked == local.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1))
+    // the only rare-matching doc tops the ranking despite its length
+    assert(ranked.head == 3L && local(3L) > local(1L))
+    // common-only docs score NEGATIVE (df > n/2); no-match docs exactly 0
+    assert(local(1L) < 0.0 && local(5L) < 0.0)
+    assert(local(4L) == 0.0 && local(6L) == 0.0)
+  }
+
+  test("k truncates after the (score desc, id asc) order") {
+    val top2 = TextSearch.bm25TopK(docs.toDF("doc_id", "text"), terms, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val local = localScores
+    assert(top2 == local.toSeq.sortBy { case (id, s) => (-s, id) }
+      .map(_._1).take(2))
+  }
+
+  test("tf saturation: doubling tf raises the score sublinearly") {
+    val one = 1.0 * (k1 + 1.0) / (1.0 + k1)
+    val two = 2.0 * (k1 + 1.0) / (2.0 + k1)
+    assert(two < 2 * one && two > one)
+    assert(localScores(3L) > 0.0)
+  }
+}
