@@ -298,6 +298,9 @@ object Bench {
       if (only.forall(_.contains("funnel"))) funnelAB(spark, sfDir, force)
       else Nil
     } ++ {
+      if (only.forall(_.contains("bm25"))) bm25AB(spark, sfDir, force)
+      else Nil
+    } ++ {
       if (only.forall(_.contains("grid"))) {
         // Cache hygiene before the grid microbenches: drop any cached
         // blocks left over from warmup + timed runs so the tile benches
@@ -432,6 +435,34 @@ object Bench {
       force(SparkEntry.queries("funnel_steps")(spark, sfDir))
     } {
       force(naive)
+    }
+  }
+
+  /** The inverted index's point is query-time cost ∝ the query terms'
+    * postings, not the corpus — record the build once (the amortized
+    * side) and an interleaved A/B of index-served vs full-scan BM25
+    * for the same query. */
+  def bm25AB(spark: SparkSession, sfDir: String,
+             force: org.apache.spark.sql.DataFrame => Unit): Seq[Timing] = {
+    import graft.ops.TextSearch
+    val dir = benchTmpDir("graft_bench_bm25")
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      val terms = Seq("dup", "key", "vector")
+      val build = timed2(spark, "bm25_index_build") {
+        TextSearch.buildInvertedIndex(docs, dir)
+      }
+      val pair = timedAB(spark, "bm25_probe_indexed", "bm25_oneshot") {
+        force(TextSearch.queryInvertedIndex(spark, dir, terms, k = 15))
+        graft.ops.CacheRegistry.releaseAll()
+      } {
+        force(TextSearch.bm25TopK(docs, terms, k = 15))
+        graft.ops.CacheRegistry.releaseAll()
+      }
+      build +: pair
+    } finally {
+      try { graft.sources.GridExports.deleteStore(spark, dir) }
+      catch { case _: Throwable => }
     }
   }
 

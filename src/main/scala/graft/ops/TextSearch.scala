@@ -73,15 +73,118 @@ object TextSearch {
       .join(tf, Seq(idCol), "left")
     // fixed left-associated per-term sum — NOT an aggregate, so the
     // addition order is part of the plan and the oracle mirrors it
-    val score = terms.indices.map { i =>
+    scored.select(id, col("dl"),
+        scoreColumn(terms.size, idf, avgdl, k1, b).as("score"))
+      .orderBy(col("score").desc, id.asc)
+      .limit(k)
+  }
+
+  /** Shared scoring projection: fixed left-associated per-term BM25 sum
+    * over a frame with `dl` and one `tf_i` column per term. */
+  private def scoreColumn(nTerms: Int, idf: Seq[Double], avgdl: Double,
+                          k1: Double, b: Double): Column =
+    (0 until nTerms).map { i =>
       val tfc = coalesce(col(s"tf_$i"), lit(0L))
       when(tfc > 0,
         lit(idf(i)) * (tfc * lit(k1 + 1.0)) /
           (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))))
         .otherwise(lit(0.0))
     }.reduceLeft[Column](_ + _)
-    scored.select(id, col("dl"), score.as("score"))
-      .orderBy(col("score").desc, id.asc)
+
+  /** Driver-side twin of the md5 term bucket (same value the Column
+    * form computes), so a query can name its partitions up front. */
+  def termBucket(term: String, nBuckets: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % nBuckets).toInt
+  }
+
+  /** Build a persisted inverted index under `dir` — the Lucene-shaped
+    * build/query split (the text twin of Similarity.buildIvfIndex):
+    * the corpus-sized tokenize + postings shuffle is paid ONCE at build
+    * time; every later query touches only its own terms' postings.
+    *
+    * Layout:
+    *  - `postings/`: (term, doc_id, tf, dl) parquet PARTITIONED by
+    *    `term_bucket` = md5(term) mod `nBuckets` — a query prunes to
+    *    ≤ |Q| partitions (partition pruning), then the exact term
+    *    equality pushes to the scan. Bucketing (not partitionBy(term))
+    *    keeps the directory count fixed at vocabulary scale. dl rides
+    *    each posting (the denormalized Lucene-norms trade: one long per
+    *    posting buys scoring without any doc-table join at query time);
+    *  - `dfs/`: (term, df) under the same bucketing;
+    *  - `stats/`: one row (n_docs, sum_dl).
+    */
+  def buildInvertedIndex(docs: DataFrame, dir: String,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0)
+    val spark = docs.sparkSession
+    val id = col(idCol)
+    val withDl = docs.select(id,
+      graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("long").as("dl"),
+      graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
+    val postings = withDl
+      .select(id, col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), id)
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("term_bucket",
+        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets)).cast("int"))
+    postings.write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("term_bucket"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/dfs")
+    docs.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(graft.functions.TextFunctions.tokenCount(col(textCol))
+          .cast("long")), lit(0L)).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k against a prebuilt index — NO corpus scan: reads one
+    * stats row, the query terms' df rows, and the query terms'
+    * postings (both scans prune to the terms' `term_bucket`
+    * partitions). The candidate pivot + score + TakeOrdered all run
+    * over postings-of-query-terms — cost tracks hit count, not corpus
+    * size. Returns (doc_id, dl, score); docs matching NO term are not
+    * produced (they score 0 and an index query has no way — and no
+    * reason — to enumerate them). */
+  def queryInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, queryTerms: Seq[String], k: Int,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         nBuckets: Int = 64,
+                         idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    val stats = spark.read.parquet(s"$dir/stats").head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val dfMap = spark.read.parquet(s"$dir/dfs")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+      .select(col("term"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L)
+      math.round(math.log((n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6
+    }
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$i")
+    }
+    val pivoted = posts.groupBy(col(idCol))
+      .agg(max(col("dl")).as("dl"), aggs: _*)
+    pivoted
+      .select(col(idCol), col("dl"),
+        scoreColumn(terms.size, idf, avgdl, k1, b).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
 }

@@ -41,6 +41,9 @@ object TextQueries {
 
   /** documents ∪ perturbed copies of docs with doc_id % 10 == 0: same
     * text with the first word replaced — a high-Jaccard near-dup. */
+  // one inverted index per sf dir per JVM (Verify/Bench call repeatedly)
+  private val bm25IdxCache = scala.collection.concurrent.TrieMap[String, String]()
+
   private def corpusWithPlants(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val plants = docs.filter(col("doc_id") % 10 === 0)
@@ -272,6 +275,23 @@ object TextQueries {
     "bm25_search" -> { (s, d) =>
       graft.ops.TextSearch.bm25TopK(Tables.documents(s, d),
         Seq("dup", "key", "vector"), k = 25)
+        .withColumn("score", round(col("score"), 6))
+    },
+
+    // BM25 against the PERSISTED inverted index (TextSearch
+    // .buildInvertedIndex / queryInvertedIndex — the Lucene-shaped
+    // build/query split): query cost tracks the query terms' postings,
+    // never the corpus. Built once per JVM; k=15 keeps every returned
+    // rank in the positive-score region where index == full scan.
+    "bm25_index_search" -> { (s, d) =>
+      val dir = bm25IdxCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files.createTempDirectory("graft_bm25_idx")
+          .toString
+        graft.ops.TextSearch.buildInvertedIndex(Tables.documents(s, d), r)
+        r
+      })
+      graft.ops.TextSearch.queryInvertedIndex(s, dir,
+        Seq("dup", "key", "vector"), k = 15)
         .withColumn("score", round(col("score"), 6))
     },
 
@@ -911,7 +931,13 @@ object TextQueries {
 
     // BM25 replay: same tokenizer, same micro-nat idf snap, same
     // fixed left-associated contribution sum, same (k1, b) literals
-    "bm25_search" -> bm25OracleSql,
+    "bm25_search" -> bm25OracleSql(25),
+
+    // index-served BM25: same oracle at k=15 — every rank ≤ 15 scores
+    // > 0 (matches ≥ 1 term), where index-served and full-scan BM25
+    // provably coincide; beyond the positive region the index cannot
+    // (and need not) enumerate zero-score non-matching docs
+    "bm25_index_search" -> bm25OracleSql(15),
 
     // DSIR weights replay: exact integer micro-nat chain end to end
     "dsir_weights" ->
@@ -1951,7 +1977,7 @@ object TextQueries {
     * with the SAME arithmetic shape (idf * (tf * (k1+1))) / (tf + k1 *
     * ((1-b) + b * (dl / avgdl))). Constants embedded via exact
     * round-trip literals. */
-  private def bm25OracleSql: String = {
+  private def bm25OracleSql(k: Int): String = {
     import OracleBuilders.d
     val (k1, b) = (1.2, 0.75)
     val terms = Seq("dup", "key", "vector")
@@ -1999,7 +2025,7 @@ object TextQueries {
        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn
        |  FROM scored)
        |SELECT doc_id, dl, round(score, 6) AS score FROM r
-       |WHERE rn <= 25""".stripMargin
+       |WHERE rn <= $k""".stripMargin
   }
 
   /** DSIR weights CTE chain ending in relation `dw(doc_id, n_tokens,

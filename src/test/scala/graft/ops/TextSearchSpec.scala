@@ -77,4 +77,43 @@ class TextSearchSpec extends AnyFunSuite {
     assert(two < 2 * one && two > one)
     assert(localScores(3L) > 0.0)
   }
+
+  test("inverted index query == full-scan bm25 on matching docs") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    TextSearch.buildInvertedIndex(docs.toDF("doc_id", "text"), dir,
+      nBuckets = 8)
+    val idx = TextSearch.queryInvertedIndex(spark, dir, terms, k = 6,
+        nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = TextSearch.bm25TopK(docs.toDF("doc_id", "text"), terms, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (id, _, _) => // index can only see matching docs
+        val l = localScores
+        Seq(1L, 2L, 3L, 5L).contains(id)
+      }.toSeq
+    assert(idx == full)
+  }
+
+  test("index postings scan prunes to the query terms' buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx2").toString
+    TextSearch.buildInvertedIndex(docs.toDF("doc_id", "text"), dir,
+      nBuckets = 8)
+    val plan = TextSearch.queryInvertedIndex(spark, dir, Seq("rare"), k = 3,
+        nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    // the bucket predicate must be a PARTITION filter on the postings
+    // scan (directory pruning), not a post-scan row filter
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("term_bucket"))
+    assert(scanLine.isDefined, s"no term_bucket PartitionFilters in:\n$plan")
+  }
+
+  test("unknown term: df=0 idf applies, no candidates from that term") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx3").toString
+    TextSearch.buildInvertedIndex(docs.toDF("doc_id", "text"), dir,
+      nBuckets = 8)
+    val out = TextSearch.queryInvertedIndex(spark, dir,
+      Seq("rare", "zzz_absent"), k = 10, nBuckets = 8).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(3L)) // only doc 3 has 'rare'
+  }
 }
