@@ -84,40 +84,7 @@ object GridFocal {
     val chunks = fracRows.select("frac_num", "time_chunk", "frac_x", "frac_y",
       "x0", "y0", "t0", "w", "h", "nd", "data").as[FracRowBytes]
 
-    // 1. Emit boundary strips to the 8 neighbors — pure byte slicing of
-    // the packed C-order [y][x][t] payload (a row segment of nd
-    // elements per (y, x) is contiguous).
-    val strips = chunks.flatMap { c =>
-      def slice(xa: Int, xb: Int, ya: Int, yb: Int): Array[Byte] = {
-        val rowLen = (xb - xa) * c.nd * bpe
-        val out = new Array[Byte](rowLen * (yb - ya))
-        var yy = ya
-        while (yy < yb) {
-          System.arraycopy(c.data, ((yy * c.w + xa) * c.nd) * bpe,
-            out, (yy - ya) * rowLen, rowLen)
-          yy += 1
-        }
-        out
-      }
-      for {
-        dy <- -1 to 1
-        dx <- -1 to 1
-        if !(dx == 0 && dy == 0)
-        nfx = c.frac_x + dx
-        nfy = c.frac_y + dy
-        if nfx >= 0 && nfx < g.numFracsX && nfy >= 0 && nfy < g.numFracsY
-      } yield {
-        // the part of THIS chunk within `r` of the border shared with
-        // the (dx, dy) neighbor (in this chunk's local coordinates)
-        val xa = if (dx > 0) math.max(0, c.w - r) else 0
-        val xb = if (dx < 0) math.min(r, c.w) else c.w
-        val ya = if (dy > 0) math.max(0, c.h - r) else 0
-        val yb = if (dy < 0) math.min(r, c.h) else c.h
-        HaloStrip(nfx, nfy, c.time_chunk,
-          c.x0 + xa, c.y0 + ya, c.t0, xb - xa, yb - ya, c.nd,
-          slice(xa, xb, ya, yb))
-      }
-    }
+    val strips = haloStrips(chunks, g, r, bpe)
 
     // 2. Chunks meet their halos; one decode per payload; stencil over
     // a NaN-padded plane per date.
@@ -140,32 +107,7 @@ object GridFocal {
             while (ti < c.nd) {
               val t = c.t0 + ti
               if (t >= tLo && t < tHi) {
-                // padded plane for date t, NaN = absent/invalid
-                val plane = Array.fill(pw * ph)(Double.NaN)
-                var i = 0
-                val n = c.w * c.h
-                while (i < n) {
-                  val v = core(i * c.nd + ti)
-                  if (!(v == nodata))
-                    plane(((i / c.w) + r) * pw + (i % c.w) + r) = v
-                  i += 1
-                }
-                halos.foreach { case (s, sv) =>
-                  val sti = t - s.t0
-                  if (sti >= 0 && sti < s.nd) {
-                    var j = 0
-                    val m = s.sw * s.sh
-                    while (j < m) {
-                      val v = sv(j * s.nd + sti)
-                      if (!(v == nodata)) {
-                        val px = s.sx0 + (j % s.sw) - c.x0 + r
-                        val py = s.sy0 + (j / s.sw) - c.y0 + r
-                        plane(py * pw + px) = v
-                      }
-                      j += 1
-                    }
-                  }
-                }
+                val plane = paddedPlane(c, ti, core, halos, r, pw, ph, nodata)
                 var yy = 0
                 while (yy < c.h) {
                   var xx = 0
@@ -202,6 +144,177 @@ object GridFocal {
             out.iterator
           }
       }.toDF()
+  }
+
+  /** Emit each chunk's boundary strips to its 8 neighbors — pure byte
+    * slicing of the packed C-order [y][x][t] payload (a row segment of
+    * nd elements per (y, x) is contiguous; no decode on the emit side). */
+  private def haloStrips(chunks: org.apache.spark.sql.Dataset[FracRowBytes],
+                         g: ChunkGrid, r: Int,
+                         bpe: Int): org.apache.spark.sql.Dataset[HaloStrip] = {
+    import chunks.sparkSession.implicits._
+    chunks.flatMap { c =>
+      def slice(xa: Int, xb: Int, ya: Int, yb: Int): Array[Byte] = {
+        val rowLen = (xb - xa) * c.nd * bpe
+        val out = new Array[Byte](rowLen * (yb - ya))
+        var yy = ya
+        while (yy < yb) {
+          System.arraycopy(c.data, ((yy * c.w + xa) * c.nd) * bpe,
+            out, (yy - ya) * rowLen, rowLen)
+          yy += 1
+        }
+        out
+      }
+      for {
+        dy <- -1 to 1
+        dx <- -1 to 1
+        if !(dx == 0 && dy == 0)
+        nfx = c.frac_x + dx
+        nfy = c.frac_y + dy
+        if nfx >= 0 && nfx < g.numFracsX && nfy >= 0 && nfy < g.numFracsY
+      } yield {
+        // the part of THIS chunk within `r` of the border shared with
+        // the (dx, dy) neighbor (in this chunk's local coordinates)
+        val xa = if (dx > 0) math.max(0, c.w - r) else 0
+        val xb = if (dx < 0) math.min(r, c.w) else c.w
+        val ya = if (dy > 0) math.max(0, c.h - r) else 0
+        val yb = if (dy < 0) math.min(r, c.h) else c.h
+        HaloStrip(nfx, nfy, c.time_chunk,
+          c.x0 + xa, c.y0 + ya, c.t0, xb - xa, yb - ya, c.nd,
+          slice(xa, xb, ya, yb))
+      }
+    }
+  }
+
+  /** Assemble the NaN-padded (w+2r)×(h+2r) plane for date index `ti`:
+    * core values in the middle, halo strips in the ring, NaN = absent /
+    * out-of-grid / nodata-masked. */
+  private def paddedPlane(c: FracRowBytes, ti: Int, core: Array[Double],
+                          halos: Array[(HaloStrip, Array[Double])],
+                          r: Int, pw: Int, ph: Int,
+                          nodata: Double): Array[Double] = {
+    val t = c.t0 + ti
+    val plane = Array.fill(pw * ph)(Double.NaN)
+    var i = 0
+    val n = c.w * c.h
+    while (i < n) {
+      val v = core(i * c.nd + ti)
+      if (!(v == nodata))
+        plane(((i / c.w) + r) * pw + (i % c.w) + r) = v
+      i += 1
+    }
+    halos.foreach { case (s, sv) =>
+      val sti = t - s.t0
+      if (sti >= 0 && sti < s.nd) {
+        var j = 0
+        val m = s.sw * s.sh
+        while (j < m) {
+          val v = sv(j * s.nd + sti)
+          if (!(v == nodata)) {
+            val px = s.sx0 + (j % s.sw) - c.x0 + r
+            val py = s.sy0 + (j / s.sw) - c.y0 + r
+            plane(py * pw + px) = v
+          }
+          j += 1
+        }
+      }
+    }
+    plane
+  }
+
+  /** Weighted focal convolution over the same halo-exchange machinery —
+    * raster kernels (binomial/Gaussian smoothing, Sobel gradients) as a
+    * distributed pass. `kernel` is (2r+1) rows × (2r+1) columns, row-
+    * major over (dy, dx); radius is derived from it.
+    *
+    *  - `renormalize = true` (smoothing kernels): output =
+    *    Σ(w·v over VALID in-bounds cells) / Σ(w over those cells); NULL
+    *    when the valid weight sum is 0 — edge and nodata-adjacent
+    *    pixels renormalize instead of darkening (the standard
+    *    nodata-aware smoothing rule);
+    *  - `renormalize = false` (derivative kernels): output = Σ w·v only
+    *    when ALL (2r+1)² cells are valid and in-bounds, else NULL — a
+    *    gradient over a partial window is not a gradient.
+    *
+    * The accumulation runs in fixed (dy, dx) order; with integer-valued
+    * grids and integer kernel weights every product is an exact
+    * integer-valued double, so results are engine-exact in any order —
+    * the form the DuckDB oracle replays.
+    */
+  def focalConvolve(spark: SparkSession, header: GridHeader, root: String,
+                    kernel: Seq[Seq[Double]], tFrom: Int, tTo: Int,
+                    renormalize: Boolean = true,
+                    maskNodata: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val kh = kernel.length
+    require(kh >= 3 && kh % 2 == 1 && kernel.forall(_.length == kh),
+      s"kernel must be odd square >= 3x3, got ${kernel.map(_.length)}")
+    val r = kh / 2
+    require(r <= math.min(header.fracWidth, header.fracHeight),
+      "radius exceeds chunk size")
+    val kFlat = kernel.flatten.toArray
+    val g = header.chunkGrid
+    val code = PayloadCodec.code(header.dtype)
+    val nodata = if (maskNodata) header.nodata else Double.NaN
+    val fracRows = FractionStore.fractionsForWindow(spark, header, root,
+      0, header.width, 0, header.height, tFrom, tTo)
+    val chunks = fracRows.select("frac_num", "time_chunk", "frac_x", "frac_y",
+      "x0", "y0", "t0", "w", "h", "nd", "data").as[FracRowBytes]
+    val strips = haloStrips(chunks, g, r, PayloadCodec.bytesPerElem(code))
+    val tLo = tFrom; val tHi = tTo
+    chunks.groupByKey(c => (c.frac_x, c.frac_y, c.time_chunk))
+      .cogroup(strips.groupByKey(s => (s.frac_x, s.frac_y, s.time_chunk))) {
+        (_, cs, ss) =>
+          if (!cs.hasNext) Iterator.empty
+          else {
+            val c = cs.next()
+            val halos = ss.map(s =>
+              (s, PayloadCodec.decodeDouble(s.data, code))).toArray
+            val core = PayloadCodec.decodeDouble(c.data, code)
+            val pw = c.w + 2 * r
+            val ph = c.h + 2 * r
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Int, Int, Option[Double])]
+            var ti = 0
+            while (ti < c.nd) {
+              val t = c.t0 + ti
+              if (t >= tLo && t < tHi) {
+                val plane = paddedPlane(c, ti, core, halos, r, pw, ph, nodata)
+                var yy = 0
+                while (yy < c.h) {
+                  var xx = 0
+                  while (xx < c.w) {
+                    var num = 0.0; var den = 0.0
+                    var all = true
+                    var ki = 0
+                    var wy = yy
+                    while (wy <= yy + 2 * r) {
+                      var wx = xx
+                      while (wx <= xx + 2 * r) {
+                        val v = plane(wy * pw + wx)
+                        if (!v.isNaN) {
+                          num += kFlat(ki) * v; den += kFlat(ki)
+                        } else all = false
+                        ki += 1
+                        wx += 1
+                      }
+                      wy += 1
+                    }
+                    val res =
+                      if (renormalize) { if (den != 0.0) Some(num / den) else None }
+                      else if (all) Some(num)
+                      else None
+                    out += ((c.x0 + xx, c.y0 + yy, t, res))
+                    xx += 1
+                  }
+                  yy += 1
+                }
+              }
+              ti += 1
+            }
+            out.iterator
+          }
+      }.toDF("x", "y", "t", "conv")
   }
 
   /** The declarative baseline: pixel-view offset-explode self-

@@ -391,6 +391,18 @@ object GridQueries {
       GridFocal.focalStats(s, h, root, radius = 1, tFrom = 0, tTo = 3)
     },
 
+    // Weighted focal convolution (GridFocal.focalConvolve): binomial
+    // 3x3 Gaussian smoothing with nodata-aware renormalization, same
+    // halo-exchange machinery. Integer kernel weights x integer grid
+    // values -> exact sums, engine-replayable.
+    "grid_focal_gaussian" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      GridFocal.focalConvolve(s, h, root,
+        Seq(Seq(1.0, 2.0, 1.0), Seq(2.0, 4.0, 2.0), Seq(1.0, 2.0, 1.0)),
+        tFrom = 0, tTo = 2)
+    },
+
     // Season-onset phenology (GridTimeSeries.seasonOnset): first date
     // sustaining value >= 60 for 2 consecutive dates per pixel — the
     // greenup-date product (threshold-crossing rule, spike-guarded).
@@ -834,8 +846,28 @@ object GridQueries {
          |  count(v) AS n_valid
          |FROM w GROUP BY x, y""".stripMargin
 
+    // grid_focal_gaussian: binomial-weighted contributions (symmetric
+    // kernel, so the contribution weight at offset (dx, dy) IS the
+    // kernel cell); integer weights x integer values -> exact sums
+    val focalGaussian =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS v
+         |  FROM range(0, 190) a(x), range(0, 130) b(y), range(0, 2) c(t)),
+         |o(dx, dy, w) AS (VALUES (-1,-1,1.0),(0,-1,2.0),(1,-1,1.0),
+         |  (-1,0,2.0),(0,0,4.0),(1,0,2.0),(-1,1,1.0),(0,1,2.0),(1,1,1.0)),
+         |n AS (SELECT x + dx AS cx, y + dy AS cy, t, v, w
+         |  FROM g, o
+         |  WHERE x + dx BETWEEN 0 AND 189 AND y + dy BETWEEN 0 AND 129)
+         |SELECT CAST(cx AS INT) AS x, CAST(cy AS INT) AS y,
+         |  CAST(t AS INT) AS t,
+         |  CASE WHEN count(v) > 0
+         |    THEN sum(CASE WHEN v IS NOT NULL
+         |        THEN w * CAST(v AS DOUBLE) END)
+         |      / sum(CASE WHEN v IS NOT NULL THEN w END) END AS conv
+         |FROM n GROUP BY cx, cy, t""".stripMargin
+
     Map(
       "grid_focal_mean" -> focalMean,
+      "grid_focal_gaussian" -> focalGaussian,
       "grid_season_onset" -> seasonOnset,
       "grid_trend_slope" -> trendSlope,
       "grid_climatology" -> climatology,

@@ -72,6 +72,91 @@ class GridFocalSpec extends AnyFunSuite {
     assertSame(halo, GridFocal.focalStatsNaive(spark, h, root, 1, 0, 2))
   }
 
+  private val gauss = Seq(Seq(1.0, 2.0, 1.0), Seq(2.0, 4.0, 2.0),
+    Seq(1.0, 2.0, 1.0))
+  private val sobelX = Seq(Seq(-1.0, 0.0, 1.0), Seq(-2.0, 0.0, 2.0),
+    Seq(-1.0, 0.0, 1.0))
+
+  /** Declarative twin of focalConvolve for the differential tests:
+    * contribution of pixel (x, y) to center (x+dx, y+dy) carries the
+    * kernel weight of the pixel's position RELATIVE TO THE CENTER,
+    * i.e. kernel(r-dy)(r-dx) — order matters for antisymmetric
+    * kernels like Sobel. */
+  private def convolveNaive(h: GridHeader, root: String,
+                            kernel: Seq[Seq[Double]], tFrom: Int, tTo: Int,
+                            renormalize: Boolean) = {
+    val r = kernel.length / 2
+    val px = FractionStore.pixels(h,
+        FractionStore.fractionsForWindow(spark, h, root,
+          0, h.width, 0, h.height, tFrom, tTo), maskNodata = true)
+      .filter(col("t") >= tFrom && col("t") < tTo)
+    val offs = for {
+      dy <- -r to r; dx <- -r to r
+    } yield (dx, dy, kernel(r - dy)(r - dx))
+    val contrib = px.select(col("x"), col("y"), col("t"), col("value"),
+        explode(array(offs.map { case (dx, dy, w) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(w).as("w"))
+        }: _*)).as("o"))
+      .select((col("x") + col("o.dx")).as("cx"),
+        (col("y") + col("o.dy")).as("cy"), col("t"),
+        col("value"), col("o.w"))
+      .filter(col("cx").between(0, h.width - 1) &&
+        col("cy").between(0, h.height - 1))
+    val agg =
+      if (renormalize)
+        contrib.groupBy(col("cx").as("x"), col("cy").as("y"), col("t"))
+          .agg(when(sum(when(col("value").isNotNull, col("w"))) > 0,
+            sum(when(col("value").isNotNull,
+              col("w") * col("value").cast("double"))) /
+              sum(when(col("value").isNotNull, col("w")))).as("conv"))
+      else
+        contrib.groupBy(col("cx").as("x"), col("cy").as("y"), col("t"))
+          .agg(when(count(lit(1)) === (2 * r + 1) * (2 * r + 1) &&
+            count(col("value")) === (2 * r + 1) * (2 * r + 1),
+            sum(col("w") * col("value").cast("double"))).as("conv"))
+    agg.join(px.select("x", "y", "t").distinct(), Seq("x", "y", "t"),
+      "left_semi")
+  }
+
+  test("gaussian smoothing: halo convolve == declarative twin") {
+    assertSame(
+      GridFocal.focalConvolve(spark, tinyH, tinyRoot, gauss, 0, 2),
+      convolveNaive(tinyH, tinyRoot, gauss, 0, 2, renormalize = true))
+  }
+
+  test("sobel gx (strict windows): halo convolve == declarative twin") {
+    assertSame(
+      GridFocal.focalConvolve(spark, tinyH, tinyRoot, sobelX, 3, 5,
+        renormalize = false),
+      convolveNaive(tinyH, tinyRoot, sobelX, 3, 5, renormalize = false))
+  }
+
+  test("hand-computed gaussian and sobel on a 3x3 grid of value x") {
+    val h = GridHeader(name = "conv_hand", width = 3, height = 3,
+      fracWidth = 3, fracHeight = 3, fracNDates = 1, dtype = "float32",
+      srs = "wgs84", geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(0L), nodata = -1.0)
+    val px = SyntheticGrid.pixelDf(spark, h, (x, _, _) => x.cast("double"))
+    val root = java.nio.file.Files.createTempDirectory("graft_conv_h").toString
+    FractionStore.write(spark, h, FractionStore.fromPixels(spark, h, px), root)
+    val gsm = GridFocal.focalConvolve(spark, h, root, gauss, 0, 1)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // center (1,1): full window, value = weighted mean of x = 1.0
+    assert(gsm((1, 1)) == Some(1.0))
+    // left edge (0,1): valid cells x in {0,1}, weights {2+4+2=8 for x=0? }
+    // columns x=0 (w 2,4,2 -> 8... wait kernel col dx=0 is 2,4,2) and
+    // x=1 (dx=+1: 1,2,1 -> 4): mean = (0*8 + 1*4) / 12 = 1/3
+    assert(gsm((0, 1)) == Some(4.0 / 12.0))
+    val sx = GridFocal.focalConvolve(spark, h, root, sobelX, 0, 1,
+        renormalize = false)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // only (1,1) has a full window: gx = sum of sobel * x = 8
+    assert(sx((1, 1)) == Some(8.0))
+    assert(sx((0, 0)) == None && sx((2, 1)) == None)
+  }
+
   test("hand-computed corner window (dense 3x3 grid of value x+y)") {
     val h = GridHeader(name = "focal_hand", width = 3, height = 3,
       fracWidth = 3, fracHeight = 3, fracNDates = 1, dtype = "float32",
