@@ -103,6 +103,22 @@ object RelationalQueries {
         .intersect(part(s, d).select(col("p_partkey").as("partkey")))
     },
 
+    // Fuzzy (edit-distance) join via deletion-neighborhood blocking
+    // (ops/FuzzyJoin): supplier names vs deterministically-corrupted
+    // twins (one char deleted at s_suppkey % length), distance <= 1 —
+    // candidates from the variant equi-join, confirmed by exact
+    // levenshtein; the oracle is the brute-force theta join, so the
+    // blocking's no-loss property is what the hash compare checks.
+    "fuzzy_join_names" -> { (s, d) =>
+      val sup = supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      val cut = "CAST(s_suppkey % length(s_name) AS INT)"
+      val corrupted = supplier(s, d).select(col("s_suppkey").as("c_id"),
+        expr(s"concat(substring(s_name, 1, $cut), " +
+          s"substring(s_name, $cut + 2, 1000000))").as("c_name"))
+      graft.ops.FuzzyJoin.joinWithinEditDistance(
+        sup, "s_suppkey", "s_name", corrupted, "c_id", "c_name", maxDist = 1)
+    },
+
     // §2.8 — set union (worldgrid accumulation).
     "set_union_nationkeys" -> { (s, d) =>
       customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -678,6 +694,17 @@ object RelationalQueries {
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    // brute-force theta-join truth for the deletion-neighborhood join
+    "fuzzy_join_names" ->
+      """WITH a AS (SELECT s_suppkey AS a_id, s_name AS a_str FROM supplier),
+        |b AS (SELECT s_suppkey AS b_id,
+        |    concat(substr(s_name, 1, CAST(s_suppkey % length(s_name) AS INT)),
+        |      substr(s_name, CAST(s_suppkey % length(s_name) AS INT) + 2,
+        |        1000000)) AS b_str
+        |  FROM supplier)
+        |SELECT a_id, b_id, CAST(levenshtein(a_str, b_str) AS INT) AS dist
+        |FROM a, b WHERE levenshtein(a_str, b_str) <= 1""".stripMargin,
 
     "set_except_custkeys" ->
       """SELECT o_custkey AS custkey FROM orders

@@ -549,4 +549,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plans.exists(_.nodeName.toLowerCase.contains("expand")),
       "expected Catalyst Expand for the one-pass multi-distinct")
   }
+
+  test("DSIR scoring joins the bucket table by BROADCAST, never SMJ") {
+    import spark.implicits._
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, s"alpha tok${i % 17} beta tok${i % 5} w$i")).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") % 3 === 0)
+    val df = graft.ops.Dsir.importanceWeights(corpus, target, nBuckets = 64)
+    val plans = executed(df)
+    assert(plans.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "the nBuckets-row log-ratio table must broadcast into the token stream")
+    assert(!plans.exists(p => p.nodeName.contains("SortMergeJoin") &&
+      p.toString.contains("bucket")),
+      "a sort-merge join on bucket would sort the full token stream")
+  }
+
+  test("BM25 full scan: term filter sits below the tf aggregate") {
+    import spark.implicits._
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, s"alpha beta w$i gamma")).toDF("doc_id", "text")
+    val df = graft.ops.TextSearch.bm25TopK(corpus, Seq("alpha", "w7"), k = 5)
+    graft.ops.CacheRegistry.releaseAll()
+    val plans = executed(df)
+    // top-k must be TakeOrdered, not a global sort
+    assert(plans.exists(_.nodeName.contains("TakeOrderedAndProject")))
+    // the tf shuffle must consume a term-FILTERED stream (hit-sized,
+    // not corpus-sized): some exchange's subtree contains the IN filter
+    val exchanges = plans.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.exists(e => walk(e).exists(p =>
+      p.nodeName == "Filter" && p.toString.contains(" IN "))),
+      "the query-term IN filter must sit below the tf aggregate's shuffle")
+    graft.ops.CacheRegistry.releaseAll()
+  }
 }
