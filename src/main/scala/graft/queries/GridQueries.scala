@@ -391,6 +391,35 @@ object GridQueries {
       GridFocal.focalStats(s, h, root, radius = 1, tFrom = 0, tTo = 3)
     },
 
+    // Overview pyramid, mean reducer (GridPyramid): level-1 halving of
+    // the tiny grid — nodata-aware 2x2 block means written as a full
+    // fraction store and READ BACK (write+read both exercised).
+    "grid_pyramid_mean" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      val out = fixtureCache.getOrElseUpdate("pyr_mean", {
+        val o = java.nio.file.Files.createTempDirectory("graft_pyr_m").toString
+        GridPyramid.downsampleOnce(s, h, root, o, "mean")
+        o
+      })
+      FractionStore.pixels(GridHeader.load(s, out),
+        FractionStore.fractions(s, out))
+    },
+
+    // Overview pyramid, mode reducer (categorical rasters): most
+    // frequent valid value per block, ties to the lowest.
+    "grid_pyramid_mode" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      val out = fixtureCache.getOrElseUpdate("pyr_mode", {
+        val o = java.nio.file.Files.createTempDirectory("graft_pyr_c").toString
+        GridPyramid.downsampleOnce(s, h, root, o, "mode")
+        o
+      })
+      FractionStore.pixels(GridHeader.load(s, out),
+        FractionStore.fractions(s, out))
+    },
+
     // Weighted focal convolution (GridFocal.focalConvolve): binomial
     // 3x3 Gaussian smoothing with nodata-aware renormalization, same
     // halo-exchange machinery. Integer kernel weights x integer grid
@@ -865,7 +894,37 @@ object GridQueries {
          |      / sum(CASE WHEN v IS NOT NULL THEN w END) END AS conv
          |FROM n GROUP BY cx, cy, t""".stripMargin
 
+    // grid_pyramid_mean: nodata-aware 2x2 block means of the closed
+    // form (integer-valued floats -> exact sums, one divide); blocks
+    // with no valid pixel are nodata in the store -> NULL rows here
+    val pyramidMean =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS v
+         |  FROM range(0, 190) a(x), range(0, 130) b(y), range(0, 11) c(t))
+         |SELECT CAST(x // 2 AS INT) AS x, CAST(y // 2 AS INT) AS y,
+         |  CAST(t AS INT) AS t,
+         |  CASE WHEN count(v) > 0
+         |    THEN sum(CAST(v AS DOUBLE)) / count(v) END AS value
+         |FROM g GROUP BY x // 2, y // 2, t""".stripMargin
+
+    // grid_pyramid_mode: per-block most frequent valid value, ties to
+    // the lowest (the deterministic categorical reducer)
+    val pyramidMode =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS v
+         |  FROM range(0, 190) a(x), range(0, 130) b(y), range(0, 11) c(t)),
+         |c AS (SELECT CAST(x // 2 AS INT) AS x, CAST(y // 2 AS INT) AS y,
+         |    CAST(t AS INT) AS t, v, count(*) AS cnt
+         |  FROM g WHERE v IS NOT NULL GROUP BY x // 2, y // 2, t, v),
+         |r AS (SELECT x, y, t, v, row_number() OVER
+         |    (PARTITION BY x, y, t ORDER BY cnt DESC, v ASC) AS rn FROM c),
+         |blocks AS (SELECT DISTINCT CAST(x // 2 AS INT) AS x,
+         |    CAST(y // 2 AS INT) AS y, CAST(t AS INT) AS t FROM g)
+         |SELECT b.x, b.y, b.t, CAST(r.v AS FLOAT) AS value
+         |FROM blocks b LEFT JOIN r ON r.x = b.x AND r.y = b.y
+         |  AND r.t = b.t AND r.rn = 1""".stripMargin
+
     Map(
+      "grid_pyramid_mean" -> pyramidMean,
+      "grid_pyramid_mode" -> pyramidMode,
       "grid_focal_mean" -> focalMean,
       "grid_focal_gaussian" -> focalGaussian,
       "grid_season_onset" -> seasonOnset,
