@@ -210,6 +210,19 @@ object GridQueries {
         .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
     },
 
+    // Zonal stats per NAMED REGION (GridZonal): the polygon-table
+    // complement of per-class zonal stats — one pass over the union
+    // bbox, per-region codegen ray-cast membership, overlapping
+    // regions count pixels in both.
+    "grid_zonal_regions" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      val regions = Seq("test.triangle", "test.box").map(n =>
+        n -> graft.sources.Regions.polygonForRegion(s,
+          "/root/repo/assets/regions.geojson", n))
+      GridZonal.zonalByRegion(s, h, root, regions, 0, 3)
+    },
+
     // J3 — nearest-neighbor reprojection: the sinusoidal minimodis NDVI
     // warped onto a WGS84 lattice covering its footprint, then stats.
     "grid_reproject_nearest" -> { (s, _) =>
@@ -922,7 +935,29 @@ object GridQueries {
          |FROM blocks b LEFT JOIN r ON r.x = b.x AND r.y = b.y
          |  AND r.t = b.t AND r.rn = 1""".stripMargin
 
+    // grid_zonal_regions: per-region replay — each region's own bbox +
+    // ray-cast parity, stats unioned (same geometry code path builds
+    // the literals, so both engines rasterize identical polygons)
+    val zonalRegions = {
+      def one(name: String, ring: Array[(Double, Double)]): String = {
+        val (xy, x0, x1, y0, y1) = polyWindow(SyntheticGrid.tinyHeader, ring)
+        s"""SELECT '$name' AS region, CAST(t AS INT) AS t,
+           |  count(v) AS n_valid,
+           |  CASE WHEN count(v) > 0
+           |    THEN sum(CAST(v AS DOUBLE)) / count(v) END AS mean_value,
+           |  CAST(min(v) AS DOUBLE) AS min_value,
+           |  CAST(max(v) AS DOUBLE) AS max_value
+           |FROM (SELECT t, ${tinyValueSql(mask = true)} AS v
+           |  FROM range($x0, $x1) a(x), range($y0, $y1) b(y), range(0, 3) c(t)
+           |  WHERE ${pipParitySql(xy, "(x + 0.5)", "(y + 0.5)")})
+           |GROUP BY t""".stripMargin
+      }
+      one("test.triangle", testTriangleLatLng) + "\nUNION ALL\n" +
+        one("test.box", testBoxLatLng)
+    }
+
     Map(
+      "grid_zonal_regions" -> zonalRegions,
       "grid_pyramid_mean" -> pyramidMean,
       "grid_pyramid_mode" -> pyramidMode,
       "grid_focal_mean" -> focalMean,

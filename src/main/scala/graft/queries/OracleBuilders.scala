@@ -88,4 +88,9 @@ object OracleBuilders {
   /** The grid_polygon_mask triangle (query literal). */
   val triangleLatLng: Array[(Double, Double)] = Array(
     (-0.0, 0.0), (-0.9, 0.0), (-0.9, 0.9))
+
+  /** The test.triangle ring from assets/regions.geojson as (lat, lng)
+    * — [lng, lat] pairs [[0,0],[0,-0.5],[0.5,-0.5],[0,0]] flipped. */
+  val testTriangleLatLng: Array[(Double, Double)] = Array(
+    (0.0, 0.0), (-0.5, 0.0), (-0.5, 0.5), (0.0, 0.0))
 }
