@@ -113,28 +113,64 @@ object Bench {
     * workloads being timed. ~20-40ms quiet; the array writes keep the
     * JIT from eliminating the loop. */
   private val probeArr = new Array[Long](8 * 1024 * 1024) // 64 MiB
-  @volatile private var probeMin = Double.MaxValue
+  // Quiet reference = MEDIAN of the 3 smallest probe readings, not the
+  // absolute minimum: one anomalously-fast reading (cache-resident
+  // pass, turbo burst) otherwise sets a bar no later probe can meet and
+  // flags the whole run (observed: a single 10ms outlier among ~25ms
+  // steady readings flagged 81/82 entries at a uniform ~2.5x).
+  private val probeSmallest = scala.collection.mutable.ArrayBuffer[Double]()
+  private def probeMin: Double = probeSmallest.length match {
+    case 0 => Double.MaxValue
+    case 1 | 2 => probeSmallest.max
+    case _ => probeSmallest.sorted.apply(1)
+  }
+  // The probe runs PARALLEL (8 threads over disjoint slices): a
+  // single-threaded pass sees full node bandwidth even inside a
+  // noisy-neighbor window — contention (host CPU steal, shared-LLC and
+  // bandwidth pressure) only materializes under parallel demand, which
+  // is exactly how the workloads run. (Observed: a window where
+  // identical kernels swung 0.6s <-> 23s while the serial probe read
+  // quiet throughout.)
   private def noiseProbe(): Double = {
-    var acc = 0L
+    val nThreads = 8
+    val slice = probeArr.length / nThreads
     val t0 = System.nanoTime()
-    var pass = 0
-    while (pass < 2) {
-      var i = 0
-      while (i < probeArr.length) {
-        acc += probeArr(i); probeArr(i) = acc; i += 1
-      }
-      pass += 1
+    val threads = (0 until nThreads).map { k =>
+      val th = new Thread(() => {
+        var acc = k.toLong
+        var pass = 0
+        while (pass < 2) {
+          var i = k * slice
+          val end = i + slice
+          while (i < end) {
+            acc += probeArr(i); probeArr(i) = acc; i += 1
+          }
+          pass += 1
+        }
+      })
+      th.start(); th
     }
+    threads.foreach(_.join())
     val dt = (System.nanoTime() - t0) / 1e9
-    if (dt < probeMin) probeMin = dt
+    probeSmallest.synchronized {
+      if (probeSmallest.length < 3) probeSmallest += dt
+      else {
+        val worst = probeSmallest.indexOf(probeSmallest.max)
+        if (dt < probeSmallest(worst)) probeSmallest(worst) = dt
+      }
+    }
     dt
   }
   private def probeNoisy(p: Double): Boolean = p > 2.0 * probeMin
 
   /** Time one action: returns (wall_sec, executor_cpu_sec, probe_sec);
-    * the probe runs immediately before the action. */
+    * probes run immediately BEFORE AND AFTER the action and the WORSE
+    * reading is attributed to the run — host contention arrives in
+    * ~20-30s bursts that a pre-probe alone misses when the burst lands
+    * mid-run (observed: a run reading 25s whose pre-probe was quiet,
+    * same code 0.7s in the next quiet window). */
   private def timedOnce[A](spark: SparkSession)(f: => A): (Double, Double, Double) = {
-    val probe = noiseProbe()
+    val probeBefore = noiseProbe()
     val sc = spark.sparkContext
     GraftMetricsBridge.flush(sc)
     val cpu0 = listener.cpuNanos.get()
@@ -142,7 +178,9 @@ object Bench {
     f
     val wall = (System.nanoTime() - t0) / 1e9
     GraftMetricsBridge.flush(sc)
-    (wall, (listener.cpuNanos.get() - cpu0) / 1e9, probe)
+    val probeAfter = noiseProbe()
+    (wall, (listener.cpuNanos.get() - cpu0) / 1e9,
+      math.max(probeBefore, probeAfter))
   }
 
   /** Noise-robust best-of-N: min wall AND min cpu taken INDEPENDENTLY
@@ -589,9 +627,33 @@ object Bench {
         .agg(count(col("mean_nbr")), sum(col("mean_nbr")),
           sum(col("n_valid"))).collect()
     }
+    // JVM hygiene before the pyramid A/B: the focal-naive rounds just
+    // exploded 46M-row shuffles; without a GC + cache drop here the
+    // pyramid's chunk-local side measured 25x its quiet-window cost
+    // (session-state contamination, reproducible; run first it reads
+    // 0.85s) while run-first generic read its usual 5s.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+    // A/B №6 — overview build at tile scale (level-1 mean pyramid of
+    // the 4800x4800x4 NDVI tile, 92M px/band -> 23M): the chunk-LOCAL
+    // reduce (blocks can't straddle even-dimension chunks -> one map
+    // over payloads, zero shuffle) vs the generic pixel-explode
+    // groupBy. The number users budget for enabling overview-backed
+    // zoomed-out reads.
+    val Seq(pyrLocal, pyrGeneric) = timedAB(spark,
+      "grid_pyramid_L1_chunklocal_4800", "grid_pyramid_L1_generic_4800") {
+      GridPyramid.downsampleOnceChunkLocal(spark, nh, ndviRoot,
+        s"$base/pyr_l1a", "mean")
+    } {
+      GridPyramid.downsampleOnceGeneric(spark, nh, ndviRoot,
+        s"$base/pyr_l1b", "mean")
+    }
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }
     Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, patches256,
-      multiJoin, boxUnpruned, boxPruned, trend, focalHalo, focalNaive)
+      multiJoin, boxUnpruned, boxPruned, trend, focalHalo, focalNaive,
+      pyrLocal, pyrGeneric)
   }
 }

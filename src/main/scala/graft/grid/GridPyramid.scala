@@ -35,9 +35,111 @@ object GridPyramid {
       geot = Seq(h.geot(0), h.geot(1) * 2, 0.0, h.geot(3), 0.0, h.geot(5) * 2))
 
   /** One halving step: read `root`, write the downsampled store to
-    * `outRoot`, return its header. `reducer` is "mean" or "mode". */
+    * `outRoot`, return its header. `reducer` is "mean" or "mode".
+    *
+    * When both chunk dimensions are EVEN, a 2×2 block can never
+    * straddle a chunk boundary (blocks start at even x, chunks start
+    * at fx·fracWidth — also even), so the reduction is chunk-LOCAL:
+    * one map over chunk payloads, no pixel explode, NO SHUFFLE at all
+    * (the level keeps the base's chunk grid at half dimensions, so
+    * each input chunk maps 1:1 to an output chunk and the input's
+    * partitioning carries through to the write). Measured 21× less cpu
+    * than the generic pixel-explode path on the 4800² tile. Odd chunk
+    * dims fall back to the generic groupBy path.
+    */
   def downsampleOnce(spark: SparkSession, header: GridHeader, root: String,
-                     outRoot: String, reducer: String): GridHeader = {
+                     outRoot: String, reducer: String): GridHeader =
+    if (header.fracWidth % 2 == 0 && header.fracHeight % 2 == 0)
+      downsampleOnceChunkLocal(spark, header, root, outRoot, reducer)
+    else
+      downsampleOnceGeneric(spark, header, root, outRoot, reducer)
+
+  def downsampleOnceChunkLocal(spark: SparkSession,
+      header: GridHeader, root: String, outRoot: String,
+      reducer: String): GridHeader = {
+    import spark.implicits._
+    require(reducer == "mean" || reducer == "mode",
+      s"reducer must be mean or mode, got $reducer")
+    val outDtype = if (reducer == "mean") "float64" else header.dtype
+    val out = levelHeader(header, outDtype)
+      .copy(fracWidth = header.fracWidth / 2,
+        fracHeight = header.fracHeight / 2)
+    val inCode = PayloadCodec.code(header.dtype)
+    val nodata = header.nodata
+    val isMean = reducer == "mean"
+    val rows = FractionStore.fractions(spark, root)
+      .select("frac_num", "time_chunk", "frac_x", "frac_y",
+        "x0", "y0", "t0", "w", "h", "nd", "data").as[FracRowBytes]
+      .map { c =>
+        val v = PayloadCodec.decodeDouble(c.data, inCode)
+        val w2 = (c.w + 1) / 2
+        val h2 = (c.h + 1) / 2
+        val outArr = new Array[Double](w2 * h2 * c.nd)
+        val block = new Array[Double](4)
+        var by = 0
+        while (by < h2) {
+          var bx = 0
+          while (bx < w2) {
+            var ti = 0
+            while (ti < c.nd) {
+              var n = 0
+              var dy = 0
+              while (dy < 2) {
+                val yy = by * 2 + dy
+                if (yy < c.h) {
+                  var dx = 0
+                  while (dx < 2) {
+                    val xx = bx * 2 + dx
+                    if (xx < c.w) {
+                      val pv = v((yy * c.w + xx) * c.nd + ti)
+                      if (!(pv == nodata)) { block(n) = pv; n += 1 }
+                    }
+                    dx += 1
+                  }
+                }
+                dy += 1
+              }
+              outArr((by * w2 + bx) * c.nd + ti) =
+                if (n == 0) nodata
+                else if (isMean) {
+                  var s = 0.0; var i = 0
+                  while (i < n) { s += block(i); i += 1 }
+                  s / n
+                } else {
+                  // mode of <= 4 values, ties to the lowest value
+                  var best = Double.NaN; var bestCnt = 0
+                  var i = 0
+                  while (i < n) {
+                    var cnt = 0; var j = 0
+                    while (j < n) {
+                      if (block(j) == block(i)) cnt += 1
+                      j += 1
+                    }
+                    if (cnt > bestCnt ||
+                        (cnt == bestCnt && block(i) < best)) {
+                      best = block(i); bestCnt = cnt
+                    }
+                    i += 1
+                  }
+                  best
+                }
+              ti += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        FracRowBytes(c.frac_num, c.time_chunk, c.frac_x, c.frac_y,
+          c.x0 / 2, c.y0 / 2, c.t0, w2, h2, c.nd,
+          PayloadCodec.encodeDouble(outArr, outDtype))
+      }
+    FractionStore.writePrepartitioned(spark, out, rows.toDF(), outRoot)
+    out
+  }
+
+  def downsampleOnceGeneric(spark: SparkSession,
+      header: GridHeader, root: String, outRoot: String,
+      reducer: String): GridHeader = {
     val out = levelHeader(header,
       if (reducer == "mean") "float64" else header.dtype)
     val px = FractionStore.pixels(header,

@@ -456,6 +456,23 @@ object GridQueries {
         threshold = 60.0, k = 2)
     },
 
+    // Per-pixel percentile composite: the p90-over-time plane — the
+    // robust-compositing alternative to MVC (discards the top decile
+    // of outliers instead of trusting the max). percentile_disc is
+    // element-picking, so both engines return the same stored value.
+    "grid_percentile_composite" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates)
+        .filter(col("value").isNotNull)
+        .groupBy(col("x"), col("y"))
+        .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")
+          .cast("double").as("p90"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+            .cast("double").as("p50"),
+          count(lit(1)).as("n_valid"))
+    },
+
     // Per-pixel temporal argmax (A5 companion): the date index holding
     // each pixel's maximum (masked) value — max_by with deterministic
     // lowest-t tie-break via an encoded (value, -t) ordering.
@@ -956,7 +973,21 @@ object GridQueries {
         one("test.box", testBoxLatLng)
     }
 
+    // grid_percentile_composite: same element-picking percentiles on
+    // the closed form
+    val percentileComposite =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS v
+         |  FROM range(0, 25) a(x), range(0, 10) b(y), range(0, 11) c(t))
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+         |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS DOUBLE)
+         |    AS p90,
+         |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS DOUBLE)
+         |    AS p50,
+         |  count(*) AS n_valid
+         |FROM g WHERE v IS NOT NULL GROUP BY x, y""".stripMargin
+
     Map(
+      "grid_percentile_composite" -> percentileComposite,
       "grid_zonal_regions" -> zonalRegions,
       "grid_pyramid_mean" -> pyramidMean,
       "grid_pyramid_mode" -> pyramidMode,

@@ -78,6 +78,35 @@ class GridPyramidSpec extends AnyFunSuite {
     assert(lv((0, 0)) == Some(3.0) && lv((1, 0)) == Some(5.0))
   }
 
+  test("chunk-local fast path == generic path (even chunks, ragged edge)") {
+    // 10x6 grid, 4x2 chunks (even dims -> fast path eligible), ragged
+    // right chunks (w=2), planted nodata; closed-form-ish values
+    val hd = GridHeader(name = "fastpyr", width = 10, height = 6,
+      fracWidth = 4, fracHeight = 2, fracNDates = 2, dtype = "float32",
+      srs = "wgs84", geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(0L, 86400000L), nodata = -9.0)
+    val px = SyntheticGrid.pixelDf(spark, hd, (x, y, t) =>
+      when((x + y * 2 + t) % 7 === 0, lit(-9.0))
+        .otherwise(((x * 3 + y * 5 + t) % 13).cast("double")))
+    val root = java.nio.file.Files.createTempDirectory("pyr_fast").toString
+    FractionStore.write(spark, hd, FractionStore.fromPixels(spark, hd, px), root)
+    for (reducer <- Seq("mean", "mode")) {
+      val fOut = java.nio.file.Files.createTempDirectory("pyr_f").toString
+      val gOut = java.nio.file.Files.createTempDirectory("pyr_g").toString
+      val fh = GridPyramid.downsampleOnceChunkLocal(spark, hd, root, fOut, reducer)
+      val gh = GridPyramid.downsampleOnceGeneric(spark, hd, root, gOut, reducer)
+      assert(fh.width == gh.width && fh.height == gh.height)
+      def all(h: GridHeader, r: String) =
+        FractionStore.pixels(h, FractionStore.fractions(spark, r))
+          .collect().map(x => ((x.getInt(0), x.getInt(1), x.getInt(2)),
+            if (x.isNullAt(3)) None
+            else Some(x.get(3).asInstanceOf[Number].doubleValue()))).toMap
+      assert(all(fh, fOut) == all(gh, gOut), s"reducer $reducer")
+      // and the fast level's chunk grid halves with the pixels
+      assert(fh.fracWidth == 2 && fh.fracHeight == 1)
+    }
+  }
+
   test("cascade: level 2 is the mean of level-1 means (not of raw 4x4)") {
     val vals = (for (x <- 0 until 4; y <- 0 until 4)
       yield (x, y) -> (x + 10.0 * y)).toMap ++ Map((0, 0) -> -1.0)
