@@ -111,7 +111,12 @@ object ScalingProbe {
       // round-7 wave 5: the two token-volume passes — line curation
       // (explode + codegen rules + reassembly) and the hashing-trick
       // vectorizer (explode + (id, bucket) agg) must track token count
-      "clean_lines", "embed_feature_hash")
+      "clean_lines", "embed_feature_hash",
+      // round-7 wave 6: DSIR scoring (token explode + broadcast bucket
+      // join must track token volume; the bucket tables stay 256 rows
+      // at ANY corpus size) and BM25 (the tf shuffle must stay
+      // hit-sized while hits grow 10x)
+      "dsir_weights", "bm25_search")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
