@@ -74,6 +74,41 @@ object GridTimeSeries {
     px.withColumn("value_smooth", avg(col(valueCol).cast("double")).over(w))
   }
 
+  /** Per-pixel seasonal harmonic fit at a fixed period (the phenology
+    * seasonality product: how strongly and in what phase a pixel
+    * cycles): first-harmonic coefficients by discrete Fourier
+    * projection — c1 = (2/n)·Σ v·cos(2πt/T), s1 likewise with sin —
+    * and the seasonal amplitude √(c1²+s1²).
+    *
+    * Engine-exactness: the per-date trig factors are snapped to the
+    * integer MICRO grid (round(cos·1e6) as BIGINT — the same trick as
+    * DSIR's micro-nat log-ratios), so the per-pixel sums are exact
+    * integer-valued doubles in any accumulation order; everything after
+    * is a fixed chain of single IEEE ops the DuckDB oracle mirrors.
+    * One partial-agg shuffle on (x, y) — same envelope as trendSlope.
+    */
+  def harmonicFit(px: DataFrame, period: Int, roundTo: Int = 6): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val omega = 2.0 * math.Pi / period
+    val v = col("value").cast("double")
+    val wc = round(cos(col("t").cast("double") * lit(omega)) * lit(1e6))
+      .cast("long")
+    val ws = round(sin(col("t").cast("double") * lit(omega)) * lit(1e6))
+      .cast("long")
+    val n = col("n_valid").cast("double")
+    val c1 = col("sc").cast("double") / lit(1e6) * lit(2.0) / n
+    val s1 = col("ss").cast("double") / lit(1e6) * lit(2.0) / n
+    px.filter(col("value").isNotNull)
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_valid"),
+        sum(v * wc.cast("double")).as("sc"),
+        sum(v * ws.cast("double")).as("ss"))
+      .select(col("x"), col("y"), col("n_valid"),
+        round(c1, roundTo).as("c1"),
+        round(s1, roundTo).as("s1"),
+        round(sqrt(c1 * c1 + s1 * s1), roundTo).as("amplitude"))
+  }
+
   /** Season-onset detection (greenup date): per pixel, the FIRST date t
     * whose value and the `k − 1` following dates all reach `threshold`
     * — the standard threshold-crossing phenology rule (k consecutive

@@ -53,4 +53,53 @@ object GridZonal {
         min(col("value")).cast("double").as("min_value"),
         max(col("value")).cast("double").as("max_value"))
   }
+
+  /** Land-cover CHANGE matrix between two dates (the GLCF
+    * change-detection product): per (class@tFrom, class@tTo) pixel
+    * counts, where `classOf` maps raw values to class codes. Pixels
+    * nodata on either date are excluded (a transition needs both ends).
+    *
+    * Scale shape: the two dates' chunks equi-join on the CHUNK key
+    * (frac_num — hundreds of packed rows, never exploded pixels), both
+    * payloads decode once per chunk, one generator walks the pixel
+    * index, and the only pixel-sized shuffle is the final
+    * (from, to)-keyed count — output is classes², not pixels.
+    */
+  def classTransitions(spark: SparkSession, header: GridHeader, root: String,
+                       tFrom: Int, tTo: Int,
+                       classOf: org.apache.spark.sql.Column =>
+                         org.apache.spark.sql.Column): DataFrame = {
+    require(tFrom != tTo, "transition needs two distinct dates")
+    def side(t: Int, suffix: String) =
+      FractionStore.fractionsForWindow(spark, header, root,
+        0, header.width, 0, header.height, t, t + 1)
+        .select(col("frac_num"),
+          col("data").as(s"data_$suffix"), col("t0").as(s"t0_$suffix"),
+          col("nd").as(s"nd_$suffix"), col("w"), col("h"))
+    val a = side(tFrom, "a")
+    val b = side(tTo, "b").drop("w", "h")
+    val joined = a.join(b, Seq("frac_num"))
+      .select(col("w"), col("h"),
+        FractionStore.unpack(header, col("data_a")).as("arr_a"),
+        FractionStore.unpack(header, col("data_b")).as("arr_b"),
+        (lit(tFrom) - col("t0_a")).as("off_a"),
+        (lit(tTo) - col("t0_b")).as("off_b"),
+        col("nd_a"), col("nd_b"))
+    val et = FractionStore.elementType(header.dtype)
+    val nodataLit = lit(header.nodata).cast(et)
+    joined
+      .select(col("arr_a"), col("arr_b"), col("off_a"), col("off_b"),
+        col("nd_a"), col("nd_b"),
+        explode(sequence(lit(0), col("w") * col("h") - 1)).as("pix"))
+      .select(
+        nullif(element_at(col("arr_a"), col("pix") * col("nd_a")
+          + col("off_a") + 1), nodataLit).as("va"),
+        nullif(element_at(col("arr_b"), col("pix") * col("nd_b")
+          + col("off_b") + 1), nodataLit).as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+      .select(classOf(col("va")).as("cls_from"),
+        classOf(col("vb")).as("cls_to"))
+      .groupBy(col("cls_from"), col("cls_to"))
+      .agg(count(lit(1)).as("n_px"))
+  }
 }

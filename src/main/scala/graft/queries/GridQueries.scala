@@ -223,6 +223,17 @@ object GridQueries {
       GridZonal.zonalByRegion(s, h, root, regions, 0, 3)
     },
 
+    // Land-cover change matrix (GridZonal.classTransitions): class at
+    // date 0 vs date 3 cross-tab over the minimodis QA-derived class
+    // plane — chunks join on the CHUNK key across the two dates, both
+    // payloads decode once, output is classes^2 rows.
+    "grid_class_transitions" -> { (s, _) =>
+      val (_, qaRoot) = miniModisRoots(s)
+      val qh = GridHeader.load(s, qaRoot)
+      GridZonal.classTransitions(s, qh, qaRoot, tFrom = 0, tTo = 3,
+        v => (v % 17).cast("int"))
+    },
+
     // J3 — nearest-neighbor reprojection: the sinusoidal minimodis NDVI
     // warped onto a WGS84 lattice covering its footprint, then stats.
     "grid_reproject_nearest" -> { (s, _) =>
@@ -454,6 +465,17 @@ object GridQueries {
       GridTimeSeries.seasonOnset(
         FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates),
         threshold = 60.0, k = 2)
+    },
+
+    // Per-pixel seasonal harmonic fit (GridTimeSeries.harmonicFit):
+    // first-harmonic cos/sin coefficients + amplitude at period 4 —
+    // micro-snapped trig weights make the sums engine-exact.
+    "grid_harmonic_fit" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      GridTimeSeries.harmonicFit(
+        FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates),
+        period = 4)
     },
 
     // Per-pixel percentile composite: the p90-over-time plane — the
@@ -986,7 +1008,45 @@ object GridQueries {
          |  count(*) AS n_valid
          |FROM g WHERE v IS NOT NULL GROUP BY x, y""".stripMargin
 
+    // grid_class_transitions: the two-date class cross-tab replayed on
+    // the QA closed form (nodata 65535 excluded on either end)
+    val classTransitions =
+      s"""WITH g AS (SELECT
+         |    (x * 40503 + y * 9973 + 0 * 65521) % 65536 AS va,
+         |    (x * 40503 + y * 9973 + 3 * 65521) % 65536 AS vb
+         |  FROM range(0, 200) a(x), range(0, 200) b(y))
+         |SELECT CAST(va % 17 AS INT) AS cls_from,
+         |  CAST(vb % 17 AS INT) AS cls_to, count(*) AS n_px
+         |FROM g WHERE va <> 65535 AND vb <> 65535
+         |GROUP BY 1, 2""".stripMargin
+
+    // grid_harmonic_fit: identical micro-snapped weight chain — the
+    // omega literal is the query's own Scala double, round-trip-exact
+    val omega = 2.0 * math.Pi / 4
+    val harmonicFit =
+      s"""WITH g AS (SELECT x, y, t,
+         |    CAST(${tinyValueSql(mask = true)} AS DOUBLE) AS v
+         |  FROM range(0, 25) a(x), range(0, 10) b(y), range(0, 11) c(t)),
+         |w AS (SELECT x, y, v,
+         |    CAST(round(cos(t * ${d(omega)}) * 1000000) AS BIGINT) AS wc,
+         |    CAST(round(sin(t * ${d(omega)}) * 1000000) AS BIGINT) AS ws
+         |  FROM g WHERE v IS NOT NULL),
+         |s AS (SELECT x, y, count(*) AS n_valid,
+         |    sum(v * CAST(wc AS DOUBLE)) AS sc,
+         |    sum(v * CAST(ws AS DOUBLE)) AS ss
+         |  FROM w GROUP BY x, y)
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, n_valid,
+         |  round(sc / 1000000.0 * 2.0 / n_valid, 6) AS c1,
+         |  round(ss / 1000000.0 * 2.0 / n_valid, 6) AS s1,
+         |  round(sqrt((sc / 1000000.0 * 2.0 / n_valid)
+         |      * (sc / 1000000.0 * 2.0 / n_valid)
+         |    + (ss / 1000000.0 * 2.0 / n_valid)
+         |      * (ss / 1000000.0 * 2.0 / n_valid)), 6) AS amplitude
+         |FROM s""".stripMargin
+
     Map(
+      "grid_harmonic_fit" -> harmonicFit,
+      "grid_class_transitions" -> classTransitions,
       "grid_percentile_composite" -> percentileComposite,
       "grid_zonal_regions" -> zonalRegions,
       "grid_pyramid_mean" -> pyramidMean,

@@ -106,6 +106,23 @@ class GridTimeSeriesSpec extends AnyFunSuite {
     assert(onset(Seq(Some(1.0), Some(9.0)), 5.0, 2) == ((None, 2L)))
   }
 
+  test("harmonic fit recovers a pure cosine's amplitude and phase split") {
+    // v(t) = 3*cos(2*pi*t/4): two full periods -> c1 = 3, s1 = 0, amp 3
+    val vals = Seq(3.0, 0.0, -3.0, 0.0, 3.0, 0.0, -3.0, 0.0).map(Some(_))
+    val r = GridTimeSeries.harmonicFit(series(vals), period = 4).collect()(0)
+    assert((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      == ((8L, 3.0, 0.0, 3.0)))
+    // a pure sine lands on s1 (sign: sin(2*pi*t/4) = 0,1,0,-1)
+    val sv = Seq(0.0, 2.0, 0.0, -2.0).map(Some(_))
+    val r2 = GridTimeSeries.harmonicFit(series(sv), period = 4).collect()(0)
+    assert((r2.getDouble(3), r2.getDouble(4), r2.getDouble(5))
+      == ((0.0, 2.0, 2.0)))
+    // a constant series has zero seasonal amplitude over full periods
+    val cv = Seq.fill(8)(Some(5.0))
+    val r3 = GridTimeSeries.harmonicFit(series(cv), period = 4).collect()(0)
+    assert(r3.getDouble(5) == 0.0)
+  }
+
   test("season onset: per-pixel independence") {
     val df = Seq(
       (0, 0, 0, Some(9.0)), (0, 0, 1, Some(9.0)),

@@ -36,6 +36,32 @@ class GridZonalSpec extends AnyFunSuite {
     assert(got == loop)
   }
 
+  test("class transitions == pixel-view pivot (nodata excluded)") {
+    // 8x4 grid, 4x2 chunks, 2 dates; values hit nodata (-1) on a
+    // planted pattern so both-ends-required exclusion is exercised
+    val h = GridHeader(name = "trans", width = 8, height = 4,
+      fracWidth = 4, fracHeight = 2, fracNDates = 1, dtype = "float32",
+      srs = "wgs84", geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(0L, 86400000L), nodata = -1.0)
+    val px = SyntheticGrid.pixelDf(spark, h, (x, y, t) =>
+      when((x + y + t) % 5 === 0, lit(-1.0))
+        .otherwise(((x * 2 + y * 3 + t * 7) % 4).cast("double")))
+    val root = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    FractionStore.write(spark, h, FractionStore.fromPixels(spark, h, px), root)
+    val got = GridZonal.classTransitions(spark, h, root, 0, 1,
+        v => v.cast("int"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val pv = FractionStore.pixels(h, FractionStore.fractions(spark, root))
+    val expect = pv.filter(col("t") === 0).select(col("x"), col("y"),
+        col("value").cast("int").as("cls_from"))
+      .join(pv.filter(col("t") === 1).select(col("x"), col("y"),
+        col("value").cast("int").as("cls_to")), Seq("x", "y"))
+      .filter(col("cls_from").isNotNull && col("cls_to").isNotNull)
+      .groupBy("cls_from", "cls_to").count()
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("overlapping regions both count the shared pixels") {
     // triangle lies inside the tiny grid's top-left; a copy of itself
     // must produce identical rows under both names
