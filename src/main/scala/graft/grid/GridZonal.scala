@@ -54,6 +54,48 @@ object GridZonal {
         max(col("value")).cast("double").as("max_value"))
   }
 
+  /** Per-class AREA statistics (the land-cover area product: km² of
+    * cropland/forest/... in a grid): pixel areas are latitude-dependent
+    * on WGS84 grids (cell width shrinks as cos φ), constant on
+    * sinusoidal grids (the projection is equal-area — the reason MODIS
+    * uses it). The cos-lat weight snaps to the integer micro grid so
+    * per-class sums are exact in any accumulation order (the
+    * engine-portability trick shared with harmonicFit/DSIR).
+    * One codegen projection + one class-keyed partial agg. */
+  def classArea(spark: SparkSession, header: GridHeader, root: String,
+                t: Int,
+                classOf: org.apache.spark.sql.Column =>
+                  org.apache.spark.sql.Column): DataFrame = {
+    val kmPerDeg = 111.19492664455873 // mean-Earth-radius arc length
+    val px = FractionStore.loadSliceXY(spark, header, root,
+        0, header.width, 0, header.height, t, t + 1)
+      .filter(col("value").isNotNull)
+    val weighted = header.srs match {
+      case "wgs84" =>
+        // pixel-center latitude from the affine; equatorial cell area
+        // scaled by micro-snapped cos(lat)
+        val lat = lit(header.geot(3)) +
+          (col("y").cast("double") + lit(0.5)) * lit(header.geot(5))
+        val cellKm2 = math.abs(header.geot(1) * header.geot(5)) *
+          kmPerDeg * kmPerDeg
+        px.withColumn("w_micro",
+          round(cos(radians(lat)) * lit(1e6)).cast("long"))
+          .withColumn("cell_km2", lit(cellKm2))
+      case "sinusoidal" =>
+        // equal-area by construction: geot units are meters
+        val cellKm2 = math.abs(header.geot(1) * header.geot(5)) / 1e6
+        px.withColumn("w_micro", lit(1000000L))
+          .withColumn("cell_km2", lit(cellKm2))
+    }
+    weighted
+      .select(classOf(col("value")).as("cls"), col("w_micro"),
+        col("cell_km2"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_px"),
+        round(sum(col("w_micro")).cast("double") / lit(1e6) *
+          first(col("cell_km2")), 6).as("area_km2"))
+  }
+
   /** Land-cover CHANGE matrix between two dates (the GLCF
     * change-detection product): per (class@tFrom, class@tTo) pixel
     * counts, where `classOf` maps raw values to class codes. Pixels

@@ -223,6 +223,14 @@ object GridQueries {
       GridZonal.zonalByRegion(s, h, root, regions, 0, 3)
     },
 
+    // Per-class area in km² (GridZonal.classArea): cos-lat-weighted
+    // pixel areas on the WGS84 tiny grid, micro-snapped weights.
+    "grid_class_area" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      GridZonal.classArea(s, h, root, t = 0, v => (v % 5).cast("int"))
+    },
+
     // Land-cover change matrix (GridZonal.classTransitions): class at
     // date 0 vs date 3 cross-tab over the minimodis QA-derived class
     // plane — chunks join on the CHUNK key across the two dates, both
@@ -1044,7 +1052,27 @@ object GridQueries {
          |      * (ss / 1000000.0 * 2.0 / n_valid)), 6) AS amplitude
          |FROM s""".stripMargin
 
+    // grid_class_area: identical lat/weight/area chain, literals from
+    // the query's own header via d()
+    val classArea = {
+      val h = SyntheticGrid.tinyHeader
+      val kmPerDeg = 111.19492664455873
+      val cellKm2 = math.abs(h.geot(1) * h.geot(5)) * kmPerDeg * kmPerDeg
+      s"""WITH g AS (SELECT x, y, ${tinyValueSql(mask = true)} AS v
+         |  FROM range(0, 190) a(x), range(0, 130) b(y), (SELECT 0 AS t) c),
+         |w AS (SELECT CAST(v % 5 AS INT) AS cls,
+         |    CAST(round(cos(radians(${d(h.geot(3))}
+         |      + (y + 0.5) * ${d(h.geot(5))})) * 1000000) AS BIGINT)
+         |      AS w_micro
+         |  FROM g WHERE v IS NOT NULL)
+         |SELECT cls, count(*) AS n_px,
+         |  round(CAST(sum(w_micro) AS DOUBLE) / 1000000.0 * ${d(cellKm2)}, 6)
+         |    AS area_km2
+         |FROM w GROUP BY cls""".stripMargin
+    }
+
     Map(
+      "grid_class_area" -> classArea,
       "grid_harmonic_fit" -> harmonicFit,
       "grid_class_transitions" -> classTransitions,
       "grid_percentile_composite" -> percentileComposite,
