@@ -93,7 +93,10 @@ object Bench {
     "dsir_weights", "dsir_resample",
     // BM25 search: the tf shuffle must stay hit-sized (terms filtered
     // below the agg) and top-k must stay TakeOrderedAndProject
-    "bm25_search")
+    "bm25_search",
+    // fuzzy join: neighborhood explode + variant equi-join + exact
+    // confirm — cost must track neighborhood volume, never all-pairs
+    "fuzzy_join_names")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

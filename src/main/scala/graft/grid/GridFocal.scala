@@ -36,10 +36,11 @@ final case class FocalPixel(
   *    perimeter-sized: ~ 4·r·(w+h)/(w·h) of the data (≈ 8 % at 50×50
   *    chunks, r=1) — vs the naive pixel-view offset-explode join, which
   *    shuffles (2r+1)² = 9× the FULL cube;
-  *  - chunks group on their own key (one payload shuffle, gone entirely
-  *    when the input is a bucketed chunk table), meet their halos in a
-  *    cogroup, and each group decodes once and runs the stencil over a
-  *    padded plane — per-chunk imperative logic, the mapGroups niche;
+  *  - chunks group on their own key (ONE payload shuffle; over a
+  *    standing bucketed worldgrid use [[focalStatsBucketed]], whose
+  *    plan moves only the strips), meet their halos in a cogroup, and
+  *    each group decodes once and runs the stencil over a padded
+  *    plane — per-chunk imperative logic, the mapGroups niche;
   *  - absent neighbors (sparse store, or beyond the grid edge) simply
   *    contribute no strip: their pixels count as invalid, the same
   *    nodata semantics the pixel view gives absent chunks.
@@ -64,9 +65,10 @@ object GridFocal {
     focalStatsOnChunks(spark, header, fracs, radius, tFrom, tTo, maskNodata)
   }
 
-  /** Same, over an explicit chunk DataFrame (fraction-row schema) — the
-    * entry point for bucketed tables, where the chunk-side groupByKey
-    * plans with no Exchange.
+  /** Same, over an explicit chunk DataFrame (fraction-row schema).
+    * NOTE: the typed groupByKey here always exchanges — for a
+    * zero-chunk-movement plan over a bucketed table use
+    * [[focalStatsBucketed]].
     */
   def focalStatsOnChunks(spark: SparkSession, header: GridHeader,
                          fracRows: DataFrame, radius: Int,
@@ -144,6 +146,92 @@ object GridFocal {
             out.iterator
           }
       }.toDF()
+  }
+
+  /** Focal stats over a BUCKETED chunk table (written by
+    * [[FractionStore.writeBucketed]] on (frac_num, time_chunk)): the
+    * chunk payloads never move — strips aggregate to their target
+    * chunk key and JOIN the bucketed scan, so the only Exchange in the
+    * plan is the perimeter-sized strip side (FocalBucketedSpec pins
+    * zero Exchange under the chunk scan). This is the 100 TB shape for
+    * repeated focal passes over a standing worldgrid; the typed-cogroup
+    * path ([[focalStats]]) pays one chunk-payload shuffle instead.
+    */
+  def focalStatsBucketed(spark: SparkSession, header: GridHeader,
+                         table: String, radius: Int, tFrom: Int, tTo: Int,
+                         maskNodata: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val r = radius
+    require(r >= 1 && r <= math.min(header.fracWidth, header.fracHeight),
+      s"radius must be in [1, min(fracWidth, fracHeight)], got $r")
+    val g = header.chunkGrid
+    val code = PayloadCodec.code(header.dtype)
+    val bpe = PayloadCodec.bytesPerElem(code)
+    val nodata = if (maskNodata) header.nodata else Double.NaN
+    val cols = Seq("frac_num", "time_chunk", "frac_x", "frac_y",
+      "x0", "y0", "t0", "w", "h", "nd", "data")
+    val chunks = spark.table(table).select(cols.map(col): _*)
+    val typed = chunks.as[FracRowBytes]
+    // strips keyed by the TARGET chunk's (frac_num, time_chunk), then
+    // pre-aggregated so the bucketed join is one row per chunk
+    val strips = haloStrips(typed, g, r, bpe)
+      .withColumn("frac_num",
+        col("frac_y") * lit(g.numFracsX) + col("frac_x"))
+      .groupBy(col("frac_num"), col("time_chunk"))
+      .agg(collect_list(struct(col("sx0"), col("sy0"), col("t0"),
+        col("sw"), col("sh"), col("nd"), col("data"))).as("strips"))
+    val joined = chunks.join(strips, Seq("frac_num", "time_chunk"), "left")
+      .select(struct(cols.map(col): _*).as("c"), col("strips"))
+      .as[(FracRowBytes, Option[Seq[(Int, Int, Int, Int, Int, Int, Array[Byte])]])]
+    val tLo = tFrom; val tHi = tTo
+    joined.flatMap { case (c, stripsOpt) =>
+      val halos = stripsOpt.getOrElse(Seq.empty).map { s =>
+        (HaloStrip(0, 0, c.time_chunk, s._1, s._2, s._3, s._4, s._5, s._6,
+          s._7), PayloadCodec.decodeDouble(s._7, code))
+      }.toArray
+      val core = PayloadCodec.decodeDouble(c.data, code)
+      val pw = c.w + 2 * r
+      val ph = c.h + 2 * r
+      val out = scala.collection.mutable.ArrayBuffer.empty[FocalPixel]
+      var ti = 0
+      while (ti < c.nd) {
+        val t = c.t0 + ti
+        if (t >= tLo && t < tHi) {
+          val plane = paddedPlane(c, ti, core, halos, r, pw, ph, nodata)
+          var yy = 0
+          while (yy < c.h) {
+            var xx = 0
+            while (xx < c.w) {
+              var cnt = 0L; var sum = 0.0
+              var mn = Double.MaxValue; var mx = Double.MinValue
+              var wy = yy
+              while (wy <= yy + 2 * r) {
+                var wx = xx
+                while (wx <= xx + 2 * r) {
+                  val v = plane(wy * pw + wx)
+                  if (!v.isNaN) {
+                    cnt += 1; sum += v
+                    if (v < mn) mn = v
+                    if (v > mx) mx = v
+                  }
+                  wx += 1
+                }
+                wy += 1
+              }
+              out += (if (cnt > 0)
+                FocalPixel(c.x0 + xx, c.y0 + yy, t, cnt,
+                  Some(sum / cnt), Some(mn), Some(mx))
+              else
+                FocalPixel(c.x0 + xx, c.y0 + yy, t, 0L, None, None, None))
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+        ti += 1
+      }
+      out.iterator
+    }.toDF()
   }
 
   /** Emit each chunk's boundary strips to its 8 neighbors — pure byte
