@@ -107,11 +107,29 @@ object GeoTiff {
     * uncompressed or DEFLATE (compression 8/32946) — the subset
     * [[write]] produces, which is also what GDAL writes for single-band
     * rasters with COMPRESS=NONE or COMPRESS=DEFLATE. */
-  def read(bytes: Array[Byte]): Raster = {
+  def read(bytes: Array[Byte]): Raster = readPages(bytes).head
+
+  /** Parse EVERY page of the IFD chain — the full-resolution band plus
+    * any reduced-resolution overview pages ([[writePyramid]] emits the
+    * COG-style layout; GDAL reads such overviews as raster bands'
+    * overview levels). */
+  def readPages(bytes: Array[Byte]): Seq[Raster] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.get() == 'I' && bb.get() == 'I' && bb.getShort() == 42,
       "not a little-endian classic TIFF")
-    bb.position(bb.getInt())
+    var ifd = bb.getInt()
+    val pages = scala.collection.mutable.ArrayBuffer[Raster]()
+    while (ifd != 0) {
+      val (page, next) = readPageAt(bytes, ifd)
+      pages += page
+      ifd = next
+    }
+    pages.toSeq
+  }
+
+  private def readPageAt(bytes: Array[Byte], ifdPos: Int): (Raster, Int) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(ifdPos)
     val n = bb.getShort()
     val tags = (0 until n).map { _ =>
       val id = bb.getShort() & 0xffff
@@ -127,6 +145,7 @@ object GeoTiff {
       }
       id -> (tpe, count, v)
     }.toMap
+    val nextIfd = bb.getInt()
 
     def ints(id: Int): Seq[Int] = tags.get(id).map { case (tpe, count, v) =>
       val b = ByteBuffer.wrap(v).order(ByteOrder.LITTLE_ENDIAN)
@@ -172,7 +191,7 @@ object GeoTiff {
     val nodata = tags.get(42113).map { case (_, _, v) =>
       new String(v, "US-ASCII").trim.toDouble
     }.getOrElse(Double.NaN)
-    Raster(width, height, dtype, data, geot, nodata)
+    (Raster(width, height, dtype, data, geot, nodata), nextIfd)
   }
 
   /** Serialize one band. `data` is row-major [y][x] doubles (length
@@ -184,16 +203,92 @@ object GeoTiff {
     */
   def write(width: Int, height: Int, dtype: String, data: Array[Double],
             geot: Seq[Double], srs: String, nodata: Double,
-            compress: String = "deflate"): Array[Byte] = {
-    require(data.length == width * height,
-      s"data length ${data.length} != $width x $height")
-    require(geot.length == 6 && geot(2) == 0.0 && geot(4) == 0.0,
-      "north-up geotransform required")
-    val (strip, compTag) = compress match {
-      case "deflate" => (deflate(PayloadCodec.encodeDouble(data, dtype)), 8)
-      case "none"    => (PayloadCodec.encodeDouble(data, dtype), 1)
-      case c         => sys.error(s"unsupported compression $c")
+            compress: String = "deflate"): Array[Byte] =
+    writePyramid(Seq((width, height, data, geot)), dtype, srs, nodata,
+      compress)
+
+  /** Serialize a full-resolution band plus reduced-resolution overview
+    * pages as a CHAINED-IFD TIFF (the classic overview layout GDAL and
+    * COG readers consume): page 0 is the base raster, pages 1+ carry
+    * NewSubfileType = reduced-image. Each page brings its own
+    * (width, height, data, geot) — geot pixel size doubles per level.
+    */
+  def writePyramid(pages: Seq[(Int, Int, Array[Double], Seq[Double])],
+                   dtype: String, srs: String, nodata: Double,
+                   compress: String = "deflate"): Array[Byte] = {
+    require(pages.nonEmpty, "need at least one page")
+    val built = pages.zipWithIndex.map {
+      case ((width, height, data, geot), i) =>
+        require(data.length == width * height,
+          s"page $i: data length ${data.length} != $width x $height")
+        require(geot.length == 6 && geot(2) == 0.0 && geot(4) == 0.0,
+          "north-up geotransform required")
+        val strip = compress match {
+          case "deflate" => deflate(PayloadCodec.encodeDouble(data, dtype))
+          case "none"    => PayloadCodec.encodeDouble(data, dtype)
+          case c         => sys.error(s"unsupported compression $c")
+        }
+        (width, height, geot, strip, i > 0)
     }
+    val compTag = if (compress == "deflate") 8 else 1
+
+    // two-pass layout: place every page's strip | IFD | ext payloads,
+    // then materialize with each IFD chaining to the next
+    final case class Placed(strip: Array[Byte], stripOff: Int, ifdOff: Int,
+                            placed: Seq[(Tag, Long)], end: Int)
+    var pos = 8
+    val placedPages = built.map { case (w, h, geot, strip, reduced) =>
+      val stripOff = pos
+      pos += strip.length + (strip.length & 1)
+      val tags = pageTags(w, h, dtype, geot, srs, nodata, compTag,
+        strip.length, stripOff, reduced)
+      val ifdOff = pos
+      pos += 2 + tags.length * 12 + 4
+      val placed = tags.map { t =>
+        if (t.payload.length <= 4) (t, -1L)
+        else {
+          val off = pos
+          pos += t.payload.length + (t.payload.length & 1)
+          (t, off.toLong)
+        }
+      }
+      Placed(strip, stripOff, ifdOff, placed, pos)
+    }
+
+    val out = ByteBuffer.allocate(pos).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42)
+      .putInt(placedPages.head.ifdOff)
+    placedPages.zipWithIndex.foreach { case (p, i) =>
+      out.position(p.stripOff)
+      out.put(p.strip)
+      out.position(p.ifdOff)
+      out.putShort(p.placed.length.toShort)
+      p.placed.foreach { case (t, extOff) =>
+        out.putShort(t.id.toShort).putShort(t.tiffType.toShort)
+          .putInt(t.count)
+        if (extOff < 0) {
+          out.put(t.payload)
+          (t.payload.length until 4).foreach(_ => out.put(0.toByte))
+        } else out.putInt(extOff.toInt)
+      }
+      out.putInt(if (i + 1 < placedPages.length)
+        placedPages(i + 1).ifdOff else 0)
+      p.placed.foreach { case (t, extOff) =>
+        if (extOff >= 0) {
+          out.position(extOff.toInt)
+          out.put(t.payload)
+        }
+      }
+    }
+    out.array()
+  }
+
+  /** The full per-page tag list (ascending ids), strip at the given
+    * absolute offset; `reduced` pages carry NewSubfileType = 1. */
+  private def pageTags(width: Int, height: Int, dtype: String,
+                       geot: Seq[Double], srs: String, nodata: Double,
+                       compTag: Int, stripLen: Int, stripOffset: Int,
+                       reduced: Boolean): Seq[Tag] = {
     val (bits, sampleFormat) = sampleLayout(dtype)
 
     // GeoKey directory: version 1.1.0 + keys sorted by id.
@@ -240,10 +335,10 @@ object GeoTiff {
       short1(bits)(258),               // BitsPerSample
       short1(compTag)(259),            // compression: 1 none / 8 DEFLATE
       short1(1)(262),                  // BlackIsZero
-      long1(8)(273),                   // StripOffsets: right after header
+      long1(stripOffset)(273),         // StripOffsets (absolute)
       short1(1)(277),                  // SamplesPerPixel
       long1(height)(278),              // RowsPerStrip: single strip
-      long1(strip.length)(279),        // StripByteCounts
+      long1(stripLen)(279),            // StripByteCounts
       short1(1)(284),                  // chunky
       short1(sampleFormat)(339),
       Tag(33550, TDouble, 3,
@@ -251,6 +346,8 @@ object GeoTiff {
       Tag(33922, TDouble, 6,
         doubles(Seq(0.0, 0.0, 0.0, geot(0), geot(3), 0.0))), // ModelTiepoint
       Tag(34735, TShort, geoDir.length / 2, geoDir))
+    if (reduced)
+      tags :+= long1(1)(254)           // NewSubfileType = reduced image
     if (doubleParams.nonEmpty)
       tags :+= Tag(34736, TDouble, doubleParams.length,
         doubles(doubleParams.toSeq))
@@ -258,40 +355,6 @@ object GeoTiff {
       tags :+= Tag(34737, TAscii, asciiParams.length,
         asciiParams.toString.getBytes("US-ASCII"))
     tags :+= Tag(42113, TAscii, nodataAscii.length, nodataAscii)
-    tags = tags.sortBy(_.id) // TIFF requires ascending tag ids
-
-    // layout: header(8) | strip | pad | IFD | external payloads (> 4 B)
-    val ifdOffset = 8 + strip.length + (strip.length & 1)
-    val ifdSize = 2 + tags.length * 12 + 4
-    var extOffset = ifdOffset + ifdSize
-    val placed = tags.map { t =>
-      if (t.payload.length <= 4) (t, -1L)
-      else {
-        val off = extOffset
-        extOffset += t.payload.length + (t.payload.length & 1)
-        (t, off.toLong)
-      }
-    }
-
-    val out = ByteBuffer.allocate(extOffset).order(ByteOrder.LITTLE_ENDIAN)
-    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
-    out.put(strip)
-    if ((strip.length & 1) == 1) out.put(0.toByte)
-    out.putShort(placed.length.toShort)
-    placed.foreach { case (t, extOff) =>
-      out.putShort(t.id.toShort).putShort(t.tiffType.toShort).putInt(t.count)
-      if (extOff < 0) {
-        out.put(t.payload) // inline, left-justified in the 4-byte slot
-        (t.payload.length until 4).foreach(_ => out.put(0.toByte))
-      } else out.putInt(extOff.toInt)
-    }
-    out.putInt(0) // no next IFD
-    placed.foreach { case (t, extOff) =>
-      if (extOff >= 0) {
-        out.put(t.payload)
-        if ((t.payload.length & 1) == 1) out.put(0.toByte)
-      }
-    }
-    out.array()
+    tags.sortBy(_.id) // TIFF requires ascending tag ids
   }
 }

@@ -65,6 +65,74 @@ object GridExports {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
   }
 
+  /** Export one time-plane window as a GeoTIFF WITH embedded overview
+    * pages (the COG overview layout: full-res IFD chained to
+    * reduced-resolution IFDs, NewSubfileType = 1): zoomed-out display
+    * reads the small page, not the full raster. Overviews use the same
+    * nodata-aware 2×2 mean as [[graft.grid.GridPyramid]]; the window is
+    * the contract-bounded driver collect every single-raster export is.
+    */
+  def exportPyramidGeoTiff(spark: SparkSession, header: GridHeader,
+                           root: String, xFrom: Int, xTo: Int,
+                           yFrom: Int, yTo: Int, t: Int,
+                           levels: Int, path: String): Unit = {
+    require(levels >= 1, "levels must be >= 1")
+    val w = xTo - xFrom
+    val h = yTo - yFrom
+    val px = FractionStore.loadSliceXY(spark, header, root,
+        xFrom, xTo, yFrom, yTo, t, t + 1, maskNodata = false)
+      .select(col("x"), col("y"), col("value").cast("double"))
+      .collect()
+    val base = Array.fill(w * h)(header.nodata)
+    px.foreach(r => base((r.getInt(1) - yFrom) * w + (r.getInt(0) - xFrom)) =
+      r.getDouble(2))
+    val (ulx, uly) = GeoTransform.pixelToGeo(header.geotArray,
+      xFrom.toDouble, yFrom.toDouble)
+    def geotAt(level: Int) = Seq(ulx, header.geot(1) * (1 << level), 0.0,
+      uly, 0.0, header.geot(5) * (1 << level))
+    // cascade of nodata-aware 2x2 block means (GridPyramid's rule)
+    def reduce(d: Array[Double], dw: Int, dh: Int): (Array[Double], Int, Int) = {
+      val w2 = (dw + 1) / 2; val h2 = (dh + 1) / 2
+      val out = Array.fill(w2 * h2)(header.nodata)
+      var by = 0
+      while (by < h2) {
+        var bx = 0
+        while (bx < w2) {
+          var s = 0.0; var n = 0
+          var dy = 0
+          while (dy < 2) {
+            val yy = by * 2 + dy
+            if (yy < dh) {
+              var dx = 0
+              while (dx < 2) {
+                val xx = bx * 2 + dx
+                if (xx < dw) {
+                  val v = d(yy * dw + xx)
+                  if (v != header.nodata) { s += v; n += 1 }
+                }
+                dx += 1
+              }
+            }
+            dy += 1
+          }
+          if (n > 0) out(by * w2 + bx) = s / n
+          bx += 1
+        }
+        by += 1
+      }
+      (out, w2, h2)
+    }
+    var cur = (base, w, h)
+    val pages = Seq((w, h, base, geotAt(0))) ++ (1 to levels).map { l =>
+      cur = reduce(cur._1, cur._2, cur._3)
+      (cur._2, cur._3, cur._1, geotAt(l))
+    }.map { case (pw, ph, d, g) => (pw, ph, d, g) }
+    // overviews of integer grids hold fractional means -> float64 pages
+    val bytes = GeoTiff.writePyramid(pages, "float64", header.srs,
+      header.nodata)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
   /** Export one time-plane window as an ENVI raster (`<base>.bin` +
     * `<base>.hdr`). Executor-parallel up to the final ordered collect of
     * the window (an export to a single local raster is driver-bound by

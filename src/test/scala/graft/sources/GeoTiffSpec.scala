@@ -217,4 +217,45 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(r.geot.take(2) == Seq(h.geot(0), h.geot(1)))
     GridExports.deleteStore(spark, root)
   }
+
+  test("pyramid export: chained overview IFDs, GDAL-style reduced pages") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cog").toString
+    val h = SyntheticGrid.writeTiny(spark, root)
+    val path = s"$root/pyr.tif"
+    GridExports.exportPyramidGeoTiff(spark, h, root, 0, 40, 0, 20, t = 0,
+      levels = 2, path)
+    val pages = GeoTiff.readPages(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    assert(pages.map(p => (p.width, p.height))
+      == Seq((40, 20), (20, 10), (10, 5)))
+    // base page carries the raw window values (nodata kept as -999)
+    val base = pages.head
+    assert(base.nodata == -999.0 && base.dtype == "float64")
+    val expectBase = FractionStore.loadSliceXY(spark, h, root,
+        0, 40, 0, 20, 0, 1, maskNodata = false)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getFloat(3).toDouble)).toMap
+    (0 until 20).foreach { y => (0 until 40).foreach { x =>
+      assert(base.data(y * 40 + x) == expectBase((x, y)), s"($x,$y)")
+    }}
+    // level 1 equals the nodata-aware 2x2 mean of the base page
+    val l1 = pages(1)
+    (0 until 10).foreach { by => (0 until 20).foreach { bx =>
+      val vals = for {
+        dy <- 0 until 2; dx <- 0 until 2
+        v = base.data((by * 2 + dy) * 40 + bx * 2 + dx)
+        if v != -999.0
+      } yield v
+      val expect = if (vals.isEmpty) -999.0 else vals.sum / vals.size
+      assert(l1.data(by * 20 + bx) == expect, s"block ($bx,$by)")
+    }}
+    // geot: pixel size doubles per level, origin fixed
+    assert(l1.geot(1) == h.geot(1) * 2 && l1.geot(5) == h.geot(5) * 2)
+    assert(pages(2).geot(1) == h.geot(1) * 4)
+    assert(l1.geot(0) == base.geot(0) && l1.geot(3) == base.geot(3))
+    // single-page write still reads as one page (chain terminator)
+    val single = GeoTiff.write(2, 2, "int16", Array(1.0, 2.0, 3.0, 4.0),
+      Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0), "wgs84", -9)
+    assert(GeoTiff.readPages(single).length == 1)
+  }
 }
