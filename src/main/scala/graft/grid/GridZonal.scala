@@ -96,6 +96,42 @@ object GridZonal {
           first(col("cell_km2")), 6).as("area_km2"))
   }
 
+  /** Rasterize a NAMED-REGION table into a class grid (the inverse of
+    * region masking, and the missing half of the polygon round trip:
+    * vector layers become first-class categorical rasters that every
+    * grid operator — zonal stats, change matrix, pyramid mode levels —
+    * consumes directly). Pixel-center containment, FIRST matching
+    * region wins (callers order by priority), non-covered pixels are
+    * nodata. Generation is [[SyntheticGrid.writeDirect]]'s distributed
+    * per-chunk generator — one task per chunk, no input scan at all.
+    * Returns the written header (uint16 class codes = region index).
+    */
+  def rasterizeRegions(spark: SparkSession, geo: GridHeader,
+                       regions: Seq[(String, Array[(Double, Double)])],
+                       root: String): GridHeader = {
+    require(regions.nonEmpty && regions.size < 65535,
+      "need 1..65534 regions (uint16 codes, 65535 = nodata)")
+    val h = geo.copy(name = geo.name + "_regions", dtype = "uint16",
+      nodata = 65535.0,
+      timestampsMs = geo.timestampsMs.take(1))
+    val xyPolys = regions.map { case (_, ring) =>
+      ring.map { case (lat, lng) => h.latLngToXY(lat, lng) }
+    }.toArray
+    val fn = new SyntheticGrid.PixelFn {
+      def apply(x: Int, y: Int, t: Int): Double = {
+        var i = 0
+        while (i < xyPolys.length) {
+          if (PointInPolygon.contains(xyPolys(i), x + 0.5, y + 0.5))
+            return i.toDouble
+          i += 1
+        }
+        65535.0
+      }
+    }
+    SyntheticGrid.writeDirect(spark, h, root, fn)
+    h
+  }
+
   /** Land-cover CHANGE matrix between two dates (the GLCF
     * change-detection product): per (class@tFrom, class@tTo) pixel
     * counts, where `classOf` maps raw values to class codes. Pixels

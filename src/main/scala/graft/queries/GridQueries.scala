@@ -223,6 +223,26 @@ object GridQueries {
       GridZonal.zonalByRegion(s, h, root, regions, 0, 3)
     },
 
+    // Polygon rasterization (GridZonal.rasterizeRegions): the named
+    // regions burned into a uint16 class grid (first match wins,
+    // uncovered = nodata), then read back and counted per class — the
+    // vector -> raster half of the polygon round trip.
+    "grid_rasterize_regions" -> { (s, _) =>
+      val out = fixtureCache.getOrElseUpdate("rasterized", {
+        val o = java.nio.file.Files.createTempDirectory("graft_rast").toString
+        val regions = Seq("test.triangle", "test.box").map(n =>
+          n -> graft.sources.Regions.polygonForRegion(s,
+            "/root/repo/assets/regions.geojson", n))
+        GridZonal.rasterizeRegions(s, SyntheticGrid.tinyHeader, regions, o)
+        o
+      })
+      val h = GridHeader.load(s, out)
+      FractionStore.pixels(h, FractionStore.fractions(s, out))
+        .filter(col("value").isNotNull)
+        .groupBy(col("value").cast("int").as("cls"))
+        .agg(count(lit(1)).as("n_px"))
+    },
+
     // Per-class area in km² (GridZonal.classArea): cos-lat-weighted
     // pixel areas on the WGS84 tiny grid, micro-snapped weights.
     "grid_class_area" -> { (s, _) =>
@@ -1071,7 +1091,24 @@ object GridQueries {
          |FROM w GROUP BY cls""".stripMargin
     }
 
+    // grid_rasterize_regions: first-match-wins rasterization replayed
+    // with the same ray-cast parity on the same xy-projected rings
+    val rasterizeRegions = {
+      val triXy = testTriangleLatLng.map { case (lat, lng) =>
+        SyntheticGrid.tinyHeader.latLngToXY(lat, lng) }
+      val boxXy = testBoxLatLng.map { case (lat, lng) =>
+        SyntheticGrid.tinyHeader.latLngToXY(lat, lng) }
+      s"""SELECT cls, count(*) AS n_px FROM (
+         |  SELECT CASE
+         |    WHEN ${pipParitySql(triXy, "(x + 0.5)", "(y + 0.5)")} THEN 0
+         |    WHEN ${pipParitySql(boxXy, "(x + 0.5)", "(y + 0.5)")} THEN 1
+         |    END AS cls
+         |  FROM range(0, 190) a(x), range(0, 130) b(y))
+         |WHERE cls IS NOT NULL GROUP BY cls""".stripMargin
+    }
+
     Map(
+      "grid_rasterize_regions" -> rasterizeRegions,
       "grid_class_area" -> classArea,
       "grid_harmonic_fit" -> harmonicFit,
       "grid_class_transitions" -> classTransitions,
