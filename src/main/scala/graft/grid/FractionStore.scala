@@ -296,6 +296,16 @@ object FractionStore {
   def writeBucketed(spark: SparkSession, header: GridHeader,
                     fracRows: DataFrame, table: String,
                     nBuckets: Int = 32): Unit = {
+    // A crashed/killed prior run can leave the managed-table LOCATION on
+    // disk with no catalog entry (the metastore here is per-session);
+    // CTAS then refuses with LOCATION_ALREADY_EXISTS. Drop any catalog
+    // entry, then clear an orphaned default location before writing.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     fracRows.write.mode("overwrite")
       .bucketBy(nBuckets, "frac_num", "time_chunk")
       .sortBy("frac_num", "time_chunk")

@@ -101,51 +101,62 @@ object GridFocal {
             // per date inside the t loop)
             val halos = ss.map(s =>
               (s, PayloadCodec.decodeDouble(s.data, code))).toArray
-            val core = PayloadCodec.decodeDouble(c.data, code)
-            val pw = c.w + 2 * r
-            val ph = c.h + 2 * r
-            val out = scala.collection.mutable.ArrayBuffer.empty[FocalPixel]
-            var ti = 0
-            while (ti < c.nd) {
-              val t = c.t0 + ti
-              if (t >= tLo && t < tHi) {
-                val plane = paddedPlane(c, ti, core, halos, r, pw, ph, nodata)
-                var yy = 0
-                while (yy < c.h) {
-                  var xx = 0
-                  while (xx < c.w) {
-                    var cnt = 0L; var sum = 0.0
-                    var mn = Double.MaxValue; var mx = Double.MinValue
-                    var wy = yy
-                    while (wy <= yy + 2 * r) {
-                      var wx = xx
-                      while (wx <= xx + 2 * r) {
-                        val v = plane(wy * pw + wx)
-                        if (!v.isNaN) {
-                          cnt += 1; sum += v
-                          if (v < mn) mn = v
-                          if (v > mx) mx = v
-                        }
-                        wx += 1
-                      }
-                      wy += 1
-                    }
-                    out += (if (cnt > 0)
-                      FocalPixel(c.x0 + xx, c.y0 + yy, t, cnt,
-                        Some(sum / cnt), Some(mn), Some(mx))
-                    else
-                      FocalPixel(c.x0 + xx, c.y0 + yy, t, 0L,
-                        None, None, None))
-                    xx += 1
-                  }
-                  yy += 1
-                }
-              }
-              ti += 1
-            }
-            out.iterator
+            stencilOverChunk(c, halos, code, r, nodata, tLo, tHi)
           }
       }.toDF()
+  }
+
+  /** The mean/min/max stencil body shared by the cogroup
+    * ([[focalStatsOnChunks]]) and bucketed ([[focalStatsBucketed]])
+    * paths: decode the core payload once, then for every in-range date
+    * run the (2r+1)² valid-cell window over the NaN-padded plane. */
+  private def stencilOverChunk(c: FracRowBytes,
+                               halos: Array[(HaloStrip, Array[Double])],
+                               code: Int, r: Int, nodata: Double,
+                               tLo: Int, tHi: Int): Iterator[FocalPixel] = {
+    val core = PayloadCodec.decodeDouble(c.data, code)
+    val pw = c.w + 2 * r
+    val ph = c.h + 2 * r
+    val out = scala.collection.mutable.ArrayBuffer.empty[FocalPixel]
+    var ti = 0
+    while (ti < c.nd) {
+      val t = c.t0 + ti
+      if (t >= tLo && t < tHi) {
+        val plane = paddedPlane(c, ti, core, halos, r, pw, ph, nodata)
+        var yy = 0
+        while (yy < c.h) {
+          var xx = 0
+          while (xx < c.w) {
+            var cnt = 0L; var sum = 0.0
+            var mn = Double.MaxValue; var mx = Double.MinValue
+            var wy = yy
+            while (wy <= yy + 2 * r) {
+              var wx = xx
+              while (wx <= xx + 2 * r) {
+                val v = plane(wy * pw + wx)
+                if (!v.isNaN) {
+                  cnt += 1; sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                }
+                wx += 1
+              }
+              wy += 1
+            }
+            out += (if (cnt > 0)
+              FocalPixel(c.x0 + xx, c.y0 + yy, t, cnt,
+                Some(sum / cnt), Some(mn), Some(mx))
+            else
+              FocalPixel(c.x0 + xx, c.y0 + yy, t, 0L,
+                None, None, None))
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      ti += 1
+    }
+    out.iterator
   }
 
   /** Focal stats over a BUCKETED chunk table (written by
@@ -189,48 +200,7 @@ object GridFocal {
         (HaloStrip(0, 0, c.time_chunk, s._1, s._2, s._3, s._4, s._5, s._6,
           s._7), PayloadCodec.decodeDouble(s._7, code))
       }.toArray
-      val core = PayloadCodec.decodeDouble(c.data, code)
-      val pw = c.w + 2 * r
-      val ph = c.h + 2 * r
-      val out = scala.collection.mutable.ArrayBuffer.empty[FocalPixel]
-      var ti = 0
-      while (ti < c.nd) {
-        val t = c.t0 + ti
-        if (t >= tLo && t < tHi) {
-          val plane = paddedPlane(c, ti, core, halos, r, pw, ph, nodata)
-          var yy = 0
-          while (yy < c.h) {
-            var xx = 0
-            while (xx < c.w) {
-              var cnt = 0L; var sum = 0.0
-              var mn = Double.MaxValue; var mx = Double.MinValue
-              var wy = yy
-              while (wy <= yy + 2 * r) {
-                var wx = xx
-                while (wx <= xx + 2 * r) {
-                  val v = plane(wy * pw + wx)
-                  if (!v.isNaN) {
-                    cnt += 1; sum += v
-                    if (v < mn) mn = v
-                    if (v > mx) mx = v
-                  }
-                  wx += 1
-                }
-                wy += 1
-              }
-              out += (if (cnt > 0)
-                FocalPixel(c.x0 + xx, c.y0 + yy, t, cnt,
-                  Some(sum / cnt), Some(mn), Some(mx))
-              else
-                FocalPixel(c.x0 + xx, c.y0 + yy, t, 0L, None, None, None))
-              xx += 1
-            }
-            yy += 1
-          }
-        }
-        ti += 1
-      }
-      out.iterator
+      stencilOverChunk(c, halos, code, r, nodata, tLo, tHi)
     }.toDF()
   }
 

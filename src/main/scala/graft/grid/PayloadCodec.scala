@@ -46,8 +46,6 @@ object PayloadCodec {
   }
 
   /** Encode doubles into the packed dtype (values must fit; integer
-    * dtypes truncate like a numpy astype). */
-  /** Encode doubles into the packed dtype (values must fit; integer
     * dtypes truncate like a numpy astype).
     *
     * One METHOD per dtype, not one match with six hot loops: a shared

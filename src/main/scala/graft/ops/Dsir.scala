@@ -100,11 +100,18 @@ object Dsir {
                   idCol: String = "doc_id", textCol: String = "text",
                   nBuckets: Int = 1024): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0, s"fraction $fraction")
+    // k is a function of the RAW row count (importanceWeights emits one
+    // row per raw doc), so decide the degenerate k<=0 case before the
+    // expensive scoring join exists — that path must not leave a cached
+    // weights table behind (round-7 advice).
+    val n = raw.count()
+    val k = math.floor(n * fraction).toLong
+    if (k <= 0)
+      return raw.select(col(idCol)).limit(0)
+        .withColumn("n_tokens", lit(0L))
+        .withColumn("weight_micro", lit(0L))
     val w = CacheRegistry.persist(
       importanceWeights(raw, target, idCol, textCol, nBuckets))
-    val n = w.count()
-    val k = math.floor(n * fraction).toLong
-    if (k <= 0) return w.limit(0)
     // exact k-th largest weight (position k of the descending order)
     // percentile_disc picks an ELEMENT but surfaces it as double —
     // micro-nat weights stay well under 2^53, so the cast is exact
