@@ -375,6 +375,131 @@ object GridFocal {
       }.toDF("x", "y", "t", "conv")
   }
 
+  /** Horn-method terrain derivatives — slope / aspect / hillshade, the
+    * classic DEM raster products — over the same halo-exchange
+    * machinery as [[focalStats]] (the reference leaves raster algebra
+    * of this kind to numpy on collected slices; here it is one
+    * distributed pass whose only payload shuffle is chunk-keyed, with
+    * perimeter-sized halo strips).
+    *
+    * Per pixel, the 3x3 Horn gradients over cell sizes (gx, gy) from
+    * the header geotransform:
+    *
+    *   dz/dx = ((c + 2f + i) - (a + 2d + g)) * zFactor / (8 gx)
+    *   dz/dy = ((g + 2h + i) - (a + 2b + c)) * zFactor / (8 gy)
+    *
+    * then the standard products: slope_deg = atan(|grad|) in degrees;
+    * aspect_deg in the ESRI compass convention (0 = north, clockwise);
+    * hillshade = 255 (cos z cos s + sin z sin s cos(az - asp)) at the
+    * given sun azimuth/altitude, clamped at 0 (not byte-quantized, so
+    * the arithmetic chain stays replayable). Pixels whose 3x3 window
+    * has ANY invalid cell are omitted — a gradient over a partial
+    * window is not a gradient (the [[focalConvolve]] derivative rule).
+    *
+    * Degrees are produced by multiplying with an explicit 180/pi
+    * constant (not an engine `degrees()` whose association may differ
+    * in the last ulp), and outputs round to `roundTo` — the chain a
+    * DuckDB oracle replays within float-canonicalization tolerance.
+    */
+  def focalTerrain(spark: SparkSession, header: GridHeader, root: String,
+                   tFrom: Int, tTo: Int, zFactor: Double = 1.0,
+                   azimuthDeg: Double = 315.0, altitudeDeg: Double = 45.0,
+                   roundTo: Int = 3): DataFrame = {
+    import spark.implicits._
+    val r = 1
+    require(math.min(header.fracWidth, header.fracHeight) >= 1,
+      "chunk too small for a 3x3 window")
+    val g = header.chunkGrid
+    val code = PayloadCodec.code(header.dtype)
+    val nodata = header.nodata
+    val gx = header.geot(1)
+    val gy = math.abs(header.geot(5))
+    val hx = 8.0 * gx
+    val hy = 8.0 * gy
+    val zen = (90.0 - altitudeDeg) * (math.Pi / 180.0)
+    val azMath = ((360.0 - azimuthDeg + 90.0) % 360.0) * (math.Pi / 180.0)
+    val cosZen = math.cos(zen)
+    val sinZen = math.sin(zen)
+    val zf = zFactor
+    val degPerRad = 180.0 / math.Pi
+    val fracRows = FractionStore.fractionsForWindow(spark, header, root,
+      0, header.width, 0, header.height, tFrom, tTo)
+    val chunks = fracRows.select("frac_num", "time_chunk", "frac_x", "frac_y",
+      "x0", "y0", "t0", "w", "h", "nd", "data").as[FracRowBytes]
+    val strips = haloStrips(chunks, g, r, PayloadCodec.bytesPerElem(code))
+    val tLo = tFrom; val tHi = tTo
+    val rnd = math.pow(10.0, roundTo)
+    chunks.groupByKey(c => (c.frac_x, c.frac_y, c.time_chunk))
+      .cogroup(strips.groupByKey(s => (s.frac_x, s.frac_y, s.time_chunk))) {
+        (_, cs, ss) =>
+          if (!cs.hasNext) Iterator.empty
+          else {
+            val c = cs.next()
+            val halos = ss.map(s =>
+              (s, PayloadCodec.decodeDouble(s.data, code))).toArray
+            val core = PayloadCodec.decodeDouble(c.data, code)
+            val pw = c.w + 2 * r
+            val ph = c.h + 2 * r
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Int, Int, Double, Double, Double)]
+            var ti = 0
+            while (ti < c.nd) {
+              val t = c.t0 + ti
+              if (t >= tLo && t < tHi) {
+                val plane = paddedPlane(c, ti, core, halos, r, pw, ph, nodata)
+                var yy = 0
+                while (yy < c.h) {
+                  var xx = 0
+                  while (xx < c.w) {
+                    val va = plane(yy * pw + xx)
+                    val vb = plane(yy * pw + xx + 1)
+                    val vc = plane(yy * pw + xx + 2)
+                    val vd = plane((yy + 1) * pw + xx)
+                    val vf = plane((yy + 1) * pw + xx + 2)
+                    val vg = plane((yy + 2) * pw + xx)
+                    val vh = plane((yy + 2) * pw + xx + 1)
+                    val vi = plane((yy + 2) * pw + xx + 2)
+                    val ve = plane((yy + 1) * pw + xx + 1)
+                    if (!va.isNaN && !vb.isNaN && !vc.isNaN && !vd.isNaN &&
+                        !ve.isNaN && !vf.isNaN && !vg.isNaN && !vh.isNaN &&
+                        !vi.isNaN) {
+                      val dzdx = ((vc + 2 * vf + vi) - (va + 2 * vd + vg)) *
+                        zf / hx
+                      val dzdy = ((vg + 2 * vh + vi) - (va + 2 * vb + vc)) *
+                        zf / hy
+                      val srad = math.atan(
+                        math.sqrt(dzdx * dzdx + dzdy * dzdy))
+                      val arad0 = math.atan2(dzdy, -dzdx)
+                      val adeg0 = arad0 * degPerRad
+                      val aspect =
+                        if (adeg0 < 0) 90.0 - adeg0
+                        else if (adeg0 > 90.0) 450.0 - adeg0
+                        else 90.0 - adeg0
+                      val arad = if (arad0 < 0) arad0 + 2.0 * math.Pi
+                        else arad0
+                      val lum = cosZen * math.cos(srad) +
+                        sinZen * math.sin(srad) * math.cos(azMath - arad)
+                      val hs = if (lum < 0) 0.0 else 255.0 * lum
+                      // half-up rounding (all three outputs are >= 0):
+                      // the same boundary rule as Spark's / DuckDB's
+                      // round(), unlike rint's half-even
+                      out += ((c.x0 + xx, c.y0 + yy, t,
+                        math.floor(srad * degPerRad * rnd + 0.5) / rnd,
+                        math.floor(aspect * rnd + 0.5) / rnd,
+                        math.floor(hs * rnd + 0.5) / rnd))
+                    }
+                    xx += 1
+                  }
+                  yy += 1
+                }
+              }
+              ti += 1
+            }
+            out.iterator
+          }
+      }.toDF("x", "y", "t", "slope_deg", "aspect_deg", "hillshade")
+  }
+
   /** The declarative baseline: pixel-view offset-explode self-
     * aggregation. Correct and pure-Catalyst, but every pixel rides the
     * shuffle (2r+1)² times — the differential-test twin and the bench

@@ -109,6 +109,96 @@ object GridTimeSeries {
         round(sqrt(c1 * c1 + s1 * s1), roundTo).as("amplitude"))
   }
 
+  /** One-sided CUSUM change detection per pixel — the vegetation-loss
+    * alarm the reference's downstream consumer (Terra-i-style NDVI
+    * monitoring) runs over exactly the per-pixel series rastercube
+    * serves (doc/notebooks/load_ndvi_qa.ipynb): accumulate downward
+    * deviations from a per-pixel baseline and alarm when the
+    * accumulation crosses a decision threshold.
+    *
+    * Baseline: mean of the valid dates t < `trainT`. Monitoring
+    * (t >= trainT) runs the classic one-sided CUSUM
+    *
+    *   S_t = max(0, S_{t-1} + (mu - x_t - slack))
+    *
+    * computed NOT by per-pixel recursion but by its prefix closed form
+    *
+    *   S_t = R_t - min(0, min_{j<=t} R_j),   R_t = running sum of d_j
+    *
+    * i.e. one running sum plus one running min — so the whole operator
+    * is window frames over ONE pixel-keyed Exchange (baseline stats are
+    * whole-partition conditional windows, no self-join), and every
+    * frame is bounded by the series length.
+    *
+    * Engine-exactness: deviations are scaled by n_train and the slack /
+    * threshold snapped to the integer MICRO grid (the DSIR trick), so
+    * on integer-valued grids every running sum is an exact integer in
+    * any accumulation order; `cusum` is then a single divide + round
+    * and `alarm` an exact integer comparison — the DuckDB oracle
+    * replays both bit-for-bit.
+    *
+    * Emits (x, y, t, cusum, alarm) for valid monitoring dates of pixels
+    * with at least one valid training date.
+    */
+  def cusumDetect(px: DataFrame, trainT: Int, slack: Double,
+                  threshold: Double, roundTo: Int = 4): DataFrame = {
+    require(trainT >= 1, s"trainT must be >= 1, got $trainT")
+    val slackMicro = math.rint(slack * 1e6)
+    val hMicro = math.rint(threshold * 1e6)
+    val v = col("value").cast("double")
+    val pw = Window.partitionBy(col("x"), col("y"))
+    val cum = Window.partitionBy(col("x"), col("y")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    px.filter(col("value").isNotNull)
+      .withColumn("n_train",
+        count(when(col("t") < trainT, lit(1))).over(pw))
+      .withColumn("sm", sum(when(col("t") < trainT, v)).over(pw))
+      .filter(col("t") >= trainT && col("n_train") > 0)
+      .withColumn("d",
+        (col("sm") - col("n_train") * v) * lit(1e6) -
+          col("n_train") * lit(slackMicro))
+      .withColumn("r", sum(col("d")).over(cum))
+      .withColumn("mn", least(lit(0.0), min(col("r")).over(cum)))
+      .select(col("x"), col("y"), col("t"),
+        round((col("r") - col("mn")) / (col("n_train") * lit(1e6)), roundTo)
+          .as("cusum"),
+        ((col("r") - col("mn")) > col("n_train") * lit(hMicro))
+          .cast("int").as("alarm"))
+  }
+
+  /** Per-pixel Pearson correlation between two aligned bands over t —
+    * the NDVI-vs-rainfall (or band-vs-band) association map. Input is
+    * the aligned-join pixel view (x, y, t, aCol, bCol); only dates
+    * where BOTH bands are valid participate.
+    *
+    *   r = (n·Σab − Σa·Σb) / (√(n·Σa² − (Σa)²) · √(n·Σb² − (Σb)²))
+    *
+    * One partial-agg shuffle on (x, y) — the trendSlope envelope. The
+    * two variance determinants are kept under SEPARATE square roots:
+    * each is an exact integer (integer-valued grids) below 2^53, while
+    * their product is not — √da·√db is the engine-portable form the
+    * oracle mirrors. Degenerate pixels (n < 2 or either variance 0)
+    * report NULL.
+    */
+  def pixelCorrelation(px: DataFrame, aCol: String = "value_0",
+                       bCol: String = "value_1",
+                       roundTo: Int = 4): DataFrame = {
+    val a = col(aCol).cast("double")
+    val b = col(bCol).cast("double")
+    val da = col("n") * col("saa") - col("sa") * col("sa")
+    val db = col("n") * col("sbb") - col("sb") * col("sb")
+    px.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(a).as("sa"), sum(b).as("sb"),
+        sum(a * a).as("saa"), sum(b * b).as("sbb"),
+        sum(a * b).as("sab"))
+      .select(col("x"), col("y"), col("n"),
+        when(col("n") >= 2 && da > 0 && db > 0,
+          round((col("n") * col("sab") - col("sa") * col("sb")) /
+            (sqrt(da) * sqrt(db)), roundTo)).as("corr_ab"))
+  }
+
   /** Season-onset detection (greenup date): per pixel, the FIRST date t
     * whose value and the `k − 1` following dates all reach `threshold`
     * — the standard threshold-crossing phenology rule (k consecutive

@@ -388,6 +388,32 @@ object GridQueries {
               4)).otherwise(lit(0.0)).as("z"))
     },
 
+    // One-sided CUSUM change detection (GridTimeSeries.cusumDetect) —
+    // the Terra-i-style vegetation-loss alarm over per-pixel series:
+    // baseline mean from dates t < 5, then the prefix-closed-form CUSUM
+    // of downward deviations with micro-snapped slack/threshold. All
+    // window frames over ONE pixel-keyed Exchange.
+    "grid_cusum_detect" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      GridTimeSeries.cusumDetect(
+        FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates),
+        trainT = 5, slack = 5.0, threshold = 40.0)
+    },
+
+    // Per-pixel Pearson correlation between two aligned bands
+    // (GridTimeSeries.pixelCorrelation) — the NDVI-vs-covariate
+    // association map, here NDVI against the QA band over the aligned
+    // two-store load. One partial-agg shuffle on (x, y).
+    "grid_xcorr" -> { (s, _) =>
+      val (ndviRoot, qaRoot) = miniModisRoots(s)
+      val nh = GridHeader.load(s, ndviRoot)
+      val qh = GridHeader.load(s, qaRoot)
+      GridTimeSeries.pixelCorrelation(
+        FractionStore.loadAlignedSliceXY(s, Seq((nh, ndviRoot), (qh, qaRoot)),
+          0, 60, 0, 60, 0, 4, masks = Seq(true, true)))
+    },
+
     // MODIS-style max-value composite (the classic 16-day NDVI MVC,
     // here period=4 over the tiny cube): per pixel per period keep the
     // max value and the (lowest) date holding it. One partial-agg
@@ -441,6 +467,16 @@ object GridQueries {
       val root = tinyRoot(s)
       val h = GridHeader.load(s, root)
       GridFocal.focalStats(s, h, root, radius = 1, tFrom = 0, tTo = 3)
+    },
+
+    // Horn-method terrain products (GridFocal.focalTerrain): slope /
+    // aspect / hillshade over the halo-exchange stencil — chunk-keyed
+    // payload shuffle plus perimeter-sized strips, never a pixel
+    // self-join. Full tiny grid, dates [0, 2).
+    "grid_terrain" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      GridFocal.focalTerrain(s, h, root, tFrom = 0, tTo = 2)
     },
 
     // Overview pyramid, mean reducer (GridPyramid): level-1 halving of
@@ -819,6 +855,103 @@ object GridQueries {
          |    ELSE 0.0 END AS z
          |FROM w""".stripMargin
 
+    // grid_cusum_detect: the prefix-closed-form CUSUM replayed on the
+    // closed form — identical conditional-window baseline, running
+    // sum/min frames, micro-snapped slack (5 -> 5e6) and threshold
+    // (40 -> 4e7), same divide/round/compare chain
+    val cusumDetect =
+      s"""WITH g AS (SELECT x, y, t,
+         |    CAST(${tinyValueSql(mask = true)} AS DOUBLE) AS v
+         |  FROM range(0, 25) a(x), range(0, 10) b(y), range(0, 11) c(t)),
+         |s AS (SELECT x, y, t, v,
+         |    count(CASE WHEN t < 5 THEN 1 END) OVER pw AS n_train,
+         |    sum(CASE WHEN t < 5 THEN v END) OVER pw AS sm
+         |  FROM g WHERE v IS NOT NULL
+         |  WINDOW pw AS (PARTITION BY x, y)),
+         |m AS (SELECT x, y, t, n_train,
+         |    (sm - n_train * v) * 1e6 - n_train * 5000000.0 AS d
+         |  FROM s WHERE t >= 5 AND n_train > 0),
+         |r1 AS (SELECT x, y, t, n_train, sum(d) OVER cw AS r
+         |  FROM m WINDOW cw AS (PARTITION BY x, y ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |r2 AS (SELECT x, y, t, n_train, r,
+         |    least(0.0, min(r) OVER cw) AS mn
+         |  FROM r1 WINDOW cw AS (PARTITION BY x, y ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, CAST(t AS INT) AS t,
+         |  round((r - mn) / (n_train * 1e6), 4) AS cusum,
+         |  CAST((r - mn) > n_train * 40000000.0 AS INT) AS alarm
+         |FROM r2""".stripMargin
+
+    // grid_xcorr: the Pearson closed form replayed on the two value
+    // functions (60x60x4 window, both bands nodata-masked); exact
+    // integer sums, then the identical sqrt(da)*sqrt(db) divide chain
+    val xcorr =
+      s"""WITH g AS (SELECT x, y, t,
+         |    CAST(${ndviValueSql(mask = true)} AS DOUBLE) AS va,
+         |    CAST(CASE WHEN ($qaValueSql) = 65535 THEN NULL
+         |         ELSE ($qaValueSql) END AS DOUBLE) AS vb
+         |  FROM range(0, 60) a(x), range(0, 60) b(y), range(0, 4) c(t)),
+         |s AS (SELECT x, y, count(*) AS n, sum(va) AS sa, sum(vb) AS sb,
+         |    sum(va * va) AS saa, sum(vb * vb) AS sbb, sum(va * vb) AS sab
+         |  FROM g WHERE va IS NOT NULL AND vb IS NOT NULL GROUP BY x, y)
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, n,
+         |  CASE WHEN n >= 2 AND n * saa - sa * sa > 0
+         |            AND n * sbb - sb * sb > 0
+         |    THEN round((n * sab - sa * sb) /
+         |      (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)), 4)
+         |  END AS corr_ab
+         |FROM s""".stripMargin
+
+    // grid_terrain: the 3x3 Horn stencil replayed by recomputing the
+    // closed form at the 9 neighbor coordinates (no self-join); trig
+    // constants are embedded as exact double literals computed from the
+    // SAME header/sun parameters as the Spark side, and degrees use an
+    // explicit 180/pi factor on both sides
+    val terrain = {
+      val h = SyntheticGrid.tinyHeader
+      val hx = 8.0 * h.geot(1)
+      val hy = 8.0 * math.abs(h.geot(5))
+      val degPerRad = 180.0 / math.Pi
+      val zen = (90.0 - 45.0) * (math.Pi / 180.0)
+      val azMath = ((360.0 - 315.0 + 90.0) % 360.0) * (math.Pi / 180.0)
+      val cosZen = math.cos(zen)
+      val sinZen = math.sin(zen)
+      val twoPi = 2.0 * math.Pi
+      def at(xe: String, ye: String) = tinyValueSqlAt(xe, ye, "t")
+      val lum = s"$cosZen * cos(srad) + $sinZen * sin(srad) * " +
+        s"cos($azMath - arad)"
+      s"""WITH c AS (SELECT x, y, t,
+         |    ${at("x - 1", "y - 1")} AS va, ${at("x", "y - 1")} AS vb,
+         |    ${at("x + 1", "y - 1")} AS vc, ${at("x - 1", "y")} AS vd,
+         |    ${at("x", "y")} AS ve, ${at("x + 1", "y")} AS vf,
+         |    ${at("x - 1", "y + 1")} AS vg, ${at("x", "y + 1")} AS vh,
+         |    ${at("x + 1", "y + 1")} AS vi
+         |  FROM range(1, ${h.width - 1}) a(x),
+         |       range(1, ${h.height - 1}) b(y), range(0, 2) c0(t)),
+         |q AS (SELECT x, y, t,
+         |    ((vc + 2 * vf + vi) - (va + 2 * vd + vg)) * 1.0 / $hx AS dzdx,
+         |    ((vg + 2 * vh + vi) - (va + 2 * vb + vc)) * 1.0 / $hy AS dzdy
+         |  FROM c WHERE va IS NOT NULL AND vb IS NOT NULL
+         |    AND vc IS NOT NULL AND vd IS NOT NULL AND ve IS NOT NULL
+         |    AND vf IS NOT NULL AND vg IS NOT NULL AND vh IS NOT NULL
+         |    AND vi IS NOT NULL),
+         |r0 AS (SELECT x, y, t,
+         |    atan(sqrt(dzdx * dzdx + dzdy * dzdy)) AS srad,
+         |    atan2(dzdy, -dzdx) AS arad0 FROM q),
+         |r1 AS (SELECT x, y, t, srad, arad0 * $degPerRad AS adeg0,
+         |    CASE WHEN arad0 < 0 THEN arad0 + $twoPi ELSE arad0 END AS arad
+         |  FROM r0)
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, CAST(t AS INT) AS t,
+         |  round(srad * $degPerRad, 3) AS slope_deg,
+         |  round(CASE WHEN adeg0 < 0 THEN 90.0 - adeg0
+         |        WHEN adeg0 > 90.0 THEN 450.0 - adeg0
+         |        ELSE 90.0 - adeg0 END, 3) AS aspect_deg,
+         |  round(CASE WHEN $lum < 0 THEN 0.0
+         |        ELSE 255.0 * ($lum) END, 3) AS hillshade
+         |FROM r1""".stripMargin
+    }
+
     // grid_mvc_composite: per pixel per 4-date period, max value + its
     // lowest t (the MVC compositing rule replayed on the closed form)
     val mvcComposite =
@@ -1128,6 +1261,9 @@ object GridQueries {
       "grid_argmax_t" -> argmaxT,
       "grid_mvc_composite" -> mvcComposite,
       "grid_anomaly_z" -> anomalyZ,
+      "grid_cusum_detect" -> cusumDetect,
+      "grid_xcorr" -> xcorr,
+      "grid_terrain" -> terrain,
       "grid_interpolate_ts" -> interpolateTs,
       "grid_slice_window" -> sliceWindow,
       "grid_index_select" -> indexSelect,

@@ -56,6 +56,14 @@ object OracleBuilders {
       "CAST(CASE WHEN (x + y + t) % 13 = 0 THEN -999.0 " +
         "ELSE (x * 31 + y * 17 + t * 7) % 97 END AS FLOAT)"
 
+  /** tinygrid value at arbitrary integer coordinate EXPRESSIONS —
+    * neighbor lookups for stencil oracles (terrain, focal) recompute
+    * the closed form at shifted coordinates instead of self-joining.
+    * Nodata is NULL-masked. */
+  def tinyValueSqlAt(xe: String, ye: String, te: String): String =
+    s"CAST(CASE WHEN (($xe) + ($ye) + ($te)) % 13 = 0 THEN NULL " +
+      s"ELSE (($xe) * 31 + ($ye) * 17 + ($te) * 7) % 97 END AS DOUBLE)"
+
   /** minimodis NDVI value ([[SyntheticGrid.ndviValue]]), int16 store so
     * the pixel view surfaces integers; nodata -3000. */
   def ndviValueSql(mask: Boolean): String =

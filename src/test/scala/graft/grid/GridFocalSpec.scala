@@ -157,6 +157,51 @@ class GridFocalSpec extends AnyFunSuite {
     assert(sx((0, 0)) == None && sx((2, 1)) == None)
   }
 
+  test("terrain: Horn gradients are exact on a planar surface") {
+    // z = 2x + 3y over a 6x6 grid in 2x2 chunks of 3x3 (so interior
+    // windows cross chunk borders); cell size 1 -> dz/dx = 2, dz/dy = 3
+    // exactly, everywhere in the interior
+    val h = GridHeader(name = "terr_plane", width = 6, height = 6,
+      fracWidth = 3, fracHeight = 3, fracNDates = 1, dtype = "float32",
+      srs = "wgs84", geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(0L), nodata = -1.0)
+    val px = SyntheticGrid.pixelDf(spark, h,
+      (x, y, _) => (x * 2 + y * 3).cast("double"))
+    val root = java.nio.file.Files.createTempDirectory("graft_terr").toString
+    FractionStore.write(spark, h, FractionStore.fromPixels(spark, h, px), root)
+    val rows = GridFocal.focalTerrain(spark, h, root, 0, 1).collect()
+    // edges have incomplete windows -> interior only
+    assert(rows.length == 16)
+    val expSlope = math.floor(
+      math.toDegrees(math.atan(math.sqrt(13.0))) * 1000 + 0.5) / 1000
+    // atan2(3, -2) > 90 deg -> ESRI aspect = 450 - deg(atan2)
+    val expAspect = math.floor(
+      (450.0 - math.toDegrees(math.atan2(3.0, -2.0))) * 1000 + 0.5) / 1000
+    rows.foreach { r =>
+      assert(r.getDouble(3) == expSlope, s"slope at $r")
+      assert(r.getDouble(4) == expAspect, s"aspect at $r")
+      val hs = r.getDouble(5)
+      assert(hs >= 0.0 && hs <= 255.0)
+    }
+  }
+
+  test("terrain: a nodata hole invalidates every window containing it") {
+    val h = GridHeader(name = "terr_hole", width = 6, height = 6,
+      fracWidth = 3, fracHeight = 3, fracNDates = 1, dtype = "float32",
+      srs = "wgs84", geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(0L), nodata = -1.0)
+    val px = SyntheticGrid.pixelDf(spark, h, (x, y, _) =>
+      when(x === 2 && y === 2, lit(-1.0))
+        .otherwise((x * 2 + y * 3).cast("double")))
+    val root = java.nio.file.Files.createTempDirectory("graft_terrh").toString
+    FractionStore.write(spark, h, FractionStore.fromPixels(spark, h, px), root)
+    val out = GridFocal.focalTerrain(spark, h, root, 0, 1).collect()
+    // 16 interior centers minus the 9 whose window covers (2,2)
+    assert(out.length == 7)
+    assert(!out.exists(r => math.abs(r.getInt(0) - 2) <= 1 &&
+      math.abs(r.getInt(1) - 2) <= 1))
+  }
+
   test("hand-computed corner window (dense 3x3 grid of value x+y)") {
     val h = GridHeader(name = "focal_hand", width = 3, height = 3,
       fracWidth = 3, fracHeight = 3, fracNDates = 1, dtype = "float32",

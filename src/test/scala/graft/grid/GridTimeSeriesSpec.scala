@@ -123,6 +123,72 @@ class GridTimeSeriesSpec extends AnyFunSuite {
     assert(r3.getDouble(5) == 0.0)
   }
 
+  /** The textbook per-pixel recursion the closed form must reproduce. */
+  private def cusumRef(vals: Seq[Option[Double]], trainT: Int,
+                       slack: Double): Seq[(Int, Double)] = {
+    val train = vals.take(trainT).flatten
+    val mu = train.sum / train.size
+    var s = 0.0
+    vals.zipWithIndex.drop(trainT).collect { case (Some(v), t) =>
+      s = math.max(0.0, s + (mu - v - slack))
+      (t, s)
+    }
+  }
+
+  test("cusum closed form matches the textbook recursion") {
+    // baseline 10,12,14 -> mu 12; then a sustained dip the alarm catches
+    val vals = Seq(Some(10.0), Some(12.0), Some(14.0),
+      Some(11.0), None, Some(4.0), Some(3.0), Some(13.0), Some(2.0))
+    val out = GridTimeSeries.cusumDetect(series(vals), trainT = 3,
+        slack = 1.0, threshold = 10.0)
+      .orderBy("t").select("t", "cusum", "alarm")
+      .as[(Int, Double, Int)].collect().toSeq
+    val ref = cusumRef(vals, 3, 1.0)
+    assert(out.map(r => (r._1, r._2)) ==
+      ref.map { case (t, s) => (t, math.rint(s * 1e4) / 1e4) })
+    assert(out.map(r => (r._1, r._3)) ==
+      ref.map { case (t, s) => (t, if (s > 10.0) 1 else 0) })
+    // the dip must actually fire at least one alarm in this fixture
+    assert(out.exists(_._3 == 1))
+    // and recovery (t=7, value 13) must DRAIN the accumulation, not reset it
+    val s7 = out.find(_._1 == 7).get._2
+    val s6 = out.find(_._1 == 6).get._2
+    assert(s7 < s6 && s7 > 0.0)
+  }
+
+  test("cusum drops pixels with no valid training dates") {
+    val df = Seq(
+      (0, 0, 0, Option.empty[Double]), (0, 0, 1, Some(3.0)),
+      (1, 0, 0, Some(8.0)), (1, 0, 1, Some(1.0)))
+      .toDF("x", "y", "t", "value")
+    val out = GridTimeSeries.cusumDetect(df, trainT = 1, slack = 0.0,
+      threshold = 100.0)
+    assert(out.select("x").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("pixel correlation: perfect, inverse, and degenerate series") {
+    val df = Seq(
+      // pixel (0,0): b = 2a + 1 -> r = 1
+      (0, 0, 0, Some(1.0), Some(3.0)), (0, 0, 1, Some(2.0), Some(5.0)),
+      (0, 0, 2, Some(3.0), Some(7.0)),
+      // pixel (1,0): b = -a -> r = -1
+      (1, 0, 0, Some(1.0), Some(-1.0)), (1, 0, 1, Some(4.0), Some(-4.0)),
+      (1, 0, 2, Some(2.0), Some(-2.0)),
+      // pixel (2,0): constant b -> degenerate, NULL
+      (2, 0, 0, Some(1.0), Some(5.0)), (2, 0, 1, Some(2.0), Some(5.0)),
+      // pixel (3,0): a null on one band excludes the date
+      (3, 0, 0, Some(1.0), Some(1.0)), (3, 0, 1, None, Some(9.0)),
+      (3, 0, 2, Some(2.0), Some(2.0)), (3, 0, 3, Some(3.0), Some(3.0)))
+      .toDF("x", "y", "t", "value_0", "value_1")
+    val out = GridTimeSeries.pixelCorrelation(df).orderBy("x")
+      .select("x", "n", "corr_ab").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(out(0).getDouble(2) == 1.0)
+    assert(out(1).getDouble(2) == -1.0)
+    assert(out(2).isNullAt(2))
+    assert(out(3).getLong(1) == 3L && out(3).getDouble(2) == 1.0)
+  }
+
   test("season onset: per-pixel independence") {
     val df = Seq(
       (0, 0, 0, Some(9.0)), (0, 0, 1, Some(9.0)),
