@@ -96,7 +96,15 @@ object Bench {
     "bm25_search",
     // fuzzy join: neighborhood explode + variant equi-join + exact
     // confirm — cost must track neighborhood volume, never all-pairs
-    "fuzzy_join_names")
+    "fuzzy_join_names",
+    // round-8: trained quality gate — 6 full-batch GD epochs over the
+    // cached feature frame; per-epoch cost must be one feature-cache
+    // scan + a dim-bounded gradient shuffle, never a text re-scan
+    "quality_classifier",
+    // round-8 grid time-series products on the tiny fixture: the CUSUM
+    // closed form (two pixel-keyed window frames, one exchange) and the
+    // aligned-band Pearson map (one partial-agg shuffle)
+    "grid_cusum_detect", "grid_xcorr")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see
@@ -630,6 +638,25 @@ object Bench {
         .agg(count(col("mean_nbr")), sum(col("mean_nbr")),
           sum(col("n_valid"))).collect()
     }
+    // round-8: Horn terrain over the same 1600x1600x2 grid — the
+    // halo-exchange stencil with the trig product chain; tracks that
+    // the terrain pass stays within ~2x of plain focal stats (same
+    // shuffle, heavier per-pixel math).
+    val terrain = timed2(spark, "grid_terrain_1600x1600x2") {
+      GridFocal.focalTerrain(spark, fh, focalRoot, 0, 2)
+        .agg(count(lit(1)), sum(col("slope_deg")),
+          sum(col("hillshade"))).collect()
+    }
+    // round-8: CUSUM detection over a 1600x1600x4 slice of the NDVI
+    // tile (baseline 2 dates, monitor 2) — the per-pixel window pass
+    // whose cost must track the sliced box, one pixel-keyed exchange.
+    val cusum = timed2(spark, "grid_cusum_1600x1600x4") {
+      GridTimeSeries.cusumDetect(
+        FractionStore.loadSliceXY(spark, nh, ndviRoot,
+          1200, 2800, 900, 2500, 0, 4),
+        trainT = 2, slack = 0.0, threshold = 50.0)
+        .agg(count(lit(1)), sum(col("cusum")), sum(col("alarm"))).collect()
+    }
     // JVM hygiene before the pyramid A/B: the focal-naive rounds just
     // exploded 46M-row shuffles; without a GC + cache drop here the
     // pyramid's chunk-local side measured 25x its quiet-window cost
@@ -657,6 +684,6 @@ object Bench {
     catch { case _: Throwable => }
     Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, patches256,
       multiJoin, boxUnpruned, boxPruned, trend, focalHalo, focalNaive,
-      pyrLocal, pyrGeneric)
+      terrain, cusum, pyrLocal, pyrGeneric)
   }
 }

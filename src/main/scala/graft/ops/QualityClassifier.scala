@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the trained-classifier gate of the
+  * classic LLM data pipeline (GPT-3 / LLaMA style: fit a linear
+  * classifier that separates a trusted corpus from raw crawl, keep raw
+  * docs the model scores target-like). The heuristic gates
+  * ([[LineFilter]], quality_gate) are rule-based; this is the learned
+  * complement: fastText-shaped logistic regression over hashed
+  * bag-of-words features, trained INSIDE the engine by full-batch
+  * gradient descent.
+  *
+  * Scale shape (the reason this trains at 100 TB):
+  *  - features are [[FeatureHash.hashedTf]] buckets collected to ONE
+  *    array row per doc and persisted once — epochs re-scan a compact
+  *    columnar cache, never the raw text;
+  *  - the per-doc margin is an in-plan `aggregate()` over the feature
+  *    array against a broadcast weight-map literal — no shuffle at all;
+  *  - the gradient is one explode + partial-agg groupBy(bucket): the
+  *    shuffle carries at most `dim` rows per partition, independent of
+  *    corpus size; the driver holds only the dim-sized weight vector.
+  *
+  * Engine-exactness (the DSIR/harmonicFit house rule): weights live on
+  * the integer MICRO grid; per-doc residuals are micro-snapped before
+  * the gradient sum, so every gradient component is an exact integer
+  * sum in any accumulation order and retraining reproduces the weight
+  * trajectory bit-for-bit.
+  */
+object QualityClassifier {
+
+  /** A trained model: micro-grid weights (index = feature bucket). */
+  final case class Model(dim: Int, biasMicro: Long,
+                         weightsMicro: Array[Long]) {
+    require(weightsMicro.length == dim, "weights/dim mismatch")
+  }
+
+  /** Per-doc feature arrays: (id, y, features array<struct<bucket,
+    * weight>>) — zero-token docs keep an empty array (they still carry
+    * a label and train the bias). */
+  private def featureFrame(docs: DataFrame, idCol: String, textCol: String,
+                           labelCol: String, dim: Int): DataFrame = {
+    val sparse = FeatureHash.hashedTf(docs, idCol, textCol, dim)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("bucket"), col("weight"))).as("features"))
+    docs.select(col(idCol).as("id"), col(labelCol).cast("double").as("y"))
+      .join(sparse, Seq("id"), "left")
+      .select(col("id"), col("y"),
+        coalesce(col("features"),
+          array().cast("array<struct<bucket:int,weight:bigint>>"))
+          .as("features"))
+  }
+
+  /** Margin of one feature-array row against a weight-map column, in
+    * micro units (exact integer: micro weight x integer count). */
+  private def dotMicro(wMap: Column): Column =
+    aggregate(col("features"), lit(0L),
+      (acc, f) => acc +
+        coalesce(try_element_at(wMap, f.getField("bucket")), lit(0L)) *
+          f.getField("weight"))
+
+  private def weightMapLit(w: Array[Long]): Column = {
+    val entries = w.iterator.zipWithIndex.filter(_._1 != 0L).flatMap {
+      case (v, b) => Seq(lit(b), lit(v))
+    }.toSeq
+    if (entries.isEmpty) typedLit(Map.empty[Int, Long])
+    else map(entries: _*)
+  }
+
+  /** Train by full-batch gradient descent: epochs scans of the cached
+    * feature frame, each producing an exact dim-sized integer gradient.
+    * `labelCol` must be 0/1. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            labelCol: String, dim: Int = 1024, epochs: Int = 10,
+            lr: Double = 0.5): Model = {
+    require(epochs >= 1 && lr > 0.0, s"epochs $epochs / lr $lr")
+    val feats = featureFrame(docs, idCol, textCol, labelCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = feats.count()
+      require(n > 0, "empty training frame")
+      val w = new Array[Long](dim)
+      var bias = 0L
+      var epoch = 0
+      while (epoch < epochs) {
+        val p = lit(1.0) /
+          (lit(1.0) + exp(-(dotMicro(weightMapLit(w)) / lit(1e6) +
+            lit(bias) / lit(1e6))))
+        // micro-snap the residual BEFORE the gradient sum: every
+        // gradient component becomes an exact integer sum, order-free
+        val resid = feats.select(col("features"),
+          round((p - col("y")) * lit(1e6)).cast("long").as("r"))
+        // one cached pass feeds both the bias gradient (per-doc resid
+        // sum) and the per-bucket gradient (explode + partial agg)
+        resid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val gBias = resid.agg(sum(col("r"))).head().getLong(0)
+        val gradRows = resid
+          .select(col("r"), explode(col("features")).as("f"))
+          .groupBy(col("f.bucket").as("bucket"))
+          .agg(sum(col("r") * col("f.weight")).as("g"))
+          .collect()
+        resid.unpersist()
+        gradRows.foreach { row =>
+          w(row.getInt(0)) -= math.rint(lr * row.getLong(1) / n).toLong
+        }
+        bias -= math.rint(lr * gBias / n).toLong
+        epoch += 1
+      }
+      Model(dim, bias, w)
+    } finally {
+      feats.unpersist()
+    }
+  }
+
+  /** Score docs under a trained model: adds `score` (the probability
+    * the doc is target-class, rounded) and `keep` (score >= threshold
+    * as 0/1). Stateless column arithmetic over one pass of the corpus —
+    * the gate composes with any downstream filter. */
+  def score(docs: DataFrame, model: Model, idCol: String, textCol: String,
+            threshold: Double = 0.5, roundTo: Int = 4): DataFrame = {
+    val feats = FeatureHash.hashedTf(docs, idCol, textCol, model.dim)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("bucket"), col("weight"))).as("features"))
+    val margin = dotMicro(weightMapLit(model.weightsMicro)) / lit(1e6) +
+      lit(model.biasMicro) / lit(1e6)
+    docs.join(feats.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("features",
+        coalesce(col("features"),
+          array().cast("array<struct<bucket:int,weight:bigint>>")))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-margin)), roundTo))
+      .withColumn("keep", (col("score") >= threshold).cast("int"))
+      .drop("features")
+  }
+}

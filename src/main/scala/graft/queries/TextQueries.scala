@@ -101,6 +101,23 @@ object TextQueries {
     // per-language quality gate: keep the top half by quality score
     // (row_number with doc_id tiebreak — percentile cutoffs on the
     // coarse rule-sum score would be tie-ambiguous across engines)
+    // Model-based quality gate (ops/QualityClassifier): train a
+    // fastText-shaped logistic regression on hashed BoW INSIDE the
+    // engine (full-batch GD, micro-grid weights -> bit-reproducible),
+    // here on the deterministic is-English label, then score the whole
+    // corpus. Training is not SQL-expressible -> rows-only entry; the
+    // planted-separation and reproducibility laws live in
+    // QualityClassifierSpec.
+    "quality_classifier" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val labeled = docs.withColumn("label",
+        (col("lang") === "en").cast("int"))
+      val model = graft.ops.QualityClassifier.train(labeled, "doc_id",
+        "text", "label", dim = 1024, epochs = 6, lr = 1.0)
+      graft.ops.QualityClassifier.score(labeled, model, "doc_id", "text")
+        .select(col("doc_id"), col("label"), col("score"), col("keep"))
+    },
+
     "quality_gate" -> { (s, d) =>
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("q").desc, col("doc_id"))
