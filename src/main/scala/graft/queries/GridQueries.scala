@@ -469,6 +469,20 @@ object GridQueries {
       GridFocal.focalStats(s, h, root, radius = 1, tFrom = 0, tTo = 3)
     },
 
+    // Connected-component alert patches (GridLabeling.labelPatches):
+    // threshold the t=0 plane and label 4-connected detection pixels —
+    // chunk-local union-find, perimeter-sized border joins, driver
+    // resolution of the component-sized equivalence graph. patch_id =
+    // min global pixel id of the component (engine-replayable).
+    "grid_label_patches" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      val on = FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, 1)
+        .filter(col("value").isNotNull && col("value") >= 60)
+        .select("x", "y")
+      GridLabeling.labelPatches(s, h, on)
+    },
+
     // Horn-method terrain products (GridFocal.focalTerrain): slope /
     // aspect / hillshade over the halo-exchange stencil — chunk-keyed
     // payload shuffle plus perimeter-sized strips, never a pixel
@@ -903,6 +917,24 @@ object GridQueries {
          |  END AS corr_ab
          |FROM s""".stripMargin
 
+    // grid_label_patches: min-label transitive closure over the
+    // 4-adjacency graph of the thresholded t=0 closed form (the
+    // dedup_clusters recursive-CTE pattern on pixels)
+    val labelPatches =
+      s"""WITH RECURSIVE g AS (SELECT x, y,
+         |    CAST(y * 190 + x AS BIGINT) AS pid
+         |  FROM range(0, 25) a(x), range(0, 10) b(y)
+         |  WHERE (x + y) % 13 <> 0 AND (x * 31 + y * 17) % 97 >= 60),
+         |e AS (SELECT p.pid AS src, q.pid AS dst FROM g p JOIN g q
+         |  ON abs(p.x - q.x) + abs(p.y - q.y) = 1),
+         |reach(pid, lab) AS (
+         |  SELECT pid, pid FROM g
+         |  UNION
+         |  SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.pid)
+         |SELECT CAST(g.x AS INT) AS x, CAST(g.y AS INT) AS y, m.patch_id
+         |FROM g JOIN (SELECT pid, min(lab) AS patch_id FROM reach
+         |  GROUP BY pid) m USING (pid)""".stripMargin
+
     // grid_terrain: the 3x3 Horn stencil replayed by recomputing the
     // closed form at the 9 neighbor coordinates (no self-join); trig
     // constants are embedded as exact double literals computed from the
@@ -1264,6 +1296,7 @@ object GridQueries {
       "grid_cusum_detect" -> cusumDetect,
       "grid_xcorr" -> xcorr,
       "grid_terrain" -> terrain,
+      "grid_label_patches" -> labelPatches,
       "grid_interpolate_ts" -> interpolateTs,
       "grid_slice_window" -> sliceWindow,
       "grid_index_select" -> indexSelect,
