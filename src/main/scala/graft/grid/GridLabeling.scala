@@ -91,14 +91,18 @@ object GridLabeling {
     val cached = local.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // 2. cross-border adjacency: (label, label) edges, perimeter-sized
+      // 2. cross-border adjacency: (label, label) edges. BOTH join
+      // sides filter to their border column/row first, so the equi-join
+      // shuffles perimeter-sized streams — the full label table never
+      // re-shuffles (a join against the unfiltered table would move
+      // every pixel to probe a 1/fracWidth sliver)
       val right = cached.filter(pmod(col("x"), lit(fw)) === fw - 1)
         .select((col("x") + 1).as("x"), col("y"), col("label").as("la"))
-        .join(cached, Seq("x", "y"))
+        .join(cached.filter(pmod(col("x"), lit(fw)) === 0), Seq("x", "y"))
         .select(col("la"), col("label").as("lb"))
       val down = cached.filter(pmod(col("y"), lit(fh)) === fh - 1)
         .select(col("x"), (col("y") + 1).as("y"), col("label").as("la"))
-        .join(cached, Seq("x", "y"))
+        .join(cached.filter(pmod(col("y"), lit(fh)) === 0), Seq("x", "y"))
         .select(col("la"), col("label").as("lb"))
       val edges = right.unionByName(down)
         .filter(col("la") =!= col("lb")).distinct()

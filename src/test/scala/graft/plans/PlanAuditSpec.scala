@@ -564,6 +564,75 @@ class PlanAuditSpec extends AnyFunSuite {
       "a sort-merge join on bucket would sort the full token stream")
   }
 
+  test("cusum detection runs all window frames over ONE pixel exchange") {
+    import spark.implicits._
+    val px = (for (x <- 0 until 8; y <- 0 until 4; t <- 0 until 6)
+      yield (x, y, t, ((x * 3 + y + t) % 11).toDouble))
+      .toDF("x", "y", "t", "value")
+      .repartition(4) // a concrete non-(x,y) distribution to start from
+    val df = graft.grid.GridTimeSeries.cusumDetect(px, trainT = 3,
+      slack = 0.0, threshold = 5.0)
+    val plans = executed(df)
+    // the input's own repartition(4) is a round-robin exchange; the
+    // operator itself must add exactly ONE hash exchange — baseline
+    // conditional windows + running sum + running min all reuse the
+    // single (x, y) hash distribution
+    val exchanges = plans.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(exchanges.size == 1,
+      s"expected one pixel-keyed exchange, got ${exchanges.size}")
+  }
+
+  test("pixel correlation is one partial-agg shuffle") {
+    import spark.implicits._
+    val px = (for (x <- 0 until 8; y <- 0 until 4; t <- 0 until 6)
+      yield (x, y, t, (x + t).toDouble, (y + t).toDouble))
+      .toDF("x", "y", "t", "value_0", "value_1").repartition(4)
+    val df = graft.grid.GridTimeSeries.pixelCorrelation(px)
+    val plans = executed(df)
+    // the input's repartition(4) is round-robin; the correlation must
+    // add exactly one hash exchange (the partial agg's)
+    val exchanges = plans.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(exchanges.size == 1,
+      s"expected one agg exchange, got ${exchanges.size}")
+    // partial aggregation must sit below it (map-side combine)
+    assert(exchanges.exists(e => walk(e).exists(p =>
+      p.nodeName.contains("HashAggregate"))),
+      "partial aggregate must run below the shuffle")
+  }
+
+  test("patch labeling: border joins move perimeter slivers, root map " +
+      "broadcasts") {
+    import spark.implicits._
+    val h = GridHeader(name = "audit_lbl", width = 20, height = 10,
+      fracWidth = 5, fracHeight = 5, fracNDates = 1, dtype = "float32",
+      srs = "wgs84", geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(0L), nodata = -1.0)
+    val pts = (0 to 17).map((_, 2)) ++ (3 to 7).map((17, _))
+    val df = graft.grid.GridLabeling.labelPatches(spark, h,
+      pts.toDF("x", "y"))
+    val plans = executed(df)
+    // the final label remap must be a broadcast join (component-sized
+    // map), never a shuffled join of the pixel table
+    assert(plans.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "root-map remap must broadcast")
+    // every border-adjacency join input is filtered to its border
+    // column/row: no unfiltered scan of the label cache feeds a shuffle
+    val exchanges = plans.collect { case e: ShuffleExchangeExec => e }
+    exchanges.foreach { e =>
+      val sub = walk(e)
+      val joinFeed = sub.exists(p => p.nodeName.contains("InMemoryTableScan"))
+      if (joinFeed)
+        assert(sub.exists(p => p.nodeName == "Filter" &&
+          p.toString.contains("pmod")),
+          s"an unfiltered label-cache scan feeds a shuffle:\n$e")
+    }
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
   test("BM25 full scan: term filter sits below the tf aggregate") {
     import spark.implicits._
     val corpus = (0 until 200).map(i =>
