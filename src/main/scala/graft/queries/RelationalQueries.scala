@@ -282,6 +282,21 @@ object RelationalQueries {
         .filter(col("rnk") <= 5)
     },
 
+    // §2.11 — per-group top-k via the bounded-heap aggregate
+    // (functions/TopKAgg): row_number()<=5 semantics with a k-sized
+    // buffer per (partition, group) through the shuffle instead of the
+    // window form's full sorted group. The A/B vs the window shape is
+    // the topk_heap_agg/topk_window bench pair.
+    "topk_group" -> { (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg(
+          col("o_totalprice"), col("o_orderkey"), 5).as("top"))
+        .select(col("o_orderpriority"), explode(col("top")).as("e"))
+        .select(col("o_orderpriority"),
+          col("e.id").as("o_orderkey"), col("e.score").as("o_totalprice"))
+    },
+
     // §2.11 — tumbling event-time window (daily).
     "tumbling_daily" -> { (s, d) =>
       events(s, d)
@@ -808,6 +823,14 @@ object RelationalQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) t
         |WHERE rnk <= 5""".stripMargin,
+
+    "topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 5""".stripMargin,
 
     "tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
