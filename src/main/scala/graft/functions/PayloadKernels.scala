@@ -198,6 +198,68 @@ object PayloadKernels {
     }
     new GenericArrayData(rows)
   }
+
+  /** Per-pixel OLS trend slope over one chunk payload restricted to a
+    * global-coordinate box — the fused form of
+    * `GridTimeSeries.trendSlope(loadSliceXY(...))` when the requested
+    * date range lives in ONE time slab (fracNDates covers it), so every
+    * pixel's whole series sits inside this payload and the trend map
+    * needs no shuffle at all. Same arithmetic as the relational form:
+    * integer-valued double sums (exact in any order), slope rounded
+    * HALF_UP to `roundTo` decimals, 0 when the t-variance determinant
+    * is not positive; pixels with zero valid observations are omitted
+    * (the exploded groupBy never sees them).
+    *
+    * Returns array of struct(x int, y int, n long, slope double).
+    */
+  def trendSlopes(v: Array[Byte], vCode: Int,
+                  w: Int, h: Int, nd: Int,
+                  x0: Int, y0: Int, t0: Int,
+                  bx0: Int, bx1: Int, by0: Int, by1: Int,
+                  tFrom: Int, tTo: Int, nodata: Double,
+                  roundTo: Int): ArrayData = {
+    val lxFrom = math.max(0, bx0 - x0)
+    val lxTo = math.min(w, bx1 - x0)
+    val lyFrom = math.max(0, by0 - y0)
+    val lyTo = math.min(h, by1 - y0)
+    val ltFrom = math.max(0, tFrom - t0)
+    val ltTo = math.min(nd, tTo - t0)
+    val decoded = PayloadCodec.decodeDouble(v, vCode)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    out.sizeHint(math.max(0, (lxTo - lxFrom) * (lyTo - lyFrom)))
+    var ly = lyFrom
+    while (ly < lyTo) {
+      var lx = lxFrom
+      while (lx < lxTo) {
+        val base = (ly * w + lx) * nd
+        var n = 0L
+        var st = 0.0; var sv = 0.0; var stv = 0.0; var stt = 0.0
+        var lt = ltFrom
+        while (lt < ltTo) {
+          val value = decoded(base + lt)
+          if (value != nodata) {
+            val t = (t0 + lt).toDouble
+            n += 1; st += t; sv += value; stv += t * value; stt += t * t
+          }
+          lt += 1
+        }
+        if (n > 0) {
+          val det = n * stt - st * st
+          val slope =
+            if (det > 0)
+              java.math.BigDecimal.valueOf((n * stv - st * sv) / det)
+                .setScale(roundTo, java.math.RoundingMode.HALF_UP)
+                .doubleValue()
+            else 0.0
+          out += new GenericInternalRow(
+            Array[Any](x0 + lx, y0 + ly, n, slope))
+        }
+        lx += 1
+      }
+      ly += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** struct(sum_conf double, n long) over one uint16 QA payload. */
@@ -334,6 +396,87 @@ case class BoxStatsExpr(
         }
       """
     ev.copy(code = code)
+  }
+}
+
+/** array<struct(x, y, n, slope)> — fused per-pixel OLS trend over ONE
+  * chunk payload (see [[PayloadKernels.trendSlopes]]). Valid only when
+  * the requested [tFrom, tTo) sits in one time slab; the GridKernels
+  * entry point enforces that.
+  */
+case class TrendSlopeExpr(
+    vData: Expression,
+    w: Expression, h: Expression, nd: Expression,
+    x0: Expression, y0: Expression, t0: Expression,
+    vCode: Int, bx0: Int, bx1: Int, by0: Int, by1: Int,
+    tFrom: Int, tTo: Int, nodata: Double, roundTo: Int)
+  extends Expression {
+
+  override def children: Seq[Expression] =
+    Seq(vData, w, h, nd, x0, y0, t0)
+  override def dataType: DataType =
+    ArrayType(TrendSlopeExpr.entrySchema, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "trend_slopes"
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(vData = c(0), w = c(1), h = c(2), nd = c(3),
+      x0 = c(4), y0 = c(5), t0 = c(6))
+
+  override def eval(input: InternalRow): Any = {
+    val ins = children.map(_.eval(input))
+    if (ins.contains(null)) null
+    else PayloadKernels.trendSlopes(
+      ins(0).asInstanceOf[Array[Byte]], vCode,
+      ins(1).asInstanceOf[Int], ins(2).asInstanceOf[Int],
+      ins(3).asInstanceOf[Int], ins(4).asInstanceOf[Int],
+      ins(5).asInstanceOf[Int], ins(6).asInstanceOf[Int],
+      bx0, bx1, by0, by1, tFrom, tTo, nodata, roundTo)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(_.isNull).mkString(" || ")
+    val resultType = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val code =
+      code"""
+        ${evs.map(_.code).reduce(_ + _)}
+        boolean ${ev.isNull} = $anyNull;
+        $resultType ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.PayloadKernels.trendSlopes(
+            ${evs(0).value}, $vCode,
+            ${evs(1).value}, ${evs(2).value}, ${evs(3).value},
+            ${evs(4).value}, ${evs(5).value}, ${evs(6).value},
+            $bx0, $bx1, $by0, $by1, $tFrom, $tTo, $nodata, $roundTo);
+        }
+      """
+    ev.copy(code = code)
+  }
+}
+
+object TrendSlopeExpr {
+  import org.apache.spark.sql.GraftColumnBridge
+  import org.apache.spark.sql.functions.col
+
+  val entrySchema: StructType = StructType(Seq(
+    StructField("x", IntegerType, nullable = false),
+    StructField("y", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("slope", DoubleType, nullable = false)))
+
+  /** Column factory over chunk rows carrying vDataCol + the standard
+    * chunk geometry columns (w, h, nd, x0, y0, t0). */
+  def apply(vDataCol: Column, vDtype: String,
+            xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+            tFrom: Int, tTo: Int, nodata: Double, roundTo: Int): Column = {
+    def e(c: Column) = GraftColumnBridge.expression(c)
+    GraftColumnBridge.column(TrendSlopeExpr(
+      e(vDataCol),
+      e(col("w")), e(col("h")), e(col("nd")),
+      e(col("x0")), e(col("y0")), e(col("t0")),
+      graft.grid.PayloadCodec.code(vDtype), xFrom, xTo, yFrom, yTo,
+      tFrom, tTo, nodata, roundTo))
   }
 }
 

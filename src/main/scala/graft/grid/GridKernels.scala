@@ -3,7 +3,7 @@ package graft.grid
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BoxStatsExpr, MaskedBoxStatsExpr, QaConfStatsExpr}
+import graft.functions.{BoxStatsExpr, MaskedBoxStatsExpr, QaConfStatsExpr, TrendSlopeExpr}
 
 /** Fused whole-store scan kernels (see [[graft.functions.PayloadKernels]]):
   * the chunk-at-a-time execution shape for dense scans whose answer is an
@@ -58,6 +58,29 @@ object GridKernels {
       .select(col("nv").as("n_valid"),
         when(col("nv") > 0, col("sv") / col("nv")).as("mean_v"),
         col("min_v"), col("max_v"))
+
+  /** Per-pixel OLS trend map over a pixel/time box — the fused twin of
+    * `GridTimeSeries.trendSlope(loadSliceXY(...))` for ranges inside ONE
+    * time slab (every pixel's series sits in one payload row, so the
+    * whole trend map is a map-side generate: zero shuffle, no 10M-row
+    * pixel explode feeding a 2.5M-group hash aggregate). Output matches
+    * the relational form row-for-row: (x, y, n, slope). Equality is
+    * pinned by GridKernelsSpec; the A/B cost is a recorded bench pair
+    * (`grid_trend_slope_{exploded,fused}`). */
+  def trendSlopeByPixel(spark: SparkSession, header: GridHeader, root: String,
+                        xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                        tFrom: Int, tTo: Int, roundTo: Int = 6): DataFrame = {
+    require((tTo - 1) / header.fracNDates == tFrom / header.fracNDates,
+      s"fused trend needs [$tFrom,$tTo) inside one time slab of " +
+        s"${header.fracNDates} dates; use GridTimeSeries.trendSlope over " +
+        "loadSliceXY for ranges that straddle slabs")
+    FractionStore.fractionsForWindow(spark, header, root,
+      xFrom, xTo, yFrom, yTo, tFrom, tTo)
+      .select(explode(TrendSlopeExpr(col("data"), header.dtype,
+        xFrom, xTo, yFrom, yTo, tFrom, tTo, header.nodata, roundTo)).as("s"))
+      .select(col("s.x").as("x"), col("s.y").as("y"),
+        col("s.n").as("n"), col("s.slope").as("slope"))
+  }
 
   /** QA-masked per-date mean of a value grid over a pixel box — the
     * fused form of the aligned two-band load + conf gate + groupBy(t).

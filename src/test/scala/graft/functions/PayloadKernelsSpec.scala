@@ -85,6 +85,32 @@ class PayloadKernelsSpec extends AnyFunSuite {
     assert(fused.getDouble(3) == ref.getDouble(3))
   }
 
+  test("fused trendSlopeByPixel equals the relational trend map") {
+    val nh = SyntheticGrid.miniModisNdviHeader
+    // box NOT chunk-aligned; [0, 2) is one time slab (fracNDates = 2)
+    val (x0, x1, y0, y1, t0, t1) = (37, 173, 8, 141, 0, 2)
+    def key(r: org.apache.spark.sql.Row) = (r.getInt(0), r.getInt(1))
+    val fused = GridKernels.trendSlopeByPixel(spark, nh, ndviRoot,
+      x0, x1, y0, y1, t0, t1).collect().sortBy(key)
+    val ref = GridTimeSeries.trendSlope(
+      FractionStore.loadSliceXY(spark, nh, ndviRoot, x0, x1, y0, y1, t0, t1))
+      .collect().sortBy(key)
+    assert(fused.length == ref.length && fused.nonEmpty)
+    fused.zip(ref).foreach { case (f, r) =>
+      assert(key(f) == key(r))
+      assert(f.getLong(2) == r.getLong(2),
+        s"n at (${f.getInt(0)},${f.getInt(1)})")
+      // integer-valued sums + shared HALF_UP rounding -> bit-equal
+      assert(f.getDouble(3) == r.getDouble(3),
+        s"slope at (${f.getInt(0)},${f.getInt(1)})")
+    }
+    // straddling two time slabs must be rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      GridKernels.trendSlopeByPixel(spark, nh, ndviRoot,
+        x0, x1, y0, y1, 1, 3)
+    }
+  }
+
   test("fused maskedMeanByT equals the aligned-load relational query") {
     val nh = SyntheticGrid.miniModisNdviHeader
     val qh = SyntheticGrid.miniModisQaHeader
