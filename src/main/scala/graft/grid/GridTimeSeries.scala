@@ -64,6 +64,42 @@ object GridTimeSeries {
           .otherwise(lit(0.0)).as("slope"))
   }
 
+  /** Savitzky-Golay smoothing along t per pixel — the standard NDVI
+    * time-series filter (quadratic/cubic least-squares fit over a
+    * (2·halfWidth+1)-point window, reduced to its closed-form integer
+    * convolution weights). Preserves peaks and inflections that a plain
+    * rolling mean flattens, which is why phenology pipelines smooth
+    * with SG before extracting season metrics. Adds `value_sg`, NULL
+    * wherever the full window is not available (series edges) or any
+    * window value is NULL (nodata gap) — gap-fill first
+    * ([[interpolateGaps]]) to smooth through masked dates.
+    *
+    * All weights are integer-over-integer (the published SG tables), so
+    * the weighted sum of integer-valued samples is exact and the single
+    * final divide is engine-portable. One pixel-keyed window: the lag
+    * and lead frames all reuse a single (x, y) exchange + sort. */
+  def savgolSmooth(px: DataFrame, halfWidth: Int = 2,
+                   valueCol: String = "value"): DataFrame = {
+    // quadratic (= cubic for these centers) SG coefficient rows
+    val table: Map[Int, (Seq[Int], Int)] = Map(
+      2 -> (Seq(-3, 12, 17, 12, -3), 35),
+      3 -> (Seq(-2, 3, 6, 7, 6, 3, -2), 21),
+      4 -> (Seq(-21, 14, 39, 54, 59, 54, 39, 14, -21), 231))
+    require(table.contains(halfWidth),
+      s"savgol halfWidth $halfWidth not in ${table.keys.toSeq.sorted}")
+    val (ic, den) = table(halfWidth)
+    val w = Window.partitionBy(col("x"), col("y")).orderBy(col("t"))
+    val v = col(valueCol).cast("double")
+    val weighted = (-halfWidth to halfWidth).map { j =>
+      val vv =
+        if (j < 0) lag(v, -j).over(w)
+        else if (j > 0) lead(v, j).over(w)
+        else v
+      lit(ic(j + halfWidth).toDouble) * vv
+    }.reduce(_ + _)
+    px.withColumn("value_sg", weighted / den)
+  }
+
   /** Centered rolling mean over ±`halfWidth` time steps per pixel
     * (ignores NULLs like the reference's masked means). Adds
     * `value_smooth`. */

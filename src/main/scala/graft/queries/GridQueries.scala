@@ -345,6 +345,16 @@ object GridQueries {
       GridTimeSeries.interpolateGaps(px)
     },
 
+    // W — Savitzky-Golay smoothing along t per pixel (the phenology
+    // pre-filter; GridTimeSeries.savgolSmooth). 5-point quadratic
+    // window; NULL at edges and across nodata gaps.
+    "grid_savgol" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      val px = FractionStore.loadSliceXY(s, h, root, 0, 30, 0, 8, 0, h.nDates)
+      GridTimeSeries.savgolSmooth(px, halfWidth = 2)
+    },
+
     // Zonal statistics — the GLCF pairing: per-landcover-class stats of
     // a value grid via the aligned two-grid load (class = qa % 17 as a
     // deterministic GLCF-like labeling of the second grid).
@@ -841,6 +851,24 @@ object GridQueries {
          |    ELSE CAST(coalesce(pv, nv) AS DOUBLE) END AS value_filled
          |FROM w""".stripMargin
 
+    // grid_savgol: the 5-point quadratic SG convolution replayed with
+    // lag/lead (integer weights over integer-valued doubles -> the
+    // weighted sum is exact in any order; one final divide)
+    val savgol =
+      s"""WITH g AS (SELECT x, y, t, ${tinyValueSql(mask = true)} AS value
+         |  FROM range(0, 30) a(x), range(0, 8) b(y), range(0, 11) c(t)),
+         |w AS (SELECT x, y, t, value,
+         |    lag(CAST(value AS DOUBLE), 2) OVER win AS m2,
+         |    lag(CAST(value AS DOUBLE), 1) OVER win AS m1,
+         |    lead(CAST(value AS DOUBLE), 1) OVER win AS p1,
+         |    lead(CAST(value AS DOUBLE), 2) OVER win AS p2
+         |  FROM g WINDOW win AS (PARTITION BY x, y ORDER BY t))
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, CAST(t AS INT) AS t,
+         |  value,
+         |  (-3 * m2 + 12 * m1 + 17 * CAST(value AS DOUBLE)
+         |    + 12 * p1 - 3 * p2) / 35 AS value_sg
+         |FROM w""".stripMargin
+
     // grid_zonal_stats: per-class stats of the masked NDVI plane at t=0
     val zonalStats =
       s"""WITH g AS (SELECT x, y,
@@ -1298,6 +1326,7 @@ object GridQueries {
       "grid_terrain" -> terrain,
       "grid_label_patches" -> labelPatches,
       "grid_interpolate_ts" -> interpolateTs,
+      "grid_savgol" -> savgol,
       "grid_slice_window" -> sliceWindow,
       "grid_index_select" -> indexSelect,
       "grid_pixel_timeseries" -> pixelTimeseries,

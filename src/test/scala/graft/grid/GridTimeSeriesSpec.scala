@@ -41,6 +41,41 @@ class GridTimeSeriesSpec extends AnyFunSuite {
     assert(out == Seq(1.0, 1.0, 100.0, 100.0))
   }
 
+  test("savgol reproduces cubic series exactly, away from edges") {
+    // the SG property that distinguishes it from a rolling mean: the
+    // quadratic 5-point filter passes polynomials up to degree 3
+    // through unchanged
+    def cubic(t: Int): Double = 2.0 * t * t * t - 5.0 * t * t + 3 * t - 7
+    val out = GridTimeSeries.savgolSmooth(
+      series((0 until 9).map(t => Some(cubic(t)))), halfWidth = 2)
+      .orderBy("t").select("value_sg").collect()
+    (0 until 9).foreach { t =>
+      if (t < 2 || t > 6) assert(out(t).isNullAt(0), s"edge t=$t")
+      else assert(math.abs(out(t).getDouble(0) - cubic(t)) < 1e-9, s"t=$t")
+    }
+  }
+
+  test("savgol is NULL across nodata gaps and supports wider windows") {
+    val vals = (0 until 9).map(t => if (t == 4) None else Some(t.toDouble))
+    val out5 = GridTimeSeries.savgolSmooth(series(vals), halfWidth = 2)
+      .orderBy("t").select("value_sg").collect()
+    // windows touching the t=4 gap (t in 2..6) are NULL
+    (0 until 9).foreach { t =>
+      val expectNull = t < 2 || t > 6 || (t >= 2 && t <= 6)
+      assert(out5(t).isNullAt(0) == expectNull, s"t=$t")
+    }
+    // 7- and 9-point tables pass a linear ramp through unchanged
+    for (h <- Seq(3, 4)) {
+      val ramp = GridTimeSeries.savgolSmooth(
+        series((0 until 11).map(t => Some(3.0 * t + 1))), halfWidth = h)
+        .orderBy("t").select("value_sg").collect()
+      (h until 11 - h).foreach { t =>
+        assert(math.abs(ramp(t).getDouble(0) - (3.0 * t + 1)) < 1e-9,
+          s"h=$h t=$t")
+      }
+    }
+  }
+
   test("rolling mean is a centered null-skipping window") {
     val out = GridTimeSeries.rollingMean(
       series(Seq(Some(1.0), Some(2.0), None, Some(4.0))), halfWidth = 1)
