@@ -297,6 +297,17 @@ object RelationalQueries {
           col("e.id").as("o_orderkey"), col("e.score").as("o_totalprice"))
     },
 
+    // Data layout — Z-order clustering key (ops/Layout): the Morton
+    // interleave that gives parquet min/max pruning on BOTH key
+    // dimensions. The layout op itself (range partition + local sort)
+    // is plan-pinned in LayoutSpec; the oracle checks the bit
+    // interleave value per row.
+    "layout_zorder" -> { (s, d) =>
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        graft.ops.Layout.zorderKey(
+          col("o_custkey"), col("o_orderkey"), 16).as("zkey"))
+    },
+
     // §2.11 — tumbling event-time window (daily).
     "tumbling_daily" -> { (s, d) =>
       events(s, d)
@@ -823,6 +834,15 @@ object RelationalQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) t
         |WHERE rnk <= 5""".stripMargin,
+
+    "layout_zorder" -> {
+      // the same 16-bit Morton interleave, unrolled as DuckDB bit ops
+      val terms = (0 until 16).map { i =>
+        s"((((o_custkey & 65535) >> $i) & 1) << ${2 * i}) + " +
+          s"((((o_orderkey & 65535) >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"SELECT o_orderkey, o_custkey, CAST($terms AS BIGINT) AS zkey FROM orders"
+    },
 
     "topk_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
