@@ -599,6 +599,26 @@ object Bench {
       SyntheticGrid.writeDirect(spark, nh, ndviRoot, SyntheticGrid.ndviScalar)
       SyntheticGrid.writeDirect(spark, qh, qaRoot, SyntheticGrid.qaScalar)
     }
+    // A/B №6 — overview build at tile scale (level-1 mean pyramid of
+    // the 4800x4800x4 NDVI tile, 92M px/band -> 23M): the chunk-LOCAL
+    // reduce (blocks can't straddle even-dimension chunks -> one map
+    // over payloads, zero shuffle) vs the generic pixel-explode
+    // groupBy. The number users budget for enabling overview-backed
+    // zoomed-out reads. This pair intermittently read ~200x its clean
+    // cost (0.7 s/2.7 cpu-s clean vs 26 s/588 cpu-s, quiet probes,
+    // sticky per JVM, position-independent); jstack sampling traced
+    // the slow mode to per-tiny-task Hadoop-conf deserialization
+    // convoying on the JVM-global Cleaner lock — fixed at the source
+    // by coalescing the chunk scan before the map+write
+    // (GridPyramid.downsampleOnceChunkLocal).
+    val Seq(pyrLocal, pyrGeneric) = timedAB(spark,
+      "grid_pyramid_L1_chunklocal_4800", "grid_pyramid_L1_generic_4800") {
+      GridPyramid.downsampleOnceChunkLocal(spark, nh, ndviRoot,
+        s"$base/pyr_l1a", "mean")
+    } {
+      GridPyramid.downsampleOnceGeneric(spark, nh, ndviRoot,
+        s"$base/pyr_l1b", "mean")
+    }
     // A/B №1 — window load (1600x1600x4 box, count+avg): exploded
     // posexplode pixel view vs fused BoxStatsExpr chunk fold.
     // Interleaved (timedAB) so both sides see the same noise windows.
@@ -721,29 +741,6 @@ object Bench {
           1200, 2800, 900, 2500, 0, 4),
         trainT = 2, slack = 0.0, threshold = 50.0)
         .agg(count(lit(1)), sum(col("cusum")), sum(col("alarm"))).collect()
-    }
-    // JVM hygiene before the pyramid A/B: the focal-naive rounds just
-    // exploded 46M-row shuffles; without a GC + cache drop here the
-    // pyramid's chunk-local side measured 25x its quiet-window cost
-    // (session-state contamination, reproducible; run first it reads
-    // 0.85s) while run-first generic read its usual 5s.
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
-    System.gc()
-    // A/B №6 — overview build at tile scale (level-1 mean pyramid of
-    // the 4800x4800x4 NDVI tile, 92M px/band -> 23M): the chunk-LOCAL
-    // reduce (blocks can't straddle even-dimension chunks -> one map
-    // over payloads, zero shuffle) vs the generic pixel-explode
-    // groupBy. The number users budget for enabling overview-backed
-    // zoomed-out reads.
-    val Seq(pyrLocal, pyrGeneric) = timedAB(spark,
-      "grid_pyramid_L1_chunklocal_4800", "grid_pyramid_L1_generic_4800") {
-      GridPyramid.downsampleOnceChunkLocal(spark, nh, ndviRoot,
-        s"$base/pyr_l1a", "mean")
-    } {
-      GridPyramid.downsampleOnceGeneric(spark, nh, ndviRoot,
-        s"$base/pyr_l1b", "mean")
     }
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }

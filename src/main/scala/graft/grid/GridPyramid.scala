@@ -67,74 +67,109 @@ object GridPyramid {
     val inCode = PayloadCodec.code(header.dtype)
     val nodata = header.nodata
     val isMean = reducer == "mean"
+    // Coalesce the chunk scan to core count before the map+write: a
+    // store written by many micro-tasks otherwise hands this job one
+    // tiny task per input file, and every task pays a fixed setup tax
+    // (the v1 write path java-deserializes the full gzip'd Hadoop conf
+    // per task — ~1k Inflater create/close cycles through the JVM-global
+    // Cleaner lock, observed as a bimodal up-to-200x cpu collapse of
+    // this job at 32 concurrent tiny tasks). Fewer, chunk-packed tasks
+    // amortize the tax and write block-sized files — the layout a
+    // 100 TB store wants anyway. coalesce (not repartition): merges
+    // scan splits without a shuffle.
     val rows = FractionStore.fractions(spark, root)
+      .coalesce(spark.sparkContext.defaultParallelism)
       .select("frac_num", "time_chunk", "frac_x", "frac_y",
         "x0", "y0", "t0", "w", "h", "nd", "data").as[FracRowBytes]
       .map { c =>
-        val v = PayloadCodec.decodeDouble(c.data, inCode)
         val w2 = (c.w + 1) / 2
         val h2 = (c.h + 1) / 2
-        val outArr = new Array[Double](w2 * h2 * c.nd)
-        val block = new Array[Double](4)
-        var by = 0
-        while (by < h2) {
-          var bx = 0
-          while (bx < w2) {
-            var ti = 0
-            while (ti < c.nd) {
-              var n = 0
-              var dy = 0
-              while (dy < 2) {
-                val yy = by * 2 + dy
-                if (yy < c.h) {
-                  var dx = 0
-                  while (dx < 2) {
-                    val xx = bx * 2 + dx
-                    if (xx < c.w) {
-                      val pv = v((yy * c.w + xx) * c.nd + ti)
-                      if (!(pv == nodata)) { block(n) = pv; n += 1 }
-                    }
-                    dx += 1
-                  }
-                }
-                dy += 1
-              }
-              outArr((by * w2 + bx) * c.nd + ti) =
-                if (n == 0) nodata
-                else if (isMean) {
-                  var s = 0.0; var i = 0
-                  while (i < n) { s += block(i); i += 1 }
-                  s / n
-                } else {
-                  // mode of <= 4 values, ties to the lowest value
-                  var best = Double.NaN; var bestCnt = 0
-                  var i = 0
-                  while (i < n) {
-                    var cnt = 0; var j = 0
-                    while (j < n) {
-                      if (block(j) == block(i)) cnt += 1
-                      j += 1
-                    }
-                    if (cnt > bestCnt ||
-                        (cnt == bestCnt && block(i) < best)) {
-                      best = block(i); bestCnt = cnt
-                    }
-                    i += 1
-                  }
-                  best
-                }
-              ti += 1
-            }
-            bx += 1
-          }
-          by += 1
-        }
         FracRowBytes(c.frac_num, c.time_chunk, c.frac_x, c.frac_y,
           c.x0 / 2, c.y0 / 2, c.t0, w2, h2, c.nd,
-          PayloadCodec.encodeDouble(outArr, outDtype))
+          PayloadCodec.encodeDouble(
+            downsampleChunk(PayloadCodec.decodeDouble(c.data, inCode),
+              c.w, c.h, c.nd, nodata, isMean),
+            outDtype))
       }
     FractionStore.writePrepartitioned(spark, out, rows.toDF(), outRoot)
     out
+  }
+
+  /** 2x2 nodata-aware block reduce of one decoded chunk plane.
+    *
+    * A NAMED method with statement-form loops, deliberately not inlined
+    * in the Dataset.map lambda: the original expression-form body
+    * (`outArr(i) = if (...) ... else { while ... }` — a hot loop on a
+    * non-empty expression stack) was UNCOMPILABLE at its loop entry
+    * ("COMPILE SKIPPED: stack not empty at OSR entry point", both
+    * tiers), so whole runs of the lambda executed interpreted whenever
+    * the full-method compile lost the race — the recorded bimodal
+    * 0.7 s vs 26 s / ~200x-cpu swings of the chunk-local pyramid
+    * bench. Statement-position while loops OSR-compile normally. */
+  private def downsampleChunk(v: Array[Double], w: Int, h: Int, nd: Int,
+                              nodata: Double, isMean: Boolean): Array[Double] = {
+    val w2 = (w + 1) / 2
+    val h2 = (h + 1) / 2
+    val outArr = new Array[Double](w2 * h2 * nd)
+    val block = new Array[Double](4)
+    var by = 0
+    while (by < h2) {
+      var bx = 0
+      while (bx < w2) {
+        var ti = 0
+        while (ti < nd) {
+          var n = 0
+          var dy = 0
+          while (dy < 2) {
+            val yy = by * 2 + dy
+            if (yy < h) {
+              var dx = 0
+              while (dx < 2) {
+                val xx = bx * 2 + dx
+                if (xx < w) {
+                  val pv = v((yy * w + xx) * nd + ti)
+                  if (!(pv == nodata)) { block(n) = pv; n += 1 }
+                }
+                dx += 1
+              }
+            }
+            dy += 1
+          }
+          var red = nodata
+          if (n > 0) {
+            if (isMean) {
+              var s = 0.0
+              var i = 0
+              while (i < n) { s += block(i); i += 1 }
+              red = s / n
+            } else {
+              // mode of <= 4 values, ties to the lowest value
+              var best = Double.NaN
+              var bestCnt = 0
+              var i = 0
+              while (i < n) {
+                var cnt = 0
+                var j = 0
+                while (j < n) {
+                  if (block(j) == block(i)) cnt += 1
+                  j += 1
+                }
+                if (cnt > bestCnt || (cnt == bestCnt && block(i) < best)) {
+                  best = block(i); bestCnt = cnt
+                }
+                i += 1
+              }
+              red = best
+            }
+          }
+          outArr((by * w2 + bx) * nd + ti) = red
+          ti += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    outArr
   }
 
   def downsampleOnceGeneric(spark: SparkSession,
