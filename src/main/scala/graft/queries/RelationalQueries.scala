@@ -331,6 +331,18 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
     },
 
+    // Sketch-as-data rollup (ops/Sketches): distinct users per type
+    // answered from a day-grained HLL sketch table by lossless union —
+    // the persisted-cube pattern that serves every coarser rollup
+    // without re-scanning raw events. Approximate -> rows-only check;
+    // SketchesSpec pins rollup == sketch-of-whole and ~exactness.
+    "hll_rollup_users" -> { (s, d) =>
+      val daily = graft.ops.Sketches.buildHllCube(
+        events(s, d).withColumn("day", to_date(col("ts"))),
+        Seq("day", "event_type"), "user_id")
+      graft.ops.Sketches.rollupDistinct(daily, Seq("event_type"))
+    },
+
     // Skew-safe EXACT distinct: two-phase salted aggregation — a hot
     // group's distinct set spreads over salt buckets instead of one
     // reducer (SkewTools). Result is exact, so it oracles directly.
