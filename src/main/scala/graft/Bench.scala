@@ -732,20 +732,29 @@ object Bench {
         .agg(count(lit(1)), sum(col("slope_deg")),
           sum(col("hillshade"))).collect()
     }
-    // round-8: CUSUM detection over a 1600x1600x4 slice of the NDVI
-    // tile (baseline 2 dates, monitor 2) — the per-pixel window pass
-    // whose cost must track the sliced box, one pixel-keyed exchange.
-    val cusum = timed2(spark, "grid_cusum_1600x1600x4") {
+    // A/B №9 — CUSUM detection over a 1600x1600x4 slice of the NDVI
+    // tile (baseline 2 dates, monitor 2): the windowed closed form
+    // (pixel explode + one pixel-keyed exchange + window frames;
+    // recorded ~40 cpu-s at this size) vs the fused chunk kernel
+    // (map-side generate, zero shuffle). Equality pinned by
+    // PayloadKernelsSpec.
+    val Seq(cusum, cusumFused) = timedAB(spark,
+      "grid_cusum_1600x1600x4", "grid_cusum_fused_1600x1600x4") {
       GridTimeSeries.cusumDetect(
         FractionStore.loadSliceXY(spark, nh, ndviRoot,
           1200, 2800, 900, 2500, 0, 4),
         trainT = 2, slack = 0.0, threshold = 50.0)
+        .agg(count(lit(1)), sum(col("cusum")), sum(col("alarm"))).collect()
+    } {
+      GridKernels.cusumByPixel(spark, nh, ndviRoot,
+        1200, 2800, 900, 2500, 0, 4, trainT = 2, slack = 0.0,
+        threshold = 50.0)
         .agg(count(lit(1)), sum(col("cusum")), sum(col("alarm"))).collect()
     }
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }
     Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, patches256,
       multiJoin, boxUnpruned, boxPruned, trend, trendFused, focalHalo,
-      focalNaive, terrain, cusum, pyrLocal, pyrGeneric)
+      focalNaive, terrain, cusum, cusumFused, pyrLocal, pyrGeneric)
   }
 }

@@ -199,6 +199,79 @@ object PayloadKernels {
     new GenericArrayData(rows)
   }
 
+  /** Per-pixel one-sided CUSUM over one chunk payload restricted to a
+    * global-coordinate box — the fused form of
+    * `GridTimeSeries.cusumDetect(loadSliceXY(...))` when the whole
+    * requested date range (training AND monitoring) lives in one time
+    * slab. Same arithmetic as the relational closed form: baseline =
+    * valid dates in [tFrom, trainT); per valid monitoring date the
+    * micro-grid deviation d = (sm − n·x)·1e6 − n·slackMicro accumulates
+    * into the running sum r with running min mn (both exact integers on
+    * integer-valued grids), cusum = HALF_UP((r − mn)/(n·1e6), roundTo),
+    * alarm = (r − mn) > n·hMicro. Pixels with no valid training date
+    * are omitted, as are invalid monitoring dates.
+    *
+    * Returns array of struct(x int, y int, t int, cusum double,
+    * alarm int).
+    */
+  def cusumPixels(v: Array[Byte], vCode: Int,
+                  w: Int, h: Int, nd: Int,
+                  x0: Int, y0: Int, t0: Int,
+                  bx0: Int, bx1: Int, by0: Int, by1: Int,
+                  tFrom: Int, tTo: Int, nodata: Double,
+                  trainT: Int, slackMicro: Double, hMicro: Double,
+                  roundTo: Int): ArrayData = {
+    val lxFrom = math.max(0, bx0 - x0)
+    val lxTo = math.min(w, bx1 - x0)
+    val lyFrom = math.max(0, by0 - y0)
+    val lyTo = math.min(h, by1 - y0)
+    val ltFrom = math.max(0, tFrom - t0)
+    val ltTo = math.min(nd, tTo - t0)
+    val ltTrain = math.min(math.max(0, trainT - t0), ltTo)
+    val decoded = PayloadCodec.decodeDouble(v, vCode)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    out.sizeHint(math.max(0,
+      (lxTo - lxFrom) * (lyTo - lyFrom) * (ltTo - ltTrain)))
+    var ly = lyFrom
+    while (ly < lyTo) {
+      var lx = lxFrom
+      while (lx < lxTo) {
+        val base = (ly * w + lx) * nd
+        var nTrain = 0L
+        var sm = 0.0
+        var lt = ltFrom
+        while (lt < ltTrain) {
+          val value = decoded(base + lt)
+          if (value != nodata) { nTrain += 1; sm += value }
+          lt += 1
+        }
+        if (nTrain > 0) {
+          var r = 0.0
+          var mn = 0.0
+          lt = ltTrain
+          while (lt < ltTo) {
+            val value = decoded(base + lt)
+            if (value != nodata) {
+              r += (sm - nTrain * value) * 1e6 - nTrain * slackMicro
+              if (r < mn) mn = r
+              val cusum = java.math.BigDecimal
+                .valueOf((r - mn) / (nTrain * 1e6))
+                .setScale(roundTo, java.math.RoundingMode.HALF_UP)
+                .doubleValue()
+              val alarm = if (r - mn > nTrain * hMicro) 1 else 0
+              out += new GenericInternalRow(
+                Array[Any](x0 + lx, y0 + ly, t0 + lt, cusum, alarm))
+            }
+            lt += 1
+          }
+        }
+        lx += 1
+      }
+      ly += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Per-pixel OLS trend slope over one chunk payload restricted to a
     * global-coordinate box — the fused form of
     * `GridTimeSeries.trendSlope(loadSliceXY(...))` when the requested
@@ -396,6 +469,93 @@ case class BoxStatsExpr(
         }
       """
     ev.copy(code = code)
+  }
+}
+
+/** array<struct(x, y, t, cusum, alarm)> — fused per-pixel CUSUM over
+  * ONE chunk payload (see [[PayloadKernels.cusumPixels]]). Valid only
+  * when training + monitoring dates sit in one time slab; the
+  * GridKernels entry point enforces that.
+  */
+case class CusumExpr(
+    vData: Expression,
+    w: Expression, h: Expression, nd: Expression,
+    x0: Expression, y0: Expression, t0: Expression,
+    vCode: Int, bx0: Int, bx1: Int, by0: Int, by1: Int,
+    tFrom: Int, tTo: Int, nodata: Double,
+    trainT: Int, slackMicro: Double, hMicro: Double, roundTo: Int)
+  extends Expression {
+
+  override def children: Seq[Expression] =
+    Seq(vData, w, h, nd, x0, y0, t0)
+  override def dataType: DataType =
+    ArrayType(CusumExpr.entrySchema, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "cusum_pixels"
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(vData = c(0), w = c(1), h = c(2), nd = c(3),
+      x0 = c(4), y0 = c(5), t0 = c(6))
+
+  override def eval(input: InternalRow): Any = {
+    val ins = children.map(_.eval(input))
+    if (ins.contains(null)) null
+    else PayloadKernels.cusumPixels(
+      ins(0).asInstanceOf[Array[Byte]], vCode,
+      ins(1).asInstanceOf[Int], ins(2).asInstanceOf[Int],
+      ins(3).asInstanceOf[Int], ins(4).asInstanceOf[Int],
+      ins(5).asInstanceOf[Int], ins(6).asInstanceOf[Int],
+      bx0, bx1, by0, by1, tFrom, tTo, nodata,
+      trainT, slackMicro, hMicro, roundTo)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(_.isNull).mkString(" || ")
+    val resultType = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val code =
+      code"""
+        ${evs.map(_.code).reduce(_ + _)}
+        boolean ${ev.isNull} = $anyNull;
+        $resultType ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.PayloadKernels.cusumPixels(
+            ${evs(0).value}, $vCode,
+            ${evs(1).value}, ${evs(2).value}, ${evs(3).value},
+            ${evs(4).value}, ${evs(5).value}, ${evs(6).value},
+            $bx0, $bx1, $by0, $by1, $tFrom, $tTo, $nodata,
+            $trainT, $slackMicro, $hMicro, $roundTo);
+        }
+      """
+    ev.copy(code = code)
+  }
+}
+
+object CusumExpr {
+  import org.apache.spark.sql.GraftColumnBridge
+  import org.apache.spark.sql.functions.col
+
+  val entrySchema: StructType = StructType(Seq(
+    StructField("x", IntegerType, nullable = false),
+    StructField("y", IntegerType, nullable = false),
+    StructField("t", IntegerType, nullable = false),
+    StructField("cusum", DoubleType, nullable = false),
+    StructField("alarm", IntegerType, nullable = false)))
+
+  /** Column factory over chunk rows carrying vDataCol + the standard
+    * chunk geometry columns (w, h, nd, x0, y0, t0). */
+  def apply(vDataCol: Column, vDtype: String,
+            xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+            tFrom: Int, tTo: Int, nodata: Double,
+            trainT: Int, slackMicro: Double, hMicro: Double,
+            roundTo: Int): Column = {
+    def e(c: Column) = GraftColumnBridge.expression(c)
+    GraftColumnBridge.column(CusumExpr(
+      e(vDataCol),
+      e(col("w")), e(col("h")), e(col("nd")),
+      e(col("x0")), e(col("y0")), e(col("t0")),
+      PayloadCodec.code(vDtype), xFrom, xTo, yFrom, yTo,
+      tFrom, tTo, nodata, trainT, slackMicro, hMicro, roundTo))
   }
 }
 

@@ -3,7 +3,7 @@ package graft.grid
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BoxStatsExpr, MaskedBoxStatsExpr, QaConfStatsExpr, TrendSlopeExpr}
+import graft.functions.{BoxStatsExpr, CusumExpr, MaskedBoxStatsExpr, QaConfStatsExpr, TrendSlopeExpr}
 
 /** Fused whole-store scan kernels (see [[graft.functions.PayloadKernels]]):
   * the chunk-at-a-time execution shape for dense scans whose answer is an
@@ -80,6 +80,32 @@ object GridKernels {
         xFrom, xTo, yFrom, yTo, tFrom, tTo, header.nodata, roundTo)).as("s"))
       .select(col("s.x").as("x"), col("s.y").as("y"),
         col("s.n").as("n"), col("s.slope").as("slope"))
+  }
+
+  /** Per-pixel one-sided CUSUM change alarm over a pixel/time box — the
+    * fused twin of `GridTimeSeries.cusumDetect(loadSliceXY(...))` when
+    * training + monitoring dates sit in ONE time slab: the whole alarm
+    * map is a map-side generate (zero shuffle, no pixel explode feeding
+    * window frames). Output matches the relational form row-for-row:
+    * (x, y, t, cusum, alarm); equality pinned by PayloadKernelsSpec,
+    * cost recorded as the `grid_cusum_{windowed,fused}` bench pair. */
+  def cusumByPixel(spark: SparkSession, header: GridHeader, root: String,
+                   xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                   tFrom: Int, tTo: Int, trainT: Int, slack: Double,
+                   threshold: Double, roundTo: Int = 4): DataFrame = {
+    require(trainT >= 1, s"trainT must be >= 1, got $trainT")
+    require((tTo - 1) / header.fracNDates == tFrom / header.fracNDates,
+      s"fused cusum needs [$tFrom,$tTo) inside one time slab of " +
+        s"${header.fracNDates} dates; use GridTimeSeries.cusumDetect over " +
+        "loadSliceXY for ranges that straddle slabs")
+    FractionStore.fractionsForWindow(spark, header, root,
+      xFrom, xTo, yFrom, yTo, tFrom, tTo)
+      .select(explode(CusumExpr(col("data"), header.dtype,
+        xFrom, xTo, yFrom, yTo, tFrom, tTo, header.nodata,
+        trainT, math.rint(slack * 1e6), math.rint(threshold * 1e6),
+        roundTo)).as("s"))
+      .select(col("s.x").as("x"), col("s.y").as("y"), col("s.t").as("t"),
+        col("s.cusum").as("cusum"), col("s.alarm").as("alarm"))
   }
 
   /** QA-masked per-date mean of a value grid over a pixel box — the

@@ -111,6 +111,49 @@ class PayloadKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused cusumByPixel equals the relational cusum, incl. alarms") {
+    // small 4-dates-per-slab store so training(2) + monitoring(2) sit
+    // in one payload; values hit nodata gaps via the ndvi closed form
+    val h = SyntheticGrid.miniModisNdviHeader.copy(
+      name = "cusum_fx", width = 80, height = 60,
+      fracWidth = 20, fracHeight = 20, fracNDates = 4)
+    val root = TestSpark.tmpDir("kern_cusum")
+    // planted deforestation: every 5th diagonal drops ~900 NDVI in the
+    // monitoring window (one-sided CUSUM only sees DROPS — the stock
+    // ndvi closed form rises monotonically and trips nothing)
+    SyntheticGrid.writeDirect(spark, h, root, new SyntheticGrid.PixelFn {
+      def apply(x: Int, y: Int, t: Int): Double =
+        if ((x * y + t) % 17 == 0) -3000.0
+        else if ((x + y) % 5 == 0 && t >= 2) (x % 50) - 900.0
+        else (x % 50 + y % 40 + t * 3).toDouble
+    })
+    // box NOT chunk-aligned
+    val (x0, x1, y0, y1) = (7, 73, 3, 58)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    val fused = GridKernels.cusumByPixel(spark, h, root,
+      x0, x1, y0, y1, 0, 4, trainT = 2, slack = 0.5, threshold = 5.0)
+      .collect().sortBy(key)
+    val ref = GridTimeSeries.cusumDetect(
+      FractionStore.loadSliceXY(spark, h, root, x0, x1, y0, y1, 0, 4),
+      trainT = 2, slack = 0.5, threshold = 5.0)
+      .collect().sortBy(key)
+    assert(fused.length == ref.length && fused.nonEmpty)
+    assert(ref.exists(_.getInt(4) == 1), "fixture must trip some alarms")
+    fused.zip(ref).foreach { case (f, r) =>
+      assert(key(f) == key(r))
+      // integer micro-grid sums + shared HALF_UP rounding -> bit-equal
+      assert(f.getDouble(3) == r.getDouble(3), s"cusum at ${key(f)}")
+      assert(f.getInt(4) == r.getInt(4), s"alarm at ${key(f)}")
+    }
+    // straddling two time slabs must be rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      GridKernels.cusumByPixel(spark, SyntheticGrid.miniModisNdviHeader,
+        root, x0, x1, y0, y1, 0, 4, trainT = 2, slack = 0.0,
+        threshold = 1.0)
+    }
+  }
+
   test("fused maskedMeanByT equals the aligned-load relational query") {
     val nh = SyntheticGrid.miniModisNdviHeader
     val qh = SyntheticGrid.miniModisQaHeader
