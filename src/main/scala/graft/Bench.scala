@@ -104,7 +104,10 @@ object Bench {
     // round-8 grid time-series products on the tiny fixture: the CUSUM
     // closed form (two pixel-keyed window frames, one exchange) and the
     // aligned-band Pearson map (one partial-agg shuffle)
-    "grid_cusum_detect", "grid_xcorr")
+    "grid_cusum_detect", "grid_xcorr",
+    // round-8 wave: heap top-k, z-order key, SG smoothing, sketch
+    // rollup (their A/B / scale shapes are the topk pair + plan pins)
+    "topk_group", "layout_zorder", "grid_savgol", "hll_rollup_users")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see
@@ -751,10 +754,25 @@ object Bench {
         threshold = 50.0)
         .agg(count(lit(1)), sum(col("cusum")), sum(col("alarm"))).collect()
     }
+    // round-8: the full alerting chain at box scale — fused CUSUM
+    // alarms (t=3) -> 4-connected patch labeling -> patch summary.
+    // Tracks the end-to-end "pixels to publishable alert patches" cost:
+    // labeling shuffles pixels once (chunk-local union-find), border
+    // joins move perimeter slivers, the root map broadcasts.
+    val labelChain = timed2(spark, "grid_alarm_patches_1600x1600") {
+      val alarms = GridKernels.cusumByPixel(spark, nh, ndviRoot,
+          1200, 2800, 900, 2500, 0, 4, trainT = 2, slack = 0.0,
+          threshold = 50.0)
+        .filter(col("alarm") === 1 && col("t") === 3)
+        .select(col("x"), col("y"))
+      GridLabeling.labelPatches(spark, nh, alarms)
+        .agg(count(lit(1)), countDistinct(col("patch_id"))).collect()
+    }
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }
     Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, patches256,
       multiJoin, boxUnpruned, boxPruned, trend, trendFused, focalHalo,
-      focalNaive, terrain, cusum, cusumFused, pyrLocal, pyrGeneric)
+      focalNaive, terrain, cusum, cusumFused, labelChain, pyrLocal,
+      pyrGeneric)
   }
 }
