@@ -81,6 +81,31 @@ class EventStreamingSpec extends AnyFunSuite {
     assert(n == 500, s"expected 500 unique events, got $n")
   }
 
+  test("streaming sketch-cube maintenance equals the batch rollup") {
+    // the sketch table as a continuously-maintained product: the same
+    // hll_sketch_agg cube over the stream (complete mode = the current
+    // cube each trigger); distinct-count rollups from the streamed cube
+    // must equal batch exactly (HLL state is a function of the VALUE
+    // SET, so trigger boundaries cannot change estimates)
+    val cube = graft.ops.Sketches.buildHllCube(
+      streamEvents.withColumn("day", to_date(col("ts"))),
+      Seq("day", "event_type"), "user_id")
+    val q = cube.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_cube_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = graft.ops.Sketches.rollupDistinct(
+        spark.table("hll_cube_stream"), Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Sketches.rollupDistinct(
+        graft.ops.Sketches.buildHllCube(
+          spark.read.parquet(srcDir).withColumn("day", to_date(col("ts"))),
+          Seq("day", "event_type"), "user_id"),
+        Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming session windows equal the batch session windows") {
     val q = EventStreaming.userSessions(streamEvents)
       .writeStream.outputMode("append")
