@@ -132,6 +132,25 @@ object TextQueries {
           round(col("q"), 4).as("quality"))
     },
 
+    // Per-source document cap (the RefinedWeb/CCNet anti-spam rule:
+    // no single domain may dominate the corpus) — keep the K best docs
+    // per source (K = 20) by quality via the bounded-heap TopKAgg: the shuffle
+    // carries one k-sized buffer per (partition, source), and doc
+    // payloads re-attach by an id-keyed join AFTER the cap (text never
+    // rides the top-k shuffle).
+    "cap_per_source" -> { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextFunctions.qualityScore(col("text")).as("q0"))
+      scored.groupBy(col("source"))
+        .agg(graft.functions.TopKAgg(col("q0"), col("doc_id"), 20).as("top"))
+        .select(col("source"), explode(col("top")).as("e"))
+        .select(col("source"), col("e.id").as("doc_id"),
+          round(col("e.score"), 4).as("quality"))
+        .join(scored.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("quality"), col("n_chars"))
+    },
+
     // Gopher-style within-doc repetition gate (duplicate n-gram fraction)
     "text_repetition" -> { (s, d) =>
       Tables.documents(s, d).select(
@@ -1460,6 +1479,39 @@ object TextQueries {
         |    ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8),
         |      doc_id) - 1 AS pos
         |FROM documents""".stripMargin,
+
+    // per-source cap replay: same rule-sum score, row_number <= 40
+    "cap_per_source" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0)) AS DOUBLE) AS ntok,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |        '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '',
+        |        'g')) AS DOUBLE) AS ndigit,
+        |    CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0)) > 0
+        |      THEN CAST(list_sum(list_transform(
+        |          list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> len(x) > 0), x -> len(x))) AS DOUBLE)
+        |        / len(list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> len(x) > 0))
+        |      ELSE 0.0 END AS atl
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, n_chars, CAST(
+        |  (CASE WHEN ntok >= 10 AND ntok <= 10000 THEN 0.4 ELSE 0.0 END) +
+        |  (CASE WHEN atl >= 2.5 AND atl <= 12.0 THEN 0.3 ELSE 0.0 END) +
+        |  (CASE WHEN npunct / greatest(n, 1.0) <= 0.1
+        |    THEN 0.15 ELSE 0.0 END) +
+        |  (CASE WHEN ndigit / greatest(n, 1.0) <= 0.2
+        |    THEN 0.15 ELSE 0.0 END)
+        |  AS DOUBLE) AS q FROM t),
+        |r AS (SELECT doc_id, source, n_chars, q,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY q DESC, doc_id) AS rn FROM s)
+        |SELECT doc_id, source, round(q, 4) AS quality, n_chars
+        |FROM r WHERE rn <= 20""".stripMargin,
 
     // quality gate replay: same rule-sum score, same rank + floor(n/2)
     "quality_gate" ->
