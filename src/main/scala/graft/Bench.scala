@@ -107,7 +107,8 @@ object Bench {
     "grid_cusum_detect", "grid_xcorr",
     // round-8 wave: heap top-k, z-order key, SG smoothing, sketch
     // rollup (their A/B / scale shapes are the topk pair + plan pins)
-    "topk_group", "layout_zorder", "grid_savgol", "hll_rollup_users")
+    "topk_group", "layout_zorder", "grid_savgol", "hll_rollup_users",
+    "cap_per_source")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see
