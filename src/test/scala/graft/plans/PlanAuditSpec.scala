@@ -633,6 +633,40 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.ops.CacheRegistry.releaseAll()
   }
 
+  test("savgol smoothing: all five window frames share ONE pixel exchange") {
+    import spark.implicits._
+    val px = (for (x <- 0 until 6; y <- 0 until 4; t <- 0 until 8)
+      yield (x, y, t, (x + y + t).toDouble))
+      .toDF("x", "y", "t", "value").repartition(4)
+    val plans = executed(graft.grid.GridTimeSeries.savgolSmooth(px))
+    val exchanges = plans.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(exchanges.size == 1,
+      s"expected one pixel-keyed exchange for the lag/lead frames, " +
+        s"got ${exchanges.size}")
+  }
+
+  test("per-source cap: document text never rides the top-k shuffle") {
+    val df = graft.SparkEntry.queries("cap_per_source")(spark,
+      "/root/testdata/sf0.001")
+    val plans = executed(df)
+    val exchanges = plans.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    // the top-k exchange carries (source, k-sized heap buffer) only —
+    // no `text` attribute may appear in any hash exchange's output
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"text must not ride a shuffle:\n$e")
+    }
+    // and a partial ObjectHashAggregate sits below the group exchange
+    assert(exchanges.exists(e => walk(e).tail.exists(
+      _.nodeName.contains("ObjectHashAggregate"))),
+      "partial heap agg must run below the shuffle")
+  }
+
   test("BM25 full scan: term filter sits below the tf aggregate") {
     import spark.implicits._
     val corpus = (0 until 200).map(i =>
