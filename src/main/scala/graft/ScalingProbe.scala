@@ -116,7 +116,12 @@ object ScalingProbe {
       // join must track token volume; the bucket tables stay 256 rows
       // at ANY corpus size) and BM25 (the tf shuffle must stay
       // hit-sized while hits grow 10x)
-      "dsir_weights", "bm25_search")
+      "dsir_weights", "bm25_search",
+      // round-8 wave: the per-source cap (10x docs per source must
+      // shuffle only k-sized heap buffers and emit the SAME capped
+      // output) and the sketch rollup (10x users, sketch rows stay
+      // kilobyte-sized per (day, type))
+      "cap_per_source", "hll_rollup_users")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
