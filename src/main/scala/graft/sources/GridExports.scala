@@ -230,6 +230,39 @@ object GridExports {
     Shapefile.writePolygons(basePath, rings.toSeq, attrs.toSeq)
   }
 
+  /** Alert-patch bounding-box polygons as a shapefile — the Terra-i
+    * style alert publication sink (detection pixels → CUSUM alarms →
+    * `GridLabeling.labelPatches` → per-patch vector features). Each
+    * patch becomes its bbox ring in lat/lng (pixel-corner aligned, so
+    * adjacent patches tile exactly) with patch_id / n_px / centroid
+    * attributes. The driver-side collect is PATCH-bounded (`maxPatches`
+    * guard), never pixel-bounded — patch stats are already one partial
+    * aggregation over the labeled plane. Returns the patch count. */
+  def alertPatchesShapefile(header: graft.grid.GridHeader,
+                            labeled: org.apache.spark.sql.DataFrame,
+                            basePath: String,
+                            maxPatches: Int = 100000): Int = {
+    val rows = graft.grid.GridLabeling.patchStats(labeled)
+      .limit(maxPatches + 1).collect()
+    require(rows.length <= maxPatches,
+      s"more than $maxPatches alert patches; aggregate upstream or " +
+        "raise the guard")
+    val sorted = rows.sortBy(_.getLong(0))
+    val rings = sorted.map { r =>
+      val x0 = r.getInt(2).toDouble; val x1 = r.getInt(3).toDouble + 1
+      val y0 = r.getInt(4).toDouble; val y1 = r.getInt(5).toDouble + 1
+      Array((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))
+        .map { case (x, y) => header.xyToLatLng(x, y) }
+    }
+    val attrs = sorted.map { r =>
+      Map("patch_id" -> r.getLong(0).toString,
+        "n_px" -> r.getLong(1).toString,
+        "cx" -> r.getDouble(6).toString, "cy" -> r.getDouble(7).toString)
+    }
+    Shapefile.writePolygons(basePath, rings.toSeq, attrs.toSeq)
+    sorted.length
+  }
+
   /** Guarded recursive delete (SNK6, io.py:81-103): refuses shallow
     * paths so a malformed root can never wipe a filesystem. */
   def deleteStore(spark: SparkSession, root: String): Boolean = {

@@ -90,4 +90,32 @@ class GridLabelingSpec extends AnyFunSuite {
     assert(stats(single) == ((1L, 9, 9, 9, 9, 9.0, 9.0)))
     graft.ops.CacheRegistry.releaseAll()
   }
+
+  test("alert patches export as shapefile bbox polygons with attributes") {
+    // an L-patch (bbox 2..4 x 2..3) and a lone pixel at (9, 9)
+    val pts = Seq((2, 2), (3, 2), (4, 2), (2, 3), (9, 9))
+    val labeled = GridLabeling.labelPatches(spark, h, pts.toDF("x", "y"))
+    val base = TestSpark.tmpDir("alert_shp") + "/patches"
+    val n = graft.sources.GridExports.alertPatchesShapefile(h, labeled, base)
+    assert(n == 2)
+    val feats = graft.sources.Shapefile.loadPolygons(base + ".shp")
+    assert(feats.length == 2)
+    val byId = feats.map(f => f.attrs("patch_id").toLong -> f).toMap
+    val big = byId(2L * 20 + 2)
+    assert(big.attrs("n_px") == "4")
+    // wgs84 identity-ish geot (lng = x, lat = -y): bbox ring spans
+    // pixel corners [2,5)x[2,4) -> lng in {2,5}, lat in {-2,-4}
+    val lngs = big.ring.map(_._2).distinct.sorted.toSeq
+    val lats = big.ring.map(_._1).distinct.sorted.toSeq
+    assert(lngs == Seq(2.0, 5.0), s"lngs $lngs")
+    assert(lats == Seq(-4.0, -2.0), s"lats $lats")
+    val lone = byId(9L * 20 + 9)
+    assert(lone.attrs("n_px") == "1" && lone.attrs("cx") == "9.0")
+    // guard: a patch flood beyond the bound must refuse, not collect
+    intercept[IllegalArgumentException] {
+      graft.sources.GridExports.alertPatchesShapefile(h, labeled,
+        base + "_g", maxPatches = 1)
+    }
+    graft.ops.CacheRegistry.releaseAll()
+  }
 }
