@@ -108,7 +108,7 @@ object Bench {
     // round-8 wave: heap top-k, z-order key, SG smoothing, sketch
     // rollup (their A/B / scale shapes are the topk pair + plan pins)
     "topk_group", "layout_zorder", "grid_savgol", "hll_rollup_users",
-    "cap_per_source")
+    "cap_per_source", "sql_tpch_q5", "sql_tpch_q10")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

@@ -489,6 +489,56 @@ object RelationalQueries {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority""")
     },
 
+    // SQL-text path, TPC-H Q5 shape: the 6-table join chain through the
+    // region dimension — the parser + join-reorder generality check
+    // (region/nation broadcast; lineitem never joins without its
+    // orderkey equi-condition).
+    "sql_tpch_q5" -> { (s, d) =>
+      customer(s, d).createOrReplaceTempView("g_customer")
+      orders(s, d).createOrReplaceTempView("g_orders")
+      lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      supplier(s, d).createOrReplaceTempView("g_supplier")
+      nation(s, d).createOrReplaceTempView("g_nation")
+      region(s, d).createOrReplaceTempView("g_region")
+      s.sql("""
+        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+          count(*) AS n_items
+        FROM g_customer
+        JOIN g_orders ON c_custkey = o_custkey
+        JOIN g_lineitem ON l_orderkey = o_orderkey
+        JOIN g_supplier ON l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+        JOIN g_nation ON s_nationkey = n_nationkey
+        JOIN g_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name""")
+    },
+
+    // SQL-text path, TPC-H Q10 shape: returned-item revenue per
+    // customer, top 20 (deterministic tiebreak on custkey).
+    "sql_tpch_q10" -> { (s, d) =>
+      customer(s, d).createOrReplaceTempView("g_customer")
+      orders(s, d).createOrReplaceTempView("g_orders")
+      lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      nation(s, d).createOrReplaceTempView("g_nation")
+      s.sql("""
+        SELECT c_custkey, c_name, n_name,
+          sum(l_extendedprice * (1 - l_discount)) AS revenue,
+          round(sum(c_acctbal) / count(*), 4) AS acctbal
+        FROM g_customer
+        JOIN g_orders ON c_custkey = o_custkey
+        JOIN g_lineitem ON l_orderkey = o_orderkey
+        JOIN g_nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    },
+
     // §2.11 — explicit GROUPING SETS (finer than cube_rollup's
     // ROLLUP): the two one-dimension marginals plus the full cross,
     // with arithmetic grouping flags so both engines report identical
@@ -578,6 +628,36 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-06-01'
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+
+    "sql_tpch_q5" ->
+      """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "sql_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  round(sum(c_acctbal) / count(*), 4) AS acctbal
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "grouping_sets_report" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
