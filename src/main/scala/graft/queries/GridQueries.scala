@@ -29,6 +29,31 @@ object GridQueries {
       r
     })
 
+  /** 80x60x4 int16 store with ALL 4 dates in ONE time slab and planted
+    * NDVI drops on every 5th diagonal from t=2 — the oracle fixture for
+    * the fused trend/CUSUM kernels (their single-slab requirement; the
+    * drops give one-sided CUSUM real alarms to verify). */
+  private def monitorRoot(spark: SparkSession): String =
+    fixtureCache.getOrElseUpdate("monitor", {
+      val r = java.nio.file.Files.createTempDirectory("graft_monitor").toString
+      val h = SyntheticGrid.miniModisNdviHeader.copy(
+        name = "monitor_fx", width = 80, height = 60,
+        fracWidth = 20, fracHeight = 20, fracNDates = 4)
+      SyntheticGrid.writeDirect(spark, h, r, new SyntheticGrid.PixelFn {
+        def apply(x: Int, y: Int, t: Int): Double =
+          if ((x * y + t) % 17 == 0) -3000.0
+          else if ((x + y) % 5 == 0 && t >= 2) (x % 50) - 900.0
+          else (x % 50 + y % 40 + t * 3).toDouble
+      })
+      r
+    })
+
+  /** The monitor fixture's closed form in DuckDB SQL. */
+  private val monitorValueSql: String =
+    "CASE WHEN (x * y + t) % 17 = 0 THEN NULL " +
+      "WHEN (x + y) % 5 = 0 AND t >= 2 THEN CAST((x % 50) - 900 AS DOUBLE) " +
+      "ELSE CAST(x % 50 + y % 40 + t * 3 AS DOUBLE) END"
+
   private def miniModisRoots(spark: SparkSession): (String, String) = {
     val nr = fixtureCache.getOrElseUpdate("mm_ndvi_pending", {
       val nr0 = java.nio.file.Files.createTempDirectory("graft_mm_ndvi").toString
@@ -409,6 +434,25 @@ object GridQueries {
       GridTimeSeries.cusumDetect(
         FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, h.nDates),
         trainT = 5, slack = 5.0, threshold = 40.0)
+    },
+
+    // The FUSED twins (GridKernels.cusumByPixel / trendSlopeByPixel):
+    // the same products as zero-shuffle chunk folds on a single-slab
+    // store — oracle-verified independently of the relational forms
+    // (bit-equality between the two forms is additionally pinned by
+    // PayloadKernelsSpec; the tile-scale cost is the
+    // grid_{trend,cusum}_{...,fused} bench pairs).
+    "grid_cusum_fused" -> { (s, _) =>
+      val root = monitorRoot(s)
+      val h = GridHeader.load(s, root)
+      GridKernels.cusumByPixel(s, h, root, 0, 80, 0, 60, 0, 4,
+        trainT = 2, slack = 0.5, threshold = 5.0)
+    },
+
+    "grid_trend_fused" -> { (s, _) =>
+      val root = monitorRoot(s)
+      val h = GridHeader.load(s, root)
+      GridKernels.trendSlopeByPixel(s, h, root, 0, 80, 0, 60, 0, 4)
     },
 
     // Per-pixel Pearson correlation between two aligned bands
@@ -925,6 +969,47 @@ object GridQueries {
          |  CAST((r - mn) > n_train * 40000000.0 AS INT) AS alarm
          |FROM r2""".stripMargin
 
+    // fused CUSUM: the same micro-grid replay over the monitor
+    // fixture's closed form (trainT=2, slack 0.5 -> 500000 micro,
+    // threshold 5 -> 5000000 micro)
+    val cusumFused =
+      s"""WITH g AS (SELECT x, y, t, $monitorValueSql AS v
+         |  FROM range(0, 80) a(x), range(0, 60) b(y), range(0, 4) c(t)),
+         |s AS (SELECT x, y, t, v,
+         |    count(CASE WHEN t < 2 THEN 1 END) OVER pw AS n_train,
+         |    sum(CASE WHEN t < 2 THEN v END) OVER pw AS sm
+         |  FROM g WHERE v IS NOT NULL
+         |  WINDOW pw AS (PARTITION BY x, y)),
+         |m AS (SELECT x, y, t, n_train,
+         |    (sm - n_train * v) * 1e6 - n_train * 500000.0 AS d
+         |  FROM s WHERE t >= 2 AND n_train > 0),
+         |r1 AS (SELECT x, y, t, n_train, sum(d) OVER cw AS r
+         |  FROM m WINDOW cw AS (PARTITION BY x, y ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |r2 AS (SELECT x, y, t, n_train, r,
+         |    least(0.0, min(r) OVER cw) AS mn
+         |  FROM r1 WINDOW cw AS (PARTITION BY x, y ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, CAST(t AS INT) AS t,
+         |  round((r - mn) / (n_train * 1e6), 4) AS cusum,
+         |  CAST((r - mn) > n_train * 5000000.0 AS INT) AS alarm
+         |FROM r2""".stripMargin
+
+    // fused trend: the normal-equation replay over the monitor fixture
+    val trendFused =
+      s"""WITH g AS (SELECT x, y, t, $monitorValueSql AS v
+         |  FROM range(0, 80) a(x), range(0, 60) b(y), range(0, 4) c(t)),
+         |s AS (SELECT x, y, count(*) AS n,
+         |    sum(CAST(t AS DOUBLE)) AS st, sum(v) AS sv,
+         |    sum(CAST(t AS DOUBLE) * v) AS stv,
+         |    sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS stt
+         |  FROM g WHERE v IS NOT NULL GROUP BY x, y)
+         |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, n,
+         |  CASE WHEN n * stt - st * st > 0
+         |    THEN round((n * stv - st * sv) / (n * stt - st * st), 6)
+         |    ELSE 0.0 END AS slope
+         |FROM s""".stripMargin
+
     // grid_xcorr: the Pearson closed form replayed on the two value
     // functions (60x60x4 window, both bands nodata-masked); exact
     // integer sums, then the identical sqrt(da)*sqrt(db) divide chain
@@ -1322,6 +1407,8 @@ object GridQueries {
       "grid_mvc_composite" -> mvcComposite,
       "grid_anomaly_z" -> anomalyZ,
       "grid_cusum_detect" -> cusumDetect,
+      "grid_cusum_fused" -> cusumFused,
+      "grid_trend_fused" -> trendFused,
       "grid_xcorr" -> xcorr,
       "grid_terrain" -> terrain,
       "grid_label_patches" -> labelPatches,
