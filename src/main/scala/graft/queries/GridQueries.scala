@@ -537,6 +537,23 @@ object GridQueries {
       GridLabeling.labelPatches(s, h, on)
     },
 
+    // Minimum-mapping-unit sieve (the GIS "sieve" op): label patches,
+    // then keep only patches of >= 3 px, summarized (area, bbox,
+    // centroid) — the publishable-alerts filter that drops speckle.
+    // One partial-agg shuffle on patch_id on top of labeling.
+    "grid_patch_sieve" -> { (s, _) =>
+      val root = tinyRoot(s)
+      val h = GridHeader.load(s, root)
+      val on = FractionStore.loadSliceXY(s, h, root, 0, 25, 0, 10, 0, 1)
+        .filter(col("value").isNotNull && col("value") >= 60)
+        .select("x", "y")
+      GridLabeling.patchStats(GridLabeling.labelPatches(s, h, on))
+        .filter(col("n_px") >= 3)
+        .select(col("patch_id"), col("n_px"),
+          col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+          round(col("cx"), 6).as("cx"), round(col("cy"), 6).as("cy"))
+    },
+
     // Horn-method terrain products (GridFocal.focalTerrain): slope /
     // aspect / hillshade over the halo-exchange stencil — chunk-keyed
     // payload shuffle plus perimeter-sized strips, never a pixel
@@ -1048,6 +1065,30 @@ object GridQueries {
          |FROM g JOIN (SELECT pid, min(lab) AS patch_id FROM reach
          |  GROUP BY pid) m USING (pid)""".stripMargin
 
+    // grid_patch_sieve: the same min-label closure, then per-patch
+    // stats with a HAVING >= 3 sieve (integer sums; centroid divides
+    // rounded identically on both sides)
+    val patchSieve =
+      s"""WITH RECURSIVE g AS (SELECT x, y,
+         |    CAST(y * 190 + x AS BIGINT) AS pid
+         |  FROM range(0, 25) a(x), range(0, 10) b(y)
+         |  WHERE (x + y) % 13 <> 0 AND (x * 31 + y * 17) % 97 >= 60),
+         |e AS (SELECT p.pid AS src, q.pid AS dst FROM g p JOIN g q
+         |  ON abs(p.x - q.x) + abs(p.y - q.y) = 1),
+         |reach(pid, lab) AS (
+         |  SELECT pid, pid FROM g
+         |  UNION
+         |  SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.pid),
+         |lbl AS (SELECT g.x, g.y, m.patch_id
+         |  FROM g JOIN (SELECT pid, min(lab) AS patch_id FROM reach
+         |    GROUP BY pid) m USING (pid))
+         |SELECT patch_id, count(*) AS n_px,
+         |  CAST(min(x) AS INT) AS x_min, CAST(max(x) AS INT) AS x_max,
+         |  CAST(min(y) AS INT) AS y_min, CAST(max(y) AS INT) AS y_max,
+         |  round(sum(x) * 1.0 / count(*), 6) AS cx,
+         |  round(sum(y) * 1.0 / count(*), 6) AS cy
+         |FROM lbl GROUP BY patch_id HAVING count(*) >= 3""".stripMargin
+
     // grid_terrain: the 3x3 Horn stencil replayed by recomputing the
     // closed form at the 9 neighbor coordinates (no self-join); trig
     // constants are embedded as exact double literals computed from the
@@ -1412,6 +1453,7 @@ object GridQueries {
       "grid_xcorr" -> xcorr,
       "grid_terrain" -> terrain,
       "grid_label_patches" -> labelPatches,
+      "grid_patch_sieve" -> patchSieve,
       "grid_interpolate_ts" -> interpolateTs,
       "grid_savgol" -> savgol,
       "grid_slice_window" -> sliceWindow,
