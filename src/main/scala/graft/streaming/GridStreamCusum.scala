@@ -74,4 +74,36 @@ object GridStreamCusum {
           out.result().iterator
       }
   }
+
+  /** Publish labeled alert PATCHES per micro-batch — the downstream
+    * half of the alerting chain run continuously: each batch's alarm
+    * pixels label through the SAME distributed CCL as batch
+    * ([[graft.grid.GridLabeling.labelPatches]]) and their patch
+    * summaries append to a parquet alert log tagged with the batch id.
+    * Patch extent is per batch (alarms for one physical patch arriving
+    * in different triggers publish as separate alert events — the alert
+    *-feed semantic, where each trigger's detections ship immediately;
+    * cross-batch consolidation is the j5-style incremental anti-join's
+    * job downstream). Caller starts/stops the returned query. */
+  def publishAlertPatches(spark: SparkSession,
+                          header: graft.grid.GridHeader,
+                          alarms: Dataset[CusumEmit],
+                          outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[CusumEmit] = {
+    import org.apache.spark.sql.functions.lit
+    alarms.writeStream.foreachBatch {
+      (batch: Dataset[CusumEmit], batchId: Long) =>
+        val pts = batch.filter(_.alarm == 1).toDF()
+          .select("x", "y").distinct()
+        if (!pts.isEmpty) {
+          val labeled = graft.grid.GridLabeling.labelPatches(
+            batch.sparkSession, header, pts)
+          graft.grid.GridLabeling.patchStats(labeled)
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1)
+            .write.mode("append").parquet(outDir)
+        }
+        graft.ops.CacheRegistry.releaseAll()
+        ()
+    }
+  }
 }

@@ -64,6 +64,40 @@ class GridStreamCusumSpec extends AnyFunSuite {
     assert(got.exists(_._5 == 1) && got.exists(_._5 == 0))
   }
 
+  test("streamed alert patches equal batch labeling of the same alarms") {
+    val h = graft.grid.GridHeader(name = "cusum_pub", width = 25,
+      height = 10, fracWidth = 5, fracHeight = 5, fracNDates = 1,
+      dtype = "float32", srs = "wgs84",
+      geot = Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      timestampsMs = Seq(0L), nodata = -1.0)
+    val srcDir = TestSpark.tmpDir("cusum_pub_src")
+    obsRows.toDF().coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("x", IntegerType), StructField("y", IntegerType),
+        StructField("t", IntegerType), StructField("value", DoubleType))))
+      .parquet(srcDir)
+      .as[PixelObs]
+    val alarms = GridStreamCusum.monitor(spark, stream,
+      trainT = 5, slack = 5.0, threshold = 40.0)
+    val outDir = TestSpark.tmpDir("cusum_pub_out") + "/alerts"
+    val q = GridStreamCusum.publishAlertPatches(spark, h, alarms, outDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(outDir)
+      .select("patch_id", "n_px", "x_min", "x_max", "y_min", "y_max")
+      .as[(Long, Long, Int, Int, Int, Int)].collect().toSet
+    // batch twin over the identical alarm pixel set
+    val batchPts = batchRef.filter(_._5 == 1).map(a => (a._1, a._2))
+      .toSeq.toDF("x", "y").distinct()
+    val want = graft.grid.GridLabeling.patchStats(
+        graft.grid.GridLabeling.labelPatches(spark, h, batchPts))
+      .select("patch_id", "n_px", "x_min", "x_max", "y_min", "y_max")
+      .as[(Long, Long, Int, Int, Int, Int)].collect().toSet
+    assert(got.nonEmpty && got == want)
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
   test("monitoring rows with no baseline are dropped, late baseline heals") {
     // pixel (0,0): first batch delivers only t>=trainT rows -> nothing
     // emitted; training rows later start the monitor for NEW dates
