@@ -535,7 +535,11 @@ object Bench {
     def windowForm = {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      // NULL filter for result parity with the heap side (TopKAgg skips
+      // NULL scores; a sub-k group's row_number would otherwise keep
+      // them) — a no-op on TPC-H but it keeps "same rows out" true
       Tables.orders(spark, sfDir)
+        .filter(col("o_totalprice").isNotNull)
         .select(col("o_orderpriority"), col("o_orderkey"),
           col("o_totalprice"), row_number().over(w).as("rn"))
         .filter(col("rn") <= 5).drop("rn")

@@ -113,9 +113,17 @@ object TopKAgg {
     StructField("score", DoubleType, nullable = false)))
 
   /** True when (s1, i1) ranks strictly better than (s2, i2) under
-    * (score DESC, id ASC). */
-  @inline def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+    * (score DESC, id ASC). Uses the TOTAL double order
+    * (java.lang.Double.compare: NaN greater than everything,
+    * -0.0 < 0.0) — the order Spark's sort/window uses — so NaN scores
+    * rank FIRST under desc instead of poisoning the heap invariant
+    * (with IEEE comparisons a NaN neither wins nor loses any
+    * comparison, so it could enter a heap but never be evicted, and
+    * the eval() drain's sortWith would see an inconsistent ordering). */
+  @inline def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   /** k-bounded binary min-heap over (score, id); the root is the WORST
     * kept entry, so a full heap admits a new entry only by evicting it. */

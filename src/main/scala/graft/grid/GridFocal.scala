@@ -471,9 +471,11 @@ object GridFocal {
                         math.sqrt(dzdx * dzdx + dzdy * dzdy))
                       val arad0 = math.atan2(dzdy, -dzdx)
                       val adeg0 = arad0 * degPerRad
+                      // ESRI aspect rule: two cases, not three — the
+                      // adeg0 < 0 input already lands in [90, 360) via
+                      // the same 90 - adeg0 formula
                       val aspect =
-                        if (adeg0 < 0) 90.0 - adeg0
-                        else if (adeg0 > 90.0) 450.0 - adeg0
+                        if (adeg0 > 90.0) 450.0 - adeg0
                         else 90.0 - adeg0
                       val arad = if (arad0 < 0) arad0 + 2.0 * math.Pi
                         else arad0

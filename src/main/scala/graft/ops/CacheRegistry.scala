@@ -53,4 +53,27 @@ object CacheRegistry {
     }
     n
   }
+
+  /** Run `body` and release only the caches IT registered — for library
+    * code (streaming sinks, long-lived services) that must clean up
+    * after itself without dropping caches other work in the session is
+    * still holding (releaseAll is a session-wide hammer; a foreachBatch
+    * sink calling it every trigger would silently unpersist a
+    * concurrent job's tracked tables). Snapshot-diff, not try/finally
+    * per entry: registrations land on the shared queue, so we drain and
+    * re-add the survivors. */
+  def scoped[A](body: => A): A = {
+    val before = new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]()
+    live.forEach(d => before.put(d, java.lang.Boolean.TRUE))
+    try body
+    finally {
+      val keep = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+      var d = live.poll()
+      while (d != null) {
+        if (before.containsKey(d)) keep += d else d.unpersist(false)
+        d = live.poll()
+      }
+      keep.foreach(live.add)
+    }
+  }
 }

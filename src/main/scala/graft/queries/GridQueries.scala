@@ -1130,8 +1130,7 @@ object GridQueries {
          |  FROM r0)
          |SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y, CAST(t AS INT) AS t,
          |  round(srad * $degPerRad, 3) AS slope_deg,
-         |  round(CASE WHEN adeg0 < 0 THEN 90.0 - adeg0
-         |        WHEN adeg0 > 90.0 THEN 450.0 - adeg0
+         |  round(CASE WHEN adeg0 > 90.0 THEN 450.0 - adeg0
          |        ELSE 90.0 - adeg0 END, 3) AS aspect_deg,
          |  round(CASE WHEN $lum < 0 THEN 0.0
          |        ELSE 255.0 * ($lum) END, 3) AS hillshade

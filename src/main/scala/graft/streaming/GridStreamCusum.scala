@@ -92,17 +92,21 @@ object GridStreamCusum {
     import org.apache.spark.sql.functions.lit
     alarms.writeStream.foreachBatch {
       (batch: Dataset[CusumEmit], batchId: Long) =>
-        val pts = batch.filter(_.alarm == 1).toDF()
-          .select("x", "y").distinct()
-        if (!pts.isEmpty) {
-          val labeled = graft.grid.GridLabeling.labelPatches(
-            batch.sparkSession, header, pts)
-          graft.grid.GridLabeling.patchStats(labeled)
-            .withColumn("batch_id", lit(batchId))
-            .coalesce(1)
-            .write.mode("append").parquet(outDir)
+        // scoped, not releaseAll: a sink firing every trigger must drop
+        // only the labelPatches cache IT created, never a concurrent
+        // job's tracked tables
+        graft.ops.CacheRegistry.scoped {
+          val pts = batch.filter(_.alarm == 1).toDF()
+            .select("x", "y").distinct()
+          if (!pts.isEmpty) {
+            val labeled = graft.grid.GridLabeling.labelPatches(
+              batch.sparkSession, header, pts)
+            graft.grid.GridLabeling.patchStats(labeled)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1)
+              .write.mode("append").parquet(outDir)
+          }
         }
-        graft.ops.CacheRegistry.releaseAll()
         ()
     }
   }

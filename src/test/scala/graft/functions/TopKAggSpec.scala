@@ -44,6 +44,23 @@ class TopKAggSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN scores rank first, matching the window sort's total order") {
+    import spark.implicits._
+    // Spark's desc sort uses the total double order (NaN greatest), so
+    // the heap must too — with IEEE comparisons NaN would neither win
+    // nor lose and corrupt the heap/drain
+    val df = ((0L until 50L).map(id => (0, id, (id % 7).toDouble)) ++
+      Seq((0, 100L, Double.NaN), (0, 101L, Double.NaN)))
+      .toDF("g", "id", "s").repartition(5)
+    val got = heaped(df, 4).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val want = windowed(df, 4).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    def key(t: (Long, Double)) = (t._1, t._2.isNaN, if (t._2.isNaN) 0.0 else t._2)
+    assert(got.map(key).sorted.toSeq == want.map(key).sorted.toSeq)
+    assert(got.count(_._2.isNaN) == 2, "both NaN rows must win slots")
+  }
+
   test("merge path: partial heaps from many partitions fold correctly") {
     import spark.implicits._
     // every partition contributes candidates to every group, so the
@@ -61,17 +78,7 @@ class TopKAggSpec extends AnyFunSuite {
     import spark.implicits._
     val df = (0L until 100L).map(id => ((id % 3).toInt, id, id.toDouble))
       .toDF("g", "id", "s").repartition(4)
-    val q = heaped(df, 5)
-    q.collect()
-    def walk(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        s +: walk(s.plan)
-      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
-    }
-    val plans = walk(q.queryExecution.executedPlan)
+    val plans = TestSpark.executedPlan(heaped(df, 5))
     val aggs = plans.filter(_.nodeName.contains("ObjectHashAggregate"))
     assert(aggs.size >= 2,
       s"expected partial+final ObjectHashAggregate, got:\n${plans.head}")
@@ -81,7 +88,7 @@ class TopKAggSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
     // the g-keyed exchange must sit between the two aggregates: below
     // it a partial agg, so the shuffle carries k-sized buffers
-    assert(ex.size == 1 && walk(ex.head).tail.exists(
+    assert(ex.size == 1 && TestSpark.walkPlan(ex.head).tail.exists(
       _.nodeName.contains("ObjectHashAggregate")),
       s"partial heap agg must run below the shuffle:\n${plans.head}")
   }

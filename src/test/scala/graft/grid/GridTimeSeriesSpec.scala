@@ -56,13 +56,16 @@ class GridTimeSeriesSpec extends AnyFunSuite {
   }
 
   test("savgol is NULL across nodata gaps and supports wider windows") {
-    val vals = (0 until 9).map(t => if (t == 4) None else Some(t.toDouble))
+    // 11-date series with a gap at t=8: windows touching the gap
+    // (t in 6..10) and edges (t < 2) are NULL; t in 2..5 stay smoothed
+    val vals = (0 until 11).map(t => if (t == 8) None else Some(t.toDouble))
     val out5 = GridTimeSeries.savgolSmooth(series(vals), halfWidth = 2)
       .orderBy("t").select("value_sg").collect()
-    // windows touching the t=4 gap (t in 2..6) are NULL
-    (0 until 9).foreach { t =>
-      val expectNull = t < 2 || t > 6 || (t >= 2 && t <= 6)
+    (0 until 11).foreach { t =>
+      val expectNull = t < 2 || t >= 6
       assert(out5(t).isNullAt(0) == expectNull, s"t=$t")
+      // the linear ramp passes through unchanged where defined
+      if (!expectNull) assert(math.abs(out5(t).getDouble(0) - t) < 1e-9)
     }
     // 7- and 9-point tables pass a linear ramp through unchanged
     for (h <- Seq(3, 4)) {

@@ -37,18 +37,8 @@ class LayoutSpec extends AnyFunSuite {
   test("layout plans one range exchange + non-global sort") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, i * 37 % 1000)).toDF("a", "b")
-    val out = Layout.zorderLayout(df, col("a"), col("b"), bits = 10,
-      numParts = 8)
-    out.collect()
-    def walk(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(ad.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        s +: walk(s.plan)
-      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
-    }
-    val plans = walk(out.queryExecution.executedPlan)
+    val plans = TestSpark.executedPlan(
+      Layout.zorderLayout(df, col("a"), col("b"), bits = 10, numParts = 8))
     val ex = plans.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }

@@ -44,23 +44,13 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   test("sketch build aggregates map-side (partial below the exchange)") {
-    val df = Sketches.buildHllCube(events.repartition(8),
-      Seq("event_type"), "user_id")
-    df.collect()
-    def walk(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        s +: walk(s.plan)
-      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
-    }
-    val plans = walk(df.queryExecution.executedPlan)
+    val plans = TestSpark.executedPlan(Sketches.buildHllCube(
+      events.repartition(8), Seq("event_type"), "user_id"))
     val ex = plans.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.filter(_.outputPartitioning.isInstanceOf[
       org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
-    assert(ex.size == 1 && walk(ex.head).tail.exists(
+    assert(ex.size == 1 && TestSpark.walkPlan(ex.head).tail.exists(
       _.nodeName.contains("ObjectHashAggregate")),
       s"partial sketch agg must run below the shuffle:\n${plans.head}")
   }
