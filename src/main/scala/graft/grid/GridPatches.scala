@@ -48,12 +48,20 @@ object GridPatches {
       .withColumn("time_chunk", explode(lit(
         (math.max(0, tFrom / nd) to
           math.min(g.numTimeChunks - 1, (tTo - 1) / nd)).toArray)))
+    // Ragged bottom-edge chunks are shorter than fracHeight, so the
+    // chunk height comes from the payload itself — but from its BYTE
+    // length, never from size(decoded array): the y-intersection filter
+    // below collapses into the chunk-join condition, and an `arr`-based
+    // height would inline a full 640k-element payload decode into every
+    // join-condition evaluation (observed as a 40x cpu swing whenever
+    // the decode loop ran interpreted). octet_length is O(1) metadata.
+    val bpe = PayloadCodec.bytesPerElem(PayloadCodec.code(header.dtype))
     val joined = fanned
       .join(FractionStore.fractions(spark, root),
         Seq("frac_x", "frac_y", "time_chunk"))
       // decode once per (patch, chunk) BELOW the pixel generators
       .withColumn("arr", FractionStore.unpack(header, col("data")))
-      .withColumn("ch", (size(col("arr")) / (col("w") * col("nd")))
+      .withColumn("ch", (length(col("data")) / bpe / (col("w") * col("nd")))
         .cast("int"))
       // ragged chunks: the intersection can be empty even after the
       // chunk-key join (sequence() would run DESCENDING — guard first)
