@@ -84,6 +84,66 @@ object Reproject {
       .select(col("x"), col("y"), col("value"))
   }
 
+  /** Bilinear reprojection of `src` onto a window of the `dst` lattice
+    * at time index t. Each dst pixel center inverse-maps to continuous
+    * source coordinates; the 4 surrounding source pixel CENTERS are
+    * sampled and blended by the fractional offsets. Nodata corners (and
+    * corners outside the grid) drop out and the remaining weights
+    * renormalize — GDAL's warp does the same when nodata is declared —
+    * so a dst pixel is NULL only when all 4 corners are invalid.
+    *
+    * Same join shape as [[nearest]]: the 4-corner fan-out happens on
+    * the dst lattice (4 small rows per dst pixel, no payloads), the
+    * equi-join shuffles only within the bounded source window, and the
+    * final per-dst-pixel blend is a map-side-combinable 4-row groupBy.
+    * Returns (x, y, value, n_valid) on dst pixel coordinates.
+    */
+  def bilinear(spark: SparkSession,
+               src: GridHeader, srcRoot: String,
+               dst: GridHeader,
+               xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+               tSrc: Int = 0): DataFrame = {
+    val w = xTo - xFrom
+    val hgt = yTo - yFrom
+    val targets = spark.range(w.toLong * hgt)
+      .withColumn("x", (col("id") % w).cast("int") + xFrom)
+      .withColumn("y", expr(s"id div $w").cast("int") + yFrom)
+      .drop("id")
+    val (sxCol, syCol) = toTargetXY(dst, src, col("x").cast("double"),
+      col("y").cast("double"))
+    // sample-centered coords: source values live at pixel centers, so
+    // the interpolation cell for continuous (sx, sy) is anchored at
+    // floor(sx - 0.5) with fraction (sx - 0.5) - floor(sx - 0.5)
+    val corners = targets
+      .withColumn("cx", sxCol - lit(0.5))
+      .withColumn("cy", syCol - lit(0.5))
+      .select(col("x"), col("y"),
+        floor(col("cx")).cast("int").as("x0"),
+        floor(col("cy")).cast("int").as("y0"),
+        (col("cx") - floor(col("cx"))).as("fx"),
+        (col("cy") - floor(col("cy"))).as("fy"),
+        explode(array((for (dy <- 0 to 1; dx <- 0 to 1) yield
+          struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)).as("c"))
+      .select(col("x"), col("y"),
+        (col("x0") + col("c.dx")).as("src_x"),
+        (col("y0") + col("c.dy")).as("src_y"),
+        (when(col("c.dx") === 0, lit(1.0) - col("fx")).otherwise(col("fx")) *
+          when(col("c.dy") === 0, lit(1.0) - col("fy")).otherwise(col("fy")))
+          .as("wgt"))
+    val (sx0, sx1, sy0, sy1) = sourceBounds(dst, src, xFrom, xTo, yFrom, yTo)
+    val srcPx = FractionStore.loadSliceXY(spark, src, srcRoot,
+      math.max(0, sx0), math.min(src.width, sx1),
+      math.max(0, sy0), math.min(src.height, sy1),
+      tSrc, tSrc + 1)
+      .select(col("x").as("src_x"), col("y").as("src_y"), col("value"))
+    corners.join(srcPx, Seq("src_x", "src_y"), "left")
+      .groupBy(col("x"), col("y"))
+      .agg(
+        (sum(col("wgt") * col("value").cast("double")) /
+          sum(when(col("value").isNotNull, col("wgt")))).as("value"),
+        count(col("value")).as("n_valid"))
+  }
+
   /** Conservative source-pixel bounds [x0, x1) x [y0, y1) covering every
     * dst-window pixel center mapped into source space: the full window
     * boundary (a superset of the center lattice's convex position) is

@@ -318,6 +318,29 @@ object GridQueries {
           count(lit(1)).as("n_total"))
     },
 
+    // J3 (bilinear) — 4-corner blended warp onto the same de-aligned
+    // wgs84 lattice; nodata corners renormalize away. Aggregate output
+    // (the per-pixel doubles fold into one sum, so cross-engine libm
+    // ulps stay far below the 6-sig-digit canonicalization).
+    "grid_reproject_bilinear" -> { (s, _) =>
+      val (ndviRoot, _) = miniModisRoots(s)
+      val nh = GridHeader.load(s, ndviRoot)
+      val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
+      val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
+      val dst = GridHeader(
+        name = "wgs84_bl", width = 100, height = 100,
+        fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
+        dtype = nh.dtype, srs = "wgs84",
+        geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
+          latMax, 0.0, -(latMax - latMin) / 97.3),
+        timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      Reproject.bilinear(s, nh, ndviRoot, dst, 0, 100, 0, 100)
+        .agg(count(col("value")).as("n_mapped"),
+          sum(col("value")).as("sum_value"),
+          sum(col("n_valid")).cast("double").as("sum_valid"),
+          count(lit(1)).as("n_total"))
+    },
+
     // J3 (mode/average) — aggregate downsampling reprojection: every
     // source pixel forward-maps onto the (de-aligned, see
     // grid_reproject_nearest) wgs84 lattice; per-dst-pixel average.
@@ -883,6 +906,43 @@ object GridQueries {
          |SELECT count(value) AS n_mapped,
          |  sum(CAST(value AS DOUBLE)) AS sum_value,
          |  count(*) AS n_total FROM v""".stripMargin
+
+    // grid_reproject_bilinear: same dst lattice; per dst pixel the
+    // CONTINUOUS source coords anchor a 2x2 sample-centered cell, the
+    // 4 corners blend by fractional weights, nodata/out-of-grid corners
+    // renormalize away. Mirrors Reproject.bilinear corner-for-corner.
+    val reprojectBilinear =
+      s"""WITH dst AS (SELECT x, y,
+         |    ${d(d0)} + (x + 0.5) * ${d(d1)} AS lng,
+         |    ${d(d3)} + (y + 0.5) * ${d(d5)} AS lat
+         |  FROM range(0, 100) a(x), range(0, 100) b(y)),
+         |m AS (SELECT x, y,
+         |    (((${d(r)} * radians(lng)) * cos(radians(lat))
+         |      - ${d(g(0))}) / ${d(g(1))}) - 0.5 AS cx,
+         |    ((${d(r)} * radians(lat)
+         |      - ${d(g(3))}) / ${d(g(5))}) - 0.5 AS cy
+         |  FROM dst),
+         |c AS (SELECT x, y,
+         |    CAST(floor(cx) AS INT) + dx AS sx,
+         |    CAST(floor(cy) AS INT) + dy AS sy,
+         |    (CASE WHEN dx = 0 THEN 1.0 - (cx - floor(cx))
+         |       ELSE cx - floor(cx) END)
+         |    * (CASE WHEN dy = 0 THEN 1.0 - (cy - floor(cy))
+         |       ELSE cy - floor(cy) END) AS wgt
+         |  FROM m, range(0, 2) p(dx), range(0, 2) q(dy)),
+         |v AS (SELECT x, y, wgt,
+         |    CASE WHEN sx >= 0 AND sx < ${nh.width}
+         |        AND sy >= 0 AND sy < ${nh.height}
+         |      THEN ${ndviValueSqlAt("sx", "sy", "0")} END AS value
+         |  FROM c),
+         |px AS (SELECT x, y,
+         |    sum(wgt * CAST(value AS DOUBLE))
+         |      / sum(CASE WHEN value IS NOT NULL THEN wgt END) AS value,
+         |    count(value) AS n_valid
+         |  FROM v GROUP BY x, y)
+         |SELECT count(value) AS n_mapped, sum(value) AS sum_value,
+         |  CAST(sum(n_valid) AS DOUBLE) AS sum_valid, count(*) AS n_total
+         |FROM px""".stripMargin
 
     // grid_interpolate_ts: linear gap fill along t per pixel, mirrored
     // with IGNORE NULLS window functions (nodata -> NULL gaps)
@@ -1463,6 +1523,7 @@ object GridQueries {
       "grid_polygon_mask" -> polygonMask,
       "grid_region_mask" -> regionMask,
       "grid_reproject_nearest" -> reprojectNearest,
+      "grid_reproject_bilinear" -> reprojectBilinear,
       "grid_patch_extract" -> patchExtract)
   }
 }

@@ -74,6 +74,14 @@ object OracleBuilders {
       "CASE WHEN (x * y + t) % 17 = 0 THEN -3000 " +
         "ELSE (x * 7 + y * 11 + t * 13) % 8000 - 1000 END"
 
+  /** minimodis NDVI value at arbitrary integer coordinate EXPRESSIONS
+    * (the [[ndviValueSql]] closed form with substituted coordinates) —
+    * lets warp oracles sample source pixels without a self-join.
+    * Nodata is NULL-masked. */
+  def ndviValueSqlAt(xe: String, ye: String, te: String): String =
+    s"CASE WHEN (($xe) * ($ye) + ($te)) % 17 = 0 THEN NULL " +
+      s"ELSE (($xe) * 7 + ($ye) * 11 + ($te) * 13) % 8000 - 1000 END"
+
   def qaValueSql: String = "(x * 40503 + y * 9973 + t * 65521) % 65536"
 
   /** Pixel-space polygon + window bounds for a lat/lng ring on a header,

@@ -92,6 +92,44 @@ class ReprojectSpec extends AnyFunSuite {
     }
   }
 
+  test("bilinear blends 4 corners; nodata renormalizes; all-nodata is NULL") {
+    // linear plane with one nodata pixel at (10,10) and a 2x2 nodata
+    // block at (20..21, 20..21); bilinear interpolation of a linear
+    // function is exact wherever all 4 corners are valid
+    val ndHeader = srcHeader.copy(name = "srcnd")
+    val ndRoot = TestSpark.tmpDir("reproj_nd")
+    FractionStore.write(spark, ndHeader,
+      FractionStore.fromPixels(spark, ndHeader,
+        SyntheticGrid.pixelDf(spark, ndHeader, (x, y, _) =>
+          when((x === 10 && y === 10) ||
+            (x.between(20, 21) && y.between(20, 21)), lit(-1.0))
+            .otherwise((x * 100 + y).cast("double")))), ndRoot)
+    // dst = src lattice shifted a quarter pixel: dst center (i,j) maps
+    // to sample-centered source coords (i + 0.25, j + 0.25)
+    val dst = srcHeader.copy(name = "dstbl",
+      geot = Seq(0.0025, 0.01, 0.0, -0.0025, 0.0, -0.01))
+    val got = Reproject.bilinear(spark, ndHeader, ndRoot, dst, 0, 39, 0, 39)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3))))
+      .toMap
+    def touched(i: Int, j: Int) =
+      (i >= 9 && i <= 10 && j >= 9 && j <= 10) ||
+        (i >= 19 && i <= 21 && j >= 19 && j <= 21)
+    for (i <- 0 until 39; j <- 0 until 39 if !touched(i, j)) {
+      val (v, n) = got((i, j))
+      assert(n == 4, s"dst ($i,$j)")
+      assert(math.abs(v.get - (100.0 * (i + 0.25) + (j + 0.25))) < 1e-6,
+        s"dst ($i,$j)")
+    }
+    // (9,9): corner (10,10) is nodata; remaining 3 renormalize
+    val w00 = 0.75 * 0.75; val w10 = 0.25 * 0.75; val w01 = 0.75 * 0.25
+    val expected99 = (w00 * 909 + w10 * 1009 + w01 * 910) / (w00 + w10 + w01)
+    val (v99, n99) = got((9, 9))
+    assert(n99 == 3 && math.abs(v99.get - expected99) < 1e-6)
+    // (20,20): all 4 corners inside the nodata block
+    assert(got((20, 20)) == (None, 0L))
+  }
+
   test("cross-SR align: sinusoidal grid warped onto wgs84 lattice (J1)") {
     // sinusoidal grid covering roughly the same small area near (0,0):
     // 0.01 deg ~ 1111.95 m at the equator
