@@ -144,6 +144,74 @@ object Reproject {
         count(col("value")).as("n_valid"))
   }
 
+  /** Cubic-convolution reprojection (Keys' kernel with a = -0.5 —
+    * GDAL's "cubic"): each dst pixel center inverse-maps to continuous
+    * source coordinates and blends the surrounding 4x4 source pixel
+    * CENTERS by the separable piecewise-cubic weights
+    * {{{
+    *   w(d) = 1.5 d^3 - 2.5 d^2 + 1          for d in [0, 1)
+    *   w(d) = -0.5 d^3 + 2.5 d^2 - 4 d + 2   for d in [1, 2]
+    * }}}
+    * Weights sum to 1, so valid-everywhere regions interpolate with
+    * linear precision (a linear plane passes through unchanged and an
+    * on-lattice dst reproduces the source exactly). Nodata /
+    * out-of-grid taps drop out and the remaining weights renormalize;
+    * cubic weights can be negative, so a near-zero surviving weight sum
+    * (|sum| < 1e-9) yields NULL rather than a blow-up. Join shape is
+    * [[bilinear]] with a 16-row fan-out per dst pixel.
+    * Returns (x, y, value, n_valid) on dst pixel coordinates.
+    */
+  def cubic(spark: SparkSession,
+            src: GridHeader, srcRoot: String,
+            dst: GridHeader,
+            xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+            tSrc: Int = 0): DataFrame = {
+    val w = xTo - xFrom
+    val hgt = yTo - yFrom
+    val targets = spark.range(w.toLong * hgt)
+      .withColumn("x", (col("id") % w).cast("int") + xFrom)
+      .withColumn("y", expr(s"id div $w").cast("int") + yFrom)
+      .drop("id")
+    val (sxCol, syCol) = toTargetXY(dst, src, col("x").cast("double"),
+      col("y").cast("double"))
+    // Keys' cubic weight at distance d (d <= 2 by construction); Horner
+    // form, mirrored term-for-term in the DuckDB oracle
+    def cw(d: Column): Column =
+      when(d < 1.0, (lit(1.5) * d - lit(2.5)) * d * d + lit(1.0))
+        .otherwise(((lit(-0.5) * d + lit(2.5)) * d - lit(4.0)) * d + lit(2.0))
+    val corners = targets
+      .withColumn("cx", sxCol - lit(0.5))
+      .withColumn("cy", syCol - lit(0.5))
+      .select(col("x"), col("y"),
+        floor(col("cx")).cast("int").as("x0"),
+        floor(col("cy")).cast("int").as("y0"),
+        (col("cx") - floor(col("cx"))).as("fx"),
+        (col("cy") - floor(col("cy"))).as("fy"),
+        explode(array((for (dy <- -1 to 2; dx <- -1 to 2) yield
+          struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)).as("c"))
+      .select(col("x"), col("y"),
+        (col("x0") + col("c.dx")).as("src_x"),
+        (col("y0") + col("c.dy")).as("src_y"),
+        (cw(abs(col("fx") - col("c.dx"))) * cw(abs(col("fy") - col("c.dy"))))
+          .as("wgt"))
+    // one extra pixel of padding beyond the bilinear bounds: the cubic
+    // stencil reaches taps floor(c)-1 .. floor(c)+2
+    val (sx0, sx1, sy0, sy1) = sourceBounds(dst, src, xFrom, xTo, yFrom, yTo)
+    val srcPx = FractionStore.loadSliceXY(spark, src, srcRoot,
+      math.max(0, sx0 - 1), math.min(src.width, sx1 + 1),
+      math.max(0, sy0 - 1), math.min(src.height, sy1 + 1),
+      tSrc, tSrc + 1)
+      .select(col("x").as("src_x"), col("y").as("src_y"), col("value"))
+    val wSum = sum(when(col("value").isNotNull, col("wgt")))
+    corners.join(srcPx, Seq("src_x", "src_y"), "left")
+      .groupBy(col("x"), col("y"))
+      .agg(
+        when(abs(wSum) < 1e-9, lit(null))
+          .otherwise(sum(col("wgt") * col("value").cast("double")) / wSum)
+          .as("value"),
+        count(col("value")).as("n_valid"))
+  }
+
   /** Conservative source-pixel bounds [x0, x1) x [y0, y1) covering every
     * dst-window pixel center mapped into source space: the full window
     * boundary (a superset of the center lattice's convex position) is

@@ -341,6 +341,28 @@ object GridQueries {
           count(lit(1)).as("n_total"))
     },
 
+    // J3 (cubic) — Keys' 4x4 cubic-convolution warp onto the same
+    // de-aligned wgs84 lattice; nodata taps renormalize, near-zero
+    // surviving weight sums yield NULL (cubic weights can be negative).
+    "grid_reproject_cubic" -> { (s, _) =>
+      val (ndviRoot, _) = miniModisRoots(s)
+      val nh = GridHeader.load(s, ndviRoot)
+      val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
+      val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
+      val dst = GridHeader(
+        name = "wgs84_cu", width = 100, height = 100,
+        fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
+        dtype = nh.dtype, srs = "wgs84",
+        geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
+          latMax, 0.0, -(latMax - latMin) / 97.3),
+        timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      Reproject.cubic(s, nh, ndviRoot, dst, 0, 100, 0, 100)
+        .agg(count(col("value")).as("n_mapped"),
+          sum(col("value")).as("sum_value"),
+          sum(col("n_valid")).cast("double").as("sum_valid"),
+          count(lit(1)).as("n_total"))
+    },
+
     // J3 (mode/average) — aggregate downsampling reprojection: every
     // source pixel forward-maps onto the (de-aligned, see
     // grid_reproject_nearest) wgs84 lattice; per-dst-pixel average.
@@ -944,6 +966,48 @@ object GridQueries {
          |  CAST(sum(n_valid) AS DOUBLE) AS sum_valid, count(*) AS n_total
          |FROM px""".stripMargin
 
+    // grid_reproject_cubic: Keys' a=-0.5 cubic kernel, Horner form
+    // mirrored term-for-term against Reproject.cubic; 16 taps per dst
+    // pixel from range(-1,3) cross products.
+    def cwSql(f: String, k: String): String = {
+      val dd = s"abs(($f) - ($k))"
+      s"(CASE WHEN $dd < 1.0 THEN (1.5 * $dd - 2.5) * $dd * $dd + 1.0 " +
+        s"ELSE ((-0.5 * $dd + 2.5) * $dd - 4.0) * $dd + 2.0 END)"
+    }
+    val reprojectCubic =
+      s"""WITH dst AS (SELECT x, y,
+         |    ${d(d0)} + (x + 0.5) * ${d(d1)} AS lng,
+         |    ${d(d3)} + (y + 0.5) * ${d(d5)} AS lat
+         |  FROM range(0, 100) a(x), range(0, 100) b(y)),
+         |m AS (SELECT x, y,
+         |    (((${d(r)} * radians(lng)) * cos(radians(lat))
+         |      - ${d(g(0))}) / ${d(g(1))}) - 0.5 AS cx,
+         |    ((${d(r)} * radians(lat)
+         |      - ${d(g(3))}) / ${d(g(5))}) - 0.5 AS cy
+         |  FROM dst),
+         |m2 AS (SELECT x, y,
+         |    CAST(floor(cx) AS INT) AS x0, CAST(floor(cy) AS INT) AS y0,
+         |    cx - floor(cx) AS fx, cy - floor(cy) AS fy
+         |  FROM m),
+         |c AS (SELECT x, y, x0 + dx AS sx, y0 + dy AS sy,
+         |    ${cwSql("fx", "dx")} * ${cwSql("fy", "dy")} AS wgt
+         |  FROM m2, range(-1, 3) p(dx), range(-1, 3) q(dy)),
+         |v AS (SELECT x, y, wgt,
+         |    CASE WHEN sx >= 0 AND sx < ${nh.width}
+         |        AND sy >= 0 AND sy < ${nh.height}
+         |      THEN ${ndviValueSqlAt("sx", "sy", "0")} END AS value
+         |  FROM c),
+         |px AS (SELECT x, y,
+         |    CASE WHEN abs(sum(CASE WHEN value IS NOT NULL THEN wgt END))
+         |        < 1e-9 THEN NULL
+         |      ELSE sum(wgt * CAST(value AS DOUBLE))
+         |        / sum(CASE WHEN value IS NOT NULL THEN wgt END) END AS value,
+         |    count(value) AS n_valid
+         |  FROM v GROUP BY x, y)
+         |SELECT count(value) AS n_mapped, sum(value) AS sum_value,
+         |  CAST(sum(n_valid) AS DOUBLE) AS sum_valid, count(*) AS n_total
+         |FROM px""".stripMargin
+
     // grid_interpolate_ts: linear gap fill along t per pixel, mirrored
     // with IGNORE NULLS window functions (nodata -> NULL gaps)
     val interpolateTs =
@@ -1524,6 +1588,7 @@ object GridQueries {
       "grid_region_mask" -> regionMask,
       "grid_reproject_nearest" -> reprojectNearest,
       "grid_reproject_bilinear" -> reprojectBilinear,
+      "grid_reproject_cubic" -> reprojectCubic,
       "grid_patch_extract" -> patchExtract)
   }
 }

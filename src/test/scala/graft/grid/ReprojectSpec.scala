@@ -130,6 +130,51 @@ class ReprojectSpec extends AnyFunSuite {
     assert(got((20, 20)) == (None, 0L))
   }
 
+  test("cubic: identity is exact; linear plane passes; nodata renormalizes") {
+    // identity warp: fx = 0 makes the Keys kernel (0, 1, 0, 0), so the
+    // source reproduces exactly — including edges, whose out-of-grid
+    // taps carry weight 0
+    val idGot = Reproject.cubic(spark, srcHeader, srcRoot, srcHeader,
+      0, 40, 0, 40)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    for (i <- 0 until 40; j <- 0 until 40)
+      assert(math.abs(idGot((i, j)) - (100.0 * i + j)) < 1e-9, s"id ($i,$j)")
+
+    // quarter-pixel offset over a store with a single nodata pixel at
+    // (10,10) and a 4x4 nodata block at (20..23, 20..23)
+    val ndHeader = srcHeader.copy(name = "srcndc")
+    val ndRoot = TestSpark.tmpDir("reproj_ndc")
+    FractionStore.write(spark, ndHeader,
+      FractionStore.fromPixels(spark, ndHeader,
+        SyntheticGrid.pixelDf(spark, ndHeader, (x, y, _) =>
+          when((x === 10 && y === 10) ||
+            (x.between(20, 23) && y.between(20, 23)), lit(-1.0))
+            .otherwise((x * 100 + y).cast("double")))), ndRoot)
+    val dst = srcHeader.copy(name = "dstcu",
+      geot = Seq(0.0025, 0.01, 0.0, -0.0025, 0.0, -0.01))
+    val got = Reproject.cubic(spark, ndHeader, ndRoot, dst, 0, 39, 0, 39)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3))))
+      .toMap
+    // full-stencil cells away from both nodata regions: linear
+    // precision passes the ramp through at (i + 0.25, j + 0.25)
+    def touched(i: Int, j: Int) =
+      (i >= 7 && i <= 12 && j >= 7 && j <= 12) ||
+        (i >= 17 && i <= 25 && j >= 17 && j <= 25)
+    for (i <- 1 until 38; j <- 1 until 38 if !touched(i, j)) {
+      val (v, n) = got((i, j))
+      assert(n == 16, s"dst ($i,$j)")
+      assert(math.abs(v.get - (100.0 * (i + 0.25) + (j + 0.25))) < 1e-6,
+        s"dst ($i,$j)")
+    }
+    // stencil of (9,9) includes the lone nodata tap (10,10): the other
+    // 15 renormalize to a defined value
+    val (v99, n99) = got((9, 9))
+    assert(n99 == 15 && v99.isDefined)
+    // (21,21): all 16 taps inside the 4x4 block
+    assert(got((21, 21)) == (None, 0L))
+  }
+
   test("cross-SR align: sinusoidal grid warped onto wgs84 lattice (J1)") {
     // sinusoidal grid covering roughly the same small area near (0,0):
     // 0.01 deg ~ 1111.95 m at the equator
