@@ -108,7 +108,10 @@ object Bench {
     // round-8 wave: heap top-k, z-order key, SG smoothing, sketch
     // rollup (their A/B / scale shapes are the topk pair + plan pins)
     "topk_group", "layout_zorder", "grid_savgol", "hll_rollup_users",
-    "cap_per_source", "sql_tpch_q5", "sql_tpch_q10")
+    "cap_per_source", "sql_tpch_q5", "sql_tpch_q10",
+    // round-8: the quantile-sketch cube query (its build/probe/raw A/B
+    // triple is recorded via quantileCubeAB alongside)
+    "quantile_sketch_cube")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see
@@ -118,6 +121,11 @@ object Bench {
                           probe: Double = -1.0)
 
   private var listener: GraftCpuTimeListener = _
+
+  /** Let other mains (ScalingProbe) reuse the timed sections: timed2 /
+    * timedAB read executor CPU through this listener. */
+  private[graft] def attachListener(l: GraftCpuTimeListener): Unit =
+    listener = l
 
   /** Host-noise probe: a timed pass over a fixed 64 MiB array —
     * memory-BANDWIDTH-bound, which is exactly the resource noisy
@@ -357,6 +365,10 @@ object Bench {
       if (only.forall(_.contains("bm25"))) bm25AB(spark, sfDir, force)
       else Nil
     } ++ {
+      if (only.forall(_.contains("quantile")))
+        quantileCubeAB(spark, sfDir, force)
+      else Nil
+    } ++ {
       if (only.forall(_.contains("grid"))) {
         // Cache hygiene before the grid microbenches: drop any cached
         // blocks left over from warmup + timed runs so the tile benches
@@ -571,6 +583,43 @@ object Bench {
       } {
         force(TextSearch.bm25TopK(docs, terms, k = 15))
         graft.ops.CacheRegistry.releaseAll()
+      }
+      build +: pair
+    } finally {
+      try { graft.sources.GridExports.deleteStore(spark, dir) }
+      catch { case _: Throwable => }
+    }
+  }
+
+  /** Sketch-cube percentile trade (Sketches.buildHistCube): persist the
+    * day-grain histogram cube once (the amortized side, timed
+    * separately), then A/B the event_type-grain p50/p95/p99 answered
+    * from the kilobyte sketch rows against re-scanning raw events with
+    * percentile_approx — the raw side re-pays the full scan on every
+    * percentile question, the probe side never touches it. */
+  def quantileCubeAB(spark: SparkSession, sfDir: String,
+                     force: org.apache.spark.sql.DataFrame => Unit)
+      : Seq[Timing] = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Sketches
+    val dir = benchTmpDir("graft_bench_qcube")
+    try {
+      val ev = Tables.events(spark, sfDir)
+        .filter(col("value").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+      val build = timed2(spark, "quantile_cube_build") {
+        Sketches.buildHistCube(ev, Seq("event_type", "day"), "value",
+          0.0, 200.0, 256).write.mode("overwrite").parquet(dir)
+      }
+      val pair = timedAB(spark, "quantile_probe_sketch",
+        "quantile_raw_scan") {
+        force(Sketches.rollupQuantiles(spark.read.parquet(dir),
+          Seq("event_type"), 0.0, 200.0,
+          Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)))
+      } {
+        force(ev.groupBy("event_type")
+          .agg(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ps")))
       }
       build +: pair
     } finally {

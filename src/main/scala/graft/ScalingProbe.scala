@@ -125,7 +125,7 @@ object ScalingProbe {
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
-      val unknown = names -- chain.toSet
+      val unknown = names -- chain.toSet - "quantile_cube"
       require(unknown.isEmpty,
         s"unknown probe name(s): ${unknown.mkString(", ")}")
     }
@@ -134,6 +134,17 @@ object ScalingProbe {
       case None => chain
     }
     Seq(1 -> scaled(1), mult -> scaled(mult)).foreach { case (n, dir) =>
+      // round-8: the quantile-sketch cube's build/probe/raw split. The
+      // claim under test: the raw percentile re-scan grows with event
+      // volume while the sketch probe reads the SAME (event_type, day)
+      // grain rows at any scale — replication grows users, not days.
+      if (only.isEmpty || only.exists(_.contains("quantile_cube"))) {
+        Bench.attachListener(listener)
+        Bench.quantileCubeAB(spark, dir,
+          df => { force(df); () }).foreach { t =>
+          println(f"""{"query":"${t.name}","scale_x":$n,"rows":-1,"wall_sec":${t.wall}%.3f,"cpu_sec":${t.cpu}%.3f}""")
+        }
+      }
       selected.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,
         // scale) twice and keep the second (steady-state JIT/codegen)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Re-aggregatable distinct-count sketches ("sketch as data"): build a
@@ -43,4 +43,60 @@ object Sketches {
   def rollupFrom(spark: SparkSession, dir: String, grain: Seq[String],
                  estimateCol: String = "approx_distinct"): DataFrame =
     rollupDistinct(spark.read.parquet(dir), grain, estimateCol)
+
+  // ---- Quantile sketches: the percentile analogue of the HLL cube.
+  // Build a fine-grained equi-width histogram ONCE (one raw scan, one
+  // map-side-combinable custom aggregate), persist it, and answer any
+  // coarser-grained percentile question from kilobyte sketch rows —
+  // element-wise array sum is the lossless union. Deterministic by
+  // construction (fixed bin edges), so unlike percentile_approx the
+  // whole chain is exactly reproducible and oracle-checkable.
+
+  /** Per-`grain` histogram sketch of `of` over [lo, hi): column `hist`
+    * is `array<long>` of length `bins`; out-of-range values clamp into
+    * the edge bins so totals (and therefore ranks) stay exact. */
+  def buildHistCube(df: DataFrame, grain: Seq[String], of: String,
+                    lo: Double, hi: Double, bins: Int = 256): DataFrame =
+    df.groupBy(grain.map(col): _*)
+      .agg(graft.functions.EqHistAgg(col(of), lo, hi, bins).as("hist"))
+
+  /** Quantile estimate from a histogram sketch column, fully inside
+    * whole-stage codegen (higher-order functions, no explode): rank
+    * r = max(ceil(q*n), 1); walk the array to the first bin whose
+    * cumulative count reaches r; interpolate within the bin by rank.
+    * NULL when the sketch is empty (n = 0). */
+  def histQuantile(hist: Column, q: Double,
+                   lo: Double, hi: Double): Column = {
+    val n = aggregate(hist, lit(0L), (a, x) => a + x)
+    val r = greatest(ceil(lit(q) * n).cast("long"), lit(1L))
+    val w = (lit(hi) - lit(lo)) / size(hist).cast("double")
+    val found = aggregate(
+      transform(hist, (c, i) => struct(c.as("c"), i.as("i"))),
+      struct(lit(0L).as("cum"), lit(-1).as("idx"), lit(0.0).as("pos")),
+      (acc, e) =>
+        when(acc.getField("idx") >= 0, acc)
+          .when(acc.getField("cum") + e.getField("c") >= r,
+            struct(acc.getField("cum").as("cum"),
+              e.getField("i").as("idx"),
+              ((r - acc.getField("cum")).cast("double") /
+                e.getField("c").cast("double")).as("pos")))
+          .otherwise(
+            struct((acc.getField("cum") + e.getField("c")).as("cum"),
+              lit(-1).as("idx"), lit(0.0).as("pos"))))
+    when(n > 0,
+      lit(lo) + w * (found.getField("idx").cast("double") +
+        found.getField("pos")))
+  }
+
+  /** Roll a histogram cube up to a coarser `grain` and emit one column
+    * per requested (name, q) percentile; raw data is never touched. */
+  def rollupQuantiles(sketches: DataFrame, grain: Seq[String],
+                      lo: Double, hi: Double,
+                      qs: Seq[(String, Double)]): DataFrame = {
+    val merged = sketches.groupBy(grain.map(col): _*)
+      .agg(graft.functions.HistMergeAgg(col("hist")).as("hist"))
+    merged.select(grain.map(col) ++ qs.map { case (name, q) =>
+      histQuantile(col("hist"), q, lo, hi).as(name)
+    }: _*)
+  }
 }

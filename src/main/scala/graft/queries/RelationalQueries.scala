@@ -343,6 +343,24 @@ object RelationalQueries {
       graft.ops.Sketches.rollupDistinct(daily, Seq("event_type"))
     },
 
+    // Mergeable quantile-sketch cube (the percentile analogue of
+    // hll_rollup_users): ONE raw scan builds day-grain equi-width
+    // histogram sketches (custom EqHistAgg, map-side combinable);
+    // the event_type-grain percentiles are answered entirely from the
+    // sketches (element-wise HistMergeAgg union + codegen'd HOF rank
+    // walk — no explode, no raw re-scan). Deterministic bin edges make
+    // the whole chain hash-oracle-able, unlike percentile_approx.
+    "quantile_sketch_cube" -> { (s, d) =>
+      val cube = graft.ops.Sketches.buildHistCube(
+        events(s, d).filter(col("value").isNotNull)
+          .withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "value", lo = 0.0, hi = 200.0,
+        bins = 256)
+      graft.ops.Sketches.rollupQuantiles(cube, Seq("event_type"),
+        lo = 0.0, hi = 200.0,
+        qs = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+    },
+
     // Skew-safe EXACT distinct: two-phase salted aggregation — a hot
     // group's distinct set spreads over salt buckets instead of one
     // reducer (SkewTools). Result is exact, so it oracles directly.
@@ -755,6 +773,41 @@ object RelationalQueries {
     "skew_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // quantile_sketch_cube: day-grain sketches merged to event_type
+    // collapse to direct per-type bin counts (element-wise sum is
+    // associative), so the oracle bins once and replays the same rank
+    // rule: r = max(ceil(q*n), 1), first bin with cumulative >= r,
+    // linear rank interpolation within the bin. Bin width 200/256 and
+    // the clamp into edge bins mirror EqHistAgg exactly.
+    "quantile_sketch_cube" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(least(greatest(floor(value / (200.0 / 256.0)), 0), 255)
+        |      AS INT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |q(qname, q) AS (VALUES ('p50', 0.5), ('p95', 0.95), ('p99', 0.99)),
+        |r AS (
+        |  SELECT t.event_type, q.qname,
+        |    min_by(
+        |      (200.0 / 256.0) * (t.bin
+        |        + (greatest(ceil(q.q * t.n), 1) - (t.cum - t.cnt))
+        |          / CAST(t.cnt AS DOUBLE)),
+        |      t.bin)
+        |      FILTER (WHERE t.cum >= greatest(ceil(q.q * t.n), 1)) AS est
+        |  FROM t, q GROUP BY 1, 2)
+        |SELECT event_type,
+        |  max(CASE WHEN qname = 'p50' THEN est END) AS p50,
+        |  max(CASE WHEN qname = 'p95' THEN est END) AS p95,
+        |  max(CASE WHEN qname = 'p99' THEN est END) AS p99
+        |FROM r GROUP BY event_type""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,57 +1,95 @@
 package graft.ops
 
-import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
 import graft.TestSpark
 
-/** The sketch-table pattern must answer coarser rollups from persisted
-  * sketches alone, with estimates close to exact and IDENTICAL to the
-  * estimate a direct sketch over the raw rows would give (HLL union is
-  * lossless, so rollup-of-parts == sketch-of-whole exactly). */
+/** Histogram quantile-sketch cube semantics: deterministic binning
+  * (clamping, NULL/NaN skip), lossless merge (fine grain rolled up ==
+  * built directly at the coarse grain, exact array equality), and the
+  * rank rule of histQuantile against hand-computed answers.
+  */
 class SketchesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private lazy val events = {
+  test("eq_hist bins, clamps out-of-range, skips NULL and NaN") {
     import spark.implicits._
-    // 3 types x 40 days; user u active for type k on day d iff hash-ish
-    // condition — overlapping user sets across days so union != sum
-    (for (d <- 0 until 40; t <- 0 until 3; u <- 0 until 500
-          if (u * 7 + d * 3 + t) % 5 != 0)
-      yield (d, s"type_$t", (u + t * 100).toLong))
-      .toDF("day", "event_type", "user_id")
+    // [0, 10) in 5 bins of width 2
+    val df = Seq[java.lang.Double](0.0, 1.9, 2.0, 9.9, 10.0, 50.0, -3.0,
+      null, Double.NaN).toDF("v")
+    val got = df.agg(graft.functions.EqHistAgg(col("v"), 0.0, 10.0, 5)
+      .as("hist")).head().getSeq[Long](0)
+    // bin0: 0.0, 1.9, -3.0(clamped) = 3; bin1: 2.0 = 1;
+    // bin4: 9.9, 10.0(clamped), 50.0(clamped) = 3
+    assert(got == Seq(3L, 1L, 0L, 0L, 3L))
   }
 
-  test("rollup from persisted sketches equals sketch-of-whole, near exact") {
-    val dir = TestSpark.tmpDir("hll_cube")
-    Sketches.writeHllCube(events, Seq("day", "event_type"), "user_id", dir)
-    val rolled = Sketches.rollupFrom(spark, dir, Seq("event_type"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // direct sketch over the raw rows (no day grain)
-    val direct = Sketches.rollupDistinct(
-        Sketches.buildHllCube(events, Seq("event_type"), "user_id"),
-        Seq("event_type"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = events.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rolled.keySet == exact.keySet)
-    exact.foreach { case (k, n) =>
-      // lossless union: the rollup estimate IS the whole-data estimate
-      assert(rolled(k) == direct(k), s"$k rollup != direct")
-      assert(math.abs(rolled(k).toDouble - n) <= 0.05 * n,
-        s"$k estimate ${rolled(k)} vs exact $n")
-    }
+  test("rollup merge is lossless: day-grain union == direct coarse build") {
+    import spark.implicits._
+    val rows = for (g <- Seq("a", "b"); day <- 1 to 3; i <- 0 until 40)
+      yield (g, day, (i * 7 % 100).toDouble + day)
+    val df = rows.toDF("g", "day", "v")
+    val fine = Sketches.buildHistCube(df, Seq("g", "day"), "v", 0.0, 100.0,
+      bins = 64)
+    val merged = fine.groupBy("g")
+      .agg(graft.functions.HistMergeAgg(col("hist")).as("hist"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = Sketches.buildHistCube(df, Seq("g"), "v", 0.0, 100.0,
+      bins = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == direct)
+    assert(merged("a").sum == 120L)
   }
 
-  test("sketch build aggregates map-side (partial below the exchange)") {
-    val plans = TestSpark.executedPlan(Sketches.buildHllCube(
-      events.repartition(8), Seq("event_type"), "user_id"))
-    val ex = plans.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }.filter(_.outputPartitioning.isInstanceOf[
-      org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
-    assert(ex.size == 1 && TestSpark.walkPlan(ex.head).tail.exists(
-      _.nodeName.contains("ObjectHashAggregate")),
-      s"partial sketch agg must run below the shuffle:\n${plans.head}")
+  test("histQuantile rank rule matches hand computation; empty is NULL") {
+    import spark.implicits._
+    // 10 values 5..95 step 10 over [0,100) in 10 bins: one per bin
+    val df = (0 until 10).map(i => 5.0 + 10 * i).toDF("v")
+    val sk = df.agg(graft.functions.EqHistAgg(col("v"), 0.0, 100.0, 10)
+      .as("hist"))
+    val got = sk.select(
+      Sketches.histQuantile(col("hist"), 0.5, 0.0, 100.0).as("p50"),
+      Sketches.histQuantile(col("hist"), 0.95, 0.0, 100.0).as("p95"),
+      Sketches.histQuantile(col("hist"), 0.05, 0.0, 100.0).as("p05"))
+      .head()
+    // p50: r = ceil(0.5*10) = 5 -> bin 4 (cum 4 before), pos = 1/1
+    //   -> 10 * (4 + 1) = 50
+    assert(math.abs(got.getDouble(0) - 50.0) < 1e-12)
+    // p95: r = ceil(9.5) = 10 -> bin 9, pos 1 -> 100
+    assert(math.abs(got.getDouble(1) - 100.0) < 1e-12)
+    // p05: r = max(ceil(0.5), 1) = 1 -> bin 0, pos 1 -> 10
+    assert(math.abs(got.getDouble(2) - 10.0) < 1e-12)
+
+    // empty sketch (all inputs NULL) -> NULL quantile
+    val empty = Seq[java.lang.Double](null).toDF("v")
+      .agg(graft.functions.EqHistAgg(col("v"), 0.0, 100.0, 10).as("hist"))
+      .select(Sketches.histQuantile(col("hist"), 0.5, 0.0, 100.0).as("q"))
+      .head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("rollupQuantiles answers from sketches and matches exact rank") {
+    import spark.implicits._
+    val rows = for (g <- Seq("x", "y"); day <- 1 to 4; i <- 1 to 25)
+      yield (g, day, if (g == "x") i.toDouble else i * 2.0)
+    val fine = Sketches.buildHistCube(rows.toDF("g", "day", "v"),
+      Seq("g", "day"), "v", 0.0, 50.0, bins = 50)
+    val got = Sketches.rollupQuantiles(fine, Seq("g"), 0.0, 50.0,
+      Seq("p50" -> 0.5, "p99" -> 0.99))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // g=x: 100 values, 4 copies each of 1..25; bins width 1. p50: r=50
+    // -> bin 12 (values 12.x? value i lands in bin i since width 1 and
+    // i < 50 ... value 12.0 -> bin 12), cum before bin 13 is 48, bin 13
+    // has 4 -> r=50 falls in bin 13? cum(bins 1..12) = 48, bin 13 cum 52
+    // >= 50 -> idx 13, pos (50-48)/4 = 0.5 -> 13.5
+    assert(math.abs(got("x")._1 - 13.5) < 1e-12)
+    // p99: r = 99 -> cum through bin 24 is 96, bin 25 has 4, cum 100
+    // -> idx 25, pos (99-96)/4 = 0.75 -> 25.75
+    assert(math.abs(got("x")._2 - 25.75) < 1e-12)
+    // g=y doubles everything: bins 2,4,..,50(clamped to 49? 50.0 clamps
+    // into bin 49); p50 r=50 -> value 26 region
+    assert(got("y")._1 > 25.0 && got("y")._1 < 28.0)
   }
 }
