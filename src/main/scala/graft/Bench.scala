@@ -714,18 +714,25 @@ object Bench {
         .collect()
     }
     // Bilinear warp of the sinusoidal tile onto a 500x500 wgs84 lattice
-    // (J3's interpolating path): the 4-corner fan-out stays on the
-    // payload-free dst lattice, so the timed work is one bounded source
-    // window scan + a 1M-row equi-join + a 4-row-per-pixel blend.
-    val bilinearWarp = timed2(spark, "grid_reproject_bilinear_500x500") {
+    // (J3's interpolating path), exploded join vs fused chunk-gather:
+    // the exploded side pays the source window's pixel explode + a
+    // 1M-row equi-join; the gather side shuffles 24-byte tap structs
+    // and random-accesses the decoded payload per tap.
+    val Seq(bilinearWarp, bilinearGather) = {
       val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
       val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
       val dst = nh.copy(name = "bench_wgs84_bl", width = 500, height = 500,
         fracWidth = 250, fracHeight = 250, srs = "wgs84",
         geot = Seq(lngMin, (lngMax - lngMin) / 496.7, 0.0,
           latMax, 0.0, -(latMax - latMin) / 497.3))
-      Reproject.bilinear(spark, nh, ndviRoot, dst, 0, 500, 0, 500)
-        .agg(count(col("value")), sum(col("value"))).collect()
+      timedAB(spark, "grid_reproject_bilinear_exploded_500x500",
+        "grid_reproject_bilinear_gather_500x500") {
+        Reproject.bilinear(spark, nh, ndviRoot, dst, 0, 500, 0, 500)
+          .agg(count(col("value")), sum(col("value"))).collect()
+      } {
+        Reproject.bilinearGather(spark, nh, ndviRoot, dst, 0, 500, 0, 500)
+          .agg(count(col("value")), sum(col("value"))).collect()
+      }
     }
     val multiJoin = timed2(spark, "grid_multigrid_masked_mean_1000x1000") {
       // chunk-aligned join: shuffles ~100 chunk rows, not 8M pixel rows
@@ -839,7 +846,8 @@ object Bench {
     try { graft.sources.GridExports.deleteStore(spark, base) }
     catch { case _: Throwable => }
     Seq(ingest, windowExploded, windowFused, qaExploded, qaFused, patches256,
-      bilinearWarp, multiJoin, boxUnpruned, boxPruned, trend, trendFused,
+      bilinearWarp, bilinearGather, multiJoin, boxUnpruned, boxPruned,
+      trend, trendFused,
       focalHalo, focalNaive, terrain, cusum, cusumFused, labelChain, pyrLocal,
       pyrGeneric)
   }

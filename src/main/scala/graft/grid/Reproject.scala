@@ -212,6 +212,167 @@ object Reproject {
         count(col("value")).as("n_valid"))
   }
 
+  /** Fused chunk-gather warp core, shared by [[bilinearGather]] and
+    * [[cubicGather]]: per-TAP rows (x, y, wgt, value) without ever
+    * exploding the source window to pixel rows.
+    *
+    * The exploded join ([[bilinear]]/[[cubic]]) is the right shape for
+    * composing with other pixel-level relational work, but as a
+    * standalone warp it pays the source window's full pixel explode
+    * (~10^7 row transitions per tile) to read <= `offsets.size` taps
+    * per dst pixel. Here the payload is random-accessed instead:
+    *
+    *  1. dst taps fan out on the PAYLOAD-FREE lattice and map to their
+    *     source chunk key (tap div fracWidth/fracHeight);
+    *  2. taps group per chunk (collect_list of small structs — the only
+    *     shuffle that scales with dst size carries 24-byte structs);
+    *  3. one equi-join at CHUNK granularity (pruned via
+    *     [[sourceBounds]] window, so parquet stats skip unrelated
+    *     fractions), payload decoded ONCE per chunk in its own
+    *     projection below the Generate (the loadAlignedSliceXY rule:
+    *     never let the unpack land inside a per-element context);
+    *  4. element_at reads each tap in O(1) from the decoded array.
+    *
+    * Missing taps (outside the grid, or in a sparse/absent chunk)
+    * simply produce no row — numerically identical to the exploded
+    * path's left-join NULLs, which never contribute to the blend.
+    * Callers re-attach all-miss dst pixels with a left join against
+    * the target lattice.
+    */
+  private def gatherTapRows(spark: SparkSession,
+                            src: GridHeader, srcRoot: String,
+                            dst: GridHeader,
+                            xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                            tSrc: Int,
+                            offsets: Seq[(Int, Int)],
+                            weight: (Column, Column, Int, Int) => Column)
+      : DataFrame = {
+    val w = xTo - xFrom
+    val hgt = yTo - yFrom
+    val targets = spark.range(w.toLong * hgt)
+      .withColumn("x", (col("id") % w).cast("int") + xFrom)
+      .withColumn("y", expr(s"id div $w").cast("int") + yFrom)
+      .drop("id")
+    val (sxCol, syCol) = toTargetXY(dst, src, col("x").cast("double"),
+      col("y").cast("double"))
+    val g = src.chunkGrid
+    val taps = targets
+      .withColumn("cx", sxCol - lit(0.5))
+      .withColumn("cy", syCol - lit(0.5))
+      .select(col("x"), col("y"),
+        floor(col("cx")).cast("int").as("x0t"),
+        floor(col("cy")).cast("int").as("y0t"),
+        (col("cx") - floor(col("cx"))).as("fx"),
+        (col("cy") - floor(col("cy"))).as("fy"))
+      .select(col("x"), col("y"),
+        explode(filter(
+          array(offsets.map { case (dx, dy) =>
+            struct((col("x0t") + dx).as("tx"), (col("y0t") + dy).as("ty"),
+              weight(col("fx"), col("fy"), dx, dy).as("wgt"))
+          }: _*),
+          t => t.getField("tx") >= 0 && t.getField("tx") < src.width &&
+            t.getField("ty") >= 0 && t.getField("ty") < src.height))
+          .as("tap"))
+      .select(col("x"), col("y"),
+        col("tap.tx").as("tx"), col("tap.ty").as("ty"),
+        col("tap.wgt").as("wgt"),
+        (col("tap.tx") / g.fracWidth).cast("int").as("frac_x"),
+        (col("tap.ty") / g.fracHeight).cast("int").as("frac_y"))
+    val perChunk = taps.groupBy(col("frac_x"), col("frac_y"))
+      .agg(collect_list(struct(col("x"), col("y"), col("tx"), col("ty"),
+        col("wgt"))).as("gats"))
+    val (sx0, sx1, sy0, sy1) = sourceBounds(dst, src, xFrom, xTo, yFrom, yTo)
+    val chunks = FractionStore.fractionsForWindow(spark, src, srcRoot,
+      math.max(0, sx0), math.min(src.width, sx1),
+      math.max(0, sy0), math.min(src.height, sy1), tSrc, tSrc + 1)
+    val nodata = src.nodata
+    val gathered = chunks.join(perChunk, Seq("frac_x", "frac_y"))
+      // decode once per chunk row, in its OWN projection below the
+      // Generate — inside the explode's select it would re-decode per
+      // gather entry (the payload-decode-in-per-element-context trap,
+      // SCALING.md round-8 addendum 3)
+      .select(col("x0"), col("y0"), col("t0"), col("w"), col("nd"),
+        FractionStore.unpack(src, col("data")).as("arr"), col("gats"))
+      .select(col("x0"), col("y0"), col("t0"), col("w"), col("nd"),
+        col("arr"), explode(col("gats")).as("gat"))
+      .select(col("gat.x").as("x"), col("gat.y").as("y"),
+        col("gat.wgt").as("wgt"),
+        element_at(col("arr"),
+          ((col("gat.ty") - col("y0")) * col("w") +
+            (col("gat.tx") - col("x0"))) * col("nd") +
+            (lit(tSrc) - col("t0")) + 1).as("raw"))
+    if (!nodata.isNaN)
+      gathered.withColumn("value",
+        nullif(col("raw"),
+          lit(nodata).cast(FractionStore.elementType(src.dtype))))
+        .drop("raw")
+    else gathered.withColumnRenamed("raw", "value")
+  }
+
+  /** Target lattice for a dst window (payload-free). */
+  private def targetLattice(spark: SparkSession,
+                            xFrom: Int, xTo: Int,
+                            yFrom: Int, yTo: Int): DataFrame = {
+    val w = xTo - xFrom
+    val hgt = yTo - yFrom
+    spark.range(w.toLong * hgt)
+      .withColumn("x", (col("id") % w).cast("int") + xFrom)
+      .withColumn("y", expr(s"id div $w").cast("int") + yFrom)
+      .drop("id")
+  }
+
+  /** [[bilinear]] semantics through the fused chunk-gather path — same
+    * (x, y, value, n_valid) output, pinned equal by ReprojectSpec; the
+    * source window is never exploded to pixel rows. */
+  def bilinearGather(spark: SparkSession,
+                     src: GridHeader, srcRoot: String,
+                     dst: GridHeader,
+                     xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                     tSrc: Int = 0): DataFrame = {
+    val tapRows = gatherTapRows(spark, src, srcRoot, dst,
+      xFrom, xTo, yFrom, yTo, tSrc,
+      offsets = for (dy <- 0 to 1; dx <- 0 to 1) yield (dx, dy),
+      weight = (fx, fy, dx, dy) =>
+        (if (dx == 0) lit(1.0) - fx else fx) *
+          (if (dy == 0) lit(1.0) - fy else fy))
+    val blended = tapRows.groupBy(col("x"), col("y"))
+      .agg(
+        (sum(col("wgt") * col("value").cast("double")) /
+          sum(when(col("value").isNotNull, col("wgt")))).as("value"),
+        count(col("value")).as("n_valid"))
+    targetLattice(spark, xFrom, xTo, yFrom, yTo)
+      .join(blended, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), col("value"),
+        coalesce(col("n_valid"), lit(0L)).as("n_valid"))
+  }
+
+  /** [[cubic]] semantics through the fused chunk-gather path — same
+    * (x, y, value, n_valid) output, pinned equal by ReprojectSpec. */
+  def cubicGather(spark: SparkSession,
+                  src: GridHeader, srcRoot: String,
+                  dst: GridHeader,
+                  xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                  tSrc: Int = 0): DataFrame = {
+    def cw(d: Column): Column =
+      when(d < 1.0, (lit(1.5) * d - lit(2.5)) * d * d + lit(1.0))
+        .otherwise(((lit(-0.5) * d + lit(2.5)) * d - lit(4.0)) * d + lit(2.0))
+    val tapRows = gatherTapRows(spark, src, srcRoot, dst,
+      xFrom, xTo, yFrom, yTo, tSrc,
+      offsets = for (dy <- -1 to 2; dx <- -1 to 2) yield (dx, dy),
+      weight = (fx, fy, dx, dy) => cw(abs(fx - dx)) * cw(abs(fy - dy)))
+    val wSum = sum(when(col("value").isNotNull, col("wgt")))
+    val blended = tapRows.groupBy(col("x"), col("y"))
+      .agg(
+        when(abs(wSum) < 1e-9, lit(null))
+          .otherwise(sum(col("wgt") * col("value").cast("double")) / wSum)
+          .as("value"),
+        count(col("value")).as("n_valid"))
+    targetLattice(spark, xFrom, xTo, yFrom, yTo)
+      .join(blended, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), col("value"),
+        coalesce(col("n_valid"), lit(0L)).as("n_valid"))
+  }
+
   /** Conservative source-pixel bounds [x0, x1) x [y0, y1) covering every
     * dst-window pixel center mapped into source space: the full window
     * boundary (a superset of the center lattice's convex position) is

@@ -341,6 +341,29 @@ object GridQueries {
           count(lit(1)).as("n_total"))
     },
 
+    // J3 (bilinear, fused) — identical semantics through the
+    // chunk-gather path (Reproject.bilinearGather): the source window
+    // is never exploded to pixel rows; taps are random-accessed from
+    // the decoded payload. Same DuckDB oracle as the exploded form.
+    "grid_reproject_bilinear_fused" -> { (s, _) =>
+      val (ndviRoot, _) = miniModisRoots(s)
+      val nh = GridHeader.load(s, ndviRoot)
+      val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
+      val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
+      val dst = GridHeader(
+        name = "wgs84_bl", width = 100, height = 100,
+        fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
+        dtype = nh.dtype, srs = "wgs84",
+        geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
+          latMax, 0.0, -(latMax - latMin) / 97.3),
+        timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      Reproject.bilinearGather(s, nh, ndviRoot, dst, 0, 100, 0, 100)
+        .agg(count(col("value")).as("n_mapped"),
+          sum(col("value")).as("sum_value"),
+          sum(col("n_valid")).cast("double").as("sum_valid"),
+          count(lit(1)).as("n_total"))
+    },
+
     // J3 (cubic) — Keys' 4x4 cubic-convolution warp onto the same
     // de-aligned wgs84 lattice; nodata taps renormalize, near-zero
     // surviving weight sums yield NULL (cubic weights can be negative).
@@ -1588,6 +1611,7 @@ object GridQueries {
       "grid_region_mask" -> regionMask,
       "grid_reproject_nearest" -> reprojectNearest,
       "grid_reproject_bilinear" -> reprojectBilinear,
+      "grid_reproject_bilinear_fused" -> reprojectBilinear,
       "grid_reproject_cubic" -> reprojectCubic,
       "grid_patch_extract" -> patchExtract)
   }

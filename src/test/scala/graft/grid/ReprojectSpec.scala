@@ -175,6 +175,46 @@ class ReprojectSpec extends AnyFunSuite {
     assert(got((21, 21)) == (None, 0L))
   }
 
+  test("chunk-gather warp equals the exploded join, bilinear and cubic") {
+    // same nodata fixture as the cubic test: lone nodata pixel at
+    // (10,10), 4x4 block at (20..23, 20..23) — exercises renormalize,
+    // all-miss NULLs, chunk borders (fracWidth 10 => taps straddle
+    // chunks every 10 px), and out-of-grid edge taps
+    val ndHeader = srcHeader.copy(name = "srcndg")
+    val ndRoot = TestSpark.tmpDir("reproj_ndg")
+    FractionStore.write(spark, ndHeader,
+      FractionStore.fromPixels(spark, ndHeader,
+        SyntheticGrid.pixelDf(spark, ndHeader, (x, y, _) =>
+          when((x === 10 && y === 10) ||
+            (x.between(20, 23) && y.between(20, 23)), lit(-1.0))
+            .otherwise((x * 100 + y).cast("double")))), ndRoot)
+    val dst = srcHeader.copy(name = "dstg",
+      geot = Seq(0.0025, 0.01, 0.0, -0.0025, 0.0, -0.01))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (if (r.isNullAt(2)) None
+         else Some(math.round(r.getDouble(2) * 1e6)), r.getLong(3))))
+        .toMap
+    val explodedBl = canon(Reproject.bilinear(
+      spark, ndHeader, ndRoot, dst, 0, 39, 0, 39))
+    val gatheredBl = canon(Reproject.bilinearGather(
+      spark, ndHeader, ndRoot, dst, 0, 39, 0, 39))
+    assert(gatheredBl == explodedBl)
+    val explodedCu = canon(Reproject.cubic(
+      spark, ndHeader, ndRoot, dst, 0, 39, 0, 39))
+    val gatheredCu = canon(Reproject.cubicGather(
+      spark, ndHeader, ndRoot, dst, 0, 39, 0, 39))
+    assert(gatheredCu == explodedCu)
+
+    // plan pin: the gather path must not explode payloads to pixel
+    // rows — no posexplode anywhere; exactly one payload decode site
+    val plan = Reproject.bilinearGather(
+      spark, ndHeader, ndRoot, dst, 0, 39, 0, 39)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("posexplode"), plan.take(2000))
+    assert("unpack_payload".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
   test("cross-SR align: sinusoidal grid warped onto wgs84 lattice (J1)") {
     // sinusoidal grid covering roughly the same small area near (0,0):
     // 0.01 deg ~ 1111.95 m at the equator
