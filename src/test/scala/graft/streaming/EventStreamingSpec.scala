@@ -106,6 +106,35 @@ class EventStreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming histogram-cube maintenance equals the batch percentiles") {
+    // same continuously-maintained-product shape as the HLL cube: the
+    // equi-width histogram sketch is a pure function of the value
+    // MULTISET (commutative + associative custom aggregate), so the
+    // complete-mode streamed cube must roll up to bit-identical
+    // percentiles regardless of trigger boundaries
+    val cube = graft.ops.Sketches.buildHistCube(
+      streamEvents.filter(col("value").isNotNull)
+        .withColumn("day", to_date(col("ts"))),
+      Seq("day", "event_type"), "value", 0.0, 10.0, bins = 64)
+    val q = cube.writeStream.outputMode("complete")
+      .format("memory").queryName("hist_cube_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val qs = Seq("p50" -> 0.5, "p95" -> 0.95)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val streamed = canon(graft.ops.Sketches.rollupQuantiles(
+      spark.table("hist_cube_stream"), Seq("event_type"), 0.0, 10.0, qs))
+    val batch = canon(graft.ops.Sketches.rollupQuantiles(
+      graft.ops.Sketches.buildHistCube(
+        spark.read.parquet(srcDir).filter(col("value").isNotNull)
+          .withColumn("day", to_date(col("ts"))),
+        Seq("day", "event_type"), "value", 0.0, 10.0, bins = 64),
+      Seq("event_type"), 0.0, 10.0, qs))
+    assert(streamed == batch && streamed.size == 3)
+  }
+
   test("streaming session windows equal the batch session windows") {
     val q = EventStreaming.userSessions(streamEvents)
       .writeStream.outputMode("append")
