@@ -244,8 +244,7 @@ object Reproject {
                             dst: GridHeader,
                             xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
                             tSrc: Int,
-                            offsets: Seq[(Int, Int)],
-                            weight: (Column, Column, Int, Int) => Column)
+                            taps: (Column, Column) => Column)
       : DataFrame = {
     val w = xTo - xFrom
     val hgt = yTo - yFrom
@@ -256,20 +255,9 @@ object Reproject {
     val (sxCol, syCol) = toTargetXY(dst, src, col("x").cast("double"),
       col("y").cast("double"))
     val g = src.chunkGrid
-    val taps = targets
-      .withColumn("cx", sxCol - lit(0.5))
-      .withColumn("cy", syCol - lit(0.5))
+    val tapRows = targets
       .select(col("x"), col("y"),
-        floor(col("cx")).cast("int").as("x0t"),
-        floor(col("cy")).cast("int").as("y0t"),
-        (col("cx") - floor(col("cx"))).as("fx"),
-        (col("cy") - floor(col("cy"))).as("fy"))
-      .select(col("x"), col("y"),
-        explode(filter(
-          array(offsets.map { case (dx, dy) =>
-            struct((col("x0t") + dx).as("tx"), (col("y0t") + dy).as("ty"),
-              weight(col("fx"), col("fy"), dx, dy).as("wgt"))
-          }: _*),
+        explode(filter(taps(sxCol, syCol),
           t => t.getField("tx") >= 0 && t.getField("tx") < src.width &&
             t.getField("ty") >= 0 && t.getField("ty") < src.height))
           .as("tap"))
@@ -278,7 +266,7 @@ object Reproject {
         col("tap.wgt").as("wgt"),
         (col("tap.tx") / g.fracWidth).cast("int").as("frac_x"),
         (col("tap.ty") / g.fracHeight).cast("int").as("frac_y"))
-    val perChunk = taps.groupBy(col("frac_x"), col("frac_y"))
+    val perChunk = tapRows.groupBy(col("frac_x"), col("frac_y"))
       .agg(collect_list(struct(col("x"), col("y"), col("tx"), col("ty"),
         col("wgt"))).as("gats"))
     val (sx0, sx1, sy0, sy1) = sourceBounds(dst, src, xFrom, xTo, yFrom, yTo)
@@ -309,6 +297,24 @@ object Reproject {
     else gathered.withColumnRenamed("raw", "value")
   }
 
+  /** Sample-centered tap array for interpolating warps: anchor at
+    * floor(s - 0.5) with fraction f, taps at anchor + offsets, weights
+    * from `weight(fx, fy, dx, dy)` — the shared corner math of
+    * [[bilinear]]/[[cubic]] and their gather twins. */
+  private def centeredTaps(offsets: Seq[(Int, Int)],
+                           weight: (Column, Column, Int, Int) => Column)
+                          (sx: Column, sy: Column): Column = {
+    val cx = sx - lit(0.5)
+    val cy = sy - lit(0.5)
+    val fx = cx - floor(cx)
+    val fy = cy - floor(cy)
+    array(offsets.map { case (dx, dy) =>
+      struct((floor(cx).cast("int") + dx).as("tx"),
+        (floor(cy).cast("int") + dy).as("ty"),
+        weight(fx, fy, dx, dy).as("wgt"))
+    }: _*)
+  }
+
   /** Target lattice for a dst window (payload-free). */
   private def targetLattice(spark: SparkSession,
                             xFrom: Int, xTo: Int,
@@ -331,10 +337,11 @@ object Reproject {
                      tSrc: Int = 0): DataFrame = {
     val tapRows = gatherTapRows(spark, src, srcRoot, dst,
       xFrom, xTo, yFrom, yTo, tSrc,
-      offsets = for (dy <- 0 to 1; dx <- 0 to 1) yield (dx, dy),
-      weight = (fx, fy, dx, dy) =>
-        (if (dx == 0) lit(1.0) - fx else fx) *
-          (if (dy == 0) lit(1.0) - fy else fy))
+      taps = centeredTaps(
+        offsets = for (dy <- 0 to 1; dx <- 0 to 1) yield (dx, dy),
+        weight = (fx, fy, dx, dy) =>
+          (if (dx == 0) lit(1.0) - fx else fx) *
+            (if (dy == 0) lit(1.0) - fy else fy)))
     val blended = tapRows.groupBy(col("x"), col("y"))
       .agg(
         (sum(col("wgt") * col("value").cast("double")) /
@@ -344,6 +351,27 @@ object Reproject {
       .join(blended, Seq("x", "y"), "left")
       .select(col("x"), col("y"), col("value"),
         coalesce(col("n_valid"), lit(0L)).as("n_valid"))
+  }
+
+  /** [[nearest]] semantics through the fused chunk-gather path — one
+    * tap at floor(s), identical (x, y, value) output, pinned equal by
+    * ReprojectSpec. This is the warp [[alignOnFirst]] uses for its
+    * cross-SR slow path: at tile scale the exploded nearest pays the
+    * full source-window pixel explode per warped grid. */
+  def nearestGather(spark: SparkSession,
+                    src: GridHeader, srcRoot: String,
+                    dst: GridHeader,
+                    xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
+                    tSrc: Int = 0): DataFrame = {
+    val tapRows = gatherTapRows(spark, src, srcRoot, dst,
+      xFrom, xTo, yFrom, yTo, tSrc,
+      taps = (sx, sy) => array(struct(
+        floor(sx).cast("int").as("tx"), floor(sy).cast("int").as("ty"),
+        lit(1.0).as("wgt"))))
+    targetLattice(spark, xFrom, xTo, yFrom, yTo)
+      .join(tapRows.select(col("x"), col("y"), col("value")),
+        Seq("x", "y"), "left")
+      .select(col("x"), col("y"), col("value"))
   }
 
   /** [[cubic]] semantics through the fused chunk-gather path — same
@@ -358,8 +386,9 @@ object Reproject {
         .otherwise(((lit(-0.5) * d + lit(2.5)) * d - lit(4.0)) * d + lit(2.0))
     val tapRows = gatherTapRows(spark, src, srcRoot, dst,
       xFrom, xTo, yFrom, yTo, tSrc,
-      offsets = for (dy <- -1 to 2; dx <- -1 to 2) yield (dx, dy),
-      weight = (fx, fy, dx, dy) => cw(abs(fx - dx)) * cw(abs(fy - dy)))
+      taps = centeredTaps(
+        offsets = for (dy <- -1 to 2; dx <- -1 to 2) yield (dx, dy),
+        weight = (fx, fy, dx, dy) => cw(abs(fx - dx)) * cw(abs(fy - dy))))
     val wSum = sum(when(col("value").isNotNull, col("wgt")))
     val blended = tapRows.groupBy(col("x"), col("y"))
       .agg(
@@ -464,7 +493,7 @@ object Reproject {
             xFrom, xTo, yFrom, yTo, t, t + 1, masks = Seq(true))
             .select(col("x"), col("y"), col("value_0").as(s"value_${i + 1}"))
         else
-          nearest(spark, h, r, h0, xFrom, xTo, yFrom, yTo, t)
+          nearestGather(spark, h, r, h0, xFrom, xTo, yFrom, yTo, t)
             .select(col("x"), col("y"), col("value").as(s"value_${i + 1}"))
       acc.join(warped, Seq("x", "y"), "left")
     }

@@ -205,6 +205,14 @@ class ReprojectSpec extends AnyFunSuite {
     val gatheredCu = canon(Reproject.cubicGather(
       spark, ndHeader, ndRoot, dst, 0, 39, 0, 39))
     assert(gatheredCu == explodedCu)
+    def canonNn(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)),
+        Option(r.get(2)))).toMap
+    val explodedNn = canonNn(Reproject.nearest(
+      spark, ndHeader, ndRoot, dst, 0, 39, 0, 39))
+    val gatheredNn = canonNn(Reproject.nearestGather(
+      spark, ndHeader, ndRoot, dst, 0, 39, 0, 39))
+    assert(gatheredNn == explodedNn)
 
     // plan pin: the gather path must not explode payloads to pixel
     // rows — no posexplode anywhere; exactly one payload decode site
