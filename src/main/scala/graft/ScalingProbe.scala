@@ -140,8 +140,14 @@ object ScalingProbe {
       // grain rows at any scale — replication grows users, not days.
       if (only.isEmpty || only.exists(_.contains("quantile_cube"))) {
         Bench.attachListener(listener)
-        Bench.quantileCubeAB(spark, dir,
-          df => { force(df); () }).foreach { t =>
+        // checksum force, NOT count(): count() references no output
+        // column, so Catalyst prunes the histQuantile rank walk and
+        // percentile_approx aggregates — the exact work the A/B times
+        // (Bench.main's force contract)
+        def forceAll(df: DataFrame): Unit =
+          df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+            .as("h")).agg(expr("bit_xor(h)")).collect()
+        Bench.quantileCubeAB(spark, dir, forceAll).foreach { t =>
           println(f"""{"query":"${t.name}","scale_x":$n,"rows":-1,"wall_sec":${t.wall}%.3f,"cpu_sec":${t.cpu}%.3f}""")
         }
       }

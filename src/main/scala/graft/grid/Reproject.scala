@@ -55,13 +55,7 @@ object Reproject {
               dst: GridHeader,
               xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
               tSrc: Int = 0): DataFrame = {
-    val w = xTo - xFrom
-    val hgt = yTo - yFrom
-    // target pixel lattice for the window
-    val targets = spark.range(w.toLong * hgt)
-      .withColumn("x", (col("id") % w).cast("int") + xFrom)
-      .withColumn("y", expr(s"id div $w").cast("int") + yFrom)
-      .drop("id")
+    val targets = targetLattice(spark, xFrom, xTo, yFrom, yTo)
     val (sxCol, syCol) = toTargetXY(dst, src, col("x").cast("double"),
       col("y").cast("double"))
     val mapped = targets
@@ -103,12 +97,7 @@ object Reproject {
                dst: GridHeader,
                xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
                tSrc: Int = 0): DataFrame = {
-    val w = xTo - xFrom
-    val hgt = yTo - yFrom
-    val targets = spark.range(w.toLong * hgt)
-      .withColumn("x", (col("id") % w).cast("int") + xFrom)
-      .withColumn("y", expr(s"id div $w").cast("int") + yFrom)
-      .drop("id")
+    val targets = targetLattice(spark, xFrom, xTo, yFrom, yTo)
     val (sxCol, syCol) = toTargetXY(dst, src, col("x").cast("double"),
       col("y").cast("double"))
     // sample-centered coords: source values live at pixel centers, so
@@ -166,19 +155,9 @@ object Reproject {
             dst: GridHeader,
             xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
             tSrc: Int = 0): DataFrame = {
-    val w = xTo - xFrom
-    val hgt = yTo - yFrom
-    val targets = spark.range(w.toLong * hgt)
-      .withColumn("x", (col("id") % w).cast("int") + xFrom)
-      .withColumn("y", expr(s"id div $w").cast("int") + yFrom)
-      .drop("id")
+    val targets = targetLattice(spark, xFrom, xTo, yFrom, yTo)
     val (sxCol, syCol) = toTargetXY(dst, src, col("x").cast("double"),
       col("y").cast("double"))
-    // Keys' cubic weight at distance d (d <= 2 by construction); Horner
-    // form, mirrored term-for-term in the DuckDB oracle
-    def cw(d: Column): Column =
-      when(d < 1.0, (lit(1.5) * d - lit(2.5)) * d * d + lit(1.0))
-        .otherwise(((lit(-0.5) * d + lit(2.5)) * d - lit(4.0)) * d + lit(2.0))
     val corners = targets
       .withColumn("cx", sxCol - lit(0.5))
       .withColumn("cy", syCol - lit(0.5))
@@ -244,14 +223,11 @@ object Reproject {
                             dst: GridHeader,
                             xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
                             tSrc: Int,
-                            taps: (Column, Column) => Column)
+                            taps: (Column, Column) => Column,
+                            pad: Int = 0,
+                            tapsPerPx: Int = 16)
       : DataFrame = {
-    val w = xTo - xFrom
-    val hgt = yTo - yFrom
-    val targets = spark.range(w.toLong * hgt)
-      .withColumn("x", (col("id") % w).cast("int") + xFrom)
-      .withColumn("y", expr(s"id div $w").cast("int") + yFrom)
-      .drop("id")
+    val targets = targetLattice(spark, xFrom, xTo, yFrom, yTo)
     val (sxCol, syCol) = toTargetXY(dst, src, col("x").cast("double"),
       col("y").cast("double"))
     val g = src.chunkGrid
@@ -266,13 +242,31 @@ object Reproject {
         col("tap.wgt").as("wgt"),
         (col("tap.tx") / g.fracWidth).cast("int").as("frac_x"),
         (col("tap.ty") / g.fracHeight).cast("int").as("frac_y"))
-    val perChunk = tapRows.groupBy(col("frac_x"), col("frac_y"))
+    // Bound the per-row gather list: one chunk of an upsampling warp
+    // can attract dst-window-scale tap counts, and a single unbounded
+    // collect_list row is where that concentrates. Slabs split each
+    // chunk's taps by dst row band; the chunk row joins (and decodes)
+    // once per PRESENT slab — decode cost grows by at most `slabs`
+    // per chunk while the largest aggregation row shrinks by the same
+    // factor — and a chunk only joins slabs that actually hold taps
+    // for it, so spread-out warps pay nothing. Sized so a slab stays
+    // ~30 MB at worst: total taps bounded by dstPixels * tapsPerPx.
+    val dstPx = (xTo - xFrom).toLong * (yTo - yFrom)
+    val slabs = math.max(1L, (dstPx * tapsPerPx) / 1000000L).toInt
+    val perChunk = tapRows
+      .groupBy(col("frac_x"), col("frac_y"),
+        pmod(col("y"), lit(slabs)).as("slab"))
       .agg(collect_list(struct(col("x"), col("y"), col("tx"), col("ty"),
         col("wgt"))).as("gats"))
+    // `pad` widens the chunk-pruning window for warps whose stencil
+    // reaches beyond the mapped-center bounds (cubic taps extend one
+    // pixel past sourceBounds' padding — the same ±1 the exploded
+    // cubic adds to its loadSliceXY window)
     val (sx0, sx1, sy0, sy1) = sourceBounds(dst, src, xFrom, xTo, yFrom, yTo)
     val chunks = FractionStore.fractionsForWindow(spark, src, srcRoot,
-      math.max(0, sx0), math.min(src.width, sx1),
-      math.max(0, sy0), math.min(src.height, sy1), tSrc, tSrc + 1)
+      math.max(0, sx0 - pad), math.min(src.width, sx1 + pad),
+      math.max(0, sy0 - pad), math.min(src.height, sy1 + pad),
+      tSrc, tSrc + 1)
     val nodata = src.nodata
     val gathered = chunks.join(perChunk, Seq("frac_x", "frac_y"))
       // decode once per chunk row, in its OWN projection below the
@@ -296,6 +290,14 @@ object Reproject {
         .drop("raw")
     else gathered.withColumnRenamed("raw", "value")
   }
+
+  /** Keys' cubic weight at distance d (d <= 2 by construction); Horner
+    * form, mirrored term-for-term in the DuckDB oracle. Shared by the
+    * exploded [[cubic]] and [[cubicGather]] so a kernel change cannot
+    * silently diverge the equality-pinned pair. */
+  private def cw(d: Column): Column =
+    when(d < 1.0, (lit(1.5) * d - lit(2.5)) * d * d + lit(1.0))
+      .otherwise(((lit(-0.5) * d + lit(2.5)) * d - lit(4.0)) * d + lit(2.0))
 
   /** Sample-centered tap array for interpolating warps: anchor at
     * floor(s - 0.5) with fraction f, taps at anchor + offsets, weights
@@ -341,7 +343,8 @@ object Reproject {
         offsets = for (dy <- 0 to 1; dx <- 0 to 1) yield (dx, dy),
         weight = (fx, fy, dx, dy) =>
           (if (dx == 0) lit(1.0) - fx else fx) *
-            (if (dy == 0) lit(1.0) - fy else fy)))
+            (if (dy == 0) lit(1.0) - fy else fy)),
+      tapsPerPx = 4)
     val blended = tapRows.groupBy(col("x"), col("y"))
       .agg(
         (sum(col("wgt") * col("value").cast("double")) /
@@ -367,7 +370,8 @@ object Reproject {
       xFrom, xTo, yFrom, yTo, tSrc,
       taps = (sx, sy) => array(struct(
         floor(sx).cast("int").as("tx"), floor(sy).cast("int").as("ty"),
-        lit(1.0).as("wgt"))))
+        lit(1.0).as("wgt"))),
+      tapsPerPx = 1)
     targetLattice(spark, xFrom, xTo, yFrom, yTo)
       .join(tapRows.select(col("x"), col("y"), col("value")),
         Seq("x", "y"), "left")
@@ -381,14 +385,12 @@ object Reproject {
                   dst: GridHeader,
                   xFrom: Int, xTo: Int, yFrom: Int, yTo: Int,
                   tSrc: Int = 0): DataFrame = {
-    def cw(d: Column): Column =
-      when(d < 1.0, (lit(1.5) * d - lit(2.5)) * d * d + lit(1.0))
-        .otherwise(((lit(-0.5) * d + lit(2.5)) * d - lit(4.0)) * d + lit(2.0))
     val tapRows = gatherTapRows(spark, src, srcRoot, dst,
       xFrom, xTo, yFrom, yTo, tSrc,
       taps = centeredTaps(
         offsets = for (dy <- -1 to 2; dx <- -1 to 2) yield (dx, dy),
-        weight = (fx, fy, dx, dy) => cw(abs(fx - dx)) * cw(abs(fy - dy))))
+        weight = (fx, fy, dx, dy) => cw(abs(fx - dx)) * cw(abs(fy - dy))),
+      pad = 1, tapsPerPx = 16)
     val wSum = sum(when(col("value").isNotNull, col("wgt")))
     val blended = tapRows.groupBy(col("x"), col("y"))
       .agg(

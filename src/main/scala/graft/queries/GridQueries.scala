@@ -292,23 +292,8 @@ object GridQueries {
     "grid_reproject_nearest" -> { (s, _) =>
       val (ndviRoot, _) = miniModisRoots(s)
       val nh = GridHeader.load(s, ndviRoot)
-      // wgs84 target grid over the tile's lat/lng bbox. The lattice
-      // steps divide the footprint by NON-round 96.7/97.3 (not 100):
-      // round divisors align every dst pixel center exactly onto a
-      // source pixel boundary (the footprint spans 200 source pixels,
-      // so /100 puts each center at an odd source index ± 1 ulp), and
-      // floor() of a boundary-straddling quotient is engine-dependent —
-      // the oracle would flake. Non-dyadic steps keep every quotient
-      // >= 1e-4 from an integer (verified), far beyond libm ulp noise.
-      val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
-      val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
-      val dst = GridHeader(
-        name = "wgs84_dst", width = 100, height = 100,
-        fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
-        dtype = nh.dtype, srs = "wgs84",
-        geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
-          latMax, 0.0, -(latMax - latMin) / 97.3),
-        timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      // de-aligned wgs84 lattice: see wgs84Dst
+      val dst = wgs84Dst(nh, "wgs84_dst")
       // DOUBLE sum for the same HUGEINT-vs-long canonicalization reason
       // as grid_pipeline_masked (values are small ints, so the double
       // sum is exact regardless of aggregation order).
@@ -325,15 +310,7 @@ object GridQueries {
     "grid_reproject_bilinear" -> { (s, _) =>
       val (ndviRoot, _) = miniModisRoots(s)
       val nh = GridHeader.load(s, ndviRoot)
-      val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
-      val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
-      val dst = GridHeader(
-        name = "wgs84_bl", width = 100, height = 100,
-        fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
-        dtype = nh.dtype, srs = "wgs84",
-        geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
-          latMax, 0.0, -(latMax - latMin) / 97.3),
-        timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      val dst = wgs84Dst(nh, "wgs84_bl")
       Reproject.bilinear(s, nh, ndviRoot, dst, 0, 100, 0, 100)
         .agg(count(col("value")).as("n_mapped"),
           sum(col("value")).as("sum_value"),
@@ -348,15 +325,7 @@ object GridQueries {
     "grid_reproject_bilinear_fused" -> { (s, _) =>
       val (ndviRoot, _) = miniModisRoots(s)
       val nh = GridHeader.load(s, ndviRoot)
-      val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
-      val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
-      val dst = GridHeader(
-        name = "wgs84_bl", width = 100, height = 100,
-        fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
-        dtype = nh.dtype, srs = "wgs84",
-        geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
-          latMax, 0.0, -(latMax - latMin) / 97.3),
-        timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      val dst = wgs84Dst(nh, "wgs84_bl")
       Reproject.bilinearGather(s, nh, ndviRoot, dst, 0, 100, 0, 100)
         .agg(count(col("value")).as("n_mapped"),
           sum(col("value")).as("sum_value"),
@@ -370,15 +339,7 @@ object GridQueries {
     "grid_reproject_cubic" -> { (s, _) =>
       val (ndviRoot, _) = miniModisRoots(s)
       val nh = GridHeader.load(s, ndviRoot)
-      val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
-      val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
-      val dst = GridHeader(
-        name = "wgs84_cu", width = 100, height = 100,
-        fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
-        dtype = nh.dtype, srs = "wgs84",
-        geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
-          latMax, 0.0, -(latMax - latMin) / 97.3),
-        timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      val dst = wgs84Dst(nh, "wgs84_cu")
       Reproject.cubic(s, nh, ndviRoot, dst, 0, 100, 0, 100)
         .agg(count(col("value")).as("n_mapped"),
           sum(col("value")).as("sum_value"),
@@ -392,15 +353,7 @@ object GridQueries {
     "grid_resample_mean" -> { (s, _) =>
       val (ndviRoot, _) = miniModisRoots(s)
       val nh = GridHeader.load(s, ndviRoot)
-      val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
-      val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
-      val dst = GridHeader(
-        name = "wgs84_rs", width = 100, height = 100,
-        fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
-        dtype = nh.dtype, srs = "wgs84",
-        geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
-          latMax, 0.0, -(latMax - latMin) / 97.3),
-        timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+      val dst = wgs84Dst(nh, "wgs84_rs")
       Reproject.aggregateResample(s, nh, ndviRoot, dst, "average",
         0, 100, 0, 100)
     },
@@ -838,6 +791,28 @@ object GridQueries {
   // (x, y, t) (SyntheticGrid), so DuckDB recomputes every store-backed
   // query from range() cross products. Geometry/window constants are
   // computed by OracleBuilders with the query's own Scala code paths.
+  /** The J3 queries' shared wgs84 target lattice over the minimodis
+    * footprint. The steps divide the footprint by NON-round 96.7/97.3
+    * (not 100): round divisors align every dst pixel center exactly
+    * onto a source pixel boundary (the footprint spans 200 source
+    * pixels, so /100 puts each center at an odd source index +- 1 ulp),
+    * and floor() of a boundary-straddling quotient is engine-dependent
+    * -- the oracle would flake. Non-dyadic steps keep every quotient
+    * >= 1e-4 from an integer (verified), far beyond libm ulp noise.
+    * The DuckDB oracles re-derive d0..d5 from THIS construction -- any
+    * change here must stay mirrored in gridStoreOracles. */
+  private def wgs84Dst(nh: GridHeader, name: String): GridHeader = {
+    val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
+    val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
+    GridHeader(
+      name = name, width = 100, height = 100,
+      fracWidth = 50, fracHeight = 50, fracNDates = nh.fracNDates,
+      dtype = nh.dtype, srs = "wgs84",
+      geot = Seq(lngMin, (lngMax - lngMin) / 96.7, 0.0,
+        latMax, 0.0, -(latMax - latMin) / 97.3),
+      timestampsMs = nh.timestampsMs, nodata = nh.nodata)
+  }
+
   private def gridStoreOracles: Map[String, String] = {
     import OracleBuilders._
 
@@ -927,10 +902,9 @@ object GridQueries {
     // and look up NDVI at t=0. The dst geotransform constants mirror the
     // query's construction exactly (computed with the same Scala code).
     val nh = SyntheticGrid.miniModisNdviHeader
-    val (latMin, lngMin) = nh.xyToLatLng(0, nh.height)
-    val (latMax, lngMax) = nh.xyToLatLng(nh.width, 0)
-    val d0 = lngMin; val d1 = (lngMax - lngMin) / 96.7
-    val d3 = latMax; val d5 = -(latMax - latMin) / 97.3
+    val dstO = wgs84Dst(nh, "oracle")
+    val d0 = dstO.geot(0); val d1 = dstO.geot(1)
+    val d3 = dstO.geot(3); val d5 = dstO.geot(5)
     val g = nh.geot
     val r = graft.grid.GeoTransform.SinusoidalRadius
     val reprojectNearest =

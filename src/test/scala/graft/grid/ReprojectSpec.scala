@@ -205,6 +205,22 @@ class ReprojectSpec extends AnyFunSuite {
     val gatheredCu = canon(Reproject.cubicGather(
       spark, ndHeader, ndRoot, dst, 0, 39, 0, 39))
     assert(gatheredCu == explodedCu)
+    // regression: an UPSAMPLING dst window (5x finer than source) whose
+    // sourceBounds start at source pixel 10 (a chunk boundary:
+    // fracWidth = 10). With dst pixels much smaller than source pixels
+    // the first dst center sits within half a source pixel of the
+    // boundary, so the cubic stencil's leftmost taps land at pixel 9 —
+    // chunk 0, which the unpadded chunk-pruning window excludes;
+    // without the gather path's pad=1 those taps are silently dropped
+    // and the edge columns diverge (renormalized value AND n_valid).
+    val dstEdge = srcHeader.copy(name = "dstedge",
+      geot = Seq(0.1101, 0.002, 0.0, -0.1101, 0.0, -0.002))
+    val explodedEdge = canon(Reproject.cubic(
+      spark, ndHeader, ndRoot, dstEdge, 0, 8, 0, 8))
+    val gatheredEdge = canon(Reproject.cubicGather(
+      spark, ndHeader, ndRoot, dstEdge, 0, 8, 0, 8))
+    assert(gatheredEdge == explodedEdge)
+
     def canonNn(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => ((r.getInt(0), r.getInt(1)),
         Option(r.get(2)))).toMap
