@@ -86,6 +86,64 @@ object FractionStore {
       .parquet(dataPath(root))
   }
 
+  /** Compact a store's data files back into the canonical layout
+    * (range-partitioned by (time_chunk, frac_num), frac_num-sorted
+    * files). Incremental writers fragment a store over time — each
+    * GridPipeline backfill and each appendDates tail rewrite adds
+    * files to the partition dirs it touches, and at archive scale the
+    * resulting small-file population dominates open/footer costs and
+    * task scheduling (the classic small-files problem). Chunk
+    * CONTENTS are already canonical (one row per (frac_num,
+    * time_chunk)); only the file population needs rewriting, so this
+    * is a pure readwrite of the selected partitions: localCheckpoint
+    * first (the rewrite reads the partitions it deletes — same hazard
+    * as IncrementalAppend), then a dynamic-partition-overwrite write.
+    *
+    * `timeChunks` is the unit-of-work knob: compacting a 100 TB store
+    * in one call would checkpoint the whole store, so production
+    * maintenance walks time chunks in bounded batches (newest-first —
+    * append traffic concentrates there). Returns (files_before,
+    * files_after) across the store for the maintenance log.
+    */
+  def compact(spark: SparkSession, root: String,
+              timeChunks: Option[Seq[Int]] = None): (Long, Long) = {
+    val path = new org.apache.hadoop.fs.Path(dataPath(root))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(): Long = {
+      val it = fs.listFiles(path, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = countFiles()
+    val selected = timeChunks match {
+      case Some(cs) => fractions(spark, root)
+        .filter(col("time_chunk").isin(cs.map(Integer.valueOf): _*))
+      case None => fractions(spark, root)
+    }
+    val rows = selected.localCheckpoint()
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      rows.repartitionByRange(col("time_chunk"), col("frac_num"))
+        .sortWithinPartitions(col("time_chunk"), col("frac_num"))
+        .write.mode("overwrite").partitionBy("time_chunk")
+        .parquet(dataPath(root))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    rows.unpersist()
+    (before, countFiles())
+  }
+
   /** Write rows that are ALREADY distributed the way the caller wants
     * (e.g. one fraction per task from a generator): skips the range
     * shuffle, keeps the same on-disk layout. */

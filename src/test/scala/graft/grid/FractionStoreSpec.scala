@@ -44,6 +44,55 @@ class FractionStoreSpec extends AnyFunSuite {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("compact rewrites a fragmented store losslessly with fewer files") {
+    // fragment a fresh copy: the canonical write, then re-append the
+    // SAME rows split into 4 frac_num slivers (each append lands extra
+    // files in every partition dir it touches — the incremental
+    // writers' fragmentation pattern). The content then has duplicate
+    // chunk rows, so build the fragmented store from disjoint slivers
+    // instead: 4 append-mode writes of a quarter of the fractions each.
+    val r = TestSpark.tmpDir("compactme")
+    val h = SyntheticGrid.tinyHeader
+    h.save(spark, r)
+    val rows = FractionStore.fromPixels(spark, h,
+      SyntheticGrid.pixelDf(spark, h, SyntheticGrid.tinyValue))
+      .localCheckpoint()
+    (0 until 4).foreach { k =>
+      FractionStore.write(spark, h,
+        rows.filter(pmod(col("frac_num"), lit(4)) === k), r,
+        mode = "append")
+    }
+    val before = FractionStore.loadSliceXY(spark, h, r,
+      0, h.width, 0, h.height, 0, h.nDates, maskNodata = false)
+      .collect().map(x => x.getInt(0) -> (x.getInt(1), x.getInt(2),
+        x.getFloat(3))).sorted.toSeq
+    val (nBefore, nAfter) = FractionStore.compact(spark, r)
+    val after = FractionStore.loadSliceXY(spark, h, r,
+      0, h.width, 0, h.height, 0, h.nDates, maskNodata = false)
+      .collect().map(x => x.getInt(0) -> (x.getInt(1), x.getInt(2),
+        x.getFloat(3))).sorted.toSeq
+    assert(after == before, "compaction must be lossless")
+    assert(nAfter < nBefore, s"files $nBefore -> $nAfter")
+
+    // targeted maintenance: compacting ONE time chunk leaves the other
+    // partitions' files untouched and still reads back identically
+    val r2 = TestSpark.tmpDir("compactone")
+    h.save(spark, r2)
+    (0 until 4).foreach { k =>
+      FractionStore.write(spark, h,
+        rows.filter(pmod(col("frac_num"), lit(4)) === k), r2,
+        mode = "append")
+    }
+    val (n2Before, n2After) = FractionStore.compact(spark, r2,
+      timeChunks = Some(Seq(0)))
+    assert(n2After < n2Before)
+    val got2 = FractionStore.loadSliceXY(spark, h, r2,
+      0, h.width, 0, h.height, 0, h.nDates, maskNodata = false)
+      .collect().map(x => x.getInt(0) -> (x.getInt(1), x.getInt(2),
+        x.getFloat(3))).sorted.toSeq
+    assert(got2 == before)
+  }
+
   test("nodata masking to NULL (P9)") {
     val masked = FractionStore.loadSliceXY(spark, header, root,
       0, 26, 0, 13, 0, 2, maskNodata = true)
