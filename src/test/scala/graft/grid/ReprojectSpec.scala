@@ -221,6 +221,19 @@ class ReprojectSpec extends AnyFunSuite {
       spark, ndHeader, ndRoot, dstEdge, 0, 8, 0, 8))
     assert(gatheredEdge == explodedEdge)
 
+    // slab path: a dst window big enough that gatherTapRows splits each
+    // chunk's tap list into row-band slabs (360*360 px * 16 taps > 2M
+    // -> slabs >= 2) — the grouping must stay semantics-neutral. The
+    // window extends past the source footprint, so all-miss NULL rows
+    // are exercised at volume too.
+    val dstBig = srcHeader.copy(name = "dstbig",
+      geot = Seq(0.0011, 0.002, 0.0, -0.0011, 0.0, -0.002))
+    val explodedBig = canon(Reproject.cubic(
+      spark, ndHeader, ndRoot, dstBig, 0, 360, 0, 360))
+    val gatheredBig = canon(Reproject.cubicGather(
+      spark, ndHeader, ndRoot, dstBig, 0, 360, 0, 360))
+    assert(gatheredBig == explodedBig)
+
     def canonNn(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => ((r.getInt(0), r.getInt(1)),
         Option(r.get(2)))).toMap
