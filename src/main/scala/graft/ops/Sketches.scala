@@ -25,11 +25,18 @@ object Sketches {
     df.groupBy(grain.map(col): _*)
       .agg(hll_sketch_agg(col(of), lit(lgK)).as("hll"))
 
-  /** Materialize the sketch table (the amortized side of the trade). */
+  /** Materialize the sketch table (the amortized side of the trade).
+    * `partitionCols` (a prefix-free subset of `grain`, typically the
+    * time column) lays the cube out hive-partitioned, so a rollup over
+    * a sub-range — last week of a year-long day cube — prunes to the
+    * probed partitions instead of scanning every sketch row. */
   def writeHllCube(df: DataFrame, grain: Seq[String], of: String,
-                   dir: String, lgK: Int = 12): Unit =
-    buildHllCube(df, grain, of, lgK)
-      .write.mode("overwrite").parquet(dir)
+                   dir: String, lgK: Int = 12,
+                   partitionCols: Seq[String] = Nil): Unit = {
+    val w = buildHllCube(df, grain, of, lgK).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir)
+  }
 
   /** Roll a sketch table up to a coarser `grain` — distinct counts via
     * lossless sketch union; raw data is never touched. */
@@ -99,4 +106,23 @@ object Sketches {
       histQuantile(col("hist"), q, lo, hi).as(name)
     }: _*)
   }
+
+  /** Materialize the histogram cube; `partitionCols` as in
+    * [[writeHllCube]] — a sub-range percentile probe then prunes to
+    * the touched partitions. */
+  def writeHistCube(df: DataFrame, grain: Seq[String], of: String,
+                    lo: Double, hi: Double, dir: String, bins: Int = 256,
+                    partitionCols: Seq[String] = Nil): Unit = {
+    val w = buildHistCube(df, grain, of, lo, hi, bins)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir)
+  }
+
+  /** Read a persisted histogram cube and answer percentiles in one
+    * call; filter before calling to get partition pruning. */
+  def rollupQuantilesFrom(spark: SparkSession, dir: String,
+                          grain: Seq[String], lo: Double, hi: Double,
+                          qs: Seq[(String, Double)]): DataFrame =
+    rollupQuantiles(spark.read.parquet(dir), grain, lo, hi, qs)
 }

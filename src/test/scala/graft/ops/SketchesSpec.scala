@@ -115,6 +115,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(empty.isNullAt(0))
   }
 
+  test("partitioned cubes prune a sub-range probe to the touched days") {
+    import spark.implicits._
+    val rows = (for (d <- 1 to 3; i <- 1 to 50)
+      yield (d, "t", i.toDouble)).toDF("day", "event_type", "v")
+    val dir = graft.TestSpark.tmpDir("hist_cube_part")
+    Sketches.writeHistCube(rows, Seq("day", "event_type"), "v",
+      0.0, 50.0, dir, bins = 50, partitionCols = Seq("day"))
+    val probe = Sketches.rollupQuantiles(
+      spark.read.parquet(dir).filter(col("day") === 2),
+      Seq("event_type"), 0.0, 50.0, Seq("p50" -> 0.5))
+    val scans = graft.TestSpark.executedPlan(probe).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.selectedPartitions.partitionCount == 1),
+      "day filter must prune to one hive partition")
+    // and the pruned probe still answers correctly: 50 values 1..50,
+    // p50 -> r=25 -> bin 25 (cum 24 before it), pos (25-24)/1 = 1
+    // -> 1.0 * (25 + 1) = 26.0 (rank interpolates to the bin's right
+    // edge; value 25 occupies bin [25, 26))
+    val got = probe.head()
+    assert(math.abs(got.getDouble(1) - 26.0) < 1e-12)
+  }
+
   test("rollupQuantiles answers from sketches and matches exact rank") {
     import spark.implicits._
     val rows = for (g <- Seq("x", "y"); day <- 1 to 4; i <- 1 to 25)
