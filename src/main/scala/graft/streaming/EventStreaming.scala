@@ -50,6 +50,33 @@ object EventStreaming {
       }
   }
 
+  /** Continuously-maintained per-key top-k — the streaming face of
+    * [[graft.functions.TopKAgg]] (same (score DESC, id ASC) total
+    * order, NULL-free inputs): each micro-batch folds its new rows
+    * into a k-bounded per-key state, so state stays O(k) per key no
+    * matter how much history has streamed past — the property that
+    * makes a per-source "best documents" leaderboard maintainable
+    * over an unbounded corpus stream. Emits the key's CURRENT top-k
+    * each trigger that touches it (update mode). */
+  case class Scored(key: String, id: Long, score: Double)
+  case class TopK(key: String, ids: Seq[Long], scores: Seq[Double])
+
+  def topKPerKey(spark: SparkSession, rows: Dataset[Scored], k: Int)
+      : Dataset[TopK] = {
+    import spark.implicits._
+    rows.groupByKey(_.key)
+      .mapGroupsWithState[TopK, TopK](GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Scored], state: GroupState[TopK]) =>
+          val prev = state.getOption
+            .map(s => s.scores.zip(s.ids).toVector).getOrElse(Vector.empty)
+          val top = (prev ++ it.map(r => (r.score, r.id)))
+            .sortBy { case (sc, id) => (-sc, id) }.take(k)
+          val next = TopK(key, top.map(_._2), top.map(_._1))
+          state.update(next)
+          next
+      }
+  }
+
   /** Streaming exactly-once dedup by key within the watermark horizon —
     * `dropDuplicates` with event-time watermark (the streaming face of
     * the Dedup module). */

@@ -135,6 +135,57 @@ class EventStreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.size == 3)
   }
 
+  test("streaming per-key top-k state carries across batches, equals TopKAgg") {
+    // two DISJOINT source files + maxFilesPerTrigger(1) force two
+    // micro-batches; the second batch's emission must still contain
+    // first-batch winners (state carry-over), and must equal the batch
+    // bounded-heap aggregate over the full data
+    val d2 = TestSpark.tmpDir("topk_stream")
+    val full = spark.read.parquet(srcDir)
+    full.filter(col("event_id") < 250).repartition(1)
+      .write.mode("overwrite").parquet(s"$d2/w1.parquet")
+    full.filter(col("event_id") >= 250).repartition(1)
+      .write.mode("overwrite").parquet(s"$d2/w2.parquet")
+    val stream = spark.readStream
+      .schema(full.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$d2/*.parquet")
+    val scored = stream.select(col("event_type").as("key"),
+        col("event_id").as("id"), col("value").as("score"))
+      .as[EventStreaming.Scored]
+    val q = EventStreaming.topKPerKey(spark, scored, k = 5)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("topk_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("topk_stream")
+      .collect().map(r => (r.getString(0),
+        r.getSeq[Long](1), r.getSeq[Double](2)))
+    // batch truth: the bounded-heap aggregate over everything
+    val batch = full.groupBy(col("event_type"))
+      .agg(graft.functions.TopKAgg(col("value"), col("event_id"), 5)
+        .as("top"))
+      .collect().map { r =>
+        val es = r.getSeq[org.apache.spark.sql.Row](1)
+        val ids = es.map(e => e.getLong(e.fieldIndex("id")))
+        val scores = es.map(e => e.getDouble(e.fieldIndex("score")))
+        r.getString(0) -> (ids, scores)
+      }.toMap
+    // each key emitted once per batch it appeared in (2), and one of
+    // its emissions is the complete cross-batch top-k
+    batch.keys.foreach { key =>
+      val mine = emitted.filter(_._1 == key)
+      assert(mine.length == 2, s"$key emissions")
+      assert(mine.exists(e => (e._2, e._3) == batch(key)),
+        s"$key final state must equal the batch heap")
+    }
+    // the complete answers mix ids from both waves for at least one
+    // key — the matching emission can only come from a batch whose
+    // state carried the OTHER wave's winners across the boundary
+    assert(batch.values.exists { case (ids, _) =>
+      ids.exists(_ < 250) && ids.exists(_ >= 250)
+    }, s"fixture must mix waves in some top-k: $batch")
+  }
+
   test("streaming session windows equal the batch session windows") {
     val q = EventStreaming.userSessions(streamEvents)
       .writeStream.outputMode("append")
