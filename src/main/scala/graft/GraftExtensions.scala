@@ -39,7 +39,42 @@ object GraftFunctions {
     "bpe_token_count" -> lift1(TextFunctions.approxBpeTokenCount),
     "nfc_normalize" -> lift1(graft.functions.NfcNormalizeExpr(_)),
     "normalize_text" -> lift1(TextFunctions.normalizeText),
-    "simhash64" -> lift1(Dedup.simhash64))
+    "simhash64" -> lift1(Dedup.simhash64),
+    // aggregates + sketch readers (round 8): the builders return
+    // AggregateExpressions, so they register as SQL aggregate
+    // functions; shape parameters must be foldable literals.
+    "eq_hist" -> { exprs =>
+      require(exprs.length == 4, "eq_hist(value, lo, hi, bins)")
+      graft.functions.EqHistAgg(expression(column(exprs(0)).cast("double")),
+        foldableDouble(exprs(1), "lo"), foldableDouble(exprs(2), "hi"),
+        foldableDouble(exprs(3), "bins").toInt).toAggregateExpression()
+    },
+    "hist_merge" -> { exprs =>
+      require(exprs.length == 1, "hist_merge(hist)")
+      graft.functions.HistMergeAgg(exprs.head).toAggregateExpression()
+    },
+    "hist_quantile" -> { exprs =>
+      require(exprs.length == 4, "hist_quantile(hist, q, lo, hi)")
+      expression(graft.ops.Sketches.histQuantile(column(exprs(0)),
+        foldableDouble(exprs(1), "q"), foldableDouble(exprs(2), "lo"),
+        foldableDouble(exprs(3), "hi")))
+    },
+    "topk_agg" -> { exprs =>
+      require(exprs.length == 3, "topk_agg(score, id, k)")
+      graft.functions.TopKAgg(exprs(0), exprs(1),
+        foldableDouble(exprs(2), "k").toInt).toAggregateExpression()
+    })
+
+  private def foldableDouble(e: Expression, name: String): Double = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval() match {
+      case null => throw new IllegalArgumentException(s"$name is null")
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other =>
+        throw new IllegalArgumentException(s"$name: non-numeric $other")
+    }
+  }
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -27,6 +27,30 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getInt(6) == 3)
   }
 
+  test("SQL sketch aggregates run the whole cube chain in one query") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    (for (d <- 1 to 2; i <- 1 to 50) yield (d, i.toDouble))
+      .toDF("day", "v").createOrReplaceTempView("sql_hist_src")
+    // build day-grain sketches, merge them, extract p50 — pure SQL
+    val p50 = spark.sql(
+      """WITH cube AS (
+        |  SELECT day, eq_hist(v, 0.0, 50.0, 50) AS hist
+        |  FROM sql_hist_src GROUP BY day)
+        |SELECT hist_quantile(hist_merge(hist), 0.5, 0.0, 50.0) AS p50
+        |FROM cube""".stripMargin).head().getDouble(0)
+    // 100 values (1..50 twice): r = 50 -> bin 25 holds ranks 49-50,
+    // pos (50-48)/2 = 1 -> 26.0
+    assert(math.abs(p50 - 26.0) < 1e-12)
+
+    val top = spark.sql(
+      """SELECT topk_agg(v, CAST(day * 100 + v AS BIGINT), 3) AS t
+        |FROM sql_hist_src""".stripMargin)
+      .selectExpr("transform(t, e -> e.id) AS ids").head().getSeq[Long](0)
+    // best scores 50.0, 50.0, 49.0; ties to lowest id
+    assert(top == Seq(150L, 250L, 149L))
+  }
+
   test("native word shingles equal the higher-order column form") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
