@@ -125,4 +125,33 @@ object Sketches {
                           grain: Seq[String], lo: Double, hi: Double,
                           qs: Seq[(String, Double)]): DataFrame =
     rollupQuantiles(spark.read.parquet(dir), grain, lo, hi, qs)
+
+  /** Global [lo, hi) bounds for an auto-ranged histogram cube: exact
+    * min/max (one cheap column-pruned scan) widened by half a bin so
+    * the true max lands strictly inside the last bin rather than on
+    * the clamp edge. Degenerate all-equal columns get a unit range. */
+  def histBounds(df: DataFrame, of: String,
+                 bins: Int = 256): (Double, Double) = {
+    val r = df.agg(min(col(of).cast("double")),
+      max(col(of).cast("double"))).head()
+    if (r.isNullAt(0)) (0.0, 1.0)
+    else {
+      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+      val span = if (mx > mn) mx - mn else 1.0
+      (mn, mx + span / (2.0 * bins))
+    }
+  }
+
+  /** Two-pass auto-ranged build: derive [lo, hi) from the data, then
+    * build. Costs one extra (column-pruned, partial-agg) scan — at
+    * archive scale prefer a KNOWN domain range so the cube builds in
+    * one pass and stays mergeable with future builds (two auto-ranged
+    * cubes over different data get different bin edges and cannot be
+    * hist_merge'd; the returned bounds must be recorded alongside the
+    * cube for probe-time quantile extraction). */
+  def buildHistCubeAuto(df: DataFrame, grain: Seq[String], of: String,
+                        bins: Int = 256): (DataFrame, Double, Double) = {
+    val (lo, hi) = histBounds(df, of, bins)
+    (buildHistCube(df, grain, of, lo, hi, bins), lo, hi)
+  }
 }

@@ -139,6 +139,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(1) - 26.0) < 1e-12)
   }
 
+  test("auto-ranged build derives bounds that keep max off the clamp edge") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val (cube, lo, hi) = Sketches.buildHistCubeAuto(df, Seq("g"), "v",
+      bins = 100)
+    assert(lo == 1.0 && hi > 100.0)
+    val p100 = Sketches.rollupQuantiles(cube, Seq("g"), lo, hi,
+      Seq("p100" -> 1.0)).head().getDouble(1)
+    // max must come back from the last real bin, not a clamp artifact;
+    // bin width ~1 so the p100 estimate sits within one bin of 100
+    assert(p100 > 99.0 && p100 <= hi)
+    // all-NULL column degenerates to the unit range, not a crash
+    val (lo2, hi2) = Sketches.histBounds(
+      Seq[java.lang.Double](null).toDF("v"), "v")
+    assert(lo2 == 0.0 && hi2 == 1.0)
+  }
+
   test("rollupQuantiles answers from sketches and matches exact rank") {
     import spark.implicits._
     val rows = for (g <- Seq("x", "y"); day <- 1 to 4; i <- 1 to 25)
