@@ -51,7 +51,11 @@ object GraftFunctions {
     },
     "hist_merge" -> { exprs =>
       require(exprs.length == 1, "hist_merge(hist)")
-      graft.functions.HistMergeAgg(exprs.head).toAggregateExpression()
+      // cast pins the child to array<bigint>: HistMergeAgg reads 8-byte
+      // slots, so an uncast array<int> input would decode garbage
+      graft.functions.HistMergeAgg(
+        expression(column(exprs.head).cast("array<bigint>")))
+        .toAggregateExpression()
     },
     "hist_quantile" -> { exprs =>
       require(exprs.length == 4, "hist_quantile(hist, q, lo, hi)")
@@ -61,7 +65,11 @@ object GraftFunctions {
     },
     "topk_agg" -> { exprs =>
       require(exprs.length == 3, "topk_agg(score, id, k)")
-      graft.functions.TopKAgg(exprs(0), exprs(1),
+      // TopKAgg declares no inputTypes, so coerce here: an INT/BIGINT
+      // score or INT id would otherwise CCE executor-side
+      graft.functions.TopKAgg(
+        expression(column(exprs(0)).cast("double")),
+        expression(column(exprs(1)).cast("bigint")),
         foldableDouble(exprs(2), "k").toInt).toAggregateExpression()
     })
 

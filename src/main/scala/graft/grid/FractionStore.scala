@@ -103,17 +103,28 @@ object FractionStore {
     * in one call would checkpoint the whole store, so production
     * maintenance walks time chunks in bounded batches (newest-first —
     * append traffic concentrates there). Returns (files_before,
-    * files_after) across the store for the maintenance log.
+    * files_after) over the REWRITTEN partitions for the maintenance
+    * log (whole store when `timeChunks` is None).
     */
   def compact(spark: SparkSession, root: String,
               timeChunks: Option[Seq[Int]] = None): (Long, Long) = {
-    val path = new org.apache.hadoop.fs.Path(dataPath(root))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(dataPath(root))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // count only the partitions being rewritten: a bounded maintenance
+    // batch over a huge store must not pay a full-store recursive LIST
+    // (2 per call x N batches on an object store) just for the report
     def countFiles(): Long = {
-      val it = fs.listFiles(path, true)
+      val dirs = timeChunks match {
+        case Some(cs) => cs.map(c =>
+          new org.apache.hadoop.fs.Path(dataPath(root), s"time_chunk=$c"))
+        case None => Seq(new org.apache.hadoop.fs.Path(dataPath(root)))
+      }
       var n = 0L
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      dirs.filter(fs.exists).foreach { d =>
+        val it = fs.listFiles(d, true)
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
       }
       n
     }
@@ -133,6 +144,9 @@ object FractionStore {
         .write.mode("overwrite").partitionBy("time_chunk")
         .parquet(dataPath(root))
     } finally {
+      // unpersist in the finally: a failed rewrite must not pin the
+      // checkpointed batch on executors for the session's lifetime
+      rows.unpersist()
       prev match {
         case Some(v) =>
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -140,7 +154,6 @@ object FractionStore {
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    rows.unpersist()
     (before, countFiles())
   }
 

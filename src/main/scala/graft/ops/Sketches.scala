@@ -32,8 +32,12 @@ object Sketches {
     * probed partitions instead of scanning every sketch row. */
   def writeHllCube(df: DataFrame, grain: Seq[String], of: String,
                    dir: String, lgK: Int = 12,
-                   partitionCols: Seq[String] = Nil): Unit = {
-    val w = buildHllCube(df, grain, of, lgK).write.mode("overwrite")
+                   partitionCols: Seq[String] = Nil): Unit =
+    writeCube(buildHllCube(df, grain, of, lgK), dir, partitionCols)
+
+  private def writeCube(cube: DataFrame, dir: String,
+                        partitionCols: Seq[String]): Unit = {
+    val w = cube.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir)
   }
@@ -112,12 +116,9 @@ object Sketches {
     * the touched partitions. */
   def writeHistCube(df: DataFrame, grain: Seq[String], of: String,
                     lo: Double, hi: Double, dir: String, bins: Int = 256,
-                    partitionCols: Seq[String] = Nil): Unit = {
-    val w = buildHistCube(df, grain, of, lo, hi, bins)
-      .write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dir)
-  }
+                    partitionCols: Seq[String] = Nil): Unit =
+    writeCube(buildHistCube(df, grain, of, lo, hi, bins), dir,
+      partitionCols)
 
   /** Read a persisted histogram cube and answer percentiles in one
     * call; filter before calling to get partition pruning. */
@@ -132,8 +133,11 @@ object Sketches {
     * the clamp edge. Degenerate all-equal columns get a unit range. */
   def histBounds(df: DataFrame, of: String,
                  bins: Int = 256): (Double, Double) = {
-    val r = df.agg(min(col(of).cast("double")),
-      max(col(of).cast("double"))).head()
+    // NaN excluded explicitly: Spark's max treats NaN as greatest, so
+    // one NaN value would otherwise make hi = NaN and fail the build's
+    // range check — while EqHistAgg itself skips NaN inputs
+    val v = when(!isnan(col(of).cast("double")), col(of).cast("double"))
+    val r = df.agg(min(v), max(v)).head()
     if (r.isNullAt(0)) (0.0, 1.0)
     else {
       val (mn, mx) = (r.getDouble(0), r.getDouble(1))

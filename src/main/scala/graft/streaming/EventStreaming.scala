@@ -69,8 +69,12 @@ object EventStreaming {
         (key: String, it: Iterator[Scored], state: GroupState[TopK]) =>
           val prev = state.getOption
             .map(s => s.scores.zip(s.ids).toVector).getOrElse(Vector.empty)
+          // sort with the batch aggregate's comparator, NOT sortBy(-sc):
+          // TopKAgg.better ranks NaN first (Double.compare semantics);
+          // negation-based ordering ranks it last and the twins diverge
           val top = (prev ++ it.map(r => (r.score, r.id)))
-            .sortBy { case (sc, id) => (-sc, id) }.take(k)
+            .sortWith((a, b) => graft.functions.TopKAgg.better(
+              a._1, a._2, b._1, b._2)).take(k)
           val next = TopK(key, top.map(_._2), top.map(_._1))
           state.update(next)
           next

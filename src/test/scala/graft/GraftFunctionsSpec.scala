@@ -43,12 +43,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     // pos (50-48)/2 = 1 -> 26.0
     assert(math.abs(p50 - 26.0) < 1e-12)
 
+    // INT score and INT id: the builder must coerce (TopKAgg declares
+    // no inputTypes, so uncast columns would CCE executor-side)
     val top = spark.sql(
-      """SELECT topk_agg(v, CAST(day * 100 + v AS BIGINT), 3) AS t
+      """SELECT topk_agg(CAST(v AS INT), CAST(day * 100 + v AS INT), 3) AS t
         |FROM sql_hist_src""".stripMargin)
       .selectExpr("transform(t, e -> e.id) AS ids").head().getSeq[Long](0)
     // best scores 50.0, 50.0, 49.0; ties to lowest id
     assert(top == Seq(150L, 250L, 149L))
+    // int-typed histogram input through the SQL merge path: the cast
+    // to array<bigint> keeps 4-byte elements from being read as 8-byte
+    val mergedInts = spark.sql(
+      "SELECT hist_merge(h) AS m FROM VALUES (array(1, 2)), (array(3, 4)) t(h)")
+      .head().getSeq[Long](0)
+    assert(mergedInts == Seq(4L, 6L))
   }
 
   test("native word shingles equal the higher-order column form") {

@@ -154,6 +154,12 @@ class SketchesSpec extends AnyFunSuite {
     val (lo2, hi2) = Sketches.histBounds(
       Seq[java.lang.Double](null).toDF("v"), "v")
     assert(lo2 == 0.0 && hi2 == 1.0)
+    // NaN values are excluded from the bounds (Spark's max ranks NaN
+    // greatest; hi = NaN would fail the build's range check) — the
+    // same skip rule EqHistAgg applies
+    val (lo3, hi3) = Sketches.histBounds(
+      Seq(1.0, 2.0, Double.NaN).toDF("v"), "v")
+    assert(lo3 == 1.0 && hi3 > 2.0 && !hi3.isNaN)
   }
 
   test("rollupQuantiles answers from sketches and matches exact rank") {

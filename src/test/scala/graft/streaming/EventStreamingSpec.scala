@@ -186,6 +186,23 @@ class EventStreamingSpec extends AnyFunSuite {
     }, s"fixture must mix waves in some top-k: $batch")
   }
 
+  test("streaming top-k ranks NaN like the batch heap (NaN first)") {
+    // the comparator must be TopKAgg.better, not sortBy(-score): a
+    // negation-based order ranks NaN last and the twins diverge
+    import spark.implicits._
+    val rows = Seq(
+      EventStreaming.Scored("k", 1L, 5.0),
+      EventStreaming.Scored("k", 2L, Double.NaN),
+      EventStreaming.Scored("k", 3L, 7.0),
+      EventStreaming.Scored("k", 4L, 1.0)).toDS()
+    // batch evaluation of the stateful op (empty initial state)
+    val got = EventStreaming.topKPerKey(spark, rows, 2).collect().head
+    val batch = rows.toDF().groupBy("key")
+      .agg(graft.functions.TopKAgg(col("score"), col("id"), 2).as("t"))
+      .selectExpr("transform(t, e -> e.id) AS ids").head().getSeq[Long](0)
+    assert(got.ids == batch && got.ids == Seq(2L, 3L))
+  }
+
   test("streaming session windows equal the batch session windows") {
     val q = EventStreaming.userSessions(streamEvents)
       .writeStream.outputMode("append")
