@@ -162,6 +162,52 @@ class SketchesSpec extends AnyFunSuite {
     assert(lo3 == 1.0 && hi3 > 2.0 && !hi3.isNaN)
   }
 
+  test("property: histogram chain matches a Scala reference on random data") {
+    // seeded random property sampling (the scalatest/scalacheck bridge
+    // isn't in the offline cache — same style as ChunkMathSpec):
+    // random range/bins/partitioning incl. out-of-range values; the
+    // distributed sketch must equal a sequential reference bin-for-bin
+    // and histQuantile must replay the reference rank rule exactly
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (round <- 0 until 5) {
+      val n = 200 + rnd.nextInt(800)
+      val lo = -5.0 + rnd.nextDouble() * 3
+      val hi = lo + 1.0 + rnd.nextDouble() * 20
+      val bins = 8 + rnd.nextInt(120)
+      val w = (hi - lo) / bins
+      val vals = Seq.fill(n)(lo - 2 + rnd.nextDouble() * (hi - lo + 4))
+      val ref = new Array[Long](bins)
+      vals.foreach { v =>
+        val raw = math.floor((v - lo) / w)
+        val b = if (raw < 0) 0
+          else if (raw >= bins) bins - 1 else raw.toInt
+        ref(b) += 1
+      }
+      val sk = vals.toDF("v").repartition(1 + rnd.nextInt(8))
+        .agg(graft.functions.EqHistAgg(col("v"), lo, hi, bins).as("hist"))
+      assert(sk.head().getSeq[Long](0) == ref.toSeq, s"round $round hist")
+
+      val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.999)
+      val got = sk.select(qs.map(q =>
+        Sketches.histQuantile(col("hist"), q, lo, hi).as(s"q$q")): _*)
+        .head()
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val r = math.max(math.ceil(q * n).toLong, 1L)
+        var cum = 0L; var idx = -1; var pos = 0.0
+        var b = 0
+        while (idx < 0 && b < bins) {
+          if (cum + ref(b) >= r) { idx = b; pos = (r - cum).toDouble / ref(b) }
+          else cum += ref(b)
+          b += 1
+        }
+        val expected = lo + w * (idx + pos)
+        assert(math.abs(got.getDouble(i) - expected) < 1e-9,
+          s"round $round q=$q")
+      }
+    }
+  }
+
   test("rollupQuantiles answers from sketches and matches exact rank") {
     import spark.implicits._
     val rows = for (g <- Seq("x", "y"); day <- 1 to 4; i <- 1 to 25)
