@@ -66,6 +66,58 @@ object MediaCodec {
     } catch { case _: Exception => None }
   }
 
+  /** Box-average (area) resize of a decodable image blob to
+    * (tw, th), re-encoded losslessly as PNG via the JDK writer. Each
+    * target pixel averages its source box per channel with integer
+    * sums and truncating division — bit-deterministic across runs and
+    * hosts, unlike Graphics2D's interpolation hints. Upsampling
+    * degenerates the boxes to single pixels (nearest). None when the
+    * blob does not decode as an image. */
+  def resizeImage(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw >= 1 && th >= 1, s"target $tw x $th")
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new java.awt.image.BufferedImage(tw, th,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var ty = 0
+        while (ty < th) {
+          val y0 = (ty.toLong * h / th).toInt
+          val y1 = math.max(y0 + 1, ((ty + 1).toLong * h / th).toInt)
+          var tx = 0
+          while (tx < tw) {
+            val x0 = (tx.toLong * w / tw).toInt
+            val x1 = math.max(x0 + 1, ((tx + 1).toLong * w / tw).toInt)
+            var r = 0L; var g = 0L; var b = 0L; var n = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                r += (rgb >> 16) & 0xff
+                g += (rgb >> 8) & 0xff
+                b += rgb & 0xff
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            out.setRGB(tx, ty,
+              ((r / n).toInt << 16) | ((g / n).toInt << 8) | (b / n).toInt)
+            tx += 1
+          }
+          ty += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** 64-bit perceptual average-hash (aHash) of an image blob: luminance
     * box-sampled to an 8x8 grid (integer sums / pixel counts), each
     * cell votes 1 if it exceeds the 64-cell mean. Robust to

@@ -83,6 +83,35 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int,
+      media: Array[Byte], resized: Boolean)
+
+  /** Thumbnail/normalization pass: every decodable image re-encodes as
+    * a (tw x th) PNG via [[MediaCodec.resizeImage]] (deterministic
+    * box-average, lossless re-encode); everything else — audio, video,
+    * undecodable blobs — passes through unchanged with
+    * `resized = false` (the stub-quarantine discipline: no row is
+    * dropped, the flag is the signal). Same scale shape as
+    * [[extractFeatures]]: one mapPartitions pass over the media rows,
+    * payloads transform in place and never shuffle — the batchwise
+    * image-preprocessing step of a training pipeline as a partition
+    * pass. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   tw: Int, th: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        MediaCodec.resizeImage(r.media, tw, th) match {
+          case Some(png) => ResizedMedia(r.media_id, r.kind, tw, th,
+            png, resized = true)
+          case None => ResizedMedia(r.media_id, r.kind, r.width,
+            r.height, r.media, resized = false)
+        }
+      }
+    }
+  }
+
   /** Near-duplicate media pairs by 64-bit perceptual hash: real images
     * hash via [[MediaCodec.imageAHash]] (8x8 luminance aHash — robust
     * to re-encode/resize/small edits), undecodable blobs via the

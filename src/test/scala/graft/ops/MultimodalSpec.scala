@@ -89,6 +89,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.decodeImage(bytes).get._3.toSeq == feats.toSeq)
   }
 
+  test("resize: exact box-average pixels, lossless PNG, stub quarantine") {
+    import spark.implicits._
+    val (png, _) = pngFixture()
+    // 16x12 -> 8x6: every target pixel averages an exact 2x2 box;
+    // integer truncating division replayed here as the reference
+    val Some(out) = MediaCodec.resizeImage(png, 8, 6)
+    val outImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out))
+    assert(outImg.getWidth == 8 && outImg.getHeight == 6)
+    for (ty <- 0 until 6; tx <- 0 until 8) {
+      def ch(f: (Int, Int) => Int): Int =
+        (for (dy <- 0 to 1; dx <- 0 to 1)
+          yield f(2 * tx + dx, 2 * ty + dy)).sum / 4
+      val r = ch((x, _) => 16 * x)
+      val g = ch((_, y) => 20 * y)
+      val b = ch((x, y) => (x * y) % 256)
+      val got = outImg.getRGB(tx, ty)
+      assert(((got >> 16) & 0xff) == r && ((got >> 8) & 0xff) == g &&
+        (got & 0xff) == b, s"($tx,$ty)")
+    }
+    // deterministic bytes (PNG re-encode of identical pixels)
+    assert(MediaCodec.resizeImage(png, 8, 6).get.toSeq == out.toSeq)
+
+    // dataset pass: the image row resizes, the text blob quarantines
+    val media = Seq(
+      (1L, "image", png, 16, 12, 0),
+      (2L, "image", "not an image".getBytes("UTF-8"), 9, 9, 0)
+    ).toDF("media_id", "kind", "media", "width", "height", "sample_rate")
+    val rows = Multimodal.resizeImages(spark, media, 8, 6)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(rows(1L).resized && rows(1L).width == 8 && rows(1L).height == 6)
+    assert(rows(1L).media.toSeq == out.toSeq)
+    assert(!rows(2L).resized && rows(2L).width == 9 &&
+      rows(2L).media.toSeq == "not an image".getBytes("UTF-8").toSeq)
+  }
+
   test("WAV decode recovers exact PCM statistics") {
     val bytes = wavFixture()
     assert(MediaCodec.sniff(bytes) == "wav")
