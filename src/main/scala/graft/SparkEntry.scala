@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(
       (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracleSql),
       (graft.queries.GridQueries.queries, graft.queries.GridQueries.oracleSql),
-      (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql)
+      (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql),
+      (graft.queries.WebQueries.queries, graft.queries.WebQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

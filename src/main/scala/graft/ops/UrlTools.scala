@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and domain analytics for crawled corpora — the
+  * dedup key and per-source accounting a web-scale pipeline applies
+  * BEFORE content-level dedup: two crawls of the same page differ by
+  * tracking params / host case / fragment long before their HTML
+  * differs, and per-registered-domain caps (the `cap_per_source`
+  * pattern keyed on real domains) need the registrable domain, not the
+  * raw host.
+  *
+  * Scale shape: every derivation is a codegen'd regexp Column — the
+  * canonical key costs one scan projection; `domainStats` pays one
+  * partial-agg shuffle keyed by registered domain; `dedupByCanonical`
+  * pays one canonical-key shuffle carrying (key, id) only.
+  *
+  * All regexes live in the RE2 ∩ java.util.regex dialect (no
+  * lookaround) so DuckDB oracles replay the chain exactly.
+  */
+object UrlTools {
+
+  /** Lowercased host, `www.` prefix and port dropped. */
+  def hostOf(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+      "^www\\.|:[0-9]+$", "")
+
+  /** Lowercased scheme. */
+  def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+
+  /** Path component (no query/fragment), trailing slashes trimmed,
+    * empty → "/". */
+  def pathOf(url: Column): Column = {
+    val p = regexp_replace(
+      regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    when(length(p) > 0, p).otherwise(lit("/"))
+  }
+
+  /** Query string with tracking params removed (utm_*, fbclid, gclid,
+    * ref), separators repaired; empty → NULL.
+    *
+    * Two mechanical passes (identical in RE2): drop `key=value`
+    * tracking pairs with their LEADING separator (the re-prepended `?`
+    * makes the first pair separator-carrying too), then strip whatever
+    * separator run leads the survivors (`&a=1` when the first original
+    * pair was dropped, `?a=1` when it was not). */
+  def cleanQueryOf(url: Column): Column = {
+    val raw = regexp_extract(url, "\\?([^#]*)", 1)
+    val dropped = regexp_replace(concat(lit("?"), raw),
+      "[?&](utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)=[^&#]*", "")
+    val q = regexp_replace(dropped, "^[?&]+", "")
+    when(length(raw) > 0 && length(q) > 0, q)
+  }
+
+  /** Canonical form: lowercased scheme/host, `www.` and port dropped,
+    * path slash-normalized, tracking params removed, fragment dropped.
+    * The corpus-level page identity key. */
+  def canonicalize(url: Column): Column = {
+    val base = concat(schemeOf(url), lit("://"), hostOf(url), pathOf(url))
+    val q = cleanQueryOf(url)
+    when(q.isNotNull, concat(base, lit("?"), q)).otherwise(base)
+  }
+
+  /** Country-code second-level suffixes treated as part of the TLD
+    * (public-suffix-lite): `a.b.co.uk` registers as `b.co.uk`. A full
+    * public-suffix list is a broadcast lookup table in production; the
+    * pattern (longest-suffix match, then one more label) is identical. */
+  private val ccSlds = "(co|com|org|net|ac|gov|edu)\\.(uk|au|jp|in|br|nz|za)"
+
+  /** Registrable domain of a host: last 3 labels when the last two are
+    * a cc-SLD pair, else last 2; single-label hosts pass through. */
+  def registeredDomainOfHost(host: Column): Column =
+    when(host.rlike("\\." + ccSlds + "$"),
+      regexp_extract(host, "([^.]+\\." + ccSlds + ")$", 1))
+      .when(host.rlike("\\."),
+        regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(host)
+
+  def registeredDomainOf(url: Column): Column =
+    registeredDomainOfHost(hostOf(url))
+
+  /** Per-registered-domain accounting over (id, url, nChars): docs,
+    * distinct hosts, distinct canonical pages, total chars — the table
+    * per-domain caps and crawl dashboards read. One partial-agg
+    * shuffle; payloads never move. */
+  def domainStats(df: DataFrame, urlCol: String,
+                  charsCol: String): DataFrame = {
+    val url = col(urlCol)
+    df.select(registeredDomainOf(url).as("domain"), hostOf(url).as("host"),
+      canonicalize(url).as("canonical_url"), col(charsCol).as("n_chars"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("canonical_url")).as("n_pages"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
+  /** URL-level dedup: one row per canonical URL, keeping the smallest
+    * id (deterministic across engines). The shuffle carries
+    * (canonical, id); payload columns re-attach by id after the
+    * winner is chosen — at corpus scale the text never rides the
+    * dedup shuffle. */
+  def dedupByCanonical(df: DataFrame, idCol: String,
+                       urlCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      canonicalize(col(urlCol)).as("canonical_url"))
+    val winners = keyed.groupBy(col("canonical_url"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("n_dups"))
+    df.select(col(idCol).as("id"), col(urlCol).as(urlCol))
+      .join(winners, Seq("id"))
+  }
+}

@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{HtmlExtract, UrlTools}
+import graft.sources.Warc
+
+/** Web-crawl ingestion surface: WARC container round-trip, HTML →
+  * text extraction, URL canonicalization / domain analytics. The
+  * fixture corpus is plain text, so the HTML/URL entries derive
+  * deterministic markup and URLs from (doc_id, source, text) — the
+  * SAME derivation on the DuckDB side — and every entry is hash-checked
+  * end to end (the WARC entry's oracle is literally the documents
+  * table: write → read must be the identity).
+  *
+  * Every regex here and in the ops it exercises stays in the
+  * RE2 ∩ java.util.regex dialect so the oracles replay exactly.
+  */
+object WebQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- deterministic fixture derivations (mirrored in oracleSql) ----
+
+  /** Wrap a fixture doc in crawl-shaped HTML: comment, title, style,
+    * script (with `<`/`&&` payload the strip chain must not trip on),
+    * nav + footer link bars (anchor-dominated — the block filter must
+    * drop them), headline, body paragraph, and on doc_id % 3 == 0 an
+    * extra entity-laden paragraph with a `<br>`. */
+  private def plantedHtml(docId: Column, text: Column): Column = {
+    val id = docId.cast("string")
+    concat(
+      lit("<html><!-- crawl 2026 --><head><title>Doc "), id,
+      lit(" &amp; Co</title>"),
+      lit("<style>p { margin: 0 }</style>"),
+      lit("<script type=\"text/javascript\">if (1 < 2 && x > 0) { nav(); }</script></head>"),
+      lit("<body><div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact&nbsp;Us</a></div>"),
+      lit("<h1>Doc "), id, lit("</h1>"),
+      lit("<p>"), text, lit("</p>"),
+      when(docId % 3 === 0,
+        lit("<p>Extra &quot;quoted&quot; paragraph &#39;here&#39;.<br>Line two.</p>"))
+        .otherwise(lit("")),
+      lit("<div class=\"footer\"><a href=\"/tos\">Terms</a> &copy; 2026 <a href=\"/privacy\">Privacy</a></div></body></html>"))
+  }
+
+  /** The oracle-side spelling of [[plantedHtml]]. NOTE for every
+    * snippet below: these strings are embedded into outer templates
+    * that ALSO call stripMargin, so no line may BEGIN with `|` (a
+    * leading `||` would lose a pipe to the outer strip) — every
+    * concatenation operator sits at line end. */
+  private val plantedHtmlSql: String =
+    """'<html><!-- crawl 2026 --><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |  ' &amp; Co</title>' ||
+      |  '<style>p { margin: 0 }</style>' ||
+      |  '<script type="text/javascript">if (1 < 2 && x > 0) { nav(); }</script></head>' ||
+      |  '<body><div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact&nbsp;Us</a></div>' ||
+      |  '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+      |  '<p>' || text || '</p>' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '<p>Extra &quot;quoted&quot; paragraph &#39;here&#39;.<br>Line two.</p>' ELSE '' END ||
+      |  '<div class="footer"><a href="/tos">Terms</a> &copy; 2026 <a href="/privacy">Privacy</a></div></body></html>'""".stripMargin
+
+  /** Derive a crawl URL per doc: mixed-case `WWW.` host prefixes,
+    * three TLDs (one a cc-SLD), occasional explicit port and trailing
+    * slash, tracking params, a fragment — every normalization
+    * [[UrlTools.canonicalize]] performs has planted witnesses. */
+  private def plantedUrl(docId: Column, source: Column): Column = {
+    val id = docId.cast("string")
+    concat(lit("https://"),
+      when(docId % 4 === 0, lit("WWW.")).otherwise(lit("")),
+      source, (docId % 7).cast("string"),
+      when(docId % 3 === 0, lit(".example.co.uk"))
+        .when(docId % 3 === 1, lit(".example.com"))
+        .otherwise(lit(".sample.org")),
+      when(docId % 5 === 0, lit(":8080")).otherwise(lit("")),
+      lit("/path/a"), id,
+      when(docId % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?id="), id, lit("&utm_source=feed"),
+      when(docId % 2 === 0, lit("&ref=rss")).otherwise(lit("")),
+      lit("#s"), (docId % 10).cast("string"))
+  }
+
+  private val plantedUrlSql: String =
+    """'https://' || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+      |  source || CAST(doc_id % 7 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk'
+      |       WHEN doc_id % 3 = 1 THEN '.example.com'
+      |       ELSE '.sample.org' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+      |  '/path/a' || CAST(doc_id AS VARCHAR) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |  '?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed' ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '&ref=rss' ELSE '' END ||
+      |  '#s' || CAST(doc_id % 10 AS VARCHAR)""".stripMargin
+
+  /** A re-crawl spelling of the same page for doc_id % 11 == 0: scheme
+    * and host upper-cased, the other default-ish port, forced trailing
+    * slash, different tracking params, fragment — MUST canonicalize
+    * identically to [[plantedUrl]]'s form. */
+  private def variantUrl(docId: Column, source: Column): Column = {
+    val id = docId.cast("string")
+    concat(lit("HTTPS://"),
+      upper(concat(
+        when(docId % 4 === 0, lit("www.")).otherwise(lit("")),
+        source, (docId % 7).cast("string"),
+        when(docId % 3 === 0, lit(".example.co.uk"))
+          .when(docId % 3 === 1, lit(".example.com"))
+          .otherwise(lit(".sample.org")))),
+      lit(":443"), lit("/path/a"), id, lit("/"),
+      lit("?gclid=zz&id="), id, lit("&utm_medium=mail#top"))
+  }
+
+  private val variantUrlSql: String =
+    """'HTTPS://' || upper(
+      |    CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+      |    source || CAST(doc_id % 7 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk'
+      |         WHEN doc_id % 3 = 1 THEN '.example.com'
+      |         ELSE '.sample.org' END) ||
+      |  ':443' || '/path/a' || CAST(doc_id AS VARCHAR) || '/' ||
+      |  '?gclid=zz&id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=mail#top'""".stripMargin
+
+  /** The oracle-side spelling of [[UrlTools.canonicalize]] and
+    * [[UrlTools.registeredDomainOf]] over a column named `url`. */
+  private val hostSql =
+    """regexp_replace(lower(regexp_extract(url,
+      |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+      |  '^www\.|:[0-9]+$', '', 'g')""".stripMargin
+  private val canonicalSql =
+    s"""lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) ||
+      |  '://' || $hostSql ||
+      |  (CASE WHEN len(regexp_replace(regexp_extract(url,
+      |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      |        '/+$$', '', 'g')) > 0
+      |      THEN regexp_replace(regexp_extract(url,
+      |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      |        '/+$$', '', 'g')
+      |      ELSE '/' END) ||
+      |  (CASE WHEN len(regexp_extract(url, '\\?([^#]*)', 1)) > 0
+      |       AND len(regexp_replace(regexp_replace(
+      |         '?' || regexp_extract(url, '\\?([^#]*)', 1),
+      |         '[?&](utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+      |         '^[?&]+', '', 'g')) > 0
+      |      THEN '?' || regexp_replace(regexp_replace(
+      |         '?' || regexp_extract(url, '\\?([^#]*)', 1),
+      |         '[?&](utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+      |         '^[?&]+', '', 'g')
+      |      ELSE '' END)""".stripMargin
+  private val registeredDomainSql =
+    """CASE WHEN regexp_matches(host,
+      |    '\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za)$')
+      |  THEN regexp_extract(host,
+      |    '([^.]+\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za))$', 1)
+      |  WHEN regexp_matches(host, '\.')
+      |  THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+      |  ELSE host END""".stripMargin
+
+  // one WARC archive dir per sf dir per JVM (Verify/Bench call repeatedly)
+  private val warcDirCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  // ---- queries ------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // Document-level HTML extraction: title, anchor count, cleaned
+    // text. The script's `1 < 2 && x > 0` payload and the entity salad
+    // are the regression traps — a naive tag regex would eat half the
+    // script as a "tag".
+    "html_extract" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), plantedHtml(col("doc_id"), col("text")).as("html"))
+      HtmlExtract.extract(docs, "doc_id", "html")
+        .withColumnRenamed("id", "doc_id")
+    },
+
+    // Block-level boilerplate filter: the nav and footer bars are
+    // anchor-dominated and must drop; title/headline/prose survive.
+    "html_block_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), plantedHtml(col("doc_id"), col("text")).as("html"))
+      HtmlExtract.contentBlocks(docs, "doc_id", "html")
+        .withColumnRenamed("id", "doc_id")
+    },
+
+    // Registered-domain accounting over canonicalized crawl URLs.
+    "url_domains" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(plantedUrl(col("doc_id"), col("source")).as("url"),
+          col("n_chars"))
+      UrlTools.domainStats(docs, "url", "n_chars")
+    },
+
+    // URL-level dedup: the doc_id % 11 re-crawl variants must collapse
+    // onto their originals (n_dups = 2, winner = original id).
+    "url_dedup_canonical" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val urls = docs
+        .select(col("doc_id").as("id"),
+          plantedUrl(col("doc_id"), col("source")).as("url"))
+        .union(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 7000000L).as("id"),
+            variantUrl(col("doc_id"), col("source")).as("url")))
+      UrlTools.dedupByCanonical(urls, "id", "url")
+        .select(col("id"), col("canonical_url"), col("n_dups"))
+    },
+
+    // WARC round-trip law: corpus → .warc.gz archives (one gzip member
+    // per record, the Common Crawl layout) → read → the corpus again.
+    // The oracle is literally the documents table.
+    "src_warc_roundtrip" -> { (s, d) =>
+      val dir = warcDirCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files.createTempDirectory("graft_warc").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("https://corpus.example/doc/"),
+              col("doc_id").cast("string")).as("uri"),
+            col("text"))
+        Warc.writeCorpus(docs, "doc_id", "uri", "text", r)
+        r
+      })
+      Warc.read(s, dir)
+        .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          col("content").cast("string").as("text"))
+    })
+
+  // ---- oracles ------------------------------------------------------
+
+  /** The oracle-side [[HtmlExtract.htmlToText]] chain over a column
+    * named `html` (stages match the op's method boundaries). */
+  private val htmlToTextSql =
+    """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  replace(replace(replace(replace(replace(replace(replace(replace(
+      |    regexp_replace(
+      |      regexp_replace(regexp_replace(
+      |        regexp_replace(regexp_replace(regexp_replace(html,
+      |          '(?s)<!--.*?-->', '', 'g'),
+      |          '(?is)<script[^>]*>.*?</script>', '', 'g'),
+      |          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+      |        '(?i)<br[^>]*>', chr(10), 'g'),
+      |        '(?i)</(p|div|li|h[1-6]|tr|ul|ol|table|blockquote|section|article|header|footer|nav|title)>', chr(10), 'g'),
+      |      '<[^>]*>', '', 'g'),
+      |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', ''''), '&#x27;', ''''), '&copy;', '©'), '&amp;', '&'),
+      |  '[ \t\r]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+      |  '\n+', chr(10), 'g'), '^\n+|\n+$', '', 'g'))""".stripMargin
+
+  /** Entity decode over a column expression (for the title). */
+  private def entitySql(e: String) =
+    s"""replace(replace(replace(replace(replace(replace(replace(replace(
+       |  $e,
+       |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |  '&#39;', ''''), '&#x27;', ''''), '&copy;', '©'), '&amp;', '&')""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "html_extract" ->
+      s"""WITH h AS (SELECT doc_id, $plantedHtmlSql AS html FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN len(regexp_extract(html,
+         |      '(?is)<title[^>]*>(.*?)</title>', 1)) > 0
+         |    THEN trim(${entitySql("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)")})
+         |    END AS title,
+         |  CAST(len(regexp_extract_all(html, '(?is)<a[\\s>]')) AS INT)
+         |    AS n_anchors,
+         |  $htmlToTextSql AS text_clean
+         |FROM h""".stripMargin,
+
+    "html_block_filter" ->
+      s"""WITH h AS (SELECT doc_id, $plantedHtmlSql AS html FROM documents),
+         |marked AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(
+         |      regexp_replace(regexp_replace(regexp_replace(html,
+         |        '(?s)<!--.*?-->', '', 'g'),
+         |        '(?is)<script[^>]*>.*?</script>', '', 'g'),
+         |        '(?is)<style[^>]*>.*?</style>', '', 'g'),
+         |      '(?i)<br[^>]*>', chr(10), 'g'),
+         |      '(?i)</(p|div|li|h[1-6]|tr|ul|ol|table|blockquote|section|article|header|footer|nav|title)>', chr(10), 'g')
+         |    AS m FROM h),
+         |flat AS (SELECT doc_id, u.idx AS block_idx, u.b AS b FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(bs)),
+         |      i -> struct_pack(idx := i, b := bs[i+1]))) AS u
+         |  FROM (SELECT doc_id, string_split(m, chr(10)) AS bs FROM marked))),
+         |scored AS (SELECT doc_id, block_idx,
+         |    len(b) - len(regexp_replace(b, '(?is)<a[^>]*>.*?</a>', '', 'g'))
+         |      AS anchor_chars,
+         |    len(b) AS block_chars,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      ${entitySql("regexp_replace(b, '<[^>]*>', '', 'g')")},
+         |      '[ \t\r]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+         |      '\n+', chr(10), 'g'), '^\n+|\n+$$', '', 'g')) AS text
+         |  FROM flat),
+         |k AS (SELECT doc_id, block_idx, text,
+         |    (len(text) > 0 AND anchor_chars * 100 <= block_chars * 50) AS keep
+         |  FROM scored)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN len(text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_blocks,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  string_agg(CASE WHEN keep THEN text END, chr(10)
+         |    ORDER BY block_idx) AS text_content
+         |FROM k GROUP BY doc_id""".stripMargin,
+
+    "url_domains" ->
+      s"""WITH u AS (SELECT $plantedUrlSql AS url, n_chars FROM documents),
+         |c AS (SELECT $hostSql AS host, $canonicalSql AS canonical_url,
+         |    n_chars FROM u),
+         |r AS (SELECT $registeredDomainSql AS domain, host, canonical_url,
+         |    n_chars FROM c)
+         |SELECT domain, count(*) AS n_docs,
+         |  count(DISTINCT host) AS n_hosts,
+         |  count(DISTINCT canonical_url) AS n_pages,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM r GROUP BY domain""".stripMargin,
+
+    "url_dedup_canonical" ->
+      s"""WITH u AS (
+         |  SELECT doc_id AS id, $plantedUrlSql AS url FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 7000000 AS id, $variantUrlSql AS url
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |c AS (SELECT id, $canonicalSql AS canonical_url FROM u)
+         |SELECT min(id) AS id, canonical_url, count(*) AS n_dups
+         |FROM c GROUP BY canonical_url""".stripMargin,
+
+    "src_warc_roundtrip" -> "SELECT doc_id, text FROM documents")
+}

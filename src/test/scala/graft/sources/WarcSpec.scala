@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Warc.WarcRecord
+
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rec(i: Int, body: Array[Byte]) = WarcRecord(
+    s"<urn:graft:$i>", "response", s"https://x.example/doc/$i",
+    "text/plain; charset=utf-8", body)
+
+  test("encode/parse round-trips records, including CRLF-laden binary bodies") {
+    val bodies = Seq(
+      "plain text".getBytes(UTF_8),
+      "tricky\r\n\r\nWARC/1.0\r\nfake header\r\n\r\n".getBytes(UTF_8),
+      Array.empty[Byte],
+      Array.tabulate(257)(j => (j % 251).toByte))
+    val recs = bodies.zipWithIndex.map { case (b, i) => rec(i, b) }
+    val stream = recs.flatMap(Warc.encodeRecord).toArray
+    val back = Warc.parseAll(stream).toSeq
+    assert(back.size == recs.size)
+    recs.zip(back).foreach { case (a, b) =>
+      assert(a.recordId == b.recordId && a.targetUri == b.targetUri)
+      assert(java.util.Arrays.equals(a.content, b.content))
+    }
+  }
+
+  test("a truncated final record is dropped; earlier records survive") {
+    val full = Seq(rec(0, "first body".getBytes(UTF_8)),
+      rec(1, "second body".getBytes(UTF_8))).flatMap(Warc.encodeRecord).toArray
+    // cut mid-way through record 1's body
+    val cut = java.util.Arrays.copyOfRange(full, 0, full.length - 8)
+    val back = Warc.parseAll(cut).toSeq
+    assert(back.map(_.recordId) == Seq("<urn:graft:0>"))
+    // cut mid-way through record 1's HEADER
+    val headCut = java.util.Arrays.copyOfRange(full, 0,
+      full.length - "second body".length - 10)
+    assert(Warc.parseAll(headCut).toSeq.map(_.recordId) == Seq("<urn:graft:0>"))
+  }
+
+  test("non-WARC leading bytes are a loud error, not a silent skip") {
+    val e = intercept[IllegalArgumentException] {
+      Warc.parseAll("HTTP/1.1 200 OK\r\n\r\nnope\r\n\r\n".getBytes(UTF_8)).toSeq
+    }
+    assert(e.getMessage.contains("not a WARC record"))
+  }
+
+  test("writeCorpus/read round-trips a corpus through per-record gzip members") {
+    val dir = TestSpark.tmpDir("warc_rt")
+    val docs = (0 until 100).map(i =>
+      (i.toLong, s"https://x.example/doc/$i", s"doc $i body\nsecond line $i"))
+      .toDF("doc_id", "uri", "text").repartition(4)
+    Warc.writeCorpus(docs, "doc_id", "uri", "text", dir)
+    val files = new java.io.File(dir).listFiles()
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".warc.gz")),
+      "expected per-partition .warc.gz archives")
+    // each archive holds one gzip member PER RECORD (the Common Crawl
+    // splittable layout): member count = record count, via magic scan
+    val f0 = files.minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(f0.toPath)
+    val members = (0 until bytes.length - 1).count(i =>
+      (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
+        (i + 2 < bytes.length && (bytes(i + 2) & 0xff) == 0x08))
+    val recsIn0 = Warc.read(spark, f0.getAbsolutePath).count()
+    assert(members >= recsIn0,
+      s"expected >= $recsIn0 gzip members in ${f0.getName}, found $members")
+    val back = Warc.read(spark, dir)
+      .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+        .cast("long").as("doc_id"), col("content").cast("string").as("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.length == 100)
+    assert(back(42) == (42L, "doc 42 body\nsecond line 42"))
+  }
+
+  test("read handles uncompressed archives too") {
+    val dir = TestSpark.tmpDir("warc_plain")
+    val docs = (0 until 10).map(i =>
+      (i.toLong, s"https://x.example/doc/$i", s"plain $i"))
+      .toDF("doc_id", "uri", "text").coalesce(1)
+    Warc.writeCorpus(docs, "doc_id", "uri", "text", dir, gzip = false)
+    assert(new java.io.File(dir).listFiles().forall(_.getName.endsWith(".warc")))
+    assert(Warc.read(spark, dir).count() == 10)
+  }
+}
