@@ -89,6 +89,18 @@ object ScalingProbe {
 
     def force(df: DataFrame): Long = df.count()
 
+    // Projection-only queries need the every-column checksum force —
+    // count() references no output column, so Catalyst prunes the whole
+    // projection and the probe times a parquet row count (the same trap
+    // the quantile-cube arm documents). Aggregating queries keep the
+    // cheaper count() force.
+    val checksumForced = Set("html_extract")
+    def forceChecksum(df: DataFrame): Long = {
+      df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+        .as("h")).agg(expr("bit_xor(h)")).collect()
+      -1L
+    }
+
     val chain = Seq("dedup_spans", "dedup_simhash", "dedup_minhash_lsh",
       // round-7 additions: keep-best faces the same 10-deep clusters
       // with the score window on top; PQ-ADC's encode is the
@@ -121,7 +133,13 @@ object ScalingProbe {
       // shuffle only k-sized heap buffers and emit the SAME capped
       // output) and the sketch rollup (10x users, sketch rows stay
       // kilobyte-sized per (day, type))
-      "cap_per_source", "hll_rollup_users")
+      "cap_per_source", "hll_rollup_users",
+      // round-8 wave 2: the web-crawl front end — the HTML strip chain
+      // must track markup volume (pure codegen scan, no shuffle), the
+      // domain rollup's multi-distinct must shuffle projections only,
+      // and the WARC read must track archive bytes (the archive build
+      // caches per dir, so the kept second pass probes READ cost)
+      "html_extract", "url_domains", "src_warc_roundtrip")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
@@ -160,7 +178,8 @@ object ScalingProbe {
           org.apache.spark.GraftMetricsBridge.flush(spark.sparkContext)
           val cpu0 = listener.cpuNanos.get()
           val t0 = System.nanoTime()
-          rows = force(SparkEntry.queries(name)(spark, dir))
+          val df = SparkEntry.queries(name)(spark, dir)
+          rows = if (checksumForced(name)) forceChecksum(df) else force(df)
           val wall = (System.nanoTime() - t0) / 1e9
           org.apache.spark.GraftMetricsBridge.flush(spark.sparkContext)
           val cpu = (listener.cpuNanos.get() - cpu0) / 1e9

@@ -140,14 +140,12 @@ object Warc {
 
   // ---- Spark surface ------------------------------------------------
 
-  /** Read every `*.warc` / `*.warc.gz` under `dir` into
-    * (record_id, warc_type, target_uri, content_type, content). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*").load(dir)
-      .select(col("content").as("file_bytes"))
+  /** Archive-file rows → record rows. `files` must carry the
+    * binaryFile source's `content` column; works identically on batch
+    * and streaming frames (the parse is a deterministic map stage). */
+  def records(files: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    files.mapPartitions { rows =>
+    files.select(col("content").as("file_bytes")).mapPartitions { rows =>
       rows.flatMap { row =>
         val raw = row.getAs[Array[Byte]]("file_bytes")
         val plain = if (isGzip(raw)) gunzipAll(raw) else raw
@@ -157,6 +155,26 @@ object Warc {
     }(enc)
   }
 
+  /** Read every `*.warc` / `*.warc.gz` under `dir` into
+    * (record_id, warc_type, target_uri, content_type, content). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    records(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(dir))
+
+  /** The streaming twin: `dir` as a landing directory — new archives
+    * are discovered per micro-batch (the crawl-upload flow). The
+    * binaryFile STREAMING source does not self-describe its schema the
+    * way the batch reader does, so it is declared here (the format's
+    * fixed four columns). */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    records(spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "*.warc*").load(dir))
+
   /** Write (id, uri, content) rows as `part-NNNNN.warc[.gz]` archives,
     * one per partition, executor-side. `content` is UTF-8 text here
     * (the corpus case); binary payloads go through the Row form. */
@@ -165,12 +183,15 @@ object Warc {
                   gzip: Boolean = true): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val suffix = if (gzip) ".warc.gz" else ".warc"
+    // per-call token: successive writes into one landing dir (the
+    // crawl-upload flow) must not collide on partition ids
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     df.select(col(idCol).cast("string").as("id"), col(uriCol).as("uri"),
         col(textCol).as("text"))
       .foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path = java.nio.file.Paths.get(dir, f"part-$pid%05d$suffix")
+          val path = java.nio.file.Paths.get(dir, f"part-$runId-$pid%05d$suffix")
           val out = new java.io.BufferedOutputStream(
             java.nio.file.Files.newOutputStream(path), 1 << 20)
           try rows.foreach { row =>

@@ -154,6 +154,38 @@ object CorpusStreamIngest {
     * in `landingDir` flow through [[curateNearBatch]]; the curated
     * corpus and its MinHash index accumulate under `stateDir`.
     * `Trigger.AvailableNow` drains and stops (the cron shape). */
+  /** The full crawl front end as a STREAM: WARC archives land in
+    * `landingDir`, each micro-batch parses records
+    * ([[graft.sources.Warc.readStream]]), extracts text from the HTML
+    * payloads ([[graft.ops.HtmlExtract.htmlToText]] — one codegen
+    * projection, stateless), and runs the same [[curate]] gates +
+    * exact dedup as the batch pipeline; kept docs append to `outDir`
+    * parquet. doc ids come from the crawl URI (`…/doc/<id>`).
+    *
+    * The only stateful operator is curate's content-hash
+    * dropDuplicates — first-arrival-wins across micro-batches, so a
+    * re-delivered archive (crawler retry) adds nothing. Stream == batch
+    * is pinned by WarcStreamSpec. */
+  def startWarcCurate(spark: SparkSession, landingDir: String,
+                      outDir: String, checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      minChars: Int = 50, minQuality: Double = 0.3,
+                      maxRepetition: Double = 0.5): StreamingQuery =
+    curate(
+      graft.sources.Warc.readStream(spark, landingDir)
+        .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          graft.ops.HtmlExtract.htmlToText(col("content").cast("string"))
+            .as("text")),
+      minChars = minChars, minQuality = minQuality,
+      maxRepetition = maxRepetition)
+      .select(col("doc_id"), col("text"), col("content_hash"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .format("parquet").option("path", outDir)
+      .start()
+
   def startNear(spark: SparkSession, landingDir: String, stateDir: String,
                 checkpointDir: String,
                 trigger: Trigger = Trigger.AvailableNow(),
