@@ -204,6 +204,42 @@ object WebQueries {
         .select(col("id"), col("canonical_url"), col("n_dups"))
     },
 
+    // The pipeline composed end to end (ops/CrawlCurate): pages with
+    // planted exact dups (same html, different crawl URL), near dups
+    // (one word changed), URL-variant re-crawls, and benchmark
+    // contamination, curated to (id, url, text, quality, split).
+    // MinHash near-dedup makes it non-SQL-expressible → rows-only here;
+    // CrawlCurateSpec asserts the exact surviving id set, and every
+    // component stage has its own hash-checked oracle entry.
+    "curate_crawl_e2e" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"),
+        plantedUrl(col("doc_id"), col("source")).as("url"),
+        plantedHtml(col("doc_id"), col("text")).as("html"))
+      // exact dup: identical page (same embedded id) at a fresh URL
+      val exactDups = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          plantedUrl(col("doc_id") + 100000L, col("source")).as("url"),
+          plantedHtml(col("doc_id"), col("text")).as("html"))
+      // near dup: first word of the body replaced, fresh URL
+      val nearDups = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          plantedUrl(col("doc_id") + 200000L, col("source")).as("url"),
+          plantedHtml(col("doc_id"),
+            concat(lit("zzz "),
+              expr("substring(text, instr(text, ' ') + 1)"))).as("html"))
+      // re-crawl: same canonical URL, page re-rendered (id + text same)
+      val recrawls = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          variantUrl(col("doc_id"), col("source")).as("url"),
+          plantedHtml(col("doc_id"), col("text")).as("html"))
+      val pages = base.unionByName(exactDups).unionByName(nearDups)
+        .unionByName(recrawls)
+      val benchmark = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("text"))
+      graft.ops.CrawlCurate.curatePages(pages, benchmark)
+    },
+
     // WARC round-trip law: corpus → .warc.gz archives (one gzip member
     // per record, the Common Crawl layout) → read → the corpus again.
     // The oracle is literally the documents table.
