@@ -139,7 +139,12 @@ object ScalingProbe {
       // domain rollup's multi-distinct must shuffle projections only,
       // and the WARC read must track archive bytes (the archive build
       // caches per dir, so the kept second pass probes READ cost)
-      "html_extract", "url_domains", "src_warc_roundtrip")
+      "html_extract", "url_domains", "src_warc_roundtrip",
+      // the composed crawl pipeline: URL dedup + gates + exact/near
+      // dedup + decontamination + split in one number — replicas are
+      // 10-deep near-dup groups, so the MinHash/cluster stages face
+      // their worst shape while everything upstream grows linearly
+      "curate_crawl_e2e")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>

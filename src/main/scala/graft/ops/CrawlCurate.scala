@@ -34,8 +34,14 @@ object CrawlCurate {
                   minJaccard: Double = 0.7,
                   splits: Seq[(String, Double)] =
                     Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)): DataFrame = {
-    val texted = pages.select(col(idCol), col(urlCol),
-      HtmlExtract.htmlToText(col(htmlCol)).as("text"))
+    // Extract ONCE and persist: every later stage hangs off this frame
+    // from both sides of a semi/anti join, and without the persist the
+    // branch fan-out re-derives the whole regexp chain per reference
+    // (measured 28x cpu at 10x corpus before; linear after). Tracked in
+    // CacheRegistry — callers release after their terminal action.
+    val texted = CacheRegistry.persist(
+      pages.select(col(idCol), col(urlCol),
+        HtmlExtract.htmlToText(col(htmlCol)).as("text")))
 
     // 1. URL-level: one survivor (smallest id) per canonical URL —
     //    semi-join of winner ids, text never shuffles
@@ -53,9 +59,11 @@ object CrawlCurate {
     //    the signature table is registry-tracked; release after the
     //    terminal action as usual)
     val exact = Dedup.dropExactDuplicates(gated, idCol, "text")
-    val near = Dedup.dropNearDuplicates(exact, idCol,
+    // near feeds decontamination AND the final anti join — persist so
+    // the dedup cascade materializes once
+    val near = CacheRegistry.persist(Dedup.dropNearDuplicates(exact, idCol,
       Dedup.minhashNearDups(exact, idCol, "text",
-        k = minhashK, bands = bands, minJaccard = minJaccard))
+        k = minhashK, bands = bands, minJaccard = minJaccard)))
 
     // 4. Decontaminate: drop pages sharing any 5-gram with the
     //    benchmark (broadcast shingle set)

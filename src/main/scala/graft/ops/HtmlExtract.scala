@@ -60,7 +60,11 @@ object HtmlExtract {
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&#x27;" -> "'",
       "&copy;" -> "©", "&amp;" -> "&")
-    steps.foldLeft(s) { case (c, (from, to)) => regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
+    // literal replace, not regexp_replace: no regex scan per entity,
+    // and the DuckDB oracle's replace() chain is the exact same op
+    steps.foldLeft(s) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
   }
 
   /** Collapse runs of spaces/tabs/CRs, trim each line, collapse blank

@@ -235,8 +235,14 @@ object WebQueries {
           plantedHtml(col("doc_id"), col("text")).as("html"))
       val pages = base.unionByName(exactDups).unionByName(nearDups)
         .unionByName(recrawls)
+      // the eval set is FIXED-SIZE by construction (real benchmarks do
+      // not grow with the training corpus): the 50 smallest-id docs of
+      // the % 97 band, deterministic at any corpus scale — and the
+      // decontamination match volume stays benchmark-bounded instead of
+      // growing quadratically when a probe replicates the corpus
       val benchmark = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("text"))
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(50).select(col("text"))
       graft.ops.CrawlCurate.curatePages(pages, benchmark)
     },
 
