@@ -331,7 +331,7 @@ object Bench {
     // overflow, which a sum of 2^63-ranged hashes hits immediately.
     def force(df: org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
         .agg(expr("bit_xor(h)")).collect()
     }
 

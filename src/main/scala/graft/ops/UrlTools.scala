@@ -99,6 +99,31 @@ object UrlTools {
         sum(col("n_chars")).as("total_chars"))
   }
 
+  /** Domain reputation prior (the CCNet/RefinedWeb-style signal: a
+    * page inherits its domain's track record): per-doc quality snapped
+    * to 1e-4 integer units (`q4` — the score is a discrete rule sum,
+    * so the snap is exact on any IEEE engine), aggregated per
+    * registered domain with integer arithmetic (count + sum, mean =
+    * floored integer division — order-independent, engine-exact), and
+    * joined back onto every doc.
+    *
+    * Scale shape: one partial-agg shuffle keyed by domain; the prior
+    * table is |registrable domains| rows — orders of magnitude smaller
+    * than the corpus — so the join-back BROADCASTS and text never
+    * shuffles. */
+  def domainQualityPrior(df: DataFrame, urlCol: String,
+                         qualityCol: String): DataFrame = {
+    val keyed = df
+      .withColumn("domain", registeredDomainOf(col(urlCol)))
+      .withColumn("q4", round(col(qualityCol) * 10000, 0).cast("long"))
+    val priors = keyed.groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_docs"), sum(col("q4")).as("qsum"))
+      .select(col("domain"), col("domain_docs"),
+        floor(col("qsum") / col("domain_docs")).cast("long")
+          .as("domain_mean_q4"))
+    keyed.drop(qualityCol).join(broadcast(priors), Seq("domain"))
+  }
+
   /** URL-level dedup: one row per canonical URL, keeping the smallest
     * id (deterministic across engines). The shuffle carries
     * (canonical, id); payload columns re-attach by id after the

@@ -190,6 +190,19 @@ object WebQueries {
       UrlTools.domainStats(docs, "url", "n_chars")
     },
 
+    // Domain reputation prior: per-doc quality snapped to integer 1e-4
+    // units, per-registered-domain docs/mean joined back broadcast.
+    "url_domain_prior" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          plantedUrl(col("doc_id"), col("source")).as("url"),
+          round(graft.functions.TextFunctions.qualityScore(col("text")), 4)
+            .as("quality"))
+      graft.ops.UrlTools.domainQualityPrior(docs, "url", "quality")
+        .select(col("doc_id"), col("domain"), col("q4"),
+          col("domain_docs"), col("domain_mean_q4"))
+    },
+
     // URL-level dedup: the doc_id % 11 re-crawl variants must collapse
     // onto their originals (n_dups = 2, winner = original id).
     "url_dedup_canonical" -> { (s, d) =>
@@ -353,6 +366,41 @@ object WebQueries {
          |  count(DISTINCT canonical_url) AS n_pages,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM r GROUP BY domain""".stripMargin,
+
+    "url_domain_prior" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(length(text) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> len(x) > 0)) AS DOUBLE) AS ntok,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |        '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) AS npunct,
+         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |        AS DOUBLE) AS ndigit,
+         |    CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> len(x) > 0)) > 0
+         |      THEN CAST(list_sum(list_transform(
+         |          list_filter(string_split_regex(trim(text), '\\s+'),
+         |            x -> len(x) > 0), x -> len(x))) AS DOUBLE)
+         |        / len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |            x -> len(x) > 0))
+         |      ELSE 0.0 END AS atl
+         |  FROM documents),
+         |q AS (SELECT doc_id, source, round(CAST(
+         |    (CASE WHEN ntok >= 10 AND ntok <= 10000 THEN 0.4 ELSE 0.0 END) +
+         |    (CASE WHEN atl >= 2.5 AND atl <= 12.0 THEN 0.3 ELSE 0.0 END) +
+         |    (CASE WHEN npunct / greatest(n, 1.0) <= 0.1 THEN 0.15 ELSE 0.0 END) +
+         |    (CASE WHEN ndigit / greatest(n, 1.0) <= 0.2 THEN 0.15 ELSE 0.0 END)
+         |    AS DOUBLE), 4) AS quality
+         |  FROM t),
+         |u AS (SELECT doc_id, CAST(round(quality * 10000) AS BIGINT) AS q4,
+         |    $plantedUrlSql AS url FROM q),
+         |h AS (SELECT doc_id, q4, $hostSql AS host FROM u),
+         |k AS (SELECT doc_id, q4, $registeredDomainSql AS domain FROM h),
+         |p AS (SELECT domain, count(*) AS domain_docs,
+         |    CAST(sum(q4) AS BIGINT) AS qsum FROM k GROUP BY domain)
+         |SELECT k.doc_id, k.domain, k.q4, p.domain_docs,
+         |  CAST(floor(qsum / domain_docs) AS BIGINT) AS domain_mean_q4
+         |FROM k JOIN p USING (domain)""".stripMargin,
 
     "url_dedup_canonical" ->
       s"""WITH u AS (

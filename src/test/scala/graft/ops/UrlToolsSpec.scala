@@ -72,6 +72,23 @@ class UrlToolsSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"expected <= 2 shuffles, got $shuffles")
   }
 
+  test("domainQualityPrior: integer-exact per-domain mean, broadcast join-back") {
+    val df = Seq(
+      (1L, "https://a.example.com/1", 0.85),
+      (2L, "https://b.example.com/2", 0.55),
+      (3L, "https://c.sample.org/3", 1.0)).toDF("doc_id", "url", "quality")
+    val out = UrlTools.domainQualityPrior(df, "url", "quality")
+    val rows = out.select("doc_id", "domain", "q4", "domain_docs", "domain_mean_q4")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1L, "example.com", 8500L, 2L, 7000L), // floor((8500+5500)/2)
+      (2L, "example.com", 5500L, 2L, 7000L),
+      (3L, "sample.org", 10000L, 1L, 10000L)))
+    assert(TestSpark.executedPlan(out).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the prior table must broadcast back onto the corpus")
+  }
+
   test("domainStats aggregates per registered domain") {
     val df = Seq(
       ("https://a.example.com/1", 10L), ("https://b.example.com/2", 20L),
