@@ -17,7 +17,7 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("p3_window_slice", "j1_multi_grid_align", "f5_qa_confidence",
-        "o1_topk", "asof_join")
+        "o1_topk", "asof_join", "html_extract", "url_domain_prior")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
