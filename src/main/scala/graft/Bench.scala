@@ -379,6 +379,9 @@ object Bench {
       if (only.forall(_.contains("bm25"))) bm25AB(spark, sfDir, force)
       else Nil
     } ++ {
+      if (only.forall(_.contains("warc"))) warcAB(spark, sfDir, force)
+      else Nil
+    } ++ {
       if (only.forall(_.contains("quantile")))
         quantileCubeAB(spark, sfDir, force)
       else Nil
@@ -601,6 +604,42 @@ object Bench {
     * postings, not the corpus — record the build once (the amortized
     * side) and an interleaved A/B of index-served vs full-scan BM25
     * for the same query. */
+  /** Crawl-store build/probe trade (sources/Warc CDX index): write the
+    * corpus as indexed .warc.gz once (amortized side, timed
+    * separately), then A/B fetching 20 pages through the offset index
+    * (one seek + one member inflate each) against scanning the full
+    * archive set and filtering — the scan side re-pays archive volume
+    * on every targeted re-fetch, the indexed side never does. */
+  def warcAB(spark: SparkSession, sfDir: String,
+             force: org.apache.spark.sql.DataFrame => Unit): Seq[Timing] = {
+    import graft.sources.Warc
+    val dir = benchTmpDir("graft_bench_warc")
+    try {
+      val docs = Tables.documents(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("https://corpus.example/doc/"),
+            org.apache.spark.sql.functions.col("doc_id").cast("string"))
+            .as("uri"),
+          org.apache.spark.sql.functions.col("text"))
+      val build = timed2(spark, "warc_index_build") {
+        Warc.writeCorpusIndexed(docs, "doc_id", "uri", "text", dir)
+      }
+      val uris = (0 until 20).map(i => s"https://corpus.example/doc/${i * 7}")
+      val pair = timedAB(spark, "warc_fetch_indexed", "warc_fetch_scan") {
+        force(Warc.fetchByUri(spark, dir, uris))
+      } {
+        force(Warc.read(spark, dir).filter(
+          org.apache.spark.sql.functions.col("target_uri")
+            .isInCollection(uris)))
+      }
+      build +: pair
+    } finally {
+      try { graft.sources.GridExports.deleteStore(spark, dir) }
+      catch { case _: Throwable => }
+    }
+  }
+
   def bm25AB(spark: SparkSession, sfDir: String,
              force: org.apache.spark.sql.DataFrame => Unit): Seq[Timing] = {
     import graft.ops.TextSearch

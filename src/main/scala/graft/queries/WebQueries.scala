@@ -158,6 +158,20 @@ object WebQueries {
   // one WARC archive dir per sf dir per JVM (Verify/Bench call repeatedly)
   private val warcDirCache =
     scala.collection.concurrent.TrieMap[String, String]()
+  // separate dir for the INDEXED layout (archives + _index parquet)
+  private val warcIdxCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def indexedWarcDir(s: SparkSession, d: String): String =
+    warcIdxCache.getOrElseUpdate(d, {
+      val r = java.nio.file.Files.createTempDirectory("graft_warc_idx").toString
+      Warc.writeCorpusIndexed(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("https://corpus.example/doc/"),
+            col("doc_id").cast("string")).as("uri"), col("text")),
+        "doc_id", "uri", "text", r)
+      r
+    })
 
   // ---- queries ------------------------------------------------------
 
@@ -257,6 +271,24 @@ object WebQueries {
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id")).limit(50).select(col("text"))
       graft.ops.CrawlCurate.curatePages(pages, benchmark)
+    },
+
+    // CDX-indexed random access: fetch the % 101 pages through the
+    // offset index (one seek + one member inflate each — cost tracks
+    // requested pages, never archive bytes). The oracle is the same
+    // subset of the documents table, so offsets/lengths/member
+    // boundaries are all hash-checked end to end.
+    "src_warc_fetch" -> { (s, d) =>
+      val dir = indexedWarcDir(s, d)
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+        .collect().map(_.getLong(0)) // bounded: 1/101 of the corpus
+      Warc.fetchByUri(s, dir,
+        ids.toSeq.map(i => s"https://corpus.example/doc/$i"))
+        .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          col("content").cast("string").as("text"))
     },
 
     // WARC round-trip law: corpus → .warc.gz archives (one gzip member
@@ -412,5 +444,8 @@ object WebQueries {
          |SELECT min(id) AS id, canonical_url, count(*) AS n_dups
          |FROM c GROUP BY canonical_url""".stripMargin,
 
-    "src_warc_roundtrip" -> "SELECT doc_id, text FROM documents")
+    "src_warc_roundtrip" -> "SELECT doc_id, text FROM documents",
+
+    "src_warc_fetch" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0")
 }

@@ -175,34 +175,119 @@ object Warc {
         StructField("content", BinaryType))))
       .option("pathGlobFilter", "*.warc*").load(dir))
 
+  /** Write one partition's rows as a single archive file; returns the
+    * CDX-style index entries (uri, id, byte offset, byte length of the
+    * record's gzip member — each member is independently
+    * decompressible, so (offset, length) IS a random-access handle). */
+  private def writeArchive(rows: Iterator[Row],
+                           path: java.nio.file.Path, gzip: Boolean)
+      : List[(String, String, Long, Int)] = {
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path), 1 << 20)
+    var offset = 0L
+    val entries = List.newBuilder[(String, String, Long, Int)]
+    try rows.foreach { row =>
+      val rec = WarcRecord(
+        s"<urn:graft:${row.getString(0)}>", "response",
+        row.getString(1), "text/plain; charset=utf-8",
+        Option(row.getString(2)).getOrElse("").getBytes(UTF_8))
+      val bytes = {
+        val plain = encodeRecord(rec)
+        if (gzip) gzipMember(plain) else plain
+      }
+      out.write(bytes)
+      entries += ((row.getString(1), row.getString(0), offset, bytes.length))
+      offset += bytes.length
+    } finally out.close()
+    entries.result()
+  }
+
   /** Write (id, uri, content) rows as `part-NNNNN.warc[.gz]` archives,
     * one per partition, executor-side. `content` is UTF-8 text here
     * (the corpus case); binary payloads go through the Row form. */
   def writeCorpus(df: DataFrame, idCol: String, uriCol: String,
                   textCol: String, dir: String,
-                  gzip: Boolean = true): Unit = {
+                  gzip: Boolean = true): Unit =
+    archiveEntries(df, idCol, uriCol, textCol, dir, gzip)
+      .foreach((_: Row) => ())
+
+  /** [[writeCorpus]] plus a CDX-style offset index at `dir/_index`
+    * (parquet: uri, id, path, offset, length) — the sidecar Common
+    * Crawl publishes as CDX: [[fetchByUri]] then reads a requested
+    * page with ONE seek + one member gunzip, never scanning the
+    * archive. */
+  def writeCorpusIndexed(df: DataFrame, idCol: String, uriCol: String,
+                         textCol: String, dir: String,
+                         gzip: Boolean = true): Unit =
+    archiveEntries(df, idCol, uriCol, textCol, dir, gzip)
+      .write.mode("overwrite").parquet(s"$dir/_index")
+
+  /** The lazy shared core: an index-entry frame whose materialization
+    * writes the archives as a side effect. Exactly ONE action may run
+    * on it (re-materializing would rewrite the archives), which is why
+    * it stays private behind the two writers above. */
+  private def archiveEntries(df: DataFrame, idCol: String, uriCol: String,
+                             textCol: String, dir: String,
+                             gzip: Boolean): DataFrame = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val suffix = if (gzip) ".warc.gz" else ".warc"
     // per-call token: successive writes into one landing dir (the
     // crawl-upload flow) must not collide on partition ids
     val runId = java.util.UUID.randomUUID().toString.take(8)
+    val idxSchema = StructType(Seq(
+      StructField("uri", StringType), StructField("id", StringType),
+      StructField("path", StringType), StructField("offset", LongType),
+      StructField("length", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(idxSchema)
     df.select(col(idCol).cast("string").as("id"), col(uriCol).as("uri"),
         col(textCol).as("text"))
-      .foreachPartition { (rows: Iterator[Row]) =>
-        if (rows.hasNext) {
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val path = java.nio.file.Paths.get(dir, f"part-$runId-$pid%05d$suffix")
-          val out = new java.io.BufferedOutputStream(
-            java.nio.file.Files.newOutputStream(path), 1 << 20)
-          try rows.foreach { row =>
-            val rec = WarcRecord(
-              s"<urn:graft:${row.getString(0)}>", "response",
-              row.getString(1), "text/plain; charset=utf-8",
-              Option(row.getString(2)).getOrElse("").getBytes(UTF_8))
-            val bytes = encodeRecord(rec)
-            out.write(if (gzip) gzipMember(bytes) else bytes)
-          } finally out.close()
+          writeArchive(rows, path, gzip).iterator.map { case (uri, id, off, len) =>
+            Row(uri, id, path.toString, off, len)
+          }
         }
-      }
+      }(enc)
+  }
+
+  /** Random-access read: one record from `(offset, length)` of an
+    * archive — a seek + (for `.gz`) one member inflate. */
+  def readRecordAt(path: String, offset: Long, length: Int): WarcRecord = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    val buf = java.nio.ByteBuffer.allocate(length)
+    try {
+      ch.position(offset)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      require(!buf.hasRemaining, s"short read at $path:$offset+$length")
+    } finally ch.close()
+    val raw = buf.array()
+    val plain = if (isGzip(raw)) gunzipAll(raw) else raw
+    val it = parseAll(plain)
+    require(it.hasNext, s"no record at $path:$offset")
+    it.next()
+  }
+
+  /** Fetch specific pages through the index: cost is proportional to
+    * the REQUESTED pages (index partition-pruned scan + one seek and
+    * member inflate each), never to archive bytes — the build/probe
+    * split of the crawl store, same trade as the IVF / inverted-text
+    * indexes. */
+  def fetchByUri(spark: SparkSession, dir: String,
+                 uris: Seq[String]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    spark.read.parquet(s"$dir/_index")
+      .filter(col("uri").isInCollection(uris))
+      .select(col("path"), col("offset"), col("length"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val rec = readRecordAt(r.getString(0), r.getLong(1), r.getInt(2))
+          Row(rec.recordId, rec.warcType, rec.targetUri, rec.contentType,
+            rec.content)
+        }
+      }(enc)
   }
 }

@@ -79,6 +79,46 @@ class WarcSpec extends AnyFunSuite {
     assert(back(42) == (42L, "doc 42 body\nsecond line 42"))
   }
 
+  test("indexed write: random-access fetch equals the full scan") {
+    val dir = TestSpark.tmpDir("warc_idx")
+    val docs = (0 until 80).map(i =>
+      (i.toLong, s"https://x.example/doc/$i", s"indexed body $i\nline two $i"))
+      .toDF("doc_id", "uri", "text").repartition(3)
+    Warc.writeCorpusIndexed(docs, "doc_id", "uri", "text", dir)
+    val idx = spark.read.parquet(s"$dir/_index")
+    assert(idx.count() == 80)
+    // offsets really are member boundaries: a direct seek decodes
+    val one = idx.filter(col("uri") === "https://x.example/doc/42")
+      .head()
+    val rec = Warc.readRecordAt(one.getAs[String]("path"),
+      one.getAs[Long]("offset"), one.getAs[Int]("length"))
+    assert(rec.targetUri == "https://x.example/doc/42")
+    assert(new String(rec.content, UTF_8) == "indexed body 42\nline two 42")
+    // the Spark fetch path agrees with a full-archive scan
+    val uris = Seq(3L, 42L, 77L).map(i => s"https://x.example/doc/$i")
+    val fetched = Warc.fetchByUri(spark, dir, uris)
+      .select("target_uri", "content").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), UTF_8)))
+      .toSet
+    val scanned = Warc.read(spark, dir)
+      .filter(col("target_uri").isInCollection(uris))
+      .select("target_uri", "content").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), UTF_8)))
+      .toSet
+    assert(fetched == scanned && fetched.size == 3)
+  }
+
+  test("indexed write works uncompressed too (offsets are raw-byte)") {
+    val dir = TestSpark.tmpDir("warc_idx_plain")
+    val docs = Seq((1L, "https://x.example/doc/1", "plain one"),
+      (2L, "https://x.example/doc/2", "plain two"))
+      .toDF("doc_id", "uri", "text").coalesce(1)
+    Warc.writeCorpusIndexed(docs, "doc_id", "uri", "text", dir, gzip = false)
+    val got = Warc.fetchByUri(spark, dir, Seq("https://x.example/doc/2"))
+      .select("content").head().getAs[Array[Byte]](0)
+    assert(new String(got, UTF_8) == "plain two")
+  }
+
   test("read handles uncompressed archives too") {
     val dir = TestSpark.tmpDir("warc_plain")
     val docs = (0 until 10).map(i =>
