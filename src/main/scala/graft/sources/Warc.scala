@@ -275,13 +275,25 @@ object Warc {
     * the REQUESTED pages (index partition-pruned scan + one seek and
     * member inflate each), never to archive bytes — the build/probe
     * split of the crawl store, same trade as the IVF / inverted-text
-    * indexes. */
+    * indexes. For hand-sized request lists; a table-sized request set
+    * goes through [[fetchByUriTable]] (a join, not an IN literal). */
   def fetchByUri(spark: SparkSession, dir: String,
-                 uris: Seq[String]): DataFrame = {
+                 uris: Seq[String]): DataFrame =
+    fetchHandles(spark.read.parquet(s"$dir/_index")
+      .filter(col("uri").isInCollection(uris)))
+
+  /** The table-driven twin: `uris` is a DataFrame with a `uri` column
+    * (e.g. the output of a dedup or sampling stage choosing which
+    * pages to re-fetch); the index joins it instead of inlining an IN
+    * literal, so the request set can be corpus-sized. */
+  def fetchByUriTable(spark: SparkSession, dir: String,
+                      uris: DataFrame): DataFrame =
+    fetchHandles(spark.read.parquet(s"$dir/_index")
+      .join(uris.select(col("uri")), Seq("uri"), "left_semi"))
+
+  private def fetchHandles(handles: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    spark.read.parquet(s"$dir/_index")
-      .filter(col("uri").isInCollection(uris))
-      .select(col("path"), col("offset"), col("length"))
+    handles.select(col("path"), col("offset"), col("length"))
       .mapPartitions { rows =>
         rows.map { r =>
           val rec = readRecordAt(r.getString(0), r.getLong(1), r.getInt(2))

@@ -108,6 +108,20 @@ class WarcSpec extends AnyFunSuite {
     assert(fetched == scanned && fetched.size == 3)
   }
 
+  test("table-driven fetch equals the list form") {
+    val dir = TestSpark.tmpDir("warc_idx_tbl")
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"https://x.example/doc/$i", s"body $i"))
+      .toDF("doc_id", "uri", "text").repartition(2)
+    Warc.writeCorpusIndexed(docs, "doc_id", "uri", "text", dir)
+    val want = Seq(5L, 17L, 23L).map(i => s"https://x.example/doc/$i")
+    val viaList = Warc.fetchByUri(spark, dir, want)
+      .select("target_uri").as[String].collect().toSet
+    val viaTable = Warc.fetchByUriTable(spark, dir, want.toDF("uri"))
+      .select("target_uri").as[String].collect().toSet
+    assert(viaList == want.toSet && viaTable == want.toSet)
+  }
+
   test("indexed write works uncompressed too (offsets are raw-byte)") {
     val dir = TestSpark.tmpDir("warc_idx_plain")
     val docs = Seq((1L, "https://x.example/doc/1", "plain one"),
