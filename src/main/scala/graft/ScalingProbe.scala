@@ -92,9 +92,13 @@ object ScalingProbe {
     // Projection-only queries need the every-column checksum force —
     // count() references no output column, so Catalyst prunes the whole
     // projection and the probe times a parquet row count (the same trap
-    // the quantile-cube arm documents). Aggregating queries keep the
-    // cheaper count() force.
-    val checksumForced = Set("html_extract")
+    // the quantile-cube arm documents). The same pruning can drop
+    // NON-GROUPING aggregate expressions under a count (group count is
+    // computable without them), so aggregate-heavy web entries checksum
+    // too; queries whose cost is joins/dedup keyed on every column keep
+    // the cheaper count() force.
+    val checksumForced = Set("html_extract", "html_block_filter",
+      "url_domains", "url_dedup_canonical")
     def forceChecksum(df: DataFrame): Long = {
       df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
         .as("h")).agg(expr("bit_xor(h)")).collect()
@@ -139,7 +143,8 @@ object ScalingProbe {
       // domain rollup's multi-distinct must shuffle projections only,
       // and the WARC read must track archive bytes (the archive build
       // caches per dir, so the kept second pass probes READ cost)
-      "html_extract", "url_domains", "src_warc_roundtrip",
+      "html_extract", "html_block_filter", "url_domains",
+      "url_dedup_canonical", "src_warc_roundtrip",
       // the composed crawl pipeline: URL dedup + gates + exact/near
       // dedup + decontamination + split in one number — replicas are
       // 10-deep near-dup groups, so the MinHash/cluster stages face
