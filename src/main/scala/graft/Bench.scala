@@ -119,13 +119,15 @@ object Bench {
     "html_extract", "html_block_filter", "url_domains",
     "src_warc_roundtrip",
     // the composed crawl pipeline (per-doc cost of the whole front end)
-    "curate_crawl_e2e")
+    "curate_crawl_e2e",
+    // robots gate: broadcast rule-set join + in-row fold, zero shuffle
+    "url_robots_gate")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
     * longer fits the driver's 2000-char tail window. One join-heavy
     * SQL-text representative (q5) stays on the line. */
-  val lineExcluded: Set[String] = Set("sql_tpch_q10")
+  val lineExcluded: Set[String] = Set("sql_tpch_q10", "ann_lsh_topk")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

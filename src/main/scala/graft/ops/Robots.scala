@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** robots.txt compliance gate (REP, RFC 9309) — the first filter a
+  * crawl corpus passes: pages fetched from paths the site disallows
+  * for `*` are dropped before any content work. Common Crawl ships the
+  * robots responses as their own WARC set, so the natural flow is
+  * robots WARCs → [[parseRulesTable]] → broadcast gate over the page
+  * corpus.
+  *
+  * Semantics (the RFC's longest-match rule): the most specific
+  * matching rule (longest path prefix) decides; on an exact length
+  * tie, Allow wins; no matching rule means allowed. Encoded as integer
+  * arithmetic — score = 2·len(prefix) + (allow ? 1 : 0), decision =
+  * max score odd — so the DuckDB oracle replays the decision exactly.
+  *
+  * Scale shape: parsing is one imperative flatMap over the robots
+  * table (sites-sized, not corpus-sized); the gate joins the corpus
+  * against the BROADCAST rule table on (domain, prefix-match) and
+  * reduces with one max — the only shuffle is the per-page group-max,
+  * keyed by page id with no payload columns.
+  */
+object Robots {
+
+  val ruleSchema: StructType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("allow", BooleanType),
+    StructField("prefix", StringType)))
+
+  /** Parse one robots.txt body into the `*`-agent rules. Group
+    * handling per RFC 9309: consecutive `User-agent:` lines stack onto
+    * one group; a group's rules apply here iff one of its agents is
+    * `*`; `#` comments stripped; an empty `Disallow:` value means "no
+    * restriction" and yields no rule. */
+  def parseRules(robotsTxt: String): Seq[(Boolean, String)] = {
+    val out = Seq.newBuilder[(Boolean, String)]
+    var groupHasStar = false
+    var inAgentRun = false
+    Option(robotsTxt).getOrElse("").split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.substring(0, i).trim.toLowerCase
+        val value = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgentRun) { groupHasStar = false; inAgentRun = true }
+            if (value == "*") groupHasStar = true
+          case "allow" | "disallow" =>
+            inAgentRun = false
+            if (groupHasStar && value.nonEmpty)
+              out += ((key == "allow", value))
+          case _ => inAgentRun = false
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** (domain, robots_txt) → one rule row per `*`-agent directive:
+    * (domain, allow, prefix). Imperative per-site parse — the robots
+    * table is sites-sized, never corpus-sized. */
+  def parseRulesTable(robots: DataFrame, domainCol: String = "domain",
+                      textCol: String = "robots_txt"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(ruleSchema)
+    robots.select(col(domainCol).as("domain"), col(textCol).as("t"))
+      .flatMap { r =>
+        parseRules(r.getString(1)).map { case (allow, prefix) =>
+          Row(r.getString(0), allow, prefix)
+        }
+      }(enc)
+  }
+
+  /** Gate a page table by a rule table: adds `domain`, `path`,
+    * `allowed`. The rule table collapses to ONE array row per domain
+    * (sites-sized) and broadcasts, so the corpus pays a broadcast
+    * equi-join and an in-row fold over its domain's rules — NO shuffle
+    * at all; page rows never move. */
+  def gate(df: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    val ruleSets = rules.groupBy(col("domain"))
+      .agg(collect_list(struct(col("allow"), col("prefix"))).as("rules"))
+    val pages = df
+      .withColumn("domain", UrlTools.registeredDomainOf(col(urlCol)))
+      .withColumn("path", UrlTools.pathOf(col(urlCol)))
+    // max over matching rules of 2*len(prefix) + allow; -1 = no match
+    val best = aggregate(
+      filter(col("rules"), r => col("path").startsWith(r.getField("prefix"))),
+      lit(-1),
+      (acc, r) => greatest(acc,
+        length(r.getField("prefix")) * 2 +
+          when(r.getField("allow"), 1).otherwise(0)))
+    pages.join(broadcast(ruleSets), Seq("domain"), "left")
+      .withColumn("allowed",
+        col("rules").isNull || best < 0 || best % 2 === 1)
+      .drop("rules")
+  }
+}

@@ -204,6 +204,35 @@ object WebQueries {
       UrlTools.domainStats(docs, "url", "n_chars")
     },
 
+    // robots.txt gate (RFC 9309 longest-match): per-domain robots
+    // bodies exercise group selection (a googlebot-only block that
+    // must NOT apply), stacked agents, comments, empty Disallow, the
+    // longest-match cascade a1 < a12 < a123, and the equal-length
+    // Allow-beats-Disallow tie. The oracle constructs the expected
+    // RULE rows directly, so the parser is validated through the
+    // decisions it produces.
+    "url_robots_gate" -> { (s, d) =>
+      import s.implicits._
+      val robots = Seq(
+        ("example.com",
+          "# crawl policy\nUser-agent: googlebot\nDisallow: /\n\n" +
+            "User-agent: *\nDisallow: /path/a1 # oldest rule\n" +
+            "Allow: /path/a12\nDisallow: /path/a123\n" +
+            "Allow: /path/a4\nDisallow: /path/a4\nDisallow:\n"),
+        ("example.co.uk",
+          "User-agent: googlebot\nUser-agent: bingbot\nDisallow: /\n\n" +
+            "User-agent: *\nUser-agent: extra-agent\nCrawl-delay: 10\n" +
+            "Disallow: /path/a7\n"),
+        ("sample.org",
+          "User-agent: *\nAllow: /\nDisallow: /path/a5\n"))
+        .toDF("domain", "robots_txt")
+      val urls = Tables.documents(s, d)
+        .select(col("doc_id"), plantedUrl(col("doc_id"), col("source")).as("url"))
+      graft.ops.Robots.gate(urls, "url",
+        graft.ops.Robots.parseRulesTable(robots))
+        .select(col("doc_id"), col("domain"), col("path"), col("allowed"))
+    },
+
     // Domain reputation prior: per-doc quality snapped to integer 1e-4
     // units, per-registered-domain docs/mean joined back broadcast.
     "url_domain_prior" -> { (s, d) =>
@@ -398,6 +427,38 @@ object WebQueries {
          |  count(DISTINCT canonical_url) AS n_pages,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM r GROUP BY domain""".stripMargin,
+
+    "url_robots_gate" ->
+      s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
+         |h AS (SELECT doc_id, url, $hostSql AS host FROM u),
+         |k AS (SELECT doc_id, $registeredDomainSql AS domain,
+         |    CASE WHEN len(regexp_replace(regexp_extract(url,
+         |          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+         |          '/+$$', '', 'g')) > 0
+         |        THEN regexp_replace(regexp_extract(url,
+         |          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+         |          '/+$$', '', 'g')
+         |        ELSE '/' END AS path
+         |  FROM h),
+         |r(domain, allow, prefix) AS (VALUES
+         |  ('example.com', FALSE, '/path/a1'),
+         |  ('example.com', TRUE,  '/path/a12'),
+         |  ('example.com', FALSE, '/path/a123'),
+         |  ('example.com', TRUE,  '/path/a4'),
+         |  ('example.com', FALSE, '/path/a4'),
+         |  ('example.co.uk', FALSE, '/path/a7'),
+         |  ('sample.org', TRUE,  '/'),
+         |  ('sample.org', FALSE, '/path/a5')),
+         |m AS (SELECT k.doc_id, k.domain, k.path,
+         |    max(CASE WHEN r.prefix IS NOT NULL
+         |        THEN 2 * len(r.prefix) +
+         |          CASE WHEN r.allow THEN 1 ELSE 0 END END) AS score
+         |  FROM k LEFT JOIN r
+         |    ON k.domain = r.domain AND starts_with(k.path, r.prefix)
+         |  GROUP BY k.doc_id, k.domain, k.path)
+         |SELECT doc_id, domain, path,
+         |  coalesce(score % 2 = 1, TRUE) AS allowed
+         |FROM m""".stripMargin,
 
     "url_domain_prior" ->
       s"""WITH t AS (SELECT doc_id, source,

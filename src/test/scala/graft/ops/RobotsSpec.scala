@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RobotsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parseRules: group selection, stacked agents, comments, empty Disallow") {
+    val txt =
+      """# policy
+        |User-agent: googlebot
+        |Disallow: /
+        |
+        |User-agent: *
+        |User-agent: extra
+        |Crawl-delay: 5
+        |DISALLOW: /private # members only
+        |Allow: /private/press
+        |Disallow:
+        |""".stripMargin
+    assert(Robots.parseRules(txt) ==
+      Seq((false, "/private"), (true, "/private/press")))
+    assert(Robots.parseRules("User-agent: bot\nDisallow: /x\n").isEmpty)
+    assert(Robots.parseRules(null).isEmpty)
+  }
+
+  test("gate: longest match, allow-beats-disallow tie, defaults") {
+    val rules = Robots.parseRulesTable(Seq(
+      ("site.com", "User-agent: *\nDisallow: /a\nAllow: /a/b\nDisallow: /a/b/c\n" +
+        "Allow: /t\nDisallow: /t\n")).toDF("domain", "robots_txt"))
+    val pages = Seq(
+      (1L, "https://site.com/a/x"),     // /a -> blocked
+      (2L, "https://site.com/a/b/x"),   // /a/b allow (longer) -> allowed
+      (3L, "https://site.com/a/b/c/x"), // /a/b/c (longest) -> blocked
+      (4L, "https://site.com/t/x"),     // equal-length tie -> allow wins
+      (5L, "https://site.com/open"),    // no matching rule -> allowed
+      (6L, "https://other.org/a/x"))    // no robots for domain -> allowed
+      .toDF("id", "url")
+    val got = Robots.gate(pages, "url", rules)
+      .select("id", "allowed").as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true, 6L -> true))
+  }
+
+  test("gate moves no page rows: broadcast join, zero shuffle") {
+    val rules = Robots.parseRulesTable(
+      Seq(("s.com", "User-agent: *\nDisallow: /x\n")).toDF("domain", "robots_txt"))
+    val pages = (0 until 40).map(i => (i.toLong, s"https://s.com/p$i"))
+      .toDF("id", "url")
+    val plan = TestSpark.executedPlan(Robots.gate(pages, "url", rules))
+    val shuffled = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only exchange allowed is the sites-sized rule-set aggregation
+    assert(shuffled.forall(_.output.forall(a => a.name != "url")),
+      "page rows must not ride an exchange")
+  }
+}
