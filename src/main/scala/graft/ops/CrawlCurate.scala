@@ -8,7 +8,9 @@ import graft.functions.TextFunctions
 /** The crawl-to-corpus pipeline, composed end to end from the engine's
   * own operators — the path a 100 TB pretraining ingest actually runs:
   *
-  * WARC archives → record parse → HTML → text extraction
+  * WARC archives → record parse
+  *   → robots.txt compliance gate (optional; broadcast, zero shuffle)
+  *   → HTML → text extraction
   *   → URL-level dedup (cheapest first: re-crawls collapse on the
   *     canonical key before any content work)
   *   → quality gates (pure codegen columns)
@@ -32,15 +34,25 @@ object CrawlCurate {
                   minChars: Int = 50, minQuality: Double = 0.3,
                   minhashK: Int = 32, bands: Int = 8,
                   minJaccard: Double = 0.7,
+                  robotsRules: Option[DataFrame] = None,
                   splits: Seq[(String, Double)] =
                     Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)): DataFrame = {
+    // 0. Compliance first (when a robots rule table is supplied):
+    //    broadcast gate, zero shuffle, drops disallowed pages before
+    //    any content work
+    val compliant = robotsRules match {
+      case Some(rules) =>
+        Robots.gate(pages, urlCol, rules).filter(col("allowed"))
+          .select(pages.columns.map(col).toIndexedSeq: _*)
+      case None => pages
+    }
     // Extract ONCE and persist: every later stage hangs off this frame
     // from both sides of a semi/anti join, and without the persist the
     // branch fan-out re-derives the whole regexp chain per reference
     // (measured 28x cpu at 10x corpus before; linear after). Tracked in
     // CacheRegistry — callers release after their terminal action.
     val texted = CacheRegistry.persist(
-      pages.select(col(idCol), col(urlCol),
+      compliant.select(col(idCol), col(urlCol),
         HtmlExtract.htmlToText(col(htmlCol)).as("text")))
 
     // 1. URL-level: one survivor (smallest id) per canonical URL —

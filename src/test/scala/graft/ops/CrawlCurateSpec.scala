@@ -35,12 +35,18 @@ class CrawlCurateSpec extends AnyFunSuite {
         // too short -> dies at the quality gate
         (110L, "https://site110.example.com/", page(110, "tiny")),
         // shares a 5-gram run with the benchmark -> decontaminated
-        (111L, "https://site111.example.com/", page(111, leak)))
+        (111L, "https://site111.example.com/", page(111, leak)),
+        // robots-disallowed path -> dies at the compliance gate
+        (112L, "https://site0.example.com/private/x", page(112, body(112))))
       ).toDF("doc_id", "url", "html")
     val benchmark = Seq("the quick brown fox jumps over the lazy dog")
       .toDF("text")
+    val rules = Robots.parseRulesTable(Seq(
+      ("example.com", "User-agent: *\nDisallow: /private\n"))
+      .toDF("domain", "robots_txt"))
 
-    val out = CrawlCurate.curatePages(pages, benchmark)
+    val out = CrawlCurate.curatePages(pages, benchmark,
+      robotsRules = Some(rules))
     val rows = out.collect()
     CacheRegistry.releaseAll()
     val kept = rows.map(_.getAs[Long]("doc_id")).toSet
