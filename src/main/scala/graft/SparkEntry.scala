@@ -16,7 +16,8 @@ object SparkEntry {
       (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracleSql),
       (graft.queries.GridQueries.queries, graft.queries.GridQueries.oracleSql),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql),
-      (graft.queries.WebQueries.queries, graft.queries.WebQueries.oracleSql)
+      (graft.queries.WebQueries.queries, graft.queries.WebQueries.oracleSql),
+      (graft.queries.GraphQueries.queries, graft.queries.GraphQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

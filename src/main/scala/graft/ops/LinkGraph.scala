@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hyperlink extraction and host-graph analytics for crawled corpora —
+  * the link-structure half of a crawl front end: anchor (`<a href>`)
+  * extraction with reference resolution (RFC 3986's common cases),
+  * host-level edge derivation, and PageRank over the host graph (the
+  * crawl-frontier prioritization / domain-authority signal every
+  * production crawler maintains; the quality prior
+  * [[UrlTools.domainQualityPrior]] scores CONTENT, this scores the
+  * graph).
+  *
+  * Scale shape:
+  *  - [[extractLinks]] is one codegen'd projection + one generator
+  *    (`explode` of the per-page href/anchor zip) — cost tracks markup
+  *    volume, zero shuffles; the page HTML never rides an exchange;
+  *  - [[hostEdges]] collapses links to DISTINCT (src_host, dst_host)
+  *    rows — one hash-agg shuffle of host-pair keys (at 100 TB the
+  *    host graph is ~1e8 nodes / ~1e10 edges: table sizes a groupBy
+  *    handles routinely, and 3-5 orders of magnitude below page rows);
+  *  - [[pageRank]] runs fixed-iteration power iteration as join + agg
+  *    rounds over the edge table: edges are pre-partitioned by src and
+  *    persisted ONCE, so each round shuffles only the host-sized rank
+  *    table to the edge partitioning plus the contribution partial agg;
+  *    per round the driver sees ONE scalar (the dangling mass) and each
+  *    round's ranks are materialized (persist + count) so lineage stays
+  *    flat — K rounds, not an exponentially deep plan.
+  *
+  * All rank arithmetic is INTEGER micro-units (1.0 == 1,000,000, floor
+  * division everywhere) so results are engine-exact: the DuckDB oracle
+  * replays K unrolled iterations and hash-matches bit for bit — the
+  * same determinism discipline as Dsir's micro-nat weights.
+  *
+  * Reference anchor: rastercube has no web surface (raster sources
+  * only); this extends the crawl-ingestion capability the brief asks
+  * for (WARC → HTML → URL → link graph).
+  */
+object LinkGraph {
+
+  /** One `<a ...>` element: href attribute (double-quoted form — the
+    * planted-fixture and overwhelmingly-common spelling) and the inner
+    * anchor markup. RE2 ∩ java.util.regex dialect (inline flags, lazy
+    * quantifiers) so DuckDB oracles replay the extraction exactly. */
+  private val anchorRe =
+    "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /** Resolve an href against its page URL. Handles the cases a crawler
+    * meets constantly: absolute http(s) (kept as-is), other schemes
+    * (`mailto:`, `javascript:`, `tel:` — dropped as NULL), protocol-
+    * relative (`//host/...` — page scheme prepended), root-relative
+    * (`/path` — scheme://authority prepended), fragment-only / empty
+    * (dropped), and relative paths (resolved against the page path's
+    * directory; `.`/`..` segments are not normalized — planted fixtures
+    * and the oracle stay away from them, as does [[UrlTools
+    * .canonicalize]]). Pure codegen'd conditional chain. */
+  def resolveHref(pageUrl: Column, href: Column): Column = {
+    val scheme = UrlTools.schemeOf(pageUrl)
+    // raw authority (host as spelled, port kept): resolution must not
+    // canonicalize — that is canonicalize()'s job downstream
+    val authority =
+      regexp_extract(pageUrl, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    val rawPath =
+      regexp_extract(pageUrl, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // directory of the page path: everything through the last '/'
+    val dir = when(length(rawPath) > 0,
+      regexp_replace(rawPath, "[^/]*$", "")).otherwise(lit("/"))
+    when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"),
+      when(href.rlike("^(?i)https?://"), href)) // non-http scheme -> NULL
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(scheme, lit("://"), authority, href))
+      .when(href === "" || href.startsWith("#"), lit(null))
+      .otherwise(concat(scheme, lit("://"), authority, dir, href))
+  }
+
+  /** Extract every resolvable link from `htmlCol`: one output row per
+    * `<a href="...">` whose reference resolves to an http(s) URL, with
+    * the cleaned anchor text (tags stripped, entities decoded, trimmed)
+    * and the CANONICAL destination ([[UrlTools.canonicalize]] — the
+    * page-identity key downstream dedup/joins use).
+    *
+    * Output: (idCol, urlCol, href, anchor_text, dst_url). */
+  def extractLinks(pages: DataFrame, idCol: String, urlCol: String,
+                   htmlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(col(htmlCol), lit(anchorRe), lit(1))
+    val anchors = regexp_extract_all(col(htmlCol), lit(anchorRe), lit(2))
+    pages
+      .select(col(idCol), col(urlCol),
+        explode(zip_with(hrefs, anchors,
+          (h, a) => struct(h.as("href"), a.as("anchor")))).as("l"))
+      .select(col(idCol), col(urlCol), col("l.href").as("href"),
+        trim(HtmlExtract.decodeEntities(
+          HtmlExtract.stripTags(col("l.anchor")))).as("anchor_text"),
+        UrlTools.canonicalize(
+          resolveHref(col(urlCol), col("l.href"))).as("dst_url"))
+      .filter(col("dst_url").isNotNull)
+  }
+
+  /** Host-level edge table from a link table: DISTINCT
+    * (src_host, dst_host), self-loops dropped (a same-host link says
+    * nothing about cross-site authority). One hash-agg shuffle of
+    * host-pair keys. */
+  def hostEdges(links: DataFrame, srcUrlCol: String,
+                dstUrlCol: String): DataFrame =
+    links.select(UrlTools.hostOf(col(srcUrlCol)).as("src_host"),
+        UrlTools.hostOf(col(dstUrlCol)).as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .distinct()
+
+  /** Fixed-iteration PageRank over (srcCol, dstCol) edges, in integer
+    * micro-units. Every node (any host appearing as src or dst) starts
+    * at 1,000,000; per iteration
+    *
+    *   rank'(v) = teleport
+    *            + (dampingPct * (Σ_{u→v} rank(u) div out(u)
+    *                             + dangling div N)) div 100
+    *
+    * with teleport = (1,000,000 * (100 - dampingPct)) div 100, out(u)
+    * the out-degree, dangling the rank mass of zero-out-degree nodes,
+    * and `div` floor division — total mass is conserved up to flooring,
+    * and the arithmetic replays exactly in any engine.
+    *
+    * Returns (host, rank_micro). Caller releases tracked caches after
+    * its terminal action (CacheRegistry contract). */
+  def pageRank(edges: DataFrame, srcCol: String = "src_host",
+               dstCol: String = "dst_host", iters: Int = 3,
+               dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters $iters")
+    require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct $dampingPct")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    // edges partitioned by src ONCE: every iteration's rank join reuses
+    // this layout, so only the (tiny) rank table moves per round
+    val eP = CacheRegistry.persist(e.repartition(col("src")))
+    val outDeg = CacheRegistry.persist(
+      eP.groupBy(col("src")).agg(count(lit(1)).as("od")))
+    val nodes = CacheRegistry.persist(
+      eP.select(col("src").as("host"))
+        .union(eP.select(col("dst").as("host"))).distinct())
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("host"), lit(1000000L).as("rank_micro"))
+    val teleport = 1000000L * (100 - dampingPct) / 100
+    var ranks = CacheRegistry.persist(
+      nodes.select(col("host"), lit(1000000L).as("r")))
+    var it = 0
+    while (it < iters) {
+      // dangling mass: rank held by nodes with no out-edges — ONE
+      // scalar to the driver per round (host-sized agg, not page data)
+      val dangling = ranks
+        .join(outDeg, ranks("host") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("d")).head().getLong(0)
+      val perNodeDangling = dangling / n // non-negative: floor == trunc
+      val shares = eP
+        .join(ranks.join(outDeg, ranks("host") === outDeg("src"))
+          .select(col("src").as("s"), expr("r div od").as("share")),
+          eP("src") === col("s"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("sh"))
+      val next = nodes
+        .join(shares, nodes("host") === shares("dst"), "left")
+        .select(col("host"),
+          (lit(teleport) +
+            expr(s"($dampingPct * (coalesce(sh, CAST(0 AS BIGINT)) + " +
+              s"CAST($perNodeDangling AS BIGINT))) div 100")).as("r"))
+      // materialize each round: flat lineage, previous round's cache
+      // stays registry-tracked for the caller's releaseAll
+      val nextP = CacheRegistry.persist(next)
+      nextP.count()
+      ranks = nextP
+      it += 1
+    }
+    ranks.select(col("host"), col("r").as("rank_micro"))
+  }
+}

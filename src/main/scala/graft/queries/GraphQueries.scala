@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.LinkGraph
+
+/** Link-graph surface: hyperlink extraction with reference resolution,
+  * and host-level PageRank (ops/LinkGraph). The fixture corpus is plain
+  * text, so pages + links derive deterministically from doc_id — the
+  * SAME derivation on the DuckDB side — and both entries are
+  * hash-checked end to end (PageRank runs in integer micro-units, so
+  * the oracle replays 3 unrolled iterations exactly).
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Page URL: host spreads docs over 50 `siteN.example.com` hosts. */
+  private def pageUrl(d: Column): Column =
+    concat(lit("https://site"), (d % 50).cast("string"),
+      lit(".example.com/doc/"), d.cast("string"))
+
+  private val pageUrlSql =
+    """'https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |  '.example.com/doc/' || CAST(doc_id AS VARCHAR)""".stripMargin
+
+  /** Planted link page: an absolute cross-host link, a protocol-
+    * relative link with extra attributes and nested markup in the
+    * anchor, a root-relative and a directory-relative link (both
+    * same-host → host-graph self-loops), a mailto and a fragment (both
+    * dropped by resolution), and — on doc_id % 10 == 0 — a link into a
+    * 5-host archive tier that never links out (the dangling-mass
+    * witnesses for PageRank). Link targets t1/t2 are affine functions
+    * of doc_id, so the host graph is dense over the 50 site hosts. */
+  private def plantedLinkHtml(d: Column): Column = {
+    val id = d.cast("string")
+    val t1 = (d * 31 + 7) % 1000
+    val t2 = (d * 17 + 3) % 1000
+    concat(
+      lit("<html><body><p>Doc "), id, lit("</p>"),
+      lit("<a href=\"https://site"), (t1 % 50).cast("string"),
+      lit(".example.com/doc/"), t1.cast("string"), lit("\">Doc "),
+      t1.cast("string"), lit(" &amp; friends</a>"),
+      lit("<a class=\"b\" href=\"//site"), (t2 % 50).cast("string"),
+      lit(".example.com/doc/"), t2.cast("string"),
+      lit("\" rel=\"nofollow\">mirror <b>"), t2.cast("string"),
+      lit("</b></a>"),
+      lit("<a href=\"/tag/"), (d % 7).cast("string"), lit("\">tag "),
+      (d % 7).cast("string"), lit("</a>"),
+      lit("<a href=\"rel/"), (d % 5).cast("string"),
+      lit(".html\">rel</a>"),
+      lit("<a href=\"mailto:ed@example.com\">mail</a>"),
+      lit("<a href=\"#top\">top</a>"),
+      when(d % 10 === 0,
+        concat(lit("<a href=\"https://archive"), (d % 5).cast("string"),
+          lit(".example.net/ar/"), id, lit("\">archive &quot;"), id,
+          lit("&quot;</a>"))).otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
+  private val plantedLinkHtmlSql =
+    """'<html><body><p>Doc ' || CAST(doc_id AS VARCHAR) || '</p>' ||
+      |  '<a href="https://site' || CAST(((doc_id * 31 + 7) % 1000) % 50 AS VARCHAR) ||
+      |  '.example.com/doc/' || CAST((doc_id * 31 + 7) % 1000 AS VARCHAR) ||
+      |  '">Doc ' || CAST((doc_id * 31 + 7) % 1000 AS VARCHAR) || ' &amp; friends</a>' ||
+      |  '<a class="b" href="//site' || CAST(((doc_id * 17 + 3) % 1000) % 50 AS VARCHAR) ||
+      |  '.example.com/doc/' || CAST((doc_id * 17 + 3) % 1000 AS VARCHAR) ||
+      |  '" rel="nofollow">mirror <b>' || CAST((doc_id * 17 + 3) % 1000 AS VARCHAR) || '</b></a>' ||
+      |  '<a href="/tag/' || CAST(doc_id % 7 AS VARCHAR) || '">tag ' || CAST(doc_id % 7 AS VARCHAR) || '</a>' ||
+      |  '<a href="rel/' || CAST(doc_id % 5 AS VARCHAR) || '.html">rel</a>' ||
+      |  '<a href="mailto:ed@example.com">mail</a>' ||
+      |  '<a href="#top">top</a>' ||
+      |  CASE WHEN doc_id % 10 = 0 THEN
+      |    '<a href="https://archive' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    '.example.net/ar/' || CAST(doc_id AS VARCHAR) || '">archive &quot;' ||
+      |    CAST(doc_id AS VARCHAR) || '&quot;</a>' ELSE '' END ||
+      |  '</body></html>'""".stripMargin
+
+  private def pages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      pageUrl(col("doc_id")).as("url"),
+      plantedLinkHtml(col("doc_id")).as("html"))
+
+  // ---- queries ------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // Hyperlink extraction + reference resolution: every resolution
+    // case has a planted witness (absolute kept, protocol-relative and
+    // root-relative and directory-relative resolved, mailto/fragment
+    // dropped); anchors carry entities and nested tags.
+    "link_extract" -> { (s, d) =>
+      LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+    },
+
+    // Host-graph PageRank, 3 iterations, damping 85 %, integer
+    // micro-units: ~55 hosts (50 site hosts + 5 never-linking-out
+    // archive hosts = the dangling mass), hash-exact vs 3 unrolled
+    // oracle iterations.
+    "host_pagerank" -> { (s, d) =>
+      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+      LinkGraph.pageRank(LinkGraph.hostEdges(links, "url", "dst_url"),
+        iters = 3, dampingPct = 85)
+    })
+
+  // ---- oracles ------------------------------------------------------
+
+  /** The oracle-side [[LinkGraph.extractLinks]] front half: planted
+    * pages → per-anchor (href, anchor) rows → resolved URL (column
+    * `url`, ready for WebQueries.canonicalSql). */
+  private val linksCteSql =
+    s"""h AS (SELECT doc_id, $pageUrlSql AS url,
+       |    $plantedLinkHtmlSql AS html FROM documents),
+       |x AS (SELECT doc_id, url,
+       |    regexp_extract_all(html,
+       |      '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 1) AS hs,
+       |    regexp_extract_all(html,
+       |      '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 2) AS an
+       |  FROM h),
+       |f AS (SELECT doc_id, url, u.h AS href, u.a AS anchor FROM (
+       |  SELECT doc_id, url, unnest(list_transform(range(0, len(hs)),
+       |      i -> struct_pack(h := hs[i+1], a := an[i+1]))) AS u
+       |  FROM x)),
+       |res AS (SELECT doc_id, url AS page_url, href,
+       |    trim(${WebQueries.entitySql("regexp_replace(anchor, '<[^>]*>', '', 'g')")})
+       |      AS anchor_text,
+       |    CASE
+       |      WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN
+       |        CASE WHEN regexp_matches(href, '^(?i)https?://') THEN href END
+       |      WHEN starts_with(href, '//') THEN
+       |        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) ||
+       |          ':' || href
+       |      WHEN starts_with(href, '/') THEN
+       |        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) ||
+       |          '://' ||
+       |          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) ||
+       |          href
+       |      WHEN href = '' OR starts_with(href, '#') THEN NULL
+       |      ELSE
+       |        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) ||
+       |          '://' ||
+       |          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) ||
+       |          regexp_replace(regexp_extract(url,
+       |               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+       |               '[^/]*$$', '') ||
+       |          href
+       |    END AS resolved
+       |  FROM f),
+       |lnk AS (SELECT doc_id, page_url, href, anchor_text,
+       |    ${WebQueries.canonicalSql.replace("url", "resolved")} AS dst_url
+       |  FROM res WHERE resolved IS NOT NULL)""".stripMargin
+
+  /** One unrolled integer-PageRank iteration (damping 85 → teleport
+    * 150,000 micro-units) over edge CTE `e2`. */
+  private def iterSql(i: Int, j: Int): String =
+    s"""c$j AS (SELECT e2.dst AS host, CAST(sum(r.r // o.od) AS BIGINT) AS sh
+       |  FROM e2 JOIN r$i r ON e2.src = r.host JOIN od o ON e2.src = o.src
+       |  GROUP BY e2.dst),
+       |d$j AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
+       |  FROM r$i r LEFT JOIN od o ON r.host = o.src WHERE o.src IS NULL),
+       |r$j AS (SELECT n.host, CAST(150000 + (85 * (coalesce(c.sh, 0) +
+       |    (SELECT dang FROM d$j) // (SELECT n FROM nn))) // 100 AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN c$j c ON n.host = c.host)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "link_extract" ->
+      s"""WITH $linksCteSql
+         |SELECT doc_id, page_url AS url, href, anchor_text, dst_url
+         |FROM lnk""".stripMargin,
+
+    "host_pagerank" ->
+      s"""WITH $linksCteSql,
+         |e AS (SELECT DISTINCT
+         |    regexp_replace(lower(regexp_extract(page_url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+         |      '^www\\.|:[0-9]+$$', '', 'g') AS src,
+         |    regexp_replace(lower(regexp_extract(dst_url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+         |      '^www\\.|:[0-9]+$$', '', 'g') AS dst
+         |  FROM lnk),
+         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+         |nodes AS (SELECT src AS host FROM e2 UNION SELECT dst FROM e2),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e2 GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${iterSql(0, 1)},
+         |${iterSql(1, 2)},
+         |${iterSql(2, 3)}
+         |SELECT host, r AS rank_micro FROM r3""".stripMargin)
+}

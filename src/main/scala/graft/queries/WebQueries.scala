@@ -122,11 +122,11 @@ object WebQueries {
 
   /** The oracle-side spelling of [[UrlTools.canonicalize]] and
     * [[UrlTools.registeredDomainOf]] over a column named `url`. */
-  private val hostSql =
+  private[queries] val hostSql =
     """regexp_replace(lower(regexp_extract(url,
       |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
       |  '^www\.|:[0-9]+$', '', 'g')""".stripMargin
-  private val canonicalSql =
+  private[queries] val canonicalSql =
     s"""lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) ||
       |  '://' || $hostSql ||
       |  (CASE WHEN len(regexp_replace(regexp_extract(url,
@@ -362,7 +362,7 @@ object WebQueries {
       |  '\n+', chr(10), 'g'), '^\n+|\n+$', '', 'g'))""".stripMargin
 
   /** Entity decode over a column expression (for the title). */
-  private def entitySql(e: String) =
+  private[queries] def entitySql(e: String) =
     s"""replace(replace(replace(replace(replace(replace(replace(replace(
        |  $e,
        |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LinkGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("resolveHref: every RFC 3986 common case") {
+    val page = "https://WWW.Site.example.com:8080/a/b/page.html"
+    val cases = Seq(
+      "https://other.com/x"        -> Some("https://other.com/x"),
+      "HTTPS://UP.example.com/y"   -> Some("HTTPS://UP.example.com/y"),
+      "http://plain.org"           -> Some("http://plain.org"),
+      "mailto:a@b.example"         -> None,
+      "javascript:void(0)"         -> None,
+      "tel:+41123"                 -> None,
+      "//cdn.example.com/z.js"     -> Some("https://cdn.example.com/z.js"),
+      "/root/x"                    -> Some("https://WWW.Site.example.com:8080/root/x"),
+      "rel.html"                   -> Some("https://WWW.Site.example.com:8080/a/b/rel.html"),
+      "sub/d.html"                 -> Some("https://WWW.Site.example.com:8080/a/b/sub/d.html"),
+      "#frag"                      -> None,
+      ""                           -> None)
+    val got = cases.map(_._1).toDF("href")
+      .select(col("href"),
+        LinkGraph.resolveHref(lit(page), col("href")).as("r"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    cases.foreach { case (href, want) =>
+      assert(got(href) == want, s"href '$href'")
+    }
+    // page at host root: directory is "/"
+    val atRoot = Seq("r.html").toDF("href")
+      .select(LinkGraph.resolveHref(lit("https://h.example.com"),
+        col("href"))).head().getString(0)
+    assert(atRoot == "https://h.example.com/r.html")
+  }
+
+  test("extractLinks: pairing, anchor cleaning, drop rules, no shuffle") {
+    val html =
+      """<html><body>
+        |<a href="https://a.example.com/1">One &amp; only</a>
+        |<a class="x" href="/p/2" rel="nofollow">two <b>bold</b></a>
+        |<a href="mailto:x@y">mail</a>
+        |<a href="#top">top</a>
+        |<A HREF="https://b.example.com/3?utm_source=z&q=1">three</A>
+        |</body></html>""".stripMargin
+    val pages = Seq((1L, "https://src.example.com/dir/page", html))
+      .toDF("id", "url", "html")
+    val links = LinkGraph.extractLinks(pages, "id", "url", "html")
+    val rows = links.orderBy("dst_url").collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      ("https://a.example.com/1", "One & only", "https://a.example.com/1"),
+      // tracking param stripped by canonicalize, real param kept
+      ("https://b.example.com/3?utm_source=z&q=1", "three",
+        "https://b.example.com/3?q=1"),
+      ("/p/2", "two bold", "https://src.example.com/p/2")))
+    // extraction is a projection + generator: zero exchanges
+    val shuffles = links.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "extractLinks must not shuffle")
+  }
+
+  test("hostEdges: host projection, self-loop and duplicate collapse") {
+    val links = Seq(
+      ("https://a.example.com/1", "https://b.example.com/x"),
+      ("https://a.example.com/2", "https://b.example.com/y"), // same hosts
+      ("https://a.example.com/3", "https://a.example.com/z"), // self-loop
+      ("https://WWW.B.example.com:443/q", "https://c.example.com/"))
+      .toDF("url", "dst_url")
+    val edges = LinkGraph.hostEdges(links, "url", "dst_url")
+      .orderBy("src_host", "dst_host").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(edges.toSeq == Seq(
+      ("a.example.com", "b.example.com"),
+      ("b.example.com", "c.example.com")))
+  }
+
+  /** Independent reimplementation of the integer PageRank recurrence —
+    * plain Scala over an in-memory edge list. */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+                          dampingPct: Int): Map[String, Long] = {
+    val e = edges.filter(x => x._1 != x._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val od = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    val teleport = 1000000L * (100 - dampingPct) / 100
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val dang = nodes.filterNot(od.contains).map(r).sum / n
+      val contrib = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / od(s) }.sum
+      }
+      r = nodes.map(v => v ->
+        (teleport + dampingPct * (contrib.getOrElse(v, 0L) + dang) / 100))
+        .toMap
+    }
+    r
+  }
+
+  test("pageRank matches the independent integer recurrence exactly") {
+    // A hub, a cycle, a dangling sink, duplicate + self-loop noise
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("c", "a"),
+      ("a", "b"), // duplicate — must collapse
+      ("c", "c")) // self-loop — must drop
+    val got = LinkGraph.pageRank(
+      edges.toDF("src_host", "dst_host"), iters = 3, dampingPct = 85)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    val want = refPageRank(edges, iters = 3, dampingPct = 85)
+    assert(got == want)
+    // d is a pure sink: it must hold more than teleport-only mass,
+    // and a (the cycle return target) must outrank the leaf b
+    assert(got("d") > 150000L)
+    assert(got("a") > got("b"))
+  }
+
+  test("pageRank conserves mass up to flooring; caches all released") {
+    val edges = (0 until 40).map(i =>
+      (s"h$i", s"h${(i * 7 + 3) % 45}")) // 45 hosts, 5 sink-only
+    val df = LinkGraph.pageRank(edges.toDF("src_host", "dst_host"),
+      iters = 3, dampingPct = 85)
+    val ranks = df.collect().map(_.getLong(1))
+    val released = CacheRegistry.releaseAll()
+    assert(released >= 5, s"expected tracked caches, got $released")
+    val n = ranks.length
+    val total = ranks.sum
+    assert(total <= 1000000L * n)
+    // each iteration loses at most ~(100 + n) micro-units per node to
+    // flooring; 3 iterations of slack, generously doubled
+    assert(total >= 1000000L * n - 6L * n * (100 + n))
+  }
+}
