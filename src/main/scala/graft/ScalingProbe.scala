@@ -98,7 +98,7 @@ object ScalingProbe {
     // too; queries whose cost is joins/dedup keyed on every column keep
     // the cheaper count() force.
     val checksumForced = Set("html_extract", "html_block_filter",
-      "url_domains", "url_dedup_canonical")
+      "url_domains", "url_dedup_canonical", "link_extract")
     def forceChecksum(df: DataFrame): Long = {
       df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
         .as("h")).agg(expr("bit_xor(h)")).collect()
@@ -149,7 +149,13 @@ object ScalingProbe {
       // dedup + decontamination + split in one number — replicas are
       // 10-deep near-dup groups, so the MinHash/cluster stages face
       // their worst shape while everything upstream grows linearly
-      "curate_crawl_e2e")
+      "curate_crawl_e2e",
+      // round-8 wave 3: link extraction must track markup volume (one
+      // generator pass), and PageRank's per-round cost must track the
+      // HOST graph (~constant here: replicas multiply pages, not
+      // hosts), never page rows — only the one edge-derivation scan
+      // may grow 10x
+      "link_extract", "host_pagerank")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>

@@ -85,6 +85,15 @@ object LinkGraph {
                    htmlCol: String): DataFrame = {
     val hrefs = regexp_extract_all(col(htmlCol), lit(anchorRe), lit(1))
     val anchors = regexp_extract_all(col(htmlCol), lit(anchorRe), lit(2))
+    // STAGED projections, deliberately: `resolved` must be a named
+    // column before canonicalize() consumes it. canonicalize references
+    // its input ~10x (scheme/host/path/query extractions), so inlining
+    // the resolveHref CASE tree there — and then hostEdges' host
+    // extraction on top — multiplies the expression to where the
+    // generated stage method passes Janino's 64 KB limit and the whole
+    // stage silently loses codegen (observed before this split).
+    // CollapseProject keeps the stages apart because `resolved` is
+    // non-cheap and multiply-referenced.
     pages
       .select(col(idCol), col(urlCol),
         explode(zip_with(hrefs, anchors,
@@ -92,9 +101,10 @@ object LinkGraph {
       .select(col(idCol), col(urlCol), col("l.href").as("href"),
         trim(HtmlExtract.decodeEntities(
           HtmlExtract.stripTags(col("l.anchor")))).as("anchor_text"),
-        UrlTools.canonicalize(
-          resolveHref(col(urlCol), col("l.href"))).as("dst_url"))
-      .filter(col("dst_url").isNotNull)
+        resolveHref(col(urlCol), col("l.href")).as("resolved"))
+      .filter(col("resolved").isNotNull)
+      .select(col(idCol), col(urlCol), col("href"), col("anchor_text"),
+        UrlTools.canonicalize(col("resolved")).as("dst_url"))
   }
 
   /** Host-level edge table from a link table: DISTINCT
