@@ -182,4 +182,66 @@ object LinkGraph {
     }
     ranks.select(col("host"), col("r").as("rank_micro"))
   }
+
+  /** Fixed-iteration HITS (Kleinberg hubs & authorities) over the same
+    * edge table — the second classic link-authority signal: hubs are
+    * pages that point AT good content (directories, link farms score
+    * high here and low on PageRank), authorities are pages pointed at
+    * BY good hubs.
+    *
+    * Integer micro-unit arithmetic, overflow-safe by construction: hub
+    * scores are renormalized to ≤ 1,000,000 BEFORE each propagation, so
+    * raw sums stay ≤ N·10⁶ and the normalizer is a floor-DIVISION (raw
+    * div (max div 10⁶)), never a multiply-then-divide whose product
+    * could pass 2⁶³. Per iteration:
+    *
+    *   auth_raw(v) = Σ_{u→v} hub(u);  auth = auth_raw div max(1, max(auth_raw) div 10⁶)
+    *   hub_raw(u)  = Σ_{u→v} auth(v); hub  = hub_raw  div max(1, max(hub_raw)  div 10⁶)
+    *
+    * Exactly replayable (the oracle unrolls the iterations); same
+    * plan shape as [[pageRank]] — per half-step one host-sized join +
+    * partial agg over the src-partitioned edge cache, one scalar (the
+    * max) to the driver. Returns (host, auth_micro, hub_micro). */
+  def hits(edges: DataFrame, srcCol: String = "src_host",
+           dstCol: String = "dst_host", iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val eP = CacheRegistry.persist(e.repartition(col("src")))
+    val nodes = CacheRegistry.persist(
+      eP.select(col("src").as("host"))
+        .union(eP.select(col("dst").as("host"))).distinct())
+    // renormalize raw sums so the LARGEST score is ~1e6 micro-units
+    def norm(raw: DataFrame, c: String): DataFrame = {
+      val mx = raw.agg(coalesce(max(col(c)), lit(0L))).head().getLong(0)
+      val denom = math.max(1L, mx / 1000000L)
+      raw.select(col("host"), expr(s"$c div CAST($denom AS BIGINT)").as(c))
+    }
+    var hub = CacheRegistry.persist(
+      nodes.select(col("host"), lit(1000000L).as("h")))
+    var auth: DataFrame = nodes.select(col("host"), lit(0L).as("a"))
+    var it = 0
+    while (it < iters) {
+      val aRaw = nodes.join(
+        eP.join(hub, eP("src") === hub("host"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a")),
+        nodes("host") === col("dst"), "left")
+        .select(col("host"), coalesce(col("a"), lit(0L)).as("a"))
+      val aP = CacheRegistry.persist(norm(aRaw, "a"))
+      aP.count()
+      auth = aP
+      val hRaw = nodes.join(
+        eP.join(auth, eP("dst") === auth("host"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h")),
+        nodes("host") === col("src"), "left")
+        .select(col("host"), coalesce(col("h"), lit(0L)).as("h"))
+      val hP = CacheRegistry.persist(norm(hRaw, "h"))
+      hP.count()
+      hub = hP
+      it += 1
+    }
+    auth.join(hub, "host")
+      .select(col("host"), col("a").as("auth_micro"),
+        col("h").as("hub_micro"))
+  }
 }

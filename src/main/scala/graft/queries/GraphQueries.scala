@@ -101,6 +101,16 @@ object GraphQueries {
       val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
       LinkGraph.pageRank(LinkGraph.hostEdges(links, "url", "dst_url"),
         iters = 3, dampingPct = 85)
+    },
+
+    // HITS hubs & authorities, 2 iterations, integer micro-units with
+    // division-only renormalization — hash-exact vs the unrolled
+    // oracle. The archive hosts are pure authorities (hub 0); site
+    // hosts score on both axes.
+    "host_hits" -> { (s, d) =>
+      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+      LinkGraph.hits(LinkGraph.hostEdges(links, "url", "dst_url"),
+        iters = 2)
     })
 
   // ---- oracles ------------------------------------------------------
@@ -186,5 +196,42 @@ object GraphQueries {
          |${iterSql(0, 1)},
          |${iterSql(1, 2)},
          |${iterSql(2, 3)}
-         |SELECT host, r AS rank_micro FROM r3""".stripMargin)
+         |SELECT host, r AS rank_micro FROM r3""".stripMargin,
+
+    "host_hits" ->
+      s"""WITH $linksCteSql,
+         |e AS (SELECT DISTINCT
+         |    regexp_replace(lower(regexp_extract(page_url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+         |      '^www\\.|:[0-9]+$$', '', 'g') AS src,
+         |    regexp_replace(lower(regexp_extract(dst_url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+         |      '^www\\.|:[0-9]+$$', '', 'g') AS dst
+         |  FROM lnk),
+         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+         |nodes AS (SELECT src AS host FROM e2 UNION SELECT dst FROM e2),
+         |h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |${hitsHalfSql("a1", "h0", "h", "a", forward = true)},
+         |${hitsHalfSql("h1", "a1", "a", "h", forward = false)},
+         |${hitsHalfSql("a2", "h1", "h", "a", forward = true)},
+         |${hitsHalfSql("h2", "a2", "a", "h", forward = false)}
+         |SELECT a2.host, a2.a AS auth_micro, h2.h AS hub_micro
+         |FROM a2 JOIN h2 ON a2.host = h2.host""".stripMargin)
+
+  /** One HITS half-step: sum `inCol` of CTE `src` over edges (dst-ward
+    * when `forward`, src-ward otherwise) into `outCol`, then
+    * renormalize by floor division so the max lands at ~10⁶. */
+  private def hitsHalfSql(out: String, src: String, inCol: String,
+                          outCol: String, forward: Boolean): String = {
+    val (edgeKey, groupKey) =
+      if (forward) ("src", "dst") else ("dst", "src")
+    s"""${out}r AS (SELECT n.host, CAST(coalesce(s.x, 0) AS BIGINT) AS $outCol
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e2.$groupKey AS k, CAST(sum(p.$inCol) AS BIGINT) AS x
+       |    FROM e2 JOIN $src p ON e2.$edgeKey = p.host
+       |    GROUP BY e2.$groupKey) s ON n.host = s.k),
+       |$out AS (SELECT host, $outCol // greatest(
+       |    (SELECT max($outCol) FROM ${out}r) // 1000000, 1) AS $outCol
+       |  FROM ${out}r)""".stripMargin
+  }
 }

@@ -122,6 +122,44 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got("a") > got("b"))
   }
 
+  /** Independent reimplementation of the integer HITS recurrence. */
+  private def refHits(edges: Seq[(String, String)],
+                      iters: Int): Map[String, (Long, Long)] = {
+    val e = edges.filter(x => x._1 != x._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = Map.empty[String, Long]
+    (1 to iters).foreach { _ =>
+      val aRaw = nodes.map(v =>
+        v -> e.filter(_._2 == v).map(x => h(x._1)).sum).toMap
+      val da = math.max(1L, aRaw.values.max / 1000000L)
+      a = aRaw.view.mapValues(_ / da).toMap
+      val hRaw = nodes.map(u =>
+        u -> e.filter(_._1 == u).map(x => a(x._2)).sum).toMap
+      val dh = math.max(1L, hRaw.values.max / 1000000L)
+      h = hRaw.view.mapValues(_ / dh).toMap
+    }
+    nodes.map(v => v -> (a(v), h(v))).toMap
+  }
+
+  test("hits matches the independent integer recurrence exactly") {
+    val edges = Seq(
+      ("hub", "a1"), ("hub", "a2"), ("hub", "a3"), // a directory page
+      ("a1", "a2"), ("a2", "a1"),                  // a mutual pair
+      ("lone", "a1"))
+    val got = LinkGraph.hits(edges.toDF("src_host", "dst_host"), iters = 2)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    CacheRegistry.releaseAll()
+    val want = refHits(edges, iters = 2)
+    assert(got == want)
+    // the directory is the best hub but no authority; a1 (pointed at
+    // by hub, a2 AND lone) is the top authority
+    assert(got("hub")._2 == want.values.map(_._2).max)
+    assert(got("hub")._1 == 0L)
+    assert(got("a1")._1 == want.values.map(_._1).max)
+  }
+
   test("pageRank conserves mass up to flooring; caches all released") {
     val edges = (0 until 40).map(i =>
       (s"h$i", s"h${(i * 7 + 3) % 45}")) // 45 hosts, 5 sink-only
