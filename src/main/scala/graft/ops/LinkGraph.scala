@@ -156,12 +156,14 @@ object LinkGraph {
       nodes.select(col("host"), lit(1000000L).as("r")))
     var it = 0
     while (it < iters) {
-      // dangling mass: rank held by nodes with no out-edges — ONE
-      // scalar to the driver per round (host-sized agg, not page data)
-      val dangling = ranks
+      // dangling mass (rank held by zero-out-degree nodes) stays IN
+      // PLAN as a 1-row aggregate crossJoined onto the update — a
+      // broadcast-nested-loop of one row, not a driver head(): each
+      // round then costs ONE action (the materializing count) instead
+      // of two full driver barriers
+      val danglingDf = ranks
         .join(outDeg, ranks("host") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("d")).head().getLong(0)
-      val perNodeDangling = dangling / n // non-negative: floor == trunc
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       val shares = eP
         .join(ranks.join(outDeg, ranks("host") === outDeg("src"))
           .select(col("src").as("s"), expr("r div od").as("share")),
@@ -169,10 +171,11 @@ object LinkGraph {
         .groupBy(col("dst")).agg(sum(col("share")).as("sh"))
       val next = nodes
         .join(shares, nodes("host") === shares("dst"), "left")
+        .crossJoin(danglingDf)
         .select(col("host"),
           (lit(teleport) +
             expr(s"($dampingPct * (coalesce(sh, CAST(0 AS BIGINT)) + " +
-              s"CAST($perNodeDangling AS BIGINT))) div 100")).as("r"))
+              s"(dang div CAST($n AS BIGINT)))) div 100")).as("r"))
       // materialize each round: flat lineage, previous round's cache
       // stays registry-tracked for the caller's releaseAll
       val nextP = CacheRegistry.persist(next)
@@ -211,12 +214,14 @@ object LinkGraph {
     val nodes = CacheRegistry.persist(
       eP.select(col("src").as("host"))
         .union(eP.select(col("dst").as("host"))).distinct())
-    // renormalize raw sums so the LARGEST score is ~1e6 micro-units
-    def norm(raw: DataFrame, c: String): DataFrame = {
-      val mx = raw.agg(coalesce(max(col(c)), lit(0L))).head().getLong(0)
-      val denom = math.max(1L, mx / 1000000L)
-      raw.select(col("host"), expr(s"$c div CAST($denom AS BIGINT)").as(c))
-    }
+    // renormalize raw sums so the LARGEST score is ~1e6 micro-units;
+    // the max stays in plan (1-row crossJoin), same rationale as
+    // pageRank's dangling aggregate — one action per half-step
+    def norm(raw: DataFrame, c: String): DataFrame =
+      raw.crossJoin(raw.agg(coalesce(max(col(c)), lit(0L)).as("mx")))
+        .select(col("host"),
+          expr(s"$c div greatest(mx div CAST(1000000 AS BIGINT), " +
+            "CAST(1 AS BIGINT))").as(c))
     var hub = CacheRegistry.persist(
       nodes.select(col("host"), lit(1000000L).as("h")))
     var auth: DataFrame = nodes.select(col("host"), lit(0L).as("a"))
