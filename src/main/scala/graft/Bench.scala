@@ -126,15 +126,15 @@ object Bench {
     // cost tracks markup volume) and 3-round integer PageRank over the
     // host graph (per-round cost = rank join + contribution agg on
     // host-sized tables — the part that must NOT scale with page rows);
-    // HITS shares the shape (timed, off-line: see lineExcluded)
-    "link_extract", "host_pagerank", "host_hits")
+    // HITS and TrustRank share the shape (timed, off-line: lineExcluded)
+    "link_extract", "host_pagerank", "host_hits", "host_trustrank")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
     * longer fits the driver's 2000-char tail window. One join-heavy
     * SQL-text representative (q5) stays on the line. */
   val lineExcluded: Set[String] = Set("sql_tpch_q10", "ann_lsh_topk",
-    "dedup_drop_near", "vocab_oov_rate", "host_hits")
+    "dedup_drop_near", "vocab_oov_rate", "host_hits", "host_trustrank")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

@@ -186,6 +186,74 @@ object LinkGraph {
     ranks.select(col("host"), col("r").as("rank_micro"))
   }
 
+  /** Fixed-iteration personalized PageRank from a SEED set (TrustRank,
+    * Gyöngyi et al. 2004) — the domain-trust signal curation pipelines
+    * propagate from a vetted whitelist: teleport (and dangling mass)
+    * return to the SEEDS only, so trust decays with link distance from
+    * the whitelist instead of spreading uniformly.
+    *
+    * Same integer micro-unit discipline and plan shape as [[pageRank]]
+    * (src-partitioned edge cache persisted once, host-sized rank join +
+    * contribution agg per round, scalars in plan). With M = N·10⁶ total
+    * mass and S seeds present in the graph:
+    *
+    *   rank0(v)  = M div S                      if seed(v) else 0
+    *   rank'(v)  = seed(v)·(((100-d)·M div 100) div S)
+    *             + (d · (Σ_{u→v} rank(u) div out(u)
+    *                     + seed(v)·(dangling div S))) div 100
+    *
+    * Returns (host, trust_micro). `seeds` is a 1-column host table
+    * (hosts absent from the graph are ignored); requires ≥ 1 present. */
+  def trustRank(edges: DataFrame, seeds: DataFrame,
+                srcCol: String = "src_host", dstCol: String = "dst_host",
+                iters: Int = 3, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters $iters")
+    require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct $dampingPct")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val eP = CacheRegistry.persist(e.repartition(col("src")))
+    val outDeg = CacheRegistry.persist(
+      eP.groupBy(col("src")).agg(count(lit(1)).as("od")))
+    val seedSet = seeds.select(col(seeds.columns.head).as("host")).distinct()
+    val nodes = CacheRegistry.persist(
+      eP.select(col("src").as("host"))
+        .union(eP.select(col("dst").as("host"))).distinct()
+        .join(seedSet.select(col("host"), lit(1L).as("seed")),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("seed"), lit(0L)).as("seed")))
+    val n = nodes.count()
+    val s = nodes.filter(col("seed") === 1L).count()
+    require(s >= 1, "no seed host present in the edge graph")
+    val mass = n * 1000000L
+    val teleportPerSeed = (mass * (100 - dampingPct) / 100) / s
+    var ranks = CacheRegistry.persist(
+      nodes.select(col("host"), col("seed"),
+        (col("seed") * lit(mass / s)).as("r")))
+    var it = 0
+    while (it < iters) {
+      val danglingDf = ranks
+        .join(outDeg, ranks("host") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      val shares = eP
+        .join(ranks.join(outDeg, ranks("host") === outDeg("src"))
+          .select(col("src").as("sc"), expr("r div od").as("share")),
+          eP("src") === col("sc"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("sh"))
+      val next = nodes
+        .join(shares, nodes("host") === shares("dst"), "left")
+        .crossJoin(danglingDf)
+        .select(col("host"), col("seed"),
+          (col("seed") * lit(teleportPerSeed) +
+            expr(s"($dampingPct * (coalesce(sh, CAST(0 AS BIGINT)) + " +
+              s"seed * (dang div CAST($s AS BIGINT)))) div 100")).as("r"))
+      val nextP = CacheRegistry.persist(next)
+      nextP.count()
+      ranks = nextP
+      it += 1
+    }
+    ranks.select(col("host"), col("r").as("trust_micro"))
+  }
+
   /** Fixed-iteration HITS (Kleinberg hubs & authorities) over the same
     * edge table — the second classic link-authority signal: hubs are
     * pages that point AT good content (directories, link farms score

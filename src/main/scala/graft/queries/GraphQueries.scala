@@ -111,6 +111,17 @@ object GraphQueries {
       val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
       LinkGraph.hits(LinkGraph.hostEdges(links, "url", "dst_url"),
         iters = 2)
+    },
+
+    // TrustRank from a 5-host whitelist (site0-4): teleport + dangling
+    // mass return to seeds only, so trust decays with link distance —
+    // hash-exact vs 3 unrolled oracle iterations.
+    "host_trustrank" -> { (s, d) =>
+      import s.implicits._
+      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+      val seeds = (0 until 5).map(i => s"site$i.example.com").toDF("host")
+      LinkGraph.trustRank(LinkGraph.hostEdges(links, "url", "dst_url"),
+        seeds, iters = 3, dampingPct = 85)
     })
 
   // ---- oracles ------------------------------------------------------
@@ -216,7 +227,48 @@ object GraphQueries {
          |${hitsHalfSql("a2", "h1", "h", "a", forward = true)},
          |${hitsHalfSql("h2", "a2", "a", "h", forward = false)}
          |SELECT a2.host, a2.a AS auth_micro, h2.h AS hub_micro
-         |FROM a2 JOIN h2 ON a2.host = h2.host""".stripMargin)
+         |FROM a2 JOIN h2 ON a2.host = h2.host""".stripMargin,
+
+    "host_trustrank" ->
+      s"""WITH $linksCteSql,
+         |e AS (SELECT DISTINCT
+         |    regexp_replace(lower(regexp_extract(page_url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+         |      '^www\\.|:[0-9]+$$', '', 'g') AS src,
+         |    regexp_replace(lower(regexp_extract(dst_url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+         |      '^www\\.|:[0-9]+$$', '', 'g') AS dst
+         |  FROM lnk),
+         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+         |nodes AS (SELECT host,
+         |    CASE WHEN regexp_matches(host, '^site[0-4]\\.example\\.com$$')
+         |      THEN 1 ELSE 0 END AS seed
+         |  FROM (SELECT src AS host FROM e2 UNION SELECT dst FROM e2)),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e2 GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(seed) AS BIGINT) AS s FROM nodes),
+         |t0 AS (SELECT host, seed, CAST(seed * ((SELECT n FROM nn) * 1000000
+         |    // (SELECT s FROM nn)) AS BIGINT) AS r FROM nodes),
+         |${trustIterSql(0, 1)},
+         |${trustIterSql(1, 2)},
+         |${trustIterSql(2, 3)}
+         |SELECT host, r AS trust_micro FROM t3""".stripMargin)
+
+  /** One unrolled integer-TrustRank iteration: teleport + dangling go
+    * to SEEDS only (damping 85; nn carries n and the seed count s). */
+  private def trustIterSql(i: Int, j: Int): String =
+    s"""tc$j AS (SELECT e2.dst AS host, CAST(sum(r.r // o.od) AS BIGINT) AS sh
+       |  FROM e2 JOIN t$i r ON e2.src = r.host JOIN od o ON e2.src = o.src
+       |  GROUP BY e2.dst),
+       |td$j AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
+       |  FROM t$i r LEFT JOIN od o ON r.host = o.src WHERE o.src IS NULL),
+       |t$j AS (SELECT n.host, n.seed, CAST(
+       |    n.seed * ((((SELECT n FROM nn) * 1000000 * 15) // 100) //
+       |      (SELECT s FROM nn)) +
+       |    (85 * (coalesce(c.sh, 0) + n.seed *
+       |      ((SELECT dang FROM td$j) // (SELECT s FROM nn)))) // 100
+       |    AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN tc$j c ON n.host = c.host)""".stripMargin
 
   /** One HITS half-step: sum `inCol` of CTE `src` over edges (dst-ward
     * when `forward`, src-ward otherwise) into `outCol`, then

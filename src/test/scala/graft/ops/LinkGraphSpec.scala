@@ -122,6 +122,51 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got("a") > got("b"))
   }
 
+  /** Independent reimplementation of the integer TrustRank recurrence. */
+  private def refTrustRank(edges: Seq[(String, String)], seeds: Set[String],
+                           iters: Int, dampingPct: Int): Map[String, Long] = {
+    val e = edges.filter(x => x._1 != x._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val od = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val present = nodes.filter(seeds).toSet
+    val n = nodes.size.toLong
+    val s = present.size.toLong
+    val mass = n * 1000000L
+    val tps = mass * (100 - dampingPct) / 100 / s
+    var r = nodes.map(v => v -> (if (present(v)) mass / s else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val dangShare = nodes.filterNot(od.contains).map(r).sum / s
+      val contrib = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (u, _) => r(u) / od(u) }.sum
+      }
+      r = nodes.map { v =>
+        val seed = if (present(v)) 1L else 0L
+        v -> (seed * tps + dampingPct *
+          (contrib.getOrElse(v, 0L) + seed * dangShare) / 100)
+      }.toMap
+    }
+    r
+  }
+
+  test("trustRank matches the independent recurrence; trust needs a path") {
+    // seed -> m1 -> m2; an off-path pair (x <-> y) and a sink the seed
+    // never reaches except through teleport (it gets NONE — only seeds
+    // receive teleport)
+    val edges = Seq(
+      ("seedh", "m1"), ("m1", "m2"),
+      ("x", "y"), ("y", "x"), ("m2", "seedh"))
+    val seeds = Set("seedh")
+    val got = LinkGraph.trustRank(edges.toDF("src_host", "dst_host"),
+      Seq("seedh", "absent.example").toDF("host"), iters = 3, dampingPct = 85)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    val want = refTrustRank(edges, seeds, iters = 3, dampingPct = 85)
+    assert(got == want)
+    // trust decays along the chain; the unreachable pair holds none
+    assert(got("seedh") > got("m1") && got("m1") > got("m2"))
+    assert(got("x") == 0L && got("y") == 0L)
+  }
+
   /** Independent reimplementation of the integer HITS recurrence. */
   private def refHits(edges: Seq[(String, String)],
                       iters: Int): Map[String, (Long, Long)] = {
