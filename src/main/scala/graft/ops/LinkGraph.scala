@@ -186,6 +186,28 @@ object LinkGraph {
     ranks.select(col("host"), col("r").as("rank_micro"))
   }
 
+  /** Top-k anchor-text terms per DESTINATION host — the classic
+    * search-engine relevance signal (what the web calls a page is
+    * written in the links pointing AT it, not on it). One token
+    * explode + one (host, term) partial-agg shuffle + a host-keyed
+    * rank window (never global). Ordering is deterministic:
+    * count DESC, term ASC — engine-exact. */
+  def anchorTerms(links: DataFrame, dstUrlCol: String = "dst_url",
+                  anchorCol: String = "anchor_text", k: Int = 3): DataFrame = {
+    require(k >= 1, s"k $k")
+    val counts = links
+      .select(UrlTools.hostOf(col(dstUrlCol)).as("host"),
+        explode(split(lower(col(anchorCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("host"), col("term"))
+      .agg(count(lit(1)).as("n_links"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("n_links").desc, col("term"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Fixed-iteration personalized PageRank from a SEED set (TrustRank,
     * Gyöngyi et al. 2004) — the domain-trust signal curation pipelines
     * propagate from a vetted whitelist: teleport (and dangling mass)

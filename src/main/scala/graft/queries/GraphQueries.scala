@@ -113,6 +113,13 @@ object GraphQueries {
         iters = 2)
     },
 
+    // Anchor-text index: top-3 terms per destination host by inbound
+    // link count (count DESC, term ASC — deterministic), hash-exact.
+    "anchor_terms" -> { (s, d) =>
+      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+      LinkGraph.anchorTerms(links, k = 3)
+    },
+
     // TrustRank from a 5-host whitelist (site0-4): teleport + dangling
     // mass return to seeds only, so trust decays with link distance —
     // hash-exact vs 3 unrolled oracle iterations.
@@ -228,6 +235,21 @@ object GraphQueries {
          |${hitsHalfSql("h2", "a2", "a", "h", forward = false)}
          |SELECT a2.host, a2.a AS auth_micro, h2.h AS hub_micro
          |FROM a2 JOIN h2 ON a2.host = h2.host""".stripMargin,
+
+    "anchor_terms" ->
+      s"""WITH $linksCteSql,
+         |t AS (SELECT
+         |    regexp_replace(lower(regexp_extract(dst_url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+         |      '^www\\.|:[0-9]+$$', '', 'g') AS host,
+         |    unnest(list_filter(string_split_regex(lower(anchor_text),
+         |      '\\s+'), x -> len(x) > 0)) AS term
+         |  FROM lnk),
+         |c AS (SELECT host, term, CAST(count(*) AS BIGINT) AS n_links
+         |  FROM t GROUP BY host, term),
+         |r AS (SELECT host, term, n_links, row_number() OVER (
+         |    PARTITION BY host ORDER BY n_links DESC, term) AS rn FROM c)
+         |SELECT host, term, n_links FROM r WHERE rn <= 3""".stripMargin,
 
     "host_trustrank" ->
       s"""WITH $linksCteSql,

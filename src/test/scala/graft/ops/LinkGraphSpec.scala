@@ -122,6 +122,24 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got("a") > got("b"))
   }
 
+  test("anchorTerms: per-host counts, deterministic top-k tie-break") {
+    val links = Seq(
+      ("https://t.example.com/1", "Great Docs"),
+      ("https://t.example.com/2", "great   docs here"),
+      ("https://t.example.com/3", "docs"),
+      ("https://u.example.com/1", "alpha beta"))
+      .toDF("dst_url", "anchor_text")
+    val got = LinkGraph.anchorTerms(links, k = 2)
+      .orderBy("host", "term").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("t.example.com", "docs", 3L),  // 3 > 2
+      ("t.example.com", "great", 2L),
+      // k=2 cuts "here"; u's tie (alpha==beta==1) breaks by term ASC
+      ("u.example.com", "alpha", 1L),
+      ("u.example.com", "beta", 1L)))
+  }
+
   /** Independent reimplementation of the integer TrustRank recurrence. */
   private def refTrustRank(edges: Seq[(String, String)], seeds: Set[String],
                            iters: Int, dampingPct: Int): Map[String, Long] = {
