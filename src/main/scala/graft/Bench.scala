@@ -391,6 +391,9 @@ object Bench {
       if (only.forall(_.contains("warc"))) warcAB(spark, sfDir, force)
       else Nil
     } ++ {
+      if (only.forall(_.contains("grep"))) trigramAB(spark, sfDir, force)
+      else Nil
+    } ++ {
       if (only.forall(_.contains("quantile")))
         quantileCubeAB(spark, sfDir, force)
       else Nil
@@ -641,6 +644,36 @@ object Bench {
         force(Warc.read(spark, dir).filter(
           org.apache.spark.sql.functions.col("target_uri")
             .isInCollection(uris)))
+      }
+      build +: pair
+    } finally {
+      try { graft.sources.GridExports.deleteStore(spark, dir) }
+      catch { case _: Throwable => }
+    }
+  }
+
+  /** Trigram substring index (TextSearch.buildTrigramIndex): pay the
+    * corpus-sized gram shuffle once, then A/B a selective phrase grep
+    * through the index (dfs lookup + pruned postings + candidate-only
+    * confirm) against the full contains() scan — the PII/contamination
+    * audit pattern where MANY ad-hoc literals probe one standing
+    * corpus. */
+  def trigramAB(spark: SparkSession, sfDir: String,
+                force: org.apache.spark.sql.DataFrame => Unit): Seq[Timing] = {
+    import graft.ops.TextSearch
+    val dir = benchTmpDir("graft_bench_tri")
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      val build = timed2(spark, "trigram_index_build") {
+        TextSearch.buildTrigramIndex(docs, dir)
+      }
+      val pair = timedAB(spark, "grep_trigram_indexed", "grep_full_scan") {
+        force(TextSearch.grepIndexed(spark, dir, docs, "merge batch"))
+      } {
+        force(docs.filter(org.apache.spark.sql.functions.col("text")
+          .contains("merge batch"))
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")))
       }
       build +: pair
     } finally {

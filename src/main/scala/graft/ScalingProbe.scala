@@ -150,6 +150,11 @@ object ScalingProbe {
       // 10-deep near-dup groups, so the MinHash/cluster stages face
       // their worst shape while everything upstream grows linearly
       "curate_crawl_e2e",
+      // round-8 wave 3: trigram-indexed grep — the probe side must
+      // track HIT count while the corpus (and its one-time index
+      // build, dropped by the min-of-2 rule since run 1 pays it and
+      // run 2 reuses the per-dir cache) grows 10x
+      "grep_indexed",
       // round-8 wave 3: link extraction must track markup volume (one
       // generator pass), and PageRank's per-round cost must track the
       // HOST graph (~constant here: replicas multiply pages, not

@@ -187,4 +187,87 @@ object TextSearch {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ---- trigram substring index ("grep 100 TB") ----------------------
+
+  /** Per-row DISTINCT character trigrams of `text` (empty below 3
+    * chars) — shared by build and any future column-side probe. */
+  private def trigramsOf(text: Column): Column =
+    array_distinct(
+      when(length(text) >= 3,
+        transform(sequence(lit(0), length(text) - 3),
+          i => text.substr(i + 1, lit(3))))
+        .otherwise(typedlit(Seq.empty[String])))
+
+  /** Build a persisted TRIGRAM index under `dir` — the Code-Search-
+    * style substring-search split (Cox's trigram method): substring
+    * and regex-literal queries over a corpus become a postings
+    * intersection + an exact confirm over candidates only, instead of
+    * a full-corpus scan per search (the PII / contamination audit
+    * pattern: many ad-hoc literal greps against a standing corpus).
+    *
+    * Layout under `dir`:
+    *  - `grams/`: (gram, doc_id) — one row per DISTINCT trigram per
+    *    doc, range-partitioned and sorted by gram so a probe's
+    *    `gram IN (...)` prunes to a few row groups (parquet min/max);
+    *  - `dfs/`:   (gram, df) — document frequencies, same layout; the
+    *    probe reads ≤ |literal|-2 rows to choose its rarest grams.
+    *
+    * Build cost: one corpus pass + one (gram, doc_id) shuffle —
+    * |text| rows per doc before the per-doc distinct caps it. */
+  def buildTrigramIndex(docs: DataFrame, dir: String,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val grams = docs.select(col(idCol),
+        explode(trigramsOf(col(textCol))).as("gram"))
+    grams.repartitionByRange(col("gram"))
+      .sortWithinPartitions(col("gram"))
+      .write.mode("overwrite").parquet(s"$dir/grams")
+    spark.read.parquet(s"$dir/grams")
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("gram"))
+      .sortWithinPartitions(col("gram"))
+      .write.mode("overwrite").parquet(s"$dir/dfs")
+  }
+
+  /** Literal substring search against a prebuilt trigram index:
+    * candidates = docs containing the literal's `maxProbeGrams` RAREST
+    * trigrams (df-ascending, gram-ascending tie — deterministic), then
+    * an exact `contains` confirm over the candidate docs only. The
+    * full corpus is never scanned: the dfs lookup reads ≤ |literal|-2
+    * rows, the postings scan prunes to the chosen grams' row groups,
+    * and the confirm joins candidates back to `docs` by id (semi-join
+    * carries ids only). A literal with a trigram NO doc contains
+    * short-circuits to empty without touching postings.
+    *
+    * Result equals `docs.filter(contains(text, literal))` exactly —
+    * the trigram stage only ever over-selects. Literals shorter than
+    * 3 chars fall back to the full scan (no trigram to prune on). */
+  def grepIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  docs: DataFrame, literal: String,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxProbeGrams: Int = 3): DataFrame = {
+    require(literal.nonEmpty, "empty literal")
+    require(maxProbeGrams >= 1, s"maxProbeGrams $maxProbeGrams")
+    val matches = docs.filter(col(textCol).contains(literal))
+      .select(col(idCol), col(textCol))
+    if (literal.length < 3) return matches // nothing to prune on
+    val grams = literal.sliding(3).toSeq.distinct
+    val dfs = spark.read.parquet(s"$dir/dfs")
+      .filter(col("gram").isin(grams: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (grams.exists(g => !dfs.contains(g)))
+      return matches.limit(0) // some trigram occurs in NO document
+    val chosen = grams.sortBy(g => (dfs(g), g)).take(
+      math.min(maxProbeGrams, grams.size))
+    val cands = spark.read.parquet(s"$dir/grams")
+      .filter(col("gram").isin(chosen: _*))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === chosen.size)
+      .select(col(idCol))
+    docs.join(cands, Seq(idCol), "left_semi")
+      .filter(col(textCol).contains(literal))
+      .select(col(idCol), col(textCol))
+  }
 }

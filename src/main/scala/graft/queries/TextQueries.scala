@@ -43,6 +43,7 @@ object TextQueries {
     * text with the first word replaced — a high-Jaccard near-dup. */
   // one inverted index per sf dir per JVM (Verify/Bench call repeatedly)
   private val bm25IdxCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val trigramIdxCache = scala.collection.concurrent.TrieMap[String, String]()
 
   private def corpusWithPlants(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -329,6 +330,23 @@ object TextQueries {
       graft.ops.TextSearch.queryInvertedIndex(s, dir,
         Seq("dup", "key", "vector"), k = 15)
         .withColumn("score", round(col("score"), 6))
+    },
+
+    // Literal substring grep through the PERSISTED trigram index
+    // (TextSearch.buildTrigramIndex / grepIndexed — Cox's Code-Search
+    // method): candidates from the phrase's rarest trigrams, exact
+    // contains() confirm over candidates only. The oracle is the full
+    // scan — indexed grep must equal it exactly (the trigram stage
+    // only over-selects).
+    "grep_indexed" -> { (s, d) =>
+      val dir = trigramIdxCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files.createTempDirectory("graft_tri_idx")
+          .toString
+        graft.ops.TextSearch.buildTrigramIndex(Tables.documents(s, d), r)
+        r
+      })
+      graft.ops.TextSearch.grepIndexed(s, dir, Tables.documents(s, d),
+        "merge batch")
     },
 
     // Line-level boilerplate curation (ops/LineFilter): CCNet-style
@@ -974,6 +992,10 @@ object TextQueries {
     // provably coincide; beyond the positive region the index cannot
     // (and need not) enumerate zero-score non-matching docs
     "bm25_index_search" -> bm25OracleSql(15),
+
+    // trigram-indexed grep == the full contains() scan, by contract
+    "grep_indexed" ->
+      "SELECT doc_id, text FROM documents WHERE contains(text, 'merge batch')",
 
     // DSIR weights replay: exact integer micro-nat chain end to end
     "dsir_weights" ->

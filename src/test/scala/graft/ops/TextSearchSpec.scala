@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -115,5 +116,45 @@ class TextSearchSpec extends AnyFunSuite {
     val out = TextSearch.queryInvertedIndex(spark, dir,
       Seq("rare", "zzz_absent"), k = 10, nBuckets = 8).collect()
     assert(out.map(_.getLong(0)).toSet == Set(3L)) // only doc 3 has 'rare'
+  }
+
+  test("trigram grep: indexed == full scan; substrings cross token " +
+    "boundaries; case-sensitive") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "the alphabet song"),     // 'alpha' inside a longer token
+      (3L, "ALPHA BETA"),            // case differs -> no match
+      (4L, "unrelated text here"),
+      (5L, "ha be"))                 // shares trigrams 'ha ', 'a b', ' be'
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tri_idx").toString
+    TextSearch.buildTrigramIndex(corpus, dir)
+    def grep(q: String): Set[Long] =
+      TextSearch.grepIndexed(spark, dir, corpus, q)
+        .collect().map(_.getLong(0)).toSet
+    def full(q: String): Set[Long] =
+      corpus.filter(col("text").contains(q))
+        .collect().map(_.getLong(0)).toSet
+    for (q <- Seq("alpha", "ha be", "alpha beta", "beta gamma",
+        "ALPHA", "song", "zzz", "text here"))
+      assert(grep(q) == full(q), s"literal '$q'")
+    // cross-token witnesses: 'alphabet' contains 'alpha' (docs 1 AND
+    // 2), and 'alpHA BEta' contains 'ha be' (doc 1 as well as the
+    // verbatim doc 5) — substring search sees through token boundaries
+    assert(grep("alpha") == Set(1L, 2L))
+    assert(grep("ha be") == Set(1L, 5L))
+  }
+
+  test("trigram grep: short literals fall back, absent trigrams " +
+    "short-circuit empty") {
+    val corpus = Seq((1L, "abc def"), (2L, "xyz")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tri_idx2").toString
+    TextSearch.buildTrigramIndex(corpus, dir)
+    // < 3 chars: full-scan fallback, still exact
+    assert(TextSearch.grepIndexed(spark, dir, corpus, "ab")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // a literal whose trigram exists in no doc: empty without scanning
+    val out = TextSearch.grepIndexed(spark, dir, corpus, "abq def")
+    assert(out.collect().isEmpty)
   }
 }
