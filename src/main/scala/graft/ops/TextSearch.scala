@@ -270,4 +270,98 @@ object TextSearch {
       .filter(col(textCol).contains(literal))
       .select(col(idCol), col(textCol))
   }
+
+  /** REQUIRED literal runs of a regex — substrings every match must
+    * contain — extracted conservatively (Cox's trigram-query idea,
+    * simplified to stay provably sound):
+    *  - any alternation (`|`) anywhere → NO run is provably required →
+    *    empty (caller falls back to the full scan);
+    *  - metacharacters and every `\x` escape break runs (a `\.` literal
+    *    dot is given up rather than special-cased);
+    *  - a run whose next char is `*`, `?` or `{` drops its last char
+    *    (that char may repeat 0 times);
+    * runs shorter than 3 chars can't drive a trigram probe and are
+    * dropped. Under-extraction only ever costs pruning power, never
+    * correctness — the confirm stage is always the exact `rlike`. */
+  private[ops] def requiredLiterals(pattern: String): Seq[String] = {
+    // alternation makes every branch optional; a group followed by a
+    // quantifier makes its CONTENTS optional — both would need real
+    // parsing to handle, so both disable extraction outright
+    if (pattern.contains("|") || pattern.contains("(")) return Nil
+    val metas = ".^$*+?".toSet
+    val runs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    def flush(dropLast: Boolean): Unit = {
+      if (cur.nonEmpty) {
+        val run = if (dropLast) cur.toString.dropRight(1) else cur.toString
+        if (run.nonEmpty) runs += run
+        cur.clear()
+      }
+    }
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '\\') { // escape: break the run, skip the escaped char
+        flush(dropLast = false)
+        i += 2
+      } else if (c == '[') { // character class: skip its whole body
+        flush(dropLast = false)
+        i += 1
+        if (i < pattern.length && pattern.charAt(i) == '^') i += 1
+        if (i < pattern.length && pattern.charAt(i) == ']') i += 1
+        while (i < pattern.length && pattern.charAt(i) != ']') {
+          if (pattern.charAt(i) == '\\') i += 2 else i += 1
+        }
+        i += 1 // past ']'
+      } else if (c == '{') { // counted quantifier: {0,..} may repeat the
+        flush(dropLast = true) // preceding char 0 times; skip the body
+        while (i < pattern.length && pattern.charAt(i) != '}') i += 1
+        i += 1
+      } else if (c == '*' || c == '?') {
+        flush(dropLast = true)
+        i += 1
+      } else if (metas(c)) {
+        flush(dropLast = false)
+        i += 1
+      } else { cur += c; i += 1 }
+    }
+    flush(dropLast = false)
+    runs.filter(_.length >= 3).distinct.toSeq
+  }
+
+  /** Regex search against the trigram index: candidates must contain
+    * the rarest trigrams of EVERY required literal run of `pattern`,
+    * then the exact `rlike` confirm runs over candidates only. A
+    * pattern with no extractable run (alternations, short literals,
+    * pure classes) falls back to the full scan — still exact, just
+    * unpruned. Result equals `docs.filter(text rlike pattern)`. */
+  def grepRegexIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       docs: DataFrame, pattern: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxProbeGrams: Int = 3): DataFrame = {
+    val matches = docs.filter(col(textCol).rlike(pattern))
+      .select(col(idCol), col(textCol))
+    val lits = requiredLiterals(pattern)
+    if (lits.isEmpty) return matches
+    val grams = lits.flatMap(_.sliding(3)).distinct
+    val dfs = spark.read.parquet(s"$dir/dfs")
+      .filter(col("gram").isin(grams: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per REQUIRED literal: its rarest grams (all must hit); a literal
+    // with an absent trigram proves zero matches corpus-wide
+    val perLit = lits.map(l => l.sliding(3).toSeq.distinct)
+    if (perLit.exists(_.exists(g => !dfs.contains(g))))
+      return matches.limit(0)
+    val chosen = perLit.flatMap(gs =>
+      gs.sortBy(g => (dfs(g), g)).take(math.min(maxProbeGrams, gs.size)))
+      .distinct
+    val cands = spark.read.parquet(s"$dir/grams")
+      .filter(col("gram").isin(chosen: _*))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === chosen.size)
+      .select(col(idCol))
+    docs.join(cands, Seq(idCol), "left_semi")
+      .filter(col(textCol).rlike(pattern))
+      .select(col(idCol), col(textCol))
+  }
 }

@@ -349,6 +349,20 @@ object TextQueries {
         "merge batch")
     },
 
+    // Regex grep through the same index: required-literal runs drive
+    // the trigram candidates ('merge ' and 'batch' here), the exact
+    // rlike confirms. Oracle = the full regexp scan.
+    "grep_regex_indexed" -> { (s, d) =>
+      val dir = trigramIdxCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files.createTempDirectory("graft_tri_idx")
+          .toString
+        graft.ops.TextSearch.buildTrigramIndex(Tables.documents(s, d), r)
+        r
+      })
+      graft.ops.TextSearch.grepRegexIndexed(s, dir, Tables.documents(s, d),
+        "merge [a-z]*batch")
+    },
+
     // Line-level boilerplate curation (ops/LineFilter): CCNet-style
     // line rules — reflow the fixture prose into 8-word lines, plant
     // docs carrying nav/ALL-CAPS/digit-spam/fragment lines, and keep
@@ -996,6 +1010,10 @@ object TextQueries {
     // trigram-indexed grep == the full contains() scan, by contract
     "grep_indexed" ->
       "SELECT doc_id, text FROM documents WHERE contains(text, 'merge batch')",
+
+    // regex twin: same law against the full regexp scan
+    "grep_regex_indexed" ->
+      "SELECT doc_id, text FROM documents WHERE regexp_matches(text, 'merge [a-z]*batch')",
 
     // DSIR weights replay: exact integer micro-nat chain end to end
     "dsir_weights" ->

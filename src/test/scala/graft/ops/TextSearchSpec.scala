@@ -145,6 +145,50 @@ class TextSearchSpec extends AnyFunSuite {
     assert(grep("ha be") == Set(1L, 5L))
   }
 
+  test("requiredLiterals: sound under quantifiers, escapes, alternation") {
+    assert(TextSearch.requiredLiterals("merge [a-z]*batch") ==
+      Seq("merge ", "batch"))
+    // 'b' may repeat 0 times under * -> dropped from its run
+    assert(TextSearch.requiredLiterals("alphab*eta") == Seq("alpha", "eta"))
+    // {0,3} may repeat 'c' zero times -> 'ab' survives but is < 3 chars
+    assert(TextSearch.requiredLiterals("abcd{0,3}e") == Seq("abc"))
+    // class bodies are never literals
+    assert(TextSearch.requiredLiterals("xyz[abc]*w").toSet == Set("xyz"))
+    // + keeps the full run (one occurrence required), space included
+    assert(TextSearch.requiredLiterals("merge +batch") ==
+      Seq("merge ", "batch"))
+    // groups disable extraction (a trailing ? would void their runs)
+    assert(TextSearch.requiredLiterals("(abc)?def").isEmpty)
+    // escapes break runs; alternation disables extraction entirely
+    assert(TextSearch.requiredLiterals("data\\.quality") ==
+      Seq("data", "quality"))
+    assert(TextSearch.requiredLiterals("alpha|beta").isEmpty)
+    assert(TextSearch.requiredLiterals("^x[0-9]$").isEmpty) // all < 3 chars
+  }
+
+  test("regex grep: indexed == full scan across pattern shapes") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "the alphabet song"),
+      (3L, "merge   batch now"),
+      (4L, "merge batch"),
+      (5L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tri_idx3").toString
+    TextSearch.buildTrigramIndex(corpus, dir)
+    def grep(p: String): Set[Long] =
+      TextSearch.grepRegexIndexed(spark, dir, corpus, p)
+        .collect().map(_.getLong(0)).toSet
+    def full(p: String): Set[Long] =
+      corpus.filter(col("text").rlike(p))
+        .collect().map(_.getLong(0)).toSet
+    for (p <- Seq("merge +batch", "alpha.*gamma", "alpha|song",
+        "^merge", "bat.h", "qqq+z"))
+      assert(grep(p) == full(p), s"pattern '$p'")
+    assert(grep("merge +batch") == Set(3L, 4L))
+    assert(grep("alpha|song") == Set(1L, 2L)) // fallback path, still exact
+  }
+
   test("trigram grep: short literals fall back, absent trigrams " +
     "short-circuit empty") {
     val corpus = Seq((1L, "abc def"), (2L, "xyz")).toDF("doc_id", "text")
