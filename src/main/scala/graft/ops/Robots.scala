@@ -74,6 +74,58 @@ object Robots {
       }(enc)
   }
 
+  val directiveSchema: StructType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("crawl_delay", LongType),
+    StructField("sitemaps", ArrayType(StringType))))
+
+  /** Parse the NON-rule directives a crawl frontier consumes:
+    * `Crawl-delay` from the `*`-agent group (seconds; the de-facto
+    * politeness extension — last `*`-group value wins, non-numeric
+    * ignored) and `Sitemap:` lines (RFC 9309 §2.3 — group-INdependent,
+    * collected in file order). Returns (crawlDelaySeconds, sitemaps). */
+  def parseDirectives(robotsTxt: String): (Option[Long], Seq[String]) = {
+    var delay: Option[Long] = None
+    val maps = Seq.newBuilder[String]
+    var groupHasStar = false
+    var inAgentRun = false
+    Option(robotsTxt).getOrElse("").split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.substring(0, i).trim.toLowerCase
+        val value = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgentRun) { groupHasStar = false; inAgentRun = true }
+            if (value == "*") groupHasStar = true
+          case "sitemap" => // group-independent; ':' inside URL survives
+            inAgentRun = false
+            if (value.nonEmpty) maps += value
+          case "crawl-delay" =>
+            inAgentRun = false
+            if (groupHasStar) value.toLongOption.foreach(d => delay = Some(d))
+          case _ => inAgentRun = false
+        }
+      }
+    }
+    (delay, maps.result())
+  }
+
+  /** (domain, robots_txt) → (domain, crawl_delay, sitemaps) — the
+    * frontier pacing/seeding table. `crawl_delay` NULL when the
+    * `*`-group sets none; `sitemaps` possibly empty. Sites-sized,
+    * imperative parse, same contract as [[parseRulesTable]]. */
+  def parseDirectivesTable(robots: DataFrame, domainCol: String = "domain",
+                           textCol: String = "robots_txt"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(directiveSchema)
+    robots.select(col(domainCol).as("domain"), col(textCol).as("t"))
+      .map { r =>
+        val (delay, maps) = parseDirectives(r.getString(1))
+        Row(r.getString(0), delay.map(Long.box).orNull, maps)
+      }(enc)
+  }
+
   /** Gate a page table by a rule table: adds `domain`, `path`,
     * `allowed`. The rule table collapses to ONE array row per domain
     * (sites-sized) and broadcasts, so the corpus pays a broadcast

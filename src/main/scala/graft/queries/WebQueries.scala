@@ -233,6 +233,27 @@ object WebQueries {
         .select(col("doc_id"), col("domain"), col("path"), col("allowed"))
     },
 
+    // Frontier directives (Robots.parseDirectivesTable): `*`-group
+    // Crawl-delay (googlebot-group values must NOT apply, non-numeric
+    // ignored) + group-independent Sitemap collection in file order.
+    // The oracle is the expected directive rows as VALUES — the parser
+    // is validated through its output.
+    "robots_directives" -> { (s, d) =>
+      import s.implicits._
+      val robots = Seq(
+        ("example.com",
+          "User-agent: *\nCrawl-delay: 2\nSitemap: https://example.com/sm1.xml\n\n" +
+            "User-agent: googlebot\nCrawl-delay: 99\nSitemap: https://example.com/sm2.xml\n"),
+        ("example.co.uk",
+          "User-agent: googlebot\nCrawl-delay: 7\n\nUser-agent: *\nDisallow: /x\n"),
+        ("sample.org",
+          "Sitemap: https://sample.org/a.xml # seed\nUser-agent: *\nCrawl-delay: bogus\n"))
+        .toDF("domain", "robots_txt")
+      graft.ops.Robots.parseDirectivesTable(robots)
+        .select(col("domain"), col("crawl_delay"),
+          array_join(col("sitemaps"), ",").as("sitemaps_csv"))
+    },
+
     // Domain reputation prior: per-doc quality snapped to integer 1e-4
     // units, per-registered-domain docs/mean joined back broadcast.
     "url_domain_prior" -> { (s, d) =>
@@ -459,6 +480,14 @@ object WebQueries {
          |SELECT doc_id, domain, path,
          |  coalesce(score % 2 = 1, TRUE) AS allowed
          |FROM m""".stripMargin,
+
+    "robots_directives" ->
+      """SELECT * FROM (VALUES
+        |  ('example.com', CAST(2 AS BIGINT),
+        |   'https://example.com/sm1.xml,https://example.com/sm2.xml'),
+        |  ('example.co.uk', CAST(NULL AS BIGINT), ''),
+        |  ('sample.org', CAST(NULL AS BIGINT), 'https://sample.org/a.xml'))
+        |  AS t(domain, crawl_delay, sitemaps_csv)""".stripMargin,
 
     "url_domain_prior" ->
       s"""WITH t AS (SELECT doc_id, source,

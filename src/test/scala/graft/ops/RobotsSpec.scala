@@ -28,6 +28,19 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.parseRules(null).isEmpty)
   }
 
+  test("parseDirectives: star-group crawl-delay, global sitemaps") {
+    val (d1, m1) = Robots.parseDirectives(
+      "Sitemap: https://s/pre.xml\n" +
+        "User-agent: googlebot\nCrawl-delay: 99\nSitemap: https://s/g.xml\n\n" +
+        "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n")
+    assert(d1.contains(3L)) // googlebot's 99 must not apply
+    assert(m1 == Seq("https://s/pre.xml", "https://s/g.xml")) // file order
+    val (d2, m2) = Robots.parseDirectives(
+      "User-agent: *\nCrawl-delay: bogus\n")
+    assert(d2.isEmpty && m2.isEmpty) // non-numeric ignored
+    assert(Robots.parseDirectives(null) == (None, Nil))
+  }
+
   test("gate: longest match, allow-beats-disallow tie, defaults") {
     val rules = Robots.parseRulesTable(Seq(
       ("site.com", "User-agent: *\nDisallow: /a\nAllow: /a/b\nDisallow: /a/b/c\n" +
