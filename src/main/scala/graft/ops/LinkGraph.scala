@@ -176,11 +176,15 @@ object LinkGraph {
           (lit(teleport) +
             expr(s"($dampingPct * (coalesce(sh, CAST(0 AS BIGINT)) + " +
               s"(dang div CAST($n AS BIGINT)))) div 100")).as("r"))
-      // materialize each round: flat lineage, previous round's cache
-      // stays registry-tracked for the caller's releaseAll
-      val nextP = CacheRegistry.persist(next)
-      nextP.count()
-      ranks = nextP
+      // localCheckpoint, not persist+count: persist keeps the FULL
+      // logical plan, and each round references the previous ranks
+      // frame from BOTH the share join and the dangling aggregate —
+      // tree size would double per round, and Spark stringifies the
+      // whole tree on every action (observed: minutes of driver CPU
+      // inside generateTreeString at 4+ rounds). Checkpointing cuts
+      // the lineage to the materialized rows, keeping every round's
+      // plan — and its per-action stringification — constant-size.
+      ranks = next.localCheckpoint(true)
       it += 1
     }
     ranks.select(col("host"), col("r").as("rank_micro"))
@@ -268,9 +272,8 @@ object LinkGraph {
           (col("seed") * lit(teleportPerSeed) +
             expr(s"($dampingPct * (coalesce(sh, CAST(0 AS BIGINT)) + " +
               s"seed * (dang div CAST($s AS BIGINT)))) div 100")).as("r"))
-      val nextP = CacheRegistry.persist(next)
-      nextP.count()
-      ranks = nextP
+      // lineage cut per round — see pageRank's localCheckpoint note
+      ranks = next.localCheckpoint(true)
       it += 1
     }
     ranks.select(col("host"), col("r").as("trust_micro"))
@@ -306,7 +309,11 @@ object LinkGraph {
         .union(eP.select(col("dst").as("host"))).distinct())
     // renormalize raw sums so the LARGEST score is ~1e6 micro-units;
     // the max stays in plan (1-row crossJoin), same rationale as
-    // pageRank's dangling aggregate — one action per half-step
+    // pageRank's dangling aggregate — one action per half-step. The
+    // self-referential crossJoin is safe ONLY because the half-step
+    // output is localCheckpointed below: raw's subtree appears twice
+    // in the plan, so without the lineage cut the tree (and Spark's
+    // per-action plan stringification) would double per half-step.
     def norm(raw: DataFrame, c: String): DataFrame =
       raw.crossJoin(raw.agg(coalesce(max(col(c)), lit(0L)).as("mx")))
         .select(col("host"),
@@ -322,17 +329,13 @@ object LinkGraph {
           .groupBy(col("dst")).agg(sum(col("h")).as("a")),
         nodes("host") === col("dst"), "left")
         .select(col("host"), coalesce(col("a"), lit(0L)).as("a"))
-      val aP = CacheRegistry.persist(norm(aRaw, "a"))
-      aP.count()
-      auth = aP
+      auth = norm(aRaw, "a").localCheckpoint(true)
       val hRaw = nodes.join(
         eP.join(auth, eP("dst") === auth("host"))
           .groupBy(col("src")).agg(sum(col("a")).as("h")),
         nodes("host") === col("src"), "left")
         .select(col("host"), coalesce(col("h"), lit(0L)).as("h"))
-      val hP = CacheRegistry.persist(norm(hRaw, "h"))
-      hP.count()
-      hub = hP
+      hub = norm(hRaw, "h").localCheckpoint(true)
       it += 1
     }
     auth.join(hub, "host")

@@ -230,7 +230,9 @@ class LinkGraphSpec extends AnyFunSuite {
       iters = 3, dampingPct = 85)
     val ranks = df.collect().map(_.getLong(1))
     val released = CacheRegistry.releaseAll()
-    assert(released >= 5, s"expected tracked caches, got $released")
+    // edges, out-degrees, nodes, round-0 ranks (iterated rounds are
+    // localCheckpoints, GC-reclaimed, not registry entries)
+    assert(released >= 4, s"expected tracked caches, got $released")
     val n = ranks.length
     val total = ranks.sum
     assert(total <= 1000000L * n)
