@@ -254,6 +254,38 @@ object WebQueries {
           array_join(col("sitemaps"), ",").as("sitemaps_csv"))
     },
 
+    // Sitemap parsing (ops/Sitemaps): one planted sitemap document per
+    // fixture row — doc_id % 20 == 0 rows are <sitemapindex> files
+    // (their entries are nested sitemap FILES, is_index = true), the
+    // rest <urlset> pages with whitespace-padded locs, an &amp;
+    // entity witness, and optional lastmod.
+    "sitemap_urls" -> { (s, d) =>
+      val id = col("doc_id")
+      val h = (id % 50).cast("string")
+      val dd = lpad((id % 28 + 1).cast("string"), 2, "0")
+      val xml = when(id % 20 === 0, concat(
+        lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        lit("<sitemap><loc>https://site"), h, lit(".example.com/sm/"),
+        id.cast("string"), lit("/1.xml</loc><lastmod>2026-02-"), dd,
+        lit("</lastmod></sitemap>"),
+        lit("<sitemap><loc>https://site"), h, lit(".example.com/sm/"),
+        id.cast("string"), lit("/2.xml</loc></sitemap>"),
+        lit("</sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          lit("<url><loc> https://site"), h, lit(".example.com/doc/"),
+          (id * 3).cast("string"), lit(" </loc><lastmod>2026-01-"), dd,
+          lit("</lastmod></url>"),
+          lit("<url><loc>https://site"), h, lit(".example.com/doc/"),
+          (id * 3 + 1).cast("string"), lit("?a=1&amp;b=2</loc></url>"),
+          lit("<url><loc>https://site"), h, lit(".example.com/doc/"),
+          (id * 3 + 2).cast("string"),
+          lit("</loc><priority>0.5</priority></url>"),
+          lit("</urlset>")))
+      val sm = Tables.documents(s, d).select(id, xml.as("xml"))
+      graft.ops.Sitemaps.urls(sm, "doc_id", "xml")
+    },
+
     // Domain reputation prior: per-doc quality snapped to integer 1e-4
     // units, per-registered-domain docs/mean joined back broadcast.
     "url_domain_prior" -> { (s, d) =>
@@ -480,6 +512,49 @@ object WebQueries {
          |SELECT doc_id, domain, path,
          |  coalesce(score % 2 = 1, TRUE) AS allowed
          |FROM m""".stripMargin,
+
+    "sitemap_urls" ->
+      s"""WITH x AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 20 = 0 THEN
+         |      '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+         |      '<sitemap><loc>https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+         |      '.example.com/sm/' || CAST(doc_id AS VARCHAR) ||
+         |      '/1.xml</loc><lastmod>2026-02-' ||
+         |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+         |      '</lastmod></sitemap>' ||
+         |      '<sitemap><loc>https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+         |      '.example.com/sm/' || CAST(doc_id AS VARCHAR) ||
+         |      '/2.xml</loc></sitemap>' ||
+         |      '</sitemapindex>'
+         |    ELSE
+         |      '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+         |      '<url><loc> https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+         |      '.example.com/doc/' || CAST(doc_id * 3 AS VARCHAR) ||
+         |      ' </loc><lastmod>2026-01-' ||
+         |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+         |      '</lastmod></url>' ||
+         |      '<url><loc>https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+         |      '.example.com/doc/' || CAST(doc_id * 3 + 1 AS VARCHAR) ||
+         |      '?a=1&amp;b=2</loc></url>' ||
+         |      '<url><loc>https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+         |      '.example.com/doc/' || CAST(doc_id * 3 + 2 AS VARCHAR) ||
+         |      '</loc><priority>0.5</priority></url>' ||
+         |      '</urlset>'
+         |    END AS xml FROM documents),
+         |b AS (SELECT doc_id,
+         |    contains(lower(xml), '<sitemapindex') AS is_index,
+         |    unnest(regexp_extract_all(xml,
+         |      '(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)) AS entry
+         |  FROM x),
+         |e AS (SELECT doc_id, is_index,
+         |    ${entitySql("regexp_extract(entry, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1)")} AS url,
+         |    CASE WHEN len(regexp_extract(entry,
+         |        '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)) > 0
+         |      THEN regexp_extract(entry,
+         |        '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1) END AS lastmod
+         |  FROM b)
+         |SELECT doc_id, url, lastmod, is_index FROM e
+         |WHERE len(url) > 0""".stripMargin,
 
     "robots_directives" ->
       """SELECT * FROM (VALUES
