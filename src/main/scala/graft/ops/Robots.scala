@@ -12,10 +12,17 @@ import org.apache.spark.sql.types._
   * corpus.
   *
   * Semantics (the RFC's longest-match rule): the most specific
-  * matching rule (longest path prefix) decides; on an exact length
-  * tie, Allow wins; no matching rule means allowed. Encoded as integer
-  * arithmetic — score = 2·len(prefix) + (allow ? 1 : 0), decision =
-  * max score odd — so the DuckDB oracle replays the decision exactly.
+  * matching rule (longest pattern, RFC 9309 §2.2.2 "most octets")
+  * decides; on an exact length tie, Allow wins; no matching rule means
+  * allowed. Rule patterns support the §2.2.3 special characters —
+  * `*` matches any run of octets and a TRAILING `$` anchors the match
+  * to the end of the path (elsewhere `$` is literal) — compiled
+  * site-side to regexes by [[compilePattern]]; wildcard-free rules
+  * keep the prefix fast path. Specificity is the raw pattern's length
+  * (wildcard octets count, as in Google's reference matcher), encoded
+  * as integer arithmetic — score = 2·len(pattern) + (allow ? 1 : 0),
+  * decision = max score odd — so the DuckDB oracle replays the
+  * decision exactly.
   *
   * Scale shape: parsing is one imperative flatMap over the robots
   * table (sites-sized, not corpus-sized); the gate joins the corpus
@@ -126,20 +133,61 @@ object Robots {
       }(enc)
   }
 
+  /** Compile one RFC 9309 rule pattern to an anchored regex, or None
+    * when the pattern is wildcard-free (the `startsWith` fast path
+    * suffices — the overwhelmingly common case, and the one that stays
+    * fully codegen'd). §2.2.3 specials: `*` → `.*` (any run of
+    * octets), a TRAILING `$` → end anchor; a non-trailing `$` and all
+    * regex metacharacters are escaped to literals. Emitted regexes
+    * stay in the RE2 ∩ java.util.regex dialect (plain escapes, `^`/`$`
+    * anchors, `.*`) so the DuckDB oracle replays matches exactly. */
+  def compilePattern(p: String): Option[String] =
+    if (!p.contains('*') && !p.endsWith("$")) None
+    else {
+      val endAnchor = p.endsWith("$")
+      val body = if (endAnchor) p.dropRight(1) else p
+      val sb = new StringBuilder("^")
+      body.foreach {
+        case '*' => sb.append(".*")
+        case c if "\\.[]{}()+?^$|".indexOf(c.toInt) >= 0 =>
+          sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      if (endAnchor) sb.append('$')
+      Some(sb.toString)
+    }
+
   /** Gate a page table by a rule table: adds `domain`, `path`,
-    * `allowed`. The rule table collapses to ONE array row per domain
-    * (sites-sized) and broadcasts, so the corpus pays a broadcast
-    * equi-join and an in-row fold over its domain's rules — NO shuffle
-    * at all; page rows never move. */
+    * `allowed`. The rule table is compiled site-side ([[compilePattern]]
+    * — per-rule regex compile is free at sites scale), collapses to
+    * ONE array row per domain and broadcasts, so the corpus pays a
+    * broadcast equi-join and an in-row fold over its domain's rules —
+    * NO shuffle at all; page rows never move. Wildcard-free rules
+    * match by `startsWith` (codegen'd); only rules carrying `*`/`$`
+    * pay a regex evaluation, and only on their own domain's pages. */
   def gate(df: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
-    val ruleSets = rules.groupBy(col("domain"))
-      .agg(collect_list(struct(col("allow"), col("prefix"))).as("rules"))
+    val compiledSchema = StructType(Seq(
+      StructField("domain", StringType), StructField("allow", BooleanType),
+      StructField("prefix", StringType), StructField("pattern", StringType)))
+    val cenc = org.apache.spark.sql.Encoders.row(compiledSchema)
+    val compiled = rules
+      .select(col("domain"), col("allow"), col("prefix"))
+      .map { r =>
+        Row(r.getString(0), r.getBoolean(1), r.getString(2),
+          compilePattern(r.getString(2)).orNull)
+      }(cenc)
+    val ruleSets = compiled.groupBy(col("domain"))
+      .agg(collect_list(
+        struct(col("allow"), col("prefix"), col("pattern"))).as("rules"))
     val pages = df
       .withColumn("domain", UrlTools.registeredDomainOf(col(urlCol)))
       .withColumn("path", UrlTools.pathOf(col(urlCol)))
-    // max over matching rules of 2*len(prefix) + allow; -1 = no match
+    // max over matching rules of 2*len(pattern) + allow; -1 = no match
     val best = aggregate(
-      filter(col("rules"), r => col("path").startsWith(r.getField("prefix"))),
+      filter(col("rules"), r =>
+        when(r.getField("pattern").isNotNull,
+          regexp_like(col("path"), r.getField("pattern")))
+          .otherwise(col("path").startsWith(r.getField("prefix")))),
       lit(-1),
       (acc, r) => greatest(acc,
         length(r.getField("prefix")) * 2 +

@@ -207,10 +207,15 @@ object WebQueries {
     // robots.txt gate (RFC 9309 longest-match): per-domain robots
     // bodies exercise group selection (a googlebot-only block that
     // must NOT apply), stacked agents, comments, empty Disallow, the
-    // longest-match cascade a1 < a12 < a123, and the equal-length
-    // Allow-beats-Disallow tie. The oracle constructs the expected
-    // RULE rows directly, so the parser is validated through the
-    // decisions it produces.
+    // longest-match cascade a1 < a12 < a123, the equal-length
+    // Allow-beats-Disallow tie, and the §2.2.3 specials — `/*4$`
+    // (wildcard + end anchor, blocks every path ending in 4),
+    // `/path/a*44$` (a longer Allow that re-admits ...44 paths),
+    // `/path/a2*` (prefix wildcard), `/path/a77$` (anchor-only: exact
+    // path, /path/a770 must NOT match). The oracle constructs the
+    // expected RULE rows (pattern pre-compiled) directly, so the
+    // parser + compiler are validated through the decisions they
+    // produce.
     "url_robots_gate" -> { (s, d) =>
       import s.implicits._
       val robots = Seq(
@@ -218,13 +223,14 @@ object WebQueries {
           "# crawl policy\nUser-agent: googlebot\nDisallow: /\n\n" +
             "User-agent: *\nDisallow: /path/a1 # oldest rule\n" +
             "Allow: /path/a12\nDisallow: /path/a123\n" +
-            "Allow: /path/a4\nDisallow: /path/a4\nDisallow:\n"),
+            "Allow: /path/a4\nDisallow: /path/a4\nDisallow:\n" +
+            "Disallow: /*4$\nAllow: /path/a*44$\n"),
         ("example.co.uk",
           "User-agent: googlebot\nUser-agent: bingbot\nDisallow: /\n\n" +
             "User-agent: *\nUser-agent: extra-agent\nCrawl-delay: 10\n" +
-            "Disallow: /path/a7\n"),
+            "Disallow: /path/a7\nAllow: /path/a77$\n"),
         ("sample.org",
-          "User-agent: *\nAllow: /\nDisallow: /path/a5\n"))
+          "User-agent: *\nAllow: /\nDisallow: /path/a5\nDisallow: /path/a2*\n"))
         .toDF("domain", "robots_txt")
       val urls = Tables.documents(s, d)
         .select(col("doc_id"), plantedUrl(col("doc_id"), col("source")).as("url"))
@@ -493,21 +499,27 @@ object WebQueries {
          |          '/+$$', '', 'g')
          |        ELSE '/' END AS path
          |  FROM h),
-         |r(domain, allow, prefix) AS (VALUES
-         |  ('example.com', FALSE, '/path/a1'),
-         |  ('example.com', TRUE,  '/path/a12'),
-         |  ('example.com', FALSE, '/path/a123'),
-         |  ('example.com', TRUE,  '/path/a4'),
-         |  ('example.com', FALSE, '/path/a4'),
-         |  ('example.co.uk', FALSE, '/path/a7'),
-         |  ('sample.org', TRUE,  '/'),
-         |  ('sample.org', FALSE, '/path/a5')),
+         |r(domain, allow, prefix, pattern) AS (VALUES
+         |  ('example.com', FALSE, '/path/a1', CAST(NULL AS VARCHAR)),
+         |  ('example.com', TRUE,  '/path/a12', NULL),
+         |  ('example.com', FALSE, '/path/a123', NULL),
+         |  ('example.com', TRUE,  '/path/a4', NULL),
+         |  ('example.com', FALSE, '/path/a4', NULL),
+         |  ('example.com', FALSE, '/*4$$', '^/.*4$$'),
+         |  ('example.com', TRUE,  '/path/a*44$$', '^/path/a.*44$$'),
+         |  ('example.co.uk', FALSE, '/path/a7', NULL),
+         |  ('example.co.uk', TRUE, '/path/a77$$', '^/path/a77$$'),
+         |  ('sample.org', TRUE,  '/', NULL),
+         |  ('sample.org', FALSE, '/path/a5', NULL),
+         |  ('sample.org', FALSE, '/path/a2*', '^/path/a2.*')),
          |m AS (SELECT k.doc_id, k.domain, k.path,
          |    max(CASE WHEN r.prefix IS NOT NULL
          |        THEN 2 * len(r.prefix) +
          |          CASE WHEN r.allow THEN 1 ELSE 0 END END) AS score
          |  FROM k LEFT JOIN r
-         |    ON k.domain = r.domain AND starts_with(k.path, r.prefix)
+         |    ON k.domain = r.domain AND (CASE WHEN r.pattern IS NOT NULL
+         |        THEN regexp_matches(k.path, r.pattern)
+         |        ELSE starts_with(k.path, r.prefix) END)
          |  GROUP BY k.doc_id, k.domain, k.path)
          |SELECT doc_id, domain, path,
          |  coalesce(score % 2 = 1, TRUE) AS allowed

@@ -59,6 +59,36 @@ class RobotsSpec extends AnyFunSuite {
       4L -> true, 5L -> true, 6L -> true))
   }
 
+  test("compilePattern: literals pass through, *, trailing $, escapes") {
+    assert(Robots.compilePattern("/plain/prefix").isEmpty) // fast path
+    assert(Robots.compilePattern("/fish*").contains("^/fish.*"))
+    assert(Robots.compilePattern("/*.php$").contains("^/.*\\.php$"))
+    assert(Robots.compilePattern("/exact$").contains("^/exact$"))
+    // non-trailing $ is literal (and forces the regex path via the *)
+    assert(Robots.compilePattern("/a$b*").contains("^/a\\$b.*"))
+    // metacharacters in the path are escaped to literals
+    assert(Robots.compilePattern("/a(1)+*").contains("^/a\\(1\\)\\+.*"))
+  }
+
+  test("gate: RFC 9309 §2.2.3 wildcard and end-anchor examples") {
+    val rules = Robots.parseRulesTable(Seq(
+      ("w.com", "User-agent: *\nDisallow: /fish*\nAllow: /fish*.php$\n" +
+        "Disallow: /*.pdf$\n")).toDF("domain", "robots_txt"))
+    val pages = Seq(
+      (1L, "https://w.com/fish"),            // /fish* -> blocked
+      (2L, "https://w.com/fishheads/x"),     // /fish* -> blocked
+      (3L, "https://w.com/fishheads/catfish.php"), // allow (longer) -> ok
+      (4L, "https://w.com/fish.php.bak"),    // $ must NOT match mid-path
+      (5L, "https://w.com/docs/report.pdf"), // /*.pdf$ -> blocked
+      (6L, "https://w.com/docs/report.pdfx"), // anchor: not end -> allowed
+      (7L, "https://w.com/open/page"))       // no rule -> allowed
+      .toDF("id", "url")
+    val got = Robots.gate(pages, "url", rules)
+      .select("id", "allowed").as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(1L -> false, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false, 6L -> true, 7L -> true))
+  }
+
   test("gate moves no page rows: broadcast join, zero shuffle") {
     val rules = Robots.parseRulesTable(
       Seq(("s.com", "User-agent: *\nDisallow: /x\n")).toDF("domain", "robots_txt"))
