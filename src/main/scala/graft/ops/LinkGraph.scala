@@ -39,12 +39,23 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
-  /** One `<a ...>` element: href attribute (double-quoted form — the
-    * planted-fixture and overwhelmingly-common spelling) and the inner
-    * anchor markup. RE2 ∩ java.util.regex dialect (inline flags, lazy
-    * quantifiers) so DuckDB oracles replay the extraction exactly. */
+  /** One `<a ...>` element: href attribute (double-quoted,
+    * single-quoted, or bare `href=value` — all three spellings occur
+    * constantly in organic markup) and the inner anchor markup. Group 1
+    * captures the value WITH its quotes (alternation keeps one group
+    * index across spellings); [[stripQuotes]] removes them after
+    * extraction. RE2 ∩ java.util.regex dialect (inline flags, lazy
+    * quantifiers, no backreferences) so DuckDB oracles replay the
+    * extraction exactly. */
   private val anchorRe =
-    "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    "(?is)<a\\s[^>]*href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*>(.*?)</a>"
+
+  /** Strip the surrounding quotes off a captured href value: only a
+    * FULLY double- or single-quoted value is unwrapped (bare values
+    * pass through untouched). Two anchored replaces, RE2-replayable. */
+  private def stripQuotes(h: Column): Column =
+    regexp_replace(
+      regexp_replace(h, "^\"([^\"]*)\"$", "$1"), "^'([^']*)'$", "$1")
 
   /** Resolve an href against its page URL. Handles the cases a crawler
     * meets constantly: absolute http(s) (kept as-is), other schemes
@@ -98,10 +109,12 @@ object LinkGraph {
       .select(col(idCol), col(urlCol),
         explode(zip_with(hrefs, anchors,
           (h, a) => struct(h.as("href"), a.as("anchor")))).as("l"))
-      .select(col(idCol), col(urlCol), col("l.href").as("href"),
+      .select(col(idCol), col(urlCol),
+        stripQuotes(col("l.href")).as("href"),
         trim(HtmlExtract.decodeEntities(
-          HtmlExtract.stripTags(col("l.anchor")))).as("anchor_text"),
-        resolveHref(col(urlCol), col("l.href")).as("resolved"))
+          HtmlExtract.stripTags(col("l.anchor")))).as("anchor_text"))
+      .select(col(idCol), col(urlCol), col("href"), col("anchor_text"),
+        resolveHref(col(urlCol), col("href")).as("resolved"))
       .filter(col("resolved").isNotNull)
       .select(col(idCol), col(urlCol), col("href"), col("anchor_text"),
         UrlTools.canonicalize(col("resolved")).as("dst_url"))

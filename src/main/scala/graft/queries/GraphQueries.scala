@@ -28,11 +28,14 @@ object GraphQueries {
   /** Planted link page: an absolute cross-host link, a protocol-
     * relative link with extra attributes and nested markup in the
     * anchor, a root-relative and a directory-relative link (both
-    * same-host → host-graph self-loops), a mailto and a fragment (both
-    * dropped by resolution), and — on doc_id % 10 == 0 — a link into a
-    * 5-host archive tier that never links out (the dangling-mass
-    * witnesses for PageRank). Link targets t1/t2 are affine functions
-    * of doc_id, so the host graph is dense over the 50 site hosts. */
+    * same-host → host-graph self-loops), a SINGLE-QUOTED absolute
+    * cross-host link and a bare `href=value` root-relative link (the
+    * attribute-quoting variants organic markup uses), a mailto and a
+    * fragment (both dropped by resolution), and — on doc_id % 10 == 0
+    * — a link into a 5-host archive tier that never links out (the
+    * dangling-mass witnesses for PageRank). Link targets t1/t2/t3 are
+    * affine functions of doc_id, so the host graph is dense over the
+    * 50 site hosts. */
   private def plantedLinkHtml(d: Column): Column = {
     val id = d.cast("string")
     val t1 = (d * 31 + 7) % 1000
@@ -50,6 +53,10 @@ object GraphQueries {
       (d % 7).cast("string"), lit("</a>"),
       lit("<a href=\"rel/"), (d % 5).cast("string"),
       lit(".html\">rel</a>"),
+      lit("<a href='https://site"), ((d * 13 + 5) % 1000 % 50).cast("string"),
+      lit(".example.com/doc/"), ((d * 13 + 5) % 1000).cast("string"),
+      lit("'>alt quoted</a>"),
+      lit("<a href=/tag/u"), (d % 7).cast("string"), lit(" class=u>utag</a>"),
       lit("<a href=\"mailto:ed@example.com\">mail</a>"),
       lit("<a href=\"#top\">top</a>"),
       when(d % 10 === 0,
@@ -69,6 +76,10 @@ object GraphQueries {
       |  '" rel="nofollow">mirror <b>' || CAST((doc_id * 17 + 3) % 1000 AS VARCHAR) || '</b></a>' ||
       |  '<a href="/tag/' || CAST(doc_id % 7 AS VARCHAR) || '">tag ' || CAST(doc_id % 7 AS VARCHAR) || '</a>' ||
       |  '<a href="rel/' || CAST(doc_id % 5 AS VARCHAR) || '.html">rel</a>' ||
+      |  '<a href=''https://site' || CAST((doc_id * 13 + 5) % 1000 % 50 AS VARCHAR) ||
+      |  '.example.com/doc/' || CAST((doc_id * 13 + 5) % 1000 AS VARCHAR) ||
+      |  '''>alt quoted</a>' ||
+      |  '<a href=/tag/u' || CAST(doc_id % 7 AS VARCHAR) || ' class=u>utag</a>' ||
       |  '<a href="mailto:ed@example.com">mail</a>' ||
       |  '<a href="#top">top</a>' ||
       |  CASE WHEN doc_id % 10 = 0 THEN
@@ -141,11 +152,14 @@ object GraphQueries {
        |    $plantedLinkHtmlSql AS html FROM documents),
        |x AS (SELECT doc_id, url,
        |    regexp_extract_all(html,
-       |      '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 1) AS hs,
+       |      '(?is)<a\\s[^>]*href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)[^>]*>(.*?)</a>', 1) AS hs,
        |    regexp_extract_all(html,
-       |      '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 2) AS an
+       |      '(?is)<a\\s[^>]*href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)[^>]*>(.*?)</a>', 2) AS an
        |  FROM h),
-       |f AS (SELECT doc_id, url, u.h AS href, u.a AS anchor FROM (
+       |f AS (SELECT doc_id, url,
+       |    regexp_replace(regexp_replace(u.h, '^"([^"]*)"$$', '\\1'),
+       |      '^''([^'']*)''$$', '\\1') AS href,
+       |    u.a AS anchor FROM (
        |  SELECT doc_id, url, unnest(list_transform(range(0, len(hs)),
        |      i -> struct_pack(h := hs[i+1], a := an[i+1]))) AS u
        |  FROM x)),

@@ -66,6 +66,24 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, "extractLinks must not shuffle")
   }
 
+  test("extractLinks: single-quoted and bare href spellings") {
+    val html =
+      """<a href='https://sq.example.com/1'>single</a>
+        |<a href=/bare/2 class=z>bare</a>
+        |<a href='/sq/3' rel=nofollow>sq rel</a>
+        |<a href=https://abs.example.com/4>bare abs</a>""".stripMargin
+    val pages = Seq((1L, "https://src.example.com/dir/page", html))
+      .toDF("id", "url", "html")
+    val rows = LinkGraph.extractLinks(pages, "id", "url", "html")
+      .orderBy("dst_url").collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      ("https://abs.example.com/4", "bare abs", "https://abs.example.com/4"),
+      ("https://sq.example.com/1", "single", "https://sq.example.com/1"),
+      ("/bare/2", "bare", "https://src.example.com/bare/2"),
+      ("/sq/3", "sq rel", "https://src.example.com/sq/3")))
+  }
+
   test("hostEdges: host projection, self-loop and duplicate collapse") {
     val links = Seq(
       ("https://a.example.com/1", "https://b.example.com/x"),
