@@ -68,53 +68,66 @@ object Warc {
     bos.toByteArray
   }
 
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    // GZIPInputStream consumes consecutive members natively — the
-    // member-per-record layout decompresses in one streaming pass
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
-    val bos = new ByteArrayOutputStream(bytes.length * 3 + 64)
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    bos.toByteArray
-  }
-
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
-  /** Parse a (decompressed) WARC byte stream into records. Tolerant of
-    * a ragged tail (a truncated final record is dropped, matching how
-    * crawl readers handle mid-record upload failures); malformed
-    * headers raise — corruption must be loud, absence of a tail quiet. */
-  def parseAll(bytes: Array[Byte]): Iterator[WarcRecord] =
+  /** Largest header a record may carry before the parser declares the
+    * input corrupt (a missing CRLFCRLF would otherwise buffer forever). */
+  private val MaxHeaderBytes = 1 << 20
+
+  /** Parse records INCREMENTALLY off a (decompressed) WARC stream.
+    * Memory is one record — the header accumulator plus the
+    * Content-Length body — never the archive: a 1 GB Common Crawl
+    * archive parses through a 64 KB stream buffer. Tolerant of a
+    * ragged tail (a final record truncated mid-header or mid-body is
+    * dropped, matching how crawl readers handle mid-record upload
+    * failures); malformed headers raise — corruption must be loud,
+    * absence of a tail quiet. */
+  def parseStream(in: java.io.InputStream): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
-      private var pos = 0
+      private val s = new java.io.BufferedInputStream(in, 64 * 1024)
       private var nextRec: WarcRecord = _
       advance()
 
-      private def indexOfHeaderEnd(from: Int): Int = {
-        var i = from
-        while (i + 3 < bytes.length) {
-          if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-              bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
-          i += 1
+      /** Header bytes through CRLFCRLF (delimiter dropped); null on
+        * clean EOF (only inter-record padding left) or a ragged tail. */
+      private def readHeader(): Array[Byte] = {
+        var c = s.read()
+        while (c == '\r' || c == '\n') c = s.read() // inter-record padding
+        if (c < 0) return null
+        val bos = new ByteArrayOutputStream(256)
+        var tail = 0 // last 4 bytes, big-endian rolling window
+        while (c >= 0) {
+          bos.write(c)
+          tail = (tail << 8) | (c & 0xff)
+          if (tail == 0x0d0a0d0a) {
+            val all = bos.toByteArray
+            return java.util.Arrays.copyOf(all, all.length - 4)
+          }
+          require(bos.size() <= MaxHeaderBytes, "WARC header exceeds 1 MiB")
+          c = s.read()
         }
-        -1
+        null // ragged tail: header never completed
+      }
+
+      private def readBody(len: Int): Array[Byte] = {
+        val body = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val n = s.read(body, off, len - off)
+          if (n < 0) return null // ragged tail: body truncated
+          off += n
+        }
+        body
       }
 
       private def advance(): Unit = {
         nextRec = null
-        // skip inter-record padding (tolerate bare LF runs too)
-        while (pos < bytes.length &&
-               (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-        if (pos >= bytes.length) return
-        val he = indexOfHeaderEnd(pos)
-        if (he < 0) return // ragged tail: header never completed
-        val headerText = new String(bytes, pos, he - pos, UTF_8)
-        val lines = headerText.split("\r\n")
+        val header = readHeader()
+        if (header == null) return
+        val lines = new String(header, UTF_8).split("\r\n")
         require(lines.headOption.exists(_.startsWith("WARC/")),
-          s"not a WARC record at offset $pos: '${lines.headOption.getOrElse("")}'")
+          s"not a WARC record: '${lines.headOption.getOrElse("")}'")
         val hs = lines.drop(1).map { l =>
           val i = l.indexOf(':')
           require(i > 0, s"malformed WARC header line: '$l'")
@@ -122,10 +135,8 @@ object Warc {
         }.toMap
         val len = hs.getOrElse("content-length",
           sys.error("WARC record missing Content-Length")).toInt
-        val bodyStart = he + 4
-        if (bodyStart + len > bytes.length) return // ragged tail: body truncated
-        val body = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + len)
-        pos = bodyStart + len
+        val body = readBody(len)
+        if (body == null) return
         nextRec = WarcRecord(
           hs.getOrElse("warc-record-id", ""), hs.getOrElse("warc-type", ""),
           hs.getOrElse("warc-target-uri", ""), hs.getOrElse("content-type", ""),
@@ -138,6 +149,11 @@ object Warc {
       }
     }
 
+  /** Array convenience over [[parseStream]] (tests, member-sized
+    * random access). */
+  def parseAll(bytes: Array[Byte]): Iterator[WarcRecord] =
+    parseStream(new ByteArrayInputStream(bytes))
+
   // ---- Spark surface ------------------------------------------------
 
   /** Archive-file rows → record rows. `files` must carry the
@@ -148,8 +164,16 @@ object Warc {
     files.select(col("content").as("file_bytes")).mapPartitions { rows =>
       rows.flatMap { row =>
         val raw = row.getAs[Array[Byte]]("file_bytes")
-        val plain = if (isGzip(raw)) gunzipAll(raw) else raw
-        parseAll(plain).map(r =>
+        // decompress INSIDE the record iterator (GZIPInputStream walks
+        // consecutive members natively): beyond binaryFile's compressed
+        // buffer, memory is one in-flight record, never the inflated
+        // archive — the property that keeps ~1 GB crawl archives from
+        // costing 3-5 GB per task
+        val in: java.io.InputStream =
+          if (isGzip(raw))
+            new GZIPInputStream(new ByteArrayInputStream(raw), 64 * 1024)
+          else new ByteArrayInputStream(raw)
+        parseStream(in).map(r =>
           Row(r.recordId, r.warcType, r.targetUri, r.contentType, r.content))
       }
     }(enc)
@@ -265,8 +289,10 @@ object Warc {
       require(!buf.hasRemaining, s"short read at $path:$offset+$length")
     } finally ch.close()
     val raw = buf.array()
-    val plain = if (isGzip(raw)) gunzipAll(raw) else raw
-    val it = parseAll(plain)
+    val in: java.io.InputStream =
+      if (isGzip(raw)) new GZIPInputStream(new ByteArrayInputStream(raw))
+      else new ByteArrayInputStream(raw)
+    val it = parseStream(in)
     require(it.hasNext, s"no record at $path:$offset")
     it.next()
   }

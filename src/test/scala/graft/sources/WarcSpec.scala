@@ -45,6 +45,34 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseAll(headCut).toSeq.map(_.recordId) == Seq("<urn:graft:0>"))
   }
 
+  test("parseStream is incremental: a lazily-generated archive parses " +
+      "without the archive ever existing as one buffer") {
+    // 5000 records served by a stream that materializes ONE record's
+    // bytes at a time — the concatenated archive (~11 MB) never exists
+    // as an array, so completing the parse proves the reader needs only
+    // record-sized memory (the round-8 whole-archive-gunzip hazard).
+    val n = 5000
+    val body = Array.tabulate(2048)(j => (j % 97).toByte)
+    var served = 0
+    val lazyArchive: java.io.InputStream = new java.io.SequenceInputStream(
+      new java.util.Enumeration[java.io.InputStream] {
+        private var i = 0
+        override def hasMoreElements: Boolean = i < n
+        override def nextElement(): java.io.InputStream = {
+          served += 1
+          val s = new java.io.ByteArrayInputStream(
+            Warc.encodeRecord(rec(i, body)))
+          i += 1; s
+        }
+      })
+    val it = Warc.parseStream(lazyArchive)
+    // laziness witness: after one record, the source has not been drained
+    val first = it.next()
+    assert(first.recordId == "<urn:graft:0>")
+    assert(served <= 8, s"parser drained $served records for one next()")
+    assert(it.size == n - 1) // and the rest stream through
+  }
+
   test("non-WARC leading bytes are a loud error, not a silent skip") {
     val e = intercept[IllegalArgumentException] {
       Warc.parseAll("HTTP/1.1 200 OK\r\n\r\nnope\r\n\r\n".getBytes(UTF_8)).toSeq
