@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.LinkGraph
+import graft.ops.{Frontier, LinkGraph, Robots}
 
 /** Link-graph surface: hyperlink extraction with reference resolution,
   * and host-level PageRank (ops/LinkGraph). The fixture corpus is plain
@@ -131,6 +131,38 @@ object GraphQueries {
       LinkGraph.anchorTerms(links, k = 3)
     },
 
+    // Crawl frontier (ops/Frontier): seeds ∪ extracted links →
+    // canonical dedup/count → robots gate (one wildcard rule, one
+    // literal-prefix rule; a seed killed by the wildcard is a planted
+    // witness) → PageRank + crawl-delay annotation → per-host priority
+    // queues. Every stage replays in the oracle (gate VALUES, unrolled
+    // PageRank, window replay).
+    "crawl_frontier" -> { (s, d) =>
+      import s.implicits._
+      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+      val ranks = LinkGraph.pageRank(
+        LinkGraph.hostEdges(links, "url", "dst_url"),
+        iters = 3, dampingPct = 85)
+      val seeds = Seq(
+        "https://site0.example.com/doc/9001", // robots-blocked (/doc/*1$)
+        "https://site1.example.com/doc/9002/",
+        "https://site2.example.com/doc/9005?utm_source=x",
+        "https://site7.example.com/doc/7",    // merges with extracted refs
+        "https://archive0.example.net/ar/9003")
+        .toDF("url")
+      val robots = Seq(
+        ("example.com",
+          "User-agent: *\nDisallow: /doc/*1$\nDisallow: /tag/\nCrawl-delay: 2\n"),
+        ("example.net", "User-agent: *\n")) // no rules, no delay -> defaults
+        .toDF("domain", "robots_txt")
+      val candidates = links.select(col("dst_url").as("url"))
+        .unionByName(seeds)
+      Frontier.build(candidates, "url",
+        Robots.parseRulesTable(robots),
+        Robots.parseDirectivesTable(robots),
+        ranks)
+    },
+
     // TrustRank from a 5-host whitelist (site0-4): teleport + dangling
     // mass return to seeds only, so trust decays with link distance —
     // hash-exact vs 3 unrolled oracle iterations.
@@ -204,6 +236,36 @@ object GraphQueries {
        |    (SELECT dang FROM d$j) // (SELECT n FROM nn))) // 100 AS BIGINT) AS r
        |  FROM nodes n LEFT JOIN c$j c ON n.host = c.host)""".stripMargin
 
+  /** Shared oracle block: host edges from `lnk` + 3 unrolled integer-
+    * PageRank iterations (damping 85). Ends with CTE r3(host, r). */
+  private val pagerankCtesSql =
+    s"""e AS (SELECT DISTINCT
+       |    regexp_replace(lower(regexp_extract(page_url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+       |      '^www\\.|:[0-9]+$$', '', 'g') AS src,
+       |    regexp_replace(lower(regexp_extract(dst_url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+       |      '^www\\.|:[0-9]+$$', '', 'g') AS dst
+       |  FROM lnk),
+       |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+       |nodes AS (SELECT src AS host FROM e2 UNION SELECT dst FROM e2),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e2 GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${iterSql(0, 1)},
+       |${iterSql(1, 2)},
+       |${iterSql(2, 3)}""".stripMargin
+
+  /** The oracle-side path component (UrlTools.pathOf spelling). */
+  private def pathSql(u: String) =
+    s"""CASE WHEN len(regexp_replace(regexp_extract($u,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+       |      '/+$$', '', 'g')) > 0
+       |    THEN regexp_replace(regexp_extract($u,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+       |      '/+$$', '', 'g')
+       |    ELSE '/' END""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "link_extract" ->
       s"""WITH $linksCteSql
@@ -212,23 +274,60 @@ object GraphQueries {
 
     "host_pagerank" ->
       s"""WITH $linksCteSql,
-         |e AS (SELECT DISTINCT
-         |    regexp_replace(lower(regexp_extract(page_url,
-         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-         |      '^www\\.|:[0-9]+$$', '', 'g') AS src,
-         |    regexp_replace(lower(regexp_extract(dst_url,
-         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-         |      '^www\\.|:[0-9]+$$', '', 'g') AS dst
-         |  FROM lnk),
-         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
-         |nodes AS (SELECT src AS host FROM e2 UNION SELECT dst FROM e2),
-         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e2 GROUP BY src),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-         |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
-         |${iterSql(0, 1)},
-         |${iterSql(1, 2)},
-         |${iterSql(2, 3)}
+         |$pagerankCtesSql
          |SELECT host, r AS rank_micro FROM r3""".stripMargin,
+
+    "crawl_frontier" ->
+      s"""WITH $linksCteSql,
+         |$pagerankCtesSql,
+         |seeds(u) AS (VALUES
+         |  ('https://site0.example.com/doc/9001'),
+         |  ('https://site1.example.com/doc/9002/'),
+         |  ('https://site2.example.com/doc/9005?utm_source=x'),
+         |  ('https://site7.example.com/doc/7'),
+         |  ('https://archive0.example.net/ar/9003')),
+         |cand AS (SELECT dst_url AS url FROM lnk
+         |  UNION ALL SELECT ${WebQueries.canonicalSql.replace("url", "u")}
+         |    AS url FROM seeds),
+         |cnt AS (SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+         |  FROM cand GROUP BY url),
+         |kk AS (SELECT url, n_refs,
+         |    regexp_replace(lower(regexp_extract(url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+         |      '^www\\.|:[0-9]+$$', '', 'g') AS host,
+         |    ${pathSql("url")} AS path
+         |  FROM cnt),
+         |k AS (SELECT url, n_refs, host, path,
+         |    CASE WHEN regexp_matches(host, '\\.')
+         |      THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+         |      ELSE host END AS domain
+         |  FROM kk),
+         |rr(domain, allow, prefix, pattern) AS (VALUES
+         |  ('example.com', FALSE, '/doc/*1$$', '^/doc/.*1$$'),
+         |  ('example.com', FALSE, '/tag/', CAST(NULL AS VARCHAR))),
+         |m AS (SELECT k.url, k.n_refs, k.host, k.domain,
+         |    max(CASE WHEN rr.prefix IS NOT NULL
+         |        THEN 2 * len(rr.prefix) +
+         |          CASE WHEN rr.allow THEN 1 ELSE 0 END END) AS score
+         |  FROM k LEFT JOIN rr
+         |    ON k.domain = rr.domain AND (CASE WHEN rr.pattern IS NOT NULL
+         |        THEN regexp_matches(k.path, rr.pattern)
+         |        ELSE starts_with(k.path, rr.prefix) END)
+         |  GROUP BY k.url, k.n_refs, k.host, k.domain),
+         |g AS (SELECT url, n_refs, host, domain FROM m
+         |  WHERE coalesce(score % 2 = 1, TRUE)),
+         |dd(domain, crawl_delay) AS (VALUES
+         |  ('example.com', CAST(2 AS BIGINT)),
+         |  ('example.net', CAST(NULL AS BIGINT))),
+         |a AS (SELECT g.url, g.host, g.domain, g.n_refs,
+         |    CAST(coalesce(r3.r, 0) AS BIGINT) AS rank_micro,
+         |    CAST(coalesce(dd.crawl_delay, 1) AS BIGINT) AS crawl_delay
+         |  FROM g LEFT JOIN r3 ON g.host = r3.host
+         |    LEFT JOIN dd ON g.domain = dd.domain)
+         |SELECT url, host, domain, n_refs, rank_micro, crawl_delay,
+         |  CAST(row_number() OVER (PARTITION BY host
+         |    ORDER BY n_refs DESC, url) AS INT) AS host_pos
+         |FROM a""".stripMargin,
 
     "host_hits" ->
       s"""WITH $linksCteSql,

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class FrontierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("build: dedup+count, robots gate, rank/delay annotation, host queues") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /*.pdf$\nCrawl-delay: 4\n"),
+      ("b.net", "User-agent: *\n")).toDF("domain", "robots_txt")
+    val candidates = Seq(
+      "https://a.com/page1",            // 2 refs (with the variant below)
+      "https://a.com/page1/?utm_source=x", // same canonical URL
+      "https://a.com/report.pdf",       // robots-blocked
+      "https://a.com/page2",
+      "https://b.net/only").toDF("url")
+    val ranks = Seq(("a.com", 500000L)).toDF("host", "rank_micro")
+    val got = Frontier.build(candidates, "url",
+      Robots.parseRulesTable(robots), Robots.parseDirectivesTable(robots),
+      ranks)
+      .as[(String, String, String, Long, Long, Long, Int)]
+      .collect().sortBy(r => (r._2, r._7))
+    assert(got.toSeq == Seq(
+      // host a.com queue: page1 first (2 refs), page2 second; pdf gone
+      ("https://a.com/page1", "a.com", "a.com", 2L, 500000L, 4L, 1),
+      ("https://a.com/page2", "a.com", "a.com", 1L, 500000L, 4L, 2),
+      // unknown-rank host, no crawl-delay directive -> defaults (0, 1)
+      ("https://b.net/only", "b.net", "b.net", 1L, 0L, 1L, 1)))
+  }
+}
