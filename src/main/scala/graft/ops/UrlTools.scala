@@ -66,10 +66,53 @@ object UrlTools {
   }
 
   /** Country-code second-level suffixes treated as part of the TLD
-    * (public-suffix-lite): `a.b.co.uk` registers as `b.co.uk`. A full
-    * public-suffix list is a broadcast lookup table in production; the
-    * pattern (longest-suffix match, then one more label) is identical. */
+    * (public-suffix-lite): `a.b.co.uk` registers as `b.co.uk`. The
+    * full-table path is [[registeredDomainsOfHosts]] — same rule
+    * (longest-suffix match, then one more label), table-driven. */
   private val ccSlds = "(co|com|org|net|ac|gov|edu)\\.(uk|au|jp|in|br|nz|za)"
+
+  /** Table-driven registrable domains — the production path the lite
+    * rule approximates: `suffixes` is a public-suffix table (one
+    * `suffix` column; the PSL's plain rules — wildcard `*.x` /
+    * exception `!y.x` rules are out of scope), and the registrable
+    * domain is the LONGEST matching label-suffix plus one preceding
+    * label. Handles what the lite rule cannot: arbitrary-depth
+    * suffixes (`k12.va.us`) and private registries (`github.io`-style
+    * vanity suffixes, where the "domain" is one label under a name
+    * that LOOKS registrable itself).
+    *
+    * Semantics per host: no suffix matches → lite fallback (last two
+    * labels, single-label hosts pass through); the host IS a suffix →
+    * the host itself (nothing registers above a public suffix).
+    *
+    * Scale shape: call on DISTINCT hosts (host-sized, 3-5 orders below
+    * corpus rows) and broadcast the returned (host, domain) map back —
+    * the per-host label explode (×~4 rows) and the min-index group-by
+    * stay host-sized; the suffix table broadcasts. */
+  def registeredDomainsOfHosts(hosts: DataFrame, hostCol: String,
+                               suffixes: DataFrame): DataFrame = {
+    val lab = hosts.select(col(hostCol).as("host"),
+      split(col(hostCol), "\\.").as("ls"))
+    val cands = lab
+      .select(col("host"), col("ls"),
+        explode(sequence(lit(1), size(col("ls")))).as("i"))
+      .select(col("host"), col("i"),
+        array_join(slice(col("ls"), col("i"),
+          size(col("ls")) - col("i") + 1), ".").as("suffix"))
+    val best = cands
+      .join(broadcast(suffixes.select(col("suffix"))), Seq("suffix"))
+      .groupBy(col("host")).agg(min(col("i")).as("bi"))
+    val n = size(col("ls"))
+    lab.join(best, Seq("host"), "left")
+      .select(col("host"),
+        when(col("bi").isNull,
+          when(n >= 2, array_join(slice(col("ls"), n - 1, lit(2)), "."))
+            .otherwise(col("host")))
+          .when(col("bi") === 1, col("host"))
+          .otherwise(array_join(
+            slice(col("ls"), col("bi") - 1, n - col("bi") + 2), "."))
+          .as("domain"))
+  }
 
   /** Registrable domain of a host: last 3 labels when the last two are
     * a cc-SLD pair, else last 2; single-label hosts pass through. */

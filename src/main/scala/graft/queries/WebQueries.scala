@@ -204,6 +204,26 @@ object WebQueries {
       UrlTools.domainStats(docs, "url", "n_chars")
     },
 
+    // Registered domains through a PUBLIC-SUFFIX TABLE (UrlTools
+    // .registeredDomainsOfHosts): the planted table marks example.com
+    // itself a suffix (github.io-style private registry), so every
+    // siteN.example.com host becomes its own registrable domain —
+    // the case the lite rule cannot express; co.uk depth and the
+    // sample.org fallback replay too.
+    "url_domains_psl" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), plantedUrl(col("doc_id"), col("source")).as("url"))
+        .withColumn("host", UrlTools.hostOf(col("url")))
+      val suffixes = Seq("com", "org", "co.uk", "example.com").toDF("suffix")
+      val mapping = UrlTools.registeredDomainsOfHosts(
+        docs.select(col("host")).distinct(), "host", suffixes)
+      docs.join(broadcast(mapping), Seq("host"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))
+    },
+
     // robots.txt gate (RFC 9309 longest-match): per-domain robots
     // bodies exercise group selection (a googlebot-only block that
     // must NOT apply), stacked agents, comments, empty Disallow, the
@@ -486,6 +506,30 @@ object WebQueries {
          |  count(DISTINCT canonical_url) AS n_pages,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM r GROUP BY domain""".stripMargin,
+
+    "url_domains_psl" ->
+      s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
+         |h AS (SELECT doc_id, $hostSql AS host FROM u),
+         |hh AS (SELECT DISTINCT host FROM h),
+         |lab AS (SELECT host, string_split(host, '.') AS ls FROM hh),
+         |cs AS (SELECT host, unnest(range(1, len(ls)+1)) AS i, ls FROM lab),
+         |ce AS (SELECT host, i,
+         |    array_to_string(ls[i:len(ls)], '.') AS suffix FROM cs),
+         |ps(suffix) AS (VALUES ('com'), ('org'), ('co.uk'), ('example.com')),
+         |best AS (SELECT host, min(i) AS bi
+         |  FROM ce JOIN ps USING (suffix) GROUP BY host),
+         |dom AS (SELECT l.host,
+         |    CASE WHEN b.bi IS NULL THEN
+         |        CASE WHEN len(l.ls) >= 2
+         |          THEN array_to_string(l.ls[len(l.ls)-1:len(l.ls)], '.')
+         |          ELSE l.host END
+         |      WHEN b.bi = 1 THEN l.host
+         |      ELSE array_to_string(l.ls[b.bi-1:len(l.ls)], '.') END AS domain
+         |  FROM lab l LEFT JOIN best b ON l.host = b.host)
+         |SELECT d.domain, count(*) AS n_docs,
+         |  count(DISTINCT h.host) AS n_hosts
+         |FROM h JOIN dom d ON h.host = d.host
+         |GROUP BY d.domain""".stripMargin,
 
     "url_robots_gate" ->
       s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),

@@ -100,4 +100,30 @@ class UrlToolsSpec extends AnyFunSuite {
       ("example.co.uk", 1L, 1L, 1L, 5L),
       ("example.com", 3L, 2L, 2L, 60L)))
   }
+
+  test("registeredDomainsOfHosts: PSL table beats the lite rule") {
+    val suffixes = Seq("com", "uk", "co.uk", "k12.va.us", "github.io", "io")
+      .toDF("suffix")
+    val hosts = Seq(
+      "a.b.example.co.uk", // depth-3 suffix -> example.co.uk
+      "pta.some.k12.va.us", // depth-3 US school suffix -> some.k12.va.us
+      "user.github.io",    // private registry -> user.github.io
+      "deep.user.github.io", // still user.github.io
+      "github.io",         // host IS a suffix -> itself
+      "plain.example.com", // ordinary com -> example.com
+      "host.unknowntld",   // no match -> lite fallback (last 2)
+      "localhost")         // single label, no match -> itself
+      .toDF("host")
+    val got = UrlTools.registeredDomainsOfHosts(hosts, "host", suffixes)
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "a.b.example.co.uk" -> "example.co.uk",
+      "pta.some.k12.va.us" -> "some.k12.va.us",
+      "user.github.io" -> "user.github.io",
+      "deep.user.github.io" -> "user.github.io",
+      "github.io" -> "github.io",
+      "plain.example.com" -> "example.com",
+      "host.unknowntld" -> "host.unknowntld",
+      "localhost" -> "localhost"))
+  }
 }
