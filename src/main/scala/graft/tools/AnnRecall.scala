@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Similarity
+
+/** Recorded recall@k of every approximate ANN path against the exact
+  * brute-force ranking on the fixture embeddings — the quality side of
+  * the speed/quality trade the rows-only ANN correctness entries
+  * cannot express. Run: tools/run_main.sh graft.tools.AnnRecall
+  * [sfDir [nQueries [k]]]; prints one line per index type. Figures are
+  * recorded in COVERAGE.md §ANN recall.
+  *
+  * Recall here = |approx top-k ∩ exact top-k| / (nQueries · k), the
+  * standard ANN-benchmark definition (ties broken by id on both
+  * sides, so the intersection is well-defined).
+  */
+object AnnRecall {
+
+  private def topkSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col("corpus_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val nQueries = if (args.length > 1) args(1).toInt else 64
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vecs = Tables.embeddings(spark, sfDir).cache()
+    val nCorpus = vecs.count()
+    val queries = vecs.filter(col("vec_id") < nQueries)
+    val truth = topkSet(Similarity.bruteForceTopK(vecs, queries, k))
+    require(truth.size == nQueries * k, s"truth size ${truth.size}")
+
+    def report(name: String, df: DataFrame): Unit = {
+      val got = topkSet(df)
+      val recall = (got & truth).size.toDouble / truth.size
+      println(f"$name%-14s recall@$k = $recall%.4f   (sf=$sfDir, " +
+        f"corpus=$nCorpus, queries=$nQueries)")
+    }
+
+    // parameter sweeps: the recall axis the correctness entries'
+    // fixed settings sit on (recall rises with tables/probes as cost
+    // rises — the number that makes the speed/quality trade explicit)
+    for (nt <- Seq(4, 16, 64))
+      report(s"lsh(8x$nt)", Similarity.lshTopK(vecs, queries, k,
+        dim = 64, bitsPerTable = 8, nTables = nt))
+    for (np <- Seq(4, 8, 12))
+      report(s"ivf(16/$np)", Similarity.ivfTopK(vecs, queries, k,
+        nCentroids = 16, nProbe = np))
+    report("pq(8x16)", Similarity.pqTopK(vecs, queries, k,
+      dim = 64, nSub = 8, ksub = 16))
+    for (np <- Seq(4, 8))
+      report(s"ivfpq(16/$np)", Similarity.ivfPqTopK(vecs, queries, k,
+        dim = 64, nSub = 8, ksub = 16, nCentroids = 16, nProbe = np))
+    val deq = vecs.select(col("vec_id"),
+      Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("embedding")),
+        Similarity.int8Scale(col("embedding"))).as("embedding"))
+    report("int8-exact", Similarity.bruteForceTopK(deq,
+      deq.filter(col("vec_id") < nQueries), k))
+
+    spark.stop()
+  }
+}
