@@ -127,7 +127,12 @@ object Bench {
     // host graph (per-round cost = rank join + contribution agg on
     // host-sized tables — the part that must NOT scale with page rows);
     // HITS and TrustRank share the shape (timed, off-line: lineExcluded)
-    "link_extract", "host_pagerank", "host_hits", "host_trustrank")
+    "link_extract", "host_pagerank", "host_hits", "host_trustrank",
+    // round-9: the composed crawl frontier (canonical dedup + wildcard
+    // robots gate + broadcast rank/delay annotation + per-host queue
+    // window — the whole loop in one number) and the PSL-table domain
+    // rollup (host-sized suffix explode + broadcast map-back)
+    "crawl_frontier", "url_domains_psl")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no

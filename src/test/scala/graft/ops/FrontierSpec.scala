@@ -31,4 +31,23 @@ class FrontierSpec extends AnyFunSuite {
       // unknown-rank host, no crawl-delay directive -> defaults (0, 1)
       ("https://b.net/only", "b.net", "b.net", 1L, 0L, 1L, 1)))
   }
+
+  test("plan: annotations broadcast; no global sort — host window only") {
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /x\n"))
+      .toDF("domain", "robots_txt")
+    val candidates = (0 until 64).map(i => s"https://a.com/p$i").toDF("url")
+    val ranks = Seq(("a.com", 1L)).toDF("host", "rank_micro")
+    val plan = graft.TestSpark.executedPlan(Frontier.build(candidates, "url",
+      Robots.parseRulesTable(robots), Robots.parseDirectivesTable(robots),
+      ranks))
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 3, // rule sets + ranks + directives all broadcast
+      s"expected 3 broadcast joins, plan:\n$plan")
+    val globalSorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, "frontier must not globally sort")
+  }
 }
