@@ -6,10 +6,13 @@ import org.apache.spark.sql.types._
 
 /** robots.txt compliance gate (REP, RFC 9309) — the first filter a
   * crawl corpus passes: pages fetched from paths the site disallows
-  * for `*` are dropped before any content work. Common Crawl ships the
-  * robots responses as their own WARC set, so the natural flow is
-  * robots WARCs → [[parseRulesTable]] → broadcast gate over the page
-  * corpus.
+  * for the crawler's agent are dropped before any content work.
+  * Group selection per §2.2.1: groups naming the crawler's product
+  * token govern when present (case-insensitive, multiple groups
+  * combine), else the `*` groups — the default `agent = "*"` reads
+  * the wildcard policy. Common Crawl ships the robots responses as
+  * their own WARC set, so the natural flow is robots WARCs →
+  * [[parseRulesTable]] → broadcast gate over the page corpus.
   *
   * Semantics (the RFC's longest-match rule): the most specific
   * matching rule (longest pattern, RFC 9309 §2.2.2 "most octets")
@@ -37,15 +40,21 @@ object Robots {
     StructField("allow", BooleanType),
     StructField("prefix", StringType)))
 
-  /** Parse one robots.txt body into the `*`-agent rules. Group
-    * handling per RFC 9309: consecutive `User-agent:` lines stack onto
-    * one group; a group's rules apply here iff one of its agents is
-    * `*`; `#` comments stripped; an empty `Disallow:` value means "no
-    * restriction" and yields no rule. */
-  def parseRules(robotsTxt: String): Seq[(Boolean, String)] = {
-    val out = Seq.newBuilder[(Boolean, String)]
-    var groupHasStar = false
+  /** All rule groups of one robots.txt body: (agent tokens, rules).
+    * Group handling per RFC 9309: consecutive `User-agent:` lines
+    * stack onto one group; `#` comments stripped; an empty `Disallow:`
+    * value means "no restriction" and yields no rule. Agent tokens are
+    * lowercased (§2.2.1 matching is case-insensitive). */
+  def parseGroups(robotsTxt: String)
+      : Seq[(Set[String], Seq[(Boolean, String)])] = {
+    val groups = Seq.newBuilder[(Set[String], Seq[(Boolean, String)])]
+    var curAgents = Set.empty[String]
+    val curRules = Seq.newBuilder[(Boolean, String)]
+    var started = false
     var inAgentRun = false
+    def flush(): Unit = if (started) {
+      groups += ((curAgents, curRules.result())); curRules.clear()
+    }
     Option(robotsTxt).getOrElse("").split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val i = line.indexOf(':')
@@ -54,28 +63,48 @@ object Robots {
         val value = line.substring(i + 1).trim
         key match {
           case "user-agent" =>
-            if (!inAgentRun) { groupHasStar = false; inAgentRun = true }
-            if (value == "*") groupHasStar = true
+            if (!inAgentRun) { flush(); curAgents = Set.empty; started = true }
+            inAgentRun = true
+            if (value.nonEmpty) curAgents += value.toLowerCase
           case "allow" | "disallow" =>
             inAgentRun = false
-            if (groupHasStar && value.nonEmpty)
-              out += ((key == "allow", value))
+            // rules before any User-agent line belong to no group (ignored)
+            if (started && value.nonEmpty)
+              curRules += ((key == "allow", value))
           case _ => inAgentRun = false
         }
       }
     }
-    out.result()
+    flush()
+    groups.result()
   }
 
-  /** (domain, robots_txt) → one rule row per `*`-agent directive:
+  /** The rules governing `agent` per RFC 9309 §2.2.1: groups naming
+    * the crawler's product token (case-insensitive exact match) apply
+    * when any exist — multiple matching groups COMBINE — otherwise the
+    * `*` groups; no group at all means no restrictions. */
+  def parseRules(robotsTxt: String,
+                 agent: String = "*"): Seq[(Boolean, String)] = {
+    val groups = parseGroups(robotsTxt)
+    val tok = agent.toLowerCase
+    val mine =
+      if (tok != "*") groups.filter(_._1.contains(tok)) else Seq.empty
+    val chosen = if (mine.nonEmpty) mine
+                 else groups.filter(_._1.contains("*"))
+    chosen.flatMap(_._2)
+  }
+
+  /** (domain, robots_txt) → one rule row per directive governing
+    * `agent` (§2.2.1 group selection; default the `*` groups):
     * (domain, allow, prefix). Imperative per-site parse — the robots
     * table is sites-sized, never corpus-sized. */
   def parseRulesTable(robots: DataFrame, domainCol: String = "domain",
-                      textCol: String = "robots_txt"): DataFrame = {
+                      textCol: String = "robots_txt",
+                      agent: String = "*"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(ruleSchema)
     robots.select(col(domainCol).as("domain"), col(textCol).as("t"))
       .flatMap { r =>
-        parseRules(r.getString(1)).map { case (allow, prefix) =>
+        parseRules(r.getString(1), agent).map { case (allow, prefix) =>
           Row(r.getString(0), allow, prefix)
         }
       }(enc)
@@ -87,14 +116,17 @@ object Robots {
     StructField("sitemaps", ArrayType(StringType))))
 
   /** Parse the NON-rule directives a crawl frontier consumes:
-    * `Crawl-delay` from the `*`-agent group (seconds; the de-facto
-    * politeness extension — last `*`-group value wins, non-numeric
-    * ignored) and `Sitemap:` lines (RFC 9309 §2.3 — group-INdependent,
-    * collected in file order). Returns (crawlDelaySeconds, sitemaps). */
-  def parseDirectives(robotsTxt: String): (Option[Long], Seq[String]) = {
-    var delay: Option[Long] = None
+    * `Crawl-delay` from the groups governing `agent` (seconds; the
+    * de-facto politeness extension — §2.2.1 group selection, last
+    * chosen-group value wins, non-numeric ignored) and `Sitemap:`
+    * lines (RFC 9309 §2.3 — group-INdependent, collected in file
+    * order). Returns (crawlDelaySeconds, sitemaps). */
+  def parseDirectives(robotsTxt: String,
+                      agent: String = "*"): (Option[Long], Seq[String]) = {
     val maps = Seq.newBuilder[String]
-    var groupHasStar = false
+    val delays = Seq.newBuilder[(Set[String], Long)]
+    var curAgents = Set.empty[String]
+    var started = false
     var inAgentRun = false
     Option(robotsTxt).getOrElse("").split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -104,31 +136,39 @@ object Robots {
         val value = line.substring(i + 1).trim
         key match {
           case "user-agent" =>
-            if (!inAgentRun) { groupHasStar = false; inAgentRun = true }
-            if (value == "*") groupHasStar = true
+            if (!inAgentRun) { curAgents = Set.empty; started = true }
+            inAgentRun = true
+            if (value.nonEmpty) curAgents += value.toLowerCase
           case "sitemap" => // group-independent; ':' inside URL survives
             inAgentRun = false
             if (value.nonEmpty) maps += value
           case "crawl-delay" =>
             inAgentRun = false
-            if (groupHasStar) value.toLongOption.foreach(d => delay = Some(d))
+            if (started)
+              value.toLongOption.foreach(d => delays += ((curAgents, d)))
           case _ => inAgentRun = false
         }
       }
     }
-    (delay, maps.result())
+    val tok = agent.toLowerCase
+    val all = delays.result()
+    val mine = if (tok != "*") all.filter(_._1.contains(tok)) else Seq.empty
+    val chosen = if (mine.nonEmpty) mine else all.filter(_._1.contains("*"))
+    (chosen.lastOption.map(_._2), maps.result())
   }
 
   /** (domain, robots_txt) → (domain, crawl_delay, sitemaps) — the
-    * frontier pacing/seeding table. `crawl_delay` NULL when the
-    * `*`-group sets none; `sitemaps` possibly empty. Sites-sized,
-    * imperative parse, same contract as [[parseRulesTable]]. */
+    * frontier pacing/seeding table for `agent` (§2.2.1 selection,
+    * default `*`). `crawl_delay` NULL when the governing groups set
+    * none; `sitemaps` possibly empty. Sites-sized, imperative parse,
+    * same contract as [[parseRulesTable]]. */
   def parseDirectivesTable(robots: DataFrame, domainCol: String = "domain",
-                           textCol: String = "robots_txt"): DataFrame = {
+                           textCol: String = "robots_txt",
+                           agent: String = "*"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(directiveSchema)
     robots.select(col(domainCol).as("domain"), col(textCol).as("t"))
       .map { r =>
-        val (delay, maps) = parseDirectives(r.getString(1))
+        val (delay, maps) = parseDirectives(r.getString(1), agent)
         Row(r.getString(0), delay.map(Long.box).orNull, maps)
       }(enc)
   }

@@ -59,6 +59,35 @@ class RobotsSpec extends AnyFunSuite {
       4L -> true, 5L -> true, 6L -> true))
   }
 
+  test("agent group selection per RFC 9309 2.2.1") {
+    val txt =
+      """Disallow: /preamble # no group yet: ignored
+        |User-agent: GoodBot
+        |Disallow: /g1
+        |
+        |User-agent: *
+        |Disallow: /star
+        |Crawl-delay: 3
+        |
+        |User-agent: goodbot
+        |User-agent: otherbot
+        |Disallow: /g2
+        |Crawl-delay: 9
+        |""".stripMargin
+    // named agent: BOTH goodbot groups combine (case-insensitive);
+    // the * group does not apply
+    assert(Robots.parseRules(txt, "GOODBOT") ==
+      Seq((false, "/g1"), (false, "/g2")))
+    // unknown agent falls back to the * group
+    assert(Robots.parseRules(txt, "strangebot") == Seq((false, "/star")))
+    // default stays the * view
+    assert(Robots.parseRules(txt) == Seq((false, "/star")))
+    // crawl-delay follows the same selection; last chosen-group wins
+    assert(Robots.parseDirectives(txt, "otherbot")._1.contains(9L))
+    assert(Robots.parseDirectives(txt, "strangebot")._1.contains(3L))
+    assert(Robots.parseDirectives(txt)._1.contains(3L))
+  }
+
   test("compilePattern: literals pass through, *, trailing $, escapes") {
     assert(Robots.compilePattern("/plain/prefix").isEmpty) // fast path
     assert(Robots.compilePattern("/fish*").contains("^/fish.*"))
