@@ -664,7 +664,8 @@ object Bench {
     * audit pattern where MANY ad-hoc literals probe one standing
     * corpus. */
   def trigramAB(spark: SparkSession, sfDir: String,
-                force: org.apache.spark.sql.DataFrame => Unit): Seq[Timing] = {
+                force: org.apache.spark.sql.DataFrame => Unit,
+                literals: Seq[String] = Seq("merge batch")): Seq[Timing] = {
     import graft.ops.TextSearch
     val dir = benchTmpDir("graft_bench_tri")
     try {
@@ -672,15 +673,25 @@ object Bench {
       val build = timed2(spark, "trigram_index_build") {
         TextSearch.buildTrigramIndex(docs, dir)
       }
-      val pair = timedAB(spark, "grep_trigram_indexed", "grep_full_scan") {
-        force(TextSearch.grepIndexed(spark, dir, docs, "merge batch"))
-      } {
-        force(docs.filter(org.apache.spark.sql.functions.col("text")
-          .contains("merge batch"))
-          .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("text")))
+      // one build amortizes across every probed literal — the split's
+      // whole point; selectivity is the probe's cost driver, so the
+      // 100x probe (TrigramProbe) passes a rare literal alongside the
+      // common default
+      val pairs = literals.flatMap { lit =>
+        val (na, nb) =
+          if (literals.size == 1) ("grep_trigram_indexed", "grep_full_scan")
+          else { val t = lit.split(' ').take(2).mkString("_")
+            (s"grep_trigram_indexed:$t", s"grep_full_scan:$t") }
+        timedAB(spark, na, nb) {
+          force(TextSearch.grepIndexed(spark, dir, docs, lit))
+        } {
+          force(docs.filter(org.apache.spark.sql.functions.col("text")
+            .contains(lit))
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text")))
+        }
       }
-      build +: pair
+      build +: pairs
     } finally {
       try { graft.sources.GridExports.deleteStore(spark, dir) }
       catch { case _: Throwable => }
