@@ -204,6 +204,36 @@ object WebQueries {
       UrlTools.domainStats(docs, "url", "n_chars")
     },
 
+    // HTTP response parsing (Warc.httpResponses): WARC `response`
+    // payloads split into status / mime / charset / body. Witnesses:
+    // 404s (doc_id % 17), an upper-cased quoted-charset Content-Type
+    // (doc_id % 5), and NON-HTTP payloads (doc_id % 23) that must pass
+    // through with NULL status — the gate-don't-drop contract.
+    "warc_http_responses" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val id = col("doc_id")
+      val status = when(id % 17 === 0, lit("404 Not Found"))
+        .otherwise(lit("200 OK"))
+      val payload = when(id % 23 === 0, col("text"))
+        .otherwise(concat(
+          lit("HTTP/1.1 "), status, lit("\r\n"),
+          lit("Server: graft-fixture\r\n"),
+          lit("Content-Type: "),
+          when(id % 5 === 0, lit("Text/HTML; charset=\"UTF-8\""))
+            .otherwise(lit("text/plain; charset=utf-8")),
+          lit("\r\n"),
+          lit("X-Doc: "), id.cast("string"), lit("\r\n\r\n"),
+          col("text")))
+      val recs = docs.select(
+        concat(lit("<urn:graft:"), id.cast("string"), lit(">")).as("record_id"),
+        plantedUrl(id, col("source")).as("target_uri"),
+        payload.cast("binary").as("content"))
+      Warc.httpResponses(recs)
+        .select(col("record_id"), col("target_uri"), col("status"),
+          col("mime"), col("charset"),
+          col("body").cast("string").as("body_text"))
+    },
+
     // Registered domains through a PUBLIC-SUFFIX TABLE (UrlTools
     // .registeredDomainsOfHosts): the planted table marks example.com
     // itself a suffix (github.io-style private registry), so every
@@ -506,6 +536,19 @@ object WebQueries {
          |  count(DISTINCT canonical_url) AS n_pages,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM r GROUP BY domain""".stripMargin,
+
+    "warc_http_responses" ->
+      s"""WITH u AS (SELECT doc_id, text, $plantedUrlSql AS url FROM documents)
+         |SELECT '<urn:graft:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+         |  url AS target_uri,
+         |  CASE WHEN doc_id % 23 = 0 THEN NULL
+         |       WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+         |  CASE WHEN doc_id % 23 = 0 THEN NULL
+         |       WHEN doc_id % 5 = 0 THEN 'text/html'
+         |       ELSE 'text/plain' END AS mime,
+         |  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE 'utf-8' END AS charset,
+         |  text AS body_text
+         |FROM u""".stripMargin,
 
     "url_domains_psl" ->
       s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),

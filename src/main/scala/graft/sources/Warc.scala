@@ -154,6 +154,87 @@ object Warc {
   def parseAll(bytes: Array[Byte]): Iterator[WarcRecord] =
     parseStream(new ByteArrayInputStream(bytes))
 
+  // ---- HTTP response payloads ----------------------------------------
+
+  /** Split an HTTP/1.x response payload — what a WARC `response`
+    * record's body actually holds in Common Crawl (raw status line +
+    * headers + entity body, RFC 9112 framing) — into
+    * (status, header pairs, body bytes). None when the payload is not
+    * an HTTP response (no ASCII `HTTP/` prefix) or the header block
+    * never terminates; headers keep file order, names lowercased,
+    * values trimmed. The body is returned as the RAW bytes after
+    * CRLFCRLF — no charset decode, no transfer-decoding (Common Crawl
+    * stores payloads already de-chunked; a `transfer-encoding` header
+    * is preserved so callers can quarantine the rare live-capture
+    * case). */
+  def parseHttp(payload: Array[Byte])
+      : Option[(Int, Seq[(String, String)], Array[Byte])] = {
+    val prefix = "HTTP/".getBytes(UTF_8)
+    if (payload.length < 12 ||
+        !prefix.indices.forall(i => payload(i) == prefix(i))) return None
+    var he = -1
+    var i = 0
+    while (he < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') he = i
+      i += 1
+    }
+    if (he < 0) return None
+    val lines = new String(payload, 0, he, UTF_8).split("\r\n")
+    // status line: HTTP-version SP status-code SP [reason]
+    val parts = lines(0).split(" ", 3)
+    val status = if (parts.length >= 2) parts(1).toIntOption else None
+    if (status.isEmpty) return None
+    val headers = lines.drop(1).toSeq.flatMap { l =>
+      val j = l.indexOf(':')
+      if (j <= 0) None
+      else Some(l.substring(0, j).trim.toLowerCase -> l.substring(j + 1).trim)
+    }
+    val body = java.util.Arrays.copyOfRange(payload, he + 4, payload.length)
+    Some((status.get, headers, body))
+  }
+
+  val httpSchema: StructType = StructType(Seq(
+    StructField("record_id", StringType),
+    StructField("target_uri", StringType),
+    StructField("status", IntegerType),
+    StructField("mime", StringType),
+    StructField("charset", StringType),
+    StructField("body", BinaryType)))
+
+  /** WARC record rows → parsed HTTP responses: (record_id, target_uri,
+    * status, mime, charset, body). `mime` is the Content-Type value
+    * with parameters stripped, lowercased; `charset` its charset
+    * parameter when present (lowercased). Non-HTTP payloads (a
+    * text/plain corpus record, a truncated capture) keep their row
+    * with status/mime/charset NULL and the payload passed through as
+    * `body` — the gate-don't-drop contract, so callers decide.
+    * Imperative per-record parse in one mapPartitions pass: payload
+    * bytes never ride a shuffle, cost tracks archive bytes. */
+  def httpResponses(records: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(httpSchema)
+    records.select(col("record_id"), col("target_uri"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          parseHttp(payload) match {
+            case Some((status, headers, body)) =>
+              val ct = headers.find(_._1 == "content-type").map(_._2)
+              val mime = ct.map(_.split(";")(0).trim.toLowerCase).orNull
+              val charset = ct.flatMap { v =>
+                val m = java.util.regex.Pattern
+                  .compile("(?i)charset=\"?([^\";\\s]+)").matcher(v)
+                if (m.find()) Some(m.group(1).toLowerCase) else None
+              }.orNull
+              Row(r.getString(0), r.getString(1),
+                Int.box(status), mime, charset, body)
+            case None =>
+              Row(r.getString(0), r.getString(1), null, null, null, payload)
+          }
+        }
+      }(enc)
+  }
+
   // ---- Spark surface ------------------------------------------------
 
   /** Archive-file rows → record rows. `files` must carry the

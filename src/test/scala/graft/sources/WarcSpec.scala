@@ -73,6 +73,27 @@ class WarcSpec extends AnyFunSuite {
     assert(it.size == n - 1) // and the rest stream through
   }
 
+  test("parseHttp: status/headers/body split, binary body, non-HTTP") {
+    val body = Array.tabulate(300)(j => (j % 251).toByte) // binary, CRLF-laden
+    val head = ("HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: https://x.example/new\r\n" +
+      "Content-Type: Text/HTML; charset=\"ISO-8859-1\"\r\n" +
+      "\r\n").getBytes(UTF_8)
+    val Some((status, headers, got)) = Warc.parseHttp(head ++ body)
+    assert(status == 301)
+    assert(headers == Seq(
+      "location" -> "https://x.example/new",
+      "content-type" -> "Text/HTML; charset=\"ISO-8859-1\""))
+    assert(java.util.Arrays.equals(got, body))
+    // reason-less status line is legal (RFC 9112 allows empty reason)
+    assert(Warc.parseHttp("HTTP/1.1 204\r\n\r\n".getBytes(UTF_8))
+      .exists(_._1 == 204))
+    // not HTTP / never-terminating header block -> None
+    assert(Warc.parseHttp("plain text payload".getBytes(UTF_8)).isEmpty)
+    assert(Warc.parseHttp("HTTP/1.1 200 OK\r\nX: 1\r\n".getBytes(UTF_8)).isEmpty)
+    assert(Warc.parseHttp("HTTP/1.1 abc\r\n\r\n".getBytes(UTF_8)).isEmpty)
+  }
+
   test("non-WARC leading bytes are a loud error, not a silent skip") {
     val e = intercept[IllegalArgumentException] {
       Warc.parseAll("HTTP/1.1 200 OK\r\n\r\nnope\r\n\r\n".getBytes(UTF_8)).toSeq
