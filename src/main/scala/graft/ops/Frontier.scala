@@ -69,4 +69,14 @@ object Frontier {
       .select(col("url"), col("host"), col("domain"), col("n_refs"),
         col("rank_micro"), col("crawl_delay"), col("host_pos"))
   }
+
+  /** Politeness schedule over a [[build]] output: each URL's planned
+    * fetch offset inside its host queue — (host_pos − 1) · crawl_delay
+    * seconds, the earliest a crawler honoring the delay can issue the
+    * fetch relative to the host queue's start. Pure integer codegen
+    * projection (no shuffle); a dispatcher adds its wall-clock epoch
+    * per host. */
+  def schedule(frontier: DataFrame): DataFrame =
+    frontier.withColumn("fetch_at_sec",
+      (col("host_pos") - 1).cast("long") * col("crawl_delay"))
 }

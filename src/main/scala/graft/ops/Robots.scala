@@ -173,6 +173,37 @@ object Robots {
       }(enc)
   }
 
+  /** Rules from FETCHED robots responses (RFC 9309 §2.3.1): the
+    * robots.txt WARC set parsed through [[graft.sources.Warc
+    * .httpResponses]] gives (domain, status, body); per the RFC's
+    * availability semantics a 2xx body parses normally, a 4xx means
+    * "unavailable" → crawl as if there were no rules (no rows), and
+    * 5xx / unresolved redirects mean "unreachable" → complete disallow
+    * (one `Disallow: /` row). A NULL status (a bare robots.txt body,
+    * not an HTTP capture) parses as raw text. Sites-sized imperative
+    * map, same contract as [[parseRulesTable]]. */
+  def rulesFromHttp(responses: DataFrame, domainCol: String = "domain",
+                    statusCol: String = "status",
+                    bodyCol: String = "body_text",
+                    agent: String = "*"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(ruleSchema)
+    responses
+      .select(col(domainCol).as("domain"), col(statusCol).cast("int"),
+        col(bodyCol))
+      .flatMap { r =>
+        val domain = r.getString(0)
+        val status = if (r.isNullAt(1)) None else Some(r.getInt(1))
+        val body = if (r.isNullAt(2)) "" else r.getString(2)
+        val rules = status match {
+          case None => parseRules(body, agent)                 // raw body
+          case Some(s) if s >= 200 && s <= 299 => parseRules(body, agent)
+          case Some(s) if s >= 400 && s <= 499 => Seq.empty    // unavailable
+          case _ => Seq((false, "/"))                          // unreachable
+        }
+        rules.map { case (allow, prefix) => Row(domain, allow, prefix) }
+      }(enc)
+  }
+
   /** Compile one RFC 9309 rule pattern to an anchored regex, or None
     * when the pattern is wildcard-free (the `startsWith` fast path
     * suffices — the overwhelmingly common case, and the one that stays

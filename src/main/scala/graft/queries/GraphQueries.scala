@@ -93,6 +93,36 @@ object GraphQueries {
       pageUrl(col("doc_id")).as("url"),
       plantedLinkHtml(col("doc_id")).as("html"))
 
+  /** The shared crawl-frontier fixture: extracted links ∪ five seeds
+    * (one robots-blocked, one merging with extracted refs), a robots
+    * table with one wildcard and one literal-prefix rule plus a
+    * crawl-delay, PageRank authority — through [[Frontier.build]]. */
+  private def frontierDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+    val ranks = LinkGraph.pageRank(
+      LinkGraph.hostEdges(links, "url", "dst_url"),
+      iters = 3, dampingPct = 85)
+    val seeds = Seq(
+      "https://site0.example.com/doc/9001", // robots-blocked (/doc/*1$)
+      "https://site1.example.com/doc/9002/",
+      "https://site2.example.com/doc/9005?utm_source=x",
+      "https://site7.example.com/doc/7",    // merges with extracted refs
+      "https://archive0.example.net/ar/9003")
+      .toDF("url")
+    val robots = Seq(
+      ("example.com",
+        "User-agent: *\nDisallow: /doc/*1$\nDisallow: /tag/\nCrawl-delay: 2\n"),
+      ("example.net", "User-agent: *\n")) // no rules, no delay -> defaults
+      .toDF("domain", "robots_txt")
+    val candidates = links.select(col("dst_url").as("url"))
+      .unionByName(seeds)
+    Frontier.build(candidates, "url",
+      Robots.parseRulesTable(robots),
+      Robots.parseDirectivesTable(robots),
+      ranks)
+  }
+
   // ---- queries ------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -137,30 +167,14 @@ object GraphQueries {
     // witness) → PageRank + crawl-delay annotation → per-host priority
     // queues. Every stage replays in the oracle (gate VALUES, unrolled
     // PageRank, window replay).
-    "crawl_frontier" -> { (s, d) =>
-      import s.implicits._
-      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
-      val ranks = LinkGraph.pageRank(
-        LinkGraph.hostEdges(links, "url", "dst_url"),
-        iters = 3, dampingPct = 85)
-      val seeds = Seq(
-        "https://site0.example.com/doc/9001", // robots-blocked (/doc/*1$)
-        "https://site1.example.com/doc/9002/",
-        "https://site2.example.com/doc/9005?utm_source=x",
-        "https://site7.example.com/doc/7",    // merges with extracted refs
-        "https://archive0.example.net/ar/9003")
-        .toDF("url")
-      val robots = Seq(
-        ("example.com",
-          "User-agent: *\nDisallow: /doc/*1$\nDisallow: /tag/\nCrawl-delay: 2\n"),
-        ("example.net", "User-agent: *\n")) // no rules, no delay -> defaults
-        .toDF("domain", "robots_txt")
-      val candidates = links.select(col("dst_url").as("url"))
-        .unionByName(seeds)
-      Frontier.build(candidates, "url",
-        Robots.parseRulesTable(robots),
-        Robots.parseDirectivesTable(robots),
-        ranks)
+    "crawl_frontier" -> { (s, d) => frontierDf(s, d) },
+
+    // Politeness schedule over the frontier: fetch_at_sec =
+    // (host_pos - 1) * crawl_delay — the dispatchable queue offsets.
+    "crawl_schedule" -> { (s, d) =>
+      Frontier.schedule(frontierDf(s, d))
+        .select(col("url"), col("host"), col("crawl_delay"),
+          col("host_pos"), col("fetch_at_sec"))
     },
 
     // TrustRank from a 5-host whitelist (site0-4): teleport + dangling
@@ -266,6 +280,57 @@ object GraphQueries {
        |      '/+$$', '', 'g')
        |    ELSE '/' END""".stripMargin
 
+  /** Shared frontier oracle CTE chain (candidates, wildcard gate,
+    * rank/delay annotation), ending with CTE a — crawl_frontier and
+    * crawl_schedule differ only in their final SELECT. */
+  private val frontierCtesSql =
+    s"""WITH $linksCteSql,
+       |$pagerankCtesSql,
+       |seeds(u) AS (VALUES
+       |  ('https://site0.example.com/doc/9001'),
+       |  ('https://site1.example.com/doc/9002/'),
+       |  ('https://site2.example.com/doc/9005?utm_source=x'),
+       |  ('https://site7.example.com/doc/7'),
+       |  ('https://archive0.example.net/ar/9003')),
+       |cand AS (SELECT dst_url AS url FROM lnk
+       |  UNION ALL SELECT ${WebQueries.canonicalSql.replace("url", "u")}
+       |    AS url FROM seeds),
+       |cnt AS (SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+       |  FROM cand GROUP BY url),
+       |kk AS (SELECT url, n_refs,
+       |    regexp_replace(lower(regexp_extract(url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+       |      '^www\\.|:[0-9]+$$', '', 'g') AS host,
+       |    ${pathSql("url")} AS path
+       |  FROM cnt),
+       |k AS (SELECT url, n_refs, host, path,
+       |    CASE WHEN regexp_matches(host, '\\.')
+       |      THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |      ELSE host END AS domain
+       |  FROM kk),
+       |rr(domain, allow, prefix, pattern) AS (VALUES
+       |  ('example.com', FALSE, '/doc/*1$$', '^/doc/.*1$$'),
+       |  ('example.com', FALSE, '/tag/', CAST(NULL AS VARCHAR))),
+       |m AS (SELECT k.url, k.n_refs, k.host, k.domain,
+       |    max(CASE WHEN rr.prefix IS NOT NULL
+       |        THEN 2 * len(rr.prefix) +
+       |          CASE WHEN rr.allow THEN 1 ELSE 0 END END) AS score
+       |  FROM k LEFT JOIN rr
+       |    ON k.domain = rr.domain AND (CASE WHEN rr.pattern IS NOT NULL
+       |        THEN regexp_matches(k.path, rr.pattern)
+       |        ELSE starts_with(k.path, rr.prefix) END)
+       |  GROUP BY k.url, k.n_refs, k.host, k.domain),
+       |g AS (SELECT url, n_refs, host, domain FROM m
+       |  WHERE coalesce(score % 2 = 1, TRUE)),
+       |dd(domain, crawl_delay) AS (VALUES
+       |  ('example.com', CAST(2 AS BIGINT)),
+       |  ('example.net', CAST(NULL AS BIGINT))),
+       |a AS (SELECT g.url, g.host, g.domain, g.n_refs,
+       |    CAST(coalesce(r3.r, 0) AS BIGINT) AS rank_micro,
+       |    CAST(coalesce(dd.crawl_delay, 1) AS BIGINT) AS crawl_delay
+       |  FROM g LEFT JOIN r3 ON g.host = r3.host
+       |    LEFT JOIN dd ON g.domain = dd.domain)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "link_extract" ->
       s"""WITH $linksCteSql
@@ -278,56 +343,22 @@ object GraphQueries {
          |SELECT host, r AS rank_micro FROM r3""".stripMargin,
 
     "crawl_frontier" ->
-      s"""WITH $linksCteSql,
-         |$pagerankCtesSql,
-         |seeds(u) AS (VALUES
-         |  ('https://site0.example.com/doc/9001'),
-         |  ('https://site1.example.com/doc/9002/'),
-         |  ('https://site2.example.com/doc/9005?utm_source=x'),
-         |  ('https://site7.example.com/doc/7'),
-         |  ('https://archive0.example.net/ar/9003')),
-         |cand AS (SELECT dst_url AS url FROM lnk
-         |  UNION ALL SELECT ${WebQueries.canonicalSql.replace("url", "u")}
-         |    AS url FROM seeds),
-         |cnt AS (SELECT url, CAST(count(*) AS BIGINT) AS n_refs
-         |  FROM cand GROUP BY url),
-         |kk AS (SELECT url, n_refs,
-         |    regexp_replace(lower(regexp_extract(url,
-         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-         |      '^www\\.|:[0-9]+$$', '', 'g') AS host,
-         |    ${pathSql("url")} AS path
-         |  FROM cnt),
-         |k AS (SELECT url, n_refs, host, path,
-         |    CASE WHEN regexp_matches(host, '\\.')
-         |      THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
-         |      ELSE host END AS domain
-         |  FROM kk),
-         |rr(domain, allow, prefix, pattern) AS (VALUES
-         |  ('example.com', FALSE, '/doc/*1$$', '^/doc/.*1$$'),
-         |  ('example.com', FALSE, '/tag/', CAST(NULL AS VARCHAR))),
-         |m AS (SELECT k.url, k.n_refs, k.host, k.domain,
-         |    max(CASE WHEN rr.prefix IS NOT NULL
-         |        THEN 2 * len(rr.prefix) +
-         |          CASE WHEN rr.allow THEN 1 ELSE 0 END END) AS score
-         |  FROM k LEFT JOIN rr
-         |    ON k.domain = rr.domain AND (CASE WHEN rr.pattern IS NOT NULL
-         |        THEN regexp_matches(k.path, rr.pattern)
-         |        ELSE starts_with(k.path, rr.prefix) END)
-         |  GROUP BY k.url, k.n_refs, k.host, k.domain),
-         |g AS (SELECT url, n_refs, host, domain FROM m
-         |  WHERE coalesce(score % 2 = 1, TRUE)),
-         |dd(domain, crawl_delay) AS (VALUES
-         |  ('example.com', CAST(2 AS BIGINT)),
-         |  ('example.net', CAST(NULL AS BIGINT))),
-         |a AS (SELECT g.url, g.host, g.domain, g.n_refs,
-         |    CAST(coalesce(r3.r, 0) AS BIGINT) AS rank_micro,
-         |    CAST(coalesce(dd.crawl_delay, 1) AS BIGINT) AS crawl_delay
-         |  FROM g LEFT JOIN r3 ON g.host = r3.host
-         |    LEFT JOIN dd ON g.domain = dd.domain)
+      s"""$frontierCtesSql
          |SELECT url, host, domain, n_refs, rank_micro, crawl_delay,
          |  CAST(row_number() OVER (PARTITION BY host
          |    ORDER BY n_refs DESC, url) AS INT) AS host_pos
          |FROM a""".stripMargin,
+
+    "crawl_schedule" ->
+      s"""$frontierCtesSql,
+         |q AS (SELECT url, host, crawl_delay,
+         |    CAST(row_number() OVER (PARTITION BY host
+         |      ORDER BY n_refs DESC, url) AS INT) AS host_pos
+         |  FROM a)
+         |SELECT url, host, crawl_delay, host_pos,
+         |  CAST((host_pos - 1) * crawl_delay AS BIGINT) AS fetch_at_sec
+         |FROM q""".stripMargin,
+
 
     "host_hits" ->
       s"""WITH $linksCteSql,

@@ -310,6 +310,25 @@ object WebQueries {
           array_join(col("sitemaps"), ",").as("sitemaps_csv"))
     },
 
+    // RFC 9309 §2.3.1 fetch-status semantics (Robots.rulesFromHttp):
+    // 2xx parses, 4xx = unavailable -> crawl as if no rules (body must
+    // be IGNORED), 5xx/3xx = unreachable -> complete disallow, NULL
+    // status = a bare robots.txt body. Oracle restates the expected
+    // rule rows.
+    "robots_from_http" -> { (s, d) =>
+      import s.implicits._
+      val responses = Seq(
+        ("ok.example", Some(200),
+          "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"),
+        ("gone.example", Some(404), "User-agent: *\nDisallow: /ignored\n"),
+        ("down.example", Some(503), "User-agent: *\nAllow: /ignored\n"),
+        ("moved.example", Some(302), ""),
+        ("raw.example", Option.empty[Int],
+          "User-agent: *\nDisallow: /raw\n"))
+        .toDF("domain", "status", "body_text")
+      graft.ops.Robots.rulesFromHttp(responses)
+    },
+
     // Sitemap parsing (ops/Sitemaps): one planted sitemap document per
     // fixture row — doc_id % 20 == 0 rows are <sitemapindex> files
     // (their entries are nested sitemap FILES, is_index = true), the
@@ -611,6 +630,15 @@ object WebQueries {
          |SELECT doc_id, domain, path,
          |  coalesce(score % 2 = 1, TRUE) AS allowed
          |FROM m""".stripMargin,
+
+    "robots_from_http" ->
+      """SELECT * FROM (VALUES
+        |  ('ok.example', FALSE, '/private'),
+        |  ('ok.example', TRUE,  '/private/pub'),
+        |  ('down.example', FALSE, '/'),
+        |  ('moved.example', FALSE, '/'),
+        |  ('raw.example', FALSE, '/raw'))
+        |  AS t(domain, allow, prefix)""".stripMargin,
 
     "sitemap_urls" ->
       s"""WITH x AS (SELECT doc_id,
