@@ -310,6 +310,23 @@ object WebQueries {
           array_join(col("sitemaps"), ",").as("sitemaps_csv"))
     },
 
+    // Charset-aware body decode (Warc.decodeBody): ISO-8859-1 bodies
+    // (doc_id % 3 == 0), UTF-8 (== 1), and an unknown charset that
+    // must FALL BACK to UTF-8 (== 2) — all carrying non-ASCII é/ü
+    // witnesses — must decode to the identical string.
+    "warc_decode_charset" -> { (s, d) =>
+      val id = col("doc_id")
+      val raw = concat(col("text"), lit(" café ü"))
+      val recs = Tables.documents(s, d).select(id,
+        when(id % 3 === 0, lit("iso-8859-1"))
+          .when(id % 3 === 1, lit("utf-8"))
+          .otherwise(lit("x-unknown-charset")).as("charset"),
+        when(id % 3 === 0, encode(raw, "ISO-8859-1"))
+          .otherwise(encode(raw, "UTF-8")).as("body"))
+      Warc.decodeBody(recs, "body", "charset")
+        .select(col("doc_id"), col("text"))
+    },
+
     // RFC 9309 §2.3.1 fetch-status semantics (Robots.rulesFromHttp):
     // 2xx parses, 4xx = unavailable -> crawl as if no rules (body must
     // be IGNORED), 5xx/3xx = unreachable -> complete disallow, NULL
@@ -630,6 +647,9 @@ object WebQueries {
          |SELECT doc_id, domain, path,
          |  coalesce(score % 2 = 1, TRUE) AS allowed
          |FROM m""".stripMargin,
+
+    "warc_decode_charset" ->
+      "SELECT doc_id, text || ' café ü' AS text FROM documents",
 
     "robots_from_http" ->
       """SELECT * FROM (VALUES

@@ -202,6 +202,41 @@ object Warc {
     StructField("charset", StringType),
     StructField("body", BinaryType)))
 
+  /** Decode entity bodies to text by their DECLARED charset (the
+    * [[httpResponses]] `charset` column) — real crawls are not all
+    * UTF-8: ISO-8859-1 and windows-1252 remain common, and a UTF-8
+    * decode of them silently mangles every non-ASCII byte. Unknown or
+    * NULL charset falls back to UTF-8; malformed/unmappable input is
+    * REPLACED (U+FFFD), never thrown — a corrupt page must not kill a
+    * 100 TB job. Appends `outCol`; one mapPartitions pass with a
+    * per-partition Charset cache, body bytes never shuffle. */
+  def decodeBody(df: DataFrame, bodyCol: String = "body",
+                 charsetCol: String = "charset",
+                 outCol: String = "text"): DataFrame = {
+    val outSchema = df.schema.add(outCol, StringType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bIdx = df.schema.fieldIndex(bodyCol)
+    val cIdx = df.schema.fieldIndex(charsetCol)
+    df.mapPartitions { rows =>
+      val cache = scala.collection.mutable.HashMap[String, java.nio.charset.Charset]()
+      def charsetFor(name: String): java.nio.charset.Charset =
+        cache.getOrElseUpdate(name.toLowerCase,
+          try java.nio.charset.Charset.forName(name)
+          catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 })
+      rows.map { r =>
+        val body = r.getAs[Array[Byte]](bIdx)
+        val name = if (r.isNullAt(cIdx)) "utf-8" else r.getString(cIdx)
+        val text =
+          if (body == null) null
+          else charsetFor(name).newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+            .decode(java.nio.ByteBuffer.wrap(body)).toString
+        Row.fromSeq(r.toSeq :+ text)
+      }
+    }(enc)
+  }
+
   /** WARC record rows → parsed HTTP responses: (record_id, target_uri,
     * status, mime, charset, body). `mime` is the Content-Type value
     * with parameters stripped, lowercased; `charset` its charset

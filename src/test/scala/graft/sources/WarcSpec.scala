@@ -94,6 +94,25 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseHttp("HTTP/1.1 abc\r\n\r\n".getBytes(UTF_8)).isEmpty)
   }
 
+  test("decodeBody: declared charsets, fallback, replacement, null body") {
+    val rows = Seq(
+      (1L, "windows-1252", Array(0x80.toByte, 'a'.toByte)), // € then a
+      (2L, "iso-8859-1", Array(0xE9.toByte)),               // é
+      (3L, null, "plain".getBytes(UTF_8)),                  // null -> utf-8
+      (4L, "no-such-charset", "ok".getBytes(UTF_8)),        // fallback utf-8
+      (5L, "utf-8", Array(0xFF.toByte, 'b'.toByte)),        // malformed
+      (6L, "utf-8", null))                                  // null body
+      .toDF("id", "charset", "body")
+    val got = Warc.decodeBody(rows, "body", "charset")
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "€a")
+    assert(got(2L) == "é")
+    assert(got(3L) == "plain")
+    assert(got(4L) == "ok")
+    assert(got(5L) == "�b") // replaced, not thrown
+    assert(got(6L) == null)
+  }
+
   test("non-WARC leading bytes are a loud error, not a silent skip") {
     val e = intercept[IllegalArgumentException] {
       Warc.parseAll("HTTP/1.1 200 OK\r\n\r\nnope\r\n\r\n".getBytes(UTF_8)).toSeq
