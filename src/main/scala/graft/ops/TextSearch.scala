@@ -329,37 +329,100 @@ object TextSearch {
     runs.filter(_.length >= 3).distinct.toSeq
   }
 
-  /** Regex search against the trigram index: candidates must contain
-    * the rarest trigrams of EVERY required literal run of `pattern`,
-    * then the exact `rlike` confirm runs over candidates only. A
-    * pattern with no extractable run (alternations, short literals,
-    * pure classes) falls back to the full scan — still exact, just
-    * unpruned. Result equals `docs.filter(text rlike pattern)`. */
+  /** Decompose a pattern into TOP-LEVEL alternation branches for
+    * candidate pruning — the Code-Search OR rule: a match satisfies
+    * SOME branch, so candidates = union of per-branch conjunctions.
+    * Handles one optional group wrapping the whole pattern (plain or
+    * `(?:`); any other group — nested, mid-pattern, quantified,
+    * lookaround — returns None (full scan; still exact). Splits honor
+    * escapes and character classes. */
+  private[ops] def alternationBranches(pattern: String): Option[Seq[String]] = {
+    def stripOuter(p: String): String = {
+      if (!(p.startsWith("(") && p.endsWith(")"))) return p
+      var depth = 0
+      var i = 0
+      while (i < p.length) {
+        p.charAt(i) match {
+          case '\\' => i += 1
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0 && i != p.length - 1) return p
+          case _ =>
+        }
+        i += 1
+      }
+      val inner = p.substring(1, p.length - 1)
+      if (inner.startsWith("?:")) inner.drop(2)
+      else if (inner.startsWith("?")) p // lookaround / named: keep as-is
+      else inner
+    }
+    val body = stripOuter(pattern)
+    if (body.contains("(")) return None
+    val branches = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) { cur += c += body.charAt(i + 1); i += 2 }
+      else {
+        if (c == '[') inClass = true
+        else if (c == ']') inClass = false
+        if (c == '|' && !inClass) { branches += cur.toString; cur.clear() }
+        else cur += c
+        i += 1
+      }
+    }
+    branches += cur.toString
+    Some(branches.result())
+  }
+
+  /** Regex search against the trigram index: the pattern splits into
+    * top-level alternation branches; per branch, candidates must
+    * contain the rarest trigrams of EVERY required literal run, and
+    * the overall candidate set is the UNION over branches (a match
+    * satisfies some branch). The exact `rlike` confirm runs over
+    * candidates only. A pattern beyond the subset (nested groups, a
+    * branch with no ≥3-char literal run) falls back to the full
+    * scan — still exact, just unpruned. Result equals
+    * `docs.filter(text rlike pattern)`. */
   def grepRegexIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                        docs: DataFrame, pattern: String,
                        idCol: String = "doc_id", textCol: String = "text",
                        maxProbeGrams: Int = 3): DataFrame = {
     val matches = docs.filter(col(textCol).rlike(pattern))
       .select(col(idCol), col(textCol))
-    val lits = requiredLiterals(pattern)
-    if (lits.isEmpty) return matches
-    val grams = lits.flatMap(_.sliding(3)).distinct
+    val branchLits: Seq[Seq[String]] = alternationBranches(pattern) match {
+      case None => return matches
+      case Some(bs) => bs.map(requiredLiterals)
+    }
+    // one unconstrained branch makes the union unbounded -> full scan
+    if (branchLits.exists(_.isEmpty)) return matches
+    val grams = branchLits.flatten.flatMap(_.sliding(3)).distinct
     val dfs = spark.read.parquet(s"$dir/dfs")
       .filter(col("gram").isin(grams: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // per REQUIRED literal: its rarest grams (all must hit); a literal
-    // with an absent trigram proves zero matches corpus-wide
-    val perLit = lits.map(l => l.sliding(3).toSeq.distinct)
-    if (perLit.exists(_.exists(g => !dfs.contains(g))))
-      return matches.limit(0)
-    val chosen = perLit.flatMap(gs =>
-      gs.sortBy(g => (dfs(g), g)).take(math.min(maxProbeGrams, gs.size)))
-      .distinct
-    val cands = spark.read.parquet(s"$dir/grams")
-      .filter(col("gram").isin(chosen: _*))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("ng"))
-      .filter(col("ng") === chosen.size)
-      .select(col(idCol))
+    // a branch with an absent trigram proves that BRANCH matches
+    // nothing corpus-wide; it drops from the union
+    val live = branchLits.filter(
+      _.forall(_.sliding(3).forall(dfs.contains)))
+    if (live.isEmpty) return matches.limit(0)
+    // per live branch: rarest grams of each required literal (all must
+    // hit for the branch to admit a doc)
+    val branchGrams: Seq[Seq[String]] = live.map(lits =>
+      lits.flatMap { l =>
+        val gs = l.sliding(3).toSeq.distinct
+        gs.sortBy(g => (dfs(g), g)).take(math.min(maxProbeGrams, gs.size))
+      }.distinct)
+    val union = branchGrams.flatten.distinct
+    val perDoc = spark.read.parquet(s"$dir/grams")
+      .filter(col("gram").isin(union: _*))
+      .groupBy(col(idCol)).agg(collect_set(col("gram")).as("gs"))
+    val admits = branchGrams.map(bg =>
+      size(array_intersect(col("gs"), array(bg.map(lit): _*))) === bg.size)
+      .reduce(_ || _)
+    val cands = perDoc.filter(admits).select(col(idCol))
     docs.join(cands, Seq(idCol), "left_semi")
       .filter(col(textCol).rlike(pattern))
       .select(col(idCol), col(textCol))

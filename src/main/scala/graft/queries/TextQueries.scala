@@ -349,9 +349,10 @@ object TextQueries {
         "merge batch")
     },
 
-    // Regex grep through the same index: required-literal runs drive
-    // the trigram candidates ('merge ' and 'batch' here), the exact
-    // rlike confirms. Oracle = the full regexp scan.
+    // Regex grep through the same index: a top-level ALTERNATION —
+    // candidates are the union of per-branch rarest-gram conjunctions
+    // ('merge '+'batch' for one branch, 'value ' and 'scan' for the
+    // other — BOTH branches contribute matching docs), the exact rlike confirms. Oracle = the full scan.
     "grep_regex_indexed" -> { (s, d) =>
       val dir = trigramIdxCache.getOrElseUpdate(d, {
         val r = java.nio.file.Files.createTempDirectory("graft_tri_idx")
@@ -360,7 +361,7 @@ object TextQueries {
         r
       })
       graft.ops.TextSearch.grepRegexIndexed(s, dir, Tables.documents(s, d),
-        "merge [a-z]*batch")
+        "merge [a-z]*batch|value +scan")
     },
 
     // Line-level boilerplate curation (ops/LineFilter): CCNet-style
@@ -1013,7 +1014,7 @@ object TextQueries {
 
     // regex twin: same law against the full regexp scan
     "grep_regex_indexed" ->
-      "SELECT doc_id, text FROM documents WHERE regexp_matches(text, 'merge [a-z]*batch')",
+      "SELECT doc_id, text FROM documents WHERE regexp_matches(text, 'merge [a-z]*batch|value +scan')",
 
     // DSIR weights replay: exact integer micro-nat chain end to end
     "dsir_weights" ->

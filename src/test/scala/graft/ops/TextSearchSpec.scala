@@ -183,10 +183,31 @@ class TextSearchSpec extends AnyFunSuite {
       corpus.filter(col("text").rlike(p))
         .collect().map(_.getLong(0)).toSet
     for (p <- Seq("merge +batch", "alpha.*gamma", "alpha|song",
-        "^merge", "bat.h", "qqq+z"))
+        "^merge", "bat.h", "qqq+z",
+        // alternation shapes: wrapped, non-capturing, per-branch
+        // quantifiers, a dead branch, an unconstrained (short) branch
+        "(alpha|song)", "(?:alpha|merge +batch)", "qqqz|song",
+        "alpha|x", "gamma$|^the"))
       assert(grep(p) == full(p), s"pattern '$p'")
     assert(grep("merge +batch") == Set(3L, 4L))
-    assert(grep("alpha|song") == Set(1L, 2L)) // fallback path, still exact
+    assert(grep("alpha|song") == Set(1L, 2L)) // pruned union, exact
+    assert(grep("qqqz|song") == Set(2L)) // dead branch drops from union
+  }
+
+  test("alternationBranches: top-level split, outer group, bail shapes") {
+    assert(TextSearch.alternationBranches("a|b") == Some(Seq("a", "b")))
+    assert(TextSearch.alternationBranches("(alpha|beta)") ==
+      Some(Seq("alpha", "beta")))
+    assert(TextSearch.alternationBranches("(?:alpha|beta)") ==
+      Some(Seq("alpha", "beta")))
+    // '|' inside a class is literal, escapes survive the split
+    assert(TextSearch.alternationBranches("a[|]b|c\\|d") ==
+      Some(Seq("a[|]b", "c\\|d")))
+    assert(TextSearch.alternationBranches("plain") == Some(Seq("plain")))
+    // nested / mid-pattern / quantified groups bail
+    assert(TextSearch.alternationBranches("(a|b)c").isEmpty)
+    assert(TextSearch.alternationBranches("x(a|b)").isEmpty)
+    assert(TextSearch.alternationBranches("((a)|b)").isEmpty)
   }
 
   test("trigram grep: short literals fall back, absent trigrams " +
