@@ -160,7 +160,12 @@ object ScalingProbe {
       // HOST graph (~constant here: replicas multiply pages, not
       // hosts), never page rows — only the one edge-derivation scan
       // may grow 10x
-      "link_extract", "host_pagerank")
+      "link_extract", "host_pagerank",
+      // round-9: the composed frontier — extraction + canonical count
+      // grow with pages, the gate/rank/delay joins and the per-host
+      // window stay host-sized (replicas add pages, not hosts), so
+      // total cpu must stay well under page-linear
+      "crawl_frontier")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
