@@ -42,6 +42,11 @@ object Frontier {
     *                   `defaultDelaySec`
     * @param hostRanks  (host, rank_micro) authority table (PageRank /
     *                   TrustRank); unknown hosts rank 0
+    * @param visited    URLs already fetched (any spelling — they are
+    *                   canonicalized here); dropped from the queue by
+    *                   an anti-join on the canonical key AFTER the
+    *                   count (so n_refs still reflects every sighting,
+    *                   keys only ride the shuffle)
     * @return one row per allowed canonical URL:
     *         (url, host, domain, n_refs, rank_micro, crawl_delay,
     *         host_pos) with host_pos the 1-based position in the
@@ -49,10 +54,17 @@ object Frontier {
     */
   def build(candidates: DataFrame, urlCol: String, rules: DataFrame,
             directives: DataFrame, hostRanks: DataFrame,
-            defaultDelaySec: Long = 1L): DataFrame = {
-    val counted = candidates
+            defaultDelaySec: Long = 1L,
+            visited: Option[DataFrame] = None): DataFrame = {
+    val allCounted = candidates
       .select(UrlTools.canonicalize(col(urlCol)).as("url"))
       .groupBy(col("url")).agg(count(lit(1)).as("n_refs"))
+    val counted = visited match {
+      case None => allCounted
+      case Some(v) => allCounted.join(
+        v.select(UrlTools.canonicalize(col(v.columns.head)).as("url")),
+        Seq("url"), "left_anti")
+    }
     val gated = Robots.gate(counted, "url", rules)
       .filter(col("allowed")).drop("allowed", "path")
     val annotated = gated

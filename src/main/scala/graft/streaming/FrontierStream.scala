@@ -63,7 +63,10 @@ object FrontierStream {
         iters = iters, dampingPct = dampingPct)
       val candidates = stored.select(col("dst_url").as("url"))
         .unionByName(seeds.select(col("url")))
-      Frontier.build(candidates, "url", rules, directives, ranks)
+      // already-fetched pages must not re-enqueue: the link store's
+      // page_url column IS the crawled set
+      Frontier.build(candidates, "url", rules, directives, ranks,
+          visited = Some(stored.select(col("page_url"))))
         .write.mode("overwrite").parquet(frontierDir)
     }
   }

@@ -32,6 +32,22 @@ class FrontierSpec extends AnyFunSuite {
       ("https://b.net/only", "b.net", "b.net", 1L, 0L, 1L, 1)))
   }
 
+  test("visited URLs drop from the queue (any spelling), refs intact") {
+    val robots = Seq(("a.com", "User-agent: *\n")).toDF("domain", "robots_txt")
+    val candidates = Seq(
+      "https://a.com/old", "https://a.com/old", "https://a.com/new")
+      .toDF("url")
+    val visited = Seq("https://WWW.a.com/old/?utm_source=x") // re-crawl spelling
+      .toDF("url")
+    val ranks = Seq.empty[(String, Long)].toDF("host", "rank_micro")
+    val got = Frontier.build(candidates, "url",
+      Robots.parseRulesTable(robots), Robots.parseDirectivesTable(robots),
+      ranks, visited = Some(visited))
+      .select("url", "n_refs", "host_pos")
+      .as[(String, Long, Int)].collect().toSeq
+    assert(got == Seq(("https://a.com/new", 1L, 1)))
+  }
+
   test("plan: annotations broadcast; no global sort — host window only") {
     val robots = Seq(("a.com", "User-agent: *\nDisallow: /x\n"))
       .toDF("domain", "robots_txt")
