@@ -92,6 +92,34 @@ object HtmlExtract {
   /** Document-level extraction: (id, title, n_anchors, text_clean).
     * `n_anchors` (the `<a` open-tag count) feeds downstream link-spam
     * gates without a second parse. */
+  /** Value of `<meta name="..." content="...">` for one name — both
+    * attribute orders (name-first and content-first) occur in organic
+    * markup, so two extractions coalesce (first non-empty wins).
+    * Entity-decoded, trimmed, NULL when absent. RE2 ∩ java.util.regex
+    * so the DuckDB oracle replays exactly. */
+  def metaOf(html: Column, name: String): Column = {
+    val nameFirst = regexp_extract(html,
+      s"""(?is)<meta\\s[^>]*name\\s*=\\s*"$name"[^>]*content\\s*=\\s*"([^"]*)"""", 1)
+    val contentFirst = regexp_extract(html,
+      s"""(?is)<meta\\s[^>]*content\\s*=\\s*"([^"]*)"[^>]*name\\s*=\\s*"$name"""", 1)
+    val v = trim(decodeEntities(
+      when(length(nameFirst) > 0, nameFirst).otherwise(contentFirst)))
+    when(length(v) > 0, v)
+  }
+
+  /** The page's `<link rel="canonical" href="...">` target — the
+    * publisher-declared page identity that OVERRIDES URL-level dedup
+    * keys in a real pipeline (syndicated copies declare the original).
+    * Both attribute orders handled; NULL when absent. */
+  def canonicalLinkOf(html: Column): Column = {
+    val relFirst = regexp_extract(html,
+      """(?is)<link\s[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"""", 1)
+    val hrefFirst = regexp_extract(html,
+      """(?is)<link\s[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*"canonical"""", 1)
+    val v = trim(when(length(relFirst) > 0, relFirst).otherwise(hrefFirst))
+    when(length(v) > 0, v)
+  }
+
   def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val html = col(htmlCol)
     df.select(col(idCol).as("id"),

@@ -310,6 +310,37 @@ object WebQueries {
           array_join(col("sitemaps"), ",").as("sitemaps_csv"))
     },
 
+    // Page metadata (HtmlExtract.metaOf / canonicalLinkOf): meta
+    // description in BOTH attribute orders, keywords content-first,
+    // rel=canonical in both orders and absent — the oracle constructs
+    // the expected values, validating extraction through its outputs.
+    "html_meta" -> { (s, d) =>
+      val id = col("doc_id")
+      val n = id.cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), n, lit("</title>"),
+        when(id % 2 === 0, concat(
+          lit("<meta name=\"description\" content=\"Summary &amp; notes "),
+          n, lit("\">")))
+          .otherwise(concat(
+            lit("<meta content=\"Summary &amp; notes "), n,
+            lit("\" name=\"description\">"))),
+        lit("<meta content=\"alpha, beta\" name=\"keywords\">"),
+        when(id % 3 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://canon.example.com/p/"),
+          (id % 7).cast("string"), lit("\">")))
+          .when(id % 3 === 1, concat(
+            lit("<link href=\"https://canon.example.com/q/"),
+            (id % 7).cast("string"), lit("\" rel=\"canonical\">")))
+          .otherwise(lit("")),
+        lit("</head><body><p>body</p></body></html>"))
+      Tables.documents(s, d).select(id, html.as("html"))
+        .select(id,
+          HtmlExtract.metaOf(col("html"), "description").as("description"),
+          HtmlExtract.metaOf(col("html"), "keywords").as("keywords"),
+          HtmlExtract.canonicalLinkOf(col("html")).as("canonical"))
+    },
+
     // Charset-aware body decode (Warc.decodeBody): ISO-8859-1 bodies
     // (doc_id % 3 == 0), UTF-8 (== 1), and an unknown charset that
     // must FALL BACK to UTF-8 (== 2) — all carrying non-ASCII é/ü
@@ -647,6 +678,17 @@ object WebQueries {
          |SELECT doc_id, domain, path,
          |  coalesce(score % 2 = 1, TRUE) AS allowed
          |FROM m""".stripMargin,
+
+    "html_meta" ->
+      """SELECT doc_id,
+        |  'Summary & notes ' || CAST(doc_id AS VARCHAR) AS description,
+        |  'alpha, beta' AS keywords,
+        |  CASE WHEN doc_id % 3 = 0
+        |      THEN 'https://canon.example.com/p/' || CAST(doc_id % 7 AS VARCHAR)
+        |    WHEN doc_id % 3 = 1
+        |      THEN 'https://canon.example.com/q/' || CAST(doc_id % 7 AS VARCHAR)
+        |    ELSE NULL END AS canonical
+        |FROM documents""".stripMargin,
 
     "warc_decode_charset" ->
       "SELECT doc_id, text || ' café ü' AS text FROM documents",

@@ -68,6 +68,26 @@ class HtmlExtractSpec extends AnyFunSuite {
       "htmlToText/extract must not shuffle")
   }
 
+  test("metaOf / canonicalLinkOf: attribute orders, entities, absence") {
+    val cases = Seq(
+      (1L, "<meta name=\"description\" content=\"A &amp; B\">" +
+        "<link rel=\"canonical\" href=\"https://c/1\">"),
+      (2L, "<META content=\"reversed\" extra=\"x\" name=\"description\">" +
+        "<link type=\"t\" href=\"https://c/2\" rel=\"canonical\">"),
+      (3L, "<meta name=\"keywords\" content=\"not description\">"),
+      (4L, "<meta name=\"description\" content=\"\">")) // empty -> NULL
+      .toDF("id", "html")
+    val got = cases.select(col("id"),
+      HtmlExtract.metaOf(col("html"), "description").as("d"),
+      HtmlExtract.canonicalLinkOf(col("html")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(got(1L) == (Some("A & B"), Some("https://c/1")))
+    assert(got(2L) == (Some("reversed"), Some("https://c/2")))
+    assert(got(3L) == (None, None))
+    assert(got(4L) == (None, None))
+  }
+
   test("contentBlocks keeps a NULL-html doc as an all-dropped row") {
     val out = HtmlExtract.contentBlocks(
       Seq((1L, Option.empty[String])).toDF("id", "h"), "id", "h").head()
