@@ -181,4 +181,23 @@ object UrlTools {
     df.select(col(idCol).as("id"), col(urlCol).as(urlCol))
       .join(winners, Seq("id"))
   }
+
+  /** [[dedupByCanonical]] honoring the PUBLISHER-declared canonical:
+    * when the page carries `<link rel="canonical">`, its target (then
+    * [[canonicalize]]d) is the dedup key — syndicated copies on
+    * different hosts collapse onto the declared original, which plain
+    * URL normalization can never do; pages declaring nothing key on
+    * their own canonical URL. Same scale shape: the shuffle carries
+    * (key, id), the HTML contributes one codegen'd extraction and
+    * never moves. */
+  def dedupByDeclaredCanonical(df: DataFrame, idCol: String,
+                               urlCol: String, htmlCol: String): DataFrame = {
+    val key = canonicalize(coalesce(
+      HtmlExtract.canonicalLinkOf(col(htmlCol)), col(urlCol)))
+    val keyed = df.select(col(idCol).as("id"), key.as("canonical_url"))
+    val winners = keyed.groupBy(col("canonical_url"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("n_dups"))
+    df.select(col(idCol).as("id"), col(urlCol).as(urlCol))
+      .join(winners, Seq("id"))
+  }
 }

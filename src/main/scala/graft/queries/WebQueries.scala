@@ -341,6 +341,23 @@ object WebQueries {
           HtmlExtract.canonicalLinkOf(col("html")).as("canonical"))
     },
 
+    // Declared-canonical dedup (UrlTools.dedupByDeclaredCanonical):
+    // doc_id % 3 == 0 pages declare rel=canonical targets shared
+    // across hosts (7 syndication groups that plain URL normalization
+    // cannot collapse); everyone else keys on their own URL.
+    "url_dedup_declared" -> { (s, d) =>
+      val id = col("doc_id")
+      val html = concat(lit("<html><head>"),
+        when(id % 3 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://canon.example.com/p/"),
+          (id % 7).cast("string"), lit("\">"))).otherwise(lit("")),
+        lit("</head><body>x</body></html>"))
+      val docs = Tables.documents(s, d).select(id,
+        plantedUrl(id, col("source")).as("url"), html.as("html"))
+      UrlTools.dedupByDeclaredCanonical(docs, "doc_id", "url", "html")
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // Charset-aware body decode (Warc.decodeBody): ISO-8859-1 bodies
     // (doc_id % 3 == 0), UTF-8 (== 1), and an unknown charset that
     // must FALL BACK to UTF-8 (== 2) — all carrying non-ASCII é/ü
@@ -678,6 +695,19 @@ object WebQueries {
          |SELECT doc_id, domain, path,
          |  coalesce(score % 2 = 1, TRUE) AS allowed
          |FROM m""".stripMargin,
+
+    "url_dedup_declared" ->
+      s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
+         |k AS (SELECT doc_id, url,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN 'https://canon.example.com/p/' || CAST(doc_id % 7 AS VARCHAR)
+         |      ELSE $canonicalSql END AS canonical_url
+         |  FROM u),
+         |w AS (SELECT canonical_url, min(doc_id) AS doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_dups
+         |  FROM k GROUP BY canonical_url)
+         |SELECT u.doc_id, u.url, w.canonical_url, w.n_dups
+         |FROM u JOIN w ON u.doc_id = w.doc_id""".stripMargin,
 
     "html_meta" ->
       """SELECT doc_id,
