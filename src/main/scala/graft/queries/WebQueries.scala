@@ -310,6 +310,25 @@ object WebQueries {
           array_join(col("sitemaps"), ",").as("sitemaps_csv"))
     },
 
+    // Redirect-chain resolution (Warc.resolveRedirects, 4 unrolled
+    // hops): chains p/N -> p/N-1 -> ... ending at %4==0 terminals
+    // (<= 3 hops), self-loop witnesses (%5, resolved=false at hop
+    // cap), and external landings (%7, NULL status, chain stops).
+    "warc_redirects" -> { (s, d) =>
+      val id = col("doc_id")
+      def uriOf(i: Column) =
+        concat(lit("https://r.example.com/p/"), i.cast("string"))
+      val responses = Tables.documents(s, d).select(
+        uriOf(id).as("target_uri"),
+        when(id % 4 === 0, 200).otherwise(301).as("status"),
+        when(id % 4 === 0, lit(null).cast("string"))
+          .when(id % 5 === 0, uriOf(id))
+          .when(id % 7 === 0,
+            concat(lit("https://external.example.org/x"), id.cast("string")))
+          .otherwise(uriOf(id - 1)).as("location"))
+      Warc.resolveRedirects(responses)
+    },
+
     // Page metadata (HtmlExtract.metaOf / canonicalLinkOf): meta
     // description in BOTH attribute orders, keywords content-first,
     // rel=canonical in both orders and absent — the oracle constructs
@@ -695,6 +714,47 @@ object WebQueries {
          |SELECT doc_id, domain, path,
          |  coalesce(score % 2 = 1, TRUE) AS allowed
          |FROM m""".stripMargin,
+
+    "warc_redirects" -> {
+      def hop(i: Int, j: Int) =
+        s"""c$j AS (SELECT c.uri,
+           |    CASE WHEN s.from_uri IS NOT NULL THEN s.to_uri
+           |      ELSE c.cur_uri END AS cur_uri,
+           |    CASE WHEN s.from_uri IS NOT NULL THEN s.to_st
+           |      ELSE c.cur_st END AS cur_st,
+           |    CASE WHEN s.from_uri IS NOT NULL THEN s.to_loc
+           |      ELSE c.cur_loc END AS cur_loc,
+           |    c.hops + CASE WHEN s.from_uri IS NOT NULL THEN 1 ELSE 0 END
+           |      AS hops
+           |  FROM c$i c LEFT JOIN s ON c.cur_uri = s.from_uri
+           |    AND c.cur_st BETWEEN 300 AND 399 AND c.cur_loc IS NOT NULL)"""
+          .stripMargin
+      s"""WITH b AS (SELECT
+         |    'https://r.example.com/p/' || CAST(doc_id AS VARCHAR) AS uri,
+         |    CASE WHEN doc_id % 4 = 0 THEN 200 ELSE 301 END AS st,
+         |    CASE WHEN doc_id % 4 = 0 THEN NULL
+         |      WHEN doc_id % 5 = 0
+         |        THEN 'https://r.example.com/p/' || CAST(doc_id AS VARCHAR)
+         |      WHEN doc_id % 7 = 0
+         |        THEN 'https://external.example.org/x' || CAST(doc_id AS VARCHAR)
+         |      ELSE 'https://r.example.com/p/' || CAST(doc_id - 1 AS VARCHAR)
+         |      END AS loc
+         |  FROM documents),
+         |s AS (SELECT b.uri AS from_uri, b.loc AS to_uri,
+         |    t.st AS to_st, t.loc AS to_loc
+         |  FROM b LEFT JOIN b t ON b.loc = t.uri
+         |  WHERE b.st BETWEEN 300 AND 399 AND b.loc IS NOT NULL),
+         |c0 AS (SELECT uri, uri AS cur_uri, st AS cur_st, loc AS cur_loc,
+         |    0 AS hops FROM b),
+         |${hop(0, 1)},
+         |${hop(1, 2)},
+         |${hop(2, 3)},
+         |${hop(3, 4)}
+         |SELECT uri, cur_uri AS final_uri, cur_st AS final_status, hops,
+         |  NOT coalesce(cur_st BETWEEN 300 AND 399 AND cur_loc IS NOT NULL,
+         |    FALSE) AS resolved
+         |FROM c4""".stripMargin
+    },
 
     "url_dedup_declared" ->
       s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),

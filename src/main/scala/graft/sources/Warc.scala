@@ -202,6 +202,60 @@ object Warc {
     StructField("charset", StringType),
     StructField("body", BinaryType)))
 
+  /** Resolve HTTP redirect chains across a response table — the
+    * URL-graph repair every crawl corpus needs before page identity
+    * means anything (a 301's content lives at the TARGET). Fixed-hop
+    * unrolled joins (maxHops, default 4 — real chains are short and
+    * UAs cap them), so the arithmetic replays exactly in the oracle:
+    * per hop, rows whose current status is 3xx with a Location follow
+    * one step; a location landing OUTSIDE the corpus carries NULL
+    * status and stops (nothing more is known); a chain still
+    * redirecting after maxHops (longer chain or a loop) reports
+    * `resolved = false`.
+    *
+    * Output: (uri, final_uri, final_status, hops, resolved).
+    *
+    * Scale shape: the step table is the 3xx rows joined once against
+    * response statuses; each hop is one equi-join of the state on
+    * cur_uri — redirect rows are a small fraction of a crawl, so the
+    * build side stays broadcast-able and non-redirecting rows pass
+    * through untouched. */
+  def resolveRedirects(responses: DataFrame, maxHops: Int = 4,
+                       uriCol: String = "target_uri",
+                       statusCol: String = "status",
+                       locationCol: String = "location"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, s"maxHops $maxHops")
+    def isRedir(s: org.apache.spark.sql.Column,
+                l: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      s.between(300, 399) && l.isNotNull
+    val base = responses.select(col(uriCol).as("uri"),
+      col(statusCol).cast("int").as("st"), col(locationCol).as("loc"))
+    val step = base
+      .filter(isRedir(col("st"), col("loc")))
+      .select(col("uri").as("from_uri"), col("loc").as("to_uri"))
+      .join(base.select(col("uri").as("to_uri"), col("st").as("to_st"),
+        col("loc").as("to_loc")), Seq("to_uri"), "left")
+      .select(col("from_uri"), col("to_uri"), col("to_st"), col("to_loc"))
+    var cur = base.select(col("uri"), col("uri").as("cur_uri"),
+      col("st").as("cur_st"), col("loc").as("cur_loc"),
+      lit(0).as("hops"))
+    (1 to maxHops).foreach { _ =>
+      val joined = col("from_uri").isNotNull
+      cur = cur.join(step,
+          cur("cur_uri") === step("from_uri") &&
+            isRedir(cur("cur_st"), cur("cur_loc")), "left")
+        .select(col("uri"),
+          when(joined, col("to_uri")).otherwise(col("cur_uri")).as("cur_uri"),
+          when(joined, col("to_st")).otherwise(col("cur_st")).as("cur_st"),
+          when(joined, col("to_loc")).otherwise(col("cur_loc")).as("cur_loc"),
+          (col("hops") + when(joined, 1).otherwise(0)).as("hops"))
+    }
+    cur.select(col("uri"), col("cur_uri").as("final_uri"),
+      col("cur_st").as("final_status"), col("hops"),
+      (!coalesce(isRedir(col("cur_st"), col("cur_loc")), lit(false)))
+        .as("resolved"))
+  }
+
   /** Decode entity bodies to text by their DECLARED charset (the
     * [[httpResponses]] `charset` column) — real crawls are not all
     * UTF-8: ISO-8859-1 and windows-1252 remain common, and a UTF-8

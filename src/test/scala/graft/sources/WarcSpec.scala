@@ -94,6 +94,30 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseHttp("HTTP/1.1 abc\r\n\r\n".getBytes(UTF_8)).isEmpty)
   }
 
+  test("resolveRedirects: chains, loops, external landings, hop cap") {
+    val rs = Seq(
+      ("https://s/a", 301, "https://s/b"),   // a -> b -> c -> final (3 hops)
+      ("https://s/b", 302, "https://s/c"),
+      ("https://s/c", 301, "https://s/final"),
+      ("https://s/final", 200, null),
+      ("https://s/x", 301, "https://s/y"),   // 2-cycle: never resolves
+      ("https://s/y", 301, "https://s/x"),
+      ("https://s/ext", 301, "https://elsewhere/e"), // outside corpus
+      ("https://s/plain", 200, null))
+      .toDF("target_uri", "status", "location")
+    val got = Warc.resolveRedirects(rs, maxHops = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.get(2)), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    assert(got("https://s/a") == (("https://s/final", Some(200), 3, true)))
+    assert(got("https://s/b") == (("https://s/final", Some(200), 2, true)))
+    assert(got("https://s/x")._4 == false) // still redirecting at cap
+    assert(got("https://s/x")._3 == 4)
+    assert(got("https://s/ext") ==
+      (("https://elsewhere/e", None, 1, true))) // unknown status stops
+    assert(got("https://s/plain") == (("https://s/plain", Some(200), 0, true)))
+  }
+
   test("decodeBody: declared charsets, fallback, replacement, null body") {
     val rows = Seq(
       (1L, "windows-1252", Array(0x80.toByte, 'a'.toByte)), // € then a
