@@ -101,4 +101,33 @@ object CrawlCurate {
           col("target_uri").as("url"),
           col("content").cast("string").as("html")),
       benchmark)
+
+  /** The full-fidelity record form: WARC record rows hold RAW HTTP
+    * responses (Common Crawl's actual layout). Parse status/headers/
+    * body ([[graft.sources.Warc.httpResponses]]), keep 2xx pages whose
+    * mime is HTML-ish (declared text/html, or undeclared — sniffing is
+    * the caller's policy), decode by the DECLARED charset
+    * ([[graft.sources.Warc.decodeBody]] — UTF-8 fallback, replacement
+    * on corruption), then run the standard [[curatePages]] chain. All
+    * three added stages are per-record projections/mapPartitions — no
+    * new shuffle enters the composition. */
+  def curateHttpRecords(records: DataFrame, benchmark: DataFrame,
+                        robotsRules: Option[DataFrame] = None): DataFrame = {
+    val resp = graft.sources.Warc.httpResponses(records)
+    val pages = graft.sources.Warc.decodeBody(
+        resp.filter(col("status").between(200, 299) &&
+          (col("mime").isNull || col("mime") === "text/html")),
+        "body", "charset", "html")
+      .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+        .cast("long").as("doc_id"),
+        col("target_uri").as("url"), col("html"))
+    curatePages(pages, benchmark, robotsRules = robotsRules)
+  }
+
+  /** [[curateHttpRecords]] over a WARC landing dir. */
+  def curateHttpWarc(spark: SparkSession, warcDir: String,
+                     benchmark: DataFrame,
+                     robotsRules: Option[DataFrame] = None): DataFrame =
+    curateHttpRecords(graft.sources.Warc.read(spark, warcDir),
+      benchmark, robotsRules)
 }

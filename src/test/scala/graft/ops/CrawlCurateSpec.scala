@@ -58,6 +58,38 @@ class CrawlCurateSpec extends AnyFunSuite {
     assert(t3.startsWith("Page 3\nHome About\n") && !t3.contains("<"))
   }
 
+  test("HTTP-record form: status/mime gates and charset decode feed the chain") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    def http(status: Int, ctype: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 $status X\r\nContent-Type: $ctype\r\n\r\n")
+        .getBytes(UTF_8) ++ body
+    def rec(i: Long, payload: Array[Byte]): (String, String, Array[Byte]) =
+      (s"<urn:r:$i>", s"https://s$i.example.com/doc/$i", payload)
+    val recs = ((0 until 8).map(i => rec(i.toLong,
+      http(200, "text/html; charset=utf-8",
+        page(i, body(i)).getBytes(UTF_8)))) ++ Seq(
+      // 404: body is fine html but the status gate must drop it
+      rec(40L, http(404, "text/html", page(40, body(40)).getBytes(UTF_8))),
+      // wrong mime: 200 but an image
+      rec(41L, http(200, "image/png", Array[Byte](1, 2, 3))),
+      // Latin-1 page: declared charset must decode é correctly
+      rec(30L, http(200, "text/html; charset=ISO-8859-1",
+        page(30, body(30) + " café bar").getBytes(ISO_8859_1))),
+      // not an HTTP response at all -> NULL status -> dropped here
+      rec(42L, page(42, body(42)).getBytes(UTF_8))))
+      .toDF("record_id", "target_uri", "content")
+    val bench = Seq("completely unrelated benchmark sentence here")
+      .toDF("text")
+    val out = CrawlCurate.curateHttpRecords(recs, bench)
+    val rows = out.collect()
+    CacheRegistry.releaseAll()
+    val kept = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == (0L until 8L).toSet + 30L, s"got $kept")
+    val t30 = rows.find(_.getAs[Long]("doc_id") == 30L)
+      .get.getAs[String]("text")
+    assert(t30.contains("café bar"), s"charset decode lost é: $t30")
+  }
+
   test("re-running on the curated output is a fixpoint") {
     val pages = (0 until 8).map(i =>
       (i.toLong, s"https://s$i.example.com/$i", page(i, body(i))))
