@@ -132,7 +132,13 @@ object Bench {
     // robots gate + broadcast rank/delay annotation + per-host queue
     // window — the whole loop in one number) and the PSL-table domain
     // rollup (host-sized suffix explode + broadcast map-back)
-    "crawl_frontier", "url_domains_psl")
+    "crawl_frontier", "url_domains_psl",
+    // round-9 wave 2: the HTTP-layer projections (response parse,
+    // charset decode, metadata extraction — all single-pass,
+    // zero-shuffle), declared-canonical dedup, and the unrolled
+    // redirect resolution (k key-joins against the 3xx step table)
+    "warc_http_responses", "warc_decode_charset", "html_meta",
+    "url_dedup_declared", "warc_redirects")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
