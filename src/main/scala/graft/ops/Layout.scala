@@ -45,4 +45,22 @@ object Layout {
     df.withColumn("zkey", zorderKey(a, b, bits))
       .repartitionByRange(numParts, col("zkey"))
       .sortWithinPartitions(col("zkey"))
+
+  /** Hilbert-curve key of two non-negative int columns (masked to
+    * `bits` bits, same normalization contract as [[zorderKey]]) — the
+    * strictly-locality-preserving alternative: consecutive keys are
+    * always grid-adjacent, so range-partition hulls are tighter than
+    * Morton's quadrant-jump seams. Native codegen expression
+    * ([[graft.functions.HilbertKeyExpr]] — the per-bit rotate state
+    * chain would blow up as unrolled Columns). */
+  def hilbertKey(a: Column, b: Column, bits: Int = 16): Column =
+    graft.functions.HilbertKeyExpr(bits, a.cast("long"), b.cast("long"))
+
+  /** Cluster `df` on the Hilbert key of (`a`, `b`) — adds `hkey`;
+    * same one-exchange range layout as [[zorderLayout]]. */
+  def hilbertLayout(df: DataFrame, a: Column, b: Column,
+                    bits: Int = 16, numParts: Int = 32): DataFrame =
+    df.withColumn("hkey", hilbertKey(a, b, bits))
+      .repartitionByRange(numParts, col("hkey"))
+      .sortWithinPartitions(col("hkey"))
 }

@@ -188,6 +188,47 @@ object TextSearch {
       .limit(k)
   }
 
+  // ---- hybrid retrieval (rank fusion) --------------------------------
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * N ranked candidate lists — the standard way to combine a lexical
+    * (BM25) ranking with a vector (cosine) ranking into one hybrid
+    * retrieval result without score calibration:
+    *
+    *   rrf(d) = Σ_lists 1 / (k0 + rank_list(d))    (absent ⇒ 0)
+    *
+    * Inputs are (name, ranking) pairs where each ranking carries
+    * (`idCol`, `rank`) with rank 1-based; the per-list rank columns come
+    * out as `<name>_rank` (NULL where the list misses the doc). Output:
+    * top-`k` by (rrf DESC, id ASC) — ties broken by id so the result is
+    * a total order both engines replay.
+    *
+    * Determinism: contributions are added in FIXED list order as a
+    * literal left-associated sum (not an aggregate), and 1/(k0+rank) is
+    * plain IEEE double division — the DuckDB oracle replays the fused
+    * score bit-exactly.
+    *
+    * Scale shape: every input list is already top-N per its own
+    * retrieval (k-bounded, NOT corpus-sized), so the full-outer joins
+    * here move only candidate rows; at 100 TB the corpus-sized work
+    * stays inside the upstream retrievals (BM25 postings pruning, ANN
+    * cell probing) and fusion costs O(Σ list sizes). */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int, k0: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty && k > 0 && k0 >= 0,
+      "need ranked lists, k > 0, k0 >= 0")
+    val joined = rankings.map { case (name, df) =>
+      df.select(col(idCol), col("rank").cast("int").as(s"${name}_rank"))
+    }.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val rrf = rankings.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"${name}_rank")),
+        lit(0.0))
+    }.reduceLeft(_ + _)
+    joined.withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ---- trigram substring index ("grep 100 TB") ----------------------
 
   /** Per-row DISTINCT character trigrams of `text` (empty below 3

@@ -308,6 +308,17 @@ object RelationalQueries {
           col("o_custkey"), col("o_orderkey"), 16).as("zkey"))
     },
 
+    // Hilbert-curve clustering key (ops/Layout.hilbertKey, native
+    // codegen expr): the locality-preserving layout alternative —
+    // the oracle replays the 16-level rotate/flip walk as nested
+    // subselects (state chained level to level, not unrolled into
+    // one expression).
+    "layout_hilbert" -> { (s, d) =>
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        graft.ops.Layout.hilbertKey(
+          col("o_custkey"), col("o_orderkey"), 16).as("hkey"))
+    },
+
     // §2.11 — tumbling event-time window (daily).
     "tumbling_daily" -> { (s, d) =>
       events(s, d)
@@ -987,6 +998,33 @@ object RelationalQueries {
           s"((((o_orderkey & 65535) >> $i) & 1) << ${2 * i + 1})"
       }.mkString(" + ")
       s"SELECT o_orderkey, o_custkey, CAST($terms AS BIGINT) AS zkey FROM orders"
+    },
+
+    "layout_hilbert" -> {
+      // the same 16-bit Hilbert walk, one nested subselect per bit
+      // level (s = 2^15 .. 1): d += s²·(3·rx XOR ry), then the
+      // quadrant rotate/flip of (x, y). mask 65535 = n-1 reflections.
+      val bits = 16
+      val mask = (1L << bits) - 1
+      var q = "SELECT o_orderkey, o_custkey, " +
+        s"CAST(o_custkey & $mask AS BIGINT) AS x, " +
+        s"CAST(o_orderkey & $mask AS BIGINT) AS y, " +
+        "CAST(0 AS BIGINT) AS d FROM orders"
+      for (i <- (bits - 1) to 0 by -1) {
+        val s = 1L << i
+        q = s"""SELECT o_orderkey, o_custkey,
+           |  CASE WHEN (y & $s) = 0 THEN
+           |    CASE WHEN (x & $s) <> 0 THEN $mask - y ELSE y END
+           |  ELSE x END AS x,
+           |  CASE WHEN (y & $s) = 0 THEN
+           |    CASE WHEN (x & $s) <> 0 THEN $mask - x ELSE x END
+           |  ELSE y END AS y,
+           |  d + ${s * s} * xor(
+           |    CASE WHEN (x & $s) <> 0 THEN 3 ELSE 0 END,
+           |    CASE WHEN (y & $s) <> 0 THEN 1 ELSE 0 END) AS d
+           |FROM ($q)""".stripMargin
+      }
+      s"SELECT o_orderkey, o_custkey, d AS hkey FROM ($q)"
     },
 
     "topk_group" ->

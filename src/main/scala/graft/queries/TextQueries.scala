@@ -332,6 +332,28 @@ object TextQueries {
         .withColumn("score", round(col("score"), 6))
     },
 
+    // Hybrid retrieval (TextSearch.rrfFuse): reciprocal-rank fusion of
+    // the BM25 lexical ranking with the brute-cosine vector ranking
+    // (query = doc 7's embedding; vec_id aligns 1:1 with doc_id in the
+    // fixture). Lexical depth 25 = the positive-score region at sf0.01
+    // (exactly the docs containing rare 'dup'), so the hit-only Spark
+    // list and the all-docs oracle chain agree on the candidate set.
+    // The k-bounded window rank over the top-25 list is 25 rows — not a
+    // corpus-global sort.
+    "hybrid_rrf_search" -> { (s, d) =>
+      val lex = graft.ops.TextSearch.bm25TopK(Tables.documents(s, d),
+          Seq("dup", "key", "vector"), k = 25)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val vecs = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopK(vecs,
+          vecs.filter(col("vec_id") === 7), k = 25)
+        .select(col("corpus_id").as("doc_id"), col("rank"))
+      graft.ops.TextSearch.rrfFuse(Seq("lex" -> lex, "vec" -> vec), k = 20)
+        .withColumn("rrf", round(col("rrf"), 6))
+    },
+
     // Literal substring grep through the PERSISTED trigram index
     // (TextSearch.buildTrigramIndex / grepIndexed — Cox's Code-Search
     // method): candidates from the phrase's rarest trigrams, exact
@@ -1007,6 +1029,10 @@ object TextQueries {
     // provably coincide; beyond the positive region the index cannot
     // (and need not) enumerate zero-score non-matching docs
     "bm25_index_search" -> bm25OracleSql(15),
+
+    // RRF hybrid retrieval: lexical top-25 (BM25 chain) ⊕ vector top-25
+    // (exact cosine of doc 7's embedding), 1/(60+rank) fusion
+    "hybrid_rrf_search" -> hybridRrfOracleSql,
 
     // trigram-indexed grep == the full contains() scan, by contract
     "grep_indexed" ->
@@ -2087,7 +2113,10 @@ object TextQueries {
     * with the SAME arithmetic shape (idf * (tf * (k1+1))) / (tf + k1 *
     * ((1-b) + b * (dl / avgdl))). Constants embedded via exact
     * round-trip literals. */
-  private def bm25OracleSql(k: Int): String = {
+  /** The BM25 replay CTE chain (WITH-body, no `WITH` keyword) ending in
+    * relation `r(doc_id, dl, score, rn)` — shared by the bm25 oracles
+    * and the hybrid-fusion oracle. */
+  private def bm25RankedCte: String = {
     import OracleBuilders.d
     val (k1, b) = (1.2, 0.75)
     val terms = Seq("dup", "key", "vector")
@@ -2107,7 +2136,7 @@ object TextQueries {
          |          + ${d(b)} * (s.dl / c.avgdl)))
          |      ELSE 0.0 END""".stripMargin
     }.mkString("\n        |    + ")
-    s"""WITH toks AS (SELECT doc_id,
+    s"""toks AS (SELECT doc_id,
        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |      t -> len(t) > 0)) AS t
        |  FROM documents),
@@ -2133,10 +2162,48 @@ object TextQueries {
        |  FROM s, c),
        |r AS (SELECT doc_id, dl, score,
        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private def bm25OracleSql(k: Int): String =
+    s"""WITH $bm25RankedCte
        |SELECT doc_id, dl, round(score, 6) AS score FROM r
        |WHERE rn <= $k""".stripMargin
-  }
+
+  /** RRF fusion replay: the BM25 chain's top-25 as the lexical list,
+    * the exact-cosine top-25 of doc 7's embedding as the vector list,
+    * fused with 1/(60+rank) in fixed (lex, vec) addition order — the
+    * identical IEEE double chain rrfFuse builds. */
+  private def hybridRrfOracleSql: String =
+    s"""WITH $bm25RankedCte,
+       |lex AS (SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM r
+       |  WHERE rn <= 25),
+       |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+       |cvecs AS (SELECT vec_id AS corpus_id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id <> 7),
+       |cs AS (SELECT corpus_id,
+       |    list_sum(list_transform(range(1, len(cvec) + 1),
+       |      i -> CAST(cvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len(cvec) + 1),
+       |        i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
+       |        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))))
+       |    AS cos
+       |  FROM cvecs, q),
+       |vec AS (SELECT corpus_id AS doc_id, CAST(vr AS INT) AS vec_rank
+       |  FROM (SELECT corpus_id,
+       |      row_number() OVER (ORDER BY cos DESC, corpus_id) AS vr
+       |    FROM cs) WHERE vr <= 25),
+       |fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    lex_rank, vec_rank,
+       |    coalesce(1.0 / (60.0 + lex_rank), 0.0)
+       |      + coalesce(1.0 / (60.0 + vec_rank), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+       |ranked AS (SELECT doc_id, lex_rank, vec_rank, rrf,
+       |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS frn
+       |  FROM fused)
+       |SELECT doc_id, lex_rank, vec_rank, round(rrf, 6) AS rrf
+       |FROM ranked WHERE frn <= 20""".stripMargin
 
   /** DSIR weights CTE chain ending in relation `dw(doc_id, n_tokens,
     * weight_micro)` — the full importanceWeights replay: md5 hex8

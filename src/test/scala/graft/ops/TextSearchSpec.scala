@@ -222,4 +222,34 @@ class TextSearchSpec extends AnyFunSuite {
     val out = TextSearch.grepIndexed(spark, dir, corpus, "abq def")
     assert(out.collect().isEmpty)
   }
+
+  test("rrf fusion: exact hand-computed scores, absent-list zeros, " +
+    "id tie-break") {
+    // lex: docs 1,2,3 at ranks 1,2,3; vec: docs 3,4 at ranks 1,2
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = TextSearch.rrfFuse(Seq("lex" -> lex, "vec" -> vec),
+      k = 10, k0 = 60).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    def c(r: Int) = 1.0 / (60.0 + r)
+    // doc 3 is in both lists: 1/(60+3) + 1/(60+1) — the top fused doc
+    val expect = Map(1L -> c(1), 2L -> c(2), 3L -> (c(3) + c(1)),
+      4L -> c(2))
+    assert(out.toMap == expect)
+    // ordering: rrf desc; docs 2 and 4 tie exactly (both rank 2 in one
+    // list) -> ascending id breaks the tie
+    assert(out.map(_._1) == Seq(3L, 1L, 2L, 4L))
+    // per-list rank columns survive with NULLs where the list misses
+    val row4 = TextSearch.rrfFuse(Seq("lex" -> lex, "vec" -> vec),
+      k = 10).filter(col("doc_id") === 4L).collect().head
+    assert(row4.isNullAt(1) && row4.getInt(2) == 2)
+  }
+
+  test("rrf fusion: k truncates on the fused order") {
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val top2 = TextSearch.rrfFuse(Seq("lex" -> lex, "vec" -> vec), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(3L, 1L))
+  }
 }
