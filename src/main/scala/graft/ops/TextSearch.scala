@@ -117,32 +117,59 @@ object TextSearch {
     */
   def buildInvertedIndex(docs: DataFrame, dir: String,
                          idCol: String = "doc_id", textCol: String = "text",
-                         nBuckets: Int = 64): Unit = {
+                         nBuckets: Int = 64): Unit =
+    writeIndexSegment(docs, dir, "overwrite", idCol, textCol, nBuckets)
+
+  /** Append a new batch of documents to an existing index — the
+    * Lucene-style SEGMENT model: postings/dfs/stats are all pure
+    * parquet APPENDS (new files in the same bucket partitions; no
+    * rewrite, no read-modify-write race with concurrent queries), and
+    * [[queryInvertedIndex]] merges across segments at probe time — df
+    * values SUM because segments hold disjoint documents, stats rows
+    * sum likewise, and (term, doc) posting rows stay unique. Cost
+    * tracks the NEW batch only (its tokenize + hit-sized shuffle) —
+    * the standing index is never touched, which is what makes a
+    * 100 TB index maintainable under a streaming corpus.
+    *
+    * Contract: the batch's ids must be new to the index (dedup first —
+    * [[Dedup.novelAgainstHistory]] is the standing gate); duplicate
+    * ids would double-count df and tf. */
+  def appendToInvertedIndex(docs: DataFrame, dir: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            nBuckets: Int = 64): Unit =
+    writeIndexSegment(docs, dir, "append", idCol, textCol, nBuckets)
+
+  private def writeIndexSegment(docs: DataFrame, dir: String, mode: String,
+                                idCol: String, textCol: String,
+                                nBuckets: Int): Unit = {
     require(nBuckets > 0)
-    val spark = docs.sparkSession
     val id = col(idCol)
     val withDl = docs.select(id,
       graft.functions.TextFunctions.tokenCount(col(textCol))
         .cast("long").as("dl"),
       graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
-    val postings = withDl
+    // persisted because both the postings write and the segment dfs
+    // read it (hit-sized: one row per distinct (term, doc))
+    val postings = CacheRegistry.persist(withDl
       .select(id, col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), id)
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .withColumn("term_bucket",
         pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
-          lit(nBuckets)).cast("int"))
-    postings.write.mode("overwrite").partitionBy("term_bucket")
+          lit(nBuckets)).cast("int")))
+    postings.write.mode(mode).partitionBy("term_bucket")
       .parquet(s"$dir/postings")
-    spark.read.parquet(s"$dir/postings")
+    // per-SEGMENT df (this batch's docs only) — probe-time merge sums
+    postings
       .groupBy(col("term_bucket"), col("term"))
       .agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").partitionBy("term_bucket")
+      .write.mode(mode).partitionBy("term_bucket")
       .parquet(s"$dir/dfs")
     docs.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(graft.functions.TextFunctions.tokenCount(col(textCol))
           .cast("long")), lit(0L)).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      .coalesce(1).write.mode(mode).parquet(s"$dir/stats")
   }
 
   /** BM25 top-k against a prebuilt index — NO corpus scan: reads one
@@ -161,14 +188,17 @@ object TextSearch {
     require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    val stats = spark.read.parquet(s"$dir/stats").head()
+    // stats/dfs hold one row (set) per SEGMENT (appendToInvertedIndex)
+    // over disjoint docs — merging is a sum on both
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
     val n = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / n
     val dfMap = spark.read.parquet(s"$dir/dfs")
       .filter(col("term_bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
       .select(col("term"), col("df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .groupMapReduce(_.getString(0))(_.getLong(1))(_ + _)
     val idf = terms.map { t =>
       val df = dfMap.getOrElse(t, 0L)
       math.round(math.log((n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6

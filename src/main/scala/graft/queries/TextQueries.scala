@@ -43,6 +43,7 @@ object TextQueries {
     * text with the first word replaced — a high-Jaccard near-dup. */
   // one inverted index per sf dir per JVM (Verify/Bench call repeatedly)
   private val bm25IdxCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val bm25UpsertIdxCache = scala.collection.concurrent.TrieMap[String, String]()
   private val trigramIdxCache = scala.collection.concurrent.TrieMap[String, String]()
 
   private def corpusWithPlants(s: SparkSession, d: String): DataFrame = {
@@ -325,6 +326,28 @@ object TextQueries {
         val r = java.nio.file.Files.createTempDirectory("graft_bm25_idx")
           .toString
         graft.ops.TextSearch.buildInvertedIndex(Tables.documents(s, d), r)
+        r
+      })
+      graft.ops.TextSearch.queryInvertedIndex(s, dir,
+        Seq("dup", "key", "vector"), k = 15)
+        .withColumn("score", round(col("score"), 6))
+    },
+
+    // Incrementally MAINTAINED inverted index (TextSearch
+    // .appendToInvertedIndex — the Lucene segment model: appends only,
+    // probe-time df/stats merge): built on the even-id half, the odd
+    // half appended as a second segment. The oracle is the one-shot
+    // full-corpus BM25 chain — the segmented index must be
+    // indistinguishable from a fresh rebuild.
+    "bm25_index_upsert" -> { (s, d) =>
+      val dir = bm25UpsertIdxCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files.createTempDirectory("graft_bm25_ups")
+          .toString
+        val docs = Tables.documents(s, d)
+        graft.ops.TextSearch.buildInvertedIndex(
+          docs.filter(col("doc_id") % 2 === 0), r)
+        graft.ops.TextSearch.appendToInvertedIndex(
+          docs.filter(col("doc_id") % 2 === 1), r)
         r
       })
       graft.ops.TextSearch.queryInvertedIndex(s, dir,
@@ -1029,6 +1052,10 @@ object TextQueries {
     // provably coincide; beyond the positive region the index cannot
     // (and need not) enumerate zero-score non-matching docs
     "bm25_index_search" -> bm25OracleSql(15),
+
+    // segmented (build + append) index must equal the fresh rebuild,
+    // whose oracle is the full-corpus chain
+    "bm25_index_upsert" -> bm25OracleSql(15),
 
     // RRF hybrid retrieval: lexical top-25 (BM25 chain) ⊕ vector top-25
     // (exact cosine of doc 7's embedding), 1/(60+rank) fusion

@@ -95,6 +95,32 @@ class TextSearchSpec extends AnyFunSuite {
     assert(idx == full)
   }
 
+  test("segmented index (build + two appends) == one-shot rebuild, " +
+    "cross-segment terms merge df/stats exactly") {
+    import spark.implicits._
+    // 'common' spans all three segments, 'rare' only the appended ones —
+    // df and avgdl must merge across segments for scores to agree
+    val seg1 = Seq((1L, "common common filler"), (2L, "common filler"))
+    val seg2 = Seq((3L, "rare rare common filler"), (4L, "filler filler"))
+    val seg3 = Seq((5L, "common rare"), (6L, ""))
+    val all = seg1 ++ seg2 ++ seg3
+    val inc = java.nio.file.Files.createTempDirectory("bm25_inc").toString
+    TextSearch.buildInvertedIndex(seg1.toDF("doc_id", "text"), inc,
+      nBuckets = 8)
+    TextSearch.appendToInvertedIndex(seg2.toDF("doc_id", "text"), inc,
+      nBuckets = 8)
+    TextSearch.appendToInvertedIndex(seg3.toDF("doc_id", "text"), inc,
+      nBuckets = 8)
+    val full = java.nio.file.Files.createTempDirectory("bm25_full").toString
+    TextSearch.buildInvertedIndex(all.toDF("doc_id", "text"), full,
+      nBuckets = 8)
+    def q(dir: String) = TextSearch.queryInvertedIndex(spark, dir,
+        Seq("rare", "common"), k = 10, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(q(inc) == q(full), "segmented index must equal fresh rebuild")
+    assert(q(inc).map(_._1).toSet == Set(1L, 2L, 3L, 5L))
+  }
+
   test("index postings scan prunes to the query terms' buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_idx2").toString
     TextSearch.buildInvertedIndex(docs.toDF("doc_id", "text"), dir,
