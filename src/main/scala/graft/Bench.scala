@@ -138,7 +138,13 @@ object Bench {
     // zero-shuffle), declared-canonical dedup, and the unrolled
     // redirect resolution (k key-joins against the 3xx step table)
     "warc_http_responses", "warc_decode_charset", "html_meta",
-    "url_dedup_declared", "warc_redirects")
+    "url_dedup_declared", "warc_redirects",
+    // round-9 wave 3: RRF hybrid fusion (two k-bounded retrievals +
+    // candidate-sized joins — the corpus-sized work must stay in the
+    // upstream retrievals), the segmented-index probe (query cost must
+    // not grow with segment count), and the Hilbert key (native
+    // codegen expr — one projection pass like the Morton twin)
+    "hybrid_rrf_search", "bm25_index_upsert", "layout_hilbert")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
