@@ -172,6 +172,95 @@ object TextSearch {
       .coalesce(1).write.mode(mode).parquet(s"$dir/stats")
   }
 
+  /** Merge an index's accumulated segments back down — the maintenance
+    * counterpart of [[appendToInvertedIndex]] (Lucene's segment merge):
+    * per term bucket, postings files coalesce to one and the per-
+    * segment df rows consolidate to one summed row per term, so probe
+    * fan-in stops growing with append count. Query results are
+    * unchanged by construction (postings rows are only rewritten; df
+    * and stats merges are the same sums the probe already does).
+    *
+    * `buckets` is the unit-of-work knob (the [[graft.grid
+    * .FractionStore.compact]] convention): compacting a 100 TB index
+    * in one call would checkpoint the whole postings table, so
+    * production maintenance walks bucket batches. stats/ (unpartitioned,
+    * segment-count rows) merges only on a whole-index pass. Rewrites
+    * are checkpoint-then-dynamic-partition-overwrite, same as the grid
+    * store. Returns (files_before, files_after) over the rewritten
+    * partitions. */
+  def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String,
+                           buckets: Option[Seq[Int]] = None): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(): Long = {
+      val dirs = buckets match {
+        case Some(bs) => bs.flatMap(b => Seq(
+          new org.apache.hadoop.fs.Path(s"$dir/postings/term_bucket=$b"),
+          new org.apache.hadoop.fs.Path(s"$dir/dfs/term_bucket=$b")))
+        case None => Seq(new org.apache.hadoop.fs.Path(s"$dir/postings"),
+          new org.apache.hadoop.fs.Path(s"$dir/dfs"))
+      }
+      var n = 0L
+      dirs.filter(fs.exists).foreach { d =>
+        val it = fs.listFiles(d, true)
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+      }
+      n
+    }
+    val before = countFiles()
+    def select(df: DataFrame): DataFrame = buckets match {
+      case Some(bs) =>
+        df.filter(col("term_bucket").isin(bs.map(Integer.valueOf): _*))
+      case None => df
+    }
+    val posts = select(spark.read.parquet(s"$dir/postings"))
+      .localCheckpoint()
+    val dfs = select(spark.read.parquet(s"$dir/dfs"))
+      .groupBy(col("term_bucket"), col("term"))
+      .agg(sum(col("df")).as("df"))
+      .localCheckpoint()
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // one task (= one file) per bucket partition: hash-repartition on
+      // the partition column itself
+      posts.repartition(col("term_bucket"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$dir/postings")
+      dfs.repartition(col("term_bucket"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$dir/dfs")
+      if (buckets.isEmpty) {
+        val s = spark.read.parquet(s"$dir/stats")
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_dl")).as("sum_dl")).collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(s.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_docs",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_dl",
+              org.apache.spark.sql.types.LongType))))
+          .write.mode("overwrite").parquet(s"$dir/stats")
+      }
+    } finally {
+      posts.unpersist(); dfs.unpersist()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    (before, countFiles())
+  }
+
   /** BM25 top-k against a prebuilt index — NO corpus scan: reads one
     * stats row, the query terms' df rows, and the query terms'
     * postings (both scans prune to the terms' `term_bucket`
