@@ -165,11 +165,15 @@ object ScalingProbe {
       // grow with pages, the gate/rank/delay joins and the per-host
       // window stay host-sized (replicas add pages, not hosts), so
       // total cpu must stay well under page-linear
-      "crawl_frontier")
+      "crawl_frontier",
+      // round-9 wave 3: hybrid fusion — the corpus-sized work is the
+      // two upstream retrievals (both corpus-linear scans here); the
+      // fusion joins stay k-bounded at any scale
+      "hybrid_rrf_search")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
-      val unknown = names -- chain.toSet - "quantile_cube"
+      val unknown = names -- chain.toSet - "quantile_cube" - "index_maintain"
       require(unknown.isEmpty,
         s"unknown probe name(s): ${unknown.mkString(", ")}")
     }
@@ -194,6 +198,44 @@ object ScalingProbe {
         Bench.quantileCubeAB(spark, dir, forceAll).foreach { t =>
           println(f"""{"query":"${t.name}","scale_x":$n,"rows":-1,"wall_sec":${t.wall}%.3f,"cpu_sec":${t.cpu}%.3f}""")
         }
+      }
+      // round-9: the segmented index's maintenance claim — appending a
+      // FIXED batch must cost the same whether the standing index holds
+      // 1x or 10x documents (segments never rewrite); the probe stays
+      // hit-sized; the build (and compaction, which rewrites postings)
+      // are the passes ALLOWED to grow with the corpus.
+      if (only.isEmpty || only.exists(_.contains("index_maintain"))) {
+        import graft.ops.TextSearch
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val idxDir = s"$dir/probe_idx"
+        def timed(label: String)(f: => Unit): Unit = {
+          org.apache.spark.GraftMetricsBridge.flush(spark.sparkContext)
+          val cpu0 = listener.cpuNanos.get()
+          val t0 = System.nanoTime()
+          f
+          val wall = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.GraftMetricsBridge.flush(spark.sparkContext)
+          val cpu = (listener.cpuNanos.get() - cpu0) / 1e9
+          graft.ops.CacheRegistry.releaseAll()
+          println(f"""{"query":"$label","scale_x":$n,"rows":-1,"wall_sec":$wall%.3f,"cpu_sec":$cpu%.3f}""")
+        }
+        timed("idx_build")(
+          TextSearch.buildInvertedIndex(docs, idxDir))
+        // the SAME batch at both scales: 5000 fixture docs, fresh ids
+        val batch = spark.read
+          .parquet("/root/testdata/sf0.1/documents.parquet")
+          .limit(5000)
+          .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
+        timed("idx_append_fixed")(
+          TextSearch.appendToInvertedIndex(batch, idxDir))
+        timed("idx_probe")(
+          TextSearch.queryInvertedIndex(spark, idxDir,
+            Seq("dup", "key", "vector"), k = 15).collect())
+        timed("idx_compact")(
+          TextSearch.compactInvertedIndex(spark, idxDir))
+        timed("idx_probe_compacted")(
+          TextSearch.queryInvertedIndex(spark, idxDir,
+            Seq("dup", "key", "vector"), k = 15).collect())
       }
       selected.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,

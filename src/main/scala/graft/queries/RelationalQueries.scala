@@ -568,6 +568,27 @@ object RelationalQueries {
         LIMIT 20""")
     },
 
+    // SQL-text path, TPC-H Q18 shape (large-volume customer): the
+    // HAVING-subquery semi-join pattern — the inner group-by must plan
+    // as one lineitem pass whose result SEMI-joins orders (never a
+    // re-scan per order), then the outer 3-table join re-aggregates.
+    "sql_tpch_q18" -> { (s, d) =>
+      customer(s, d).createOrReplaceTempView("g_customer")
+      orders(s, d).createOrReplaceTempView("g_orders")
+      lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+          CAST(o_orderdate AS DATE) AS order_day, o_totalprice,
+          sum(l_quantity) AS total_qty
+        FROM g_customer
+        JOIN g_orders ON c_custkey = o_custkey
+        JOIN g_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM g_lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""")
+    },
+
     // §2.11 — explicit GROUPING SETS (finer than cube_rollup's
     // ROLLUP): the two one-dimension marginals plus the full cross,
     // with arithmetic grouping flags so both engines report identical
