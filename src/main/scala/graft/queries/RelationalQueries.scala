@@ -679,6 +679,18 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
 
+    "sql_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_day, o_totalprice,
+        |  sum(l_quantity) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""".stripMargin,
+
     "sql_tpch_q5" ->
       """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
         |  count(*) AS n_items
