@@ -868,6 +868,28 @@ object TextQueries {
       Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5)
     },
 
+    // Retrieval evaluation (ops/RankingMetrics): precision/recall/MRR/
+    // nDCG@10 of the exact-cosine ranking against label-derived qrels
+    // (relevant = same label, the fixture's judgment set). DCG gains
+    // and reciprocal ranks are k precomputed micro-unit literals, so
+    // every aggregate is an exact LONG sum both engines replay.
+    "ir_metrics" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      val ranking = Similarity.bruteForceTopK(vecs,
+          vecs.filter(col("vec_id") < 8), k = 10)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+      val qv = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      val qrels = vecs.select(col("vec_id").as("doc_id"), col("label"))
+        .join(broadcast(qv),
+          col("label") === col("qlabel") && col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      graft.ops.RankingMetrics.evaluate(ranking, qrels, k = 10)
+        .withColumn("p_at_k", round(col("p_at_k"), 6))
+        .withColumn("recall_at_k", round(col("recall_at_k"), 6))
+        .withColumn("ndcg", round(col("ndcg"), 6))
+    },
+
     "ann_lsh_topk" -> { (s, d) =>
       val vecs = Tables.embeddings(s, d)
       Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
@@ -1060,6 +1082,9 @@ object TextQueries {
     // RRF hybrid retrieval: lexical top-25 (BM25 chain) ⊕ vector top-25
     // (exact cosine of doc 7's embedding), 1/(60+rank) fusion
     "hybrid_rrf_search" -> hybridRrfOracleSql,
+
+    // IR metrics: cosine top-10 vs same-label qrels, micro-unit DCG/RR
+    "ir_metrics" -> irMetricsOracleSql,
 
     // trigram-indexed grep == the full contains() scan, by contract
     "grep_indexed" ->
@@ -2196,6 +2221,75 @@ object TextQueries {
     s"""WITH $bm25RankedCte
        |SELECT doc_id, dl, round(score, 6) AS score FROM r
        |WHERE rn <= $k""".stripMargin
+
+  /** IR-metrics replay: the exact-cosine top-10 ranking scored against
+    * same-label qrels, with the SAME micro-unit gain/RR literals the
+    * engine embeds (generated from RankingMetrics' functions) — every
+    * aggregate is an exact BIGINT sum, ratios single IEEE divisions. */
+  private def irMetricsOracleSql: String = {
+    val k = 10
+    val gains = (1 to k).map(graft.ops.RankingMetrics.dcgGainMicro)
+    val idcgPrefix = gains.scanLeft(0L)(_ + _).tail
+    val rrs = (1 to k).map(graft.ops.RankingMetrics.rrMicro)
+    def arms(vals: Seq[Long]) = vals.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN CAST($v AS BIGINT)" }
+      .mkString(" ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+       |    label AS qlabel FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cvec
+       |  FROM embeddings),
+       |s AS (SELECT query_id, corpus_id,
+       |    list_sum(list_transform(range(1, len(cvec) + 1),
+       |      i -> CAST(cvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len(cvec) + 1),
+       |        i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
+       |        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))))
+       |    AS cos
+       |  FROM c, q WHERE corpus_id <> query_id),
+       |topk AS (SELECT query_id, corpus_id AS doc_id, rank FROM (
+       |    SELECT query_id, corpus_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, corpus_id) AS rank
+       |    FROM s) WHERE rank <= $k),
+       |qrels AS (SELECT q.query_id, e.vec_id AS doc_id
+       |  FROM embeddings e JOIN q ON e.label = q.qlabel
+       |    AND e.vec_id <> q.query_id),
+       |hits AS (SELECT t.query_id, t.rank,
+       |    (qr.doc_id IS NOT NULL) AS rel
+       |  FROM topk t LEFT JOIN qrels qr
+       |    ON t.query_id = qr.query_id AND t.doc_id = qr.doc_id),
+       |pq AS (SELECT query_id,
+       |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rel_top,
+       |    CAST(sum(CASE WHEN rel THEN
+       |        (CASE rank ${arms(gains)} ELSE 0 END) ELSE 0 END)
+       |      AS BIGINT) AS dcg_micro,
+       |    CAST(coalesce(min(CASE WHEN rel THEN rank END), 0) AS INT)
+       |      AS first_rel
+       |  FROM hits GROUP BY query_id),
+       |tot AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM qrels GROUP BY query_id),
+       |m AS (SELECT p.query_id, p.n_rel_top, p.dcg_micro,
+       |    coalesce(t.n_rel, 0) AS n_rel,
+       |    CASE p.first_rel ${arms(rrs)} ELSE CAST(0 AS BIGINT) END
+       |      AS mrr_micro,
+       |    CASE WHEN coalesce(t.n_rel, 0) >= $k
+       |      THEN CAST(${idcgPrefix.last} AS BIGINT)
+       |      ELSE (CASE coalesce(t.n_rel, 0) ${arms(idcgPrefix)}
+       |            ELSE CAST(0 AS BIGINT) END) END AS idcg_micro
+       |  FROM pq p LEFT JOIN tot t ON p.query_id = t.query_id)
+       |SELECT query_id, n_rel_top, dcg_micro, n_rel,
+       |  round(CAST(n_rel_top AS DOUBLE) / $k, 6) AS p_at_k,
+       |  round(CASE WHEN n_rel > 0
+       |    THEN CAST(n_rel_top AS DOUBLE) / n_rel ELSE 0.0 END, 6)
+       |    AS recall_at_k,
+       |  mrr_micro, idcg_micro,
+       |  round(CASE WHEN idcg_micro > 0
+       |    THEN CAST(dcg_micro AS DOUBLE) / idcg_micro ELSE 0.0 END, 6)
+       |    AS ndcg
+       |FROM m""".stripMargin
+  }
 
   /** RRF fusion replay: the BM25 chain's top-25 as the lexical list,
     * the exact-cosine top-25 of doc 7's embedding as the vector list,
