@@ -143,6 +143,50 @@ object TermStats {
           (coalesce(col("c1"), lit(0L)) + col("v"))).as("lm_score"))
   }
 
+  /** Collocation discovery: the top-`k` adjacent token pairs by PMI
+    * lift c_ab·N / (c_a·c_b) — the corpus-statistics op behind
+    * multi-word-expression vocabularies ("new york", "machine
+    * learning") and phrase-aware tokenizer seeding (Mikolov et al.
+    * 2013's word2vec phrases use exactly this score with a discount;
+    * `minCount` is the discount's job here). Pairs above lift 1 co-
+    * occur more than independence predicts; ln(lift) is textbook PMI
+    * and ranks identically (monotone), so — the [[bigramLmScore]]
+    * convention — NO logarithm: exact long counts cast to double, two
+    * products and one divide in fixed order, replayed exactly by the
+    * oracle. Casting BEFORE the products keeps 100 TB counts (c·N up
+    * to ~1e26) out of long-overflow territory, which ANSI mode would
+    * throw on.
+    *
+    * Scale shape: one token pass (unigram counts) + one shingle pass
+    * (bigram counts), both map-side-combined partial aggs keyed by the
+    * term; the `minCount` filter cuts the long tail BEFORE the two
+    * vocabulary-sized count joins; top-k is TakeOrderedAndProject. N
+    * is a one-row aggregate. Nothing corpus-sized joins. */
+  def pmiCollocations(df: DataFrame, k: Int, minCount: Long = 5,
+                      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    require(k > 0 && minCount >= 1)
+    val uni = df.select(
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val bg = df.select(
+        explode(TextFunctions.wordShingles(lower(col(textCol)), 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+    bg.join(uni.select(col("t").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast("double") * col("n").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("b").asc)
+      .limit(k)
+  }
+
   /** First-iteration BPE merge statistics: the corpus-weighted count of
     * every adjacent symbol pair, where the initial symbol vocabulary is
     * single characters — exactly the quantity byte-pair-encoding

@@ -868,6 +868,16 @@ object TextQueries {
       Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5)
     },
 
+    // Collocation discovery (ops/TermStats.pmiCollocations): top-30
+    // adjacent pairs by PMI lift c_ab·N/(c_a·c_b) — exact long counts,
+    // fixed-order double arithmetic, no logarithm (monotone), the
+    // bigramLmScore portability convention.
+    "pmi_collocations" -> { (s, d) =>
+      graft.ops.TermStats.pmiCollocations(Tables.documents(s, d),
+        k = 30, minCount = 5)
+        .withColumn("lift", round(col("lift"), 6))
+    },
+
     // Retrieval evaluation (ops/RankingMetrics): precision/recall/MRR/
     // nDCG@10 of the exact-cosine ranking against label-derived qrels
     // (relevant = same label, the fixture's judgment set). DCG gains
@@ -1085,6 +1095,32 @@ object TextQueries {
 
     // IR metrics: cosine top-10 vs same-label qrels, micro-unit DCG/RR
     "ir_metrics" -> irMetricsOracleSql,
+
+    // PMI lift replay: same token/shingle streams, same fixed-order
+    // double chain (c_ab·N first, then the divisor product)
+    "pmi_collocations" ->
+      """WITH toks AS (SELECT
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(ts) AS t FROM toks) u GROUP BY t),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bg AS (SELECT b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        |    SELECT unnest(list_transform(range(0, len(ts) - 1),
+        |      i -> ts[i + 1] || ' ' || ts[i + 2])) AS b
+        |    FROM toks) x
+        |  GROUP BY b HAVING count(*) >= 5),
+        |j AS (SELECT bg.b, bg.c_ab, u1.c AS c_a, u2.c AS c_b,
+        |    (CAST(bg.c_ab AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE))
+        |      / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+        |  FROM bg
+        |  JOIN uni u1 ON split_part(bg.b, ' ', 1) = u1.t
+        |  JOIN uni u2 ON split_part(bg.b, ' ', 2) = u2.t),
+        |r AS (SELECT b, c_ab, c_a, c_b, lift,
+        |    row_number() OVER (ORDER BY lift DESC, b) AS rn FROM j)
+        |SELECT b, c_ab, c_a, c_b, round(lift, 6) AS lift
+        |FROM r WHERE rn <= 30""".stripMargin,
 
     // trigram-indexed grep == the full contains() scan, by contract
     "grep_indexed" ->

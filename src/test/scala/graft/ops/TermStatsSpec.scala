@@ -156,4 +156,32 @@ class TermStatsSpec extends AnyFunSuite {
       .filter(col("est") < col("cnt")).count()
     assert(under == 0L, "CMS must overestimate, never underestimate")
   }
+
+  test("pmiCollocations: exact lift, minCount gate, tie and k " +
+    "semantics") {
+    import spark.implicits._
+    // 'new york' always adjacent (perfect collocation); 'the cat'
+    // frequent but 'the' is everywhere (low lift); 'rare pair' appears
+    // once (cut by minCount=2)
+    val docs = Seq(
+      (1L, "new york new york the cat sat"),
+      (2L, "the cat saw new york and the dog"),
+      (3L, "rare pair the cat the dog new york")).toDF("doc_id", "text")
+    val out = TermStats.pmiCollocations(docs, k = 3, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    val toks = Seq("new york new york the cat sat",
+      "the cat saw new york and the dog",
+      "rare pair the cat the dog new york").flatMap(_.split(" "))
+    val n = toks.size.toDouble
+    def c(w: String) = toks.count(_ == w).toLong
+    // 'new york': c_ab=4 (adjacent in every occurrence incl. doubled)
+    val top = out.head
+    assert(top._1 == "new york" && top._2 == 4L)
+    assert(top._3 == 4.0 * n / (c("new") * c("york")).toDouble)
+    // lift('new york') must dominate lift('the cat')
+    val theCat = out.find(_._1 == "the cat").get
+    assert(top._3 > theCat._3)
+    // minCount cut 'rare pair' entirely
+    assert(!out.exists(_._1 == "rare pair") && out.length <= 3)
+  }
 }
