@@ -355,4 +355,47 @@ object LinkGraph {
       .select(col("host"), col("a").as("auth_micro"),
         col("h").as("hub_micro"))
   }
+
+  /** Crawl depth: minimum hop count from any seed host over the link
+    * graph, bounded at `maxHops` — the frontier-planning signal a
+    * breadth-limited crawl runs on ("fetch only within k clicks of the
+    * whitelist"; TrustRank's distance intuition made exact). Synchronous
+    * BFS as `maxHops` rounds of
+    *
+    *   dist'(v) = min(dist(v), min_{u→v} dist(u) + 1)
+    *
+    * over the src-partitioned edge cache — per round one host-sized
+    * join + a (host) min partial agg, the [[pageRank]] plan shape, with
+    * the same per-round `localCheckpoint` lineage cut. All-integer, so
+    * the DuckDB oracle unrolls the rounds and must match hash-exact.
+    *
+    * Returns (host, dist) for every graph node plus every seed; nodes
+    * unreached within `maxHops` carry NULL. Seeds absent from the graph
+    * still report dist 0 (a whitelist host with no observed links is
+    * depth 0 by definition). */
+  def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                  srcCol: String = "src_host",
+                  dstCol: String = "dst_host"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val eP = CacheRegistry.persist(e.repartition(col("src")))
+    val seedSet = seeds.select(col(seeds.columns.head).as("host")).distinct()
+    val nodes = CacheRegistry.persist(
+      eP.select(col("src").as("host"))
+        .union(eP.select(col("dst").as("host")))
+        .union(seedSet).distinct())
+    var dist = seedSet.select(col("host"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < maxHops) {
+      val prop = eP.join(dist, eP("src") === dist("host"))
+        .select(col("dst").as("host"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(prop)
+        .groupBy(col("host")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    nodes.join(dist, Seq("host"), "left")
+  }
 }

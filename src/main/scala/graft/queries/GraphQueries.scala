@@ -186,6 +186,19 @@ object GraphQueries {
       val seeds = (0 until 5).map(i => s"site$i.example.com").toDF("host")
       LinkGraph.trustRank(LinkGraph.hostEdges(links, "url", "dst_url"),
         seeds, iters = 3, dampingPct = 85)
+    },
+
+    // Crawl depth: min hops from a 2-host whitelist (+ one off-graph
+    // seed exercising the depth-0-by-definition branch), 3 BFS rounds
+    // unrolled in the oracle — all-integer, hash-exact; hosts unreached
+    // within 3 hops carry NULL.
+    "host_distance" -> { (s, d) =>
+      import s.implicits._
+      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+      val seeds = Seq("site0.example.com", "site1.example.com",
+        "offgraph.example.org").toDF("host")
+      LinkGraph.hopDistance(LinkGraph.hostEdges(links, "url", "dst_url"),
+        seeds, maxHops = 3)
     })
 
   // ---- oracles ------------------------------------------------------
@@ -250,9 +263,9 @@ object GraphQueries {
        |    (SELECT dang FROM d$j) // (SELECT n FROM nn))) // 100 AS BIGINT) AS r
        |  FROM nodes n LEFT JOIN c$j c ON n.host = c.host)""".stripMargin
 
-  /** Shared oracle block: host edges from `lnk` + 3 unrolled integer-
-    * PageRank iterations (damping 85). Ends with CTE r3(host, r). */
-  private val pagerankCtesSql =
+  /** Host-edge CTEs from `lnk` — ends with e2(src, dst); shared by the
+    * rank-family and BFS-distance oracles. */
+  private val hostEdgesCteSql =
     s"""e AS (SELECT DISTINCT
        |    regexp_replace(lower(regexp_extract(page_url,
        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
@@ -261,7 +274,21 @@ object GraphQueries {
        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
        |      '^www\\.|:[0-9]+$$', '', 'g') AS dst
        |  FROM lnk),
-       |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+       |e2 AS (SELECT src, dst FROM e WHERE src <> dst)""".stripMargin
+
+  /** One unrolled BFS round: d{j} = min(d{i}, propagate d{i} one hop). */
+  private def bfsIterSql(i: Int, j: Int): String =
+    s"""p$j AS (SELECT e2.dst AS host, d$i.dist + 1 AS dist
+       |  FROM e2 JOIN d$i ON e2.src = d$i.host),
+       |d$j AS (SELECT host, min(dist) AS dist
+       |  FROM (SELECT host, dist FROM d$i
+       |        UNION ALL SELECT host, dist FROM p$j) u
+       |  GROUP BY host)""".stripMargin
+
+  /** Shared oracle block: host edges from `lnk` + 3 unrolled integer-
+    * PageRank iterations (damping 85). Ends with CTE r3(host, r). */
+  private val pagerankCtesSql =
+    s"""$hostEdgesCteSql,
        |nodes AS (SELECT src AS host FROM e2 UNION SELECT dst FROM e2),
        |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e2 GROUP BY src),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
@@ -418,7 +445,23 @@ object GraphQueries {
          |${trustIterSql(0, 1)},
          |${trustIterSql(1, 2)},
          |${trustIterSql(2, 3)}
-         |SELECT host, r AS trust_micro FROM t3""".stripMargin)
+         |SELECT host, r AS trust_micro FROM t3""".stripMargin,
+
+    // BFS crawl depth: 3 unrolled min-propagation rounds from the
+    // seeds; nodes = graph hosts ∪ seeds; unreached stay NULL
+    "host_distance" ->
+      s"""WITH $linksCteSql,
+         |$hostEdgesCteSql,
+         |seeds(host) AS (VALUES ('site0.example.com'),
+         |  ('site1.example.com'), ('offgraph.example.org')),
+         |nodes AS (SELECT src AS host FROM e2
+         |  UNION SELECT dst FROM e2 UNION SELECT host FROM seeds),
+         |d0 AS (SELECT host, 0 AS dist FROM seeds),
+         |${bfsIterSql(0, 1)},
+         |${bfsIterSql(1, 2)},
+         |${bfsIterSql(2, 3)}
+         |SELECT n.host, d.dist FROM nodes n
+         |LEFT JOIN d3 d ON n.host = d.host""".stripMargin)
 
   /** One unrolled integer-TrustRank iteration: teleport + dangling go
     * to SEEDS only (damping 85; nn carries n and the seed count s). */

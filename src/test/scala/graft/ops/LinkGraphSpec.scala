@@ -258,4 +258,22 @@ class LinkGraphSpec extends AnyFunSuite {
     // flooring; 3 iterations of slack, generously doubled
     assert(total >= 1000000L * n - 6L * n * (100 + n))
   }
+
+  test("hopDistance: exact BFS depths, maxHops cutoff NULL, " +
+    "off-graph seed at depth 0, shorter path wins") {
+    import spark.implicits._
+    // a -> b -> c -> d -> e (chain), plus a -> c shortcut: dist(c)=1
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("a", "c")).toDF("src_host", "dst_host")
+    val seeds = Seq("a", "zz-offgraph").toDF("host")
+    val out = LinkGraph.hopDistance(edges, seeds, maxHops = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    CacheRegistry.releaseAll()
+    assert(out == Map(
+      "a" -> Some(0), "b" -> Some(1), "c" -> Some(1), "d" -> Some(2),
+      "e" -> None,               // 3 hops away, cut by maxHops = 2
+      "zz-offgraph" -> Some(0))) // seed with no edges: depth 0
+  }
 }
