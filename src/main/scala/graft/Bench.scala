@@ -144,14 +144,20 @@ object Bench {
     // upstream retrievals), the segmented-index probe (query cost must
     // not grow with segment count), and the Hilbert key (native
     // codegen expr — one projection pass like the Morton twin)
-    "hybrid_rrf_search", "bm25_index_upsert", "layout_hilbert")
+    "hybrid_rrf_search", "bm25_index_upsert", "layout_hilbert",
+    // round-9 wave 4: IR metrics (k-bounded qrels join), PMI
+    // collocations (two partial-agg count passes + vocab-sized joins
+    // behind the minCount cut), BFS crawl depth (host-sized rounds),
+    // and the Q18 HAVING-subquery semi-join
+    "ir_metrics", "pmi_collocations", "host_distance", "sql_tpch_q18")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
     * longer fits the driver's 2000-char tail window. One join-heavy
     * SQL-text representative (q5) stays on the line. */
   val lineExcluded: Set[String] = Set("sql_tpch_q10", "ann_lsh_topk",
-    "dedup_drop_near", "vocab_oov_rate", "host_hits", "host_trustrank")
+    "dedup_drop_near", "vocab_oov_rate", "host_hits", "host_trustrank",
+    "host_distance", "sql_tpch_q18", "layout_hilbert")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see
