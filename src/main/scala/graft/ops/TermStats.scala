@@ -166,9 +166,12 @@ object TermStats {
                       textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions
     require(k > 0 && minCount >= 1)
-    val uni = df.select(
+    // persisted: the unigram counts feed BOTH pair joins and the total
+    // — without the cache each reference re-runs the corpus tokenize
+    // (3 scans instead of 1; caught by the plan audit)
+    val uni = CacheRegistry.persist(df.select(
         explode(TextFunctions.tokens(lower(col(textCol)))).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c"))
+      .groupBy("t").agg(count(lit(1)).as("c")))
     val total = uni.agg(sum(col("c")).as("n"))
     val bg = df.select(
         explode(TextFunctions.wordShingles(lower(col(textCol)), 2)).as("b"))

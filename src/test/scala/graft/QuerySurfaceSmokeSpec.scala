@@ -30,6 +30,7 @@ class QuerySurfaceSmokeSpec extends AnyFunSuite {
     "ann_brute_topk",   // broadcast brute-force baseline: 8 query vecs x corpus
     "ann_int8_topk",    // same shape over the dequantized corpus
     "lm_quality",       // broadcast of a ONE-ROW vocab-size aggregate
+    "pmi_collocations", // broadcast of the ONE-ROW token-total aggregate
     "st2_gap_fill"      // expected days x event-types grid (ST2 synthesis):
                         // both sides are small distinct dimension sets
   )
