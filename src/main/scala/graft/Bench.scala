@@ -149,7 +149,9 @@ object Bench {
     // collocations (two partial-agg count passes + vocab-sized joins
     // behind the minCount cut), BFS crawl depth (host-sized rounds),
     // and the Q18 HAVING-subquery semi-join
-    "ir_metrics", "pmi_collocations", "host_distance", "sql_tpch_q18")
+    "ir_metrics", "pmi_collocations", "host_distance", "sql_tpch_q18",
+    // A/B readout: one (user, variant) partial agg + a 1-row global agg
+    "experiment_lift")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no

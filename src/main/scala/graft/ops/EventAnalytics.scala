@@ -86,4 +86,52 @@ object EventAnalytics {
       .groupBy(col(typeCol).as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** A/B experiment readout: per-variant exposed-user counts,
+    * converted-user counts and rates, absolute lift, and the
+    * two-proportion z statistic — the standard pooled-variance test
+    *
+    *   z = (p_a − p_b) / sqrt(p̄(1−p̄)(1/n_a + 1/n_b)),  p̄ pooled
+    *
+    * over an event stream. `variantCol` must be constant per user
+    * (hash/modulo assignment — the [[Sampling.assignSplit]] shape);
+    * a user converts when ANY of their events satisfies `goal`.
+    * Two-variant readout: rows with variant values other than 0/1 are
+    * the caller's error (asserted).
+    *
+    * Determinism: counts are exact longs; the z chain is fixed-order
+    * IEEE arithmetic (divisions, one multiply chain, one sqrt — sqrt
+    * is correctly rounded by IEEE 754, so it is engine-portable, the
+    * one libm-style function that is). z is NULL when either side has
+    * no exposed users or the pooled rate is degenerate (0 or 1 —
+    * zero variance).
+    *
+    * Scale shape: one (user, variant) partial agg over the events
+    * (map-side combined; conversion is a max of a codegen predicate),
+    * then a single 1-row global agg — nothing else moves. */
+  def experimentLift(ev: DataFrame, variantCol: String, userCol: String,
+                     goal: Column): DataFrame = {
+    val users = ev
+      .select(col(userCol).as("u"), col(variantCol).cast("int").as("v"),
+        when(goal, 1L).otherwise(0L).as("g"))
+      .groupBy(col("u"), col("v")).agg(max(col("g")).as("conv"))
+    val agg = users.agg(
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("c_a"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("c_b"))
+    val bothExposed = col("n_a") > 0 && col("n_b") > 0
+    val pA = col("c_a").cast("double") / col("n_a")
+    val pB = col("c_b").cast("double") / col("n_b")
+    val pool = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    agg.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      when(col("n_a") > 0, pA).as("rate_a"),
+      when(col("n_b") > 0, pB).as("rate_b"),
+      when(bothExposed, pA - pB).as("lift"),
+      when(bothExposed && pool > 0.0 && pool < 1.0,
+        (pA - pB) / sqrt(pool * (lit(1.0) - pool) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+        .as("z"))
+  }
 }

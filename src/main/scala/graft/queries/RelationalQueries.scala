@@ -319,6 +319,22 @@ object RelationalQueries {
           col("o_custkey"), col("o_orderkey"), 16).as("hkey"))
     },
 
+    // A/B experiment readout (ops/EventAnalytics.experimentLift):
+    // deterministic user_id-parity variants, conversion = any
+    // high-value purchase; exact counts + fixed-order z chain (sqrt is
+    // IEEE-correctly-rounded, the one portable libm-style call).
+    "experiment_lift" -> { (s, d) =>
+      graft.ops.EventAnalytics.experimentLift(
+        events(s, d).withColumn("variant",
+          pmod(col("user_id"), lit(2)).cast("int")),
+        "variant", "user_id",
+        col("event_type") === "purchase" && col("value") >= 95.0)
+        .withColumn("rate_a", round(col("rate_a"), 6))
+        .withColumn("rate_b", round(col("rate_b"), 6))
+        .withColumn("lift", round(col("lift"), 6))
+        .withColumn("z", round(col("z"), 6))
+    },
+
     // §2.11 — tumbling event-time window (daily).
     "tumbling_daily" -> { (s, d) =>
       events(s, d)
@@ -1072,6 +1088,35 @@ object RelationalQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n, sum(value) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // two-proportion z replay: same per-user conversion max, same
+    // fixed-order double chain (pool*(1-pool) first, then the 1/n sum)
+    "experiment_lift" ->
+      """WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS v,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 95.0
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM u),
+        |m AS (SELECT n_a, c_a, n_b, c_b,
+        |    CAST(c_a AS DOUBLE) / n_a AS p_a,
+        |    CAST(c_b AS DOUBLE) / n_b AS p_b,
+        |    CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pool
+        |  FROM a)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  round(CASE WHEN n_a > 0 THEN p_a END, 6) AS rate_a,
+        |  round(CASE WHEN n_b > 0 THEN p_b END, 6) AS rate_b,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN p_a - p_b END, 6)
+        |    AS lift,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0
+        |      AND pool > 0.0 AND pool < 1.0
+        |    THEN (p_a - p_b) / sqrt(pool * (1.0 - pool)
+        |      * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z
+        |FROM m""".stripMargin,
 
     "json_props" ->
       """SELECT event_id,

@@ -79,4 +79,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .agg(sum("n")).collect().head.getLong(0)
     assert(total === 5L - 2L)
   }
+
+  test("experimentLift: hand-computed two-proportion z, per-user " +
+    "dedup, degenerate-pool NULL") {
+    import spark.implicits._
+    // variant 0: users 0,2,4 (2 convert — user 0 converts TWICE, must
+    // count once); variant 1: users 1,3 (1 converts)
+    val events = Seq(
+      (0L, 0, "goal"), (0L, 0, "goal"), (2L, 0, "goal"), (4L, 0, "x"),
+      (1L, 1, "goal"), (3L, 1, "x"), (3L, 1, "y"))
+      .toDF("user_id", "variant", "event_type")
+    val r = EventAnalytics.experimentLift(events, "variant", "user_id",
+      col("event_type") === "goal").collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2) // n_a, c_a
+    assert(r.getLong(2) == 2 && r.getLong(3) == 1) // n_b, c_b
+    val (pA, pB) = (2.0 / 3, 1.0 / 2)
+    assert(r.getDouble(4) == pA && r.getDouble(5) == pB)
+    assert(r.getDouble(6) == pA - pB)
+    val pool = 3.0 / 5
+    val zExp = (pA - pB) /
+      math.sqrt(pool * (1.0 - pool) * (1.0 / 3 + 1.0 / 2))
+    assert(r.getDouble(7) == zExp)
+    // degenerate pool (everyone converts): z NULL, rates still exact
+    val allConv = Seq((0L, 0, "goal"), (1L, 1, "goal"))
+      .toDF("user_id", "variant", "event_type")
+    val d = EventAnalytics.experimentLift(allConv, "variant", "user_id",
+      col("event_type") === "goal").collect().head
+    assert(d.getDouble(4) == 1.0 && d.getDouble(5) == 1.0 && d.isNullAt(7))
+  }
 }

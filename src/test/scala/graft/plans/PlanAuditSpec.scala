@@ -684,4 +684,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "the query-term IN filter must sit below the tf aggregate's shuffle")
     graft.ops.CacheRegistry.releaseAll()
   }
+
+  test("hybrid fusion: fused top-k is TakeOrdered (no global sort)") {
+    val sf = "/root/testdata/sf0.001"
+    val plans = executed(
+      graft.SparkEntry.queries("hybrid_rrf_search")(spark, sf))
+    assert(plans.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "fusion must end in TakeOrderedAndProject")
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
+  test("pmi: unigram counts cached (one tokenize serves three " +
+    "references); top-k is TakeOrdered") {
+    val sf = "/root/testdata/sf0.001"
+    val plans = executed(
+      graft.SparkEntry.queries("pmi_collocations")(spark, sf))
+    assert(plans.exists(_.nodeName.contains("TakeOrderedAndProject")))
+    // the two count joins and the total must all read the CACHE, never
+    // re-run the token explode: >= 3 InMemoryTableScans of the uni agg
+    val imts = plans.count(_.nodeName.contains("InMemoryTableScan"))
+    assert(imts >= 3, s"expected >=3 cache reads of uni counts, got $imts")
+    graft.ops.CacheRegistry.releaseAll()
+  }
 }
