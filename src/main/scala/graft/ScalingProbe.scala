@@ -169,7 +169,13 @@ object ScalingProbe {
       // round-9 wave 3: hybrid fusion — the corpus-sized work is the
       // two upstream retrievals (both corpus-linear scans here); the
       // fusion joins stay k-bounded at any scale
-      "hybrid_rrf_search")
+      "hybrid_rrf_search",
+      // round-9 wave 4: PMI (two token-linear count passes; the pair
+      // joins stay vocab-sized behind the minCount cut), BFS depth
+      // (rounds are HOST-sized — replicas add pages, not hosts, so cpu
+      // must stay far under page-linear), and the A/B readout (one
+      // user-keyed partial agg — user-linear)
+      "pmi_collocations", "host_distance", "experiment_lift")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
