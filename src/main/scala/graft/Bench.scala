@@ -151,7 +151,10 @@ object Bench {
     // and the Q18 HAVING-subquery semi-join
     "ir_metrics", "pmi_collocations", "host_distance", "sql_tpch_q18",
     // A/B readout: one (user, variant) partial agg + a 1-row global agg
-    "experiment_lift")
+    "experiment_lift",
+    // TFRecord shards: the write caches per dir (bench times the
+    // CRC-verified record-at-a-time read + protobuf decode)
+    "src_tfrecord_roundtrip")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no

@@ -158,6 +158,8 @@ object WebQueries {
   // one WARC archive dir per sf dir per JVM (Verify/Bench call repeatedly)
   private val warcDirCache =
     scala.collection.concurrent.TrieMap[String, String]()
+  private val tfrecDirCache =
+    scala.collection.concurrent.TrieMap[String, String]()
   // separate dir for the INDEXED layout (archives + _index parquet)
   private val warcIdxCache =
     scala.collection.concurrent.TrieMap[String, String]()
@@ -550,6 +552,27 @@ object WebQueries {
         .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
           .cast("long").as("doc_id"),
           col("content").cast("string").as("text"))
+    },
+
+    // TFRecord sink/source (sources/TfRecord — hand-written framing +
+    // tf.Example protobuf, CRC32C-verified): the corpus written as
+    // training shards and parsed back must be byte-identical to the
+    // source rows; the oracle reads the originals.
+    "src_tfrecord_roundtrip" -> { (s, d) =>
+      val dir = tfrecDirCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files.createTempDirectory("graft_tfrec")
+          .toString
+        graft.sources.TfRecord.writeExamples(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("n_chars"), col("text")),
+          r, Seq("doc_id", "n_chars"), Seq("text"))
+        r
+      })
+      graft.sources.TfRecord.readExamples(s, dir,
+          Seq("doc_id", "n_chars"), Seq("text"))
+        .select(element_at(col("doc_id"), 1).as("doc_id"),
+          element_at(col("n_chars"), 1).as("n_chars"),
+          col("text").cast("string").as("text"))
     })
 
   // ---- oracles ------------------------------------------------------
@@ -889,6 +912,8 @@ object WebQueries {
          |FROM c GROUP BY canonical_url""".stripMargin,
 
     "src_warc_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "src_tfrecord_roundtrip" ->
+      "SELECT doc_id, n_chars, text FROM documents",
 
     "src_warc_fetch" ->
       "SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0")
