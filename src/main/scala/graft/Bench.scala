@@ -154,7 +154,7 @@ object Bench {
     "experiment_lift",
     // TFRecord shards: the write caches per dir (bench times the
     // CRC-verified record-at-a-time read + protobuf decode)
-    "src_tfrecord_roundtrip")
+    "src_tfrecord_roundtrip", "src_jsonl_roundtrip")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no

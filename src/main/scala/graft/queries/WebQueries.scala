@@ -160,6 +160,8 @@ object WebQueries {
     scala.collection.concurrent.TrieMap[String, String]()
   private val tfrecDirCache =
     scala.collection.concurrent.TrieMap[String, String]()
+  private val jsonlDirCache =
+    scala.collection.concurrent.TrieMap[String, String]()
   // separate dir for the INDEXED layout (archives + _index parquet)
   private val warcIdxCache =
     scala.collection.concurrent.TrieMap[String, String]()
@@ -573,6 +575,25 @@ object WebQueries {
         .select(element_at(col("doc_id"), 1).as("doc_id"),
           element_at(col("n_chars"), 1).as("n_chars"),
           col("text").cast("string").as("text"))
+    },
+
+    // JSONL roundtrip (the interchange format corpora actually ship
+    // in): Spark's native json source/sink with an explicit schema —
+    // schemaless inference at 100 TB is a full extra pass, so the
+    // reader always receives the schema. gzip codec = the on-the-wire
+    // layout (HuggingFace/CC derivatives ship .jsonl.gz).
+    "src_jsonl_roundtrip" -> { (s, d) =>
+      val dir = jsonlDirCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files.createTempDirectory("graft_jsonl")
+          .toString + "/docs"
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+          .write.option("compression", "gzip").json(r)
+        r
+      })
+      s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+        .json(dir)
     })
 
   // ---- oracles ------------------------------------------------------
@@ -914,6 +935,8 @@ object WebQueries {
     "src_warc_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_tfrecord_roundtrip" ->
       "SELECT doc_id, n_chars, text FROM documents",
+    "src_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, source, text FROM documents",
 
     "src_warc_fetch" ->
       "SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0")
