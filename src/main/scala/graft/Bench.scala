@@ -154,7 +154,9 @@ object Bench {
     "experiment_lift",
     // TFRecord shards: the write caches per dir (bench times the
     // CRC-verified record-at-a-time read + protobuf decode)
-    "src_tfrecord_roundtrip", "src_jsonl_roundtrip")
+    "src_tfrecord_roundtrip", "src_jsonl_roundtrip",
+    // the pipeline last mile e2e: pack bins -> tf.Example shards -> decode
+    "pack_to_shards_e2e")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no

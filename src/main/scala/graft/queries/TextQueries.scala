@@ -44,6 +44,7 @@ object TextQueries {
   // one inverted index per sf dir per JVM (Verify/Bench call repeatedly)
   private val bm25IdxCache = scala.collection.concurrent.TrieMap[String, String]()
   private val bm25UpsertIdxCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val packShardCache = scala.collection.concurrent.TrieMap[String, String]()
   private val trigramIdxCache = scala.collection.concurrent.TrieMap[String, String]()
 
   private def corpusWithPlants(s: SparkSession, d: String): DataFrame = {
@@ -739,6 +740,35 @@ object TextQueries {
           sum(col("n_tokens")).as("bin_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
+    },
+
+    // The pipeline's last mile, end to end WITH the sink: token counts
+    // → chunked packing → one tf.Example per bin → CRC-framed TFRecord
+    // shards → decode. The output must match the SAME oracle as
+    // pack_sequences — the shards carry exactly the packed bins, or
+    // the hash breaks.
+    "pack_to_shards_e2e" -> { (s, d) =>
+      val dir = packShardCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files.createTempDirectory("graft_packshard")
+          .toString
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.approxBpeTokenCount(col("text")).as("n_tokens"))
+        val bins = Packing.packChunked(toks, "doc_id", "n_tokens",
+            capacity = 512)
+          .groupBy(col("bin_id"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+            sum(col("n_tokens")).as("bin_tokens"))
+        graft.sources.TfRecord.writeExamples(bins, r,
+          Seq("bin_id", "doc_ids", "bin_tokens"), Seq.empty)
+        r
+      })
+      graft.sources.TfRecord.readExamples(s, dir,
+          Seq("bin_id", "doc_ids", "bin_tokens"), Seq.empty)
+        .select(element_at(col("bin_id"), 1).as("bin_id"),
+          size(col("doc_ids")).cast("long").as("n_docs"),
+          element_at(col("bin_tokens"), 1).as("bin_tokens"),
+          element_at(col("doc_ids"), 1).as("first_doc"),
+          element_at(col("doc_ids"), size(col("doc_ids"))).as("last_doc"))
     },
 
     // ---- dedup ----
@@ -1899,6 +1929,25 @@ object TextQueries {
     // shingle (blocking is lossless) and no shingle block exceeds the
     // 1000 cap at sf0.01, so ngramJaccardPairs is exhaustive; minhash
     // LSH recall is total on this corpus (see the query comment).
+    // the shard roundtrip must reproduce the pack chain exactly
+    "pack_to_shards_e2e" -> """WITH t AS (SELECT doc_id,
+        |    COALESCE(CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0),
+        |      x -> greatest(1, CAST(ceil(len(x) / 4.0) AS BIGINT))))
+        |      AS BIGINT), 0) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM t),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CAST(floor(cb / 512.0) AS BIGINT) AS bin_id FROM c)
+        |SELECT bin_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY bin_id""".stripMargin,
+
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,

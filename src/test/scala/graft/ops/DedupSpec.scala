@@ -280,7 +280,13 @@ class DedupSpec extends AnyFunSuite {
     val dups = Dedup.nearDupsAgainstIndex(is2, ib2, hs, hb)
       .as[Long].collect().toSet
     assert(dups == (100L until 110L).toSet)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // registry hygiene: nothing from THIS op's persists may survive the
+    // releaseAll. Scope to Dedup call sites — the context is shared
+    // across suites, and other suites' localCheckpoint RDDs linger
+    // until GC (ContextCleaner semantics), which is not a leak here.
+    val lingering = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.toString.contains("Dedup.scala"))
+    assert(lingering.isEmpty, s"leaked Dedup persists: $lingering")
   }
 
   test("bloom probe has no false negatives; persisted image is reusable") {
