@@ -175,7 +175,11 @@ object ScalingProbe {
       // (rounds are HOST-sized — replicas add pages, not hosts, so cpu
       // must stay far under page-linear), and the A/B readout (one
       // user-keyed partial agg — user-linear)
-      "pmi_collocations", "host_distance", "experiment_lift")
+      "pmi_collocations", "host_distance", "experiment_lift",
+      // IO formats: shard write caches per dir inside the entries, so
+      // the kept second pass probes the READ path — record-at-a-time
+      // TFRecord decode and schema'd gzip JSONL must track corpus bytes
+      "src_tfrecord_roundtrip", "src_jsonl_roundtrip")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
