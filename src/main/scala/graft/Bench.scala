@@ -156,7 +156,9 @@ object Bench {
     // CRC-verified record-at-a-time read + protobuf decode)
     "src_tfrecord_roundtrip", "src_jsonl_roundtrip",
     // the pipeline last mile e2e: pack bins -> tf.Example shards -> decode
-    "pack_to_shards_e2e")
+    "pack_to_shards_e2e",
+    // contrastive pair mining: brute ranking over cross-label candidates
+    "hard_negatives")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no

@@ -49,6 +49,38 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Hard-negative mining for contrastive training (the batch-mining
+    * step of triplet/InfoNCE pipelines): for each anchor, the top-`k`
+    * most-similar vectors with a DIFFERENT label — the negatives that
+    * actually move the loss, vs. random negatives that are trivially
+    * far. Same exact-ranking shape as [[bruteForceTopK]] with the
+    * label-mismatch predicate pushed BELOW the rank window, so the
+    * per-anchor window state stays k-bounded over fewer candidates.
+    *
+    * At 100 TB the mining loop swaps this exact scan for the ANN paths
+    * (IVF probe → label filter → exact confirm); this is the oracle-
+    * exact baseline the approximate miners are judged against —
+    * ranking determinism and tie-breaks identical to bruteForceTopK.
+    * Returns (query_id, corpus_id, rank, cos, neg_label). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("neg_label"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), col(labelCol).as("q_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id") &&
+        col("neg_label") =!= col("q_label"))
+      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 6).as("cos"), col("neg_label"))
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal arrays. */
   def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

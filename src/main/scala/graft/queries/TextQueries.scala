@@ -908,6 +908,15 @@ object TextQueries {
         .withColumn("lift", round(col("lift"), 6))
     },
 
+    // Hard-negative mining (Similarity.hardNegatives): per anchor, the
+    // top-5 most-similar DIFFERENT-label vectors — the contrastive-
+    // training pair generator, exact-ranking baseline for the ANN
+    // mining paths. Label filter below the rank window.
+    "hard_negatives" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") < 8), k = 5)
+    },
+
     // Retrieval evaluation (ops/RankingMetrics): precision/recall/MRR/
     // nDCG@10 of the exact-cosine ranking against label-derived qrels
     // (relevant = same label, the fixture's judgment set). DCG gains
@@ -1125,6 +1134,30 @@ object TextQueries {
 
     // IR metrics: cosine top-10 vs same-label qrels, micro-unit DCG/RR
     "ir_metrics" -> irMetricsOracleSql,
+
+    // hard negatives: the brute cosine ranking restricted to
+    // different-label candidates, same tie-breaks
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+        |    label AS q_label FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cvec,
+        |    label AS neg_label FROM embeddings),
+        |s AS (SELECT query_id, corpus_id, neg_label,
+        |    list_sum(list_transform(range(1, len(cvec) + 1),
+        |      i -> CAST(cvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(cvec) + 1),
+        |        i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
+        |        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))))
+        |    AS cos
+        |  FROM c, q WHERE corpus_id <> query_id
+        |    AND neg_label <> q_label),
+        |r AS (SELECT query_id, corpus_id, neg_label, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, corpus_id, rank, round(cos, 6) AS cos, neg_label
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // PMI lift replay: same token/shingle streams, same fixed-order
     // double chain (c_ab·N first, then the divisor product)

@@ -366,4 +366,25 @@ class SimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 999L)))
   }
+
+  test("hardNegatives: same-label near-twin excluded, hardest " +
+    "different-label vector ranks first") {
+    import org.apache.spark.sql.functions.col
+    // anchor 0 (label A) has a same-label NEAR-TWIN 1 (cos ~1, must be
+    // excluded) and a different-label near vector 2 (the hard negative
+    // that must rank 1); 3 is a far different-label vector
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), "A"),
+      (1L, Array(0.999f, 0.01f, 0.0f), "A"),   // near-twin, same label
+      (2L, Array(0.9f, 0.4f, 0.0f), "B"),      // hard negative
+      (3L, Array(0.0f, 0.0f, 1.0f), "B"),      // easy negative
+      (4L, Array(0.5f, 0.5f, 0.1f), "A"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs,
+        vecs.filter(col("vec_id") === 0L), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getString(4)))
+    assert(out.map(_._1).toSeq == Seq(2L, 3L),
+      s"expected hard negative 2 then easy 3, got ${out.toSeq}")
+    assert(out.forall(_._3 == "B"), "every mined negative is cross-label")
+  }
 }
