@@ -158,7 +158,7 @@ object Bench {
     // the pipeline last mile e2e: pack bins -> tf.Example shards -> decode
     "pack_to_shards_e2e",
     // contrastive pair mining: brute ranking over cross-label candidates
-    "hard_negatives")
+    "hard_negatives", "positive_pairs")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no

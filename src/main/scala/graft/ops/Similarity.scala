@@ -81,6 +81,30 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("neg_label"))
   }
 
+  /** The complement of [[hardNegatives]]: per anchor, the top-`k`
+    * most-similar SAME-label vectors — the positive pairs of the
+    * contrastive batch (and, read with a similarity floor, a
+    * label-aware near-dup audit). Identical ranking shape and
+    * tie-breaks. Returns (query_id, corpus_id, rank, cos). */
+  def positivePairs(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("c_label"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), col(labelCol).as("q_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id") &&
+        col("c_label") === col("q_label"))
+      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal arrays. */
   def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

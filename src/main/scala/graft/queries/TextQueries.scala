@@ -917,6 +917,13 @@ object TextQueries {
       Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") < 8), k = 5)
     },
 
+    // The positives side of the contrastive batch: top-5 most-similar
+    // SAME-label vectors per anchor (Similarity.positivePairs).
+    "positive_pairs" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      Similarity.positivePairs(vecs, vecs.filter(col("vec_id") < 8), k = 5)
+    },
+
     // Retrieval evaluation (ops/RankingMetrics): precision/recall/MRR/
     // nDCG@10 of the exact-cosine ranking against label-derived qrels
     // (relevant = same label, the fixture's judgment set). DCG gains
@@ -1134,6 +1141,29 @@ object TextQueries {
 
     // IR metrics: cosine top-10 vs same-label qrels, micro-unit DCG/RR
     "ir_metrics" -> irMetricsOracleSql,
+
+    // positives: the same ranking restricted to SAME-label candidates
+    "positive_pairs" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+        |    label AS q_label FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cvec,
+        |    label AS c_label FROM embeddings),
+        |s AS (SELECT query_id, corpus_id,
+        |    list_sum(list_transform(range(1, len(cvec) + 1),
+        |      i -> CAST(cvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(cvec) + 1),
+        |        i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
+        |        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))))
+        |    AS cos
+        |  FROM c, q WHERE corpus_id <> query_id
+        |    AND c_label = q_label),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, corpus_id, rank, round(cos, 6) AS cos
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // hard negatives: the brute cosine ranking restricted to
     // different-label candidates, same tie-breaks
