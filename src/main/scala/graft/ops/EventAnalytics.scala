@@ -96,8 +96,10 @@ object EventAnalytics {
     * over an event stream. `variantCol` must be constant per user
     * (hash/modulo assignment — the [[Sampling.assignSplit]] shape);
     * a user converts when ANY of their events satisfies `goal`.
-    * Two-variant readout: rows with variant values other than 0/1 are
-    * the caller's error (asserted).
+    * Two-variant readout: rows whose variant value is not 0 or 1 are
+    * EXCLUDED (an explicit filter below) — a 3-arm experiment passed in
+    * by mistake reads out arms 0 and 1 only; run per-pair if you have
+    * more arms.
     *
     * Determinism: counts are exact longs; the z chain is fixed-order
     * IEEE arithmetic (divisions, one multiply chain, one sqrt — sqrt
@@ -114,6 +116,7 @@ object EventAnalytics {
     val users = ev
       .select(col(userCol).as("u"), col(variantCol).cast("int").as("v"),
         when(goal, 1L).otherwise(0L).as("g"))
+      .filter(col("v").isin(0, 1)) // two-arm contract (see doc above)
       .groupBy(col("u"), col("v")).agg(max(col("g")).as("conv"))
     val agg = users.agg(
       sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),

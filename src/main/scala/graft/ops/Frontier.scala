@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * is a PER-HOST window (row_number over the host partition, one
   * host-keyed shuffle) — deliberately NOT a global ordering, which
   * would funnel the frontier through one partition: a dispatcher
-  * dequeues per-host queues paced by `crawl_delay`, so
+  * dequeues per-host queues paced by `crawl_delay_ms`, so
   * (rank_micro DESC, host_pos ASC) is the global schedule without a
   * global sort ever running.
   *
@@ -37,9 +37,11 @@ object Frontier {
     *                   in-link-weight priority signal
     * @param rules      robots rule table (domain, allow, prefix) from
     *                   [[Robots.parseRulesTable]]
-    * @param directives (domain, crawl_delay, ...) from
-    *                   [[Robots.parseDirectivesTable]]; NULL delay →
-    *                   `defaultDelaySec`
+    * @param directives (domain, crawl_delay_ms, ...) from
+    *                   [[Robots.parseDirectivesTable]] (integer
+    *                   MILLISECONDS — fractional `Crawl-delay: 0.5`
+    *                   spellings parse to 500); NULL delay →
+    *                   `defaultDelayMs`
     * @param hostRanks  (host, rank_micro) authority table (PageRank /
     *                   TrustRank); unknown hosts rank 0
     * @param visited    URLs already fetched (any spelling — they are
@@ -48,13 +50,13 @@ object Frontier {
     *                   count (so n_refs still reflects every sighting,
     *                   keys only ride the shuffle)
     * @return one row per allowed canonical URL:
-    *         (url, host, domain, n_refs, rank_micro, crawl_delay,
+    *         (url, host, domain, n_refs, rank_micro, crawl_delay_ms,
     *         host_pos) with host_pos the 1-based position in the
     *         host's queue (n_refs DESC, url ASC — deterministic)
     */
   def build(candidates: DataFrame, urlCol: String, rules: DataFrame,
             directives: DataFrame, hostRanks: DataFrame,
-            defaultDelaySec: Long = 1L,
+            defaultDelayMs: Long = 1000L,
             visited: Option[DataFrame] = None): DataFrame = {
     val allCounted = candidates
       .select(UrlTools.canonicalize(col(urlCol)).as("url"))
@@ -71,24 +73,26 @@ object Frontier {
       .withColumn("host", UrlTools.hostOf(col("url")))
       .join(broadcast(hostRanks), Seq("host"), "left")
       .withColumn("rank_micro", coalesce(col("rank_micro"), lit(0L)))
-      .join(broadcast(directives.select(col("domain"), col("crawl_delay"))),
+      .join(broadcast(
+        directives.select(col("domain"), col("crawl_delay_ms"))),
         Seq("domain"), "left")
-      .withColumn("crawl_delay",
-        coalesce(col("crawl_delay"), lit(defaultDelaySec)))
+      .withColumn("crawl_delay_ms",
+        coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
     annotated.withColumn("host_pos",
       row_number().over(Window.partitionBy(col("host"))
         .orderBy(col("n_refs").desc, col("url"))))
       .select(col("url"), col("host"), col("domain"), col("n_refs"),
-        col("rank_micro"), col("crawl_delay"), col("host_pos"))
+        col("rank_micro"), col("crawl_delay_ms"), col("host_pos"))
   }
 
   /** Politeness schedule over a [[build]] output: each URL's planned
-    * fetch offset inside its host queue — (host_pos − 1) · crawl_delay
-    * seconds, the earliest a crawler honoring the delay can issue the
-    * fetch relative to the host queue's start. Pure integer codegen
-    * projection (no shuffle); a dispatcher adds its wall-clock epoch
-    * per host. */
+    * fetch offset inside its host queue — (host_pos − 1) ·
+    * crawl_delay_ms MILLISECONDS (integer math; fractional-second
+    * robots delays schedule exactly), the earliest a crawler honoring
+    * the delay can issue the fetch relative to the host queue's start.
+    * Pure integer codegen projection (no shuffle); a dispatcher adds
+    * its wall-clock epoch per host. */
   def schedule(frontier: DataFrame): DataFrame =
-    frontier.withColumn("fetch_at_sec",
-      (col("host_pos") - 1).cast("long") * col("crawl_delay"))
+    frontier.withColumn("fetch_at_ms",
+      (col("host_pos") - 1).cast("long") * col("crawl_delay_ms"))
 }

@@ -43,7 +43,10 @@ object RankingMetrics {
     * one row per query: n_rel_top (relevant found in the top-k),
     * n_rel (total relevant), p_at_k, recall_at_k, mrr_micro,
     * dcg_micro, idcg_micro, ndcg. Queries with no qrels row score 0
-    * with n_rel = 0 (ndcg 0 by convention). */
+    * with n_rel = 0 (ndcg 0 by convention); judged queries the ranking
+    * returns NOTHING for (no rows at rank <= k) score 0 rather than
+    * vanish — a retrieval that comes back empty must drag the mean
+    * down, not shrink the denominator. */
   def evaluate(ranking: DataFrame, qrels: DataFrame, k: Int,
                queryCol: String = "query_id", docCol: String = "doc_id",
                rankCol: String = "rank"): DataFrame = {
@@ -65,8 +68,14 @@ object RankingMetrics {
         .as("dcg_micro"),
       coalesce(min(when(col("rel"), col("r"))), lit(0)).as("first_rel"))
     val totals = qrels.groupBy(q).agg(count(lit(1)).as("n_rel"))
-    perQuery.join(totals, Seq(queryCol), "left")
+    // full outer: ranking-only queries keep n_rel = 0 (score 0 by the
+    // convention above), and qrels-only queries surface as zero rows
+    // instead of silently dropping out of the macro average
+    perQuery.join(totals, Seq(queryCol), "full_outer")
       .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("n_rel_top", coalesce(col("n_rel_top"), lit(0L)))
+      .withColumn("dcg_micro", coalesce(col("dcg_micro"), lit(0L)))
+      .withColumn("first_rel", coalesce(col("first_rel"), lit(0)))
       .withColumn("p_at_k", col("n_rel_top").cast("double") / k)
       .withColumn("recall_at_k",
         when(col("n_rel") > 0,

@@ -112,15 +112,18 @@ object Robots {
 
   val directiveSchema: StructType = StructType(Seq(
     StructField("domain", StringType),
-    StructField("crawl_delay", LongType),
+    StructField("crawl_delay_ms", LongType),
     StructField("sitemaps", ArrayType(StringType))))
 
   /** Parse the NON-rule directives a crawl frontier consumes:
-    * `Crawl-delay` from the groups governing `agent` (seconds; the
-    * de-facto politeness extension — §2.2.1 group selection, last
-    * chosen-group value wins, non-numeric ignored) and `Sitemap:`
-    * lines (RFC 9309 §2.3 — group-INdependent, collected in file
-    * order). Returns (crawlDelaySeconds, sitemaps). */
+    * `Crawl-delay` from the groups governing `agent` (the de-facto
+    * politeness extension — §2.2.1 group selection, last chosen-group
+    * value wins, non-numeric ignored). Sites commonly spell FRACTIONAL
+    * seconds (`Crawl-delay: 0.5`), so the value parses as decimal
+    * seconds and is carried as integer MILLISECONDS (floor at the
+    * sub-ms digit; negatives ignored). Also collects `Sitemap:` lines
+    * (RFC 9309 §2.3 — group-INdependent, in file order). Returns
+    * (crawlDelayMillis, sitemaps). */
   def parseDirectives(robotsTxt: String,
                       agent: String = "*"): (Option[Long], Seq[String]) = {
     val maps = Seq.newBuilder[String]
@@ -144,8 +147,8 @@ object Robots {
             if (value.nonEmpty) maps += value
           case "crawl-delay" =>
             inAgentRun = false
-            if (started)
-              value.toLongOption.foreach(d => delays += ((curAgents, d)))
+            if (started) parseDelayMs(value)
+              .foreach(d => delays += ((curAgents, d)))
           case _ => inAgentRun = false
         }
       }
@@ -157,9 +160,26 @@ object Robots {
     (chosen.lastOption.map(_._2), maps.result())
   }
 
-  /** (domain, robots_txt) → (domain, crawl_delay, sitemaps) — the
+  /** Decimal-seconds delay value → non-negative millis; anything that
+    * isn't a plain decimal number (`12`, `0.5`, `2.`) is ignored, like
+    * the old integer parse ignored non-numerics. Digits beyond the
+    * millisecond truncate (integer arithmetic — no double rounding). */
+  private[ops] def parseDelayMs(value: String): Option[Long] = {
+    val dot = value.indexOf('.')
+    val (whole, frac) =
+      if (dot < 0) (value, "") else (value.take(dot), value.drop(dot + 1))
+    val fracDigits = frac.take(3).padTo(3, '0')
+    if (!whole.forall(_.isDigit) || whole.isEmpty && frac.isEmpty ||
+        !frac.forall(_.isDigit)) None
+    else for {
+      w <- (if (whole.isEmpty) Some(0L) else whole.toLongOption)
+      f <- fracDigits.toLongOption
+    } yield w * 1000L + f
+  }
+
+  /** (domain, robots_txt) → (domain, crawl_delay_ms, sitemaps) — the
     * frontier pacing/seeding table for `agent` (§2.2.1 selection,
-    * default `*`). `crawl_delay` NULL when the governing groups set
+    * default `*`). `crawl_delay_ms` NULL when the governing groups set
     * none; `sitemaps` possibly empty. Sites-sized, imperative parse,
     * same contract as [[parseRulesTable]]. */
   def parseDirectivesTable(robots: DataFrame, domainCol: String = "domain",
@@ -178,10 +198,15 @@ object Robots {
     * .httpResponses]] gives (domain, status, body); per the RFC's
     * availability semantics a 2xx body parses normally, a 4xx means
     * "unavailable" → crawl as if there were no rules (no rows), and
-    * 5xx / unresolved redirects mean "unreachable" → complete disallow
-    * (one `Disallow: /` row). A NULL status (a bare robots.txt body,
-    * not an HTTP capture) parses as raw text. Sites-sized imperative
-    * map, same contract as [[parseRulesTable]]. */
+    * 5xx means "unreachable" → complete disallow (one `Disallow: /`
+    * row). Redirects (§2.3.1.2): crawlers MUST follow them — resolve
+    * the robots capture set through [[graft.sources.Warc
+    * .resolveRedirects]] BEFORE this call so a 3xx row carries its
+    * final status/body; a 3xx still present here is an exhausted or
+    * unconsumable chain, which the RFC treats as UNAVAILABLE (no rows,
+    * crawl unrestricted), not as disallow-all. A NULL status (a bare
+    * robots.txt body, not an HTTP capture) parses as raw text.
+    * Sites-sized imperative map, same contract as [[parseRulesTable]]. */
   def rulesFromHttp(responses: DataFrame, domainCol: String = "domain",
                     statusCol: String = "status",
                     bodyCol: String = "body_text",
@@ -197,7 +222,7 @@ object Robots {
         val rules = status match {
           case None => parseRules(body, agent)                 // raw body
           case Some(s) if s >= 200 && s <= 299 => parseRules(body, agent)
-          case Some(s) if s >= 400 && s <= 499 => Seq.empty    // unavailable
+          case Some(s) if s >= 300 && s <= 499 => Seq.empty    // unavailable
           case _ => Seq((false, "/"))                          // unreachable
         }
         rules.map { case (allow, prefix) => Row(domain, allow, prefix) }

@@ -112,7 +112,7 @@ object GraphQueries {
       .toDF("url")
     val robots = Seq(
       ("example.com",
-        "User-agent: *\nDisallow: /doc/*1$\nDisallow: /tag/\nCrawl-delay: 2\n"),
+        "User-agent: *\nDisallow: /doc/*1$\nDisallow: /tag/\nCrawl-delay: 2.5\n"),
       ("example.net", "User-agent: *\n")) // no rules, no delay -> defaults
       .toDF("domain", "robots_txt")
     val candidates = links.select(col("dst_url").as("url"))
@@ -169,12 +169,14 @@ object GraphQueries {
     // PageRank, window replay).
     "crawl_frontier" -> { (s, d) => frontierDf(s, d) },
 
-    // Politeness schedule over the frontier: fetch_at_sec =
-    // (host_pos - 1) * crawl_delay — the dispatchable queue offsets.
+    // Politeness schedule over the frontier: fetch_at_ms =
+    // (host_pos - 1) * crawl_delay_ms — the dispatchable queue offsets
+    // in integer milliseconds (the fixture's Crawl-delay: 2.5 plants a
+    // fractional-second delay the old integer-seconds parse dropped).
     "crawl_schedule" -> { (s, d) =>
       Frontier.schedule(frontierDf(s, d))
-        .select(col("url"), col("host"), col("crawl_delay"),
-          col("host_pos"), col("fetch_at_sec"))
+        .select(col("url"), col("host"), col("crawl_delay_ms"),
+          col("host_pos"), col("fetch_at_ms"))
     },
 
     // TrustRank from a 5-host whitelist (site0-4): teleport + dangling
@@ -349,12 +351,13 @@ object GraphQueries {
        |  GROUP BY k.url, k.n_refs, k.host, k.domain),
        |g AS (SELECT url, n_refs, host, domain FROM m
        |  WHERE coalesce(score % 2 = 1, TRUE)),
-       |dd(domain, crawl_delay) AS (VALUES
-       |  ('example.com', CAST(2 AS BIGINT)),
+       |dd(domain, crawl_delay_ms) AS (VALUES
+       |  ('example.com', CAST(2500 AS BIGINT)),
        |  ('example.net', CAST(NULL AS BIGINT))),
        |a AS (SELECT g.url, g.host, g.domain, g.n_refs,
        |    CAST(coalesce(r3.r, 0) AS BIGINT) AS rank_micro,
-       |    CAST(coalesce(dd.crawl_delay, 1) AS BIGINT) AS crawl_delay
+       |    CAST(coalesce(dd.crawl_delay_ms, 1000) AS BIGINT)
+       |      AS crawl_delay_ms
        |  FROM g LEFT JOIN r3 ON g.host = r3.host
        |    LEFT JOIN dd ON g.domain = dd.domain)""".stripMargin
 
@@ -371,19 +374,19 @@ object GraphQueries {
 
     "crawl_frontier" ->
       s"""$frontierCtesSql
-         |SELECT url, host, domain, n_refs, rank_micro, crawl_delay,
+         |SELECT url, host, domain, n_refs, rank_micro, crawl_delay_ms,
          |  CAST(row_number() OVER (PARTITION BY host
          |    ORDER BY n_refs DESC, url) AS INT) AS host_pos
          |FROM a""".stripMargin,
 
     "crawl_schedule" ->
       s"""$frontierCtesSql,
-         |q AS (SELECT url, host, crawl_delay,
+         |q AS (SELECT url, host, crawl_delay_ms,
          |    CAST(row_number() OVER (PARTITION BY host
          |      ORDER BY n_refs DESC, url) AS INT) AS host_pos
          |  FROM a)
-         |SELECT url, host, crawl_delay, host_pos,
-         |  CAST((host_pos - 1) * crawl_delay AS BIGINT) AS fetch_at_sec
+         |SELECT url, host, crawl_delay_ms, host_pos,
+         |  CAST((host_pos - 1) * crawl_delay_ms AS BIGINT) AS fetch_at_ms
          |FROM q""".stripMargin,
 
 

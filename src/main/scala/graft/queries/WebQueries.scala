@@ -294,10 +294,11 @@ object WebQueries {
     },
 
     // Frontier directives (Robots.parseDirectivesTable): `*`-group
-    // Crawl-delay (googlebot-group values must NOT apply, non-numeric
-    // ignored) + group-independent Sitemap collection in file order.
-    // The oracle is the expected directive rows as VALUES — the parser
-    // is validated through its output.
+    // Crawl-delay in integer MILLISECONDS (googlebot-group values must
+    // NOT apply, non-numeric ignored, and the fractional de-facto
+    // spelling 0.75 parses to 750 ms) + group-independent Sitemap
+    // collection in file order. The oracle is the expected directive
+    // rows as VALUES — the parser is validated through its output.
     "robots_directives" -> { (s, d) =>
       import s.implicits._
       val robots = Seq(
@@ -305,12 +306,13 @@ object WebQueries {
           "User-agent: *\nCrawl-delay: 2\nSitemap: https://example.com/sm1.xml\n\n" +
             "User-agent: googlebot\nCrawl-delay: 99\nSitemap: https://example.com/sm2.xml\n"),
         ("example.co.uk",
-          "User-agent: googlebot\nCrawl-delay: 7\n\nUser-agent: *\nDisallow: /x\n"),
+          "User-agent: googlebot\nCrawl-delay: 7\n\n" +
+            "User-agent: *\nCrawl-delay: 0.75\nDisallow: /x\n"),
         ("sample.org",
           "Sitemap: https://sample.org/a.xml # seed\nUser-agent: *\nCrawl-delay: bogus\n"))
         .toDF("domain", "robots_txt")
       graft.ops.Robots.parseDirectivesTable(robots)
-        .select(col("domain"), col("crawl_delay"),
+        .select(col("domain"), col("crawl_delay_ms"),
           array_join(col("sitemaps"), ",").as("sitemaps_csv"))
     },
 
@@ -400,9 +402,11 @@ object WebQueries {
 
     // RFC 9309 §2.3.1 fetch-status semantics (Robots.rulesFromHttp):
     // 2xx parses, 4xx = unavailable -> crawl as if no rules (body must
-    // be IGNORED), 5xx/3xx = unreachable -> complete disallow, NULL
-    // status = a bare robots.txt body. Oracle restates the expected
-    // rule rows.
+    // be IGNORED), 5xx = unreachable -> complete disallow, an
+    // UNRESOLVED 3xx = unavailable per §2.3.1.2 (redirects are followed
+    // upstream via Warc.resolveRedirects; an exhausted chain means no
+    // rules), NULL status = a bare robots.txt body. Oracle restates
+    // the expected rule rows.
     "robots_from_http" -> { (s, d) =>
       import s.implicits._
       val responses = Seq(
@@ -832,7 +836,6 @@ object WebQueries {
         |  ('ok.example', FALSE, '/private'),
         |  ('ok.example', TRUE,  '/private/pub'),
         |  ('down.example', FALSE, '/'),
-        |  ('moved.example', FALSE, '/'),
         |  ('raw.example', FALSE, '/raw'))
         |  AS t(domain, allow, prefix)""".stripMargin,
 
@@ -881,11 +884,11 @@ object WebQueries {
 
     "robots_directives" ->
       """SELECT * FROM (VALUES
-        |  ('example.com', CAST(2 AS BIGINT),
+        |  ('example.com', CAST(2000 AS BIGINT),
         |   'https://example.com/sm1.xml,https://example.com/sm2.xml'),
-        |  ('example.co.uk', CAST(NULL AS BIGINT), ''),
+        |  ('example.co.uk', CAST(750 AS BIGINT), ''),
         |  ('sample.org', CAST(NULL AS BIGINT), 'https://sample.org/a.xml'))
-        |  AS t(domain, crawl_delay, sitemaps_csv)""".stripMargin,
+        |  AS t(domain, crawl_delay_ms, sitemaps_csv)""".stripMargin,
 
     "url_domain_prior" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -231,12 +231,16 @@ object TfRecord {
             if ((lt >> 3) == 1 && (lt & 7) == 2) {
               val v = l.lenDelim()
               while (v.hasMore) {
+                // copyOfRange would silently ZERO-PAD past v.end — a
+                // truncated (but CRC-valid) FloatList must fail loudly
+                require(v.i + 4 <= v.end, "truncated float")
                 out += java.lang.Float.intBitsToFloat(
                   readLe(java.util.Arrays.copyOfRange(v.b, v.i, v.i + 4),
                     4).toInt)
                 v.i += 4
               }
             } else if ((lt >> 3) == 1 && (lt & 7) == 5) {
+              require(l.i + 4 <= l.end, "truncated float")
               out += java.lang.Float.intBitsToFloat(
                 readLe(java.util.Arrays.copyOfRange(l.b, l.i, l.i + 4),
                   4).toInt)

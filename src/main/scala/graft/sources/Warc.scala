@@ -219,7 +219,14 @@ object Warc {
     * response statuses; each hop is one equi-join of the state on
     * cur_uri — redirect rows are a small fraction of a crawl, so the
     * build side stays broadcast-able and non-redirecting rows pass
-    * through untouched. */
+    * through untouched.
+    *
+    * Duplicate captures of the same URI (common in real crawl sets)
+    * would multiply rows at every hop join, so the STEP table is built
+    * from one deterministically-chosen capture per URI — min
+    * (status, location) with NULLs last — while the output still
+    * carries one row per INPUT row (each capture resolves through the
+    * same collapsed chain). */
   def resolveRedirects(responses: DataFrame, maxHops: Int = 4,
                        uriCol: String = "target_uri",
                        statusCol: String = "status",
@@ -230,10 +237,19 @@ object Warc {
       s.between(300, 399) && l.isNotNull
     val base = responses.select(col(uriCol).as("uri"),
       col(statusCol).cast("int").as("st"), col(locationCol).as("loc"))
-    val step = base
+    // one capture per uri for the chain-walk: min over a struct whose
+    // leading keys are non-null (NULL status/location sort LAST), the
+    // true st/loc riding along — total order, engine-deterministic
+    val dedupBase = base.groupBy(col("uri"))
+      .agg(min(struct(
+        coalesce(col("st"), lit(Int.MaxValue)).as("sk"),
+        coalesce(col("loc"), lit("￿")).as("lk"),
+        col("st"), col("loc"))).as("m"))
+      .select(col("uri"), col("m.st").as("st"), col("m.loc").as("loc"))
+    val step = dedupBase
       .filter(isRedir(col("st"), col("loc")))
       .select(col("uri").as("from_uri"), col("loc").as("to_uri"))
-      .join(base.select(col("uri").as("to_uri"), col("st").as("to_st"),
+      .join(dedupBase.select(col("uri").as("to_uri"), col("st").as("to_st"),
         col("loc").as("to_loc")), Seq("to_uri"), "left")
       .select(col("from_uri"), col("to_uri"), col("to_st"), col("to_loc"))
     var cur = base.select(col("uri"), col("uri").as("cur_uri"),

@@ -34,7 +34,7 @@ import graft.ops.{CacheRegistry, Frontier, LinkGraph}
 object FrontierStream {
 
   /** One micro-batch. `seeds` (url), `rules` (domain, allow, prefix)
-    * and `directives` (domain, crawl_delay, ...) are the standing
+    * and `directives` (domain, crawl_delay_ms, ...) are the standing
     * crawl configuration. Exposed for tests and cron-style reruns. */
   def ingestBatch(spark: SparkSession, stateDir: String, pages: DataFrame,
                   seeds: DataFrame, rules: DataFrame, directives: DataFrame,

@@ -106,5 +106,14 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val d = EventAnalytics.experimentLift(allConv, "variant", "user_id",
       col("event_type") === "goal").collect().head
     assert(d.getDouble(4) == 1.0 && d.getDouble(5) == 1.0 && d.isNullAt(7))
+    // a stray third arm is EXCLUDED (the documented two-arm contract):
+    // counts match the same events with the arm-2 rows removed
+    val threeArm = events.union(
+      Seq((7L, 2, "goal"), (8L, 2, "x")).toDF("user_id", "variant",
+        "event_type"))
+    val t = EventAnalytics.experimentLift(threeArm, "variant", "user_id",
+      col("event_type") === "goal").collect().head
+    assert(t.getLong(0) == 3 && t.getLong(1) == 2 &&
+      t.getLong(2) == 2 && t.getLong(3) == 1)
   }
 }

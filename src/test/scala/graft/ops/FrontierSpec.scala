@@ -10,7 +10,8 @@ class FrontierSpec extends AnyFunSuite {
 
   test("build: dedup+count, robots gate, rank/delay annotation, host queues") {
     val robots = Seq(
-      ("a.com", "User-agent: *\nDisallow: /*.pdf$\nCrawl-delay: 4\n"),
+      // fractional delay: the common de-facto spelling, carried as ms
+      ("a.com", "User-agent: *\nDisallow: /*.pdf$\nCrawl-delay: 4.5\n"),
       ("b.net", "User-agent: *\n")).toDF("domain", "robots_txt")
     val candidates = Seq(
       "https://a.com/page1",            // 2 refs (with the variant below)
@@ -26,10 +27,17 @@ class FrontierSpec extends AnyFunSuite {
       .collect().sortBy(r => (r._2, r._7))
     assert(got.toSeq == Seq(
       // host a.com queue: page1 first (2 refs), page2 second; pdf gone
-      ("https://a.com/page1", "a.com", "a.com", 2L, 500000L, 4L, 1),
-      ("https://a.com/page2", "a.com", "a.com", 1L, 500000L, 4L, 2),
-      // unknown-rank host, no crawl-delay directive -> defaults (0, 1)
-      ("https://b.net/only", "b.net", "b.net", 1L, 0L, 1L, 1)))
+      ("https://a.com/page1", "a.com", "a.com", 2L, 500000L, 4500L, 1),
+      ("https://a.com/page2", "a.com", "a.com", 1L, 500000L, 4500L, 2),
+      // unknown-rank host, no delay directive -> defaults (0, 1000 ms)
+      ("https://b.net/only", "b.net", "b.net", 1L, 0L, 1000L, 1)))
+    // the schedule is exact integer ms: page2 fetches 4500 ms in
+    val sched = Frontier.schedule(Frontier.build(candidates, "url",
+      Robots.parseRulesTable(robots), Robots.parseDirectivesTable(robots),
+      ranks))
+      .select("url", "fetch_at_ms").as[(String, Long)].collect().toMap
+    assert(sched("https://a.com/page1") == 0L)
+    assert(sched("https://a.com/page2") == 4500L)
   }
 
   test("visited URLs drop from the queue (any spelling), refs intact") {

@@ -15,6 +15,7 @@ class RankingMetricsSpec extends AnyFunSuite {
   // query 2: rel at rank 2 only, R=3 (recall 1/3)
   // query 3: nothing relevant found, R=1
   // query 4: no qrels at all
+  // query 5: judged (R=1) but the ranking returns NOTHING for it
   private val ranking = Seq(
     (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
     (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
@@ -23,7 +24,8 @@ class RankingMetricsSpec extends AnyFunSuite {
   private val qrels = Seq(
     (1L, 10L), (1L, 12L),
     (2L, 21L), (2L, 90L), (2L, 91L),
-    (3L, 99L))
+    (3L, 99L),
+    (5L, 50L))
 
   test("hand-computed metrics at k=3, all edge cases") {
     val out = RankingMetrics.evaluate(
@@ -57,6 +59,13 @@ class RankingMetricsSpec extends AnyFunSuite {
     val q4 = out(4L)
     assert(q4.getLong(3) == 0 && q4.getDouble(5) == 0.0 &&
       q4.getLong(7) == 0L && q4.getDouble(8) == 0.0)
+    // q5: judged but unreturned — must APPEAR and score 0 (not vanish
+    // from the mean); idcg reflects its R=1 judgment set
+    val q5 = out(5L)
+    assert(q5.getLong(1) == 0 && q5.getLong(2) == 0 && q5.getLong(3) == 1)
+    assert(q5.getDouble(4) == 0.0 && q5.getDouble(5) == 0.0)
+    assert(q5.getLong(6) == 0L && q5.getLong(7) == g(1) &&
+      q5.getDouble(8) == 0.0)
   }
 
   test("micro-unit literals match their definitions") {

@@ -33,12 +33,27 @@ class RobotsSpec extends AnyFunSuite {
       "Sitemap: https://s/pre.xml\n" +
         "User-agent: googlebot\nCrawl-delay: 99\nSitemap: https://s/g.xml\n\n" +
         "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n")
-    assert(d1.contains(3L)) // googlebot's 99 must not apply
+    assert(d1.contains(3000L)) // googlebot's 99 must not apply; 3 s = 3000 ms
     assert(m1 == Seq("https://s/pre.xml", "https://s/g.xml")) // file order
     val (d2, m2) = Robots.parseDirectives(
       "User-agent: *\nCrawl-delay: bogus\n")
     assert(d2.isEmpty && m2.isEmpty) // non-numeric ignored
     assert(Robots.parseDirectives(null) == (None, Nil))
+    // fractional seconds (the common de-facto spelling) parse to ms
+    assert(Robots.parseDirectives(
+      "User-agent: *\nCrawl-delay: 0.5\n")._1.contains(500L))
+    assert(Robots.parseDirectives(
+      "User-agent: *\nCrawl-delay: 2.25\n")._1.contains(2250L))
+    // sub-ms digits truncate; bare trailing dot is whole seconds
+    assert(Robots.parseDirectives(
+      "User-agent: *\nCrawl-delay: 1.2345\n")._1.contains(1234L))
+    assert(Robots.parseDirectives(
+      "User-agent: *\nCrawl-delay: 2.\n")._1.contains(2000L))
+    // malformed decimals stay ignored
+    assert(Robots.parseDirectives(
+      "User-agent: *\nCrawl-delay: 1.2.3\n")._1.isEmpty)
+    assert(Robots.parseDirectives(
+      "User-agent: *\nCrawl-delay: -1\n")._1.isEmpty)
   }
 
   test("gate: longest match, allow-beats-disallow tie, defaults") {
@@ -83,9 +98,9 @@ class RobotsSpec extends AnyFunSuite {
     // default stays the * view
     assert(Robots.parseRules(txt) == Seq((false, "/star")))
     // crawl-delay follows the same selection; last chosen-group wins
-    assert(Robots.parseDirectives(txt, "otherbot")._1.contains(9L))
-    assert(Robots.parseDirectives(txt, "strangebot")._1.contains(3L))
-    assert(Robots.parseDirectives(txt)._1.contains(3L))
+    assert(Robots.parseDirectives(txt, "otherbot")._1.contains(9000L))
+    assert(Robots.parseDirectives(txt, "strangebot")._1.contains(3000L))
+    assert(Robots.parseDirectives(txt)._1.contains(3000L))
   }
 
   test("compilePattern: literals pass through, *, trailing $, escapes") {

@@ -41,6 +41,28 @@ class TfRecordSpec extends AnyFunSuite {
     flt.foreach { case (k, v) => assert(df(k).toSeq == v.toSeq, k) }
   }
 
+  test("truncated FloatList fails loudly, not with zero-padded floats") {
+    // a valid float feature, then its bytes cut mid-float: the decoder
+    // must throw (copyOfRange would otherwise zero-pad silently)
+    val good = TfRecord.encodeExample(Seq.empty, Seq.empty,
+      Seq("w" -> Array(1.5f, -2.25f)))
+    // hand-build nested wire bytes whose packed float payload is a
+    // SELF-CONSISTENT 3 bytes (every outer length matches, so the
+    // generic lenDelim checks all pass) — only the 4-byte float read
+    // itself can notice the truncation
+    val bad = Array[Byte](
+      0x0a, 0x0e,             // Example.features, len 14
+      0x0a, 0x0c,             // map entry, len 12
+      0x0a, 0x01, 'w'.toByte, // key "w"
+      0x12, 0x07,             // Feature, len 7
+      0x12, 0x05,             // FloatList, len 5
+      0x0a, 0x03,             // packed floats: 3 bytes — not 4k
+      0x00, 0x00, 0x00)
+    assertThrows[IllegalArgumentException] { TfRecord.decodeExample(bad) }
+    // and the well-formed sibling still round-trips
+    assert(TfRecord.decodeExample(good)._3("w").toSeq == Seq(1.5f, -2.25f))
+  }
+
   test("framing: stream round-trip; a flipped byte fails the crc") {
     val recs = Seq("one", "two", "three").map(
       s => TfRecord.encodeExample(Seq.empty, Seq("t" -> s.getBytes)))

@@ -118,6 +118,26 @@ class WarcSpec extends AnyFunSuite {
     assert(got("https://s/plain") == (("https://s/plain", Some(200), 0, true)))
   }
 
+  test("resolveRedirects: duplicate captures don't multiply rows") {
+    // /dup captured TWICE (both 301 -> /t); /t itself captured twice.
+    // The step table collapses to one capture per uri (min (st, loc),
+    // NULLs last), so each input row resolves exactly once.
+    val rs = Seq(
+      ("https://s/dup", 301, "https://s/t"),
+      ("https://s/dup", 301, "https://s/t"),
+      ("https://s/t", 200, null),
+      ("https://s/t", 410, null))
+      .toDF("target_uri", "status", "location")
+    val out = Warc.resolveRedirects(rs, maxHops = 4).collect()
+    assert(out.length == 4) // one row per INPUT row, no join fan-out
+    val dupRows = out.filter(_.getString(0) == "https://s/dup")
+    assert(dupRows.length == 2)
+    // deterministic pick: min status 200 wins for the /t lookup
+    assert(dupRows.forall(r =>
+      r.getString(1) == "https://s/t" && r.getInt(3) == 1 &&
+        r.getBoolean(4) && r.get(2) == 200))
+  }
+
   test("decodeBody: declared charsets, fallback, replacement, null body") {
     val rows = Seq(
       (1L, "windows-1252", Array(0x80.toByte, 'a'.toByte)), // € then a

@@ -27,7 +27,7 @@ class FrontierStreamSpec extends AnyFunSuite {
 
   private def frontierOf(stateDir: String): Set[(String, String, Long, Long, Long, Int)] =
     spark.read.parquet(s"$stateDir/frontier")
-      .select("url", "host", "n_refs", "rank_micro", "crawl_delay", "host_pos")
+      .select("url", "host", "n_refs", "rank_micro", "crawl_delay_ms", "host_pos")
       .as[(String, String, Long, Long, Long, Int)].collect().toSet
 
   private def batchFrontier(pages: Seq[(Long, String, String)])
@@ -60,7 +60,7 @@ class FrontierStreamSpec extends AnyFunSuite {
     assert(f1 == batchFrontier(wave1), "wave 1: stream == batch")
     assert(f1.exists(_._1 == "https://z.example.com/seed"),
       "seed rides the queue")
-    assert(f1.forall(_._5 == 3L), "crawl delay annotates every row")
+    assert(f1.forall(_._5 == 3000L), "crawl delay (ms) annotates every row")
 
     // wave 2: one already-known link (no n_refs drift) + one new host
     val wave2 = Seq(
