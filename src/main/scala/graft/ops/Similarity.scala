@@ -182,12 +182,16 @@ object Similarity {
       .fit(corpus.select(array_to_vector(col(vecCol)).as("features")))
   }
 
-  /** (query_id, qvec, cell) — each query exploded to its nProbe nearest
-    * centroids; centers are driver-side literals (the coarse quantizer
-    * is nCentroids rows — FAISS keeps it in RAM the same way). */
+  /** (query_id, qvec, cell[, keep...]) — each query exploded to its
+    * nProbe nearest centroids; centers are driver-side literals (the
+    * coarse quantizer is nCentroids rows — FAISS keeps it in RAM the
+    * same way). `keep` columns (e.g. the anchor's label for the ANN
+    * miners) ride along untouched. */
   private def probeCells(queries: DataFrame, centers: Array[Array[Double]],
-                         nProbe: Int, idCol: String, vecCol: String): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+                         nProbe: Int, idCol: String, vecCol: String,
+                         keep: Seq[Column] = Nil): DataFrame = {
+    val q = queries.select(
+      (col(idCol).as("query_id") +: col(vecCol).as("qvec") +: keep): _*)
     val cellDists = array(centers.zipWithIndex.toIndexedSeq.map {
       case (ctr, i) =>
         struct(
@@ -198,7 +202,8 @@ object Similarity {
     }: _*)
     q.withColumn("probe",
       explode(slice(array_sort(cellDists), 1, nProbe)))
-      .select(col("query_id"), col("qvec"), col("probe.cell").as("cell"))
+      .withColumn("cell", col("probe.cell"))
+      .drop("probe")
   }
 
   private def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
@@ -238,30 +243,111 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    quantize: Boolean = false): Unit = {
+                    quantize: Boolean = false,
+                    labelCol: Option[String] = None,
+                    centers: Option[Array[Array[Double]]] = None): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val model = fitQuantizer(corpus, nCentroids, idCol, vecCol)
-    model.clusterCenters.zipWithIndex
-      .map { case (ctr, i) => (i, ctr.toArray) }.toSeq
+    val ctrs: Array[Array[Double]] = centers.getOrElse(
+      fitQuantizer(corpus, nCentroids, idCol, vecCol)
+        .clusterCenters.map(_.toArray))
+    ctrs.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toIndexedSeq) }.toSeq
       .toDF("cell", "centroid")
       .repartition(1) // nCentroids rows: one tiny file
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    val assigned = model.transform(
-      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-        .withColumn("features", array_to_vector(col("cvec"))))
+    // assignment against literal centers: a shuffle-free projection,
+    // identical for fitted and supplied quantizers (KMeans.transform is
+    // the same argmin-L2 — routing through one code path keeps append
+    // and build byte-compatible)
+    val keep = labelCol.map(l => col(l).as("label")).toSeq
+    val base = corpus.select(
+      (col(idCol).as("corpus_id") +: col(vecCol).as("cvec") +: keep): _*)
+    val assigned = base.withColumn("cell", assignCellL2(col("cvec"), ctrs))
     val payload =
       if (quantize)
-        assigned.select(col("corpus_id"),
-          graft.functions.PackInt8Expr(quantizeInt8(col("cvec")))
-            .as("cvec_q"),
-          int8Scale(col("cvec")).as("cscale"),
-          col("prediction").as("cell"))
-      else
-        assigned.select(col("corpus_id"), col("cvec"),
-          col("prediction").as("cell"))
+        assigned.select(
+          (col("corpus_id") +:
+            graft.functions.PackInt8Expr(quantizeInt8(col("cvec")))
+              .as("cvec_q") +:
+            int8Scale(col("cvec")).as("cscale") +: keep) :+ col("cell"): _*)
+      else assigned
     payload.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+  }
+
+  /** The `nCentroids` lowest-id vectors of `corpus` as a DETERMINISTIC
+    * coarse quantizer (the [[semanticDedupPairs]] convention made
+    * reusable): engine-portable — every index stage downstream replays
+    * exactly in the DuckDB oracle, unlike a fitted KMeans. Collects
+    * nCentroids rows (the RAM-resident-quantizer bound). */
+  def lowestIdCenters(corpus: DataFrame, nCentroids: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] =
+    corpus.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Argmin-L2 cell of a vector against literal centers (ties to the
+    * lowest cell): min over (dist, cell) structs, dist the same
+    * left-to-right zip_with/aggregate fold as [[probeCells]] — build
+    * assignment and query probing MUST agree on the metric or probed
+    * cells miss their own members. Shuffle-free projection. */
+  private def assignCellL2(vec: Column,
+                           centers: Array[Array[Double]]): Column =
+    array_min(array(centers.zipWithIndex.toIndexedSeq.map {
+      case (ctr, i) =>
+        struct(
+          aggregate(zip_with(vec, lit(ctr),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (a, v) => a + v).as("dist"),
+          lit(i).as("cell"))
+    }: _*)).getField("cell")
+
+  /** Append a NEW batch of vectors to a persisted IVF index — the
+    * [[graft.ops.TextSearch.appendToInvertedIndex]] segment model one
+    * surface over: the standing quantizer (centroids table) is read
+    * back and the batch is assigned against it as literal centers, so
+    * the append writes ONLY the batch's rows as new files inside the
+    * same cell partitions (pure parquet append — no rewrite, no
+    * read-modify-write race with concurrent probes, and probe-time
+    * behavior is unchanged because [[queryIvfIndex]] never cared how
+    * many files a cell holds). Cost tracks the BATCH (one shuffle-free
+    * assignment projection + one write), never the standing index —
+    * the property that keeps a 100 TB vector index maintainable under
+    * a streaming corpus.
+    *
+    * Contract: batch ids must be new to the index (dedup first — the
+    * [[appendToInvertedIndex]] convention); the batch is stored in the
+    * index's own layout (quantized iff the index is, label column iff
+    * the index has one — detected from the standing schema). NOTE the
+    * quantizer is NOT refit: cells drift as the corpus distribution
+    * drifts, which is the FAISS operational trade too (refit + rebuild
+    * when recall degrades; [[buildIvfIndex]] is that path). */
+  def appendToIvfIndex(batch: DataFrame, dir: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val ctrs = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val standing = spark.read.parquet(s"$dir/assignments")
+    val quantized = standing.columns.contains("cvec_q")
+    val labeled = standing.columns.contains("label")
+    val keep = if (labeled) Seq(col("label")) else Nil
+    val base = batch.select(
+      (col(idCol).as("corpus_id") +: col(vecCol).as("cvec") +: keep): _*)
+    val assigned = base.withColumn("cell", assignCellL2(col("cvec"), ctrs))
+    val payload =
+      if (quantized)
+        assigned.select(
+          (col("corpus_id") +:
+            graft.functions.PackInt8Expr(quantizeInt8(col("cvec")))
+              .as("cvec_q") +:
+            int8Scale(col("cvec")).as("cscale") +: keep) :+ col("cell"): _*)
+      else assigned
+    payload.write.mode("append").partitionBy("cell")
       .parquet(s"$dir/assignments")
   }
 
@@ -290,6 +376,89 @@ object Similarity {
       else raw
     val probed = probeCells(queries, centers, nProbe, idCol, vecCol)
     rankCandidates(assigned.join(broadcast(probed), Seq("cell")), k)
+  }
+
+  /** ANN-backed hard-negative mining — [[hardNegatives]] at corpus
+    * scale: anchors route through a persisted IVF index
+    * ([[buildIvfIndex]] with `labelCol` set) instead of cross-joining
+    * the corpus. Each anchor probes its `nProbe` nearest cells and
+    * ranks ONLY different-label members of those cells (the label
+    * filter applied in-cell, below the rank window) — so with anchors
+    * = the whole corpus (the real contrastive-training shape) the cost
+    * is |corpus| · nProbe/nCentroids candidate rows through one
+    * cell-keyed join, never the |corpus|² all-pairs of the exact
+    * baseline.
+    *
+    * Scale shape: the anchor side is NOT broadcast (anchors are
+    * corpus-sized in the mining use case) — both sides shuffle on
+    * `cell`, the corpus side pre-partitioned on disk by cell; size
+    * nCentroids ~ sqrt(corpus) in production so the key has real
+    * cardinality. Labels are stored IN the index, so no corpus-sized
+    * label join rides the probe.
+    *
+    * Output contract identical to [[hardNegatives]] (query_id,
+    * corpus_id, rank, cos, neg_label) — same tie-breaks, same
+    * rounding — so recall@k vs the brute miner is well-defined
+    * (recorded in COVERAGE.md §ANN recall; top-1 recovery on planted
+    * structure pinned in SimilaritySpec). */
+  def hardNegativesAnn(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, anchors: DataFrame, k: Int,
+                       nProbe: Int = 4, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame =
+    minePairsAnn(spark, dir, anchors, k, nProbe, idCol, vecCol, labelCol,
+      positive = false)
+
+  /** The positives side of the ANN mining pair — [[positivePairs]]
+    * through the same IVF route as [[hardNegativesAnn]]: same-label
+    * candidates within the probed cells. Output (query_id, corpus_id,
+    * rank, cos). */
+  def positivePairsAnn(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, anchors: DataFrame, k: Int,
+                       nProbe: Int = 4, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame =
+    minePairsAnn(spark, dir, anchors, k, nProbe, idCol, vecCol, labelCol,
+      positive = true)
+
+  private def minePairsAnn(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, anchors: DataFrame, k: Int,
+                           nProbe: Int, idCol: String, vecCol: String,
+                           labelCol: String, positive: Boolean): DataFrame = {
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val raw = spark.read.parquet(s"$dir/assignments")
+    require(raw.columns.contains("label"),
+      s"IVF index at $dir carries no label column — build with labelCol")
+    val assigned =
+      if (raw.columns.contains("cvec_q"))
+        raw.select(col("corpus_id"),
+          graft.functions.UnpackInt8Expr(col("cvec_q"), col("cscale"))
+            .as("cvec"),
+          col("label").as("c_label"), col("cell"))
+      else raw.select(col("corpus_id"), col("cvec"),
+        col("label").as("c_label"), col("cell"))
+    val probed = probeCells(anchors, centers, nProbe, idCol, vecCol,
+      keep = Seq(col(labelCol).as("q_label")))
+    // label predicate BELOW the rank window: per-anchor window state
+    // stays k-bounded over fewer candidates (the hardNegatives shape)
+    val labelPred =
+      if (positive) col("c_label") === col("q_label")
+      else col("c_label") =!= col("q_label")
+    val scored = assigned.join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id") && labelPred)
+      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    if (positive)
+      ranked.select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+    else
+      ranked.select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 6).as("cos"), col("c_label").as("neg_label"))
   }
 
   // ---- int8 embedding quantization ----------------------------------

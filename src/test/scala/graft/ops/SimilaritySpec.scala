@@ -367,6 +367,106 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 999L)))
   }
 
+  // 4 tight clusters on orthogonal axes, 6 members each, ids
+  // INTERLEAVED (id = j*4 + c) so lowestIdCenters(_, 4) = ids 0..3 =
+  // one center per cluster; labels alternate INSIDE each cluster, so
+  // every anchor's hardest negative (nearest different-label vector)
+  // sits in its OWN cell — the structure an IVF-routed miner must
+  // recover exactly.
+  private def clusteredLabeled = {
+    val rows = for (c <- 0 until 4; j <- 0 until 6) yield {
+      val r = new scala.util.Random(c * 100 + j)
+      val v = Array.tabulate(8)(i =>
+        (if (i == c) 1.0f else 0.0f) + r.nextGaussian().toFloat * 0.05f)
+      ((j * 4 + c).toLong, v, if (j % 2 == 0) "A" else "B")
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("ANN miners: IVF route recovers the brute miners' top-1 on " +
+    "clustered structure; positives agree too") {
+    val vecs = clusteredLabeled
+    val dir = TestSpark.tmpDir("ivf_miner")
+    Similarity.buildIvfIndex(vecs, dir, nCentroids = 4,
+      labelCol = Some("label"),
+      centers = Some(Similarity.lowestIdCenters(vecs, 4)))
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rank") === 1)
+        .select(col("query_id").cast("long"), col("corpus_id").cast("long"))
+        .as[(Long, Long)].collect().toMap
+    // anchors = the WHOLE corpus (the real mining shape)
+    val bruteHn = top1(Similarity.hardNegatives(vecs, vecs, k = 3))
+    val annHn = top1(Similarity.hardNegativesAnn(spark, dir, vecs,
+      k = 3, nProbe = 2))
+    assert(annHn == bruteHn,
+      s"ANN hard-negative top-1 diverged: $annHn vs $bruteHn")
+    val brutePp = top1(Similarity.positivePairs(vecs, vecs, k = 3))
+    val annPp = top1(Similarity.positivePairsAnn(spark, dir, vecs,
+      k = 3, nProbe = 2))
+    assert(annPp == brutePp)
+    // the mined negative really is cross-label on every anchor
+    val labels = vecs.select(col("vec_id"), col("label"))
+      .as[(Long, String)].collect().toMap
+    annHn.foreach { case (q, c) => assert(labels(q) != labels(c)) }
+    // an unlabeled index refuses to mine (fail loudly, not empty)
+    val bare = TestSpark.tmpDir("ivf_nolabel")
+    Similarity.buildIvfIndex(vecs, bare, nCentroids = 4,
+      centers = Some(Similarity.lowestIdCenters(vecs, 4)))
+    assertThrows[IllegalArgumentException] {
+      Similarity.hardNegativesAnn(spark, bare, vecs, k = 1)
+    }
+  }
+
+  test("appendToIvfIndex: append == full rebuild (same quantizer); " +
+    "files only ever added; quantized + labeled layouts detected") {
+    val full = corpus
+    val build = full.filter(col("vec_id") % 5 =!= 0)
+    val batch = full.filter(col("vec_id") % 5 === 0)
+    val centers = Similarity.lowestIdCenters(build, 8)
+    val appended = TestSpark.tmpDir("ivf_append")
+    Similarity.buildIvfIndex(build, appended, nCentroids = 8,
+      centers = Some(centers))
+    def files(d: String): Set[String] =
+      new java.io.File(s"$d/assignments").listFiles.filter(_.isDirectory)
+        .flatMap(_.listFiles).map(_.getPath.stripPrefix(d))
+        .filter(_.endsWith(".parquet")).toSet
+    val before = files(appended)
+    Similarity.appendToIvfIndex(batch, appended)
+    // pure append: every pre-existing file still present, new ones added
+    val after = files(appended)
+    assert(before.subsetOf(after) && after.size > before.size)
+    // equality oracle: an index built over EVERYTHING with the same
+    // centers answers identically
+    val rebuilt = TestSpark.tmpDir("ivf_rebuild")
+    Similarity.buildIvfIndex(full, rebuilt, nCentroids = 8,
+      centers = Some(centers))
+    val q = full.filter(col("vec_id") < 4)
+    def ranked(d: String) =
+      Similarity.queryIvfIndex(spark, d, q, k = 5, nProbe = 3)
+        .select("query_id", "corpus_id", "rank", "cos")
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(ranked(appended).toSeq == ranked(rebuilt).toSeq)
+    // int8 layout: the append detects cvec_q and stores quantized
+    val qdir = TestSpark.tmpDir("ivf_append_q")
+    Similarity.buildIvfIndex(build, qdir, nCentroids = 8,
+      quantize = true, centers = Some(centers))
+    Similarity.appendToIvfIndex(batch, qdir)
+    val qdf = spark.read.parquet(s"$qdir/assignments")
+    assert(qdf.schema("cvec_q").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(qdf.count() == full.count())
+    // labeled layout: the label column survives the append
+    val labeled = clusteredLabeled
+    val ldir = TestSpark.tmpDir("ivf_append_l")
+    Similarity.buildIvfIndex(labeled.filter(col("vec_id") < 12), ldir,
+      nCentroids = 4, labelCol = Some("label"),
+      centers = Some(Similarity.lowestIdCenters(labeled, 4)))
+    Similarity.appendToIvfIndex(labeled.filter(col("vec_id") >= 12), ldir)
+    val ldf = spark.read.parquet(s"$ldir/assignments")
+    assert(ldf.columns.contains("label") && ldf.count() == 24 &&
+      ldf.filter(col("label").isNull).count() == 0)
+  }
+
   test("hardNegatives: same-label near-twin excluded, hardest " +
     "different-label vector ranks first") {
     import org.apache.spark.sql.functions.col
