@@ -158,7 +158,16 @@ object Bench {
     // the pipeline last mile e2e: pack bins -> tf.Example shards -> decode
     "pack_to_shards_e2e",
     // contrastive pair mining: brute ranking over cross-label candidates
-    "hard_negatives", "positive_pairs")
+    "hard_negatives", "positive_pairs",
+    // round-10: the ANN-routed miners (corpus-sized anchors through the
+    // persisted IVF index — cell-keyed join, never all-pairs; the
+    // number to hold against the brute pair above), the incremental
+    // IVF append (build+append cached per dir; the probe is timed),
+    // and the raw-HTTP curation e2e (WARC bytes -> TFRecord shards;
+    // the shard build caches per dir — the CRC-verified decode is
+    // the timed read path, the pack_to_shards convention)
+    "hard_negatives_ann", "positive_pairs_ann", "ann_ivf_index_upsert",
+    "curate_http_e2e")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -166,7 +175,8 @@ object Bench {
     * SQL-text representative (q5) stays on the line. */
   val lineExcluded: Set[String] = Set("sql_tpch_q10", "ann_lsh_topk",
     "dedup_drop_near", "vocab_oov_rate", "host_hits", "host_trustrank",
-    "host_distance", "sql_tpch_q18", "layout_hilbert")
+    "host_distance", "sql_tpch_q18", "layout_hilbert",
+    "positive_pairs_ann", "ann_ivf_index_upsert")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

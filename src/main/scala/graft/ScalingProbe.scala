@@ -183,7 +183,8 @@ object ScalingProbe {
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
-      val unknown = names -- chain.toSet - "quantile_cube" - "index_maintain"
+      val unknown = names -- chain.toSet - "quantile_cube" -
+        "index_maintain" - "ivf_maintain"
       require(unknown.isEmpty,
         s"unknown probe name(s): ${unknown.mkString(", ")}")
     }
@@ -214,21 +215,21 @@ object ScalingProbe {
       // 1x or 10x documents (segments never rewrite); the probe stays
       // hit-sized; the build (and compaction, which rewrites postings)
       // are the passes ALLOWED to grow with the corpus.
+      def timed(label: String)(f: => Unit): Unit = {
+        org.apache.spark.GraftMetricsBridge.flush(spark.sparkContext)
+        val cpu0 = listener.cpuNanos.get()
+        val t0 = System.nanoTime()
+        f
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.GraftMetricsBridge.flush(spark.sparkContext)
+        val cpu = (listener.cpuNanos.get() - cpu0) / 1e9
+        graft.ops.CacheRegistry.releaseAll()
+        println(f"""{"query":"$label","scale_x":$n,"rows":-1,"wall_sec":$wall%.3f,"cpu_sec":$cpu%.3f}""")
+      }
       if (only.isEmpty || only.exists(_.contains("index_maintain"))) {
         import graft.ops.TextSearch
         val docs = spark.read.parquet(s"$dir/documents.parquet")
         val idxDir = s"$dir/probe_idx"
-        def timed(label: String)(f: => Unit): Unit = {
-          org.apache.spark.GraftMetricsBridge.flush(spark.sparkContext)
-          val cpu0 = listener.cpuNanos.get()
-          val t0 = System.nanoTime()
-          f
-          val wall = (System.nanoTime() - t0) / 1e9
-          org.apache.spark.GraftMetricsBridge.flush(spark.sparkContext)
-          val cpu = (listener.cpuNanos.get() - cpu0) / 1e9
-          graft.ops.CacheRegistry.releaseAll()
-          println(f"""{"query":"$label","scale_x":$n,"rows":-1,"wall_sec":$wall%.3f,"cpu_sec":$cpu%.3f}""")
-        }
         timed("idx_build")(
           TextSearch.buildInvertedIndex(docs, idxDir))
         // the SAME batch at both scales: 5000 fixture docs, fresh ids
@@ -246,6 +247,34 @@ object ScalingProbe {
         timed("idx_probe_compacted")(
           TextSearch.queryInvertedIndex(spark, idxDir,
             Seq("dup", "key", "vector"), k = 15).collect())
+      }
+      // round-10: the IVF vector index's maintenance claim, mirroring
+      // idx_append_fixed one surface over — appending a FIXED vector
+      // batch must cost the same whether the standing index holds 1x
+      // or 10x vectors (assignment is a shuffle-free projection against
+      // the centroid table + a pure parquet append; the standing
+      // assignments are never read). The build is the pass allowed to
+      // grow; the probe must track probed-cell volume.
+      if (only.isEmpty || only.exists(_.contains("ivf_maintain"))) {
+        import graft.ops.Similarity
+        val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        val ivfDir = s"$dir/probe_ivf"
+        timed("ivf_build")(
+          Similarity.buildIvfIndex(vecs, ivfDir, nCentroids = 16))
+        // the SAME batch at both scales: 2000 fixture vectors, fresh ids
+        val batch = spark.read
+          .parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .limit(2000)
+          .select((col("vec_id") + 2000000000L).as("vec_id"),
+            col("embedding"))
+        timed("ivf_append_fixed")(
+          Similarity.appendToIvfIndex(batch, ivfDir))
+        val qs = spark.read
+          .parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .filter(col("vec_id") < 8)
+        timed("ivf_probe")(
+          Similarity.queryIvfIndex(spark, ivfDir, qs, k = 5, nProbe = 4)
+            .collect())
       }
       selected.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,

@@ -369,13 +369,31 @@ object LinkGraph {
     * the same per-round `localCheckpoint` lineage cut. All-integer, so
     * the DuckDB oracle unrolls the rounds and must match hash-exact.
     *
+    * Converged-BFS early exit: rounds stop as soon as one changes no
+    * distance. The check is two integer scalars off the (host-sized,
+    * checkpointed) dist table — reached-host count and dist sum — and
+    * is exact, not heuristic: hosts only ever get ADDED and dists only
+    * ever DECREASE, so (count, sum) is unchanged iff the round was a
+    * fixed point, and BFS fixed points are terminal. maxHops=50 on a
+    * depth-3 graph pays 4 rounds, not 50 — and the result is
+    * unchanged by construction.
+    *
     * Returns (host, dist) for every graph node plus every seed; nodes
     * unreached within `maxHops` carry NULL. Seeds absent from the graph
     * still report dist 0 (a whitelist host with no observed links is
     * depth 0 by definition). */
   def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int,
                   srcCol: String = "src_host",
-                  dstCol: String = "dst_host"): DataFrame = {
+                  dstCol: String = "dst_host"): DataFrame =
+    hopDistanceWithRounds(edges, seeds, maxHops, srcCol, dstCol)._1
+
+  /** [[hopDistance]] plus the number of rounds actually executed —
+    * the early-exit observable (HopDistanceSpec pins that a depth-3
+    * graph under maxHops=50 stops after 4 rounds). */
+  private[graft] def hopDistanceWithRounds(
+      edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src_host",
+      dstCol: String = "dst_host"): (DataFrame, Int) = {
     require(maxHops >= 1 && maxHops <= 50, s"maxHops $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
@@ -387,15 +405,25 @@ object LinkGraph {
         .union(seedSet).distinct())
     var dist = seedSet.select(col("host"), lit(0).as("dist"))
       .localCheckpoint(true)
+    def fingerprint(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(dist)
     var it = 0
-    while (it < maxHops) {
+    var converged = false
+    while (it < maxHops && !converged) {
       val prop = eP.join(dist, eP("src") === dist("host"))
         .select(col("dst").as("host"), (col("dist") + 1).as("dist"))
       dist = dist.unionByName(prop)
         .groupBy(col("host")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
+      val next = fingerprint(dist)
+      converged = next == fp
+      fp = next
       it += 1
     }
-    nodes.join(dist, Seq("host"), "left")
+    (nodes.join(dist, Seq("host"), "left"), it)
   }
 }

@@ -166,6 +166,138 @@ object WebQueries {
   private val warcIdxCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  private val httpE2eCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The curate-pipeline page fixture shared by both e2e entries:
+    * base pages, exact dups (same html, fresh URL, +100000), near dups
+    * (first body word replaced, +200000), URL-variant re-crawls
+    * (+7000000). With `withCanonicalTags`, base pages at doc_id % 31
+    * additionally declare a SELF rel=canonical link (appended after
+    * the markup — position is irrelevant to extraction and the tag
+    * strips to nothing in the text chain, so the curate semantics are
+    * untouched for every stage except declared dedup). */
+  private def curateFixturePages(s: SparkSession, d: String,
+                                 withCanonicalTags: Boolean): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    val baseHtml =
+      if (withCanonicalTags)
+        concat(plantedHtml(id, col("text")),
+          when(id % 31 === 0, concat(lit("<link rel=\"canonical\" href=\""),
+            plantedUrl(id, col("source")), lit("\">"))).otherwise(lit("")))
+      else plantedHtml(id, col("text"))
+    val base = docs.select(id,
+      plantedUrl(id, col("source")).as("url"), baseHtml.as("html"))
+    // exact dup: identical page (same embedded id) at a fresh URL
+    val exactDups = docs.filter(id % 13 === 0)
+      .select((id + 100000L).as("doc_id"),
+        plantedUrl(id + 100000L, col("source")).as("url"),
+        plantedHtml(id, col("text")).as("html"))
+    // near dup: first word of the body replaced, fresh URL
+    val nearDups = docs.filter(id % 17 === 0)
+      .select((id + 200000L).as("doc_id"),
+        plantedUrl(id + 200000L, col("source")).as("url"),
+        plantedHtml(id,
+          concat(lit("zzz "),
+            expr("substring(text, instr(text, ' ') + 1)"))).as("html"))
+    // re-crawl: same canonical URL, page re-rendered (id + text same)
+    val recrawls = docs.filter(id % 11 === 0)
+      .select((id + 7000000L).as("doc_id"),
+        variantUrl(id, col("source")).as("url"),
+        plantedHtml(id, col("text")).as("html"))
+    base.unionByName(exactDups).unionByName(nearDups).unionByName(recrawls)
+  }
+
+  /** The eval set is FIXED-SIZE by construction (real benchmarks do
+    * not grow with the training corpus): the 50 smallest-id docs of
+    * the % 97 band, deterministic at any corpus scale — and the
+    * decontamination match volume stays benchmark-bounded instead of
+    * growing quadratically when a probe replicates the corpus. */
+  private def curateBenchmark(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(50).select(col("text"))
+
+  /** Build the curate_http_e2e shard dir: the page fixture wrapped as
+    * raw HTTP captures in .warc.gz archives plus the planted
+    * non-content records, run through the full HTTP curation chain,
+    * ending in TFRecord shards. Returns the shard dir. */
+  private def buildHttpE2eShards(s: SparkSession, d: String): String = {
+    import graft.sources.{TfRecord, Warc}
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    def http200(html: Column): Column = concat(
+      lit("HTTP/1.1 200 OK\r\nServer: graft-fixture\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n\r\n"), html)
+    // content captures: the shared fixture (with %31 self-canonicals)
+    val content = curateFixturePages(s, d, withCanonicalTags = true)
+      .select(col("doc_id"), col("url"), http200(col("html")).as("payload"))
+    // syndicated mobile copies (%31, +600000): first 10 body tokens
+    // only (shingle-Jaccard vs the base ~0.4 — BELOW the near-dup
+    // threshold), fresh URL, declaring the base as canonical: the one
+    // relationship ONLY declared-canonical dedup can collapse
+    val synd = docs.filter(id % 31 === 0)
+      .select((id + 600000L).as("doc_id"),
+        plantedUrl(id + 600000L, col("source")).as("url"),
+        http200(concat(
+          plantedHtml(id, array_join(
+            slice(split(trim(col("text")), "\\s+"), 1, 10), " ")),
+          lit("<link rel=\"canonical\" href=\""),
+          plantedUrl(id, col("source")), lit("\">"))).as("payload"))
+    // planted non-content captures, all of which the status/mime gate
+    // must drop: 404s (%19), non-HTTP payloads (%23), and 301s (%29)
+    // whose Location points at the base page — the redirect aliases
+    val notFound = docs.filter(id % 19 === 0)
+      .select((id + 300000L).as("doc_id"),
+        plantedUrl(id + 300000L, col("source")).as("url"),
+        concat(lit("HTTP/1.1 404 Not Found\r\n" +
+          "Content-Type: text/html\r\n\r\n"), col("text")).as("payload"))
+    val nonHttp = docs.filter(id % 23 === 0)
+      .select((id + 400000L).as("doc_id"),
+        plantedUrl(id + 400000L, col("source")).as("url"),
+        col("text").as("payload"))
+    val redirects301 = docs.filter(id % 29 === 0)
+      .select((id + 500000L).as("doc_id"),
+        plantedUrl(id + 500000L, col("source")).as("url"),
+        concat(lit("HTTP/1.1 301 Moved Permanently\r\nLocation: "),
+          plantedUrl(id, col("source")), lit("\r\n\r\n")).as("payload"))
+    val captures = content.unionByName(synd).unionByName(notFound)
+      .unionByName(nonHttp).unionByName(redirects301)
+    val warcDir = java.nio.file.Files
+      .createTempDirectory("graft_httpe2e_warc").toString
+    Warc.writeCorpus(captures, "doc_id", "url", "payload", warcDir)
+    // --- the chain: parse -> gate -> decode -> redirects -> declared
+    //     dedup -> curate -> shards
+    val resp = Warc.httpResponses(Warc.read(s, warcDir))
+    val aliases = Warc.resolveRedirects(resp)
+      .filter(col("resolved") && col("hops") >= 1)
+      .groupBy(col("final_uri").as("url"))
+      .agg(count(lit(1)).as("n_aliases"))
+    val pages = Warc.decodeBody(
+        resp.filter(col("status").between(200, 299) &&
+          col("mime") === "text/html"),
+        "body", "charset", "html")
+      .select(regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+        .cast("long").as("doc_id"),
+        col("target_uri").as("url"), col("html"))
+    val declWinners = UrlTools
+      .dedupByDeclaredCanonical(pages, "doc_id", "url", "html")
+      .select(col("id").as("doc_id"))
+    val declared = pages.join(declWinners, Seq("doc_id"), "left_semi")
+    val curated = graft.ops.CrawlCurate
+      .curatePages(declared, curateBenchmark(s, d))
+      .join(aliases, Seq("url"), "left")
+      .select(col("doc_id"), col("url"), col("text"),
+        round(col("quality") * 10000).cast("long").as("q4"), col("split"),
+        coalesce(col("n_aliases"), lit(0L)).as("n_aliases"))
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft_httpe2e_shards").toString
+    TfRecord.writeExamples(curated, shardDir,
+      Seq("doc_id", "q4", "n_aliases"), Seq("url", "text", "split"))
+    shardDir
+  }
+
   private def indexedWarcDir(s: SparkSession, d: String): String =
     warcIdxCache.getOrElseUpdate(d, {
       val r = java.nio.file.Files.createTempDirectory("graft_warc_idx").toString
@@ -483,43 +615,45 @@ object WebQueries {
     // The pipeline composed end to end (ops/CrawlCurate): pages with
     // planted exact dups (same html, different crawl URL), near dups
     // (one word changed), URL-variant re-crawls, and benchmark
-    // contamination, curated to (id, url, text, quality, split).
-    // MinHash near-dedup makes it non-SQL-expressible → rows-only here;
-    // CrawlCurateSpec asserts the exact surviving id set, and every
-    // component stage has its own hash-checked oracle entry.
+    // contamination, curated to (doc_id, url, text, q4, split).
+    // HASH-checked: the oracle replays every stage — the extract
+    // chain, canonical-URL winners, the quality gate, exact dedup,
+    // brute-force shingle-Jaccard pairs + recursive-CTE closure (LSH
+    // recall at j >= 0.7 is total on this corpus — planted near dups
+    // sit at j ~ 0.9, cross-doc boilerplate at ~0.05 — and the op
+    // verifies candidates with EXACT Jaccard, so the pair sets agree;
+    // the same argument the dedup_minhash_lsh oracle rests on),
+    // 5-gram decontamination, and the md5-threshold split. quality is
+    // carried as micro-units (q4) so the hash compares integers.
     "curate_crawl_e2e" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val base = docs.select(col("doc_id"),
-        plantedUrl(col("doc_id"), col("source")).as("url"),
-        plantedHtml(col("doc_id"), col("text")).as("html"))
-      // exact dup: identical page (same embedded id) at a fresh URL
-      val exactDups = docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"),
-          plantedUrl(col("doc_id") + 100000L, col("source")).as("url"),
-          plantedHtml(col("doc_id"), col("text")).as("html"))
-      // near dup: first word of the body replaced, fresh URL
-      val nearDups = docs.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 200000L).as("doc_id"),
-          plantedUrl(col("doc_id") + 200000L, col("source")).as("url"),
-          plantedHtml(col("doc_id"),
-            concat(lit("zzz "),
-              expr("substring(text, instr(text, ' ') + 1)"))).as("html"))
-      // re-crawl: same canonical URL, page re-rendered (id + text same)
-      val recrawls = docs.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 7000000L).as("doc_id"),
-          variantUrl(col("doc_id"), col("source")).as("url"),
-          plantedHtml(col("doc_id"), col("text")).as("html"))
-      val pages = base.unionByName(exactDups).unionByName(nearDups)
-        .unionByName(recrawls)
-      // the eval set is FIXED-SIZE by construction (real benchmarks do
-      // not grow with the training corpus): the 50 smallest-id docs of
-      // the % 97 band, deterministic at any corpus scale — and the
-      // decontamination match volume stays benchmark-bounded instead of
-      // growing quadratically when a probe replicates the corpus
-      val benchmark = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).limit(50).select(col("text"))
-      graft.ops.CrawlCurate.curatePages(pages, benchmark)
+      val pages = curateFixturePages(s, d, withCanonicalTags = false)
+      graft.ops.CrawlCurate.curatePages(pages, curateBenchmark(s, d))
+        .select(col("doc_id"), col("url"), col("text"),
+          round(col("quality") * 10000).cast("long").as("q4"), col("split"))
+    },
+
+    // The SAME curation from RAW HTTP CAPTURES in WARC archives — the
+    // crawl corpus' true starting point — through to TFRecord training
+    // shards: WARC bytes → record parse → HTTP response parse (the
+    // planted 404s, non-HTTP payloads and 301s must drop at the
+    // status/mime gate) → charset decode → redirect-chain resolution
+    // (each %29 doc gains one 301 alias; its resolved count rides the
+    // output as n_aliases) → publisher-declared canonical dedup (the
+    // %31 syndicated mobile copies share no URL and sit BELOW the
+    // near-dup threshold — only the declared rel=canonical collapses
+    // them) → the full curatePages chain → writeExamples shards →
+    // CRC-verified decode. Hash-checked end to end against the
+    // logical-replay oracle (the pack_to_shards_e2e pattern).
+    "curate_http_e2e" -> { (s, d) =>
+      val dir = httpE2eCache.getOrElseUpdate(d, buildHttpE2eShards(s, d))
+      graft.sources.TfRecord.readExamples(s, dir,
+          Seq("doc_id", "q4", "n_aliases"), Seq("url", "text", "split"))
+        .select(element_at(col("doc_id"), 1).as("doc_id"),
+          col("url").cast("string").as("url"),
+          col("text").cast("string").as("text"),
+          element_at(col("q4"), 1).as("q4"),
+          col("split").cast("string").as("split"),
+          element_at(col("n_aliases"), 1).as("n_aliases"))
     },
 
     // CDX-indexed random access: fetch the % 101 pages through the
@@ -628,7 +762,191 @@ object WebQueries {
        |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
        |  '&#39;', ''''), '&#x27;', ''''), '&copy;', '©'), '&amp;', '&')""".stripMargin
 
+  // ---- the curate-pipeline replay (curate_crawl_e2e / curate_http_e2e)
+
+  /** Planted page bands as one CTE chain ending in
+    * `pg(doc_id, url, decl_url, html)`. Every shifted-id band computes
+    * html at the ORIGINAL doc_id in an inner scope and the fresh URL at
+    * the shifted id in an outer scope (never both in one SELECT — a
+    * lateral-alias hazard). `decl_url` is the page's declared
+    * rel=canonical target (the extraction itself is validated by the
+    * html_meta / url_dedup_declared oracles; here the replay carries
+    * its known value): NULL everywhere except the syndicated copies —
+    * the %31 base pages declare THEMSELVES, which coalesce() makes
+    * indistinguishable from NULL. */
+  private def curatePagesCte(withSyndication: Boolean): String = {
+    val synd = if (!withSyndication) "" else
+      s""",
+         |sy0 AS (SELECT doc_id, source, $plantedUrlSql AS decl_url,
+         |    array_to_string(
+         |      (string_split_regex(trim(text), '\\s+'))[1:10], ' ') AS text
+         |  FROM documents WHERE doc_id % 31 = 0),
+         |sy1 AS (SELECT doc_id + 600000 AS doc_id2, source, decl_url,
+         |    $plantedHtmlSql AS html FROM sy0),
+         |sy AS (SELECT doc_id, $plantedUrlSql AS url, decl_url, html
+         |  FROM (SELECT doc_id2 AS doc_id, source, decl_url, html
+         |    FROM sy1) t)""".stripMargin
+    val syndUnion = if (!withSyndication) ""
+      else "\n  UNION ALL SELECT doc_id, url, decl_url, html FROM sy"
+    s"""ed0 AS (SELECT doc_id + 100000 AS doc_id2, source,
+       |    $plantedHtmlSql AS html
+       |  FROM documents WHERE doc_id % 13 = 0),
+       |ed AS (SELECT doc_id, $plantedUrlSql AS url,
+       |    CAST(NULL AS VARCHAR) AS decl_url, html
+       |  FROM (SELECT doc_id2 AS doc_id, source, html FROM ed0) t),
+       |nd0 AS (SELECT doc_id, source,
+       |    'zzz ' || substr(text, strpos(text, ' ') + 1) AS text
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |nd1 AS (SELECT doc_id + 200000 AS doc_id2, source,
+       |    $plantedHtmlSql AS html FROM nd0),
+       |nd AS (SELECT doc_id, $plantedUrlSql AS url,
+       |    CAST(NULL AS VARCHAR) AS decl_url, html
+       |  FROM (SELECT doc_id2 AS doc_id, source, html FROM nd1) t),
+       |rc0 AS (SELECT doc_id, source, $plantedHtmlSql AS html,
+       |    $variantUrlSql AS url
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |rc AS (SELECT doc_id + 7000000 AS doc_id, url,
+       |    CAST(NULL AS VARCHAR) AS decl_url, html FROM rc0)$synd,
+       |pg AS (
+       |  SELECT doc_id, $plantedUrlSql AS url,
+       |    CAST(NULL AS VARCHAR) AS decl_url, $plantedHtmlSql AS html
+       |  FROM documents
+       |  UNION ALL SELECT doc_id, url, decl_url, html FROM ed
+       |  UNION ALL SELECT doc_id, url, decl_url, html FROM nd
+       |  UNION ALL SELECT doc_id, url, decl_url, html FROM rc$syndUnion)"""
+      .stripMargin
+  }
+
+  /** Word n-gram list over a token-list column `ts` — the
+    * TextFunctions.wordShingles replay (window when len >= n, the
+    * whole-join singleton otherwise). */
+  private def shinglesSql(n: Int): String = {
+    val joined = (1 to n).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(ts) >= $n
+       |    THEN list_transform(range(0, len(ts) - ${n - 1}), i -> $joined)
+       |    ELSE [array_to_string(ts, ' ')] END""".stripMargin
+  }
+
+  private val tokensOfTextSql =
+    """list_filter(string_split_regex(trim(text), '\s+'),
+      |      t -> len(t) > 0)""".stripMargin
+
+  /** The full curatePages replay from `pg` to `k4(doc_id, url, text,
+    * quality)`: extract, canonical-key dedup (declared target first),
+    * quality gate, exact dedup, brute shingle-Jaccard pairs +
+    * recursive closure, 5-gram decontamination. */
+  private def curateChainCtes: String = {
+    // quality replay: the url_domain_prior oracle's spelling verbatim
+    val qualitySub =
+      """SELECT doc_id, url, text,
+        |      CAST(length(text) AS DOUBLE) AS n,
+        |      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> len(x) > 0)) AS DOUBLE) AS ntok,
+        |      CAST(length(text) - length(regexp_replace(text,
+        |          '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) AS npunct,
+        |      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |          AS DOUBLE) AS ndigit,
+        |      CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> len(x) > 0)) > 0
+        |        THEN CAST(list_sum(list_transform(
+        |            list_filter(string_split_regex(trim(text), '\s+'),
+        |              x -> len(x) > 0), x -> len(x))) AS DOUBLE)
+        |          / len(list_filter(string_split_regex(trim(text), '\s+'),
+        |              x -> len(x) > 0))
+        |        ELSE 0.0 END AS atl
+        |    FROM k1""".stripMargin
+    s"""texted AS MATERIALIZED (SELECT doc_id, url, decl_url, $htmlToTextSql AS text
+       |  FROM pg),
+       |ckp AS (SELECT doc_id, coalesce(decl_url, url) AS kurl FROM texted),
+       |ck AS (SELECT doc_id, ${canonicalSql.replace("url", "kurl")} AS curl
+       |  FROM ckp),
+       |uw AS (SELECT min(doc_id) AS doc_id FROM ck GROUP BY curl),
+       |k1 AS (SELECT t.doc_id, t.url, t.text FROM texted t
+       |  JOIN uw USING (doc_id)),
+       |qx AS (SELECT doc_id, url, text,
+       |    (CASE WHEN ntok >= 10 AND ntok <= 10000 THEN 0.4 ELSE 0.0 END) +
+       |    (CASE WHEN atl >= 2.5 AND atl <= 12.0 THEN 0.3 ELSE 0.0 END) +
+       |    (CASE WHEN npunct / greatest(n, 1.0) <= 0.1
+       |      THEN 0.15 ELSE 0.0 END) +
+       |    (CASE WHEN ndigit / greatest(n, 1.0) <= 0.2
+       |      THEN 0.15 ELSE 0.0 END) AS quality
+       |  FROM ($qualitySub) q0),
+       |qg AS MATERIALIZED (SELECT doc_id, url, text, quality FROM qx
+       |  WHERE length(text) >= 50 AND quality >= 0.3),
+       |ew AS (SELECT min(doc_id) AS doc_id FROM qg GROUP BY text),
+       |k2 AS MATERIALIZED (SELECT g.doc_id, g.url, g.text, g.quality FROM qg g
+       |  JOIN ew USING (doc_id)),
+       |tk2 AS (SELECT doc_id, $tokensOfTextSql AS ts FROM k2),
+       |sh2 AS MATERIALIZED (SELECT doc_id AS id, list_distinct(${shinglesSql(3)})
+       |    AS shingles FROM tk2),
+       |p2 AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b FROM sh2 a, sh2 b
+       |  WHERE a.id < b.id
+       |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |      / len(list_distinct(a.shingles || b.shingles)) >= 0.7),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p2
+       |  UNION SELECT id_b, id_a FROM p2),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+       |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(lab)),
+       |k3 AS MATERIALIZED (SELECT k2.doc_id, k2.url, k2.text, k2.quality FROM k2
+       |  LEFT JOIN losers l ON k2.doc_id = l.id WHERE l.id IS NULL),
+       |bts AS (SELECT $tokensOfTextSql AS ts FROM (
+       |  SELECT text FROM documents WHERE doc_id % 97 = 0
+       |  ORDER BY doc_id LIMIT 50) b0),
+       |bsh AS (SELECT DISTINCT unnest(list_distinct(${shinglesSql(5)}))
+       |    AS sh FROM bts),
+       |csh AS (SELECT id AS doc_id, unnest(shingles) AS sh FROM (
+       |  SELECT doc_id AS id, list_distinct(${shinglesSql(5)}) AS shingles
+       |  FROM (SELECT doc_id, $tokensOfTextSql AS ts FROM k3) t3) t4),
+       |contam AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (sh)),
+       |k4 AS (SELECT k3.doc_id, k3.url, k3.text, k3.quality FROM k3
+       |  LEFT JOIN contam c ON k3.doc_id = c.doc_id WHERE c.doc_id IS NULL)"""
+      .stripMargin
+  }
+
+  /** The assignSplit replay: md5('graft' || id) first-8-hex draw
+    * against the cumulative-fraction thresholds, computed with the
+    * SAME IEEE fold as Sampling.assignSplit. */
+  private def splitCaseSql: String = {
+    val c1 = 0.0 + 0.98
+    val c2 = c1 + 0.01
+    val draw = "substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    s"""CASE WHEN $draw < '${graft.ops.Sampling.thresholdHex(c1)}'
+       |    THEN 'train'
+       |  WHEN $draw < '${graft.ops.Sampling.thresholdHex(c2)}' THEN 'val'
+       |  ELSE 'test' END""".stripMargin
+  }
+
+  private def curateCrawlOracle: String =
+    s"""WITH RECURSIVE
+       |${curatePagesCte(withSyndication = false)},
+       |$curateChainCtes
+       |SELECT doc_id, url, text,
+       |  CAST(round(quality * 10000) AS BIGINT) AS q4,
+       |  $splitCaseSql AS split
+       |FROM k4""".stripMargin
+
+  private def curateHttpOracle: String =
+    s"""WITH RECURSIVE
+       |${curatePagesCte(withSyndication = true)},
+       |$curateChainCtes
+       |SELECT doc_id, url, text,
+       |  CAST(round(quality * 10000) AS BIGINT) AS q4,
+       |  $splitCaseSql AS split,
+       |  CAST(CASE WHEN doc_id % 29 = 0 AND doc_id < 100000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS n_aliases
+       |FROM k4""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // the composed curation pipelines, replayed stage by stage (see the
+    // query-side comments for the LSH-recall argument that makes the
+    // brute-force pair CTE the exact twin of the MinHash stage)
+    "curate_crawl_e2e" -> curateCrawlOracle,
+    "curate_http_e2e" -> curateHttpOracle,
+
     "html_extract" ->
       s"""WITH h AS (SELECT doc_id, $plantedHtmlSql AS html FROM documents)
          |SELECT doc_id,

@@ -200,6 +200,7 @@ object Warc {
     StructField("status", IntegerType),
     StructField("mime", StringType),
     StructField("charset", StringType),
+    StructField("location", StringType), // Location header (3xx chains)
     StructField("body", BinaryType)))
 
   /** Resolve HTTP redirect chains across a response table — the
@@ -308,9 +309,11 @@ object Warc {
   }
 
   /** WARC record rows → parsed HTTP responses: (record_id, target_uri,
-    * status, mime, charset, body). `mime` is the Content-Type value
-    * with parameters stripped, lowercased; `charset` its charset
-    * parameter when present (lowercased). Non-HTTP payloads (a
+    * status, mime, charset, location, body). `mime` is the Content-Type
+    * value with parameters stripped, lowercased; `charset` its charset
+    * parameter when present (lowercased); `location` the Location
+    * header verbatim (the [[resolveRedirects]] input). Non-HTTP
+    * payloads (a
     * text/plain corpus record, a truncated capture) keep their row
     * with status/mime/charset NULL and the payload passed through as
     * `body` — the gate-don't-drop contract, so callers decide.
@@ -331,10 +334,12 @@ object Warc {
                   .compile("(?i)charset=\"?([^\";\\s]+)").matcher(v)
                 if (m.find()) Some(m.group(1).toLowerCase) else None
               }.orNull
+              val location = headers.find(_._1 == "location").map(_._2).orNull
               Row(r.getString(0), r.getString(1),
-                Int.box(status), mime, charset, body)
+                Int.box(status), mime, charset, location, body)
             case None =>
-              Row(r.getString(0), r.getString(1), null, null, null, payload)
+              Row(r.getString(0), r.getString(1), null, null, null, null,
+                payload)
           }
         }
       }(enc)

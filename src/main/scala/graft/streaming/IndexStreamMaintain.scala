@@ -11,9 +11,12 @@ import graft.ops.{CacheRegistry, TextSearch}
   * parquet files in a directory; each micro-batch appends one index
   * segment ([[graft.ops.TextSearch.appendToInvertedIndex]] — pure
   * parquet appends, never a rewrite), so probes against the index stay
-  * live and consistent while it grows. Periodic
-  * [[graft.ops.TextSearch.compactInvertedIndex]] calls (the cron shape)
-  * bound segment fan-in.
+  * live and consistent while it grows. Segment fan-in is bounded two
+  * ways: periodic [[graft.ops.TextSearch.compactInvertedIndex]] calls
+  * (the cron shape), or the built-in `compactOver` threshold policy —
+  * buckets exceeding n files compact inside the batch hook itself, so
+  * an unattended stream can run indefinitely without fan-in growth
+  * (IndexStreamMaintainSpec pins the bound across ~20 micro-batches).
   *
   * Idempotence under redelivery: a `docs_seen/` id table accumulates
   * alongside the index and each batch anti-joins against it first, so
@@ -31,9 +34,20 @@ object IndexStreamMaintain {
 
   /** One micro-batch: drop already-indexed ids, append the rest as an
     * index segment, then record their ids. Exposed for tests and for
-    * cron-style batch reruns. */
+    * cron-style batch reruns.
+    *
+    * Auto-compaction policy: with `compactOver = Some(n)`, any bucket
+    * whose postings partition has accumulated more than n parquet
+    * files after this batch's append is compacted IN THIS batch hook
+    * (TextSearch.compactInvertedIndex on exactly those buckets), so
+    * probe fan-in stays bounded no matter how long the stream runs —
+    * without it segments pile up one per batch forever. The trigger
+    * check is a directory listing of nBuckets partition dirs (bounded
+    * by the layout, never by data), and compaction cost is bounded by
+    * the chosen buckets' postings, the compact contract. */
   def maintainBatch(spark: SparkSession, indexDir: String,
-                    batch: DataFrame, nBuckets: Int = 64): Unit = {
+                    batch: DataFrame, nBuckets: Int = 64,
+                    compactOver: Option[Int] = None): Unit = {
     val seenDir = s"$indexDir/docs_seen"
     val hasSeen = new java.io.File(seenDir).exists()
     // dropDuplicates first: redelivered copies can land in the SAME
@@ -48,7 +62,24 @@ object IndexStreamMaintain {
       if (novel.isEmpty) return
       TextSearch.appendToInvertedIndex(novel, indexDir, nBuckets = nBuckets)
       novel.select(col("doc_id")).write.mode("append").parquet(seenDir)
+      compactOver.foreach { threshold =>
+        val over = bucketsOverThreshold(indexDir, threshold)
+        if (over.nonEmpty)
+          TextSearch.compactInvertedIndex(spark, indexDir, Some(over))
+      }
     } finally CacheRegistry.releaseAll()
+  }
+
+  /** Buckets whose postings partition holds more than `threshold`
+    * parquet files — the compaction trigger set. */
+  private[streaming] def bucketsOverThreshold(indexDir: String,
+                                              threshold: Int): Seq[Int] = {
+    val postings = new java.io.File(s"$indexDir/postings")
+    val dirs = Option(postings.listFiles()).getOrElse(Array.empty)
+    dirs.filter(d => d.isDirectory && d.getName.startsWith("term_bucket="))
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > threshold)
+      .map(_.getName.stripPrefix("term_bucket=").toInt)
+      .toSeq.sorted
   }
 
   /** Start the index-maintenance stream over parquet documents landing
@@ -57,7 +88,8 @@ object IndexStreamMaintain {
   def start(spark: SparkSession, landingDir: String, indexDir: String,
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            nBuckets: Int = 64): StreamingQuery =
+            nBuckets: Int = 64,
+            compactOver: Option[Int] = None): StreamingQuery =
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -69,7 +101,7 @@ object IndexStreamMaintain {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        maintainBatch(spark, indexDir, batch, nBuckets)
+        maintainBatch(spark, indexDir, batch, nBuckets, compactOver)
       }
       .start()
 }

@@ -70,6 +70,26 @@ object AnnRecall {
     report("int8-exact", Similarity.bruteForceTopK(deq,
       deq.filter(col("vec_id") < nQueries), k))
 
+    // the ANN-routed contrastive miner vs its exact baseline: recall@k
+    // of hardNegativesAnn against the brute hardNegatives ranking, the
+    // same sweep axis (nProbe) as the plain IVF rows above — labels
+    // ride the index, the deterministic lowest-id quantizer keeps the
+    // route oracle-replayable
+    val minerDir = java.nio.file.Files
+      .createTempDirectory("annrecall_miner").toString
+    Similarity.buildIvfIndex(vecs, minerDir, nCentroids = 16,
+      labelCol = Some("label"),
+      centers = Some(Similarity.lowestIdCenters(vecs, 16)))
+    val hnTruth = topkSet(Similarity.hardNegatives(vecs, queries, k))
+    for (np <- Seq(4, 8, 12)) {
+      val got = topkSet(Similarity.hardNegativesAnn(spark, minerDir,
+        queries, k, nProbe = np))
+      val recall = (got & hnTruth).size.toDouble / hnTruth.size
+      val label = s"miner(16/$np)"
+      println(f"$label%-14s recall@$k = $recall%.4f   (vs brute " +
+        f"hardNegatives; sf=$sfDir, corpus=$nCorpus, queries=$nQueries)")
+    }
+
     spark.stop()
   }
 }

@@ -276,4 +276,21 @@ class LinkGraphSpec extends AnyFunSuite {
       "e" -> None,               // 3 hops away, cut by maxHops = 2
       "zz-offgraph" -> Some(0))) // seed with no edges: depth 0
   }
+
+  test("hopDistance converges early: depth-3 graph under maxHops=50 " +
+    "stops after 4 rounds, result identical") {
+    import spark.implicits._
+    // a -> b -> c -> d: depth 3; round 4 changes nothing -> stop
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+      .toDF("src_host", "dst_host")
+    val seeds = Seq("a").toDF("host")
+    val (df, rounds) = LinkGraph.hopDistanceWithRounds(edges, seeds,
+      maxHops = 50)
+    val out = df.collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    CacheRegistry.releaseAll()
+    assert(rounds == 4, s"expected 4 BFS rounds (3 productive + 1 " +
+      s"fixed-point check), ran $rounds")
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+  }
 }

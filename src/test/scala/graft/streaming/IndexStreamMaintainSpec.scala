@@ -58,6 +58,42 @@ class IndexStreamMaintainSpec extends AnyFunSuite {
     assert(after < before, s"expected fewer files, got $before -> $after")
   }
 
+  test("auto-compaction keeps per-bucket file fan-in bounded across " +
+    "~20 micro-batches; probes stay correct throughout") {
+    val threshold = 3
+    val idxDir = TestSpark.tmpDir("idx_autocompact")
+    val nDocsPerBatch = 6
+    val nBatches = 20
+    var maxFiles = 0
+    (0 until nBatches).foreach { b =>
+      val docs = (b * nDocsPerBatch until (b + 1) * nDocsPerBatch)
+        .map(i => (i.toLong, mkDoc(i)))
+      IndexStreamMaintain.maintainBatch(spark, idxDir,
+        docs.toDF("doc_id", "text"), nBuckets = 8,
+        compactOver = Some(threshold))
+      // invariant AFTER EVERY batch: no bucket exceeds the threshold
+      // (compaction fires inside the batch hook, so the bound holds
+      // continuously, not just at the end)
+      val over = IndexStreamMaintain.bucketsOverThreshold(idxDir, threshold)
+      assert(over.isEmpty, s"batch $b left buckets over threshold: $over")
+      val counts = new java.io.File(s"$idxDir/postings").listFiles()
+        .filter(_.isDirectory)
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+      if (counts.nonEmpty) maxFiles = math.max(maxFiles, counts.max)
+    }
+    // the bound really bit: 20 appends into 8 buckets WOULD have grown
+    // ~20 files/bucket without the policy
+    assert(maxFiles <= threshold,
+      s"fan-in grew to $maxFiles despite threshold $threshold")
+    // and the index still answers exactly like a fresh one-shot build
+    val all = (0 until nBatches * nDocsPerBatch).map(i => (i.toLong, mkDoc(i)))
+    val fullDir = TestSpark.tmpDir("idx_autocompact_full")
+    TextSearch.buildInvertedIndex(all.toDF("doc_id", "text"), fullDir,
+      nBuckets = 8)
+    assert(q(idxDir) == q(fullDir),
+      "auto-compacted streamed index must equal the one-shot build")
+  }
+
   test("bucket-bounded compaction rewrites only the named buckets") {
     val docs = (0 until 20).map(i => (i.toLong, mkDoc(i)))
     val dir = TestSpark.tmpDir("idx_compact_b")
