@@ -167,7 +167,14 @@ object Bench {
     // the shard build caches per dir — the CRC-verified decode is
     // the timed read path, the pack_to_shards convention)
     "hard_negatives_ann", "positive_pairs_ann", "ann_ivf_index_upsert",
-    "curate_http_e2e")
+    "curate_http_e2e",
+    // round-10: Stupid-Backoff LM train+persist+score (the whole gate:
+    // three count aggs to parquet, then the trigram projection + the
+    // distinct-context backoff join — cost must track token volume),
+    // JL random projection (dimOut native dots, one projection pass,
+    // zero shuffle), and the projected-shortlist ANN (16-dim scan +
+    // 32-candidate exact re-rank vs ann_brute_topk's full 64-dim scan)
+    "lm_backoff_score", "embed_random_projection", "ann_rp_topk")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -176,7 +183,8 @@ object Bench {
   val lineExcluded: Set[String] = Set("sql_tpch_q10", "ann_lsh_topk",
     "dedup_drop_near", "vocab_oov_rate", "host_hits", "host_trustrank",
     "host_distance", "sql_tpch_q18", "layout_hilbert",
-    "positive_pairs_ann", "ann_ivf_index_upsert")
+    "positive_pairs_ann", "ann_ivf_index_upsert",
+    "embed_random_projection")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

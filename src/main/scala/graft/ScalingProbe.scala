@@ -179,7 +179,14 @@ object ScalingProbe {
       // IO formats: shard write caches per dir inside the entries, so
       // the kept second pass probes the READ path — record-at-a-time
       // TFRecord decode and schema'd gzip JSONL must track corpus bytes
-      "src_tfrecord_roundtrip", "src_jsonl_roundtrip")
+      "src_tfrecord_roundtrip", "src_jsonl_roundtrip",
+      // round-10: the Stupid-Backoff gate (train + score in one number
+      // — the count aggs and the trigram scoring stream are both
+      // token-linear; the distinct-context join stays trigram-vocab-
+      // sized, which replicas grow only via the "repN" prefix tokens)
+      // and the projected-shortlist ANN (projection + 16-dim scan are
+      // corpus-linear; the exact re-rank stays |queries| x 32)
+      "lm_backoff_score", "ann_rp_topk")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>

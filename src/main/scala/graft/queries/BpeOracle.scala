@@ -1,0 +1,117 @@
+package graft.queries
+
+/** Generated DuckDB replay of exact greedy BPE training and encoding —
+  * the oracle for `bpe_train_merges` / `bpe_piece_counts`, which were
+  * rows-only until round 10 because the merge loop is iterative. The
+  * loop bound is known up front (`nMerges`), so training unrolls into
+  * one CTE chain per round, exactly like the PageRank and BFS oracles;
+  * encoding's bound is per-word (symbols strictly decrease), so it runs
+  * as a recursive CTE instead.
+  *
+  * Replay semantics, mirrored from [[graft.ops.Bpe]] statement by
+  * statement:
+  *
+  *  - word counts: whitespace-split lowercased tokens (the exact idiom
+  *    every text oracle here uses). `trainMerges`'s `maxWords` cap is
+  *    most-frequent-first and the fixture vocabulary sits far below it,
+  *    so the replay omits the cap (precondition: vocab <= maxWords).
+  *  - one training round = weighted adjacent-pair counts over the
+  *    current symbol tables, argmax with the (count DESC, left, right)
+  *    tiebreak, then one greedy left-to-right non-overlapping rewrite.
+  *  - the rewrite is a `list_reduce` fold over the symbol list with a
+  *    chr(1)-joined string accumulator: append " x", or append just "r"
+  *    when the accumulator's LAST symbol equals the merge's left and x
+  *    equals its right. The fold equals [[graft.ops.Bpe.applyMerge]]'s
+  *    restart-after-merge scan because a symbol just produced by the
+  *    fold ends in `left+right`, never `left` (right is nonempty), so a
+  *    freshly merged symbol can never chain as the LEFT of the next
+  *    merge within the same pass — exactly applyMerge's `cur = rest`.
+  *  - encoding applies the LOWEST-RANKED applicable merge everywhere,
+  *    repeatedly ([[graft.ops.Bpe.encodeWord]] — priority order, not
+  *    table order: trained tables are not confluent, e.g. a table can
+  *    hold both (as,h) and the later (h,ash)). The recursive CTE step
+  *    picks `list_filter(merge_table, applicable)[1]` — the merge table
+  *    is rank-ordered, so [1] IS the lowest applicable rank — and
+  *    terminal rows are those with no applicable merge.
+  *
+  * chr(1) is the symbol separator inside fold accumulators and the
+  * adjacency probe strings; tokens are whitespace-split so they cannot
+  * contain the only characters that would collide (whitespace), and the
+  * synthetic corpus carries no control bytes.
+  */
+object BpeOracle {
+
+  private val SEP = "chr(1)"
+
+  /** Shared CTE chain: tokenize, count words, unroll `n` training
+    * rounds (p/b/w per round). MATERIALIZED throughout — DuckDB
+    * otherwise re-inlines each round's word table into both of its two
+    * consumers, doubling work per round (2^20 scans by round 20). */
+  private def trainingCtes(n: Int): Seq[String] = {
+    val head = Seq(
+      """toks AS MATERIALIZED (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> len(t) > 0)) AS w
+        |  FROM documents)""".stripMargin,
+      "wf AS MATERIALIZED (SELECT w, count(*) AS freq FROM toks GROUP BY w)",
+      ("w0 AS MATERIALIZED (SELECT w, freq, list_transform(" +
+        "range(1, len(w) + 1), i -> substring(w, i, 1)) AS syms FROM wf)"))
+    val rounds = (1 to n).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"""p$r AS MATERIALIZED (SELECT l, r, sum(freq) AS c FROM (
+           |    SELECT freq,
+           |      unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS l,
+           |      unnest(list_transform(range(1, len(syms)), i -> syms[i + 1])) AS r
+           |    FROM w$p WHERE len(syms) >= 2) GROUP BY l, r)""".stripMargin,
+        s"b$r AS MATERIALIZED (SELECT l, r FROM p$r ORDER BY c DESC, l, r LIMIT 1)",
+        s"""w$r AS MATERIALIZED (SELECT w, freq,
+           |    string_split(list_reduce(syms, (acc, x) ->
+           |      CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, $SEP || b.l))
+           |           THEN acc || x ELSE acc || $SEP || x END), $SEP) AS syms
+           |  FROM w$p CROSS JOIN b$r b)""".stripMargin)
+    }
+    head ++ rounds
+  }
+
+  private def mergeRows(n: Int): String =
+    (1 to n).map(r =>
+      s"SELECT $r AS rank, l AS left_sym, r AS right_sym FROM b$r")
+      .mkString("\n  UNION ALL ")
+
+  /** Oracle for `bpe_train_merges`: (rank, left_sym, right_sym). */
+  def trainSql(n: Int): String =
+    "WITH " + trainingCtes(n).mkString(",\n") +
+      s"\nSELECT * FROM (${mergeRows(n)}) ORDER BY rank"
+
+  /** Oracle for `bpe_piece_counts`: per-doc (n_words, n_pieces) under
+    * the merges trained by the same CTE chain. */
+  def pieceCountsSql(n: Int): String = {
+    val applicable =
+      s"""(list_filter(ms, m -> contains(
+         |        $SEP || array_to_string(syms, $SEP) || $SEP,
+         |        $SEP || m.l || $SEP || m.r || $SEP)))[1]""".stripMargin
+    val encodeCtes = Seq(
+      s"""mt AS MATERIALIZED (SELECT
+         |    list({'rk': rank, 'l': left_sym, 'r': right_sym} ORDER BY rank)
+         |      AS ms
+         |  FROM (${mergeRows(n)}))""".stripMargin,
+      s"""enc AS (
+         |  SELECT w, syms, $applicable AS mm
+         |  FROM w0 CROSS JOIN mt
+         |  UNION ALL
+         |  SELECT w, syms, $applicable AS mm
+         |  FROM (
+         |    SELECT w,
+         |      string_split(list_reduce(syms, (acc, x) ->
+         |        CASE WHEN x = mm.r AND (acc = mm.l OR ends_with(acc, $SEP || mm.l))
+         |             THEN acc || x ELSE acc || $SEP || x END), $SEP) AS syms
+         |    FROM enc WHERE mm IS NOT NULL) e CROSS JOIN mt)""".stripMargin,
+      "vp AS (SELECT w, len(syms) AS pieces FROM enc WHERE mm IS NULL)")
+    "WITH RECURSIVE " + (trainingCtes(n) ++ encodeCtes).mkString(",\n") +
+      """
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(pieces) AS BIGINT) AS n_pieces
+        |FROM toks JOIN vp USING (w) GROUP BY doc_id""".stripMargin
+  }
+}

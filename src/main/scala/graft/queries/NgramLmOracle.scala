@@ -1,0 +1,88 @@
+package graft.queries
+
+/** DuckDB replay of [[graft.ops.NgramLm]]'s Stupid-Backoff scoring —
+  * shared by the `lm_backoff_score` and `lm_score_filter` oracles.
+  *
+  * Mirrors the Spark pipeline stage by stage: BOS-pad (two chr(2)
+  * sentinels) the lowercased whitespace tokens; trigram/bigram/unigram
+  * counts and (N, V) over the padded TRAIN streams (the clean
+  * documents table); the scored corpus is documents ∪ the two planted
+  * docs; the backoff chain evaluates once per DISTINCT (u,v,w) context
+  * with the operand order copied from NgramLm.scoreWithModel —
+  * c3/c2(u,v), else 0.4·(c2(v,w)/c1(v)), else 0.4·(0.4·((c1(w)+1)/
+  * (N+V))) — integer counts and IEEE true division in both engines.
+  */
+object NgramLmOracle {
+
+  private val plants =
+    """UNION ALL SELECT CAST(900001 AS BIGINT),
+      |    'zq1 xv9 qj3 wv7 nb2 mx8 kd4 pr9 tz5 lw6'
+      |  UNION ALL SELECT CAST(900002 AS BIGINT),
+      |    'table hash table hash table hash table hash table hash'""".stripMargin
+
+  /** `filterMin = None` → (doc_id, n_tokens, lm_bo_score);
+    * `Some(t)` → (doc_id, lm_bo_score) for docs with mean score >= t
+    * (threshold applied UNROUNDED, like the Spark gate). */
+  def scoreSql(filterMin: Option[Double]): String = {
+    val tail = filterMin match {
+      case None =>
+        """SELECT tri.doc_id, count(*) AS n_tokens,
+          |  round(avg(ctx.s), 6) AS lm_bo_score
+          |FROM tri JOIN ctx ON tri.u = ctx.u AND tri.v = ctx.v
+          |  AND tri.w = ctx.w
+          |GROUP BY tri.doc_id""".stripMargin
+      case Some(t) =>
+        s"""SELECT tri.doc_id, round(avg(ctx.s), 6) AS lm_bo_score
+           |FROM tri JOIN ctx ON tri.u = ctx.u AND tri.v = ctx.v
+           |  AND tri.w = ctx.w
+           |GROUP BY tri.doc_id HAVING avg(ctx.s) >= $t""".stripMargin
+    }
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  $plants),
+       |dt AS MATERIALIZED (SELECT
+       |    list_concat([chr(2), chr(2)],
+       |      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |        t -> len(t) > 0)) AS ts
+       |  FROM documents),
+       |ds AS MATERIALIZED (SELECT doc_id,
+       |    list_concat([chr(2), chr(2)],
+       |      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |        t -> len(t) > 0)) AS ts
+       |  FROM corpus),
+       |c3 AS MATERIALIZED (SELECT u, v, w, count(*) AS c3 FROM (
+       |    SELECT
+       |      unnest(list_transform(range(3, len(ts) + 1), i -> ts[i - 2])) AS u,
+       |      unnest(list_transform(range(3, len(ts) + 1), i -> ts[i - 1])) AS v,
+       |      unnest(list_transform(range(3, len(ts) + 1), i -> ts[i])) AS w
+       |    FROM dt) GROUP BY u, v, w),
+       |c2 AS MATERIALIZED (SELECT v, w, count(*) AS c2 FROM (
+       |    SELECT
+       |      unnest(list_transform(range(2, len(ts) + 1), i -> ts[i - 1])) AS v,
+       |      unnest(list_transform(range(2, len(ts) + 1), i -> ts[i])) AS w
+       |    FROM dt) GROUP BY v, w),
+       |c1 AS MATERIALIZED (SELECT w, count(*) AS c1 FROM (
+       |    SELECT unnest(ts) AS w FROM dt) GROUP BY w),
+       |meta AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tok,
+       |    CAST(count(*) AS BIGINT) AS vocab FROM c1),
+       |tri AS MATERIALIZED (SELECT doc_id,
+       |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i - 2])) AS u,
+       |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i - 1])) AS v,
+       |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i])) AS w
+       |  FROM ds),
+       |ctx AS MATERIALIZED (SELECT t.u, t.v, t.w,
+       |    CASE WHEN t3.c3 IS NOT NULL THEN t3.c3 / cc.c2
+       |         ELSE 0.4 * (CASE WHEN b2.c2 IS NOT NULL THEN b2.c2 / cv.c1
+       |                          ELSE 0.4 * ((coalesce(uw.c1, 0) + 1)
+       |                                      / (m.n_tok + m.vocab)) END)
+       |    END AS s
+       |  FROM (SELECT DISTINCT u, v, w FROM tri) t
+       |  LEFT JOIN c3 t3 ON t.u = t3.u AND t.v = t3.v AND t.w = t3.w
+       |  LEFT JOIN (SELECT v AS cu, w AS cv2, c2 FROM c2) cc
+       |    ON t.u = cc.cu AND t.v = cc.cv2
+       |  LEFT JOIN c2 b2 ON t.v = b2.v AND t.w = b2.w
+       |  LEFT JOIN (SELECT w AS uv, c1 FROM c1) cv ON t.v = cv.uv
+       |  LEFT JOIN c1 uw ON t.w = uw.w
+       |  CROSS JOIN meta m)
+       |$tail""".stripMargin
+  }
+}

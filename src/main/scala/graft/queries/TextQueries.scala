@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{Bpe, Dedup, Denoise, Packing, Sampling, Similarity, TermStats}
+import graft.ops.{Bpe, Dedup, Denoise, NgramLm, Packing, RandomProjection, Sampling, Similarity, TermStats}
 
 /** Training-data-pipeline operator surface: text analysis, dedup,
   * similarity search over the `documents`/`embeddings` fixtures.
@@ -637,6 +637,39 @@ object TextQueries {
       TermStats.bigramLmScore(docs.union(plants), train = Some(docs))
     },
 
+    // Stupid-Backoff trigram LM (ops/NgramLm): train count tables on
+    // the clean documents, PERSIST them, score documents ∪ the same
+    // two plants through the persisted model. The gibberish plant's
+    // unigrams are all OOV — it walks the full 0.4·0.4·Laplace backoff
+    // chain; the repetition plant saturates one trigram's conditional.
+    "lm_backoff_score" -> { (s, d) =>
+      import s.implicits._
+      val plants = Seq(
+        (900001L, "zq1 xv9 qj3 wv7 nb2 mx8 kd4 pr9 tz5 lw6"),
+        (900002L, "table hash table hash table hash table hash table hash"))
+        .toDF("doc_id", "text")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+      NgramLm.trainModel(docs, dir)
+      NgramLm.scoreWithModel(s, dir, docs.union(plants))
+        .withColumn("lm_bo_score", round(col("lm_bo_score"), 6))
+    },
+
+    // the LM gate itself: docs ∪ plants, keep score >= threshold —
+    // the gibberish plant lands at the backoff floor and is dropped
+    "lm_score_filter" -> { (s, d) =>
+      import s.implicits._
+      val plants = Seq(
+        (900001L, "zq1 xv9 qj3 wv7 nb2 mx8 kd4 pr9 tz5 lw6"),
+        (900002L, "table hash table hash table hash table hash table hash"))
+        .toDF("doc_id", "text")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+      NgramLm.trainModel(docs, dir)
+      NgramLm.scoreFilter(s, dir, docs.union(plants), minScore = 0.05)
+        .select(col("doc_id"), round(col("lm_bo_score"), 6).as("lm_bo_score"))
+    },
+
     // CMS-gated heavy hitters. The fixture vocabulary is 31 tokens (all
     // heavy), so each doc plants two unique tokens — the long tail the
     // sketch gate must reject map-side; the result is exact either way.
@@ -661,15 +694,18 @@ object TextQueries {
       TermStats.vocabCoverage(Tables.documents(s, d), vocabSize = 500)
     },
 
-    // exact greedy BPE training on the corpus word counts (rows-only:
-    // the merge loop is not SQL-expressible; merge 1 is oracle-checked
-    // as bpe_pair_counts, and BpeSpec pins the classic worked example)
+    // exact greedy BPE training on the corpus word counts. Hash-checked
+    // since round 10: the known loop bound unrolls into one DuckDB CTE
+    // chain per merge round (BpeOracle.trainSql), the same discipline as
+    // the PageRank/BFS oracles; BpeSpec additionally pins the classic
+    // worked example.
     "bpe_train_merges" -> { (s, d) =>
       Bpe.mergesDf(s, Bpe.trainMerges(Tables.documents(s, d), nMerges = 20))
     },
 
-    // per-doc piece counts under the trained merges (rows-only; exact
-    // encode semantics pinned in BpeSpec)
+    // per-doc piece counts under the trained merges (hash-checked: the
+    // oracle replays training, then priority-order encoding as a
+    // recursive CTE — BpeOracle.pieceCountsSql)
     "bpe_piece_counts" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20))
@@ -1028,6 +1064,25 @@ object TextQueries {
           Similarity.quantizeInt8(col("embedding")),
           Similarity.int8Scale(col("embedding"))).as("embedding"))
       Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 8), k = 5)
+    },
+
+    // Johnson–Lindenstrauss random projection (ops/RandomProjection):
+    // 64 -> 16 dims under the md5-derived Achlioptas matrix, exploded
+    // to scalar rows so the oracle hashes component-exact values
+    "embed_random_projection" -> { (s, d) =>
+      RandomProjection.project(Tables.embeddings(s, d),
+          dimIn = 64, dimOut = 16)
+        .select(col("vec_id"), posexplode(col("rp")).as(Seq("j", "val")))
+        .select(col("vec_id"), col("j"), round(col("val"), 6).as("val"))
+    },
+
+    // shortlist in projected space (top-32 by 16-dim cosine), exact
+    // re-rank on the original vectors — deterministic end to end, so
+    // the oracle replays BOTH stages (projection included)
+    "ann_rp_topk" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      RandomProjection.projectedTopK(vecs, vecs.filter(col("vec_id") < 8),
+        k = 5, shortlist = 32, dimIn = 64, dimOut = 16)
     },
 
     // int8 embedding quantization (exploded to scalar rows so the
@@ -1502,6 +1557,15 @@ object TextQueries {
         |CROSS JOIN vv
         |GROUP BY bg.doc_id""".stripMargin,
 
+    // Stupid-Backoff replay: BOS-padded token lists, the three count
+    // tables from the clean documents, per-DISTINCT-context backoff
+    // arithmetic in the exact Spark operand order, then the per-doc
+    // mean over the scored stream (docs ∪ plants)
+    "lm_backoff_score" -> NgramLmOracle.scoreSql(filterMin = None),
+
+    // same replay, gate at the same unrounded threshold
+    "lm_score_filter" -> NgramLmOracle.scoreSql(filterMin = Some(0.05)),
+
     // thresholds are thresholdHex(f) literals: floor(f * 2^32) in hex —
     // lexicographic compare on fixed-width lowercase hex == numeric
     "sample_hash" ->
@@ -1914,6 +1978,12 @@ object TextQueries {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
+    // full greedy-training replay: 20 unrolled argmax+rewrite rounds
+    "bpe_train_merges" -> BpeOracle.trainSql(20),
+
+    // training replay + recursive-CTE priority encode over the vocab
+    "bpe_piece_counts" -> BpeOracle.pieceCountsSql(20),
+
     // vocabulary coverage replay: same top-500 vocab (count desc, token
     // tiebreak), same null-flag left join and per-doc ratio
     "vocab_oov_rate" ->
@@ -2279,6 +2349,60 @@ object TextQueries {
         |  FROM s)
         |SELECT query_id, corpus_id, rank, round(cos, 6) AS cos
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // JL projection replay: the md5-derived Achlioptas matrix is
+    // rebuilt from scratch (same "seed:row:col" keys, same fixed-hex
+    // bucket compares), each component the same left-to-right dot
+    // times sqrt(3/16)
+    "embed_random_projection" ->
+      (RandomProjectionOracle.matrixCtes +
+        """
+          |SELECT vec_id, CAST(j AS INT) AS j,
+          |  round(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(embedding[i] AS DOUBLE) * mx[j + 1][i]))
+          |    * sqrt(3.0 / 16), 6) AS val
+          |FROM embeddings CROSS JOIN mm CROSS JOIN range(16) r(j)""".stripMargin),
+
+    // both stages replayed: project all vectors, shortlist top-32 by
+    // projected cosine (ties to corpus_id), exact re-rank on the
+    // original float vectors, top-5
+    "ann_rp_topk" ->
+      (RandomProjectionOracle.matrixCtes +
+        """,
+          |pv AS MATERIALIZED (SELECT vec_id, embedding AS e,
+          |    list_transform(range(0, 16), jj ->
+          |      list_sum(list_transform(range(1, 65),
+          |        i -> CAST(embedding[i] AS DOUBLE) * mx[jj + 1][i]))
+          |      * sqrt(3.0 / 16)) AS p
+          |  FROM embeddings CROSS JOIN mm),
+          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          |    list_sum(list_transform(range(1, 17), i -> c.p[i] * q.p[i]))
+          |    / (sqrt(list_sum(list_transform(range(1, 17),
+          |          i -> c.p[i] * c.p[i])))
+          |     * sqrt(list_sum(list_transform(range(1, 17),
+          |          i -> q.p[i] * q.p[i])))) AS pcos,
+          |    c.e AS ce, q.e AS qe
+          |  FROM pv c, (SELECT * FROM pv WHERE vec_id < 8) q
+          |  WHERE c.vec_id <> q.vec_id),
+          |sh AS (SELECT query_id, corpus_id, ce, qe FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id
+          |      ORDER BY pcos DESC, corpus_id) AS prank FROM s)
+          |  WHERE prank <= 32),
+          |x AS (SELECT query_id, corpus_id,
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CAST(ce[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(range(1, 65),
+          |          i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, 65),
+          |          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))))
+          |    AS cos
+          |  FROM sh),
+          |r2 AS (SELECT query_id, corpus_id, cos,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
+          |  FROM x)
+          |SELECT query_id, corpus_id, rank, round(cos, 6) AS cos
+          |FROM r2 WHERE rank <= 5""".stripMargin),
 
     // quantize -> dequantize -> exact cosine top-k, replayed end-to-end
     "ann_int8_topk" ->

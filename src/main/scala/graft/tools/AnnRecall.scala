@@ -90,6 +90,14 @@ object AnnRecall {
         f"hardNegatives; sf=$sfDir, corpus=$nCorpus, queries=$nQueries)")
     }
 
+    // JL-projected shortlist: recall@k vs the exact ranking as the
+    // shortlist widens — the dimension-reduction trade (16 of 64 dims
+    // scanned; the exact re-rank fixes ordering, so recall measures
+    // only shortlist membership)
+    for (sl <- Seq(16, 32, 64))
+      report(s"rp(16d/$sl)", graft.ops.RandomProjection.projectedTopK(
+        vecs, queries, k, shortlist = sl, dimIn = 64, dimOut = 16))
+
     spark.stop()
   }
 }

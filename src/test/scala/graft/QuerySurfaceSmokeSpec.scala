@@ -30,6 +30,8 @@ class QuerySurfaceSmokeSpec extends AnyFunSuite {
     "ann_brute_topk",   // broadcast brute-force baseline: 8 query vecs x corpus
     "ann_int8_topk",    // same shape over the dequantized corpus
     "lm_quality",       // broadcast of a ONE-ROW vocab-size aggregate
+    "lm_backoff_score", // broadcast of the ONE-ROW (N, V) model meta table
+    "lm_score_filter",  // same one-row meta broadcast inside the gate
     "pmi_collocations", // broadcast of the ONE-ROW token-total aggregate
     "st2_gap_fill"      // expected days x event-types grid (ST2 synthesis):
                         // both sides are small distinct dimension sets
