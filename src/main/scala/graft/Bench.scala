@@ -174,7 +174,11 @@ object Bench {
     // JL random projection (dimOut native dots, one projection pass,
     // zero shuffle), and the projected-shortlist ANN (16-dim scan +
     // 32-candidate exact re-rank vs ann_brute_topk's full 64-dim scan)
-    "lm_backoff_score", "embed_random_projection", "ann_rp_topk")
+    "lm_backoff_score", "embed_random_projection", "ann_rp_topk",
+    // tokenizer-in-the-loop last mile: BPE train + encode + pack +
+    // TFRecord shards (the shard build caches per dir; the timed path
+    // is the CRC-verified decode, the pack_to_shards convention)
+    "bpe_pack_shards_e2e")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -184,7 +188,7 @@ object Bench {
     "dedup_drop_near", "vocab_oov_rate", "host_hits", "host_trustrank",
     "host_distance", "sql_tpch_q18", "layout_hilbert",
     "positive_pairs_ann", "ann_ivf_index_upsert",
-    "embed_random_projection")
+    "embed_random_projection", "bpe_pack_shards_e2e")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

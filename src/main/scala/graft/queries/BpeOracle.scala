@@ -86,7 +86,18 @@ object BpeOracle {
 
   /** Oracle for `bpe_piece_counts`: per-doc (n_words, n_pieces) under
     * the merges trained by the same CTE chain. */
-  def pieceCountsSql(n: Int): String = {
+  def pieceCountsSql(n: Int): String =
+    encodePrefix(n) +
+      """
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(pieces) AS BIGINT) AS n_pieces
+        |FROM toks JOIN vp USING (w) GROUP BY doc_id""".stripMargin
+
+  /** The full WITH chain through `vp` (word -> final piece count):
+    * training rounds, rank-ordered merge table, recursive priority
+    * encode, terminal rows. Shared by the piece-count and pack
+    * oracles. */
+  private def encodePrefix(n: Int): String = {
     val applicable =
       s"""(list_filter(ms, m -> contains(
          |        $SEP || array_to_string(syms, $SEP) || $SEP,
@@ -108,10 +119,26 @@ object BpeOracle {
          |             THEN acc || x ELSE acc || $SEP || x END), $SEP) AS syms
          |    FROM enc WHERE mm IS NOT NULL) e CROSS JOIN mt)""".stripMargin,
       "vp AS (SELECT w, len(syms) AS pieces FROM enc WHERE mm IS NULL)")
-    "WITH RECURSIVE " + (trainingCtes(n) ++ encodeCtes).mkString(",\n") +
-      """
-        |SELECT doc_id, count(*) AS n_words,
-        |  CAST(sum(pieces) AS BIGINT) AS n_pieces
-        |FROM toks JOIN vp USING (w) GROUP BY doc_id""".stripMargin
+    "WITH RECURSIVE " + (trainingCtes(n) ++ encodeCtes).mkString(",\n")
   }
+
+  /** Oracle for `bpe_pack_shards_e2e`: the piece-count replay above
+    * feeding the exact pack_to_shards bin chain (doc_id-ordered
+    * cumulative-before sum, floor(cum/capacity) bins) — tokenizer in
+    * the loop instead of the whitespace-heuristic count. */
+  def packShardsSql(n: Int, capacity: Int): String =
+    encodePrefix(n) +
+      s""",
+         |pc AS (SELECT doc_id, CAST(sum(pieces) AS BIGINT) AS n_pieces
+         |  FROM toks JOIN vp USING (w) GROUP BY doc_id),
+         |cum AS (SELECT doc_id, n_pieces,
+         |    COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM pc),
+         |bins AS (SELECT doc_id, n_pieces,
+         |    CAST(floor(cb / $capacity.0) AS BIGINT) AS bin_id FROM cum)
+         |SELECT bin_id, count(*) AS n_docs,
+         |  CAST(sum(n_pieces) AS BIGINT) AS bin_pieces,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM bins GROUP BY bin_id""".stripMargin
 }

@@ -45,6 +45,7 @@ object TextQueries {
   private val bm25IdxCache = scala.collection.concurrent.TrieMap[String, String]()
   private val bm25UpsertIdxCache = scala.collection.concurrent.TrieMap[String, String]()
   private val packShardCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val bpePackCache = scala.collection.concurrent.TrieMap[String, String]()
   private val trigramIdxCache = scala.collection.concurrent.TrieMap[String, String]()
   private val minerIvfCache = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfUpsertCache = scala.collection.concurrent.TrieMap[String, String]()
@@ -824,6 +825,35 @@ object TextQueries {
         .select(element_at(col("bin_id"), 1).as("bin_id"),
           size(col("doc_ids")).cast("long").as("n_docs"),
           element_at(col("bin_tokens"), 1).as("bin_tokens"),
+          element_at(col("doc_ids"), 1).as("first_doc"),
+          element_at(col("doc_ids"), size(col("doc_ids"))).as("last_doc"))
+    },
+
+    // the same last mile with the TOKENIZER in the loop: train BPE on
+    // the corpus, pack bins by true per-doc PIECE counts (not the
+    // whitespace heuristic), ship through TFRecord shards, decode.
+    // The oracle replays training + priority encoding + the bin chain.
+    "bpe_pack_shards_e2e" -> { (s, d) =>
+      val dir = bpePackCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files.createTempDirectory("graft_bpepack")
+          .toString
+        val docs = Tables.documents(s, d)
+        val pieces = Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20))
+          .select(col("doc_id"), col("n_pieces"))
+        val bins = Packing.packChunked(pieces, "doc_id", "n_pieces",
+            capacity = 512)
+          .groupBy(col("bin_id"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+            sum(col("n_pieces")).as("bin_pieces"))
+        graft.sources.TfRecord.writeExamples(bins, r,
+          Seq("bin_id", "doc_ids", "bin_pieces"), Seq.empty)
+        r
+      })
+      graft.sources.TfRecord.readExamples(s, dir,
+          Seq("bin_id", "doc_ids", "bin_pieces"), Seq.empty)
+        .select(element_at(col("bin_id"), 1).as("bin_id"),
+          size(col("doc_ids")).cast("long").as("n_docs"),
+          element_at(col("bin_pieces"), 1).as("bin_pieces"),
           element_at(col("doc_ids"), 1).as("first_doc"),
           element_at(col("doc_ids"), size(col("doc_ids"))).as("last_doc"))
     },
@@ -1983,6 +2013,10 @@ object TextQueries {
 
     // training replay + recursive-CTE priority encode over the vocab
     "bpe_piece_counts" -> BpeOracle.pieceCountsSql(20),
+
+    // tokenizer-in-the-loop pack: the encode replay feeds the exact
+    // pack_to_shards bin chain
+    "bpe_pack_shards_e2e" -> BpeOracle.packShardsSql(20, capacity = 512),
 
     // vocabulary coverage replay: same top-500 vocab (count desc, token
     // tiebreak), same null-flag left join and per-doc ratio

@@ -186,6 +186,42 @@ object CorpusStreamIngest {
       .format("parquet").option("path", outDir)
       .start()
 
+  /** LM-gated streaming curation: documents landing in `landingDir`
+    * are scored per micro-batch against a STANDING persisted
+    * Stupid-Backoff model ([[graft.ops.NgramLm.trainModel]] — trained
+    * once on a reference corpus, never retrained in the loop) and rows
+    * scoring at least `minScore` append to `outDir` as
+    * (doc_id, text, lm_bo_score). The per-batch work is exactly the
+    * batch gate's: one trigram projection + the distinct-context
+    * backoff join against the model count tables — stateless across
+    * batches (the model IS the state, and it is read-only), so
+    * stream == batch row-for-row; NgramLmStreamSpec pins it.
+    * `foreachBatch` because scoring aggregates per doc — the standard
+    * shape for join+agg transforms on a stream (same as
+    * [[curateNearBatch]]). */
+  def startLmGate(spark: SparkSession, landingDir: String,
+                  modelDir: String, outDir: String, checkpointDir: String,
+                  minScore: Double,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        try graft.ops.NgramLm
+          .scoreFilter(spark, modelDir, batch, minScore)
+          .select(col("doc_id"), col("text"), col("lm_bo_score"))
+          .write.mode("append").parquet(outDir)
+        finally CacheRegistry.releaseAll()
+      }
+      .start()
+
   def startNear(spark: SparkSession, landingDir: String, stateDir: String,
                 checkpointDir: String,
                 trigger: Trigger = Trigger.AvailableNow(),
