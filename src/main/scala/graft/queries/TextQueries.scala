@@ -130,7 +130,9 @@ object TextQueries {
     // fastText-shaped logistic regression on hashed BoW INSIDE the
     // engine (full-batch GD, micro-grid weights -> bit-reproducible),
     // here on the deterministic is-English label, then score the whole
-    // corpus. Training is not SQL-expressible -> rows-only entry; the
+    // corpus. HASH-checked since round 10: the micro-grid design makes
+    // the whole GD trajectory engine-exact, so the oracle unrolls all
+    // six epochs as CTE chains (QualityClassifierOracle); the
     // planted-separation and reproducibility laws live in
     // QualityClassifierSpec.
     "quality_classifier" -> { (s, d) =>
@@ -2017,6 +2019,10 @@ object TextQueries {
     // tokenizer-in-the-loop pack: the encode replay feeds the exact
     // pack_to_shards bin chain
     "bpe_pack_shards_e2e" -> BpeOracle.packShardsSql(20, capacity = 512),
+
+    // full GD-training replay: six unrolled epochs on the micro grid
+    "quality_classifier" -> QualityClassifierOracle.sql(
+      dim = 1024, epochs = 6, lr = 1.0),
 
     // vocabulary coverage replay: same top-500 vocab (count desc, token
     // tiebreak), same null-flag left join and per-doc ratio
