@@ -54,17 +54,28 @@ object NgramLm {
     concat(array(lit(Bos), lit(Bos)),
       graft.functions.TextFunctions.tokens(lower(textCol)))
 
+  /** Trigram struct array over a BOS-padded token array column —
+    * guarded for zero-token documents: the padded array then has size
+    * 2, where Spark's sequence(3, 2) DESCENDS through i = 2 and
+    * element_at(ts, 0) throws unconditionally, so empty docs yield an
+    * empty array instead (they carry no scorable tokens — the same
+    * no-rows outcome the DuckDB oracle's empty range(3, 3) produces). */
+  private val trigramsOfTs: String =
+    """CASE WHEN size(ts) >= 3 THEN
+      |  transform(sequence(3, size(ts)),
+      |    i -> struct(element_at(ts, i - 2) AS u,
+      |                element_at(ts, i - 1) AS v,
+      |                element_at(ts, i) AS w))
+      |ELSE CAST(array() AS array<struct<u:string,v:string,w:string>>)
+      |END""".stripMargin
+
   /** One row per real token: (doc_id, u, v, w) with u,v its two
     * predecessors (BOS-padded). Pure projection + explode — the
     * corpus-sized stream everything else keys off. */
   def trigramStream(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val padded = paddedTokens(col(textCol))
     df.select(col(idCol).as("doc_id"), padded.as("ts"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(3, size(ts)),
-          |  i -> struct(element_at(ts, i - 2) AS u,
-          |              element_at(ts, i - 1) AS v,
-          |              element_at(ts, i) AS w))""".stripMargin)).as("g"))
+      .select(col("doc_id"), explode(expr(trigramsOfTs)).as("g"))
       .select(col("doc_id"), col("g.u"), col("g.v"), col("g.w"))
   }
 
@@ -74,15 +85,13 @@ object NgramLm {
     * padded tokens, vocab = distinct padded tokens). */
   def trainModel(train: DataFrame, modelDir: String,
                  idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val padded = train.select(paddedTokens(col(textCol)).as("ts"))
-    val toks = CacheRegistry.persist(
-      padded.select(explode(col("ts")).as("w")))
+    // persist the PADDED arrays — the tokenization projection feeds
+    // all four count consumers (tri/bi/uni/meta) from one cache entry
+    val padded = CacheRegistry.persist(
+      train.select(paddedTokens(col(textCol)).as("ts")))
+    val toks = padded.select(explode(col("ts")).as("w"))
     // n-gram counts straight from the padded arrays (projection-only)
-    val tri = padded.select(explode(expr(
-        """transform(sequence(3, size(ts)),
-          |  i -> struct(element_at(ts, i - 2) AS u,
-          |              element_at(ts, i - 1) AS v,
-          |              element_at(ts, i) AS w))""".stripMargin)).as("g"))
+    val tri = padded.select(explode(expr(trigramsOfTs)).as("g"))
       .groupBy(col("g.u"), col("g.v"), col("g.w"))
       .agg(count(lit(1)).as("c3"))
     val bi = padded.select(explode(expr(

@@ -265,13 +265,16 @@ object Similarity {
     val base = corpus.select(
       (col(idCol).as("corpus_id") +: col(vecCol).as("cvec") +: keep): _*)
     val assigned = base.withColumn("cell", assignCellL2(col("cvec"), ctrs))
+    // in `assigned` the label column already carries its stored name
+    val keepStored = labelCol.map(_ => col("label")).toSeq
     val payload =
       if (quantize)
         assigned.select(
           (col("corpus_id") +:
             graft.functions.PackInt8Expr(quantizeInt8(col("cvec")))
               .as("cvec_q") +:
-            int8Scale(col("cvec")).as("cscale") +: keep) :+ col("cell"): _*)
+            int8Scale(col("cvec")).as("cscale") +: keepStored)
+            :+ col("cell"): _*)
       else assigned
     payload.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/assignments")
@@ -327,7 +330,8 @@ object Similarity {
     * when recall degrades; [[buildIvfIndex]] is that path). */
   def appendToIvfIndex(batch: DataFrame, dir: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): Unit = {
     val spark = batch.sparkSession
     val ctrs = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -335,17 +339,21 @@ object Similarity {
     val standing = spark.read.parquet(s"$dir/assignments")
     val quantized = standing.columns.contains("cvec_q")
     val labeled = standing.columns.contains("label")
-    val keep = if (labeled) Seq(col("label")) else Nil
+    // the batch's label column (any name) maps onto the index's stored
+    // "label" — mirrors buildIvfIndex's labelCol rename
+    val keep = if (labeled) Seq(col(labelCol).as("label")) else Nil
     val base = batch.select(
       (col(idCol).as("corpus_id") +: col(vecCol).as("cvec") +: keep): _*)
     val assigned = base.withColumn("cell", assignCellL2(col("cvec"), ctrs))
+    val keepStored = if (labeled) Seq(col("label")) else Nil
     val payload =
       if (quantized)
         assigned.select(
           (col("corpus_id") +:
             graft.functions.PackInt8Expr(quantizeInt8(col("cvec")))
               .as("cvec_q") +:
-            int8Scale(col("cvec")).as("cscale") +: keep) :+ col("cell"): _*)
+            int8Scale(col("cvec")).as("cscale") +: keepStored)
+            :+ col("cell"): _*)
       else assigned
     payload.write.mode("append").partitionBy("cell")
       .parquet(s"$dir/assignments")

@@ -122,30 +122,32 @@ object WebQueries {
 
   /** The oracle-side spelling of [[UrlTools.canonicalize]] and
     * [[UrlTools.registeredDomainOf]] over a column named `url`. */
-  private[queries] val hostSql =
-    """regexp_replace(lower(regexp_extract(url,
+  private[queries] def hostSqlOf(c: String): String =
+    s"""regexp_replace(lower(regexp_extract($c,
       |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-      |  '^www\.|:[0-9]+$', '', 'g')""".stripMargin
-  private[queries] val canonicalSql =
-    s"""lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) ||
-      |  '://' || $hostSql ||
-      |  (CASE WHEN len(regexp_replace(regexp_extract(url,
+      |  '^www\\.|:[0-9]+$$', '', 'g')""".stripMargin
+  private[queries] val hostSql = hostSqlOf("url")
+  private[queries] def canonicalSqlOf(c: String): String =
+    s"""lower(regexp_extract($c, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) ||
+      |  '://' || ${hostSqlOf(c)} ||
+      |  (CASE WHEN len(regexp_replace(regexp_extract($c,
       |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
       |        '/+$$', '', 'g')) > 0
-      |      THEN regexp_replace(regexp_extract(url,
+      |      THEN regexp_replace(regexp_extract($c,
       |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
       |        '/+$$', '', 'g')
       |      ELSE '/' END) ||
-      |  (CASE WHEN len(regexp_extract(url, '\\?([^#]*)', 1)) > 0
+      |  (CASE WHEN len(regexp_extract($c, '\\?([^#]*)', 1)) > 0
       |       AND len(regexp_replace(regexp_replace(
-      |         '?' || regexp_extract(url, '\\?([^#]*)', 1),
+      |         '?' || regexp_extract($c, '\\?([^#]*)', 1),
       |         '[?&](utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
       |         '^[?&]+', '', 'g')) > 0
       |      THEN '?' || regexp_replace(regexp_replace(
-      |         '?' || regexp_extract(url, '\\?([^#]*)', 1),
+      |         '?' || regexp_extract($c, '\\?([^#]*)', 1),
       |         '[?&](utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
       |         '^[?&]+', '', 'g')
       |      ELSE '' END)""".stripMargin
+  private[queries] val canonicalSql = canonicalSqlOf("url")
   private val registeredDomainSql =
     """CASE WHEN regexp_matches(host,
       |    '\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za)$')
@@ -858,7 +860,7 @@ object WebQueries {
     s"""texted AS MATERIALIZED (SELECT doc_id, url, decl_url, $htmlToTextSql AS text
        |  FROM pg),
        |ckp AS (SELECT doc_id, coalesce(decl_url, url) AS kurl FROM texted),
-       |ck AS (SELECT doc_id, ${canonicalSql.replace("url", "kurl")} AS curl
+       |ck AS (SELECT doc_id, ${canonicalSqlOf("kurl")} AS curl
        |  FROM ckp),
        |uw AS (SELECT min(doc_id) AS doc_id FROM ck GROUP BY curl),
        |k1 AS (SELECT t.doc_id, t.url, t.text FROM texted t

@@ -253,9 +253,16 @@ object Warc {
       .join(dedupBase.select(col("uri").as("to_uri"), col("st").as("to_st"),
         col("loc").as("to_loc")), Seq("to_uri"), "left")
       .select(col("from_uri"), col("to_uri"), col("to_st"), col("to_loc"))
-    var cur = base.select(col("uri"), col("uri").as("cur_uri"),
-      col("st").as("cur_st"), col("loc").as("cur_loc"),
-      lit(0).as("hops"))
+    // Every capture starts the walk from its URI's COLLAPSED choice —
+    // not its own st/loc. Otherwise a redirect capture of a URI that
+    // also has a 2xx capture is unreachable in the step table (the
+    // dedup picked the 2xx) and would sit forever "unresolved" even
+    // though the collapsed chain terminates right there.
+    var cur = base.select(col("uri"))
+      .join(dedupBase, Seq("uri"))
+      .select(col("uri"), col("uri").as("cur_uri"),
+        col("st").as("cur_st"), col("loc").as("cur_loc"),
+        lit(0).as("hops"))
     (1 to maxHops).foreach { _ =>
       val joined = col("from_uri").isNotNull
       cur = cur.join(step,

@@ -65,7 +65,11 @@ class BpeSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toList
     CacheRegistry.releaseAll()
     assert(out == List((1L, 2L, 4L), (2L, 2L, 6L)))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "the token-stream persist must be registry-released")
+    // scope to THIS op's call sites — the context is shared across
+    // concurrently-running suites (the DedupSpec convention)
+    val lingering = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.toString.contains("Bpe.scala"))
+    assert(lingering.isEmpty,
+      s"the token-stream persist must be registry-released: $lingering")
   }
 }

@@ -218,7 +218,10 @@ class MultimodalSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
     assert(pairs == Set((1L, 2L), (10L, 11L)),
       s"expected exactly the planted pairs, got $pairs")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // scope to THIS op's call sites — the context is shared across
+    // concurrently-running suites (the DedupSpec convention)
+    assert(spark.sparkContext.getPersistentRDDs.values
+      .forall(!_.toString.contains("Multimodal.scala")))
   }
 
   /** 3-frame MJPEG AVI fixture: each frame a deterministic 16x12 JPEG

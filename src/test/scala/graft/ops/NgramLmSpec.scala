@@ -71,6 +71,19 @@ class NgramLmSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("zero-token documents neither crash nor score") {
+    // empty/whitespace text tokenizes to [] -> the padded array has
+    // size 2, where an unguarded sequence(3, size) DESCENDS and
+    // element_at(ts, 0) throws; such docs must simply drop out
+    val train = Seq((1L, "a b c"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val dir = tmp()
+    NgramLm.trainModel(train, dir)
+    val scored = NgramLm.scoreWithModel(spark, dir, train)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scored == Set(1L))
+    CacheRegistry.releaseAll()
+  }
+
   test("persisted model carries the padded-stream counts") {
     val train = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
     val dir = tmp()

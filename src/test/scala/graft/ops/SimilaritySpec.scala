@@ -467,6 +467,23 @@ class SimilaritySpec extends AnyFunSuite {
       ldf.filter(col("label").isNull).count() == 0)
   }
 
+  test("IVF index: non-default label column name, quantized + labeled") {
+    // labelCol other than "label" must work for build (incl. the
+    // quantized layout, where the stored column is already renamed)
+    // and for append (whose batch carries the caller's column name)
+    val renamed = clusteredLabeled.withColumnRenamed("label", "lang")
+    val centers = Some(Similarity.lowestIdCenters(renamed, 4))
+    val dir = TestSpark.tmpDir("ivf_lbl_q")
+    Similarity.buildIvfIndex(renamed.filter(col("vec_id") < 12), dir,
+      nCentroids = 4, quantize = true, labelCol = Some("lang"),
+      centers = centers)
+    Similarity.appendToIvfIndex(renamed.filter(col("vec_id") >= 12), dir,
+      labelCol = "lang")
+    val df = spark.read.parquet(s"$dir/assignments")
+    assert(df.columns.contains("label") && df.columns.contains("cvec_q"))
+    assert(df.count() == 24 && df.filter(col("label").isNull).count() == 0)
+  }
+
   test("hardNegatives: same-label near-twin excluded, hardest " +
     "different-label vector ranks first") {
     import org.apache.spark.sql.functions.col

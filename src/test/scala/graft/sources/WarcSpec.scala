@@ -138,6 +138,23 @@ class WarcSpec extends AnyFunSuite {
         r.getBoolean(4) && r.get(2) == 200))
   }
 
+  test("resolveRedirects: a redirect capture of a 2xx-deduped uri resolves") {
+    // /u captured BOTH as 200 and as a 301 -> /t: the collapsed choice
+    // for /u is the 200 (min status), so BOTH captures must resolve
+    // terminally at /u — the 301 capture walks the collapsed chain,
+    // it neither follows its own Location nor hangs unresolved.
+    val rs = Seq(
+      ("https://s/u", 200, null),
+      ("https://s/u", 301, "https://s/t"),
+      ("https://s/t", 200, null))
+      .toDF("target_uri", "status", "location")
+    val out = Warc.resolveRedirects(rs, maxHops = 4)
+      .filter(col("uri") === "https://s/u").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getString(1) == "https://s/u" &&
+      r.get(2) == 200 && r.getInt(3) == 0 && r.getBoolean(4)))
+  }
+
   test("decodeBody: declared charsets, fallback, replacement, null body") {
     val rows = Seq(
       (1L, "windows-1252", Array(0x80.toByte, 'a'.toByte)), // € then a
