@@ -180,6 +180,12 @@ object ScalingProbe {
       // the kept second pass probes the READ path — record-at-a-time
       // TFRecord decode and schema'd gzip JSONL must track corpus bytes
       "src_tfrecord_roundtrip", "src_jsonl_roundtrip",
+      // round-10: the two newest e2e read paths — the raw-HTTP curation
+      // (WARC build caches per dir; the kept pass probes the composed
+      // parse→decode→dedup→curate→shards→decode chain) and the
+      // tokenizer-priced pack (BPE train + encode + pack cache per dir;
+      // the kept pass probes the CRC-verified shard decode)
+      "curate_http_e2e", "bpe_pack_shards_e2e",
       // round-10: the Stupid-Backoff gate (train + score in one number
       // — the count aggs and the trigram scoring stream are both
       // token-linear; the distinct-context join stays trigram-vocab-
