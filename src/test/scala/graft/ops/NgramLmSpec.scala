@@ -71,6 +71,28 @@ class NgramLmSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("scoring plan: no global sort, meta rides a broadcast") {
+    // the 100 TB shape: count-table joins keyed on the n-gram, the
+    // one-row (N, V) meta as a broadcast nested loop — never a
+    // CartesianProduct, never a global SortExec
+    val docs = (1L to 50L).map(i => (i, mkDocPlan(i))).toDF("doc_id", "text")
+    val dir = tmp()
+    NgramLm.trainModel(docs, dir)
+    val plan = NgramLm.scoreWithModel(spark, dir, docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "meta must broadcast, not cartesian")
+    assert(!plan.contains("SortExec") || !plan.contains("Exchange rangepartitioning"),
+      "no global sort in the scoring plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the one-row meta should ride a broadcast")
+    CacheRegistry.releaseAll()
+  }
+
+  private def mkDocPlan(i: Long): String =
+    (0 until 12).map(j => s"w${(i * 3 + j) % 17}").mkString(" ")
+
   test("zero-token documents neither crash nor score") {
     // empty/whitespace text tokenizes to [] -> the padded array has
     // size 2, where an unguarded sequence(3, size) DESCENDS and
