@@ -178,7 +178,10 @@ object Bench {
     // tokenizer-in-the-loop last mile: BPE train + encode + pack +
     // TFRecord shards (the shard build caches per dir; the timed path
     // is the CRC-verified decode, the pack_to_shards convention)
-    "bpe_pack_shards_e2e")
+    "bpe_pack_shards_e2e",
+    // curriculum schedule: LM train+score + pack + per-bin mean + the
+    // two-phase global rank (no single-partition sort)
+    "curriculum_order")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -188,7 +191,8 @@ object Bench {
     "dedup_drop_near", "vocab_oov_rate", "host_hits", "host_trustrank",
     "host_distance", "sql_tpch_q18", "layout_hilbert",
     "positive_pairs_ann", "ann_ivf_index_upsert",
-    "embed_random_projection", "bpe_pack_shards_e2e")
+    "embed_random_projection", "bpe_pack_shards_e2e",
+    "curriculum_order")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

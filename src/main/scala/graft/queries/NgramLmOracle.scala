@@ -39,14 +39,23 @@ object NgramLmOracle {
     }
     s"""WITH corpus AS (SELECT doc_id, text FROM documents
        |  $plants),
-       |dt AS MATERIALIZED (SELECT
+       |$scoreChain
+       |$tail""".stripMargin
+  }
+
+  /** The shared CTE chain from `dt` (train tokenization) through `ctx`
+    * (per-distinct-context backoff scores); expects a `corpus` CTE with
+    * (doc_id, text) as the scored side. Plain string (no interpolation)
+    * so the regex escapes read as written. */
+  private val scoreChain: String =
+    """dt AS MATERIALIZED (SELECT
        |    list_concat([chr(2), chr(2)],
-       |      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      list_filter(string_split_regex(trim(lower(text)), '\s+'),
        |        t -> len(t) > 0)) AS ts
        |  FROM documents),
        |ds AS MATERIALIZED (SELECT doc_id,
        |    list_concat([chr(2), chr(2)],
-       |      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      list_filter(string_split_regex(trim(lower(text)), '\s+'),
        |        t -> len(t) > 0)) AS ts
        |  FROM corpus),
        |c3 AS MATERIALIZED (SELECT u, v, w, count(*) AS c3 FROM (
@@ -82,7 +91,39 @@ object NgramLmOracle {
        |  LEFT JOIN c2 b2 ON t.v = b2.v AND t.w = b2.w
        |  LEFT JOIN (SELECT w AS uv, c1 FROM c1) cv ON t.v = cv.uv
        |  LEFT JOIN c1 uw ON t.w = uw.w
-       |  CROSS JOIN meta m)
-       |$tail""".stripMargin
-  }
+       |  CROSS JOIN meta m)""".stripMargin
+
+  /** Oracle for `curriculum_order`: LM-score the clean documents (no
+    * plants), pack them into capacity-`capacity` bins by the
+    * approx-BPE token-count replay (the pack_sequences idiom), take
+    * each bin's mean score, and rank bins easy-to-hard (score DESC,
+    * bin_id tiebreak; 0-based positions — the two-phase rank's
+    * offsets). */
+  def curriculumSql(capacity: Int): String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |$scoreChain,
+       |sc AS MATERIALIZED (SELECT tri.doc_id, avg(ctx.s) AS lm_bo_score
+       |  FROM tri JOIN ctx ON tri.u = ctx.u AND tri.v = ctx.v
+       |    AND tri.w = ctx.w
+       |  GROUP BY tri.doc_id),
+       |tk AS (SELECT doc_id,
+       |    COALESCE(CAST(list_sum(list_transform(
+       |      list_filter(string_split_regex(trim(text), '\\s+'),
+       |        x -> len(x) > 0),
+       |      x -> greatest(1, CAST(ceil(len(x) / 4.0) AS BIGINT))))
+       |      AS BIGINT), 0) AS n_tokens
+       |  FROM documents),
+       |cum AS (SELECT doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM tk),
+       |b AS (SELECT doc_id,
+       |    CAST(floor(cb / $capacity.0) AS BIGINT) AS bin_id FROM cum),
+       |pb AS (SELECT b.bin_id, count(*) AS n_docs,
+       |    avg(sc.lm_bo_score) AS bin_score
+       |  FROM b JOIN sc USING (doc_id) GROUP BY b.bin_id)
+       |SELECT bin_id, n_docs, round(bin_score, 6) AS bin_score,
+       |  CAST(row_number() OVER (ORDER BY bin_score DESC, bin_id) - 1
+       |    AS BIGINT) AS curriculum_pos
+       |FROM pb""".stripMargin
 }

@@ -658,6 +658,20 @@ object TextQueries {
         .withColumn("lm_bo_score", round(col("lm_bo_score"), 6))
     },
 
+    // Curriculum schedule (ops/Curriculum): LM-score the corpus, pack
+    // it into 512-token bins, rank bins easy-to-hard by mean score —
+    // the global positions come from the two-phase range-partition
+    // rank (globalShuffle's discipline: no single-partition sort)
+    "curriculum_order" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_lm_cur")
+        .toString
+      NgramLm.trainModel(docs, dir)
+      graft.ops.Curriculum.lmOrderedBins(s, dir, docs, capacity = 512)
+        .select(col("bin_id"), col("n_docs"),
+          round(col("bin_score"), 6).as("bin_score"), col("curriculum_pos"))
+    },
+
     // the LM gate itself: docs ∪ plants, keep score >= threshold —
     // the gibberish plant lands at the backoff floor and is dropped
     "lm_score_filter" -> { (s, d) =>
@@ -1597,6 +1611,10 @@ object TextQueries {
 
     // same replay, gate at the same unrounded threshold
     "lm_score_filter" -> NgramLmOracle.scoreSql(filterMin = Some(0.05)),
+
+    // LM-score replay (no plants) + pack chain + per-bin mean +
+    // easy-to-hard rank
+    "curriculum_order" -> NgramLmOracle.curriculumSql(512),
 
     // thresholds are thresholdHex(f) literals: floor(f * 2^32) in hex —
     // lexicographic compare on fixed-width lowercase hex == numeric

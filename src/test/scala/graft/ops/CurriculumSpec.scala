@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class CurriculumSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("assignPositions is the exact permutation of the total order") {
+    val rows = (0 until 200).map(i =>
+      (i.toLong, ((i * 37) % 100).toDouble / 10.0))
+      .toDF("id", "score")
+    val got = Curriculum.assignPositions(rows,
+        Seq(col("score").desc, col("id")), nParts = 8)
+      .select("id", "curriculum_pos").as[(Long, Long)].collect().toMap
+    val expected = rows.orderBy(col("score").desc, col("id"))
+      .select("id").as[Long].collect().zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == expected)
+    // positions are a 0-based permutation
+    assert(got.values.toSeq.sorted == (0L until 200L))
+  }
+
+  test("lmOrderedBins: predictable bins schedule before gibberish bins") {
+    def doc(i: Int): String =
+      (0 until 30).map(j => s"tok${(i + j) % 25} tie$j").mkString(" ")
+    // ids 0..39: in-distribution; 100..109: OOV gibberish (their own
+    // shared vocabulary so they pack into bins together)
+    val docs = ((0 until 40).map(i => (i.toLong, doc(i))) ++
+      (100 until 110).map(i =>
+        (i.toLong, (0 until 30).map(j => s"zz${i}q$j xx${i}v$j")
+          .mkString(" "))))
+      .toDF("doc_id", "text")
+    val dir = TestSpark.tmpDir("curriculum_model")
+    // train on the CLEAN docs only — gibberish is OOV under the model
+    NgramLm.trainModel(docs.filter(col("doc_id") < 40), dir)
+    val bins = Curriculum.lmOrderedBins(spark, dir, docs, capacity = 256)
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    // positions follow (score desc, bin_id)
+    val byPos = bins.sortBy(_._3)
+    assert(byPos.map(_._3).toSeq == bins.indices.map(_.toLong))
+    byPos.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    }
+    // every early-position bin outscores every late gibberish bin:
+    // doc_ids pack in id order, so gibberish lands in the tail bins,
+    // which must occupy the tail POSITIONS too
+    val tailBins = bins.filter(_._2 < 0.01).map(_._3)
+    val headBins = bins.filter(_._2 >= 0.01).map(_._3)
+    assert(tailBins.nonEmpty && headBins.nonEmpty)
+    assert(tailBins.min > headBins.max)
+    CacheRegistry.releaseAll()
+  }
+}
