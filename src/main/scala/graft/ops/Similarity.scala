@@ -183,27 +183,24 @@ object Similarity {
   }
 
   /** (query_id, qvec, cell[, keep...]) — each query exploded to its
-    * nProbe nearest centroids; centers are driver-side literals (the
-    * coarse quantizer is nCentroids rows — FAISS keeps it in RAM the
-    * same way). `keep` columns (e.g. the anchor's label for the ANN
-    * miners) ride along untouched. */
+    * nProbe nearest centroids via the native
+    * [[graft.functions.NearestCellsExpr]] kernel: the centroids ride
+    * ONE reference object consumed by a compiled loop (the coarse
+    * quantizer is data held in RAM, FAISS-style — NOT an expression
+    * tree; the per-centroid literal-struct form this replaced embedded
+    * O(nCentroids x dim) plan literals and an interpreted lambda per
+    * centroid, a codegen-breaker at production nCentroids ~
+    * sqrt(corpus)). Arithmetic and (dist, cell) tie-breaks are
+    * bit-identical to the zip_with/aggregate + array_sort formulation,
+    * so every IVF oracle replays unchanged. `keep` columns (e.g. the
+    * anchor's label for the ANN miners) ride along untouched. */
   private def probeCells(queries: DataFrame, centers: Array[Array[Double]],
                          nProbe: Int, idCol: String, vecCol: String,
                          keep: Seq[Column] = Nil): DataFrame = {
     val q = queries.select(
       (col(idCol).as("query_id") +: col(vecCol).as("qvec") +: keep): _*)
-    val cellDists = array(centers.zipWithIndex.toIndexedSeq.map {
-      case (ctr, i) =>
-        struct(
-          aggregate(zip_with(col("qvec"), lit(ctr),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (a, v) => a + v).as("dist"),
-          lit(i).as("cell"))
-    }: _*)
-    q.withColumn("probe",
-      explode(slice(array_sort(cellDists), 1, nProbe)))
-      .withColumn("cell", col("probe.cell"))
-      .drop("probe")
+    q.withColumn("cell", explode(
+      graft.functions.NearestCellsExpr(col("qvec"), centers, nProbe)))
   }
 
   private def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
@@ -292,21 +289,15 @@ object Similarity {
       .orderBy(col(idCol)).limit(nCentroids)
       .collect().map(_.getSeq[Double](1).toArray)
 
-  /** Argmin-L2 cell of a vector against literal centers (ties to the
-    * lowest cell): min over (dist, cell) structs, dist the same
-    * left-to-right zip_with/aggregate fold as [[probeCells]] — build
-    * assignment and query probing MUST agree on the metric or probed
-    * cells miss their own members. Shuffle-free projection. */
+  /** Argmin-L2 cell of a vector (ties to the lowest cell) — the
+    * nProbe = 1 case of [[probeCells]]'s native kernel, so build
+    * assignment and query probing agree on metric, arithmetic AND
+    * tie-break by construction (probed cells must not miss their own
+    * members). Shuffle-free codegen projection; centroids ride one
+    * reference object, never per-centroid plan literals. */
   private def assignCellL2(vec: Column,
                            centers: Array[Array[Double]]): Column =
-    array_min(array(centers.zipWithIndex.toIndexedSeq.map {
-      case (ctr, i) =>
-        struct(
-          aggregate(zip_with(vec, lit(ctr),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (a, v) => a + v).as("dist"),
-          lit(i).as("cell"))
-    }: _*)).getField("cell")
+    element_at(graft.functions.NearestCellsExpr(vec, centers, 1), 1)
 
   /** Append a NEW batch of vectors to a persisted IVF index — the
     * [[graft.ops.TextSearch.appendToInvertedIndex]] segment model one
@@ -327,11 +318,20 @@ object Similarity {
     * the index has one — detected from the standing schema). NOTE the
     * quantizer is NOT refit: cells drift as the corpus distribution
     * drifts, which is the FAISS operational trade too (refit + rebuild
-    * when recall degrades; [[buildIvfIndex]] is that path). */
+    * when recall degrades; [[buildIvfIndex]] is that path —
+    * tools/AnnRecall's appended-index drift rows are the number that
+    * makes "when recall degrades" operational).
+    *
+    * `compactOver = Some(n)`: after the append, any cell whose
+    * partition has accumulated more than n parquet files is compacted
+    * in place ([[compactIvfCells]]) — the
+    * [[graft.streaming.IndexStreamMaintain]] threshold policy, so an
+    * unattended append stream keeps probe file fan-in bounded. */
   def appendToIvfIndex(batch: DataFrame, dir: String,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       labelCol: String = "label"): Unit = {
+                       labelCol: String = "label",
+                       compactOver: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     val ctrs = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -357,6 +357,90 @@ object Similarity {
       else assigned
     payload.write.mode("append").partitionBy("cell")
       .parquet(s"$dir/assignments")
+    compactOver.foreach { threshold =>
+      val over = cellsOverThreshold(dir, threshold)
+      if (over.nonEmpty) compactIvfCells(spark, dir, Some(over))
+    }
+  }
+
+  /** Merge an IVF index's accumulated append segments back down — the
+    * maintenance counterpart of [[appendToIvfIndex]] and the vector-
+    * index mirror of [[TextSearch.compactInvertedIndex]]: each append
+    * lands one file set per touched cell partition, so an unattended
+    * streaming corpus degrades probe latency with FILE COUNT (open/
+    * footer cost per probe) even though data volume is fine. Per cell,
+    * assignment files coalesce to one; rows are only rewritten, never
+    * changed, so probe results are identical by construction
+    * (SimilaritySpec pins equality across ~20 appends).
+    *
+    * `cells` is the unit-of-work knob (the compactInvertedIndex
+    * convention): compacting a 100 TB index in one call would
+    * checkpoint the whole assignments table, so production maintenance
+    * walks cell batches — pair with [[cellsOverThreshold]] for the
+    * threshold-triggered policy. Rewrites are checkpoint-then-dynamic-
+    * partition-overwrite, same as the grid store. Returns
+    * (files_before, files_after) over the rewritten partitions. */
+  def compactIvfCells(spark: org.apache.spark.sql.SparkSession,
+                      dir: String,
+                      cells: Option[Seq[Int]] = None): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(): Long = {
+      val dirs = cells match {
+        case Some(cs) => cs.map(c =>
+          new org.apache.hadoop.fs.Path(s"$dir/assignments/cell=$c"))
+        case None => Seq(new org.apache.hadoop.fs.Path(s"$dir/assignments"))
+      }
+      var n = 0L
+      dirs.filter(fs.exists).foreach { d =>
+        val it = fs.listFiles(d, true)
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+      }
+      n
+    }
+    val before = countFiles()
+    val base = spark.read.parquet(s"$dir/assignments")
+    val selected = (cells match {
+      case Some(cs) =>
+        base.filter(col("cell").isin(cs.map(Integer.valueOf): _*))
+      case None => base
+    }).localCheckpoint()
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // one task (= one file) per cell partition: hash-repartition on
+      // the partition column itself; sort by id for stable row groups
+      selected.repartition(col("cell"))
+        .sortWithinPartitions(col("corpus_id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/assignments")
+    } finally {
+      selected.unpersist()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    (before, countFiles())
+  }
+
+  /** Cells whose assignment partition holds more than `threshold`
+    * parquet files — the compaction trigger set (the
+    * [[graft.streaming.IndexStreamMaintain]] policy, for cells). A
+    * directory listing of nCentroids partition dirs: bounded by the
+    * layout, never by data. */
+  def cellsOverThreshold(dir: String, threshold: Int): Seq[Int] = {
+    val assignments = new java.io.File(s"$dir/assignments")
+    val dirs = Option(assignments.listFiles()).getOrElse(Array.empty)
+    dirs.filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > threshold)
+      .map(_.getName.stripPrefix("cell=").toInt)
+      .toSeq.sorted
   }
 
   /** Probe a persisted IVF index built by [[buildIvfIndex]]: same
@@ -736,19 +820,22 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
 
-  /** Shuffle-free argmax-cosine cell assignment against literal
-    * centroids (ties to the lowest cell): adds `cell` to a (.., vecCol)
-    * frame. The engine-portable quantizer shared by
-    * [[semanticDedupPairs]] and [[semanticDecontaminate]]. */
+  /** Shuffle-free argmax-cosine cell assignment (ties to the lowest
+    * cell): adds `cell` to a (.., vecCol) frame. The engine-portable
+    * quantizer shared by [[semanticDedupPairs]] and
+    * [[semanticDecontaminate]]. Runs through the native
+    * [[graft.functions.NearestCellsExpr]] cosine mode (same
+    * dot/(norm*norm) left-to-right arithmetic and lowest-cell tie-break
+    * as the per-centroid struct form it replaced — the oracles replay
+    * unchanged); the kernel returns an INDEX into the centroid array,
+    * mapped to the stored cell id through one array literal (nCells
+    * ints — a single Literal object, not per-centroid expressions). */
   private def assignCells(df: DataFrame, vecCol: String,
                           centers: Array[(Int, Array[Double])]): DataFrame = {
-    val cellScores = array(centers.map { case (cellId, ctr) =>
-      struct(cosine(col(vecCol), lit(ctr)).as("cos"),
-        lit(-cellId).as("negcell"))
-    }.toIndexedSeq: _*)
-    df.withColumn("graft_m", array_max(cellScores))
-      .withColumn("cell", -col("graft_m.negcell"))
-      .drop("graft_m")
+    val idx = element_at(graft.functions.NearestCellsExpr(
+      col(vecCol), centers.map(_._2), 1, cosineMode = true), 1)
+    df.withColumn("cell",
+      element_at(lit(centers.map(_._1)), idx + lit(1)))
   }
 
   def semanticDedupPairs(corpus: DataFrame, nCells: Int, minCos: Double,

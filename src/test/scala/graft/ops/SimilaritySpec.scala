@@ -504,4 +504,47 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected hard negative 2 then easy 3, got ${out.toSeq}")
     assert(out.forall(_._3 == "B"), "every mined negative is cross-label")
   }
+
+  test("compactIvfCells: file fan-in stays bounded across 20 appends; " +
+    "probe results identical to the uncompacted twin") {
+    val build = corpus.filter(col("vec_id") < 50)
+    val centers = Similarity.lowestIdCenters(build, 8)
+    val compacted = TestSpark.tmpDir("ivf_compact")
+    val loose = TestSpark.tmpDir("ivf_loose")
+    for (d <- Seq(compacted, loose))
+      Similarity.buildIvfIndex(build, d, nCentroids = 8,
+        centers = Some(centers))
+    def batch(b: Int) = (0 until 5)
+      .map(j => (10000L + b * 5 + j, vec(2000 + b * 5 + j)))
+      .toDF("vec_id", "embedding")
+    def maxFilesPerCell(d: String): Int =
+      new java.io.File(s"$d/assignments").listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.listFiles.count(_.getName.endsWith(".parquet"))).max
+    val threshold = 3
+    for (b <- 0 until 20) {
+      Similarity.appendToIvfIndex(batch(b), compacted,
+        compactOver = Some(threshold))
+      Similarity.appendToIvfIndex(batch(b), loose)
+      // the policy's invariant: after every batch hook, no cell exceeds
+      // the threshold (over-threshold cells just compacted back to 1)
+      assert(maxFilesPerCell(compacted) <= threshold,
+        s"batch $b: fan-in ${maxFilesPerCell(compacted)} > $threshold")
+    }
+    // the bound is real: the unmaintained twin's fan-in grew past it
+    assert(maxFilesPerCell(loose) > threshold,
+      s"loose twin never exceeded the threshold — test is vacuous")
+    // probe equality: rows were only rewritten, never changed
+    val q = corpus.filter(col("vec_id") < 4)
+    def ranked(d: String) =
+      Similarity.queryIvfIndex(spark, d, q, k = 5, nProbe = 3)
+        .select("query_id", "corpus_id", "rank", "cos")
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(ranked(compacted) == ranked(loose))
+    // whole-index compaction of the loose twin: files drop, answers don't
+    val (before, after) = Similarity.compactIvfCells(spark, loose)
+    assert(after < before, s"expected fewer files, got $before -> $after")
+    assert(maxFilesPerCell(loose) == 1)
+    assert(ranked(compacted) == ranked(loose))
+  }
 }
