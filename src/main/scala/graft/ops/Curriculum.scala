@@ -30,8 +30,14 @@ object Curriculum {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
-    val rdd = df.repartitionByRange(nParts, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*).rdd
+    // the range-partitioned sort is persisted (registry-tracked, the
+    // multi-reference-intermediate contract): the count pass below
+    // materializes it and the assign pass reads the cache, so the local
+    // sort is paid ONCE across the two jobs, not per pass
+    val sorted = CacheRegistry.persist(
+      df.repartitionByRange(nParts, orderCols: _*)
+        .sortWithinPartitions(orderCols: _*))
+    val rdd = sorted.rdd
     val counts = rdd.mapPartitionsWithIndex { (i, it) =>
       Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
@@ -48,7 +54,14 @@ object Curriculum {
     * under `modelDir` ([[NgramLm.scoreWithModel]]) → token-packed bins
     * ([[Packing.packChunked]] on `tokensCol`) → per-bin mean score →
     * global easy-to-hard positions (score DESC, bin_id tiebreak).
-    * Returns (bin_id, n_docs, bin_score, curriculum_pos). */
+    * Returns (bin_id, n_docs, bin_score, curriculum_pos).
+    *
+    * The rank key is the bin score SNAPPED to the emitted 6-decimal
+    * grid, not the raw double: avg() is accumulation-order-dependent,
+    * so two near-tied raw means could permute across engines (or
+    * Spark runs) in the last ulps while their rounded emissions agree —
+    * ranking on the snapped value keeps the order a pure function of
+    * the emitted columns, with bin_id breaking genuine grid ties. */
   def lmOrderedBins(spark: org.apache.spark.sql.SparkSession,
                     modelDir: String, docs: DataFrame,
                     capacity: Long, idCol: String = "doc_id",
@@ -64,6 +77,33 @@ object Curriculum {
     val perBin = bins.join(scores, Seq("doc_id"))
       .groupBy(col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), avg(col("lm_bo_score")).as("bin_score"))
-    assignPositions(perBin, Seq(col("bin_score").desc, col("bin_id")))
+    assignPositions(perBin,
+      Seq(round(col("bin_score"), 6).desc, col("bin_id")))
+  }
+
+  /** The schedule's last mile: shard `n` of the training run = the bins
+    * at curriculum positions [n*binsPerShard, (n+1)*binsPerShard), in
+    * position order — the physical layout a data loader streams
+    * sequentially to GET the easy-to-hard order (a schedule nothing
+    * consumes is just a ranking). Takes a frame carrying
+    * `curriculum_pos` (from [[assignPositions]]/[[lmOrderedBins]]),
+    * adds `shard_id`, and writes shard-addressed TFRecord files
+    * ([[graft.sources.TfRecord.writeShardedExamples]]): ONE range
+    * exchange on position, then each task cuts its sorted run at shard
+    * boundaries — shard count never materializes driver-side. */
+  def writeCurriculumShards(scheduled: DataFrame, dir: String,
+                            binsPerShard: Int,
+                            int64Cols: Seq[String],
+                            nParts: Option[Int] = None): Unit = {
+    val withShard = scheduled.withColumn("shard_id",
+      (col("curriculum_pos") / lit(binsPerShard)).cast("long"))
+    // explicit nParts pins the writer-task count (AQE coalesces the
+    // default); either way shard reassembly is order-safe
+    val sharded = (nParts match {
+      case Some(n) => withShard.repartitionByRange(n, col("curriculum_pos"))
+      case None => withShard.repartitionByRange(col("curriculum_pos"))
+    }).sortWithinPartitions(col("curriculum_pos"))
+    graft.sources.TfRecord.writeShardedExamples(sharded, dir, "shard_id",
+      int64Cols, Seq.empty)
   }
 }

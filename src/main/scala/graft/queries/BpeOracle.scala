@@ -15,6 +15,13 @@ package graft.queries
   *    every text oracle here uses). `trainMerges`'s `maxWords` cap is
   *    most-frequent-first and the fixture vocabulary sits far below it,
   *    so the replay omits the cap (precondition: vocab <= maxWords).
+  *    A second precondition of the same kind: `nMerges` must not
+  *    EXHAUST the mergeable pairs — if every word collapsed to a single
+  *    symbol before round n, that round's b$r is empty and the
+  *    w$r = w$(r-1) CROSS JOIN b$r chain would silently wipe the word
+  *    table (Spark's trainMerges early-stops instead). The fixture
+  *    corpus at nMerges = 20 is nowhere near collapse; a caller raising
+  *    nMerges toward full-vocabulary training must re-check this.
   *  - one training round = weighted adjacent-pair counts over the
   *    current symbol tables, argmax with the (count DESC, left, right)
   *    tiebreak, then one greedy left-to-right non-overlapping rewrite.

@@ -98,7 +98,10 @@ object NgramLmOracle {
     * approx-BPE token-count replay (the pack_sequences idiom), take
     * each bin's mean score, and rank bins easy-to-hard (score DESC,
     * bin_id tiebreak; 0-based positions — the two-phase rank's
-    * offsets). */
+    * offsets). The rank key is round(bin_score, 6) — the SNAPPED score,
+    * matching Curriculum.lmOrderedBins: the raw avg is accumulation-
+    * order-dependent in its last ulps, so ranking on the emitted grid
+    * keeps both engines' orders a pure function of the emitted value. */
   def curriculumSql(capacity: Int): String =
     s"""WITH corpus AS (SELECT doc_id, text FROM documents),
        |$scoreChain,
@@ -123,7 +126,21 @@ object NgramLmOracle {
        |    avg(sc.lm_bo_score) AS bin_score
        |  FROM b JOIN sc USING (doc_id) GROUP BY b.bin_id)
        |SELECT bin_id, n_docs, round(bin_score, 6) AS bin_score,
-       |  CAST(row_number() OVER (ORDER BY bin_score DESC, bin_id) - 1
-       |    AS BIGINT) AS curriculum_pos
+       |  CAST(row_number() OVER (ORDER BY round(bin_score, 6) DESC,
+       |    bin_id) - 1 AS BIGINT) AS curriculum_pos
        |FROM pb""".stripMargin
+
+  /** Oracle for `curriculum_shards_e2e`: the schedule mapped onto
+    * training shards — shard n carries positions
+    * [n*binsPerShard, (n+1)*binsPerShard) in position order. The Spark
+    * side decodes shard_id from the FILE NAME and seq_in_shard from
+    * physical record order, so a hash match proves the on-disk layout
+    * IS the schedule, not merely that a shard column was computed. */
+  def curriculumShardsSql(capacity: Int, binsPerShard: Int): String =
+    s"""WITH sched AS (${curriculumSql(capacity)})
+       |SELECT CAST(floor(curriculum_pos / $binsPerShard.0) AS BIGINT)
+       |    AS shard_id,
+       |  curriculum_pos % $binsPerShard AS seq_in_shard,
+       |  bin_id, n_docs, curriculum_pos
+       |FROM sched""".stripMargin
 }

@@ -346,6 +346,106 @@ object TfRecord {
     }(org.apache.spark.sql.Encoders.scalaInt).foreach((_: Int) => ())
   }
 
+  /** Write `df` as SHARD-ADDRESSED TFRecord files: rows must arrive
+    * grouped by `shardCol` (long) within each partition — range-
+    * partition + sort on the shard-defining order upstream — and each
+    * task cuts its sorted run at shard boundaries, one file per
+    * contiguous (shard, task) group, named
+    * `shard-<shard>-<runId>-<pid>.tfrecord`. A shard spanning a range-
+    * partition boundary lands in two files whose pid order IS the row
+    * order, so (shard asc, pid asc, record order) always replays the
+    * intended sequence — [[readShardedExamples]] exposes exactly those
+    * keys. Shard count never materializes driver-side (no per-shard
+    * loop, no collect): the 100 TB shape is one range exchange and a
+    * linear write. Feature columns follow [[writeExamples]]' contract. */
+  def writeShardedExamples(df: DataFrame, dir: String, shardCol: String,
+                           int64Cols: Seq[String],
+                           bytesCols: Seq[String]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val cols = col(shardCol).cast("long") +: (int64Cols ++ bytesCols).map(col)
+    val proj = df.select(cols: _*)
+    val n64 = int64Cols.size
+    proj.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur = Long.MinValue
+      var out: java.io.BufferedOutputStream = null
+      def roll(shard: Long): Unit = {
+        if (out != null) out.close()
+        val path = java.nio.file.Paths.get(dir,
+          f"shard-$shard%06d-$runId-$pid%05d.tfrecord")
+        out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(path))
+        cur = shard
+      }
+      try {
+        rows.foreach { r =>
+          val shard = r.getLong(0)
+          if (out == null || shard != cur) roll(shard)
+          val i64s = (0 until n64).map { i =>
+            val name = int64Cols(i)
+            val v: Array[Long] = r.get(1 + i) match {
+              case l: Long => Array(l)
+              case i2: Int => Array(i2.toLong)
+              case s: scala.collection.Seq[_] =>
+                s.map(x => x.asInstanceOf[Number].longValue).toArray
+              case null => Array.empty[Long]
+              case other => throw new IllegalArgumentException(
+                s"$name: unsupported int64 value $other")
+            }
+            name -> v
+          }
+          val bss = bytesCols.zipWithIndex.map { case (name, j) =>
+            val v: Array[Byte] = r.get(1 + n64 + j) match {
+              case s: String => s.getBytes("UTF-8")
+              case b: Array[Byte] => b
+              case null => Array.empty[Byte]
+              case other => throw new IllegalArgumentException(
+                s"$name: unsupported bytes value $other")
+            }
+            name -> v
+          }
+          writeRecord(out, encodeExample(i64s, bss))
+        }
+      } finally if (out != null) out.close()
+      Iterator.single(1)
+    }(org.apache.spark.sql.Encoders.scalaInt).foreach((_: Int) => ())
+  }
+
+  /** Read shard-addressed TFRecords ([[writeShardedExamples]]) with the
+    * layout keys alongside the features: `shard` (from the file name),
+    * `shard_part` (the writing task's pid — orders a shard's files),
+    * `rec_seq` (record index within the file). Ordering rows by
+    * (shard, shard_part, rec_seq) replays the written sequence. */
+  def readShardedExamples(spark: SparkSession, dir: String,
+                          int64Cols: Seq[String],
+                          bytesCols: Seq[String]): DataFrame = {
+    val schema = StructType(
+      Seq(StructField("shard", LongType),
+        StructField("shard_part", LongType),
+        StructField("rec_seq", LongType)) ++
+        int64Cols.map(StructField(_, ArrayType(LongType))) ++
+        bytesCols.map(StructField(_, BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val namePat = "shard-(\\d+)-[0-9a-f]+-(\\d+)\\.tfrecord$".r
+    spark.read.format("binaryFile").load(s"$dir/shard-*.tfrecord")
+      .select(col("path"), col("content"))
+      .flatMap { (r: Row) =>
+        val m = namePat.findFirstMatchIn(r.getString(0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"not a sharded tfrecord name: ${r.getString(0)}"))
+        val shard = m.group(1).toLong
+        val part = m.group(2).toLong
+        val in = new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))
+        parseRecords(in).zipWithIndex.map { case (payload, i) =>
+          val (i64, bys, _) = decodeExample(payload)
+          Row.fromSeq(Seq(shard, part, i.toLong) ++
+            int64Cols.map(i64.get(_).orNull) ++
+            bytesCols.map(bys.get(_).orNull))
+        }
+      }(enc)
+  }
+
   /** Read TFRecord shards back: one row per example with ARRAY<LONG>
     * columns for `int64Cols` and BINARY for `bytesCols` (missing
     * features read as NULL). Record-at-a-time parse, CRC-verified. */

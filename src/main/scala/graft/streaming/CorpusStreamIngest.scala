@@ -214,11 +214,15 @@ object CorpusStreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        try graft.ops.NgramLm
-          .scoreFilter(spark, modelDir, batch, minScore)
-          .select(col("doc_id"), col("text"), col("lm_bo_score"))
-          .write.mode("append").parquet(outDir)
-        finally CacheRegistry.releaseAll()
+        // scoped, not releaseAll: drop only the caches THIS batch
+        // registered (the trigram-stream persist), so a concurrent
+        // query holding registry-persisted state keeps its cache
+        CacheRegistry.scoped {
+          graft.ops.NgramLm
+            .scoreFilter(spark, modelDir, batch, minScore)
+            .select(col("doc_id"), col("text"), col("lm_bo_score"))
+            .write.mode("append").parquet(outDir)
+        }
       }
       .start()
 

@@ -39,11 +39,14 @@ class CurriculumSpec extends AnyFunSuite {
     val bins = Curriculum.lmOrderedBins(spark, dir, docs, capacity = 256)
       .collect().map(r =>
         (r.getLong(0), r.getDouble(2), r.getLong(3)))
-    // positions follow (score desc, bin_id)
+    // positions follow (SNAPPED score desc, bin_id) — the rank key is
+    // round(bin_score, 6), so the order is compared on the same grid
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val byPos = bins.sortBy(_._3)
     assert(byPos.map(_._3).toSeq == bins.indices.map(_.toLong))
     byPos.sliding(2).foreach { case Array(a, b) =>
-      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      assert(r6(a._2) > r6(b._2) || (r6(a._2) == r6(b._2) && a._1 < b._1))
     }
     // every early-position bin outscores every late gibberish bin:
     // doc_ids pack in id order, so gibberish lands in the tail bins,
@@ -53,5 +56,41 @@ class CurriculumSpec extends AnyFunSuite {
     assert(tailBins.nonEmpty && headBins.nonEmpty)
     assert(tailBins.min > headBins.max)
     CacheRegistry.releaseAll()
+  }
+
+  test("curriculum shards: decoded (shard, part, seq) order replays the " +
+    "schedule; file names carry floor(pos/k); split shards reassemble") {
+    // a fabricated schedule of 40 bins; many range partitions (the
+    // session default 32 over 40 rows) force shards to SPAN partition
+    // boundaries, exercising the two-file-per-shard reassembly path
+    val sched = (0 until 40).map(i =>
+      (1000L + ((i * 17) % 40), (i % 5 + 1).toLong, i.toLong))
+      .toDF("bin_id", "n_docs", "curriculum_pos")
+    val dir = TestSpark.tmpDir("curriculum_shards")
+    Curriculum.writeCurriculumShards(sched, dir, binsPerShard = 8,
+      int64Cols = Seq("bin_id", "n_docs", "curriculum_pos"),
+      nParts = Some(8))
+    CacheRegistry.releaseAll()
+    val decoded = graft.sources.TfRecord.readShardedExamples(spark, dir,
+        Seq("bin_id", "n_docs", "curriculum_pos"), Seq.empty)
+      .select(col("shard"), col("shard_part"), col("rec_seq"),
+        element_at(col("bin_id"), 1).as("bin_id"),
+        element_at(col("curriculum_pos"), 1).as("pos"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    // replay order IS the schedule, and every shard holds its range
+    assert(decoded.map(_._5).toSeq == (0L until 40L))
+    decoded.foreach { case (shard, _, _, _, pos) =>
+      assert(shard == pos / 8, s"pos $pos landed in shard $shard")
+    }
+    // bin payloads survive the roundtrip
+    assert(decoded.map(r => (r._5, r._4)).toMap ==
+      (0 until 40).map(i => (i.toLong, 1000L + ((i * 17) % 40))).toMap)
+    // at least one shard was split across writer tasks (else the
+    // reassembly claim is untested)
+    val filesPerShard = decoded.groupBy(_._1)
+      .map { case (_, rs) => rs.map(_._2).distinct.length }
+    assert(filesPerShard.exists(_ > 1),
+      "no shard spanned a partition boundary — fixture too coarse")
   }
 }
