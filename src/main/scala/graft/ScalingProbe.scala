@@ -192,12 +192,20 @@ object ScalingProbe {
       // sized, which replicas grow only via the "repN" prefix tokens)
       // and the projected-shortlist ANN (projection + 16-dim scan are
       // corpus-linear; the exact re-rank stays |queries| x 32)
-      "lm_backoff_score", "ann_rp_topk")
+      "lm_backoff_score", "ann_rp_topk",
+      // round-11: the ANN-routed contrastive miner with CORPUS-SIZED
+      // anchors (the real mining shape). The index build caches per dir
+      // (minerIvfCache), so the kept min-of-2 pass probes the mining
+      // join itself: candidate volume is |corpus| * nProbe/nCentroids
+      // through one cell-keyed join — expect ~cells-fraction
+      // sub-linearity vs the corpus decade, with the brute miner's 1x
+      // reading as the all-pairs control
+      "hard_negatives_ann")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
       val unknown = names -- chain.toSet - "quantile_cube" -
-        "index_maintain" - "ivf_maintain"
+        "index_maintain" - "ivf_maintain" - "miner_scale"
       require(unknown.isEmpty,
         s"unknown probe name(s): ${unknown.mkString(", ")}")
     }
@@ -288,6 +296,31 @@ object ScalingProbe {
         timed("ivf_probe")(
           Similarity.queryIvfIndex(spark, ivfDir, qs, k = 5, nProbe = 4)
             .collect())
+      }
+      // round-11: the ANN miner at PRODUCTION quantizer sizing —
+      // nCentroids ~ sqrt(corpus) (the repo's own sizing note), nProbe
+      // fixed, anchors = the whole corpus. Candidate volume is then
+      // |corpus|^2 * nProbe / sqrt(|corpus|) = nProbe * n^1.5 — the
+      // n^1.5 decade curve that makes corpus-sized mining tractable
+      // where the brute miner's n^2 is not (the chain's
+      // hard_negatives_ann entry keeps the oracle's FIXED 16 cells, so
+      // its decade ratio is deliberately the quadratic control). The
+      // deterministic lowest-id quantizer keeps the build cheap — the
+      // probe times the mining JOIN, not a k-means fit.
+      if (only.isEmpty || only.exists(_.contains("miner_scale"))) {
+        import graft.ops.Similarity
+        val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        val nVec = vecs.count()
+        val nCentroids =
+          math.max(16, math.sqrt(nVec.toDouble).round.toInt)
+        val minerDir = s"$dir/probe_miner"
+        timed(s"miner_build_c$nCentroids")(
+          Similarity.buildIvfIndex(vecs, minerDir,
+            nCentroids = nCentroids, labelCol = Some("label"),
+            centers = Some(Similarity.lowestIdCenters(vecs, nCentroids))))
+        timed("miner_hard_negatives_ann")(
+          Similarity.hardNegativesAnn(spark, minerDir, vecs,
+            k = 5, nProbe = 4).count())
       }
       selected.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,

@@ -98,6 +98,46 @@ object AnnRecall {
       report(s"rp(16d/$sl)", graft.ops.RandomProjection.projectedTopK(
         vecs, queries, k, shortlist = sl, dimIn = 64, dimOut = 16))
 
+    // appended-index recall DRIFT: appendToIvfIndex deliberately never
+    // refits the quantizer (the FAISS operational trade), so cells
+    // drift as the corpus grows past the build-time distribution. This
+    // is the number that makes "refit + rebuild when recall degrades"
+    // (ops/Similarity.scala append contract) operational: recall@k of
+    // the half-built index after N append batches vs (a) the exact
+    // brute ranking over the same grown corpus and (b) the same corpus
+    // rebuilt fresh (refit quantizer) — (b) minus (a) is the rebuild's
+    // recoverable headroom at that drift point.
+    val half = nCorpus / 2
+    val nBatches = 20
+    val step = math.max(1L, (nCorpus - half) / nBatches)
+    val initial = vecs.filter(col("vec_id") < half)
+    for (n <- Seq(0, 5, 20)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"annrecall_drift$n").toString
+      Similarity.buildIvfIndex(initial, dir, nCentroids = 16)
+      for (b <- 0 until n) {
+        val lo = half + b * step
+        val hi = if (b == nBatches - 1) nCorpus else half + (b + 1) * step
+        Similarity.appendToIvfIndex(
+          vecs.filter(col("vec_id") >= lo && col("vec_id") < hi), dir)
+      }
+      val grownHi = if (n == nBatches) nCorpus else half + n * step
+      val grown = vecs.filter(col("vec_id") < grownHi)
+      val truthN = topkSet(Similarity.bruteForceTopK(grown, queries, k))
+      val appended = topkSet(
+        Similarity.queryIvfIndex(spark, dir, queries, k, nProbe = 4))
+      val freshDir = java.nio.file.Files
+        .createTempDirectory(s"annrecall_fresh$n").toString
+      Similarity.buildIvfIndex(grown, freshDir, nCentroids = 16)
+      val fresh = topkSet(
+        Similarity.queryIvfIndex(spark, freshDir, queries, k, nProbe = 4))
+      val rA = (appended & truthN).size.toDouble / truthN.size
+      val rF = (fresh & truthN).size.toDouble / truthN.size
+      println(f"drift(N=$n%2d)     recall@$k = $rA%.4f   (fresh rebuild " +
+        f"$rF%.4f, headroom ${rF - rA}%+.4f; corpus=${grown.count()}, " +
+        f"queries=$nQueries, 16 cells / nProbe 4)")
+    }
+
     spark.stop()
   }
 }

@@ -505,6 +505,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_._3 == "B"), "every mined negative is cross-label")
   }
 
+  test("appended planted near-copy is immediately retrievable " +
+    "(planted-structure top-1 survives appends)") {
+    // the drift guard behind tools/AnnRecall's N-batch rows: a near-copy
+    // arriving through the APPEND path (stale quantizer, new rows) must
+    // surface as its source's top-1, or the unrefit-quantizer trade
+    // would silently break retrieval rather than merely eroding recall
+    val build = corpus.filter(col("vec_id") < 50)
+    val dir = TestSpark.tmpDir("ivf_append_plant")
+    Similarity.buildIvfIndex(build, dir, nCentroids = 8)
+    Similarity.appendToIvfIndex(corpus.filter(col("vec_id") === 999), dir)
+    val got = Similarity.queryIvfIndex(spark, dir,
+        corpus.filter(col("vec_id") === 0), k = 1, nProbe = 3)
+      .select("corpus_id").as[Long].collect()
+    assert(got.toSeq == Seq(999L),
+      s"planted near-copy not top-1 through the appended index: $got")
+  }
+
   test("compactIvfCells: file fan-in stays bounded across 20 appends; " +
     "probe results identical to the uncompacted twin") {
     val build = corpus.filter(col("vec_id") < 50)
