@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.{CacheRegistry, Similarity}
+
+/** A standing IVF vector index maintained under a STREAMING embedding
+  * corpus — the vector twin of [[IndexStreamMaintain]]: embedding rows
+  * land as parquet files in a directory; each micro-batch assigns the
+  * novel vectors against the standing quantizer and appends them into
+  * the index's cell partitions ([[graft.ops.Similarity
+  * .appendToIvfIndex]] — pure parquet appends, never a rewrite), so
+  * probes stay live and consistent while the index grows. File fan-in
+  * is bounded by the same threshold policy the text index uses:
+  * `compactOver = Some(n)` compacts any cell exceeding n files inside
+  * the batch hook ([[graft.ops.Similarity.compactIvfCells]]), so an
+  * unattended stream runs indefinitely without probe-latency decay
+  * (IvfStreamMaintainSpec pins the bound across ~20 micro-batches).
+  *
+  * Idempotence under redelivery: a `vecs_seen/` id table accumulates
+  * alongside the index and each batch anti-joins against it first, so
+  * a re-delivered batch (the at-least-once file source after a
+  * failure) contributes nothing. The seen table carries ONLY ids; the
+  * id write lands AFTER the index append — a crash in between
+  * re-appends at most one batch on replay (visible as duplicate
+  * candidate rows until a dedup probe or rebuild; batch-id-keyed file
+  * names would close even that window — the same at-least-once trade
+  * [[IndexStreamMaintain]] documents).
+  *
+  * What this deliberately does NOT do: refit the quantizer. Cells
+  * drift as the stream's distribution drifts (measured:
+  * COVERAGE.md §ANN recall drift rows); the rebuild path is
+  * [[graft.ops.Similarity.buildIvfIndex]] on a schedule driven by a
+  * recall canary ([[graft.tools.AnnRecall]]), not by the stream.
+  */
+object IvfStreamMaintain {
+
+  /** One micro-batch: drop already-indexed ids, append the rest into
+    * the standing cell partitions, record their ids, then compact any
+    * cell over the file threshold. Exposed for tests and cron-style
+    * batch reruns. The batch must carry (vec_id, embedding[, label —
+    * required iff the index stores labels]). */
+  def maintainBatch(spark: SparkSession, indexDir: String,
+                    batch: DataFrame,
+                    compactOver: Option[Int] = None): Unit = {
+    val seenDir = s"$indexDir/vecs_seen"
+    val hasSeen = new java.io.File(seenDir).exists()
+    // dropDuplicates first: redelivered copies can land in the SAME
+    // micro-batch as their original (AvailableNow drains several file
+    // waves into one batch) — the history anti-join can't see those
+    val once = batch.dropDuplicates("vec_id")
+    CacheRegistry.scoped {
+      val novel = CacheRegistry.persist(
+        if (!hasSeen) once
+        else once.join(spark.read.parquet(seenDir), Seq("vec_id"),
+          "left_anti"))
+      if (!novel.isEmpty) {
+        Similarity.appendToIvfIndex(novel, indexDir,
+          compactOver = compactOver)
+        novel.select(col("vec_id")).write.mode("append").parquet(seenDir)
+      }
+    }
+  }
+
+  /** Start the index-maintenance stream over parquet embeddings
+    * landing in `landingDir`. `Trigger.AvailableNow` drains and stops
+    * (the cron shape). `withLabel` must match the standing index's
+    * layout (built with/without `labelCol`). */
+  def start(spark: SparkSession, landingDir: String, indexDir: String,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow(),
+            withLabel: Boolean = false,
+            compactOver: Option[Int] = None): StreamingQuery = {
+    val fields = Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))) ++
+      (if (withLabel) Seq(org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType)) else Nil)
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(fields))
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        maintainBatch(spark, indexDir, batch, compactOver)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.TestSpark
+import graft.ops.Similarity
+
+/** A streamed, append-maintained IVF index must be indistinguishable
+  * from a one-shot batch build over the same vectors under the same
+  * quantizer — including after redelivery (idempotence) and under the
+  * auto-compaction policy (probe equality, bounded file fan-in).
+  */
+class IvfStreamMaintainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def vec(i: Int): Array[Float] = {
+    val r = new scala.util.Random(i * 7919 + 13)
+    Array.fill(16)(r.nextGaussian().toFloat)
+  }
+
+  private def vecsDf(ids: Seq[Int]) =
+    ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  private def q(dir: String) =
+    Similarity.queryIvfIndex(spark, dir, vecsDf(0 until 3), k = 5,
+        nProbe = 2)
+      .select("query_id", "corpus_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+      .toSeq
+
+  test("streamed IVF appends == one-shot build (same quantizer); " +
+    "redelivered batch is a no-op") {
+    val initial = vecsDf(0 until 20)
+    val centers = Similarity.lowestIdCenters(initial, 4)
+    val idxDir = TestSpark.tmpDir("ivf_stream_idx")
+    Similarity.buildIvfIndex(initial, idxDir, nCentroids = 4,
+      centers = Some(centers))
+
+    val landing = TestSpark.tmpDir("ivf_stream_src")
+    // wave 1 (two files), then wave 2 with vec 20 RE-DELIVERED
+    vecsDf(20 until 35).repartition(2)
+      .write.mode("append").parquet(landing)
+    vecsDf((35 until 50) :+ 20).repartition(2)
+      .write.mode("append").parquet(landing)
+
+    val s = IvfStreamMaintain.start(spark, landing, idxDir,
+      TestSpark.tmpDir("ivf_stream_chk"), Trigger.AvailableNow())
+    s.awaitTermination(120000)
+
+    val fullDir = TestSpark.tmpDir("ivf_stream_full")
+    Similarity.buildIvfIndex(vecsDf(0 until 50), fullDir, nCentroids = 4,
+      centers = Some(centers))
+    assert(q(idxDir) == q(fullDir),
+      "streamed appends must equal the one-shot build")
+
+    // an entire batch re-delivered through the SAME maintenance entry
+    // point must change nothing (the vecs_seen anti-join)
+    IvfStreamMaintain.maintainBatch(spark, idxDir, vecsDf(20 until 35))
+    assert(q(idxDir) == q(fullDir), "redelivery must be a no-op")
+    assert(spark.read.parquet(s"$idxDir/assignments").count() == 50)
+  }
+
+  test("auto-compaction keeps per-cell file fan-in bounded across " +
+    "~20 micro-batches; probes stay correct throughout") {
+    val threshold = 3
+    val initial = vecsDf(0 until 20)
+    val centers = Similarity.lowestIdCenters(initial, 4)
+    val idxDir = TestSpark.tmpDir("ivf_autocompact")
+    Similarity.buildIvfIndex(initial, idxDir, nCentroids = 4,
+      centers = Some(centers))
+    val nPerBatch = 5
+    val nBatches = 20
+    var maxFiles = 0
+    (0 until nBatches).foreach { b =>
+      val ids = (100 + b * nPerBatch) until (100 + (b + 1) * nPerBatch)
+      IvfStreamMaintain.maintainBatch(spark, idxDir, vecsDf(ids),
+        compactOver = Some(threshold))
+      // invariant AFTER EVERY batch hook: no cell exceeds the threshold
+      val over = Similarity.cellsOverThreshold(idxDir, threshold)
+      assert(over.isEmpty, s"batch $b left cells over threshold: $over")
+      val counts = new java.io.File(s"$idxDir/assignments").listFiles()
+        .filter(_.isDirectory)
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+      if (counts.nonEmpty) maxFiles = math.max(maxFiles, counts.max)
+    }
+    assert(maxFiles <= threshold,
+      s"fan-in grew to $maxFiles despite threshold $threshold")
+    // and the index still answers exactly like a fresh one-shot build
+    val all = vecsDf((0 until 20) ++ (100 until 100 + nBatches * nPerBatch))
+    val fullDir = TestSpark.tmpDir("ivf_autocompact_full")
+    Similarity.buildIvfIndex(all, fullDir, nCentroids = 4,
+      centers = Some(centers))
+    assert(q(idxDir) == q(fullDir),
+      "compacted streamed index must equal the one-shot build")
+  }
+}
