@@ -146,4 +146,79 @@ object Bpe {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_pieces"))
   }
+
+  /** Deterministic vocabulary for a trained merge table over a corpus:
+    * base symbols = the DISTINCT single characters of the corpus's
+    * lowercased whitespace tokens in lexicographic order, then one
+    * symbol per merge (left+right) in rank order, skipping strings an
+    * earlier entry already produced (two merges can build the same
+    * surface string). Token ids are the 0-based positions — the
+    * standard BPE vocab construction (chars first, merges after),
+    * replayable exactly by the DuckDB oracle. The result is bounded
+    * (|charset| + nMerges) and collected driver-side like the merge
+    * table itself; the distinct-char extraction is one distributed
+    * projection + tiny distinct. */
+  def vocab(df: DataFrame, merges: List[(String, String)],
+            textCol: String = "text"): List[String] = {
+    val chars = df.select(
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as("c"))
+      .distinct().orderBy("c")
+      .collect().map(_.getString(0)).toList
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    chars.foreach(seen += _)
+    merges.foreach { case (l, r) => seen += (l + r) }
+    seen.toList
+  }
+
+  /** The vocabulary as a DataFrame (token_id, symbol). */
+  def vocabDf(spark: SparkSession, syms: List[String]): DataFrame = {
+    import spark.implicits._
+    syms.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("token_id", "symbol")
+  }
+
+  /** Per-document BPE token-ID sequences — the training-tensor last
+    * mile ([[pieceCounts]] prices documents; this EMITS the ids a data
+    * loader feeds the model). Returns one row per piece:
+    * (doc_id, piece_pos, token_id), piece_pos the 0-based position in
+    * the document's piece stream, token_id the [[vocab]] id of the
+    * piece (-1 for a piece outside the vocabulary — impossible when
+    * the vocab was built over the encoded corpus itself).
+    *
+    * Scale shape (the pieceCounts discipline): the sequential encode
+    * loop runs once per DISTINCT word; the corpus token stream joins
+    * the word -> ids map on the word (open-vocabulary — NOT forced
+    * broadcast) and reassembles per document with one doc-keyed
+    * aggregation over (position, ids) pairs. Nothing is ever
+    * corpus x vocab. */
+  def encodeIds(df: DataFrame, merges: List[(String, String)],
+                syms: List[String], idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    val ids = syms.zipWithIndex.toMap
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(
+          lower(col(textCol)))))
+      .toDF("doc_id", "pos", "w")
+      .transform(CacheRegistry.persist)
+    val wordIds = toks.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, encodeWord(w, rank).map(ids.getOrElse(_, -1)).toArray))
+      }.toDF("w", "ids")
+    toks.join(wordIds, "w")
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("ids")))),
+        s => s.getField("ids"))).as("tids"))
+      .select(col("doc_id"), posexplode(col("tids")))
+      .toDF("doc_id", "piece_pos", "token_id")
+      .select(col("doc_id"), col("piece_pos").cast("long"),
+        col("token_id").cast("long"))
+  }
 }

@@ -110,6 +110,66 @@ object Packing {
       StructField("bin_id", LongType, nullable = false)))
   }
 
+  /** The attention-segment table of a packed batch ([[packChunked]]'s
+    * companion): one row per (bin, document) with the document's token
+    * offset range inside its bin — what a training loader needs to
+    * build position_ids and the block-diagonal attention mask of a
+    * packed example without re-tokenizing. Chunked packing cuts the
+    * key-ordered token stream every `capacity` tokens, so a document's
+    * in-bin offset is exactly `cum_before % capacity` — the whole
+    * table is a PROJECTION over the pack assignment (no extra shuffle,
+    * no window). The at-most-one overflow document per bin reports its
+    * start in its HOME bin and a seg_len that may run past capacity,
+    * exactly like the packing itself. Output:
+    * (bin_id, <keyCol>, seg_start, seg_len). */
+  def packedSegments(df: DataFrame, keyCol: String, tokensCol: String,
+                     capacity: Long, nParts: Int = 32): DataFrame =
+    packChunked(df, keyCol, tokensCol, capacity, nParts)
+      .select(col("bin_id"), col(keyCol),
+        (col("cum_before") % capacity).as("seg_start"),
+        col(tokensCol).cast("long").as("seg_len"))
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022,
+    * arXiv:2207.14255 — "Efficient Training of Language Models to
+    * Fill in the Middle"): rotate a character span so a causal LM
+    * learns infilling. Every `everyK`-th document (id-keyed — the FIM
+    * rate knob) is split at two cut points into prefix/middle/suffix
+    * and re-emitted in PSM order with sentinel markers:
+    * `<PRE>prefix<SUF>suffix<MID>middle`; other documents (and
+    * documents under 4 chars) pass through unchanged.
+    *
+    * Cut points derive from modular arithmetic on the id (the
+    * [[Sampling.hashSample]] philosophy: production would draw from an
+    * RNG, but a DETERMINISTIC, engine-portable choice is the contract
+    * here — integer ops and one IEEE divide, replayed exactly by the
+    * DuckDB oracle). cut1 ∈ [1, n-2], cut2 ∈ [cut1+1, n-1], so all
+    * three spans are non-empty. Pure codegen projection — no shuffle,
+    * corpus-linear at any scale. Output (id, fim_applied, text_out). */
+  def fimTransform(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", everyK: Int = 2): DataFrame = {
+    require(everyK > 0, s"everyK $everyK")
+    val applied = (col(idCol) % everyK === 0) &&
+      length(col(textCol)).cast("long") >= 4L
+    val out = df
+      .withColumn("graft_n", length(col(textCol)).cast("long"))
+      .withColumn("graft_c1", lit(1L) +
+        floor(((col(idCol) * 131 + 7) % 97) * (col("graft_n") - 2) / 97.0))
+      .withColumn("graft_c2", col("graft_c1") + 1L +
+        floor(((col(idCol) * 61 + 13) % 89) *
+          (col("graft_n") - col("graft_c1") - 1) / 89.0))
+    out.select(col(idCol),
+        when(applied, lit(1)).otherwise(lit(0)).as("fim_applied"),
+        when(applied, concat(lit("<PRE>"),
+          expr(s"substring($textCol, 1, cast(graft_c1 as int))"),
+          lit("<SUF>"),
+          expr(s"substring($textCol, cast(graft_c2 as int) + 1, " +
+            s"length($textCol))"),
+          lit("<MID>"),
+          expr(s"substring($textCol, cast(graft_c1 as int) + 1, " +
+            s"cast(graft_c2 - graft_c1 as int))")))
+          .otherwise(col(textCol)).as("text_out"))
+  }
+
   /** Split long documents into fixed-size overlapping token windows —
     * the other half of context-window prep ([[packChunked]] packs short
     * docs together; this cuts long docs down). Window i covers tokens

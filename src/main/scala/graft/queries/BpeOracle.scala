@@ -129,6 +129,56 @@ object BpeOracle {
     "WITH RECURSIVE " + (trainingCtes(n) ++ encodeCtes).mkString(",\n")
   }
 
+  /** The vocabulary CTE chain ending in `vocab` (symbol, token_id):
+    * distinct base characters of the training words in lexicographic
+    * order, then merge symbols (left||right) in rank order, FIRST
+    * occurrence winning on duplicates — the exact
+    * [[graft.ops.Bpe.vocab]] construction. */
+  private def vocabCtes(n: Int): String =
+    s"""vsyms AS (
+       |  SELECT s, 0 AS grp, s AS so, 0 AS ro
+       |  FROM (SELECT DISTINCT unnest(syms) AS s FROM w0)
+       |  UNION ALL
+       |  SELECT left_sym || right_sym AS s, 1 AS grp, '' AS so,
+       |    rank AS ro
+       |  FROM (${mergeRows(n)})),
+       |vfirst AS (SELECT s, grp, so, ro,
+       |    row_number() OVER (PARTITION BY s ORDER BY grp, ro) AS dup
+       |  FROM vsyms),
+       |vocab AS (SELECT s AS symbol,
+       |    CAST(row_number() OVER (ORDER BY grp, so, ro) - 1 AS BIGINT)
+       |      AS token_id
+       |  FROM vfirst WHERE dup = 1)""".stripMargin
+
+  /** Oracle for `bpe_vocab`: (token_id, symbol). */
+  def vocabSql(n: Int): String =
+    "WITH " + (trainingCtes(n) :+ vocabCtes(n)).mkString(",\n") +
+      "\nSELECT token_id, symbol FROM vocab"
+
+  /** Oracle for `bpe_encode_ids`: per-document token-ID sequences —
+    * the training replay feeding the recursive priority encode, each
+    * terminal piece joined to its vocab id, documents reassembled in
+    * (token position, within-word piece position) order. */
+  def encodeIdsSql(n: Int): String =
+    encodePrefix(n) +
+      s""",
+         |${vocabCtes(n)},
+         |wp AS (SELECT w, unnest(syms) AS s,
+         |    unnest(range(1, len(syms) + 1)) AS j
+         |  FROM enc WHERE mm IS NULL),
+         |wid AS (SELECT wp.w, wp.j, COALESCE(v.token_id, -1) AS tid
+         |  FROM wp LEFT JOIN vocab v ON wp.s = v.symbol),
+         |tpos AS (SELECT doc_id, unnest(tsf) AS w,
+         |    unnest(range(1, len(tsf) + 1)) AS pos
+         |  FROM (SELECT doc_id, list_filter(
+         |      string_split_regex(trim(lower(text)), '\\s+'),
+         |      t -> len(t) > 0) AS tsf FROM documents))
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos, j)
+         |    - 1 AS BIGINT) AS piece_pos,
+         |  CAST(tid AS BIGINT) AS token_id
+         |FROM tpos JOIN wid USING (w)""".stripMargin
+
   /** Oracle for `bpe_pack_shards_e2e`: the piece-count replay above
     * feeding the exact pack_to_shards bin chain (doc_id-ordered
     * cumulative-before sum, floor(cum/capacity) bins) — tokenizer in

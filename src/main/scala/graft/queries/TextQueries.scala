@@ -769,6 +769,40 @@ object TextQueries {
       Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20))
     },
 
+    // the trained tokenizer's vocabulary: base chars in lexicographic
+    // order, then merge symbols in rank order, first occurrence wins
+    "bpe_vocab" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Bpe.vocabDf(s, Bpe.vocab(docs, Bpe.trainMerges(docs, nMerges = 20)))
+    },
+
+    // documents as token-ID sequences under the trained tokenizer —
+    // the training-tensor last mile (piece_counts PRICES documents;
+    // this EMITS the ids a data loader feeds the model). Exploded to
+    // (doc_id, piece_pos, token_id) so the full sequences are in the
+    // hash.
+    "bpe_encode_ids" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainMerges(docs, nMerges = 20)
+      Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
+    },
+
+    // packed-batch attention segments: per (bin, doc) the in-bin token
+    // offset range — position_ids / block-diagonal-mask inputs as a
+    // pure projection over the pack assignment (cum_before % capacity)
+    "pack_segments" -> { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.approxBpeTokenCount(col("text")).as("n_tokens"))
+      Packing.packedSegments(toks, "doc_id", "n_tokens", capacity = 512)
+    },
+
+    // fill-in-the-middle rotation (PSM order, deterministic cuts) —
+    // every 2nd doc split into <PRE>p<SUF>s<MID>m, others pass through
+    "fim_transform" -> { (s, d) =>
+      Packing.fimTransform(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+    },
+
     // batch cross-corpus near-dedup ("what does crawl N add"): history
     // is the documents table; incoming plants near-copies of docs
     // %10 == 0 (must be dropped: shingle Jaccard ~0.93) and token-
@@ -2075,6 +2109,50 @@ object TextQueries {
 
     // training replay + recursive-CTE priority encode over the vocab
     "bpe_piece_counts" -> BpeOracle.pieceCountsSql(20),
+    "bpe_vocab" -> BpeOracle.vocabSql(20),
+    "bpe_encode_ids" -> BpeOracle.encodeIdsSql(20),
+
+    // pack segments: the pack_sequences prefix chain, in-bin offset =
+    // cum_before % capacity (capacity 512 = 2^9, FP-exact division)
+    "pack_segments" ->
+      """WITH tk AS (SELECT doc_id,
+        |    COALESCE(CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0),
+        |      x -> greatest(1, CAST(ceil(len(x) / 4.0) AS BIGINT))))
+        |      AS BIGINT), 0) AS n_tokens
+        |  FROM documents),
+        |cum AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM tk)
+        |SELECT CAST(floor(cb / 512.0) AS BIGINT) AS bin_id, doc_id,
+        |  cb % 512 AS seg_start, n_tokens AS seg_len
+        |FROM cum""".stripMargin,
+
+    // FIM: same modular cut arithmetic, same substring spans
+    "fim_transform" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS n FROM documents),
+        |c1t AS (SELECT doc_id, text, n,
+        |    1 + CAST(floor(((doc_id * 131 + 7) % 97) * (n - 2) / 97.0)
+        |      AS BIGINT) AS c1
+        |  FROM t),
+        |c2t AS (SELECT doc_id, text, n, c1,
+        |    c1 + 1 + CAST(floor(((doc_id * 61 + 13) % 89) * (n - c1 - 1)
+        |      / 89.0) AS BIGINT) AS c2
+        |  FROM c1t)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 AND n >= 4 THEN 1 ELSE 0 END
+        |    AS fim_applied,
+        |  CASE WHEN doc_id % 2 = 0 AND n >= 4 THEN
+        |    '<PRE>' || substr(text, 1, CAST(c1 AS INT)) ||
+        |    '<SUF>' || substr(text, CAST(c2 AS INT) + 1) ||
+        |    '<MID>' || substr(text, CAST(c1 AS INT) + 1,
+        |      CAST(c2 - c1 AS INT))
+        |  ELSE text END AS text_out
+        |FROM c2t""".stripMargin,
 
     // tokenizer-in-the-loop pack: the encode replay feeds the exact
     // pack_to_shards bin chain

@@ -72,4 +72,42 @@ class BpeSpec extends AnyFunSuite {
     assert(lingering.isEmpty,
       s"the token-stream persist must be registry-released: $lingering")
   }
+
+  test("vocab: chars lexicographic, merge symbols in rank order, " +
+    "duplicates keep the first id") {
+    val docs = Seq((1L, "ban cab"), (2L, "ban ban")).toDF("doc_id", "text")
+    // chars of {ban, cab} = {a, b, c, n}; merge (a,b) makes "ab";
+    // ("a","b") and a later duplicate-producing ("ab","") cannot occur,
+    // so plant a genuine duplicate: ("b","an") and ("ba","n") both
+    // produce "ban" — first (lower rank) keeps the id
+    val merges = List(("a", "n"), ("b", "an"), ("b", "a"), ("ba", "n"))
+    val v = Bpe.vocab(docs, merges)
+    assert(v == List("a", "b", "c", "n", "an", "ban", "ba"))
+    val df = Bpe.vocabDf(spark, v).as[(Long, String)].collect().toList
+    assert(df == v.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+  }
+
+  test("encodeIds: sequences reassemble in document token order and " +
+    "match a local replay") {
+    val docs = Seq((1L, "banana x bana"), (2L, "x banana"))
+      .toDF("doc_id", "text")
+    val merges = List(("a", "n"), ("an", "an"))
+    val syms = Bpe.vocab(docs, merges)
+    val ids = syms.zipWithIndex.toMap
+    val rank = merges.zipWithIndex.toMap
+    val got = Bpe.encodeIds(docs, merges, syms)
+      .as[(Long, Long, Long)].collect().toList
+      .sortBy(r => (r._1, r._2))
+    CacheRegistry.releaseAll()
+    def local(doc: Long, words: Seq[String]): List[(Long, Long, Long)] =
+      words.flatMap(w => Bpe.encodeWord(w, rank))
+        .zipWithIndex.map { case (p, i) =>
+          (doc, i.toLong, ids(p).toLong) }.toList
+    val want = local(1L, Seq("banana", "x", "bana")) ++
+      local(2L, Seq("x", "banana"))
+    assert(got == want.sortBy(r => (r._1, r._2)))
+    // piece positions are a dense 0-based sequence per doc
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2) == rs.indices.map(_.toLong)) }
+  }
 }

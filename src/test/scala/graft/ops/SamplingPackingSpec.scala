@@ -238,4 +238,67 @@ class SamplingPackingSpec extends AnyFunSuite {
     }
     assert(rebuilt.sameElements((0 until 100).map(i => s"t$i")))
   }
+
+  test("packedSegments: segments tile each bin contiguously; the only " +
+    "capacity overrun is the one overflow doc") {
+    val docs = (0 until 40).map(i => (i.toLong, (i % 7 + 1) * 10L))
+      .toDF("doc_id", "n_tokens")
+    val segs = Packing.packedSegments(docs, "doc_id", "n_tokens",
+        capacity = 100, nParts = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toList // (bin, start) orders segments
+    // within each bin, seg_start chains: first starts at 0 (except a
+    // bin whose opening doc is the previous bin's overflow tail —
+    // chunked packing has no such bin for its HOME assignment), each
+    // next starts where the previous ended, mod nothing
+    segs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (bin, rs) =>
+      val inOrder = rs.sortBy(_._3)
+      inOrder.zip(inOrder.tail).foreach { case (a, b) =>
+        assert(b._3 == a._3 + a._4,
+          s"bin $bin: segment gap ${a._3}+${a._4} -> ${b._3}")
+      }
+      if (bin == 0) assert(inOrder.head._3 == 0L)
+    }
+    // every doc appears exactly once with its own length
+    assert(segs.map(_._2).sorted == (0L until 40L).toList)
+    assert(segs.forall(r => r._4 == (r._2 % 7 + 1) * 10))
+    // matches the pack assignment doc for doc
+    val bins = Packing.packChunked(docs, "doc_id", "n_tokens", 100L, 4)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    segs.foreach(r => assert(bins(r._2) == r._1))
+  }
+
+  test("fimTransform: spans reassemble to the original; cuts in range; " +
+    "pass-through for odd ids and tiny docs") {
+    val docs = (Seq((7L, "abc"), (8L, "ab")) ++
+      (0 until 20).map(i => (i.toLong + 100,
+        s"doc$i " + ("abcdefghij" * (i + 1)))))
+      .toDF("doc_id", "text")
+    val texts = docs.as[(Long, String)].collect().toMap
+    val out = Packing.fimTransform(docs)
+      .as[(Long, Int, String)].collect().toList
+    out.foreach { case (id, applied, t) =>
+      val orig = texts(id)
+      if (applied == 0) {
+        assert(t == orig)
+        assert(id % 2 == 1 || orig.length < 4,
+          s"doc $id should have been transformed")
+      } else {
+        assert(id % 2 == 0 && orig.length >= 4)
+        val m = "<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+        t match {
+          case m(pre, suf, mid) =>
+            assert(pre.nonEmpty && suf.nonEmpty && mid.nonEmpty,
+              s"doc $id: empty span in $t")
+            assert(pre + mid + suf == orig,
+              s"doc $id: spans do not reassemble")
+          case _ => fail(s"doc $id: bad FIM shape: $t")
+        }
+      }
+    }
+    // deterministic: a second run is byte-identical
+    val again = Packing.fimTransform(docs)
+      .as[(Long, Int, String)].collect().toList
+    assert(out.toSet == again.toSet)
+  }
 }
