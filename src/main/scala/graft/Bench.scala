@@ -181,7 +181,16 @@ object Bench {
     "bpe_pack_shards_e2e",
     // curriculum schedule: LM train+score + pack + per-bin mean + the
     // two-phase global rank (no single-partition sort)
-    "curriculum_order")
+    "curriculum_order",
+    // round-11: the schedule-to-shards e2e (shard build caches per dir;
+    // the timed path is the shard-addressed CRC-verified decode + the
+    // replay-order window), token-ID emission (per-distinct-word encode
+    // + word-keyed join + one doc-keyed reassembly agg — the cost must
+    // track token volume like piece_counts), the packed-segment table
+    // (pure projection over the pack's range exchange), and the FIM
+    // rotation (zero-shuffle codegen projection)
+    "curriculum_shards_e2e", "bpe_encode_ids", "pack_segments",
+    "fim_transform")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -192,7 +201,8 @@ object Bench {
     "host_distance", "sql_tpch_q18", "layout_hilbert",
     "positive_pairs_ann", "ann_ivf_index_upsert",
     "embed_random_projection", "bpe_pack_shards_e2e",
-    "curriculum_order")
+    "curriculum_order", "curriculum_shards_e2e", "bpe_encode_ids",
+    "pack_segments", "fim_transform")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

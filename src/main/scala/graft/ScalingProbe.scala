@@ -98,7 +98,8 @@ object ScalingProbe {
     // too; queries whose cost is joins/dedup keyed on every column keep
     // the cheaper count() force.
     val checksumForced = Set("html_extract", "html_block_filter",
-      "url_domains", "url_dedup_canonical", "link_extract")
+      "url_domains", "url_dedup_canonical", "link_extract",
+      "fim_transform")
     def forceChecksum(df: DataFrame): Long = {
       df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
         .as("h")).agg(expr("bit_xor(h)")).collect()
@@ -200,7 +201,14 @@ object ScalingProbe {
       // through one cell-keyed join — expect ~cells-fraction
       // sub-linearity vs the corpus decade, with the brute miner's 1x
       // reading as the all-pairs control
-      "hard_negatives_ann")
+      "hard_negatives_ann",
+      // round-11: token-ID emission (encode once per DISTINCT word —
+      // replicas mostly re-use the vocab, so the corpus-sized work is
+      // the token stream join + the doc-keyed reassembly agg, both
+      // token-linear) and the FIM rotation (pure codegen projection —
+      // the byte-linear floor; checksum-forced or Catalyst prunes the
+      // substring work under a count)
+      "bpe_encode_ids", "fim_transform")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>

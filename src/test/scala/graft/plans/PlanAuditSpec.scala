@@ -694,6 +694,45 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.ops.CacheRegistry.releaseAll()
   }
 
+  test("FIM transform never shuffles; packed segments add no exchange " +
+    "beyond the pack's own range shuffle") {
+    val sf = "/root/testdata/sf0.001"
+    // FIM is a pure per-row codegen projection
+    val fim = graft.SparkEntry.queries("fim_transform")(spark, sf)
+    val fimEx = executed(fim).collect { case e: ShuffleExchangeExec => e }
+    assert(fimEx.isEmpty, s"fim_transform must not shuffle: ${fimEx.size}")
+    // pack_segments: the range exchange lives inside packChunked's RDD
+    // lineage (already audited via pack_sequences); the segment table
+    // on top is a projection — the RETURNED plan adds zero exchanges
+    val segs = graft.SparkEntry.queries("pack_segments")(spark, sf)
+    val segEx = executed(segs).collect { case e: ShuffleExchangeExec => e }
+    assert(segEx.isEmpty,
+      s"segment table must be a projection, got ${segEx.size} exchange(s)")
+  }
+
+  test("bpe_encode_ids: text never rides a shuffle; exchanges keyed on " +
+    "the word or the doc id only") {
+    try {
+      val df = graft.SparkEntry.queries("bpe_encode_ids")(
+        spark, "/root/testdata/sf0.001")
+      val exchanges = executed(df).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          "document text must be projected away before any exchange")
+        val keys = e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.flatMap(_.references.toSeq).map(_.name).toSet
+          case _ => Set.empty[String]
+        }
+        assert(keys.subsetOf(Set("w", "doc_id")),
+          s"unexpected shuffle keys: $keys")
+      }
+    } finally graft.ops.CacheRegistry.releaseAll()
+  }
+
   test("pmi: unigram counts cached (one tokenize serves three " +
     "references); top-k is TakeOrdered") {
     val sf = "/root/testdata/sf0.001"
