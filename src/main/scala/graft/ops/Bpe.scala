@@ -221,4 +221,48 @@ object Bpe {
       .select(col("doc_id"), col("piece_pos").cast("long"),
         col("token_id").cast("long"))
   }
+
+  /** Prompt loss-mask spans for instruction-style training — the
+    * companion of [[encodeIds]] and [[Packing.packedSegments]]: per
+    * document, how many leading tokens (and their BPE pieces) form the
+    * "prompt" whose loss a fine-tune masks. The prompt boundary is the
+    * FIRST token ending in sentence punctuation ([.!?]); a document
+    * with no boundary masks nothing (prompt_words = 0 — all
+    * completion). Output: (doc_id, prompt_words, prompt_pieces,
+    * n_words, n_pieces) — prompt_pieces is the piece-space offset a
+    * loader masks up to in the [[encodeIds]] tensor.
+    *
+    * Scale shape: the per-distinct-word encode ([[pieceCounts]]
+    * discipline) prices words once; the token stream takes ONE
+    * doc-keyed exchange, shared by the boundary window and the final
+    * aggregation (same key — no second shuffle). */
+  def promptMaskSpans(df: DataFrame, merges: List[(String, String)],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(
+          lower(col(textCol)))))
+      .toDF("doc_id", "pos", "w")
+      .transform(CacheRegistry.persist)
+    val vocabPieces = toks.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, encodeWord(w, rank).size.toLong))
+      }.toDF("w", "pieces")
+    val w = Window.partitionBy(col("doc_id"))
+    toks.join(vocabPieces, "w")
+      .withColumn("b",
+        min(when(col("w").rlike("[.!?]$"), col("pos"))).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(sum(when(col("pos") <= col("b"), lit(1L))), lit(0L))
+          .as("prompt_words"),
+        coalesce(sum(when(col("pos") <= col("b"), col("pieces"))), lit(0L))
+          .as("prompt_pieces"),
+        count(lit(1)).as("n_words"),
+        sum(col("pieces")).as("n_pieces"))
+  }
 }

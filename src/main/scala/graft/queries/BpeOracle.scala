@@ -179,6 +179,31 @@ object BpeOracle {
          |  CAST(tid AS BIGINT) AS token_id
          |FROM tpos JOIN wid USING (w)""".stripMargin
 
+  /** Oracle for `sft_mask_spans`: the piece-count replay feeding the
+    * prompt-boundary window — first token ending in [.!?] closes the
+    * prompt; conditional sums give the word- and piece-space mask
+    * offsets. */
+  def maskSpansSql(n: Int): String =
+    encodePrefix(n) +
+      s""",
+         |tpos2 AS (SELECT doc_id, unnest(tsf) AS w,
+         |    unnest(range(1, len(tsf) + 1)) AS pos
+         |  FROM (SELECT doc_id, list_filter(
+         |      string_split_regex(trim(lower(text)), '\\s+'),
+         |      t -> len(t) > 0) AS tsf FROM documents)),
+         |jm AS (SELECT doc_id, pos, pieces,
+         |    min(CASE WHEN regexp_matches(w, '[.!?]$$') THEN pos END)
+         |      OVER (PARTITION BY doc_id) AS b
+         |  FROM tpos2 JOIN vp USING (w))
+         |SELECT doc_id,
+         |  CAST(COALESCE(SUM(CASE WHEN pos <= b THEN 1 END), 0)
+         |    AS BIGINT) AS prompt_words,
+         |  CAST(COALESCE(SUM(CASE WHEN pos <= b THEN pieces END), 0)
+         |    AS BIGINT) AS prompt_pieces,
+         |  count(*) AS n_words,
+         |  CAST(sum(pieces) AS BIGINT) AS n_pieces
+         |FROM jm GROUP BY doc_id""".stripMargin
+
   /** Oracle for `bpe_pack_shards_e2e`: the piece-count replay above
     * feeding the exact pack_to_shards bin chain (doc_id-ordered
     * cumulative-before sum, floor(cum/capacity) bins) — tokenizer in

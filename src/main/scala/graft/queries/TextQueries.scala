@@ -787,6 +787,14 @@ object TextQueries {
       Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
     },
 
+    // prompt loss-mask spans (SFT prep): first sentence = prompt, in
+    // word AND BPE-piece space — the offset a loader masks up to in
+    // the bpe_encode_ids tensor
+    "sft_mask_spans" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Bpe.promptMaskSpans(docs, Bpe.trainMerges(docs, nMerges = 20))
+    },
+
     // packed-batch attention segments: per (bin, doc) the in-bin token
     // offset range — position_ids / block-diagonal-mask inputs as a
     // pure projection over the pack assignment (cum_before % capacity)
@@ -2111,6 +2119,7 @@ object TextQueries {
     "bpe_piece_counts" -> BpeOracle.pieceCountsSql(20),
     "bpe_vocab" -> BpeOracle.vocabSql(20),
     "bpe_encode_ids" -> BpeOracle.encodeIdsSql(20),
+    "sft_mask_spans" -> BpeOracle.maskSpansSql(20),
 
     // pack segments: the pack_sequences prefix chain, in-bin offset =
     // cum_before % capacity (capacity 512 = 2^9, FP-exact division)

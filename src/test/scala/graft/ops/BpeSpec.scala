@@ -110,4 +110,27 @@ class BpeSpec extends AnyFunSuite {
     got.groupBy(_._1).foreach { case (_, rs) =>
       assert(rs.map(_._2) == rs.indices.map(_.toLong)) }
   }
+
+  test("promptMaskSpans: first sentence-final token closes the prompt; " +
+    "no boundary masks nothing") {
+    val docs = Seq(
+      (1L, "what is bpe? bpe merges pairs"), // boundary at token 3
+      (2L, "no punctuation at all here"),    // no boundary: mask nothing
+      (3L, "one. two. three.")               // boundary at token 0
+    ).toDF("doc_id", "text")
+    val merges = List(("e", "s"))
+    val out = Bpe.promptMaskSpans(docs, merges)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    CacheRegistry.releaseAll()
+    def pieces(ws: String*): Long =
+      ws.map(w => Bpe.encodeWord(w, Map(("e", "s") -> 0)).size.toLong).sum
+    // doc 1: prompt = "what is bpe?" (3 words)
+    assert(out(1L) == (3L, pieces("what", "is", "bpe?"),
+      6L, pieces("what", "is", "bpe?", "bpe", "merges", "pairs")))
+    // doc 2: no boundary -> zero mask, totals intact
+    assert(out(2L)._1 == 0L && out(2L)._2 == 0L && out(2L)._3 == 5L)
+    // doc 3: prompt = "one." only
+    assert(out(3L)._1 == 1L && out(3L)._2 == pieces("one."))
+  }
 }
