@@ -190,7 +190,10 @@ object Bench {
     // (pure projection over the pack's range exchange), and the FIM
     // rotation (zero-shuffle codegen projection)
     "curriculum_shards_e2e", "bpe_encode_ids", "pack_segments",
-    "fim_transform")
+    "fim_transform",
+    // SFT loss-mask spans: the encode pricing + one doc-keyed
+    // window/agg exchange
+    "sft_mask_spans")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -202,7 +205,7 @@ object Bench {
     "positive_pairs_ann", "ann_ivf_index_upsert",
     "embed_random_projection", "bpe_pack_shards_e2e",
     "curriculum_order", "curriculum_shards_e2e", "bpe_encode_ids",
-    "pack_segments", "fim_transform")
+    "pack_segments", "fim_transform", "sft_mask_spans")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

@@ -443,6 +443,84 @@ object Similarity {
       .toSeq.sorted
   }
 
+  /** Recall@k of a persisted IVF index against the EXACT ranking over
+    * its own stored vectors — the drift canary that makes the append
+    * contract's "refit + rebuild when recall degrades" operational
+    * (COVERAGE.md §ANN recall drift holds the measured curve; this is
+    * the same number as a standing engine call). `queries` should be a
+    * small held-out canary set: the exact side is ONE scan of the
+    * stored corpus against broadcast queries (the cost class of a
+    * probe at nProbe = nCentroids), the approximate side a normal
+    * partition-pruned probe; the intersection is a candidate-sized
+    * join + two counts — nothing corpus-squared, nothing collected. */
+  def ivfRecallCanary(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, queries: DataFrame, k: Int = 10,
+                      nProbe: Int = 4, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Double = {
+    val raw = spark.read.parquet(s"$dir/assignments")
+    val corpus =
+      (if (raw.columns.contains("cvec_q"))
+        raw.select(col("corpus_id"),
+          graft.functions.UnpackInt8Expr(col("cvec_q"), col("cscale"))
+            .as("cvec"))
+      else raw.select(col("corpus_id"), col("cvec")))
+        .select(col("corpus_id").as(idCol), col("cvec").as(vecCol))
+    val exact = CacheRegistry.persist(
+      bruteForceTopK(corpus, queries, k, idCol, vecCol)
+        .select(col("query_id"), col("corpus_id")))
+    val approx = queryIvfIndex(spark, dir, queries, k, nProbe,
+        idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val truth = exact.count()
+    if (truth == 0L) 1.0
+    else approx.join(exact, Seq("query_id", "corpus_id")).count()
+      .toDouble / truth
+  }
+
+  /** Rebuild-on-drift maintenance: probe the canary; when recall@k
+    * falls below `minRecall`, rebuild the index IN PLACE from its own
+    * stored vectors with a freshly FIT quantizer — the refit path
+    * [[appendToIvfIndex]] deliberately defers. Detected layout is
+    * preserved (labels kept; an int8 index rebuilds quantized, from
+    * the dequantized vectors — the only copy an IVF-SQ8 index holds,
+    * the FAISS trade). Like [[compactIvfCells]], the rewrite is not
+    * atomic under concurrent probes — run it from the maintenance
+    * job, not the query path. Returns (recallBefore, rebuilt). */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, canary: DataFrame, minRecall: Double,
+                       k: Int = 10, nProbe: Int = 4,
+                       nCentroids: Int = 16,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): (Double, Boolean) = {
+    val recall = ivfRecallCanary(spark, dir, canary, k, nProbe,
+      idCol, vecCol)
+    CacheRegistry.releaseAll()
+    if (recall >= minRecall) (recall, false)
+    else {
+      val raw = spark.read.parquet(s"$dir/assignments")
+      val quantized = raw.columns.contains("cvec_q")
+      val labeled = raw.columns.contains("label")
+      val vecs =
+        (if (quantized)
+          raw.select(col("corpus_id"),
+            graft.functions.UnpackInt8Expr(col("cvec_q"), col("cscale"))
+              .as("cvec"),
+            (if (labeled) col("label") else lit(null)).as("label"))
+        else raw.select(col("corpus_id"), col("cvec"),
+          (if (labeled) col("label") else lit(null)).as("label")))
+          .select((col("corpus_id").as(idCol) +:
+            col("cvec").as(vecCol) +:
+            (if (labeled) Seq(col("label")) else Nil)): _*)
+          // the rebuild reads every stored row once; checkpoint so the
+          // overwrite below never races its own input scan
+          .localCheckpoint()
+      buildIvfIndex(vecs, dir, nCentroids = nCentroids, idCol = idCol,
+        vecCol = vecCol, quantize = quantized,
+        labelCol = if (labeled) Some("label") else None)
+      (recall, true)
+    }
+  }
+
   /** Probe a persisted IVF index built by [[buildIvfIndex]]: same
     * output contract as [[ivfTopK]], but the quantizer fit is paid once
     * at build time. The probe side is broadcast (queries are small next

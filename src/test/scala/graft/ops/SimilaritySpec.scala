@@ -522,6 +522,55 @@ class SimilaritySpec extends AnyFunSuite {
       s"planted near-copy not top-1 through the appended index: $got")
   }
 
+  test("ivfRecallCanary == local set recall; maintainIvfIndex rebuilds " +
+    "only below the floor and preserves layout") {
+    val vecs = corpus.filter(col("vec_id") < 50)
+    val dir = TestSpark.tmpDir("ivf_canary")
+    Similarity.buildIvfIndex(vecs, dir, nCentroids = 8)
+    val canary = vecs.filter(col("vec_id") < 6)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("corpus_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val r = Similarity.ivfRecallCanary(spark, dir, canary, k = 5, nProbe = 2)
+    CacheRegistry.releaseAll()
+    val exact = pairs(Similarity.bruteForceTopK(vecs, canary, 5))
+    val approx = pairs(Similarity.queryIvfIndex(spark, dir, canary, 5,
+      nProbe = 2))
+    assert(r == (approx & exact).size.toDouble / exact.size)
+    // floor not breached: no rebuild, files untouched
+    def files(): Set[String] =
+      new java.io.File(s"$dir/assignments").listFiles.filter(_.isDirectory)
+        .flatMap(_.listFiles).map(_.getPath).toSet
+    val before = files()
+    val (r0, rebuilt0) = Similarity.maintainIvfIndex(spark, dir, canary,
+      minRecall = 0.0, k = 5, nProbe = 2, nCentroids = 8)
+    assert(!rebuilt0 && r0 == r && files() == before)
+    // forced rebuild: rows preserved; a full-probe canary of the refit
+    // index is exact (probing every cell == brute over stored vectors)
+    val (r1, rebuilt1) = Similarity.maintainIvfIndex(spark, dir, canary,
+      minRecall = 1.01, k = 5, nProbe = 2, nCentroids = 8)
+    assert(rebuilt1 && r1 == r)
+    assert(spark.read.parquet(s"$dir/assignments").count() == 50)
+    assert(Similarity.ivfRecallCanary(spark, dir, canary, k = 5,
+      nProbe = 8) == 1.0)
+    CacheRegistry.releaseAll()
+    // quantized + labeled layout survives the rebuild
+    val labeled = clusteredLabeled
+    val qdir = TestSpark.tmpDir("ivf_canary_q")
+    Similarity.buildIvfIndex(labeled, qdir, nCentroids = 4,
+      quantize = true, labelCol = Some("label"),
+      centers = Some(Similarity.lowestIdCenters(labeled, 4)))
+    val (_, rq) = Similarity.maintainIvfIndex(spark, qdir,
+      labeled.filter(col("vec_id") < 4), minRecall = 1.01, k = 3,
+      nProbe = 2, nCentroids = 4)
+    assert(rq)
+    val qdf = spark.read.parquet(s"$qdir/assignments")
+    assert(qdf.columns.contains("cvec_q") && qdf.columns.contains("label"))
+    assert(qdf.count() == labeled.count() &&
+      qdf.filter(col("label").isNull).count() == 0)
+    CacheRegistry.releaseAll()
+  }
+
   test("compactIvfCells: file fan-in stays bounded across 20 appends; " +
     "probe results identical to the uncompacted twin") {
     val build = corpus.filter(col("vec_id") < 50)
