@@ -29,7 +29,31 @@ object NearestCellsKernels {
     * differs from the centroid dimension (the zip_with form yields NULL
     * dists there; no real embedding does).
     */
+  /** sqrt of each centroid's self-dot (left-to-right fold — the exact
+    * `sqrt(dot(c, c))` the cosine formula needs), computed ONCE per
+    * expression instance instead of per row: the per-row recompute
+    * would double the cosine inner-loop cost for a value that never
+    * changes. Same arithmetic, so results are bit-identical. */
+  def centroidNorms(centers: Array[Double], nCentroids: Int): Array[Double] = {
+    val dim = centers.length / nCentroids
+    val out = new Array[Double](nCentroids)
+    var c = 0
+    while (c < nCentroids) {
+      val base = c * dim
+      var cc = 0.0
+      var u = 0
+      while (u < dim) {
+        cc += centers(base + u) * centers(base + u)
+        u += 1
+      }
+      out(c) = math.sqrt(cc)
+      c += 1
+    }
+    out
+  }
+
   def nearest(vec: ArrayData, isFloat: Boolean, centers: Array[Double],
+              ctrNorms: Array[Double],
               nCentroids: Int, nProbe: Int, cosineMode: Boolean): ArrayData = {
     val dim = centers.length / nCentroids
     if (vec.numElements() != dim) return null
@@ -50,18 +74,12 @@ object NearestCellsKernels {
       while (c < nCentroids) {
         val base = c * dim
         var num = 0.0
-        var cc = 0.0
         var u = 0
         while (u < dim) {
           num += v(u) * centers(base + u)
           u += 1
         }
-        u = 0
-        while (u < dim) {
-          cc += centers(base + u) * centers(base + u)
-          u += 1
-        }
-        score(c) = num / (vn * math.sqrt(cc))
+        score(c) = num / (vn * ctrNorms(c))
         c += 1
       }
     } else {
@@ -145,19 +163,24 @@ case class NearestCellsExpr(child: Expression, centers: Array[Double],
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 
+  @transient private lazy val ctrNorms: Array[Double] =
+    if (cosineMode) NearestCellsKernels.centroidNorms(centers, nCentroids)
+    else Array.emptyDoubleArray
+
   override def nullSafeEval(a: Any): Any =
     NearestCellsKernels.nearest(a.asInstanceOf[ArrayData], isFloat,
-      centers, nCentroids, nProbe, cosineMode)
+      centers, ctrNorms, nCentroids, nProbe, cosineMode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val f = isFloat
     val ctrRef = ctx.addReferenceObj("cellCenters", centers, "double[]")
+    val normRef = ctx.addReferenceObj("cellNorms", ctrNorms, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val cells = ctx.freshName("cells")
       s"""
         org.apache.spark.sql.catalyst.util.ArrayData $cells =
           graft.functions.NearestCellsKernels.nearest(
-            $a, $f, $ctrRef, $nCentroids, $nProbe, $cosineMode);
+            $a, $f, $ctrRef, $normRef, $nCentroids, $nProbe, $cosineMode);
         if ($cells == null) { ${ev.isNull} = true; }
         else { ${ev.value} = $cells; }
       """
