@@ -193,7 +193,10 @@ object Bench {
     "fim_transform",
     // SFT loss-mask spans: the encode pricing + one doc-keyed
     // window/agg exchange
-    "sft_mask_spans")
+    "sft_mask_spans",
+    // leakage-safe splits: near-dup pairs + duplicate-sized component
+    // pass + the pure hash projection
+    "split_leakage_safe")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -205,7 +208,8 @@ object Bench {
     "positive_pairs_ann", "ann_ivf_index_upsert",
     "embed_random_projection", "bpe_pack_shards_e2e",
     "curriculum_order", "curriculum_shards_e2e", "bpe_encode_ids",
-    "pack_segments", "fim_transform", "sft_mask_spans")
+    "pack_segments", "fim_transform", "sft_mask_spans",
+    "split_leakage_safe")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

@@ -152,6 +152,33 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Leakage-safe split assignment — [[assignSplit]] under
+    * near-duplicate closure: every document is assigned by its
+    * duplicate-CLUSTER representative's hash draw (the component's
+    * minimum id from [[Dedup.clusterDuplicates]]; unpaired documents
+    * represent themselves), so near-copies of one document can never
+    * straddle train and test — the split-contamination hole a per-doc
+    * hash split leaves open (a paraphrase of a training doc landing in
+    * eval scores as generalization when it is memorization).
+    * `pairs` is any near-dup pair table (id_a, id_b) over `idCol` ids
+    * — MinHash-LSH, SimHash or semantic. Output: df + (rep_id, split).
+    *
+    * Scale shape: the clustering is the |duplicates|-sized component
+    * pass (never corpus-sized); the representative join is id-keyed
+    * (cluster table is duplicate-sized, AQE broadcasts it); the split
+    * itself stays the pure hash projection. */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                       splits: Seq[(String, Double)],
+                       salt: String = "graft"): DataFrame = {
+    val clusters = Dedup.clusterDuplicates(pairs)
+    val withRep = df.join(
+        clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    assignSplit(withRep, "rep_id", splits, salt)
+  }
+
   /** Deterministic global shuffle: adds `pos` — the row's position in
     * the corpus ordered by its hash draw (ties broken on the key) — a
     * reproducible random permutation for epoch-order materialization.

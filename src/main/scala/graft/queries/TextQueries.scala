@@ -601,6 +601,19 @@ object TextQueries {
         "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
     },
 
+    // Leakage-safe splits: assignment keyed on the near-dup CLUSTER
+    // representative, so paraphrased copies never straddle train/test
+    // (the planted near-dups land with their originals, provably —
+    // the oracle closes the brute pair graph recursively)
+    "split_leakage_safe" -> { (s, d) =>
+      val corpus = corpusWithPlants(s, d)
+      val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text", k = 32,
+        bands = 8, shingleSize = 3, minJaccard = 0.5)
+      Sampling.leakageSafeSplit(corpus, pairs.select("id_a", "id_b"),
+          "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("rep_id"), col("split"))
+    },
+
     // Reproducible global permutation (epoch shuffle order): pos is the
     // rank in hash-draw order, built by the two-phase range scan — the
     // oracle's single-window row_number must agree exactly.
@@ -2344,6 +2357,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "split_leakage_safe" -> splitLeakageSafeOracle,
     "dedup_drop_near" -> dedupDropNearOracle,
 
     "dedup_keep_best" -> dedupKeepBestOracle,
@@ -3122,6 +3136,31 @@ object TextQueries {
        |  UNION
        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
        |SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** split_leakage_safe: the dedup_clusters closure feeding the split
+    * hash — assignment keyed on coalesce(cluster min id, own id), so
+    * every component provably shares one split. */
+  private def splitLeakageSafeOracle: String =
+    s"""WITH RECURSIVE $dedupPairCtes,
+       |dup AS (SELECT id_a, id_b FROM p WHERE jac >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+       |  UNION SELECT id_b, id_a FROM dup),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+       |rep AS (SELECT c.doc_id,
+       |    coalesce(cl.cluster_id, c.doc_id) AS rep_id
+       |  FROM corpus c LEFT JOIN cl ON c.doc_id = cl.id)
+       |SELECT doc_id, rep_id,
+       |  CASE WHEN substr(md5('graft' || CAST(rep_id AS VARCHAR)), 1, 8)
+       |      < '${graft.ops.Sampling.thresholdHex(0.8)}' THEN 'train'
+       |    WHEN substr(md5('graft' || CAST(rep_id AS VARCHAR)), 1, 8)
+       |      < '${graft.ops.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM rep""".stripMargin
 
   /** dedup_keep_best: one survivor per cluster, chosen by
     * (length(text) DESC, doc_id) instead of min-id — the closure CTEs

@@ -239,6 +239,30 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(rebuilt.sameElements((0 until 100).map(i => s"t$i")))
   }
 
+  test("leakageSafeSplit: every near-dup cluster shares one split; " +
+    "singletons split like assignSplit on their own id") {
+    val docs = (0L until 100L).map(i => Tuple1(i)).toDF("doc_id")
+    // two clusters ({1,2,3} via chaining, {50,51}) + 95 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L)).toDF("id_a", "id_b")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val out = Sampling.leakageSafeSplit(docs, pairs, "doc_id", splits)
+      .select("doc_id", "rep_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val plain = Sampling.assignSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // cluster members share the min-id representative AND its split
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size == 1)
+    assert(out(2L)._2 == plain(1L) && out(3L)._2 == plain(1L))
+    assert(out(50L)._1 == 50L && out(51L)._1 == 50L &&
+      out(51L)._2 == plain(50L))
+    // singletons represent themselves — identical to the plain split
+    ((0L until 100L).toSet -- Set(1L, 2L, 3L, 50L, 51L)).foreach { i =>
+      assert(out(i) == (i, plain(i)), s"singleton $i diverged")
+    }
+  }
+
   test("packedSegments: segments tile each bin contiguously; the only " +
     "capacity overrun is the one overflow doc") {
     val docs = (0 until 40).map(i => (i.toLong, (i % 7 + 1) * 10L))
