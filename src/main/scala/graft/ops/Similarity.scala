@@ -443,6 +443,25 @@ object Similarity {
       .toSeq.sorted
   }
 
+  /** The standing index's stored vectors as (corpus_id, cvec[, label,]
+    * cell) — the ONE place the cvec_q-detect-and-dequantize read lives
+    * (queryIvfIndex, the miners, the canary and the rebuild all layer
+    * on it; an index-layout change lands here once). */
+  private def readIndexVectors(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               keepLabel: Boolean,
+                               keepCell: Boolean): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/assignments")
+    val labeled = keepLabel && raw.columns.contains("label")
+    val tail = (if (labeled) Seq(col("label")) else Nil) ++
+      (if (keepCell) Seq(col("cell")) else Nil)
+    if (raw.columns.contains("cvec_q"))
+      raw.select((col("corpus_id") +:
+        graft.functions.UnpackInt8Expr(col("cvec_q"), col("cscale"))
+          .as("cvec") +: tail): _*)
+    else raw.select((col("corpus_id") +: col("cvec") +: tail): _*)
+  }
+
   /** Recall@k of a persisted IVF index against the EXACT ranking over
     * its own stored vectors — the drift canary that makes the append
     * contract's "refit + rebuild when recall degrades" operational
@@ -452,69 +471,66 @@ object Similarity {
     * stored corpus against broadcast queries (the cost class of a
     * probe at nProbe = nCentroids), the approximate side a normal
     * partition-pruned probe; the intersection is a candidate-sized
-    * join + two counts — nothing corpus-squared, nothing collected. */
+    * join + two counts — nothing corpus-squared, nothing collected.
+    * Cache use is SCOPED (library-op contract): repeated monitoring
+    * calls leak nothing and never touch other work's caches. */
   def ivfRecallCanary(spark: org.apache.spark.sql.SparkSession,
                       dir: String, queries: DataFrame, k: Int = 10,
                       nProbe: Int = 4, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Double = {
-    val raw = spark.read.parquet(s"$dir/assignments")
-    val corpus =
-      (if (raw.columns.contains("cvec_q"))
-        raw.select(col("corpus_id"),
-          graft.functions.UnpackInt8Expr(col("cvec_q"), col("cscale"))
-            .as("cvec"))
-      else raw.select(col("corpus_id"), col("cvec")))
+                      vecCol: String = "embedding"): Double =
+    CacheRegistry.scoped {
+      val corpus = readIndexVectors(spark, dir, keepLabel = false,
+          keepCell = false)
         .select(col("corpus_id").as(idCol), col("cvec").as(vecCol))
-    val exact = CacheRegistry.persist(
-      bruteForceTopK(corpus, queries, k, idCol, vecCol)
-        .select(col("query_id"), col("corpus_id")))
-    val approx = queryIvfIndex(spark, dir, queries, k, nProbe,
-        idCol, vecCol)
-      .select(col("query_id"), col("corpus_id"))
-    val truth = exact.count()
-    if (truth == 0L) 1.0
-    else approx.join(exact, Seq("query_id", "corpus_id")).count()
-      .toDouble / truth
-  }
+      val exact = CacheRegistry.persist(
+        bruteForceTopK(corpus, queries, k, idCol, vecCol)
+          .select(col("query_id"), col("corpus_id")))
+      val approx = queryIvfIndex(spark, dir, queries, k, nProbe,
+          idCol, vecCol)
+        .select(col("query_id"), col("corpus_id"))
+      val truth = exact.count()
+      if (truth == 0L) 1.0
+      else approx.join(exact, Seq("query_id", "corpus_id")).count()
+        .toDouble / truth
+    }
 
   /** Rebuild-on-drift maintenance: probe the canary; when recall@k
     * falls below `minRecall`, rebuild the index IN PLACE from its own
     * stored vectors with a freshly FIT quantizer — the refit path
     * [[appendToIvfIndex]] deliberately defers. Detected layout is
-    * preserved (labels kept; an int8 index rebuilds quantized, from
+    * preserved: labels kept, an int8 index rebuilds quantized (from
     * the dequantized vectors — the only copy an IVF-SQ8 index holds,
-    * the FAISS trade). Like [[compactIvfCells]], the rewrite is not
-    * atomic under concurrent probes — run it from the maintenance
+    * the FAISS trade), and the CENTROID COUNT defaults to the standing
+    * quantizer's (pass `nCentroids` only to deliberately re-size; a
+    * fixed default would silently collapse a production sqrt(corpus)
+    * index to toy sizing). Like [[compactIvfCells]], the rewrite is
+    * not atomic under concurrent probes — run it from the maintenance
     * job, not the query path. Returns (recallBefore, rebuilt). */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, canary: DataFrame, minRecall: Double,
                        k: Int = 10, nProbe: Int = 4,
-                       nCentroids: Int = 16,
+                       nCentroids: Option[Int] = None,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): (Double, Boolean) = {
     val recall = ivfRecallCanary(spark, dir, canary, k, nProbe,
       idCol, vecCol)
-    CacheRegistry.releaseAll()
     if (recall >= minRecall) (recall, false)
     else {
-      val raw = spark.read.parquet(s"$dir/assignments")
-      val quantized = raw.columns.contains("cvec_q")
-      val labeled = raw.columns.contains("label")
-      val vecs =
-        (if (quantized)
-          raw.select(col("corpus_id"),
-            graft.functions.UnpackInt8Expr(col("cvec_q"), col("cscale"))
-              .as("cvec"),
-            (if (labeled) col("label") else lit(null)).as("label"))
-        else raw.select(col("corpus_id"), col("cvec"),
-          (if (labeled) col("label") else lit(null)).as("label")))
-          .select((col("corpus_id").as(idCol) +:
-            col("cvec").as(vecCol) +:
-            (if (labeled) Seq(col("label")) else Nil)): _*)
-          // the rebuild reads every stored row once; checkpoint so the
-          // overwrite below never races its own input scan
-          .localCheckpoint()
-      buildIvfIndex(vecs, dir, nCentroids = nCentroids, idCol = idCol,
+      val nCells = nCentroids.getOrElse(
+        spark.read.parquet(s"$dir/centroids").count().toInt)
+      val labeled = spark.read.parquet(s"$dir/assignments")
+        .columns.contains("label")
+      val quantized = spark.read.parquet(s"$dir/assignments")
+        .columns.contains("cvec_q")
+      val vecs = readIndexVectors(spark, dir, keepLabel = true,
+          keepCell = false)
+        .select((col("corpus_id").as(idCol) +:
+          col("cvec").as(vecCol) +:
+          (if (labeled) Seq(col("label")) else Nil)): _*)
+        // the rebuild reads every stored row once; checkpoint so the
+        // overwrite below never races its own input scan
+        .localCheckpoint()
+      buildIvfIndex(vecs, dir, nCentroids = nCells, idCol = idCol,
         vecCol = vecCol, quantize = quantized,
         labelCol = if (labeled) Some("label") else None)
       (recall, true)
@@ -536,14 +552,8 @@ object Similarity {
     val centers = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    val raw = spark.read.parquet(s"$dir/assignments")
-    val assigned =
-      if (raw.columns.contains("cvec_q"))
-        raw.select(col("corpus_id"),
-          graft.functions.UnpackInt8Expr(col("cvec_q"), col("cscale"))
-            .as("cvec"),
-          col("cell"))
-      else raw
+    val assigned = readIndexVectors(spark, dir, keepLabel = false,
+      keepCell = true)
     val probed = probeCells(queries, centers, nProbe, idCol, vecCol)
     rankCandidates(assigned.join(broadcast(probed), Seq("cell")), k)
   }
@@ -598,17 +608,12 @@ object Similarity {
     val centers = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    val raw = spark.read.parquet(s"$dir/assignments")
-    require(raw.columns.contains("label"),
+    require(spark.read.parquet(s"$dir/assignments")
+      .columns.contains("label"),
       s"IVF index at $dir carries no label column — build with labelCol")
-    val assigned =
-      if (raw.columns.contains("cvec_q"))
-        raw.select(col("corpus_id"),
-          graft.functions.UnpackInt8Expr(col("cvec_q"), col("cscale"))
-            .as("cvec"),
-          col("label").as("c_label"), col("cell"))
-      else raw.select(col("corpus_id"), col("cvec"),
-        col("label").as("c_label"), col("cell"))
+    val assigned = readIndexVectors(spark, dir, keepLabel = true,
+        keepCell = true)
+      .withColumnRenamed("label", "c_label")
     val probed = probeCells(anchors, centers, nProbe, idCol, vecCol,
       keep = Seq(col(labelCol).as("q_label")))
     // label predicate BELOW the rank window: per-anchor window state

@@ -19,10 +19,12 @@ import graft.ops.{CacheRegistry, Similarity}
   * unattended stream runs indefinitely without probe-latency decay
   * (IvfStreamMaintainSpec pins the bound across ~20 micro-batches).
   *
-  * Idempotence under redelivery: a `vecs_seen/` id table accumulates
-  * alongside the index and each batch anti-joins against it first, so
-  * a re-delivered batch (the at-least-once file source after a
-  * failure) contributes nothing. The seen table carries ONLY ids; the
+  * Idempotence under redelivery: a `vecs_seen/` id table — seeded on
+  * first contact with the ids the index ALREADY stores, then
+  * accumulating per batch — gates every batch with an anti-join, so a
+  * re-delivered batch (the at-least-once file source after a failure)
+  * contributes nothing, whether its ids arrived by stream or by the
+  * initial build. The seen table carries ONLY ids; the
   * id write lands AFTER the index append — a crash in between
   * re-appends at most one batch on replay (visible as duplicate
   * candidate rows until a dedup probe or rebuild; batch-id-keyed file
@@ -41,11 +43,24 @@ object IvfStreamMaintain {
     * the standing cell partitions, record their ids, then compact any
     * cell over the file threshold. Exposed for tests and cron-style
     * batch reruns. The batch must carry (vec_id, embedding[, label —
-    * required iff the index stores labels]). */
+    * required iff the index stores labels]), with column TYPES matching
+    * the index layout (appends are uncast parquet writes).
+    *
+    * On first sight of the index, `vecs_seen/` is SEEDED with the ids
+    * already stored in it (the initial build's vectors) — so the
+    * idempotence contract covers build-time ids too, not just streamed
+    * ones; without the seed, a landing file carrying a built id would
+    * append a permanent duplicate row no compaction removes. */
   def maintainBatch(spark: SparkSession, indexDir: String,
                     batch: DataFrame,
                     compactOver: Option[Int] = None): Unit = {
     val seenDir = s"$indexDir/vecs_seen"
+    if (!new java.io.File(seenDir).exists() &&
+        new java.io.File(s"$indexDir/assignments").exists()) {
+      spark.read.parquet(s"$indexDir/assignments")
+        .select(col("corpus_id").as("vec_id"))
+        .write.parquet(seenDir)
+    }
     val hasSeen = new java.io.File(seenDir).exists()
     // dropDuplicates first: redelivered copies can land in the SAME
     // micro-batch as their original (AvailableNow drains several file
@@ -66,13 +81,19 @@ object IvfStreamMaintain {
 
   /** Start the index-maintenance stream over parquet embeddings
     * landing in `landingDir`. `Trigger.AvailableNow` drains and stops
-    * (the cron shape). `withLabel` must match the standing index's
-    * layout (built with/without `labelCol`). */
+    * (the cron shape). The declared landing schema must MATCH the
+    * standing index's layout exactly (appends are uncast): the default
+    * is (vec_id long, embedding array<float>[, label string] with
+    * `withLabel`); an index built over other types (double vectors,
+    * int labels — the fixture embeddings' label is int) passes its own
+    * `schema`, which takes precedence over `withLabel`. */
   def start(spark: SparkSession, landingDir: String, indexDir: String,
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
             withLabel: Boolean = false,
-            compactOver: Option[Int] = None): StreamingQuery = {
+            compactOver: Option[Int] = None,
+            schema: Option[org.apache.spark.sql.types.StructType] = None
+           ): StreamingQuery = {
     val fields = Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
@@ -82,7 +103,8 @@ object IvfStreamMaintain {
       (if (withLabel) Seq(org.apache.spark.sql.types.StructField("label",
         org.apache.spark.sql.types.StringType)) else Nil)
     spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(fields))
+      .schema(schema.getOrElse(
+        org.apache.spark.sql.types.StructType(fields)))
       .parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

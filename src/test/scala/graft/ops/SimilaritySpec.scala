@@ -543,14 +543,17 @@ class SimilaritySpec extends AnyFunSuite {
         .flatMap(_.listFiles).map(_.getPath).toSet
     val before = files()
     val (r0, rebuilt0) = Similarity.maintainIvfIndex(spark, dir, canary,
-      minRecall = 0.0, k = 5, nProbe = 2, nCentroids = 8)
+      minRecall = 0.0, k = 5, nProbe = 2)
     assert(!rebuilt0 && r0 == r && files() == before)
-    // forced rebuild: rows preserved; a full-probe canary of the refit
-    // index is exact (probing every cell == brute over stored vectors)
+    // forced rebuild: rows preserved; the centroid COUNT is detected
+    // from the standing quantizer (no parameter — a fixed default
+    // would silently resize a production index); a full-probe canary
+    // of the refit index is exact
     val (r1, rebuilt1) = Similarity.maintainIvfIndex(spark, dir, canary,
-      minRecall = 1.01, k = 5, nProbe = 2, nCentroids = 8)
+      minRecall = 1.01, k = 5, nProbe = 2)
     assert(rebuilt1 && r1 == r)
     assert(spark.read.parquet(s"$dir/assignments").count() == 50)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8)
     assert(Similarity.ivfRecallCanary(spark, dir, canary, k = 5,
       nProbe = 8) == 1.0)
     CacheRegistry.releaseAll()
@@ -562,10 +565,11 @@ class SimilaritySpec extends AnyFunSuite {
       centers = Some(Similarity.lowestIdCenters(labeled, 4)))
     val (_, rq) = Similarity.maintainIvfIndex(spark, qdir,
       labeled.filter(col("vec_id") < 4), minRecall = 1.01, k = 3,
-      nProbe = 2, nCentroids = 4)
+      nProbe = 2)
     assert(rq)
     val qdf = spark.read.parquet(s"$qdir/assignments")
     assert(qdf.columns.contains("cvec_q") && qdf.columns.contains("label"))
+    assert(spark.read.parquet(s"$qdir/centroids").count() == 4)
     assert(qdf.count() == labeled.count() &&
       qdf.filter(col("label").isNull).count() == 0)
     CacheRegistry.releaseAll()

@@ -60,6 +60,13 @@ class IvfStreamMaintainSpec extends AnyFunSuite {
     IvfStreamMaintain.maintainBatch(spark, idxDir, vecsDf(20 until 35))
     assert(q(idxDir) == q(fullDir), "redelivery must be a no-op")
     assert(spark.read.parquet(s"$idxDir/assignments").count() == 50)
+    // BUILD-time ids redelivered are no-ops too: vecs_seen was seeded
+    // from the standing index on first contact, so vectors that entered
+    // via buildIvfIndex are history, not novelty
+    IvfStreamMaintain.maintainBatch(spark, idxDir, vecsDf(0 until 5))
+    assert(spark.read.parquet(s"$idxDir/assignments").count() == 50,
+      "a redelivered build-time id appended a duplicate row")
+    assert(q(idxDir) == q(fullDir))
   }
 
   test("auto-compaction keeps per-cell file fan-in bounded across " +
