@@ -208,7 +208,15 @@ object ScalingProbe {
       // token-linear) and the FIM rotation (pure codegen projection —
       // the byte-linear floor; checksum-forced or Catalyst prunes the
       // substring work under a count)
-      "bpe_encode_ids", "fim_transform")
+      "bpe_encode_ids", "fim_transform",
+      // round-12: the composed loader-tensor shard chain. The write
+      // caches per dir (trainShardCache), so the kept min-of-2 pass
+      // probes the READ path: CRC-framed decode + the per-token
+      // posexplode + the seg prefix-sum lookup — all token-linear; the
+      // build pass (run 1) adds the doc-keyed array agg + one bin-keyed
+      // exchange on top of the encode chain already probed by
+      // bpe_encode_ids
+      "train_shards_e2e")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>

@@ -97,10 +97,13 @@ object NearestCellsKernels {
         c += 1
       }
     }
-    // selection by java.lang.Double.compare — Spark's total order for
-    // doubles (NaN greatest, -0.0 < 0.0), i.e. exactly what array_sort /
-    // array_min / array_max over (score, cell) structs would pick; strict
-    // improvement keeps the earliest (lowest) cell on ties
+    // selection by java.lang.Double.compare — total order with NaN
+    // greatest, matching what array_sort / array_min / array_max over
+    // (score, cell) structs pick for every value reachable here (scores
+    // are sums of squares/products and cannot be -0.0, the one value
+    // where Double.compare's -0.0 < 0.0 differs from Spark's
+    // -0.0 == 0.0 ordering); strict improvement keeps the earliest
+    // (lowest) cell on ties
     val nOut = math.min(nProbe, nCentroids)
     val out = new Array[Int](nOut)
     val taken = new Array[Boolean](nCentroids)
@@ -159,6 +162,23 @@ case class NearestCellsExpr(child: Expression, centers: Array[Double],
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "nearest_cells"
+
+  // content (not reference) equality over the centroid array: the
+  // case-class default compares Array[Double] by reference, so two
+  // semantically identical probes would never dedup under Catalyst
+  // canonicalization / common-subexpression elimination / exchange reuse
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCellsExpr =>
+      child == o.child && nCentroids == o.nCentroids &&
+        nProbe == o.nProbe && cosineMode == o.cosineMode &&
+        java.util.Arrays.equals(centers, o.centers)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(centers)),
+      Integer.valueOf(nCentroids), Integer.valueOf(nProbe),
+      java.lang.Boolean.valueOf(cosineMode))
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions._
   * encoded once (an inherently sequential per-word loop — executor-side
   * `mapPartitions` over the vocab, never over the corpus), and the
   * corpus token stream broadcast-joins the word -> piece-count map.
+  *
+  * ==Fidelity contract (what encode/decode preserves)==
+  *
+  * The tokenizer is deliberately NORMALIZING, and the normalization is
+  * part of the engine-portable contract (the DuckDB oracles replay it
+  * exactly):
+  *
+  *  - text folds to LOWERCASE before tokenization;
+  *  - WHITESPACE is a separator only — token ids carry no word-boundary
+  *    information, so decoding concatenates pieces with nothing between
+  *    them;
+  *  - there are NO special tokens (no BOS/EOS/PAD/UNK ids in the
+  *    vocabulary);
+  *  - a piece absent from the vocabulary encodes as id -1 (impossible
+  *    when the vocab was built over the encoded corpus itself, the
+  *    [[vocab]] path; possible when encoding NEW text under a frozen
+  *    vocab) and DECODES TO THE EMPTY STRING.
+  *
+  * Hence the exact round-trip law, pinned by BpeSpec and the
+  * `bpe_decode_ids` oracle: `decodeIds(encodeIds(x)) ==
+  * lower(x) with all whitespace removed` — ids cannot reconstruct the
+  * original casing or spacing, by design. A loader that needs the raw
+  * text keeps the source column; the ids are a MODEL-input tensor, not
+  * an archival encoding.
   */
 object Bpe {
 
@@ -220,6 +244,29 @@ object Bpe {
       .toDF("doc_id", "piece_pos", "token_id")
       .select(col("doc_id"), col("piece_pos").cast("long"),
         col("token_id").cast("long"))
+  }
+
+  /** Inverse of [[encodeIds]] under the same vocabulary: token-ID rows
+    * (doc_id, piece_pos, token_id) back to one string per document.
+    * What comes back is the NORMALIZED text — lowercased, whitespace
+    * removed — per the fidelity contract above (the class Scaladoc);
+    * id -1 (out-of-vocabulary) decodes to the empty string.
+    *
+    * Scale shape: the vocabulary is bounded (|charset| + nMerges) so
+    * the id -> symbol join broadcasts; reassembly is ONE doc-keyed
+    * aggregation in piece order — the exact mirror of [[encodeIds]]'
+    * reassembly, nothing corpus x vocab. */
+  def decodeIds(ids: DataFrame, syms: List[String],
+                idCol: String = "doc_id"): DataFrame = {
+    val spark = ids.sparkSession
+    val vdf = vocabDf(spark, syms)
+    ids.select(col(idCol).as("doc_id"), col("piece_pos"), col("token_id"))
+      .join(broadcast(vdf), Seq("token_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("piece_pos"),
+          coalesce(col("symbol"), lit("")).as("sym")))),
+        s => s.getField("sym")), "").as("text_decoded"))
   }
 
   /** Prompt loss-mask spans for instruction-style training — the

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Atomic version switching for persisted on-disk indexes (the IVF
+  * vector index, the inverted text index) — the snapshot discipline
+  * that makes a WHOLE-INDEX rewrite (quantizer refit, full segment
+  * merge) safe under live probes.
+  *
+  * The problem it closes: `maintainIvfIndex` / `compactInvertedIndex`
+  * used to rewrite the live directory via checkpoint + overwrite, so a
+  * probe running concurrently with a triggered rebuild could list a
+  * torn file set (half old cells, half new). With versions, a rewrite
+  * builds into a FRESH staging directory and then publishes a marker;
+  * readers resolve the current version with one listing and from then
+  * on touch only that version's immutable files — a concurrent rebuild
+  * can never mix layouts under them.
+  *
+  * Layout under an index root `dir`:
+  *  - `dir/_versions/v-%08d`       — one immutable marker file per
+  *    published version (content = the version's data subdirectory
+  *    name). Current = the HIGHEST marker.
+  *  - `dir/v=N/...`                — version N's data tree (the same
+  *    tables a flat index holds: centroids/assignments or
+  *    postings/dfs/stats).
+  *  - anything else under `dir`    — version-INDEPENDENT state (e.g.
+  *    the stream-maintenance `vecs_seen`/`docs_seen` id history), plus
+  *    the legacy flat layout of an index built before versioning.
+  *
+  * Why marker files instead of a mutable MANIFEST pointer: an
+  * HDFS/S3-safe `rename` cannot atomically REPLACE an existing file
+  * (HDFS rename-to-existing fails; S3 has no rename), but creating a
+  * NEW immutable file is atomic on all of them (visible only once
+  * closed / PUT completes). Max-of-listing over immutable markers is
+  * therefore the portable "pointer written last": the marker is
+  * created only after the staging tree is fully written, and a reader
+  * either sees it (new complete version) or doesn't (old complete
+  * version) — never a mix. This is the Iceberg/Delta snapshot idea
+  * reduced to directory granularity, which is exactly the granularity
+  * a whole-index rewrite produces anyway.
+  *
+  * Backward compatibility: an index without `_versions/` resolves to
+  * `dir` itself (the pre-round-12 flat layout); its first versioned
+  * rewrite publishes `v=1` and leaves the flat files for probes still
+  * in flight (GC them with [[pruneTo]] once drained).
+  *
+  * Scale shape: resolve is ONE directory listing of marker-count
+  * entries; publish is ONE file create. Nothing here scales with the
+  * data. Cell/bucket-SCOPED compaction deliberately stays in-place
+  * inside the current version (copying untouched partitions into a new
+  * version would turn an O(cell) maintenance step into an O(index)
+  * rewrite); its blast radius is the named partitions for the rewrite
+  * window, the documented maintenance-job trade.
+  */
+object IndexVersions {
+
+  private def fsOf(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
+  /** Existence check through the path's own Hadoop FileSystem — the
+    * check every state-seeding/triggering gate in the streaming twins
+    * must use (java.io.File silently reports false on hdfs:// or
+    * s3a:// paths, disabling the gate). */
+  def pathExists(path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    fs.exists(p)
+  }
+
+  private def markerDir(dir: String) = new Path(dir, "_versions")
+
+  private def listVersions(fs: FileSystem, dir: String): Seq[Int] = {
+    val md = markerDir(dir)
+    if (!fs.exists(md)) Nil
+    else fs.listStatus(md).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v-") =>
+        n.stripPrefix("v-").toInt }
+      .sorted
+  }
+
+  /** Highest published version, if the index is versioned. */
+  def currentVersion(dir: String): Option[Int] = {
+    val (fs, _) = fsOf(dir)
+    listVersions(fs, dir).lastOption
+  }
+
+  /** The CURRENT data root: `dir/v=N` for the highest published
+    * version, `dir` itself for a legacy flat index. Every reader
+    * resolves once and then touches only that version's files. */
+  def resolve(dir: String): String =
+    currentVersion(dir) match {
+      case Some(v) => s"$dir/v=$v"
+      case None => dir
+    }
+
+  /** Allocate the next version number and its (not yet published)
+    * staging directory. The caller writes the full data tree there,
+    * then calls [[publish]]. */
+  def nextStaging(dir: String): (Int, String) = {
+    val v = currentVersion(dir).getOrElse(0) + 1
+    (v, s"$dir/v=$v")
+  }
+
+  /** Publish version `v`: create its immutable marker — the single
+    * atomic step that flips readers to the new tree. Must be called
+    * only after the staging tree is complete. */
+  def publish(dir: String, v: Int): Unit = {
+    val (fs, _) = fsOf(dir)
+    fs.mkdirs(markerDir(dir))
+    val marker = new Path(markerDir(dir), f"v-$v%08d")
+    val out = fs.create(marker, false) // never overwrite: double publish fails loudly
+    try out.write(s"v=$v\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Garbage-collect versions older than the newest `keep` (default:
+    * previous + current, covering probes still on the old snapshot).
+    * Never touches the legacy flat files or version-independent state:
+    * only `v=N` trees whose marker is pruned. */
+  def pruneTo(dir: String, keep: Int = 2): Unit = {
+    val (fs, _) = fsOf(dir)
+    val vs = listVersions(fs, dir)
+    vs.dropRight(keep).foreach { v =>
+      fs.delete(new Path(s"$dir/v=$v"), true)
+      fs.delete(new Path(markerDir(dir), f"v-$v%08d"), false)
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -138,24 +138,32 @@ object Packing {
     * `<PRE>prefix<SUF>suffix<MID>middle`; other documents (and
     * documents under 4 chars) pass through unchanged.
     *
-    * Cut points derive from modular arithmetic on the id (the
-    * [[Sampling.hashSample]] philosophy: production would draw from an
-    * RNG, but a DETERMINISTIC, engine-portable choice is the contract
-    * here — integer ops and one IEEE divide, replayed exactly by the
-    * DuckDB oracle). cut1 ∈ [1, n-2], cut2 ∈ [cut1+1, n-1], so all
-    * three spans are non-empty. Pure codegen projection — no shuffle,
-    * corpus-linear at any scale. Output (id, fim_applied, text_out). */
+    * Selection and cut points derive from MD5 draws on the id (the
+    * [[Sampling.hashDraw]] convention — works for ANY id type, string
+    * ids included, where the previous `id % k` arithmetic required a
+    * numeric id and failed analysis otherwise): production would draw
+    * from an RNG, but a DETERMINISTIC, engine-portable choice is the
+    * contract here — one md5, integer ops and one IEEE divide, replayed
+    * exactly by the DuckDB oracle via the established
+    * `conv(substring(md5(..), 1, 8), 16, 10)` <->
+    * `CAST('0x' || substr(md5(..), 1, 8) AS BIGINT)` bridge.
+    * cut1 ∈ [1, n-2], cut2 ∈ [cut1+1, n-1], so all three spans are
+    * non-empty. Pure codegen projection — no shuffle, corpus-linear at
+    * any scale. Output (id, fim_applied, text_out). */
   def fimTransform(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", everyK: Int = 2): DataFrame = {
     require(everyK > 0, s"everyK $everyK")
-    val applied = (col(idCol) % everyK === 0) &&
+    def draw(salt: String): Column =
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+        1, 8), 16, 10).cast("long")
+    val applied = (draw("graft_fim") % everyK === 0) &&
       length(col(textCol)).cast("long") >= 4L
     val out = df
       .withColumn("graft_n", length(col(textCol)).cast("long"))
       .withColumn("graft_c1", lit(1L) +
-        floor(((col(idCol) * 131 + 7) % 97) * (col("graft_n") - 2) / 97.0))
+        floor((draw("graft_fim1") % 97) * (col("graft_n") - 2) / 97.0))
       .withColumn("graft_c2", col("graft_c1") + 1L +
-        floor(((col(idCol) * 61 + 13) % 89) *
+        floor((draw("graft_fim2") % 89) *
           (col("graft_n") - col("graft_c1") - 1) / 89.0))
     out.select(col(idCol),
         when(applied, lit(1)).otherwise(lit(0)).as("fim_applied"),

@@ -333,10 +333,11 @@ object Similarity {
                        labelCol: String = "label",
                        compactOver: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
-    val ctrs = spark.read.parquet(s"$dir/centroids")
+    val root = IndexVersions.resolve(dir)
+    val ctrs = spark.read.parquet(s"$root/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    val standing = spark.read.parquet(s"$dir/assignments")
+    val standing = spark.read.parquet(s"$root/assignments")
     val quantized = standing.columns.contains("cvec_q")
     val labeled = standing.columns.contains("label")
     // the batch's label column (any name) maps onto the index's stored
@@ -356,7 +357,7 @@ object Similarity {
             :+ col("cell"): _*)
       else assigned
     payload.write.mode("append").partitionBy("cell")
-      .parquet(s"$dir/assignments")
+      .parquet(s"$root/assignments")
     compactOver.foreach { threshold =>
       val over = cellsOverThreshold(dir, threshold)
       if (over.nonEmpty) compactIvfCells(spark, dir, Some(over))
@@ -377,19 +378,29 @@ object Similarity {
     * convention): compacting a 100 TB index in one call would
     * checkpoint the whole assignments table, so production maintenance
     * walks cell batches — pair with [[cellsOverThreshold]] for the
-    * threshold-triggered policy. Rewrites are checkpoint-then-dynamic-
-    * partition-overwrite, same as the grid store. Returns
+    * threshold-triggered policy.
+    *
+    * Atomicity ([[IndexVersions]] policy): a WHOLE-index pass
+    * (`cells = None`) is a snapshot flip — compacted assignments (and
+    * the centroids, copied) land in a fresh staging version published
+    * with one atomic marker, so concurrent probes never see a torn
+    * layout. A cell-SCOPED pass rewrites the named partitions of the
+    * CURRENT version in place (checkpoint-then-dynamic-partition-
+    * overwrite — copying the untouched cells into a new version would
+    * make an O(cell) step O(index)); its rewrite window is bounded to
+    * those cells, the documented maintenance-job trade. Returns
     * (files_before, files_after) over the rewritten partitions. */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession,
                       dir: String,
                       cells: Option[Seq[Int]] = None): (Long, Long) = {
+    val root = IndexVersions.resolve(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def countFiles(): Long = {
+    def countFiles(at: String): Long = {
       val dirs = cells match {
         case Some(cs) => cs.map(c =>
-          new org.apache.hadoop.fs.Path(s"$dir/assignments/cell=$c"))
-        case None => Seq(new org.apache.hadoop.fs.Path(s"$dir/assignments"))
+          new org.apache.hadoop.fs.Path(s"$at/assignments/cell=$c"))
+        case None => Seq(new org.apache.hadoop.fs.Path(s"$at/assignments"))
       }
       var n = 0L
       dirs.filter(fs.exists).foreach { d =>
@@ -400,58 +411,82 @@ object Similarity {
       }
       n
     }
-    val before = countFiles()
-    val base = spark.read.parquet(s"$dir/assignments")
-    val selected = (cells match {
+    val before = countFiles(root)
+    val base = spark.read.parquet(s"$root/assignments")
+    cells match {
+      case None =>
+        // whole-index pass: compact into a fresh version, atomic flip
+        val (v, staging) = IndexVersions.nextStaging(dir)
+        base.repartition(col("cell"))
+          .sortWithinPartitions(col("corpus_id"))
+          .write.partitionBy("cell").parquet(s"$staging/assignments")
+        spark.read.parquet(s"$root/centroids")
+          .repartition(1).write.parquet(s"$staging/centroids")
+        IndexVersions.publish(dir, v)
+        (before, countFiles(staging))
       case Some(cs) =>
-        base.filter(col("cell").isin(cs.map(Integer.valueOf): _*))
-      case None => base
-    }).localCheckpoint()
-    val prev = spark.conf.getOption(
-      "spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // one task (= one file) per cell partition: hash-repartition on
-      // the partition column itself; sort by id for stable row groups
-      selected.repartition(col("cell"))
-        .sortWithinPartitions(col("corpus_id"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/assignments")
-    } finally {
-      selected.unpersist()
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+        // cell-scoped pass: in-place partition rewrite in the current
+        // version; one task (= one file) per cell partition via
+        // hash-repartition on the partition column itself
+        val selected = base
+          .filter(col("cell").isin(cs.map(Integer.valueOf): _*))
+          .localCheckpoint()
+        val prev = spark.conf.getOption(
+          "spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        try {
+          selected.repartition(col("cell"))
+            .sortWithinPartitions(col("corpus_id"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$root/assignments")
+        } finally {
+          selected.unpersist()
+          prev match {
+            case Some(v) =>
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None =>
+              spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+        (before, countFiles(root))
     }
-    (before, countFiles())
   }
 
   /** Cells whose assignment partition holds more than `threshold`
     * parquet files — the compaction trigger set (the
     * [[graft.streaming.IndexStreamMaintain]] policy, for cells). A
     * directory listing of nCentroids partition dirs: bounded by the
-    * layout, never by data. */
+    * layout, never by data. Resolved through the Hadoop FileSystem of
+    * the index path (NOT java.io.File — an hdfs:// or s3a:// index
+    * must see the same listing the writers produced). */
   def cellsOverThreshold(dir: String, threshold: Int): Seq[Int] = {
-    val assignments = new java.io.File(s"$dir/assignments")
-    val dirs = Option(assignments.listFiles()).getOrElse(Array.empty)
-    dirs.filter(d => d.isDirectory && d.getName.startsWith("cell="))
-      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > threshold)
-      .map(_.getName.stripPrefix("cell=").toInt)
-      .toSeq.sorted
+    val assignments = new org.apache.hadoop.fs.Path(
+      s"${IndexVersions.resolve(dir)}/assignments")
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = assignments.getFileSystem(conf)
+    if (!fs.exists(assignments)) Nil
+    else fs.listStatus(assignments).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > threshold)
+      .map(_.getPath.getName.stripPrefix("cell=").toInt)
+      .sorted
   }
 
   /** The standing index's stored vectors as (corpus_id, cvec[, label,]
     * cell) — the ONE place the cvec_q-detect-and-dequantize read lives
     * (queryIvfIndex, the miners, the canary and the rebuild all layer
-    * on it; an index-layout change lands here once). */
+    * on it; an index-layout change lands here once). Takes an ALREADY
+    * RESOLVED version root ([[IndexVersions.resolve]]) — callers
+    * resolve once so every table they touch comes from one snapshot. */
   private def readIndexVectors(spark: org.apache.spark.sql.SparkSession,
-                               dir: String,
+                               root: String,
                                keepLabel: Boolean,
                                keepCell: Boolean): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/assignments")
+    val raw = spark.read.parquet(s"$root/assignments")
     val labeled = keepLabel && raw.columns.contains("label")
     val tail = (if (labeled) Seq(col("label")) else Nil) ++
       (if (keepCell) Seq(col("cell")) else Nil)
@@ -479,8 +514,8 @@ object Similarity {
                       nProbe: Int = 4, idCol: String = "vec_id",
                       vecCol: String = "embedding"): Double =
     CacheRegistry.scoped {
-      val corpus = readIndexVectors(spark, dir, keepLabel = false,
-          keepCell = false)
+      val corpus = readIndexVectors(spark, IndexVersions.resolve(dir),
+          keepLabel = false, keepCell = false)
         .select(col("corpus_id").as(idCol), col("cvec").as(vecCol))
       val exact = CacheRegistry.persist(
         bruteForceTopK(corpus, queries, k, idCol, vecCol)
@@ -489,23 +524,37 @@ object Similarity {
           idCol, vecCol)
         .select(col("query_id"), col("corpus_id"))
       val truth = exact.count()
-      if (truth == 0L) 1.0
-      else approx.join(exact, Seq("query_id", "corpus_id")).count()
+      // an empty truth set means the canary itself is broken (empty or
+      // degenerate query frame) — defaulting to perfect recall would
+      // silently disable the drift guard in exactly the failure mode
+      // it exists to catch
+      require(truth > 0L,
+        "ivfRecallCanary: canary produced no exact neighbors — empty " +
+          "or degenerate canary query set")
+      approx.join(exact, Seq("query_id", "corpus_id")).count()
         .toDouble / truth
     }
 
   /** Rebuild-on-drift maintenance: probe the canary; when recall@k
-    * falls below `minRecall`, rebuild the index IN PLACE from its own
-    * stored vectors with a freshly FIT quantizer — the refit path
+    * falls below `minRecall`, rebuild the index from its own stored
+    * vectors with a freshly FIT quantizer — the refit path
     * [[appendToIvfIndex]] deliberately defers. Detected layout is
     * preserved: labels kept, an int8 index rebuilds quantized (from
     * the dequantized vectors — the only copy an IVF-SQ8 index holds,
     * the FAISS trade), and the CENTROID COUNT defaults to the standing
     * quantizer's (pass `nCentroids` only to deliberately re-size; a
     * fixed default would silently collapse a production sqrt(corpus)
-    * index to toy sizing). Like [[compactIvfCells]], the rewrite is
-    * not atomic under concurrent probes — run it from the maintenance
-    * job, not the query path. Returns (recallBefore, rebuilt). */
+    * index to toy sizing).
+    *
+    * The rebuild is an ATOMIC VERSION FLIP ([[IndexVersions]]): the new
+    * quantizer and assignments land in a fresh staging directory and a
+    * single marker-create publishes them, so probes running
+    * CONCURRENTLY with a triggered rebuild keep reading the complete
+    * old snapshot and never see a mixed layout — safe from the query
+    * path, not just the maintenance job (the streaming twin makes
+    * concurrent probe-while-maintain the normal case). Old versions
+    * stay on disk for in-flight probes; GC with
+    * [[IndexVersions.pruneTo]]. Returns (recallBefore, rebuilt). */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, canary: DataFrame, minRecall: Double,
                        k: Int = 10, nProbe: Int = 4,
@@ -516,23 +565,22 @@ object Similarity {
       idCol, vecCol)
     if (recall >= minRecall) (recall, false)
     else {
+      val root = IndexVersions.resolve(dir)
       val nCells = nCentroids.getOrElse(
-        spark.read.parquet(s"$dir/centroids").count().toInt)
-      val labeled = spark.read.parquet(s"$dir/assignments")
-        .columns.contains("label")
-      val quantized = spark.read.parquet(s"$dir/assignments")
-        .columns.contains("cvec_q")
-      val vecs = readIndexVectors(spark, dir, keepLabel = true,
+        spark.read.parquet(s"$root/centroids").count().toInt)
+      val standingCols = spark.read.parquet(s"$root/assignments").columns
+      val labeled = standingCols.contains("label")
+      val quantized = standingCols.contains("cvec_q")
+      val vecs = readIndexVectors(spark, root, keepLabel = true,
           keepCell = false)
         .select((col("corpus_id").as(idCol) +:
           col("cvec").as(vecCol) +:
           (if (labeled) Seq(col("label")) else Nil)): _*)
-        // the rebuild reads every stored row once; checkpoint so the
-        // overwrite below never races its own input scan
-        .localCheckpoint()
-      buildIvfIndex(vecs, dir, nCentroids = nCells, idCol = idCol,
+      val (v, staging) = IndexVersions.nextStaging(dir)
+      buildIvfIndex(vecs, staging, nCentroids = nCells, idCol = idCol,
         vecCol = vecCol, quantize = quantized,
         labelCol = if (labeled) Some("label") else None)
+      IndexVersions.publish(dir, v)
       (recall, true)
     }
   }
@@ -549,10 +597,14 @@ object Similarity {
                     queries: DataFrame, k: Int, nProbe: Int = 4,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val centers = spark.read.parquet(s"$dir/centroids")
+    // resolve the version ONCE: centroids and assignments below both
+    // come from the same immutable snapshot, however long the probe
+    // runs and whatever maintenance publishes meanwhile
+    val snap = IndexVersions.resolve(dir)
+    val centers = spark.read.parquet(s"$snap/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    val assigned = readIndexVectors(spark, dir, keepLabel = false,
+    val assigned = readIndexVectors(spark, snap, keepLabel = false,
       keepCell = true)
     val probed = probeCells(queries, centers, nProbe, idCol, vecCol)
     rankCandidates(assigned.join(broadcast(probed), Seq("cell")), k)
@@ -605,13 +657,14 @@ object Similarity {
                            dir: String, anchors: DataFrame, k: Int,
                            nProbe: Int, idCol: String, vecCol: String,
                            labelCol: String, positive: Boolean): DataFrame = {
-    val centers = spark.read.parquet(s"$dir/centroids")
+    val snap = graft.ops.IndexVersions.resolve(dir)
+    val centers = spark.read.parquet(s"$snap/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    require(spark.read.parquet(s"$dir/assignments")
+    require(spark.read.parquet(s"$snap/assignments")
       .columns.contains("label"),
       s"IVF index at $dir carries no label column — build with labelCol")
-    val assigned = readIndexVectors(spark, dir, keepLabel = true,
+    val assigned = readIndexVectors(spark, snap, keepLabel = true,
         keepCell = true)
       .withColumnRenamed("label", "c_label")
     val probed = probeCells(anchors, centers, nProbe, idCol, vecCol,

@@ -144,6 +144,7 @@ object TextSearch {
                                 idCol: String, textCol: String,
                                 nBuckets: Int): Unit = {
     require(nBuckets > 0)
+    val root = IndexVersions.resolve(dir)
     val id = col(idCol)
     val withDl = docs.select(id,
       graft.functions.TextFunctions.tokenCount(col(textCol))
@@ -159,17 +160,17 @@ object TextSearch {
         pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
           lit(nBuckets)).cast("int")))
     postings.write.mode(mode).partitionBy("term_bucket")
-      .parquet(s"$dir/postings")
+      .parquet(s"$root/postings")
     // per-SEGMENT df (this batch's docs only) — probe-time merge sums
     postings
       .groupBy(col("term_bucket"), col("term"))
       .agg(count(lit(1)).as("df"))
       .write.mode(mode).partitionBy("term_bucket")
-      .parquet(s"$dir/dfs")
+      .parquet(s"$root/dfs")
     docs.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(graft.functions.TextFunctions.tokenCount(col(textCol))
           .cast("long")), lit(0L)).as("sum_dl"))
-      .coalesce(1).write.mode(mode).parquet(s"$dir/stats")
+      .coalesce(1).write.mode(mode).parquet(s"$root/stats")
   }
 
   /** Merge an index's accumulated segments back down — the maintenance
@@ -184,22 +185,30 @@ object TextSearch {
     * .FractionStore.compact]] convention): compacting a 100 TB index
     * in one call would checkpoint the whole postings table, so
     * production maintenance walks bucket batches. stats/ (unpartitioned,
-    * segment-count rows) merges only on a whole-index pass. Rewrites
-    * are checkpoint-then-dynamic-partition-overwrite, same as the grid
-    * store. Returns (files_before, files_after) over the rewritten
-    * partitions. */
+    * segment-count rows) merges only on a whole-index pass.
+    *
+    * Atomicity ([[IndexVersions]] policy, same as
+    * [[graft.ops.Similarity.compactIvfCells]]): the whole-index pass
+    * builds postings/dfs/stats in a fresh staging version and
+    * publishes with one atomic marker — probes concurrent with a full
+    * merge never see a torn layout. The bucket-scoped pass rewrites
+    * the named partitions of the CURRENT version in place (checkpoint
+    * + dynamic partition overwrite — the bounded-blast-radius
+    * maintenance trade). Returns (files_before, files_after) over the
+    * rewritten partitions. */
   def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
                            dir: String,
                            buckets: Option[Seq[Int]] = None): (Long, Long) = {
+    val root = IndexVersions.resolve(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def countFiles(): Long = {
+    def countFiles(at: String): Long = {
       val dirs = buckets match {
         case Some(bs) => bs.flatMap(b => Seq(
-          new org.apache.hadoop.fs.Path(s"$dir/postings/term_bucket=$b"),
-          new org.apache.hadoop.fs.Path(s"$dir/dfs/term_bucket=$b")))
-        case None => Seq(new org.apache.hadoop.fs.Path(s"$dir/postings"),
-          new org.apache.hadoop.fs.Path(s"$dir/dfs"))
+          new org.apache.hadoop.fs.Path(s"$at/postings/term_bucket=$b"),
+          new org.apache.hadoop.fs.Path(s"$at/dfs/term_bucket=$b")))
+        case None => Seq(new org.apache.hadoop.fs.Path(s"$at/postings"),
+          new org.apache.hadoop.fs.Path(s"$at/dfs"))
       }
       var n = 0L
       dirs.filter(fs.exists).foreach { d =>
@@ -210,34 +219,22 @@ object TextSearch {
       }
       n
     }
-    val before = countFiles()
-    def select(df: DataFrame): DataFrame = buckets match {
-      case Some(bs) =>
-        df.filter(col("term_bucket").isin(bs.map(Integer.valueOf): _*))
-      case None => df
-    }
-    val posts = select(spark.read.parquet(s"$dir/postings"))
-      .localCheckpoint()
-    val dfs = select(spark.read.parquet(s"$dir/dfs"))
-      .groupBy(col("term_bucket"), col("term"))
-      .agg(sum(col("df")).as("df"))
-      .localCheckpoint()
-    val prev = spark.conf.getOption(
-      "spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // one task (= one file) per bucket partition: hash-repartition on
-      // the partition column itself
-      posts.repartition(col("term_bucket"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(s"$dir/postings")
-      dfs.repartition(col("term_bucket"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(s"$dir/dfs")
-      if (buckets.isEmpty) {
-        val s = spark.read.parquet(s"$dir/stats")
+    val before = countFiles(root)
+    buckets match {
+      case None =>
+        // whole-index merge: fresh staging version, atomic flip
+        val (v, staging) = IndexVersions.nextStaging(dir)
+        spark.read.parquet(s"$root/postings")
+          .repartition(col("term_bucket"))
+          .sortWithinPartitions(col("term"))
+          .write.partitionBy("term_bucket").parquet(s"$staging/postings")
+        spark.read.parquet(s"$root/dfs")
+          .groupBy(col("term_bucket"), col("term"))
+          .agg(sum(col("df")).as("df"))
+          .repartition(col("term_bucket"))
+          .sortWithinPartitions(col("term"))
+          .write.partitionBy("term_bucket").parquet(s"$staging/dfs")
+        val s = spark.read.parquet(s"$root/stats")
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("sum_dl")).as("sum_dl")).collect()
         spark.createDataFrame(
@@ -247,18 +244,44 @@ object TextSearch {
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("sum_dl",
               org.apache.spark.sql.types.LongType))))
-          .write.mode("overwrite").parquet(s"$dir/stats")
-      }
-    } finally {
-      posts.unpersist(); dfs.unpersist()
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+          .write.parquet(s"$staging/stats")
+        IndexVersions.publish(dir, v)
+        (before, countFiles(staging))
+      case Some(bs) =>
+        // bucket-scoped merge: in-place partition rewrite in the
+        // current version; one task (= one file) per bucket partition
+        def select(df: DataFrame): DataFrame =
+          df.filter(col("term_bucket").isin(bs.map(Integer.valueOf): _*))
+        val posts = select(spark.read.parquet(s"$root/postings"))
+          .localCheckpoint()
+        val dfs = select(spark.read.parquet(s"$root/dfs"))
+          .groupBy(col("term_bucket"), col("term"))
+          .agg(sum(col("df")).as("df"))
+          .localCheckpoint()
+        val prev = spark.conf.getOption(
+          "spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        try {
+          posts.repartition(col("term_bucket"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite").partitionBy("term_bucket")
+            .parquet(s"$root/postings")
+          dfs.repartition(col("term_bucket"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite").partitionBy("term_bucket")
+            .parquet(s"$root/dfs")
+        } finally {
+          posts.unpersist(); dfs.unpersist()
+          prev match {
+            case Some(v) =>
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None =>
+              spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+        (before, countFiles(root))
     }
-    (before, countFiles())
   }
 
   /** BM25 top-k against a prebuilt index — NO corpus scan: reads one
@@ -277,13 +300,16 @@ object TextSearch {
     require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    // resolve the version ONCE — stats/dfs/postings below all read the
+    // same immutable snapshot even if a compaction publishes mid-probe
+    val snap = IndexVersions.resolve(dir)
     // stats/dfs hold one row (set) per SEGMENT (appendToInvertedIndex)
     // over disjoint docs — merging is a sum on both
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = spark.read.parquet(s"$snap/stats")
       .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
     val n = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / n
-    val dfMap = spark.read.parquet(s"$dir/dfs")
+    val dfMap = spark.read.parquet(s"$snap/dfs")
       .filter(col("term_bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
       .select(col("term"), col("df")).collect()
@@ -292,7 +318,7 @@ object TextSearch {
       val df = dfMap.getOrElse(t, 0L)
       math.round(math.log((n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6
     }
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = spark.read.parquet(s"$snap/postings")
       .filter(col("term_bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
     val aggs = terms.zipWithIndex.map { case (t, i) =>

@@ -204,6 +204,66 @@ object BpeOracle {
          |  CAST(sum(pieces) AS BIGINT) AS n_pieces
          |FROM jm GROUP BY doc_id""".stripMargin
 
+  /** Oracle for `train_shards_e2e`: the FULL loader-tensor replay —
+    * training, priority encode, vocab ids, per-doc piece streams
+    * (eids), prompt boundaries (spans), the doc-id-ordered pack chain
+    * (cum/bins), per-bin segment indexes, and finally one row per
+    * TOKEN with its loss bit and segment facts: exactly what
+    * [[graft.ops.TensorShards.decodeTokenRows]] reconstructs from the
+    * written TFRecord shards. A hash match therefore proves the
+    * on-disk tensors equal the composed chain end to end. */
+  def trainShardsSql(n: Int, capacity: Int): String =
+    encodePrefix(n) +
+      s""",
+         |${vocabCtes(n)},
+         |wp AS (SELECT w, unnest(syms) AS s,
+         |    unnest(range(1, len(syms) + 1)) AS j
+         |  FROM enc WHERE mm IS NULL),
+         |wid AS (SELECT wp.w, wp.j, COALESCE(v.token_id, -1) AS tid
+         |  FROM wp LEFT JOIN vocab v ON wp.s = v.symbol),
+         |tpos AS (SELECT doc_id, unnest(tsf) AS w,
+         |    unnest(range(1, len(tsf) + 1)) AS pos
+         |  FROM (SELECT doc_id, list_filter(
+         |      string_split_regex(trim(lower(text)), '\\s+'),
+         |      t -> len(t) > 0) AS tsf FROM documents)),
+         |eids AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos, j)
+         |      - 1 AS BIGINT) AS piece_pos,
+         |    CAST(tid AS BIGINT) AS token_id
+         |  FROM tpos JOIN wid USING (w)),
+         |jm AS (SELECT doc_id, pos, pieces,
+         |    min(CASE WHEN regexp_matches(w, '[.!?]$$') THEN pos END)
+         |      OVER (PARTITION BY doc_id) AS b
+         |  FROM tpos JOIN vp USING (w)),
+         |spans AS (SELECT doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN pos <= b THEN pieces END), 0)
+         |      AS BIGINT) AS prompt_pieces,
+         |    CAST(sum(pieces) AS BIGINT) AS n_pieces
+         |  FROM jm GROUP BY doc_id),
+         |cum AS (SELECT doc_id, prompt_pieces, n_pieces,
+         |    CAST(COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb
+         |  FROM spans),
+         |bins AS (SELECT doc_id, prompt_pieces, n_pieces,
+         |    CAST(floor(cb / $capacity.0) AS BIGINT) AS bin_id,
+         |    CAST(cb % $capacity AS BIGINT) AS seg_start
+         |  FROM cum),
+         |segix AS (SELECT doc_id, prompt_pieces, n_pieces, bin_id,
+         |    seg_start,
+         |    CAST(row_number() OVER (PARTITION BY bin_id ORDER BY doc_id)
+         |      - 1 AS BIGINT) AS seg_idx
+         |  FROM bins)
+         |SELECT sx.bin_id,
+         |  CAST(row_number() OVER (PARTITION BY sx.bin_id
+         |    ORDER BY doc_id, e.piece_pos) - 1 AS BIGINT) AS pos,
+         |  e.token_id,
+         |  CAST(CASE WHEN e.piece_pos < sx.prompt_pieces THEN 0 ELSE 1 END
+         |    AS BIGINT) AS loss,
+         |  sx.seg_idx, sx.seg_start,
+         |  sx.n_pieces AS seg_len
+         |FROM segix sx JOIN eids e USING (doc_id)""".stripMargin
+
   /** Oracle for `bpe_pack_shards_e2e`: the piece-count replay above
     * feeding the exact pack_to_shards bin chain (doc_id-ordered
     * cumulative-before sum, floor(cum/capacity) bins) — tokenizer in

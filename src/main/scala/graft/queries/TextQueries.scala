@@ -51,6 +51,8 @@ object TextQueries {
   private val ivfUpsertCache = scala.collection.concurrent.TrieMap[String, String]()
   private val lmModelCache = scala.collection.concurrent.TrieMap[String, String]()
   private val curriculumShardCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val trainShardCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val mmShardCache = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Trigram LM trained ONCE per dataset dir (the bpePackCache
     * convention): the model is a persisted artifact by design
@@ -808,6 +810,87 @@ object TextQueries {
       Bpe.promptMaskSpans(docs, Bpe.trainMerges(docs, nMerges = 20))
     },
 
+    // the tokenizer round-trip: decode(encode(x)) == normalized(x).
+    // The oracle never replays BPE at all — it IS the normalization
+    // chain (lowercase, whitespace removed), which is exactly the
+    // fidelity contract the Bpe Scaladoc pins.
+    "bpe_decode_ids" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainMerges(docs, nMerges = 20)
+      val syms = Bpe.vocab(docs, merges)
+      Bpe.decodeIds(Bpe.encodeIds(docs, merges, syms), syms)
+    },
+
+    // Loader-ready token-tensor shards, end to end — the r11 pieces
+    // COMPOSED (encode_ids + pack + segments + mask spans) into the
+    // artifact a training loader mmaps: per bin, int64 token_ids +
+    // loss_mask + seg_starts + seg_lens through CRC-framed TFRecords,
+    // decoded back to one row per token with its segment facts (the
+    // seg lookup IS the loader's block-diagonal mask arithmetic). The
+    // hash match proves the stored tensors equal the composed chain.
+    "train_shards_e2e" -> { (s, d) =>
+      val dir = trainShardCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_trainshard").toString
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.trainMerges(docs, nMerges = 20)
+        val ids = Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
+        val spans = Bpe.promptMaskSpans(docs, merges)
+        val bins = graft.ops.TensorShards.binTensors(ids, spans,
+          capacity = 512)
+        graft.sources.TfRecord.writeExamples(bins, r,
+          Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
+            "seg_lens"), Seq.empty)
+        r
+      })
+      graft.ops.TensorShards.decodeTokenRows(
+        graft.sources.TfRecord.readExamples(s, dir,
+          Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
+            "seg_lens"), Seq.empty))
+    },
+
+    // Multimodal training shards: (image bytes, caption token ids)
+    // pairs through TFRecord — the bytes feature decodes BYTE-IDENTICAL
+    // to the source (proven by the utf8 round-trip against the source
+    // text), caption ids under the corpus top-500 vocabulary
+    // (vocab_oov_rate's convention), OOV -> -1.
+    "multimodal_shards_e2e" -> { (s, d) =>
+      val dir = mmShardCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_mmshard").toString
+        val docs = Tables.documents(s, d)
+        val media = graft.ops.Multimodal.syntheticMedia(docs)
+          .select(col("media_id"), col("media"))
+        val toks = docs.select(col("doc_id").as("media_id"),
+            posexplode(TextFunctions.tokens(lower(col("text")))))
+          .toDF("media_id", "pos", "w")
+        val win = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w"))
+        val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(500)
+          .select(col("w"),
+            (row_number().over(win) - 1).cast("long").as("vid"))
+        val caps = toks.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("media_id")
+          .agg(transform(array_sort(collect_list(struct(col("pos"),
+            coalesce(col("vid"), lit(-1L)).as("vid")))),
+            x => x.getField("vid")).as("caption_ids"))
+        graft.sources.TfRecord.writeExamples(
+          media.join(caps, Seq("media_id"))
+            .select(col("media_id"), col("caption_ids"), col("media")),
+          r, Seq("media_id", "caption_ids"), Seq("media"))
+        r
+      })
+      graft.sources.TfRecord.readExamples(s, dir,
+          Seq("media_id", "caption_ids"), Seq("media"))
+        .select(element_at(col("media_id"), 1).as("media_id"),
+          col("media").cast("string").as("media_utf8"),
+          posexplode(col("caption_ids")))
+        .toDF("media_id", "media_utf8", "caption_pos", "caption_tid")
+        .select(col("media_id"), col("caption_pos").cast("long"),
+          col("caption_tid"), col("media_utf8"))
+    },
+
     // packed-batch attention segments: per (bin, doc) the in-bin token
     // offset range — position_ids / block-diagonal-mask inputs as a
     // pure projection over the pack assignment (cum_before % capacity)
@@ -817,11 +900,22 @@ object TextQueries {
       Packing.packedSegments(toks, "doc_id", "n_tokens", capacity = 512)
     },
 
-    // fill-in-the-middle rotation (PSM order, deterministic cuts) —
-    // every 2nd doc split into <PRE>p<SUF>s<MID>m, others pass through
+    // fill-in-the-middle rotation (PSM order, deterministic md5-draw
+    // cuts) — ~half the docs split into <PRE>p<SUF>s<MID>m, others
+    // pass through
     "fim_transform" -> { (s, d) =>
       Packing.fimTransform(
         Tables.documents(s, d).select(col("doc_id"), col("text")))
+    },
+
+    // the same transform with STRING doc ids — the cut draws are
+    // md5-based (Sampling.hashDraw convention), so non-numeric ids
+    // work identically (the old id % k arithmetic failed analysis)
+    "fim_transform_strid" -> { (s, d) =>
+      Packing.fimTransform(
+        Tables.documents(s, d).select(
+          concat(lit("doc-"), col("doc_id").cast("string")).as("doc_id"),
+          col("text")))
     },
 
     // batch cross-corpus near-dedup ("what does crawl N add"): history
@@ -2134,6 +2228,41 @@ object TextQueries {
     "bpe_encode_ids" -> BpeOracle.encodeIdsSql(20),
     "sft_mask_spans" -> BpeOracle.maskSpansSql(20),
 
+    // the round-trip contract IS the oracle: decode(encode(x)) ==
+    // normalized(x) — lowercase, whitespace removed; docs with no
+    // tokens encode to nothing and so decode to nothing
+    "bpe_decode_ids" ->
+      """SELECT doc_id, array_to_string(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> len(t) > 0), '') AS text_decoded
+        |FROM documents
+        |WHERE len(list_filter(string_split_regex(trim(lower(text)),
+        |  '\s+'), t -> len(t) > 0)) > 0""".stripMargin,
+
+    // full loader-tensor replay: training + encode + vocab ids +
+    // prompt spans + pack chain -> one row per token with segment facts
+    "train_shards_e2e" -> BpeOracle.trainShardsSql(20, capacity = 512),
+
+    // (image bytes, caption ids) pairs: byte identity via the utf8
+    // round-trip against the source text; ids under the top-500 vocab
+    "multimodal_shards_e2e" ->
+      """WITH toks AS (SELECT doc_id, unnest(tsf) AS w,
+        |    unnest(range(1, len(tsf) + 1)) AS pos
+        |  FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> len(t) > 0) AS tsf FROM documents)),
+        |vocab AS (SELECT w,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, w) - 1 AS BIGINT)
+        |      AS vid
+        |  FROM (SELECT w, count(*) AS cnt FROM toks GROUP BY w
+        |        ORDER BY cnt DESC, w LIMIT 500))
+        |SELECT t.doc_id AS media_id,
+        |  CAST(t.pos - 1 AS BIGINT) AS caption_pos,
+        |  CAST(COALESCE(v.vid, -1) AS BIGINT) AS caption_tid,
+        |  d.text AS media_utf8
+        |FROM toks t LEFT JOIN vocab v USING (w)
+        |JOIN documents d ON d.doc_id = t.doc_id""".stripMargin,
+
     // pack segments: the pack_sequences prefix chain, in-bin offset =
     // cum_before % capacity (capacity 512 = 2^9, FP-exact division)
     "pack_segments" ->
@@ -2153,28 +2282,15 @@ object TextQueries {
         |  cb % 512 AS seg_start, n_tokens AS seg_len
         |FROM cum""".stripMargin,
 
-    // FIM: same modular cut arithmetic, same substring spans
-    "fim_transform" ->
-      """WITH t AS (SELECT doc_id, text,
-        |    CAST(length(text) AS BIGINT) AS n FROM documents),
-        |c1t AS (SELECT doc_id, text, n,
-        |    1 + CAST(floor(((doc_id * 131 + 7) % 97) * (n - 2) / 97.0)
-        |      AS BIGINT) AS c1
-        |  FROM t),
-        |c2t AS (SELECT doc_id, text, n, c1,
-        |    c1 + 1 + CAST(floor(((doc_id * 61 + 13) % 89) * (n - c1 - 1)
-        |      / 89.0) AS BIGINT) AS c2
-        |  FROM c1t)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 AND n >= 4 THEN 1 ELSE 0 END
-        |    AS fim_applied,
-        |  CASE WHEN doc_id % 2 = 0 AND n >= 4 THEN
-        |    '<PRE>' || substr(text, 1, CAST(c1 AS INT)) ||
-        |    '<SUF>' || substr(text, CAST(c2 AS INT) + 1) ||
-        |    '<MID>' || substr(text, CAST(c1 AS INT) + 1,
-        |      CAST(c2 - c1 AS INT))
-        |  ELSE text END AS text_out
-        |FROM c2t""".stripMargin,
+    // FIM: same md5 draw chain (id-type-agnostic), same substring spans
+    "fim_transform" -> fimOracleSql("documents"),
+
+    // the same transform over STRING ids — proves the hash-draw cuts
+    // never touch id arithmetic (the old id % k selection failed
+    // analysis here)
+    "fim_transform_strid" -> fimOracleSql(
+      "(SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, text " +
+        "FROM documents)"),
 
     // tokenizer-in-the-loop pack: the encode replay feeds the exact
     // pack_to_shards bin chain
@@ -2702,6 +2818,40 @@ object TextQueries {
          |SELECT query_id, corpus_id, rank, round(adist, 6) AS adist
          |FROM r WHERE rank <= 5""".stripMargin
   )
+
+  /** FIM oracle over any (doc_id, text) relation: the exact
+    * [[graft.ops.Packing.fimTransform]] replay — md5 draws on the id
+    * (selection, cut1, cut2) via the established
+    * `CAST('0x' || substr(md5(..), 1, 8) AS BIGINT)` hex bridge, same
+    * substring spans, same PSM sentinels. Parameterized on the source
+    * relation so the long-id and string-id entries share one replay. */
+  private def fimOracleSql(rel: String): String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |    CAST(length(text) AS BIGINT) AS n,
+       |    CAST(('0x' || substr(md5('graft_fim' ||
+       |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h0,
+       |    CAST(('0x' || substr(md5('graft_fim1' ||
+       |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5('graft_fim2' ||
+       |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h2
+       |  FROM $rel),
+       |c1t AS (SELECT doc_id, text, n, h0, h2,
+       |    1 + CAST(floor((h1 % 97) * (n - 2) / 97.0) AS BIGINT) AS c1
+       |  FROM t),
+       |c2t AS (SELECT doc_id, text, n, h0, c1,
+       |    c1 + 1 + CAST(floor((h2 % 89) * (n - c1 - 1) / 89.0)
+       |      AS BIGINT) AS c2
+       |  FROM c1t)
+       |SELECT doc_id,
+       |  CASE WHEN h0 % 2 = 0 AND n >= 4 THEN 1 ELSE 0 END
+       |    AS fim_applied,
+       |  CASE WHEN h0 % 2 = 0 AND n >= 4 THEN
+       |    '<PRE>' || substr(text, 1, CAST(c1 AS INT)) ||
+       |    '<SUF>' || substr(text, CAST(c2 AS INT) + 1) ||
+       |    '<MID>' || substr(text, CAST(c1 AS INT) + 1,
+       |      CAST(c2 - c1 AS INT))
+       |  ELSE text END AS text_out
+       |FROM c2t""".stripMargin
 
   /** BM25 oracle: replays TextSearch.bm25TopK for terms
     * (dup, key, vector), k1=1.2, b=0.75, k=25 — df/N/avgdl computed in

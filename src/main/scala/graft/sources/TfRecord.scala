@@ -374,8 +374,15 @@ object TfRecord {
         if (out != null) out.close()
         val path = java.nio.file.Paths.get(dir,
           f"shard-$shard%06d-$runId-$pid%05d.tfrecord")
+        // CREATE_NEW: if the grouped-by-shard precondition is violated
+        // (a shard value recurs non-contiguously within a partition),
+        // re-rolling the same (shard, pid) file must fail LOUDLY — the
+        // default CREATE+TRUNCATE would silently discard the earlier
+        // records instead
         out = new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(path))
+          java.nio.file.Files.newOutputStream(path,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE))
         cur = shard
       }
       try {

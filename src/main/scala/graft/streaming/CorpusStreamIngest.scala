@@ -109,7 +109,7 @@ object CorpusStreamIngest {
           shingleSize)
       val sigs = CacheRegistry.persist(sigs0)
       val banded = CacheRegistry.persist(banded0)
-      val hasHistory = new java.io.File(bandDir).exists()
+      val hasHistory = graft.ops.IndexVersions.pathExists(bandDir)
       // 1) drop incoming docs near-duplicating the KEPT history — the
       //    shared probe ([[graft.ops.Dedup.nearDupsAgainstIndex]]):
       //    band-collision candidates carry keys + ids only, then the
@@ -214,9 +214,11 @@ object CorpusStreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // scoped, not releaseAll: drop only the caches THIS batch
-        // registered (the trigram-stream persist), so a concurrent
-        // query holding registry-persisted state keeps its cache
+        // scoped, not releaseAll: drop only the caches registered
+        // inside this scope, so a query whose caches PRE-DATE the
+        // batch keeps them (a cache registered by a concurrent thread
+        // MID-batch is not protected — scoped snapshot-diffs the
+        // shared registry, it does not track per-thread ownership)
         CacheRegistry.scoped {
           graft.ops.NgramLm
             .scoreFilter(spark, modelDir, batch, minScore)

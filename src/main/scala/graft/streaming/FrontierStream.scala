@@ -46,7 +46,7 @@ object FrontierStream {
     val batchLinks = LinkGraph.extractLinks(pages, idCol, urlCol, htmlCol)
       .select(col(idCol).as("doc_id"), col(urlCol).as("page_url"),
         col("dst_url")).distinct()
-    val hasHistory = new java.io.File(linksDir).exists()
+    val hasHistory = graft.ops.IndexVersions.pathExists(linksDir)
     val novel = CacheRegistry.persist(
       if (!hasHistory) batchLinks
       else batchLinks.join(spark.read.parquet(linksDir),
@@ -56,7 +56,7 @@ object FrontierStream {
     val nNovel = novel.count()
     if (nNovel > 0 || !hasHistory)
       novel.write.mode("append").parquet(linksDir)
-    if (nNovel > 0 || !new java.io.File(frontierDir).exists()) {
+    if (nNovel > 0 || !graft.ops.IndexVersions.pathExists(frontierDir)) {
       val stored = spark.read.parquet(linksDir)
       val ranks = LinkGraph.pageRank(
         LinkGraph.hostEdges(stored, "page_url", "dst_url"),

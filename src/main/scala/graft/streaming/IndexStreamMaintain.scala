@@ -49,7 +49,7 @@ object IndexStreamMaintain {
                     batch: DataFrame, nBuckets: Int = 64,
                     compactOver: Option[Int] = None): Unit = {
     val seenDir = s"$indexDir/docs_seen"
-    val hasSeen = new java.io.File(seenDir).exists()
+    val hasSeen = graft.ops.IndexVersions.pathExists(seenDir)
     // dropDuplicates first: redelivered copies can land in the SAME
     // micro-batch as their original (AvailableNow drains several file
     // waves into one batch) — the history anti-join can't see those
@@ -74,12 +74,22 @@ object IndexStreamMaintain {
     * parquet files — the compaction trigger set. */
   private[streaming] def bucketsOverThreshold(indexDir: String,
                                               threshold: Int): Seq[Int] = {
-    val postings = new java.io.File(s"$indexDir/postings")
-    val dirs = Option(postings.listFiles()).getOrElse(Array.empty)
-    dirs.filter(d => d.isDirectory && d.getName.startsWith("term_bucket="))
-      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > threshold)
-      .map(_.getName.stripPrefix("term_bucket=").toInt)
-      .toSeq.sorted
+    // Hadoop FS listing (not java.io.File) of the CURRENT version's
+    // postings partitions — bounded by the bucket layout, never data
+    val postings = new org.apache.hadoop.fs.Path(
+      s"${graft.ops.IndexVersions.resolve(indexDir)}/postings")
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = postings.getFileSystem(conf)
+    if (!fs.exists(postings)) Nil
+    else fs.listStatus(postings).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("term_bucket="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > threshold)
+      .map(_.getPath.getName.stripPrefix("term_bucket=").toInt)
+      .sorted
   }
 
   /** Start the index-maintenance stream over parquet documents landing

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.{CacheRegistry, Similarity}
+import graft.ops.{CacheRegistry, IndexVersions, Similarity}
 
 /** A standing IVF vector index maintained under a STREAMING embedding
   * corpus — the vector twin of [[IndexStreamMaintain]]: embedding rows
@@ -29,15 +29,35 @@ import graft.ops.{CacheRegistry, Similarity}
   * re-appends at most one batch on replay (visible as duplicate
   * candidate rows until a dedup probe or rebuild; batch-id-keyed file
   * names would close even that window — the same at-least-once trade
-  * [[IndexStreamMaintain]] documents).
+  * [[IndexStreamMaintain]] documents). All existence checks and the
+  * seed resolve through the index path's Hadoop FileSystem — an
+  * hdfs:// or s3a:// index dir engages the same gates a local one does
+  * (java.io.File would silently report nothing exists and break both
+  * contracts).
   *
-  * What this deliberately does NOT do: refit the quantizer. Cells
-  * drift as the stream's distribution drifts (measured:
-  * COVERAGE.md §ANN recall drift rows); the rebuild path is
-  * [[graft.ops.Similarity.buildIvfIndex]] on a schedule driven by a
-  * recall canary ([[graft.tools.AnnRecall]]), not by the stream.
+  * Quantizer drift under an unattended stream: cells drift as the
+  * stream's distribution drifts (measured: COVERAGE.md §ANN recall
+  * drift rows). With `canary` set, every `canaryEveryN`-th batch runs
+  * [[graft.ops.Similarity.maintainIvfIndex]] — recall canary, and a
+  * REBUILD with a freshly fit quantizer when recall falls below
+  * `minRecall`. The rebuild is an atomic version flip
+  * ([[graft.ops.IndexVersions]]), so probes running concurrently with
+  * the stream never see a torn layout — which is what makes it safe to
+  * run from the stream's own batch hook at all. `vecs_seen` is
+  * version-independent (ids survive a rebuild), so the idempotence
+  * gate is unaffected.
   */
 object IvfStreamMaintain {
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.exists(p)
+  }
 
   /** One micro-batch: drop already-indexed ids, append the rest into
     * the standing cell partitions, record their ids, then compact any
@@ -55,13 +75,13 @@ object IvfStreamMaintain {
                     batch: DataFrame,
                     compactOver: Option[Int] = None): Unit = {
     val seenDir = s"$indexDir/vecs_seen"
-    if (!new java.io.File(seenDir).exists() &&
-        new java.io.File(s"$indexDir/assignments").exists()) {
-      spark.read.parquet(s"$indexDir/assignments")
+    val assignDir = s"${IndexVersions.resolve(indexDir)}/assignments"
+    if (!exists(spark, seenDir) && exists(spark, assignDir)) {
+      spark.read.parquet(assignDir)
         .select(col("corpus_id").as("vec_id"))
         .write.parquet(seenDir)
     }
-    val hasSeen = new java.io.File(seenDir).exists()
+    val hasSeen = exists(spark, seenDir)
     // dropDuplicates first: redelivered copies can land in the SAME
     // micro-batch as their original (AvailableNow drains several file
     // waves into one batch) — the history anti-join can't see those
@@ -86,14 +106,26 @@ object IvfStreamMaintain {
     * is (vec_id long, embedding array<float>[, label string] with
     * `withLabel`); an index built over other types (double vectors,
     * int labels — the fixture embeddings' label is int) passes its own
-    * `schema`, which takes precedence over `withLabel`. */
+    * `schema`, which takes precedence over `withLabel`.
+    *
+    * `canary` + `minRecall` arm the drift guard: after the append of
+    * every `canaryEveryN`-th batch (counted by the stream's batchId,
+    * so redelivered batches don't double-probe), the canary recall is
+    * measured and a version-flip rebuild triggered below the floor —
+    * see the class doc. */
   def start(spark: SparkSession, landingDir: String, indexDir: String,
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
             withLabel: Boolean = false,
             compactOver: Option[Int] = None,
-            schema: Option[org.apache.spark.sql.types.StructType] = None
+            schema: Option[org.apache.spark.sql.types.StructType] = None,
+            canary: Option[DataFrame] = None,
+            canaryEveryN: Int = 10,
+            minRecall: Double = 0.0,
+            canaryK: Int = 10,
+            canaryNProbe: Int = 4
            ): StreamingQuery = {
+    require(canaryEveryN > 0, s"canaryEveryN $canaryEveryN")
     val fields = Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
@@ -109,8 +141,13 @@ object IvfStreamMaintain {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         maintainBatch(spark, indexDir, batch, compactOver)
+        canary.foreach { q =>
+          if (batchId % canaryEveryN == (canaryEveryN - 1).toLong)
+            Similarity.maintainIvfIndex(spark, indexDir, q, minRecall,
+              k = canaryK, nProbe = canaryNProbe)
+        }
       }
       .start()
   }

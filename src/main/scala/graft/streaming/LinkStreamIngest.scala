@@ -44,7 +44,7 @@ object LinkStreamIngest {
     val ranksDir = s"$stateDir/ranks"
     val links = LinkGraph.extractLinks(pages, idCol, urlCol, htmlCol)
     val batchEdges = LinkGraph.hostEdges(links, urlCol, "dst_url")
-    val hasHistory = new java.io.File(edgesDir).exists()
+    val hasHistory = graft.ops.IndexVersions.pathExists(edgesDir)
     val novel = CacheRegistry.persist(
       if (!hasHistory) batchEdges
       else batchEdges.join(spark.read.parquet(edgesDir),
@@ -54,7 +54,7 @@ object LinkStreamIngest {
     val nNovel = novel.count()
     if (nNovel > 0 || !hasHistory)
       novel.write.mode("append").parquet(edgesDir)
-    if (nNovel > 0 || !new java.io.File(ranksDir).exists()) {
+    if (nNovel > 0 || !graft.ops.IndexVersions.pathExists(ranksDir)) {
       val ranks = LinkGraph.pageRank(spark.read.parquet(edgesDir),
         iters = iters, dampingPct = dampingPct)
       ranks.write.mode("overwrite").parquet(ranksDir)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.TestSpark
 
 class BpeSpec extends AnyFunSuite {
@@ -109,6 +110,31 @@ class BpeSpec extends AnyFunSuite {
     // piece positions are a dense 0-based sequence per doc
     got.groupBy(_._1).foreach { case (_, rs) =>
       assert(rs.map(_._2) == rs.indices.map(_.toLong)) }
+  }
+
+  test("decodeIds round-trip law: decode(encode(x)) == normalized(x) " +
+    "(lowercase, whitespace removed); OOV decodes to the empty string") {
+    val docs = Seq((1L, "Banana  X bana"), (2L, " x BANANA\tsplit "),
+      (3L, "unseen")).toDF("doc_id", "text")
+    val merges = List(("a", "n"), ("an", "an"))
+    val syms = Bpe.vocab(docs, merges)
+    val got = Bpe.decodeIds(Bpe.encodeIds(docs, merges, syms), syms)
+      .as[(Long, String)].collect().toMap
+    CacheRegistry.releaseAll()
+    // the fidelity contract: casing and spacing are NOT preserved —
+    // exactly the normalization chain, nothing else
+    assert(got(1L) == "bananaxbana")
+    assert(got(2L) == "xbananasplit")
+    assert(got(3L) == "unseen")
+    // OOV: encode NEW text under the FROZEN vocab (no 'z'/'q' chars in
+    // it) -> ids -1, which decode to the empty string, the documented
+    // lossy branch
+    val novel = Seq((9L, "zq ban")).toDF("doc_id", "text")
+    val ids = Bpe.encodeIds(novel, merges, syms)
+    CacheRegistry.releaseAll()
+    assert(ids.filter(col("token_id") === -1).count() == 2) // z and q
+    val dec = Bpe.decodeIds(ids, syms).as[(Long, String)].collect().toMap
+    assert(dec(9L) == "ban")
   }
 
   test("promptMaskSpans: first sentence-final token closes the prompt; " +

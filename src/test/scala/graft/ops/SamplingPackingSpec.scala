@@ -292,23 +292,37 @@ class SamplingPackingSpec extends AnyFunSuite {
     segs.foreach(r => assert(bins(r._2) == r._1))
   }
 
+  /** JVM twin of fimTransform's md5 selection draw (the hashDraw
+    * convention): first 8 hex chars of md5(salt || id) as a long. */
+  private def fimDraw(salt: String, id: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id).getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16)
+
   test("fimTransform: spans reassemble to the original; cuts in range; " +
-    "pass-through for odd ids and tiny docs") {
+    "hash-draw selection; pass-through for unselected ids and tiny docs") {
     val docs = (Seq((7L, "abc"), (8L, "ab")) ++
       (0 until 20).map(i => (i.toLong + 100,
         s"doc$i " + ("abcdefghij" * (i + 1)))))
       .toDF("doc_id", "text")
     val texts = docs.as[(Long, String)].collect().toMap
+    def selected(id: Long): Boolean =
+      fimDraw("graft_fim", id.toString) % 2 == 0
     val out = Packing.fimTransform(docs)
       .as[(Long, Int, String)].collect().toList
+    // the hash draw selects a nonempty, non-total subset here — the
+    // pass-through and transform branches are both exercised
+    assert(out.exists(_._2 == 1) && out.exists(o =>
+      o._2 == 0 && texts(o._1).length >= 4))
     out.foreach { case (id, applied, t) =>
       val orig = texts(id)
       if (applied == 0) {
         assert(t == orig)
-        assert(id % 2 == 1 || orig.length < 4,
+        assert(!selected(id) || orig.length < 4,
           s"doc $id should have been transformed")
       } else {
-        assert(id % 2 == 0 && orig.length >= 4)
+        assert(selected(id) && orig.length >= 4)
         val m = "<PRE>(.*)<SUF>(.*)<MID>(.*)".r
         t match {
           case m(pre, suf, mid) =>
@@ -320,6 +334,14 @@ class SamplingPackingSpec extends AnyFunSuite {
         }
       }
     }
+    // STRING ids work identically (the draw is md5 on the id string —
+    // the old id % k arithmetic failed analysis here) and agree with
+    // the long-id run: "123" hashes like 123L cast to string
+    val sout = Packing.fimTransform(
+        docs.select(col("doc_id").cast("string").as("doc_id"), col("text")))
+      .as[(String, Int, String)].collect()
+      .map { case (id, a, t) => (id.toLong, a, t) }.toList
+    assert(sout.toSet == out.toSet)
     // deterministic: a second run is byte-identical
     val again = Packing.fimTransform(docs)
       .as[(Long, Int, String)].collect().toList

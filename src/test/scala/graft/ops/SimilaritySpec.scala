@@ -552,8 +552,13 @@ class SimilaritySpec extends AnyFunSuite {
     val (r1, rebuilt1) = Similarity.maintainIvfIndex(spark, dir, canary,
       minRecall = 1.01, k = 5, nProbe = 2)
     assert(rebuilt1 && r1 == r)
-    assert(spark.read.parquet(s"$dir/assignments").count() == 50)
-    assert(spark.read.parquet(s"$dir/centroids").count() == 8)
+    // the rebuild is an atomic VERSION FLIP: v=1 published, the old
+    // flat tree untouched (probes in flight keep a complete snapshot)
+    assert(IndexVersions.currentVersion(dir).contains(1))
+    assert(files() == before, "old snapshot must be untouched")
+    val root1 = IndexVersions.resolve(dir)
+    assert(spark.read.parquet(s"$root1/assignments").count() == 50)
+    assert(spark.read.parquet(s"$root1/centroids").count() == 8)
     assert(Similarity.ivfRecallCanary(spark, dir, canary, k = 5,
       nProbe = 8) == 1.0)
     CacheRegistry.releaseAll()
@@ -567,9 +572,10 @@ class SimilaritySpec extends AnyFunSuite {
       labeled.filter(col("vec_id") < 4), minRecall = 1.01, k = 3,
       nProbe = 2)
     assert(rq)
-    val qdf = spark.read.parquet(s"$qdir/assignments")
+    val qroot = IndexVersions.resolve(qdir)
+    val qdf = spark.read.parquet(s"$qroot/assignments")
     assert(qdf.columns.contains("cvec_q") && qdf.columns.contains("label"))
-    assert(spark.read.parquet(s"$qdir/centroids").count() == 4)
+    assert(spark.read.parquet(s"$qroot/centroids").count() == 4)
     assert(qdf.count() == labeled.count() &&
       qdf.filter(col("label").isNull).count() == 0)
     CacheRegistry.releaseAll()
@@ -588,7 +594,7 @@ class SimilaritySpec extends AnyFunSuite {
       .map(j => (10000L + b * 5 + j, vec(2000 + b * 5 + j)))
       .toDF("vec_id", "embedding")
     def maxFilesPerCell(d: String): Int =
-      new java.io.File(s"$d/assignments").listFiles
+      new java.io.File(s"${IndexVersions.resolve(d)}/assignments").listFiles
         .filter(f => f.isDirectory && f.getName.startsWith("cell="))
         .map(_.listFiles.count(_.getName.endsWith(".parquet"))).max
     val threshold = 3

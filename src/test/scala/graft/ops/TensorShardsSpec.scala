@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The loader-tensor contract: per bin, sum(seg_lens) == len(token_ids)
+  * == len(loss_mask); concatenation order is doc-id order; loss bits
+  * are 0 exactly on each document's prompt_pieces prefix; seg_start
+  * keeps the packedSegments global-offset semantics (including the
+  * overflow document whose home-bin start is nonzero); and the TFRecord
+  * round-trip through decodeTokenRows reproduces the composed chain
+  * token for token.
+  */
+class TensorShardsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // small corpus with a sentence boundary (prompt span), a no-boundary
+  // doc (masks nothing), and piece counts that force an OVERFLOW doc at
+  // capacity 8 (a doc straddling a bin cut keeps its home bin)
+  private lazy val docs = Seq(
+    (1L, "aba bab. ab"),       // boundary after token 2
+    (2L, "bb aa bb aa"),       // no boundary: all completion
+    (3L, "abab baba ab aa"),
+    (4L, "b. a")               // boundary immediately
+  ).toDF("doc_id", "text")
+
+  private lazy val merges = Bpe.trainMerges(docs, nMerges = 4)
+  private lazy val syms = Bpe.vocab(docs, merges)
+  private lazy val ids = Bpe.encodeIds(docs, merges, syms)
+  private lazy val spans = Bpe.promptMaskSpans(docs, merges)
+
+  test("bin tensors: lengths agree, order is doc-id order, loss bits " +
+    "mask exactly the prompt prefix, seg_start keeps overflow semantics") {
+    val capacity = 8L
+    val bins = TensorShards.binTensors(ids, spans, capacity).collect()
+      .sortBy(_.getLong(0))
+    assert(bins.length > 1, "fixture must span multiple bins")
+
+    // per-bin structural invariants
+    bins.foreach { r =>
+      val toks = r.getSeq[Long](1)
+      val loss = r.getSeq[Long](2)
+      val starts = r.getSeq[Long](3)
+      val lens = r.getSeq[Long](4)
+      assert(toks.size == loss.size)
+      assert(lens.sum == toks.size)
+      assert(starts.size == lens.size)
+      assert(loss.forall(b => b == 0L || b == 1L))
+    }
+
+    // the concatenation across bins (bin order) is exactly encodeIds'
+    // full stream in (doc_id, piece_pos) order — chunked packing never
+    // reorders, it only cuts
+    val allToks = bins.flatMap(_.getSeq[Long](1)).toSeq
+    val direct = ids.orderBy(col("doc_id"), col("piece_pos"))
+      .select(col("token_id")).as[Long].collect().toSeq
+    assert(allToks == direct)
+
+    // loss bits: reassemble per doc (docs are in doc-id order across
+    // the stream) and compare against promptMaskSpans
+    val spanRows = spans.collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap // prompt, total
+    val allLoss = bins.flatMap(_.getSeq[Long](2)).toSeq
+    var off = 0
+    spanRows.toSeq.sortBy(_._1).foreach { case (_, (prompt, total)) =>
+      val slice = allLoss.slice(off, off + total.toInt)
+      assert(slice.take(prompt.toInt).forall(_ == 0L))
+      assert(slice.drop(prompt.toInt).forall(_ == 1L))
+      off += total.toInt
+    }
+
+    // overflow semantics: with cum piece counts not aligned to the
+    // capacity, some later bin must open at a nonzero seg_start (the
+    // packedSegments global-offset contract)
+    val laterStarts = bins.drop(1).map(_.getSeq[Long](3).head)
+    assert(laterStarts.exists(_ != 0L),
+      "fixture produced only aligned bins — overflow case not exercised")
+    // and every seg_start is the doc's cum_before % capacity: rebuild
+    // from seg_lens and check
+    val flatLens = bins.flatMap(_.getSeq[Long](4))
+    val cums = flatLens.scanLeft(0L)(_ + _)
+    val expectStarts = cums.init.map(_ % capacity).toSeq
+    assert(bins.flatMap(_.getSeq[Long](3)).toSeq == expectStarts)
+  }
+
+  test("TFRecord round-trip: decodeTokenRows == the composed chain") {
+    val capacity = 8L
+    val dir = TestSpark.tmpDir("tensor_shards")
+    val bins = TensorShards.binTensors(ids, spans, capacity)
+    graft.sources.TfRecord.writeExamples(bins, dir,
+      Seq("bin_id", "token_ids", "loss_mask", "seg_starts", "seg_lens"),
+      Seq.empty)
+    val decoded = TensorShards.decodeTokenRows(
+      graft.sources.TfRecord.readExamples(spark, dir,
+        Seq("bin_id", "token_ids", "loss_mask", "seg_starts", "seg_lens"),
+        Seq.empty))
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+    // expected per-token rows straight off the collected bin tensors
+    val expected = bins.collect().sortBy(_.getLong(0)).flatMap { r =>
+      val bin = r.getLong(0)
+      val toks = r.getSeq[Long](1); val loss = r.getSeq[Long](2)
+      val starts = r.getSeq[Long](3); val lens = r.getSeq[Long](4)
+      val offs = lens.scanLeft(0L)(_ + _).init
+      toks.indices.map { p =>
+        val seg = offs.lastIndexWhere(_ <= p)
+        (bin, p.toLong, toks(p), loss(p), seg.toLong, starts(seg),
+          lens(seg))
+      }
+    }.toSeq
+    assert(decoded == expected)
+  }
+}

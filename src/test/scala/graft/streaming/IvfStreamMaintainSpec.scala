@@ -102,4 +102,67 @@ class IvfStreamMaintainSpec extends AnyFunSuite {
     assert(q(idxDir) == q(fullDir),
       "compacted streamed index must equal the one-shot build")
   }
+
+  test("drift-forcing stream: the armed canary triggers exactly one " +
+    "version-flip rebuild, and the post-rebuild canary clears the floor") {
+    import graft.ops.IndexVersions
+    // region A: two tight clusters at ±e0 — the supplied quantizer's
+    // two cells. Drift region B: a cluster far along e1 whose members
+    // SPLIT across the A cells on the sign of their tiny e0 jitter —
+    // the geometry where appended drift provably degrades nProbe=1
+    // recall (a B query's true neighbors live in both cells but it
+    // probes one).
+    def aVec(i: Int, sign: Float): Array[Float] = {
+      val r = new scala.util.Random(i * 104729 + 7)
+      Array.tabulate(16)(d =>
+        (if (d == 0) sign else 0f) + r.nextGaussian().toFloat * 0.01f)
+    }
+    def bVec(i: Int): Array[Float] = {
+      val r = new scala.util.Random(i * 15485863 + 3)
+      Array.tabulate(16)(d =>
+        (if (d == 1) 10f else 0f) + r.nextGaussian().toFloat * 0.05f)
+    }
+    val a = ((0 until 10).map(i => (i.toLong, aVec(i, 1f))) ++
+      (10 until 20).map(i => (i.toLong, aVec(i, -1f))))
+      .toDF("vec_id", "embedding")
+    val centers = Array(
+      Array.tabulate(16)(d => if (d == 0) 1.0 else 0.0),
+      Array.tabulate(16)(d => if (d == 0) -1.0 else 0.0))
+    val idxDir = TestSpark.tmpDir("ivf_drift_idx")
+    Similarity.buildIvfIndex(a, idxDir, nCentroids = 2,
+      centers = Some(centers))
+
+    val canary = (100 until 106).map(i => (i.toLong, bVec(i)))
+      .toDF("vec_id", "embedding")
+    val landing = TestSpark.tmpDir("ivf_drift_src")
+    val chk = TestSpark.tmpDir("ivf_drift_chk")
+    def wave(ids: Range): Unit = {
+      ids.map(i => (i.toLong, bVec(i))).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(landing)
+      val s = IvfStreamMaintain.start(spark, landing, idxDir, chk,
+        Trigger.AvailableNow(), canary = Some(canary), canaryEveryN = 2,
+        minRecall = 0.9, canaryK = 5, canaryNProbe = 1)
+      s.awaitTermination(120000)
+    }
+    wave(100 until 120) // batch 0: appends only (canary at every 2nd)
+    assert(IndexVersions.currentVersion(idxDir).isEmpty,
+      "no canary batch yet — nothing may rebuild")
+    wave(120 until 140) // batch 1: canary fires, drift breaches floor
+    assert(IndexVersions.currentVersion(idxDir).contains(1),
+      "the drift canary must trigger exactly one rebuild")
+    wave(140 until 160) // batch 2: no canary
+    wave(160 until 180) // batch 3: canary healthy -> NO second rebuild
+    assert(IndexVersions.currentVersion(idxDir).contains(1),
+      "a healthy canary must not rebuild again")
+    // post-rebuild canary clears the floor the drift breached (the
+    // refit quantizer gives region B its own cell)
+    val post = Similarity.ivfRecallCanary(spark, idxDir, canary,
+      k = 5, nProbe = 1)
+    graft.ops.CacheRegistry.releaseAll()
+    assert(post >= 0.9, s"post-rebuild canary $post below floor")
+    // and the streamed content survived the flip: every appended id
+    // still probes (ids 100..179 + build-time 0..19)
+    val root = IndexVersions.resolve(idxDir)
+    assert(spark.read.parquet(s"$root/assignments").count() == 100)
+  }
 }
