@@ -733,6 +733,43 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.ops.CacheRegistry.releaseAll()
   }
 
+  test("tensor-shard decode (the loader's read path) never shuffles; " +
+    "bin roll-up exchanges carry ids and counts, never text") {
+    import spark.implicits._
+    try {
+      val docs = Seq((1L, "aa bb. cc"), (2L, "bb cc aa aa"),
+        (3L, "cc aa. bb bb")).toDF("doc_id", "text")
+      val merges = graft.ops.Bpe.trainMerges(docs, nMerges = 3)
+      val ids = graft.ops.Bpe.encodeIds(docs, merges,
+        graft.ops.Bpe.vocab(docs, merges))
+      val spans = graft.ops.Bpe.promptMaskSpans(docs, merges)
+      val bins = graft.ops.TensorShards.binTensors(ids, spans,
+        capacity = 4, nParts = 2)
+      // the build side: no exchange may carry the document text (the
+      // tensors are id/count-sized rows; text stays behind encodeIds)
+      executed(bins).collect { case e: ShuffleExchangeExec => e }
+        .foreach { e =>
+          assert(!e.output.map(_.name).contains("text"),
+            "document text must never ride a tensor-shard exchange")
+        }
+      // the read side — what a training loader pays per epoch — is a
+      // pure projection + generator over the TFRecord scan: ZERO
+      // exchanges
+      val dir = TestSpark.tmpDir("audit_tensor")
+      graft.sources.TfRecord.writeExamples(bins, dir,
+        Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
+          "seg_lens"), Seq.empty)
+      val decoded = graft.ops.TensorShards.decodeTokenRows(
+        graft.sources.TfRecord.readExamples(spark, dir,
+          Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
+            "seg_lens"), Seq.empty))
+      val readEx = executed(decoded)
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(readEx.isEmpty,
+        s"tensor decode must be shuffle-free, got ${readEx.size}")
+    } finally graft.ops.CacheRegistry.releaseAll()
+  }
+
   test("pmi: unigram counts cached (one tokenize serves three " +
     "references); top-k is TakeOrdered") {
     val sf = "/root/testdata/sf0.001"
