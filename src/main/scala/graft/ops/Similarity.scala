@@ -911,16 +911,20 @@ object Similarity {
                       queries: DataFrame, k: Int, nProbe: Int = 4,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    val centers = spark.read.parquet(s"$dir/centroids")
+    // one snapshot for centroids, codebooks AND codes (IndexVersions —
+    // same discipline as queryIvfIndex; flat legacy dirs resolve to
+    // themselves)
+    val snap = IndexVersions.resolve(dir)
+    val centers = spark.read.parquet(s"$snap/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    val cbRows = spark.read.parquet(s"$dir/pq_codebooks")
+    val cbRows = spark.read.parquet(s"$snap/pq_codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val nSub = cbRows.map(_._1).max + 1
     val ksub = cbRows.map(_._2).max + 1
     val cbs = Array.tabulate(nSub, ksub)((m, j) =>
       cbRows.find(c => c._1 == m && c._2 == j).get._3)
-    val codes = spark.read.parquet(s"$dir/assignments")
+    val codes = spark.read.parquet(s"$snap/assignments")
     val probed = probeCells(queries, centers, nProbe, idCol, vecCol)
     val q = probed.select(col("query_id"), col("cell"),
       pqLut(col("qvec"), cbs).as("lut"))

@@ -55,19 +55,38 @@ object TensorShards {
     * arrays int64 — directly writable by
     * [[graft.sources.TfRecord.writeExamples]] with
     * `int64Cols = Seq("bin_id", "token_ids", "loss_mask",
-    * "seg_starts", "seg_lens")`. */
+    * "seg_starts", "seg_lens")`.
+    *
+    * `eosId = Some(e)` appends a DOCUMENT-SEPARATOR token e after each
+    * document's pieces — the standard pretraining EOS convention: the
+    * separator counts toward the bin capacity (seg_lens grow by one),
+    * carries loss bit 1 (EOS is trained, and it always sits at or past
+    * the prompt boundary), and is the loader's signal that attention
+    * segments end. The [[Bpe.vocab]] ids are dense from 0, so
+    * `syms.size` is the first free id — the conventional choice. */
   def binTensors(ids: DataFrame, spans: DataFrame,
-                 capacity: Long, nParts: Int = 32): DataFrame = {
+                 capacity: Long, nParts: Int = 32,
+                 eosId: Option[Long] = None): DataFrame = {
     require(capacity > 0, s"capacity $capacity")
-    val packed = Packing.packChunked(
-      spans.select(col("doc_id"), col("prompt_pieces"), col("n_pieces")),
+    val weighted = eosId match {
+      case Some(_) => spans.select(col("doc_id"), col("prompt_pieces"),
+        (col("n_pieces") + 1L).as("n_pieces"))
+      case None => spans.select(col("doc_id"), col("prompt_pieces"),
+        col("n_pieces"))
+    }
+    val packed = Packing.packChunked(weighted,
       "doc_id", "n_pieces", capacity, nParts)
     // per-document id array in piece order — rides encodeIds' own
     // doc-keyed exchange (same key, no extra shuffle class)
-    val perDoc = ids.groupBy(col("doc_id"))
+    val perDocBase = ids.groupBy(col("doc_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("piece_pos"), col("token_id")))),
         s => s.getField("token_id")).as("toks"))
+    val perDoc = eosId match {
+      case Some(e) => perDocBase.select(col("doc_id"),
+        concat(col("toks"), array(lit(e))).as("toks"))
+      case None => perDocBase
+    }
     val docRows = perDoc.join(packed, "doc_id")
       .select(col("bin_id"), col("doc_id"),
         (col("cum_before") % capacity).as("seg_start"),

@@ -211,8 +211,14 @@ object BpeOracle {
     * TOKEN with its loss bit and segment facts: exactly what
     * [[graft.ops.TensorShards.decodeTokenRows]] reconstructs from the
     * written TFRecord shards. A hash match therefore proves the
-    * on-disk tensors equal the composed chain end to end. */
-  def trainShardsSql(n: Int, capacity: Int): String =
+    * on-disk tensors equal the composed chain end to end.
+    *
+    * `eos = true` replays the document-separator variant
+    * ([[graft.ops.TensorShards.binTensors]] with
+    * `eosId = Some(vocabSize)`): one extra piece per document at the
+    * first free vocab id, counted in the pack weights and seg lengths,
+    * loss bit 1. */
+  def trainShardsSql(n: Int, capacity: Int, eos: Boolean = false): String =
     encodePrefix(n) +
       s""",
          |${vocabCtes(n)},
@@ -226,7 +232,7 @@ object BpeOracle {
          |  FROM (SELECT doc_id, list_filter(
          |      string_split_regex(trim(lower(text)), '\\s+'),
          |      t -> len(t) > 0) AS tsf FROM documents)),
-         |eids AS (SELECT doc_id,
+         |eids0 AS (SELECT doc_id,
          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos, j)
          |      - 1 AS BIGINT) AS piece_pos,
          |    CAST(tid AS BIGINT) AS token_id
@@ -235,11 +241,26 @@ object BpeOracle {
          |    min(CASE WHEN regexp_matches(w, '[.!?]$$') THEN pos END)
          |      OVER (PARTITION BY doc_id) AS b
          |  FROM tpos JOIN vp USING (w)),
-         |spans AS (SELECT doc_id,
+         |spans0 AS (SELECT doc_id,
          |    CAST(COALESCE(SUM(CASE WHEN pos <= b THEN pieces END), 0)
          |      AS BIGINT) AS prompt_pieces,
          |    CAST(sum(pieces) AS BIGINT) AS n_pieces
-         |  FROM jm GROUP BY doc_id),
+         |  FROM jm GROUP BY doc_id),""".stripMargin +
+      (if (eos)
+        s"""
+           |eids AS (SELECT doc_id, piece_pos, token_id FROM eids0
+           |  UNION ALL
+           |  SELECT doc_id, n_pieces AS piece_pos,
+           |    (SELECT count(*) FROM vocab) AS token_id
+           |  FROM spans0),
+           |spans AS (SELECT doc_id, prompt_pieces,
+           |    n_pieces + 1 AS n_pieces
+           |  FROM spans0),""".stripMargin
+      else
+        """
+          |eids AS (SELECT * FROM eids0),
+          |spans AS (SELECT * FROM spans0),""".stripMargin) +
+      s"""
          |cum AS (SELECT doc_id, prompt_pieces, n_pieces,
          |    CAST(COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

@@ -52,6 +52,7 @@ object TextQueries {
   private val lmModelCache = scala.collection.concurrent.TrieMap[String, String]()
   private val curriculumShardCache = scala.collection.concurrent.TrieMap[String, String]()
   private val trainShardCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val trainShardEosCache = scala.collection.concurrent.TrieMap[String, String]()
   private val mmShardCache = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Trigram LM trained ONCE per dataset dir (the bpePackCache
@@ -838,6 +839,34 @@ object TextQueries {
         val spans = Bpe.promptMaskSpans(docs, merges)
         val bins = graft.ops.TensorShards.binTensors(ids, spans,
           capacity = 512)
+        graft.sources.TfRecord.writeExamples(bins, r,
+          Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
+            "seg_lens"), Seq.empty)
+        r
+      })
+      graft.ops.TensorShards.decodeTokenRows(
+        graft.sources.TfRecord.readExamples(s, dir,
+          Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
+            "seg_lens"), Seq.empty))
+    },
+
+    // The EOS variant: a document-separator token (id = |vocab|, the
+    // first free id) after each document's pieces — counted in the
+    // pack weights and seg lengths, loss bit 1 (always at/past the
+    // prompt boundary). The decoded tensors must replay the separator
+    // exactly: position, id, loss, and the grown seg_lens all in the
+    // hash.
+    "train_shards_eos_e2e" -> { (s, d) =>
+      val dir = trainShardEosCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_trainshard_eos").toString
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.trainMerges(docs, nMerges = 20)
+        val syms = Bpe.vocab(docs, merges)
+        val ids = Bpe.encodeIds(docs, merges, syms)
+        val spans = Bpe.promptMaskSpans(docs, merges)
+        val bins = graft.ops.TensorShards.binTensors(ids, spans,
+          capacity = 512, eosId = Some(syms.size.toLong))
         graft.sources.TfRecord.writeExamples(bins, r,
           Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
             "seg_lens"), Seq.empty)
@@ -2242,6 +2271,10 @@ object TextQueries {
     // full loader-tensor replay: training + encode + vocab ids +
     // prompt spans + pack chain -> one row per token with segment facts
     "train_shards_e2e" -> BpeOracle.trainShardsSql(20, capacity = 512),
+
+    // the separator variant: one EOS piece per doc at id |vocab|
+    "train_shards_eos_e2e" ->
+      BpeOracle.trainShardsSql(20, capacity = 512, eos = true),
 
     // (image bytes, caption ids) pairs: byte identity via the utf8
     // round-trip against the source text; ids under the top-500 vocab

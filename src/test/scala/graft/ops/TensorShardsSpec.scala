@@ -85,6 +85,40 @@ class TensorShardsSpec extends AnyFunSuite {
     assert(bins.flatMap(_.getSeq[Long](3)).toSeq == expectStarts)
   }
 
+  test("eosId: one separator per doc at the given id — counted in the " +
+    "pack weights and seg_lens, loss bit 1, stream otherwise unchanged") {
+    val eos = syms.size.toLong
+    val bins = TensorShards.binTensors(ids, spans, capacity = 8,
+        eosId = Some(eos)).collect().sortBy(_.getLong(0))
+    val plain = TensorShards.binTensors(ids, spans, capacity = 8)
+      .collect().sortBy(_.getLong(0))
+    val nDocs = spans.count()
+    val toksEos = bins.flatMap(_.getSeq[Long](1)).toSeq
+    val toksPlain = plain.flatMap(_.getSeq[Long](1)).toSeq
+    // exactly one EOS per doc, and removing them recovers the plain stream
+    assert(toksEos.count(_ == eos) == nDocs)
+    assert(toksEos.filterNot(_ == eos) == toksPlain)
+    // each doc's last piece is the separator (seg_lens grew by one)
+    val lensEos = bins.flatMap(_.getSeq[Long](4)).toSeq
+    val lensPlain = plain.flatMap(_.getSeq[Long](4)).toSeq
+    assert(lensEos == lensPlain.map(_ + 1))
+    var off = 0
+    lensEos.foreach { l =>
+      assert(toksEos(off + l.toInt - 1) == eos,
+        s"segment ending at ${off + l.toInt} must close with EOS")
+      off += l.toInt
+    }
+    // the separator is trained: its loss bit is 1 everywhere
+    val lossEos = bins.flatMap(_.getSeq[Long](2)).toSeq
+    toksEos.zip(lossEos).foreach { case (t, b) =>
+      if (t == eos) assert(b == 1L, "EOS must carry loss bit 1")
+    }
+    // bin capacity accounting includes the separators: total tokens
+    // per bin still tracks the 8-token budget (±1 doc overflow)
+    assert(bins.map(_.getSeq[Long](1).size).sum ==
+      toksPlain.size + nDocs)
+  }
+
   test("TFRecord round-trip: decodeTokenRows == the composed chain") {
     val capacity = 8L
     val dir = TestSpark.tmpDir("tensor_shards")
