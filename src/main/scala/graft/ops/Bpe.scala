@@ -205,6 +205,37 @@ object Bpe {
       .toDF("token_id", "symbol")
   }
 
+  /** Persist a trained tokenizer — merge table + vocabulary — as two
+    * tiny parquet tables under `dir` (`merges/`: rank, left_sym,
+    * right_sym; `vocab/`: token_id, symbol). Production pipelines
+    * train ONCE and freeze: every later job [[loadTokenizer]]s the
+    * artifact instead of retraining, which is what keeps token ids
+    * stable across corpus versions. Both tables are bounded
+    * (nMerges / |charset| + nMerges rows). */
+  def saveTokenizer(spark: SparkSession, dir: String,
+                    merges: List[(String, String)],
+                    syms: List[String]): Unit = {
+    mergesDf(spark, merges).repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    vocabDf(spark, syms).repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a tokenizer persisted by [[saveTokenizer]]: (merges in rank
+    * order, symbols in id order) — byte-identical to what was saved,
+    * so encode/decode under the loaded artifact equal the in-memory
+    * ones (BpeSpec pins it; the `bpe_encode_ids_frozen` entry proves
+    * it through the DuckDB hash). */
+  def loadTokenizer(spark: SparkSession,
+                    dir: String): (List[(String, String)], List[String]) = {
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toList
+    val syms = spark.read.parquet(s"$dir/vocab")
+      .orderBy(col("token_id")).collect().map(_.getString(1)).toList
+    (merges, syms)
+  }
+
   /** Per-document BPE token-ID sequences — the training-tensor last
     * mile ([[pieceCounts]] prices documents; this EMITS the ids a data
     * loader feeds the model). Returns one row per piece:

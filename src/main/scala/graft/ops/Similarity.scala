@@ -415,13 +415,19 @@ object Similarity {
     val base = spark.read.parquet(s"$root/assignments")
     cells match {
       case None =>
-        // whole-index pass: compact into a fresh version, atomic flip
+        // whole-index pass: compact into a fresh version, atomic flip.
+        // EVERY side table of the snapshot must ride along — centroids
+        // always, pq_codebooks when the index is IVF-PQ (losing it
+        // would publish a version queryIvfPqIndex cannot read)
         val (v, staging) = IndexVersions.nextStaging(dir)
         base.repartition(col("cell"))
           .sortWithinPartitions(col("corpus_id"))
           .write.partitionBy("cell").parquet(s"$staging/assignments")
         spark.read.parquet(s"$root/centroids")
           .repartition(1).write.parquet(s"$staging/centroids")
+        if (IndexVersions.pathExists(s"$root/pq_codebooks"))
+          spark.read.parquet(s"$root/pq_codebooks")
+            .repartition(1).write.parquet(s"$staging/pq_codebooks")
         IndexVersions.publish(dir, v)
         (before, countFiles(staging))
       case Some(cs) =>

@@ -53,6 +53,7 @@ object TextQueries {
   private val curriculumShardCache = scala.collection.concurrent.TrieMap[String, String]()
   private val trainShardCache = scala.collection.concurrent.TrieMap[String, String]()
   private val trainShardEosCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val tokenizerCache = scala.collection.concurrent.TrieMap[String, String]()
   private val mmShardCache = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Trigram LM trained ONCE per dataset dir (the bpePackCache
@@ -801,6 +802,24 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val merges = Bpe.trainMerges(docs, nMerges = 20)
       Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
+    },
+
+    // the FROZEN-tokenizer path: train once, persist the artifact
+    // (merges + vocab parquet), reload in a "later job", encode under
+    // the LOADED tables. The oracle is bpe_encode_ids' own replay —
+    // the hash match proves save/load is bit-faithful (stable token
+    // ids across jobs, the production freeze discipline).
+    "bpe_encode_ids_frozen" -> { (s, d) =>
+      val dir = tokenizerCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_tokenizer").toString
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.trainMerges(docs, nMerges = 20)
+        Bpe.saveTokenizer(s, r, merges, Bpe.vocab(docs, merges))
+        r
+      })
+      val (merges, syms) = Bpe.loadTokenizer(s, dir)
+      Bpe.encodeIds(Tables.documents(s, d), merges, syms)
     },
 
     // prompt loss-mask spans (SFT prep): first sentence = prompt, in
@@ -2256,6 +2275,10 @@ object TextQueries {
     "bpe_vocab" -> BpeOracle.vocabSql(20),
     "bpe_encode_ids" -> BpeOracle.encodeIdsSql(20),
     "sft_mask_spans" -> BpeOracle.maskSpansSql(20),
+
+    // the frozen-tokenizer encode must hash-match the train-and-encode
+    // replay exactly — persistence fidelity IS the claim
+    "bpe_encode_ids_frozen" -> BpeOracle.encodeIdsSql(20),
 
     // the round-trip contract IS the oracle: decode(encode(x)) ==
     // normalized(x) — lowercase, whitespace removed; docs with no

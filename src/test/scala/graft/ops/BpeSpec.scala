@@ -137,6 +137,25 @@ class BpeSpec extends AnyFunSuite {
     assert(dec(9L) == "ban")
   }
 
+  test("saveTokenizer/loadTokenizer: the loaded artifact is the trained " +
+    "one, and encoding under it is identical") {
+    val docs = Seq((1L, "banana x bana"), (2L, "x banana split"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, nMerges = 5)
+    val syms = Bpe.vocab(docs, merges)
+    val dir = graft.TestSpark.tmpDir("bpe_tok")
+    Bpe.saveTokenizer(spark, dir, merges, syms)
+    val (m2, s2) = Bpe.loadTokenizer(spark, dir)
+    assert(m2 == merges && s2 == syms)
+    val direct = Bpe.encodeIds(docs, merges, syms)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    CacheRegistry.releaseAll()
+    val frozen = Bpe.encodeIds(docs, m2, s2)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    CacheRegistry.releaseAll()
+    assert(frozen == direct)
+  }
+
   test("promptMaskSpans: first sentence-final token closes the prompt; " +
     "no boundary masks nothing") {
     val docs = Seq(
