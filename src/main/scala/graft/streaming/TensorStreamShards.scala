@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.{Bpe, CacheRegistry, IndexVersions, TensorShards}
+
+/** The tensor-shard last mile as a STREAM — documents land as parquet
+  * files; each micro-batch encodes them under a FROZEN tokenizer
+  * ([[graft.ops.Bpe.loadTokenizer]] — the artifact is trained once and
+  * reloaded, never refit, so token ids stay stable across every batch
+  * ever processed), composes the loader tensors
+  * ([[graft.ops.TensorShards.binTensors]]: token_ids + loss_mask +
+  * seg_starts + seg_lens per bin) and appends TFRecord shard files to
+  * the output directory. A training loader can start reading shards
+  * while the corpus is still arriving.
+  *
+  * Packing semantics under streaming: chunked packing is defined by a
+  * GLOBAL prefix sum over doc order, which a stream cannot know — so
+  * bins are packed PER BATCH (each batch's docs in doc-id order) and
+  * bin ids are globalized as `batchId * binStride + local_bin`. The
+  * trade is at most one underfull bin per batch (same class as
+  * packGreedy's one-per-partition trade); every other tensor invariant
+  * — sum(seg_lens) == len(token_ids) == len(loss_mask), loss bits on
+  * the prompt prefix, EOS separators — is identical to the batch
+  * composition, and TensorStreamShardsSpec pins streamed-decode ==
+  * batch-decode per wave.
+  *
+  * Idempotence under redelivery (the [[IvfStreamMaintain]] discipline):
+  * a `docs_seen/` id table gates every batch with an anti-join, so the
+  * at-least-once file source never writes a document's tensor twice;
+  * the id write lands AFTER the shard write — a crash in between
+  * re-emits at most one batch of shard files on replay (duplicate
+  * shard FILES, never corrupt ones; the documented at-least-once
+  * window). All existence checks go through the Hadoop FileSystem.
+  */
+object TensorStreamShards {
+
+  /** Globalized-bin-id stride: batch b's bins live in
+    * [b * stride, b * stride + nBins). 2^20 bins/batch at capacity 512
+    * is ~0.5 G tokens per micro-batch before ids could collide. */
+  val binStride: Long = 1L << 20
+
+  /** One micro-batch: drop already-sharded doc ids, encode under the
+    * frozen tokenizer, compose bin tensors, append TFRecord shards,
+    * record the ids. Exposed for tests and cron-style batch reruns. */
+  def shardBatch(spark: SparkSession, tokenizerDir: String,
+                 batch: DataFrame, outDir: String, capacity: Long,
+                 batchId: Long, eosId: Option[Long] = None): Unit = {
+    val seenDir = s"$outDir/docs_seen"
+    val hasSeen = IndexVersions.pathExists(seenDir)
+    val once = batch.dropDuplicates("doc_id")
+    CacheRegistry.scoped {
+      val novel = CacheRegistry.persist(
+        if (!hasSeen) once
+        else once.join(spark.read.parquet(seenDir), Seq("doc_id"),
+          "left_anti"))
+      if (!novel.isEmpty) {
+        val (merges, syms) = Bpe.loadTokenizer(spark, tokenizerDir)
+        val ids = Bpe.encodeIds(novel, merges, syms)
+        val spans = Bpe.promptMaskSpans(novel, merges)
+        val bins = TensorShards.binTensors(ids, spans, capacity,
+            eosId = eosId)
+          .select((col("bin_id") + lit(batchId * binStride)).as("bin_id"),
+            col("token_ids"), col("loss_mask"), col("seg_starts"),
+            col("seg_lens"))
+        graft.sources.TfRecord.writeExamples(bins, s"$outDir/shards",
+          Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
+            "seg_lens"), Seq.empty)
+        novel.select(col("doc_id")).write.mode("append").parquet(seenDir)
+      }
+    }
+  }
+
+  /** Start the tensor-shard stream over parquet documents landing in
+    * `landingDir` (schema: doc_id long, text string).
+    * `Trigger.AvailableNow` drains and stops (the cron shape). The
+    * tokenizer at `tokenizerDir` must exist before the first batch —
+    * train and [[graft.ops.Bpe.saveTokenizer]] it from a seed corpus
+    * first (the freeze discipline). */
+  def start(spark: SparkSession, landingDir: String, tokenizerDir: String,
+            outDir: String, checkpointDir: String, capacity: Long = 512L,
+            trigger: Trigger = Trigger.AvailableNow(),
+            eosId: Option[Long] = None): StreamingQuery =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        shardBatch(spark, tokenizerDir, batch, outDir, capacity, batchId,
+          eosId)
+      }
+      .start()
+}
