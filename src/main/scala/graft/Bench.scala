@@ -203,7 +203,8 @@ object Bench {
     // decode (broadcast vocab join + one doc-keyed reassembly agg),
     // and the multimodal (image bytes, caption ids) pair shards
     "train_shards_e2e", "train_shards_eos_e2e", "bpe_decode_ids",
-    "bpe_encode_ids_frozen", "multimodal_shards_e2e")
+    "bpe_encode_ids_frozen", "multimodal_shards_e2e",
+    "curriculum_tensor_shards_e2e")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -217,7 +218,8 @@ object Bench {
     "curriculum_order", "curriculum_shards_e2e", "bpe_encode_ids",
     "pack_segments", "fim_transform", "sft_mask_spans",
     "split_leakage_safe", "train_shards_e2e", "train_shards_eos_e2e",
-    "bpe_decode_ids", "bpe_encode_ids_frozen", "multimodal_shards_e2e")
+    "bpe_decode_ids", "bpe_encode_ids_frozen", "multimodal_shards_e2e",
+    "curriculum_tensor_shards_e2e")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

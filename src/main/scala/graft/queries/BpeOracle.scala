@@ -219,6 +219,13 @@ object BpeOracle {
     * first free vocab id, counted in the pack weights and seg lengths,
     * loss bit 1. */
   def trainShardsSql(n: Int, capacity: Int, eos: Boolean = false): String =
+    tokenRowCtes(n, capacity, eos) + "\nSELECT * FROM tokrows"
+
+  /** The full WITH chain ending in relation `tokrows(bin_id, pos,
+    * token_id, loss, seg_idx, seg_start, seg_len)` — the per-token
+    * loader-tensor replay shared by [[trainShardsSql]] and
+    * [[curriculumTensorShardsSql]]. */
+  private def tokenRowCtes(n: Int, capacity: Int, eos: Boolean): String =
     encodePrefix(n) +
       s""",
          |${vocabCtes(n)},
@@ -274,8 +281,8 @@ object BpeOracle {
          |    seg_start,
          |    CAST(row_number() OVER (PARTITION BY bin_id ORDER BY doc_id)
          |      - 1 AS BIGINT) AS seg_idx
-         |  FROM bins)
-         |SELECT sx.bin_id,
+         |  FROM bins),
+         |tokrows AS (SELECT sx.bin_id,
          |  CAST(row_number() OVER (PARTITION BY sx.bin_id
          |    ORDER BY doc_id, e.piece_pos) - 1 AS BIGINT) AS pos,
          |  e.token_id,
@@ -283,7 +290,33 @@ object BpeOracle {
          |    AS BIGINT) AS loss,
          |  sx.seg_idx, sx.seg_start,
          |  sx.n_pieces AS seg_len
-         |FROM segix sx JOIN eids e USING (doc_id)""".stripMargin
+         |FROM segix sx JOIN eids e USING (doc_id))""".stripMargin
+
+  /** Oracle for `curriculum_tensor_shards_e2e`: the per-token replay
+    * rolled up to bins (token count + a position-salted xor over the
+    * id tensor — the whole payload is in the hash), ranked by the
+    * LENGTH curriculum (many-short-docs bins first: n_segs DESC,
+    * bin_id), sharded binsPerShard at a time. The Spark side decodes
+    * shard_id from the FILE NAME and seq from physical record order,
+    * so the hash match proves the on-disk layout IS the schedule AND
+    * the payload IS the loader tensor. */
+  def curriculumTensorShardsSql(n: Int, capacity: Int,
+                                binsPerShard: Int): String =
+    tokenRowCtes(n, capacity, eos = false) +
+      s""",
+         |binagg AS (SELECT bin_id,
+         |    count(*) AS n_tokens,
+         |    bit_xor((pos << 20) + token_id) AS tok_xor,
+         |    CAST(max(seg_idx) + 1 AS BIGINT) AS n_segs
+         |  FROM tokrows GROUP BY bin_id),
+         |ranked AS (SELECT bin_id, n_segs, n_tokens, tok_xor,
+         |    CAST(row_number() OVER (ORDER BY n_segs DESC, bin_id) - 1
+         |      AS BIGINT) AS cpos
+         |  FROM binagg)
+         |SELECT CAST(floor(cpos / $binsPerShard.0) AS BIGINT) AS shard_id,
+         |  CAST(cpos % $binsPerShard AS BIGINT) AS seq_in_shard,
+         |  bin_id, n_segs, n_tokens, tok_xor
+         |FROM ranked""".stripMargin
 
   /** Oracle for `bpe_pack_shards_e2e`: the piece-count replay above
     * feeding the exact pack_to_shards bin chain (doc_id-ordered

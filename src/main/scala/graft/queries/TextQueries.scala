@@ -54,6 +54,7 @@ object TextQueries {
   private val trainShardCache = scala.collection.concurrent.TrieMap[String, String]()
   private val trainShardEosCache = scala.collection.concurrent.TrieMap[String, String]()
   private val tokenizerCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val curTensorCache = scala.collection.concurrent.TrieMap[String, String]()
   private val mmShardCache = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Trigram LM trained ONCE per dataset dir (the bpePackCache
@@ -895,6 +896,53 @@ object TextQueries {
         graft.sources.TfRecord.readExamples(s, dir,
           Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
             "seg_lens"), Seq.empty))
+    },
+
+    // The capstone composition — the on-disk shard layout IS the
+    // schedule AND the payload IS the loader tensor: bin tensors
+    // ranked by the LENGTH curriculum (many-short-docs bins first —
+    // n_segs desc; assignPositions' two-phase rank over a bin_id/
+    // n_segs PROJECTION, so the tensors never ride the rank exchange),
+    // then shard-addressed TFRecords (shard n = positions [n*8,
+    // (n+1)*8)). Checked output decodes shard_id from the FILE NAME,
+    // seq from physical record order, and folds the whole id tensor
+    // into a position-salted xor — layout and payload both in the hash.
+    "curriculum_tensor_shards_e2e" -> { (s, d) =>
+      val dir = curTensorCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_curtensor").toString
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.trainMerges(docs, nMerges = 20)
+        val ids = Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
+        val spans = Bpe.promptMaskSpans(docs, merges)
+        val bins = graft.ops.CacheRegistry.persist(
+          graft.ops.TensorShards.binTensors(ids, spans, capacity = 512))
+        val ranked = graft.ops.Curriculum.assignPositions(
+          bins.select(col("bin_id"),
+            size(col("seg_lens")).cast("long").as("n_segs")),
+          Seq(col("n_segs").desc, col("bin_id")))
+        graft.ops.Curriculum.writeCurriculumShards(
+          bins.join(ranked.select(col("bin_id"), col("curriculum_pos")),
+            "bin_id"),
+          r, binsPerShard = 8,
+          int64Cols = Seq("bin_id", "token_ids", "loss_mask",
+            "seg_starts", "seg_lens"))
+        r
+      })
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
+        .orderBy(col("shard_part"), col("rec_seq"))
+      graft.sources.TfRecord.readShardedExamples(s, dir,
+          Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
+            "seg_lens"), Seq.empty)
+        .select(col("shard").as("shard_id"),
+          (row_number().over(w) - 1).cast("long").as("seq_in_shard"),
+          element_at(col("bin_id"), 1).as("bin_id"),
+          size(col("seg_lens")).cast("long").as("n_segs"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          expr("aggregate(transform(token_ids, (t, p) -> " +
+            "shiftleft(cast(p as bigint), 20) + t), 0L, " +
+            "(a, x) -> a ^ x)").as("tok_xor"))
     },
 
     // Multimodal training shards: (image bytes, caption token ids)
@@ -2298,6 +2346,12 @@ object TextQueries {
     // the separator variant: one EOS piece per doc at id |vocab|
     "train_shards_eos_e2e" ->
       BpeOracle.trainShardsSql(20, capacity = 512, eos = true),
+
+    // layout IS the schedule, payload IS the tensor: per-bin rollup +
+    // length-curriculum rank + shard/seq arithmetic
+    "curriculum_tensor_shards_e2e" ->
+      BpeOracle.curriculumTensorShardsSql(20, capacity = 512,
+        binsPerShard = 8),
 
     // (image bytes, caption ids) pairs: byte identity via the utf8
     // round-trip against the source text; ids under the top-500 vocab
