@@ -80,7 +80,11 @@ object IndexVersions {
     if (!fs.exists(md)) Nil
     else fs.listStatus(md).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v-") =>
+      // defensive: only well-formed markers count (a stray temp or
+      // editor file in _versions/ must not crash every resolve)
+      .collect { case n if n.startsWith("v-") &&
+          n.stripPrefix("v-").forall(_.isDigit) &&
+          n.length > 2 =>
         n.stripPrefix("v-").toInt }
       .sorted
   }

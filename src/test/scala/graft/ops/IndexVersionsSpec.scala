@@ -110,7 +110,8 @@ class IndexVersionsSpec extends AnyFunSuite {
     val tmp = TestSpark.tmpDir("ixver_flat")
     def cp(sub: String): Unit = {
       val src = java.nio.file.Paths.get(dir, sub)
-      java.nio.file.Files.walk(src).forEach { p =>
+      val walk = java.nio.file.Files.walk(src)
+      try walk.forEach { p =>
         val rel = src.relativize(p)
         val dst = java.nio.file.Paths.get(tmp, sub, rel.toString)
         if (java.nio.file.Files.isDirectory(p))
@@ -119,7 +120,7 @@ class IndexVersionsSpec extends AnyFunSuite {
           java.nio.file.Files.createDirectories(dst.getParent)
           java.nio.file.Files.copy(p, dst)
         }
-      }
+      } finally walk.close()
     }
     cp("centroids"); cp("assignments")
     val queries = (0 until 3).map(i => (i.toLong, vec(i)))
