@@ -370,19 +370,24 @@ object TfRecord {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var cur = Long.MinValue
       var out: java.io.BufferedOutputStream = null
+      // the grouped-by-shard precondition is enforced EXPLICITLY: a
+      // shard value recurring non-contiguously within a partition
+      // would re-roll its (shard, pid) file and silently truncate the
+      // earlier records — fail loudly instead. (Tracking rolled ids
+      // beats opening CREATE_NEW: a legitimate TASK RETRY reuses the
+      // same pid and must be able to overwrite its own partial file.)
+      val rolled = scala.collection.mutable.Set[Long]()
       def roll(shard: Long): Unit = {
+        if (!rolled.add(shard))
+          throw new IllegalStateException(
+            s"shard $shard recurs non-contiguously in partition $pid — " +
+              "rows must arrive grouped by the shard column " +
+              "(range-partition + sort upstream)")
         if (out != null) out.close()
         val path = java.nio.file.Paths.get(dir,
           f"shard-$shard%06d-$runId-$pid%05d.tfrecord")
-        // CREATE_NEW: if the grouped-by-shard precondition is violated
-        // (a shard value recurs non-contiguously within a partition),
-        // re-rolling the same (shard, pid) file must fail LOUDLY — the
-        // default CREATE+TRUNCATE would silently discard the earlier
-        // records instead
         out = new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(path,
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE))
+          java.nio.file.Files.newOutputStream(path))
         cur = shard
       }
       try {

@@ -100,4 +100,33 @@ class TfRecordSpec extends AnyFunSuite {
     assert(back == Set((1L, Seq(10L, 11L), "alpha"),
       (2L, Seq.empty[Long], "béta"), (3L, Seq(-7L), "")))
   }
+
+  test("sharded write: a shard recurring non-contiguously within a " +
+    "partition fails LOUDLY instead of truncating its earlier file") {
+    import spark.implicits._
+    // one partition, shard sequence 0,1,0 — the grouping precondition
+    // violated; without the guard, re-rolling shard 0 would silently
+    // discard its first record
+    val bad = Seq((0L, 1L), (1L, 2L), (0L, 3L)).toDF("shard_id", "v")
+      .coalesce(1)
+    val dir = TestSpark.tmpDir("tfrec_badshard")
+    val e = intercept[org.apache.spark.SparkException] {
+      TfRecord.writeShardedExamples(bad, dir, "shard_id", Seq("v"),
+        Seq.empty)
+    }
+    assert(e.getMessage.contains("recurs non-contiguously") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("recurs non-contiguously")))
+    // grouped input with the SAME values writes fine
+    val ok = Seq((0L, 1L), (0L, 3L), (1L, 2L)).toDF("shard_id", "v")
+      .coalesce(1).sortWithinPartitions(col("shard_id"))
+    val dir2 = TestSpark.tmpDir("tfrec_okshard")
+    TfRecord.writeShardedExamples(ok, dir2, "shard_id", Seq("v"),
+      Seq.empty)
+    val got = TfRecord.readShardedExamples(spark, dir2, Seq("v"),
+        Seq.empty)
+      .select(col("shard"), element_at(col("v"), 1).as("v"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 3L), (1L, 2L)))
+  }
 }
