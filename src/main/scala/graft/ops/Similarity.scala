@@ -559,14 +559,20 @@ object Similarity {
     * old snapshot and never see a mixed layout — safe from the query
     * path, not just the maintenance job (the streaming twin makes
     * concurrent probe-while-maintain the normal case). Old versions
-    * stay on disk for in-flight probes; GC with
-    * [[IndexVersions.pruneTo]]. Returns (recallBefore, rebuilt). */
+    * stay on disk for in-flight probes; `pruneKeep = Some(n)` GCs down
+    * to the newest n versions AFTER a successful publish (n >= 2 keeps
+    * the previous snapshot for probes still on it — the setting for an
+    * unattended rebuild-on-drift stream, where versions would
+    * otherwise accumulate without bound); `None` (default) keeps
+    * everything for a manual [[IndexVersions.pruneTo]]. Returns
+    * (recallBefore, rebuilt). */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, canary: DataFrame, minRecall: Double,
                        k: Int = 10, nProbe: Int = 4,
                        nCentroids: Option[Int] = None,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): (Double, Boolean) = {
+                       vecCol: String = "embedding",
+                       pruneKeep: Option[Int] = None): (Double, Boolean) = {
     val recall = ivfRecallCanary(spark, dir, canary, k, nProbe,
       idCol, vecCol)
     if (recall >= minRecall) (recall, false)
@@ -587,6 +593,11 @@ object Similarity {
         vecCol = vecCol, quantize = quantized,
         labelCol = if (labeled) Some("label") else None)
       IndexVersions.publish(dir, v)
+      pruneKeep.foreach { n =>
+        require(n >= 2, s"pruneKeep $n would delete the version a " +
+          "concurrent probe may still be reading — keep at least 2")
+        IndexVersions.pruneTo(dir, n)
+      }
       (recall, true)
     }
   }

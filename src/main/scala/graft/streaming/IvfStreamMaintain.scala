@@ -112,7 +112,9 @@ object IvfStreamMaintain {
     * every `canaryEveryN`-th batch (counted by the stream's batchId,
     * so redelivered batches don't double-probe), the canary recall is
     * measured and a version-flip rebuild triggered below the floor —
-    * see the class doc. */
+    * see the class doc. `pruneKeep` defaults to Some(2) here (unlike
+    * the batch API): an unattended stream rebuilds unattended, so old
+    * snapshots are GC'd down to current + previous after each flip. */
   def start(spark: SparkSession, landingDir: String, indexDir: String,
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
@@ -123,7 +125,8 @@ object IvfStreamMaintain {
             canaryEveryN: Int = 10,
             minRecall: Double = 0.0,
             canaryK: Int = 10,
-            canaryNProbe: Int = 4
+            canaryNProbe: Int = 4,
+            pruneKeep: Option[Int] = Some(2)
            ): StreamingQuery = {
     require(canaryEveryN > 0, s"canaryEveryN $canaryEveryN")
     val fields = Seq(
@@ -146,7 +149,7 @@ object IvfStreamMaintain {
         canary.foreach { q =>
           if (batchId % canaryEveryN == (canaryEveryN - 1).toLong)
             Similarity.maintainIvfIndex(spark, indexDir, q, minRecall,
-              k = canaryK, nProbe = canaryNProbe)
+              k = canaryK, nProbe = canaryNProbe, pruneKeep = pruneKeep)
         }
       }
       .start()

@@ -562,6 +562,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfRecallCanary(spark, dir, canary, k = 5,
       nProbe = 8) == 1.0)
     CacheRegistry.releaseAll()
+    // pruneKeep GC: with versions {1,2} keep=2 deletes nothing (the
+    // previous snapshot stays for in-flight probes); the THIRD rebuild
+    // prunes v=1. The legacy flat tree is never touched.
+    val (_, r2) = Similarity.maintainIvfIndex(spark, dir, canary,
+      minRecall = 1.01, k = 5, nProbe = 2, pruneKeep = Some(2))
+    assert(r2 && IndexVersions.currentVersion(dir).contains(2))
+    assert(new java.io.File(s"$dir/v=1").exists(),
+      "keep=2 must retain the previous snapshot")
+    val (_, r3) = Similarity.maintainIvfIndex(spark, dir, canary,
+      minRecall = 1.01, k = 5, nProbe = 2, pruneKeep = Some(2))
+    assert(r3 && IndexVersions.currentVersion(dir).contains(3))
+    assert(!new java.io.File(s"$dir/v=1").exists(),
+      "the third rebuild with keep=2 must delete v=1")
+    assert(new java.io.File(s"$dir/v=2").exists() &&
+      new java.io.File(s"$dir/v=3").exists())
+    assert(files() == before, "the legacy flat tree is never pruned")
+    CacheRegistry.releaseAll()
     // quantized + labeled layout survives the rebuild
     val labeled = clusteredLabeled
     val qdir = TestSpark.tmpDir("ivf_canary_q")
