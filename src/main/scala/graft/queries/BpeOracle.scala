@@ -129,6 +129,31 @@ object BpeOracle {
     "WITH RECURSIVE " + (trainingCtes(n) ++ encodeCtes).mkString(",\n")
   }
 
+  /** Oracle for `tokenizer_fertility`: the piece-count replay rolled
+    * up by source with the whitespace-stripped char count — fertility
+    * (pieces/word) and compression (chars/piece), the two standard
+    * tokenizer-eval numbers. */
+  def fertilitySql(n: Int): String =
+    encodePrefix(n) +
+      s""",
+         |pcf AS (SELECT doc_id, count(*) AS n_words,
+         |    CAST(sum(pieces) AS BIGINT) AS n_pieces
+         |  FROM toks JOIN vp USING (w) GROUP BY doc_id),
+         |nc AS (SELECT doc_id, source,
+         |    CAST(length(regexp_replace(lower(trim(text)), '\\s+', '',
+         |      'g')) AS BIGINT) AS n_norm_chars
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(n_norm_chars) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(n_pieces) AS DOUBLE) / sum(n_words), 6)
+         |    AS fertility,
+         |  round(CAST(sum(n_norm_chars) AS DOUBLE) / sum(n_pieces), 6)
+         |    AS chars_per_piece
+         |FROM pcf JOIN nc USING (doc_id)
+         |GROUP BY source""".stripMargin
+
   /** The vocabulary CTE chain ending in `vocab` (symbol, token_id):
     * distinct base characters of the training words in lexicographic
     * order, then merge symbols (left||right) in rank order, FIRST

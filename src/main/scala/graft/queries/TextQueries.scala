@@ -787,6 +787,28 @@ object TextQueries {
       Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20))
     },
 
+    // tokenizer-eval report: FERTILITY (pieces per word) and
+    // COMPRESSION (normalized chars per piece) by source — the two
+    // standard numbers a tokenizer is judged by before a training run
+    // commits to it. One doc-keyed piece pricing + one source-keyed
+    // partial agg on top.
+    "tokenizer_fertility" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pc = Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20))
+      pc.join(docs.select(col("doc_id"), col("source"),
+          length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+            .cast("long").as("n_norm_chars")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_norm_chars")).as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_pieces"), col("n_chars"),
+          round(col("n_pieces") / col("n_words"), 6).as("fertility"),
+          round(col("n_chars") / col("n_pieces"), 6).as("chars_per_piece"))
+    },
+
     // the trained tokenizer's vocabulary: base chars in lexicographic
     // order, then merge symbols in rank order, first occurrence wins
     "bpe_vocab" -> { (s, d) =>
@@ -2320,6 +2342,10 @@ object TextQueries {
 
     // training replay + recursive-CTE priority encode over the vocab
     "bpe_piece_counts" -> BpeOracle.pieceCountsSql(20),
+
+    // fertility/compression replay: same piece pricing, same
+    // whitespace-stripped char count, source-keyed sums
+    "tokenizer_fertility" -> BpeOracle.fertilitySql(20),
     "bpe_vocab" -> BpeOracle.vocabSql(20),
     "bpe_encode_ids" -> BpeOracle.encodeIdsSql(20),
     "sft_mask_spans" -> BpeOracle.maskSpansSql(20),
