@@ -216,7 +216,12 @@ object ScalingProbe {
       // build pass (run 1) adds the doc-keyed array agg + one bin-keyed
       // exchange on top of the encode chain already probed by
       // bpe_encode_ids
-      "train_shards_e2e")
+      "train_shards_e2e",
+      // round-12: the curriculum-ordered tensor shards (write caches
+      // per dir; the kept pass probes the shard-addressed read — file
+      // decode + the per-shard replay window, shard-bounded state —
+      // plus the per-bin xor fold, token-linear)
+      "curriculum_tensor_shards_e2e")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
