@@ -42,6 +42,13 @@ object TensorStreamShards {
     * is ~0.5 G tokens per micro-batch before ids could collide. */
   val binStride: Long = 1L << 20
 
+  // the FROZEN artifact never changes under a running stream, so it
+  // loads once per tokenizer dir, not once per micro-batch (two
+  // bounded driver collects saved per batch)
+  private val tokenizerCache =
+    scala.collection.concurrent.TrieMap[
+      String, (List[(String, String)], List[String])]()
+
   /** One micro-batch: drop already-sharded doc ids, encode under the
     * frozen tokenizer, compose bin tensors, append TFRecord shards,
     * record the ids. Exposed for tests and cron-style batch reruns. */
@@ -57,7 +64,8 @@ object TensorStreamShards {
         else once.join(spark.read.parquet(seenDir), Seq("doc_id"),
           "left_anti"))
       if (!novel.isEmpty) {
-        val (merges, syms) = Bpe.loadTokenizer(spark, tokenizerDir)
+        val (merges, syms) = tokenizerCache.getOrElseUpdate(tokenizerDir,
+          Bpe.loadTokenizer(spark, tokenizerDir))
         val ids = Bpe.encodeIds(novel, merges, syms)
         val spans = Bpe.promptMaskSpans(novel, merges)
         val bins = TensorShards.binTensors(ids, spans, capacity,
