@@ -204,7 +204,8 @@ object Bench {
     // and the multimodal (image bytes, caption ids) pair shards
     "train_shards_e2e", "train_shards_eos_e2e", "bpe_decode_ids",
     "bpe_encode_ids_frozen", "multimodal_shards_e2e",
-    "curriculum_tensor_shards_e2e", "tokenizer_fertility")
+    "curriculum_tensor_shards_e2e", "tokenizer_fertility",
+    "sft_padded_batches")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -219,7 +220,8 @@ object Bench {
     "pack_segments", "fim_transform", "sft_mask_spans",
     "split_leakage_safe", "train_shards_e2e", "train_shards_eos_e2e",
     "bpe_decode_ids", "bpe_encode_ids_frozen", "multimodal_shards_e2e",
-    "curriculum_tensor_shards_e2e", "tokenizer_fertility")
+    "curriculum_tensor_shards_e2e", "tokenizer_fertility",
+    "sft_padded_batches")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

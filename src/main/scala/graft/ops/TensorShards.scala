@@ -110,6 +110,45 @@ object TensorShards {
         transform(col("ds"), d => field(d, "seg_len")).as("seg_lens"))
   }
 
+  /** Per-example PADDED tensors — the SFT/eval loader shape, the
+    * complement of [[binTensors]]' packed pretraining shape: one row
+    * per document with `token_ids` truncated / right-padded to
+    * `maxLen` (pad id = the caller's reserved id, conventionally
+    * |vocab|), `attention_mask` 1 on real pieces and 0 on padding, and
+    * `loss_mask` 1 only on completion pieces (0 on the
+    * [[Bpe.promptMaskSpans]] prompt prefix AND on padding) — exactly
+    * the three tensors a HuggingFace-style SFT collator emits, as
+    * columns.
+    *
+    * Scale shape: the per-doc array agg rides [[Bpe.encodeIds]]' own
+    * doc-keyed exchange; padding/masks are a pure projection (arrays
+    * bounded by maxLen). Output: (doc_id, token_ids, attention_mask,
+    * loss_mask, n_real). */
+  def paddedExamples(ids: DataFrame, spans: DataFrame,
+                     maxLen: Int, padId: Long): DataFrame = {
+    require(maxLen > 0, s"maxLen $maxLen")
+    val perDoc = ids.groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("piece_pos"), col("token_id")))),
+        s => s.getField("token_id")).as("toks"))
+    perDoc
+      .join(spans.select(col("doc_id"),
+        col("prompt_pieces").cast("long").as("prompt_pieces")), "doc_id")
+      .withColumn("n_real",
+        least(size(col("toks")), lit(maxLen)).cast("long"))
+      .select(col("doc_id"),
+        slice(concat(col("toks"),
+          array_repeat(lit(padId), maxLen)), 1, maxLen).as("token_ids"),
+        transform(sequence(lit(0L), lit(maxLen - 1L)),
+          i => when(i < col("n_real"), lit(1L)).otherwise(lit(0L)))
+          .as("attention_mask"),
+        transform(sequence(lit(0L), lit(maxLen - 1L)),
+          i => when(i >= col("prompt_pieces") && i < col("n_real"),
+            lit(1L)).otherwise(lit(0L)))
+          .as("loss_mask"),
+        col("n_real"))
+  }
+
   /** Decode TFRecord shards written from [[binTensors]] rows back to
     * one row PER TOKEN, each token joined to its segment's boundary
     * facts — the shape a correctness check (and the DuckDB oracle)

@@ -129,6 +129,53 @@ object BpeOracle {
     "WITH RECURSIVE " + (trainingCtes(n) ++ encodeCtes).mkString(",\n")
   }
 
+  /** Oracle for `sft_padded_batches`: per (doc, position 0..maxLen-1)
+    * the padded/truncated token id (pad = |vocab|), attention bit and
+    * loss bit — the per-example SFT collator replay
+    * ([[graft.ops.TensorShards.paddedExamples]]). */
+  def paddedSql(n: Int, maxLen: Int): String =
+    encodePrefix(n) +
+      s""",
+         |${vocabCtes(n)},
+         |wp AS (SELECT w, unnest(syms) AS s,
+         |    unnest(range(1, len(syms) + 1)) AS j
+         |  FROM enc WHERE mm IS NULL),
+         |wid AS (SELECT wp.w, wp.j, COALESCE(v.token_id, -1) AS tid
+         |  FROM wp LEFT JOIN vocab v ON wp.s = v.symbol),
+         |tpos AS (SELECT doc_id, unnest(tsf) AS w,
+         |    unnest(range(1, len(tsf) + 1)) AS pos
+         |  FROM (SELECT doc_id, list_filter(
+         |      string_split_regex(trim(lower(text)), '\\s+'),
+         |      t -> len(t) > 0) AS tsf FROM documents)),
+         |eids AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos, j)
+         |      - 1 AS BIGINT) AS piece_pos,
+         |    CAST(tid AS BIGINT) AS token_id
+         |  FROM tpos JOIN wid USING (w)),
+         |jm AS (SELECT doc_id, pos, pieces,
+         |    min(CASE WHEN regexp_matches(w, '[.!?]$$') THEN pos END)
+         |      OVER (PARTITION BY doc_id) AS b
+         |  FROM tpos JOIN vp USING (w)),
+         |spans AS (SELECT doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN pos <= b THEN pieces END), 0)
+         |      AS BIGINT) AS prompt_pieces,
+         |    CAST(sum(pieces) AS BIGINT) AS n_pieces
+         |  FROM jm GROUP BY doc_id),
+         |grid AS (SELECT doc_id, prompt_pieces,
+         |    least(n_pieces, $maxLen) AS n_real,
+         |    unnest(range(0, $maxLen)) AS pos
+         |  FROM spans)
+         |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos,
+         |  CAST(COALESCE(e.token_id, (SELECT count(*) FROM vocab))
+         |    AS BIGINT) AS token_id,
+         |  CAST(CASE WHEN g.pos < g.n_real THEN 1 ELSE 0 END AS BIGINT)
+         |    AS attn,
+         |  CAST(CASE WHEN g.pos >= g.prompt_pieces AND g.pos < g.n_real
+         |    THEN 1 ELSE 0 END AS BIGINT) AS loss
+         |FROM grid g LEFT JOIN eids e
+         |  ON g.doc_id = e.doc_id AND g.pos = e.piece_pos
+         |    AND g.pos < g.n_real""".stripMargin
+
   /** Oracle for `tokenizer_fertility`: the piece-count replay rolled
     * up by source with the whitespace-stripped char count — fertility
     * (pieces/word) and compression (chars/piece), the two standard

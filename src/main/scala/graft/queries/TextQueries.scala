@@ -853,6 +853,27 @@ object TextQueries {
       Bpe.promptMaskSpans(docs, Bpe.trainMerges(docs, nMerges = 20))
     },
 
+    // per-example PADDED SFT batches (the HF-collator shape, vs the
+    // packed pretraining shape): token_ids truncated/right-padded to
+    // 64 with pad id |vocab|, attention mask on real pieces, loss mask
+    // on completion pieces only — exploded per (doc, pos) so all three
+    // tensors are in the hash.
+    "sft_padded_batches" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainMerges(docs, nMerges = 20)
+      val syms = Bpe.vocab(docs, merges)
+      val ids = Bpe.encodeIds(docs, merges, syms)
+      val spans = Bpe.promptMaskSpans(docs, merges)
+      graft.ops.TensorShards.paddedExamples(ids, spans, maxLen = 64,
+          padId = syms.size.toLong)
+        .select(col("doc_id"), posexplode(arrays_zip(col("token_ids"),
+          col("attention_mask"), col("loss_mask"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col.token_ids").as("token_id"),
+          col("col.attention_mask").as("attn"),
+          col("col.loss_mask").as("loss"))
+    },
+
     // the tokenizer round-trip: decode(encode(x)) == normalized(x).
     // The oracle never replays BPE at all — it IS the normalization
     // chain (lowercase, whitespace removed), which is exactly the
@@ -2353,6 +2374,9 @@ object TextQueries {
     // the frozen-tokenizer encode must hash-match the train-and-encode
     // replay exactly — persistence fidelity IS the claim
     "bpe_encode_ids_frozen" -> BpeOracle.encodeIdsSql(20),
+
+    // padded SFT collator replay: grid x left-join on piece position
+    "sft_padded_batches" -> BpeOracle.paddedSql(20, maxLen = 64),
 
     // the round-trip contract IS the oracle: decode(encode(x)) ==
     // normalized(x) — lowercase, whitespace removed; docs with no
