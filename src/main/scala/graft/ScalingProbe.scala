@@ -226,7 +226,8 @@ object ScalingProbe {
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
       val unknown = names -- chain.toSet - "quantile_cube" -
-        "index_maintain" - "ivf_maintain" - "miner_scale"
+        "index_maintain" - "ivf_maintain" - "miner_scale" -
+        "minhash_boiler" - "cluster_distributed"
       require(unknown.isEmpty,
         s"unknown probe name(s): ${unknown.mkString(", ")}")
     }
@@ -342,6 +343,53 @@ object ScalingProbe {
         timed("miner_hard_negatives_ann")(
           Similarity.hardNegativesAnn(spark, minerDir, vecs,
             k = 5, nProbe = 4).count())
+      }
+      // round-13: EXACT-duplicate boilerplate skew (the nav-chrome
+      // shape MinHash banding is weakest against). Replica depth = the
+      // scale decade with IDENTICAL text — every group shares one full
+      // signature, so pre-collapse each band bucket held the whole
+      // group (depth² join rows per group, per band). With signature
+      // collapse the band self-join sees ONE representative per
+      // distinct text at any depth; the within-group pair expansion is
+      // output-sized (C(depth,2) per group — the true answer). Expect
+      // ~linear-in-output growth, nothing quadratic in the band join.
+      if (only.exists(_.contains("minhash_boiler"))) {
+        import graft.ops.Dedup
+        val src1 = spark.read
+          .parquet("/root/testdata/sf0.1/documents.parquet")
+          .limit(20000)
+        val reps1 = spark.range(n).select(col("id").cast("int").as("rep"))
+        val boiler = src1.crossJoin(broadcast(reps1))
+          .select((col("doc_id") + col("rep").cast("long") * 10000000L)
+            .as("doc_id"), col("text"))
+        timed("minhash_boiler_uncapped")(
+          Dedup.minhashNearDups(boiler, "doc_id", "text").count())
+        timed("minhash_boiler_cap16") {
+          val (p, drops) = Dedup.minhashNearDupsWithDrops(boiler,
+            "doc_id", "text", maxBucket = 16)
+          val nPairs = p.count()
+          val nDrop = drops.agg(coalesce(sum("n_dropped"), lit(0L)))
+            .head().getLong(0)
+          println(s"""{"note":"minhash_boiler_cap16","pairs":$nPairs,"dropped":$nDrop,"scale_x":$n}""")
+        }
+      }
+      // round-13: the distributed min-label clustering path FORCED
+      // (smallGraphEdges=0) on a clique-per-group duplicate graph —
+      // scale_x multiplies the number of 10-member cliques (the
+      // duplicate-group shape), so per-round join volume must track
+      // edge count linearly while the round count stays at the clique
+      // convergence floor.
+      if (only.exists(_.contains("cluster_distributed"))) {
+        import graft.ops.Dedup
+        val pairsDf = spark.range(20000L * n).select(col("id").as("g"))
+          .select(col("g"), explode(sequence(lit(0), lit(9))).as("a"))
+          .select(col("g"), col("a"),
+            explode(sequence(lit(0), lit(9))).as("b"))
+          .filter(col("a") < col("b"))
+          .select((col("g") * 100 + col("a")).as("id_a"),
+            (col("g") * 100 + col("b")).as("id_b"))
+        timed("cluster_distributed")(
+          Dedup.clusterDuplicates(pairsDf, smallGraphEdges = 0L).count())
       }
       selected.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,

@@ -163,10 +163,39 @@ object Dedup {
 
   /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
     * shingle-set Jaccard. Output: (id_a, id_b, est_jaccard, jaccard).
+    *
+    * Skew defenses for boilerplate-heavy corpora (the 100 TB failure
+    * mode — web nav chrome producing million-row band buckets):
+    *  - identical full signatures collapse to ONE representative before
+    *    banding (exact-signature groups share every band, so the band
+    *    self-join runs over representatives; pairs expand back from the
+    *    group membership afterwards — output-identical, and the
+    *    dominant exact/near-exact mass leaves the quadratic join);
+    *  - `maxBucket > 0` caps BOTH the members kept per signature group
+    *    and the representatives kept per (band_id, band_hash) bucket
+    *    (deterministic: lowest ids survive), bounding any single
+    *    bucket's join work at maxBucket². Capping drops candidates, so
+    *    it is off by default and NEVER silent: use
+    *    [[minhashNearDupsWithDrops]] to read the per-cap drop counts
+    *    (the `ngramJaccardPairs` no-silent-caps discipline).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5, maxBucket: Int = 0): DataFrame =
+    minhashNearDupsWithDrops(df, idCol, textCol, k, bands, shingleSize,
+      minJaccard, maxBucket)._1
+
+  /** [[minhashNearDups]] plus its cap-drop audit frame: one row per cap
+    * site — ("group", signature-group hash) for members sliced off an
+    * exact-signature group, ("bucket", band-bucket hash) for
+    * representatives dropped from an over-full band bucket — with the
+    * dropped count. Empty when `maxBucket` is 0 (uncapped) or nothing
+    * exceeded the cap. The audit shares the persisted signature/group
+    * tables with the pair plan, so counting it costs one small scan. */
+  def minhashNearDupsWithDrops(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 32, bands: Int = 8,
+                               shingleSize: Int = 3, minJaccard: Double = 0.5,
+                               maxBucket: Int = 0): (DataFrame, DataFrame) = {
     // shingle ONCE and persist: the arrays feed the signature explode
     // AND the verify stage, and wordShingles is an interpreted
     // higher-order chain — recomputing it was the dominant cost here
@@ -180,21 +209,82 @@ object Dedup {
     val sigs = minhashSignaturesFromShingles(shingled, k)
       .join(shingled, "id")
       .transform(CacheRegistry.persist)
-    // candidate generation shuffles ONLY (band keys, id) — the signature
-    // and shingle payloads would otherwise ride the band self-join
-    // duplicated once per colliding pair; they re-attach by id AFTER the
-    // pair set is deduplicated (sigs is persisted and pair-count-sized
-    // at this point, so the two id joins are cheap)
-    val banded = withLshBands(sigs.select(col("id"), col("sig")),
+    // collapse identical signatures: exact/near-exact duplicates (the
+    // boilerplate mass) agree on ALL k components, so banding each copy
+    // would put the whole group in every one of its band buckets —
+    // quadratic join work for pairs we can enumerate from membership.
+    // Groups are (signature -> min-id representative, sorted members);
+    // the group shuffle keys on the k-long signature array itself.
+    val groups0 = sigs.select(col("id"), col("sig"))
+      .groupBy(col("sig"))
+      .agg(min(col("id")).as("rep"),
+        sort_array(collect_list(col("id"))).as("members"))
+    val groups = CacheRegistry.persist(
+      if (maxBucket > 0)
+        groups0.withColumn("kept", slice(col("members"), 1, maxBucket))
+          .withColumn("grp_dropped", size(col("members")) - size(col("kept")))
+      else
+        groups0.withColumn("kept", col("members"))
+          .withColumn("grp_dropped", lit(0)))
+    // within-group pairs: same signature => collision in every band, no
+    // join needed — enumerate directly from the (capped) membership
+    val within = groups.select(col("kept"))
+      .filter(size(col("kept")) > 1)
+      .select(explode(col("kept")).as("id_a"), col("kept"))
+      .select(col("id_a"), explode(col("kept")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    // cross-group candidates: band the representatives only — candidate
+    // generation shuffles ONLY (band keys, id); signature and shingle
+    // payloads re-attach by id AFTER the pair set is deduplicated
+    val banded = withLshBands(groups.select(col("rep").as("id"), col("sig")),
       "sig", bands, k / bands)
       .select(col("id"), col("band_id"), col("band_hash"))
-    val a = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band_id", "band_hash"))
+      .transform(b => if (maxBucket > 0) CacheRegistry.persist(b) else b)
+    val capped =
+      if (maxBucket > 0)
+        banded.withColumn("rn", row_number().over(
+          Window.partitionBy(col("band_id"), col("band_hash"))
+            .orderBy(col("id"))))
+          .filter(col("rn") <= maxBucket).drop("rn")
+      else banded
+    val a = capped.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+    val b = capped.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
+    val repPairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    // expand representative pairs back to member pairs (each doc lives
+    // in exactly one signature group, so expansion introduces no
+    // duplicates; least/greatest restores id_a < id_b ordering)
+    val cross = repPairs
+      .join(groups.select(col("rep").as("id_a"), col("kept").as("ms_a")), "id_a")
+      .join(groups.select(col("rep").as("id_b"), col("kept").as("ms_b")), "id_b")
+      .select(explode(col("ms_a")).as("ma"), col("ms_b"))
+      .select(col("ma"), explode(col("ms_b")).as("mb"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"))
+    val pairs = within.unionByName(cross)
+      .dropDuplicates("id_a", "id_b")
+    val drops =
+      if (maxBucket == 0)
+        groups.sparkSession.emptyDataFrame
+          .withColumn("cap_site", lit("")).withColumn("cap_key", lit(0L))
+          .withColumn("n_dropped", lit(0L)).limit(0)
+      else {
+        val grpDrops = groups.filter(col("grp_dropped") > 0)
+          .select(lit("group").as("cap_site"),
+            xxhash64(col("sig")).as("cap_key"),
+            col("grp_dropped").cast("long").as("n_dropped"))
+        val bucketDrops = banded
+          .groupBy(col("band_id"), col("band_hash"))
+          .agg((count(lit(1)) - maxBucket).as("n_dropped"))
+          .filter(col("n_dropped") > 0)
+          .select(lit("bucket").as("cap_site"),
+            xxhash64(col("band_id"), col("band_hash")).as("cap_key"),
+            col("n_dropped"))
+        grpDrops.unionByName(bucketDrops)
+      }
+    (pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
         col("shingles").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
@@ -209,7 +299,8 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"),
         round(col("est_jaccard"), 4).as("est_jaccard"),
-        round(col("jaccard"), 4).as("jaccard"))
+        round(col("jaccard"), 4).as("jaccard")),
+      drops)
   }
 
   /** MinHash signature estimate of Jaccard: fraction of equal

@@ -138,6 +138,84 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.size == 2, s"no false positives, got $pairs")
   }
 
+  // 40 extra copies of doc 7's text: one exact-signature group of 41
+  // members — the boilerplate worst case the signature collapse and
+  // maxBucket cap exist for (web nav chrome at corpus scale)
+  lazy val boilerCorpus = corpus.union(
+    (0 until 40).map(i => (1000L + i, mkDoc(7))).toDF("doc_id", "text"))
+
+  test("signature collapse: uncapped boilerplate output is the full pair set") {
+    val (pairs, drops) = Dedup.minhashNearDupsWithDrops(boilerCorpus,
+      "doc_id", "text", k = 32, bands = 8, shingleSize = 3,
+      minJaccard = 0.5, maxBucket = 0)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.ops.CacheRegistry.releaseAll()
+    // group {7, 1000..1039}: C(41,2) internal pairs, plus the planted
+    // exact (0,100) and near (1,101) pairs
+    assert(got.size == 41 * 40 / 2 + 2, s"got ${got.size} pairs")
+    assert(got.contains((0L, 100L)) && got.contains((1L, 101L)))
+    assert(got.contains((7L, 1000L)) && got.contains((1000L, 1039L)))
+    assert(drops.count() == 0, "uncapped run must report no drops")
+  }
+
+  test("maxBucket caps boilerplate groups deterministically, with audit") {
+    val (pairs, drops) = Dedup.minhashNearDupsWithDrops(boilerCorpus,
+      "doc_id", "text", k = 32, bands = 8, shingleSize = 3,
+      minJaccard = 0.5, maxBucket = 8)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val dropRows = drops.collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    graft.ops.CacheRegistry.releaseAll()
+    // the 41-member group keeps its 8 lowest ids {7, 1000..1006}:
+    // C(8,2) internal pairs survive alongside the two planted pairs
+    val keptGroup = Set(7L) ++ (1000L to 1006L)
+    val expected = (for {
+      a <- keptGroup; b <- keptGroup if a < b
+    } yield (a, b)).toSet + ((0L, 100L)) + ((1L, 101L))
+    assert(got == expected, s"got $got")
+    // the audit reports the 33 members sliced off the signature group
+    assert(dropRows.contains(("group", 33L)), s"got ${dropRows.toSeq}")
+  }
+
+  test("bucket cap truncates over-full band buckets with exact accounting") {
+    // 12 variants of doc 5, each swapping a different word: signatures
+    // DIFFER (distinct groups) but agree on most bands, so the shared
+    // band buckets fill past a small cap — the distinct-signature
+    // boilerplate shape (templated pages with one varying slot)
+    val variants = (0 until 12).map { v =>
+      val ws = mkDoc(5).split(" "); ws(v * 3) = s"chg$v"
+      (2000L + v.toLong, ws.mkString(" "))
+    }
+    val corpus2 = corpus.union(variants.toDF("doc_id", "text"))
+    val (pc, drops) = Dedup.minhashNearDupsWithDrops(corpus2,
+      "doc_id", "text", k = 32, bands = 8, shingleSize = 3,
+      minJaccard = 0.5, maxBucket = 2)
+    val capped = pc.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketDropTotal = drops.filter(col("cap_site") === "bucket")
+      .agg(sum("n_dropped")).as[Long].head()
+    graft.ops.CacheRegistry.releaseAll()
+    val full = Dedup.minhashNearDups(corpus2, "doc_id", "text",
+      k = 32, bands = 8, shingleSize = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.ops.CacheRegistry.releaseAll()
+    assert(capped.subsetOf(full),
+      "capping may only drop candidates, never invent them")
+    // independent accounting: the reported bucket drops must equal the
+    // over-cap excess of the rep-level band histogram (reps = min id
+    // per distinct signature)
+    val reps = Dedup.minhashSignatures(corpus2, "doc_id", "text", 32, 3)
+      .groupBy(col("sig")).agg(min(col("id")).as("id"))
+      .select(col("id"), col("sig"))
+    val expectedDrops = Dedup.withLshBands(reps, "sig", 8, 4)
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(greatest(count(lit(1)) - 2, lit(0L)).as("over"))
+      .agg(sum("over")).as[Long].head()
+    assert(expectedDrops > 0,
+      "fixture must actually overflow some bucket at cap=2")
+    assert(bucketDropTotal == expectedDrops,
+      s"audit $bucketDropTotal != independent histogram $expectedDrops")
+  }
+
   test("minhash estimate approximates true jaccard") {
     val row = Dedup.minhashNearDups(corpus, "doc_id", "text", minJaccard = 0.5)
       .filter(col("id_a") === 1 && col("id_b") === 101)
