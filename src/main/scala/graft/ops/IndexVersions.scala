@@ -106,10 +106,20 @@ object IndexVersions {
 
   /** Allocate the next version number and its (not yet published)
     * staging directory. The caller writes the full data tree there,
-    * then calls [[publish]]. */
+    * then calls [[publish]]. A crash between staging and publish
+    * leaves an orphaned tree at EXACTLY this path (the version counter
+    * only advances on publish), and the default ErrorIfExists save
+    * mode would then wedge every later whole-index pass on "path
+    * already exists" — so an existing unpublished staging directory is
+    * deleted here before reuse. Safe by construction: no marker means
+    * no reader ever resolved into it. */
   def nextStaging(dir: String): (Int, String) = {
     val v = currentVersion(dir).getOrElse(0) + 1
-    (v, s"$dir/v=$v")
+    val staging = s"$dir/v=$v"
+    val (fs, _) = fsOf(dir)
+    val p = new Path(staging)
+    if (fs.exists(p)) fs.delete(p, true)
+    (v, staging)
   }
 
   /** Publish version `v`: create its immutable marker — the single
@@ -128,6 +138,12 @@ object IndexVersions {
     * Never touches the legacy flat files or version-independent state:
     * only `v=N` trees whose marker is pruned. */
   def pruneTo(dir: String, keep: Int = 2): Unit = {
+    // the safety floor lives HERE so every caller inherits it (not just
+    // maintainIvfIndex's pruneKeep path): keep=1 would delete the
+    // previous snapshot a concurrent probe may be mid-read, keep=0 the
+    // current one
+    require(keep >= 2, s"pruneTo keep=$keep would delete a version a " +
+      "concurrent probe may still be reading — keep at least 2")
     val (fs, _) = fsOf(dir)
     val vs = listVersions(fs, dir)
     vs.dropRight(keep).foreach { v =>

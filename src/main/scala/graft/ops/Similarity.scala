@@ -111,6 +111,26 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Deterministic ±1 (Rademacher) hyperplanes addressable by
+    * (table, plane, component) via md5 — the
+    * [[graft.ops.RandomProjection]] engine-portability discipline:
+    * sign = first 8 md5 hex chars of "seed:table:plane:component" <
+    * "80000000", so Spark and the DuckDB oracle materialize the SAME
+    * planes independently and the whole LSH route (bucketing included)
+    * replays exactly. Sign-random projections with ±1 entries are
+    * valid cosine-LSH hashes (Charikar 2002's hyperplane rounding
+    * needs only a sign-symmetric distribution). */
+  def mdSignPlanes(dim: Int, nPlanes: Int, table: Int,
+                   seed: String = "lsh"): Seq[Array[Double]] =
+    Seq.tabulate(nPlanes) { b =>
+      Array.tabulate(dim) { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$table:$b:$j".getBytes("UTF-8"))
+        val hex = h.take(4).map(x => f"${x & 0xff}%02x").mkString
+        if (hex < "80000000") 1.0 else -1.0
+      }
+    }
+
   /** Sign-bucket of a vector under the given hyperplanes: bit i = 1 iff
     * dot(vec, plane_i) > 0. */
   def signBucket(vec: Column, planes: Seq[Array[Double]]): Column =
@@ -121,13 +141,15 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates share a sign-bucket in
     * at least one of `nTables` independent tables, then exact cosine +
     * rank within candidates. Recall grows with tables; cost stays
-    * bucket-local (the classic SimHash-for-cosine ANN).
+    * bucket-local (the classic SimHash-for-cosine ANN). Planes are the
+    * md5-addressable ±1 family ([[mdSignPlanes]]), so the candidate
+    * set — not just the verify stage — replays in the DuckDB oracle.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, bitsPerTable: Int = 8, nTables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val tables = (0 until nTables).map(t =>
-      hyperplanes(dim, bitsPerTable, seed = 42L + t))
+      mdSignPlanes(dim, bitsPerTable, t))
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.withColumn("bucket", explode(array(tables.zipWithIndex.map {
         case (planes, t) =>
@@ -428,6 +450,26 @@ object Similarity {
         if (IndexVersions.pathExists(s"$root/pq_codebooks"))
           spark.read.parquet(s"$root/pq_codebooks")
             .repartition(1).write.parquet(s"$staging/pq_codebooks")
+        // Writer-concurrency guard: rows appendToIvfIndex landed in the
+        // OLD version between `base`'s pinned file listing and this
+        // point would silently vanish from the new version — and the
+        // stream's version-independent vecs_seen gate would then refuse
+        // to ever re-append those ids (permanent loss, not staleness).
+        // Fold the delta in before publishing: a FRESH listing of the
+        // old assignments anti-joined on corpus_id against the snapshot
+        // appends as ordinary segment files (same layout — no reorder
+        // needed, the cell partitioning carries them). The remaining
+        // exposure is the delta-scan-to-publish window; a writer that
+        // cannot be quiesced for even that should run compaction from
+        // its own ingest hook ([[graft.streaming.IvfStreamMaintain]]'s
+        // foreachBatch serialization is the safe harness).
+        val fresh = spark.read.parquet(s"$root/assignments")
+        val delta = fresh.join(base.select(col("corpus_id")),
+          Seq("corpus_id"), "left_anti").localCheckpoint()
+        if (delta.limit(1).count() > 0)
+          delta.write.mode("append").partitionBy("cell")
+            .parquet(s"$staging/assignments")
+        delta.unpersist()
         IndexVersions.publish(dir, v)
         (before, countFiles(staging))
       case Some(cs) =>
@@ -592,6 +634,27 @@ object Similarity {
       buildIvfIndex(vecs, staging, nCentroids = nCells, idCol = idCol,
         vecCol = vecCol, quantize = quantized,
         labelCol = if (labeled) Some("label") else None)
+      // Writer-concurrency guard (the compactIvfCells discipline): ids
+      // appended to the OLD version while the rebuild ran would vanish
+      // from the new version — permanently, because the streaming
+      // vecs_seen gate is version-independent. Re-list the old
+      // assignments, anti-join against the rebuild's snapshot ids, and
+      // append the delta THROUGH the new quantizer before publishing
+      // (appendToIvfIndex against the unpublished staging tree — it
+      // resolves to the tree itself and reads the new centroids). The
+      // residual exposure is the delta-scan-to-publish window; writers
+      // that cannot pause even that long must serialize maintenance
+      // through their own ingest hook (IvfStreamMaintain).
+      val freshVecs = readIndexVectors(spark, root, keepLabel = labeled,
+          keepCell = false)
+        .select((col("corpus_id").as(idCol) +:
+          col("cvec").as(vecCol) +:
+          (if (labeled) Seq(col("label")) else Nil)): _*)
+      val delta = freshVecs.join(vecs.select(col(idCol)), Seq(idCol),
+        "left_anti").localCheckpoint()
+      if (delta.limit(1).count() > 0)
+        appendToIvfIndex(delta, staging, idCol = idCol, vecCol = vecCol)
+      delta.unpersist()
       IndexVersions.publish(dir, v)
       pruneKeep.foreach { n =>
         require(n >= 2, s"pruneKeep $n would delete the version a " +

@@ -1419,16 +1419,28 @@ object TextQueries {
         .withColumn("ndcg", round(col("ndcg"), 6))
     },
 
+    // Cosine LSH at its real operating point (8 bits x 4 tables): the
+    // md5-addressable ±1 planes make the BUCKETING itself replayable,
+    // so the oracle rebuilds the same 32 planes, the same per-table
+    // signatures, the same candidate set, and the same exact-cosine
+    // rank — full hash check, no rows-only concession.
     "ann_lsh_topk" -> { (s, d) =>
       val vecs = Tables.embeddings(s, d)
       Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
         dim = 64, bitsPerTable = 8, nTables = 4)
     },
 
-    "ann_ivf_topk" -> { (s, d) =>
+    // IVF with EVERY cell probed is exhaustive — identical to the
+    // brute scan by construction (the SimilaritySpec full-probe pin,
+    // registered as a driver entry: the fitted k-means quantizer
+    // cancels out of the output, so the oracle is literally the
+    // brute-force SQL). The approximate operating point (nProbe=4)
+    // stays covered by planted-recall specs, tools/AnnRecall, and the
+    // bench's ann_ivf_oneshot arm.
+    "ann_ivf_fullprobe_topk" -> { (s, d) =>
       val vecs = Tables.embeddings(s, d)
       Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
-        nCentroids = 16, nProbe = 4)
+        nCentroids = 16, nProbe = 16)
     },
 
     // exact top-k over the QUANTIZED corpus — the compact-storage ANN
@@ -1490,36 +1502,41 @@ object TextQueries {
         dim = 64, nSub = 8, ksub = 16)
     },
 
-    // IVFADC: k-means cells restrict candidates, PQ-ADC ranks within —
-    // rows-only (the fitted coarse quantizer is not oracle-replayable);
-    // planted-recall pinned in SimilaritySpec
-    "ann_ivfpq_topk" -> { (s, d) =>
+    // IVFADC with every cell probed: the coarse quantizer cancels and
+    // the output equals plain PQ-ADC over the whole corpus — so the
+    // oracle is the full PQ replay (ann_pq_topk's SQL verbatim). The
+    // nProbe=4 operating point keeps its planted-recall spec and the
+    // bench's ann_ivfpq_oneshot arm.
+    "ann_ivfpq_fullprobe_topk" -> { (s, d) =>
       val vecs = Tables.embeddings(s, d)
       Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
-        dim = 64, nSub = 8, ksub = 16, nCentroids = 16, nProbe = 4)
+        dim = 64, nSub = 8, ksub = 16, nCentroids = 16, nProbe = 16)
     },
 
     // the persisted IVFADC layout: cell-partitioned CODES (no raw
-    // vectors stored), codebooks + coarse centroids as tiny tables
-    "ann_ivfpq_index_topk" -> { (s, d) =>
+    // vectors stored), codebooks + coarse centroids as tiny tables —
+    // probed exhaustively, so the SAVED layout (build + persist +
+    // reload + query) is what the hash check pins (== one-shot PQ)
+    "ann_ivfpq_index_fullprobe_topk" -> { (s, d) =>
       val vecs = Tables.embeddings(s, d)
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ivfpq_index").toString
       Similarity.buildIvfPqIndex(vecs, dir, dim = 64,
         nCentroids = 16, nSub = 8, ksub = 16)
       Similarity.queryIvfPqIndex(s, dir, vecs.filter(col("vec_id") < 8),
-        k = 5, nProbe = 4)
+        k = 5, nProbe = 16)
     },
 
     // the FAISS-style build/query split: index persisted as parquet
-    // (centroids + cell-partitioned assignments), then probed
-    "ann_ivf_index_topk" -> { (s, d) =>
+    // (centroids + cell-partitioned assignments), probed over all 16
+    // cells — build+persist+reload+query must reproduce the brute scan
+    "ann_ivf_index_fullprobe_topk" -> { (s, d) =>
       val vecs = Tables.embeddings(s, d)
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ivf_index").toString
       Similarity.buildIvfIndex(vecs, dir, nCentroids = 16)
       Similarity.queryIvfIndex(s, dir, vecs.filter(col("vec_id") < 8),
-        k = 5, nProbe = 4)
+        k = 5, nProbe = 16)
     },
 
     // ---- multimodal plumbing (stub codecs; see ops/Multimodal) ----
@@ -2807,23 +2824,57 @@ object TextQueries {
 
     // Exact brute-force cosine top-5 per query vector — the ANN
     // baseline is itself exact, so DuckDB reproduces it fully.
-    "ann_brute_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-        |    FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
-        |s AS (SELECT query_id, corpus_id,
-        |    list_sum(list_transform(range(1, len(cvec) + 1),
-        |      i -> CAST(cvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(cvec) + 1),
-        |        i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
-        |        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))))
+    "ann_brute_topk" -> bruteCosineTopkSql,
+
+    // IVF full probe is exhaustive: the quantizer cancels, the output
+    // IS the brute scan — one SQL serves the one-shot and the
+    // build/persist/query twins (see the queries-side comments)
+    "ann_ivf_fullprobe_topk" -> bruteCosineTopkSql,
+    "ann_ivf_index_fullprobe_topk" -> bruteCosineTopkSql,
+
+    // cosine LSH replay: rebuild the 32 md5-addressable ±1 planes
+    // (Similarity.mdSignPlanes — sign = first 8 md5 hex chars of
+    // "lsh:t:b:j" < '80000000'), per-table signatures as bit-summed
+    // sign dots, candidates = distinct pairs agreeing on (table, sig),
+    // exact cosine + (cos DESC, corpus_id) rank within candidates —
+    // the approximate op at its real operating point, hash-checked
+    "ann_lsh_topk" ->
+      """WITH mx AS MATERIALIZED (
+        |  SELECT t, b, list_transform(range(0, 64), j ->
+        |      CASE WHEN substr(md5('lsh:' || t || ':' || b || ':' || j),
+        |                 1, 8) < '80000000'
+        |      THEN 1.0 ELSE -1.0 END) AS plane
+        |  FROM range(4) tt(t), range(8) bb(b)),
+        |bits AS (
+        |  SELECT e.vec_id, m.t,
+        |    CASE WHEN list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * m.plane[i])) > 0
+        |    THEN CAST(pow(2, m.b) AS BIGINT) ELSE 0 END AS bit
+        |  FROM embeddings e, mx m),
+        |sig AS MATERIALIZED (
+        |  SELECT vec_id, t, sum(bit) AS sig FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+        |  FROM sig c JOIN sig q ON c.t = q.t AND c.sig = q.sig
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |x AS (SELECT cand.query_id, cand.corpus_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(ce.embedding[i] AS DOUBLE)
+        |         * CAST(qe.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(ce.embedding[i] AS DOUBLE)
+        |           * CAST(ce.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qe.embedding[i] AS DOUBLE)
+        |           * CAST(qe.embedding[i] AS DOUBLE)))))
         |    AS cos
-        |  FROM c, q WHERE corpus_id <> query_id),
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.corpus_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id),
         |r AS (SELECT query_id, corpus_id, cos,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
-        |  FROM s)
+        |  FROM x)
         |SELECT query_id, corpus_id, rank, round(cos, 6) AS cos
         |FROM r WHERE rank <= 5""".stripMargin,
 
@@ -2949,35 +3000,69 @@ object TextQueries {
     // to every centroid, adist = the 8 looked-up distances summed in
     // subspace order (list(... ORDER BY m) pins the fold order to the
     // engine's m = 0..7 reduce)
-    "ann_pq_topk" ->
-      s"""WITH cb AS ($pqCodebookCte),
-         |enc AS (
-         |  SELECT v.vec_id AS corpus_id, cb.m, cb.j,
-         |    ${pqSqDist("v")} AS dist
-         |  FROM embeddings v, cb),
-         |code AS (
-         |  SELECT corpus_id, m, j AS code FROM (
-         |    SELECT corpus_id, m, j,
-         |      row_number() OVER (PARTITION BY corpus_id, m
-         |        ORDER BY dist ASC, j ASC) AS rn
-         |    FROM enc) WHERE rn = 1),
-         |qd AS (
-         |  SELECT q.vec_id AS query_id, cb.m, cb.j,
-         |    ${pqSqDist("q")} AS qdist
-         |  FROM embeddings q, cb WHERE q.vec_id < 8),
-         |s AS (
-         |  SELECT c.corpus_id, qd.query_id,
-         |    list_sum(list(qd.qdist ORDER BY qd.m)) AS adist
-         |  FROM code c JOIN qd ON c.m = qd.m AND c.code = qd.j
-         |  WHERE c.corpus_id <> qd.query_id
-         |  GROUP BY c.corpus_id, qd.query_id),
-         |r AS (SELECT query_id, corpus_id, adist,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adist ASC, corpus_id) AS INT) AS rank
-         |  FROM s)
-         |SELECT query_id, corpus_id, rank, round(adist, 6) AS adist
-         |FROM r WHERE rank <= 5""".stripMargin
+    "ann_pq_topk" -> pqAdcTopkSql,
+
+    // IVFADC full probe == plain PQ-ADC (coarse quantizer cancels):
+    // one replay serves the one-shot and the persisted-index twins
+    "ann_ivfpq_fullprobe_topk" -> pqAdcTopkSql,
+    "ann_ivfpq_index_fullprobe_topk" -> pqAdcTopkSql
   )
+
+  /** Exact brute-force cosine top-5 for the vec_id < 8 query set — the
+    * shared oracle of ann_brute_topk and the IVF full-probe twins
+    * (probing every cell makes IVF exhaustive, so the fitted quantizer
+    * cancels out of the output). */
+  private def bruteCosineTopkSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+      |    FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+      |s AS (SELECT query_id, corpus_id,
+      |    list_sum(list_transform(range(1, len(cvec) + 1),
+      |      i -> CAST(cvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, len(cvec) + 1),
+      |        i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
+      |        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))))
+      |    AS cos
+      |  FROM c, q WHERE corpus_id <> query_id),
+      |r AS (SELECT query_id, corpus_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
+      |  FROM s)
+      |SELECT query_id, corpus_id, rank, round(cos, 6) AS cos
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  /** PQ-ADC replay (corpus codes, per-query LUT, subspace-ordered
+    * distance fold) — shared by ann_pq_topk and the IVFADC full-probe
+    * twins, which reduce to it when every cell is probed. */
+  private def pqAdcTopkSql: String =
+    s"""WITH cb AS ($pqCodebookCte),
+       |enc AS (
+       |  SELECT v.vec_id AS corpus_id, cb.m, cb.j,
+       |    ${pqSqDist("v")} AS dist
+       |  FROM embeddings v, cb),
+       |code AS (
+       |  SELECT corpus_id, m, j AS code FROM (
+       |    SELECT corpus_id, m, j,
+       |      row_number() OVER (PARTITION BY corpus_id, m
+       |        ORDER BY dist ASC, j ASC) AS rn
+       |    FROM enc) WHERE rn = 1),
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.j,
+       |    ${pqSqDist("q")} AS qdist
+       |  FROM embeddings q, cb WHERE q.vec_id < 8),
+       |s AS (
+       |  SELECT c.corpus_id, qd.query_id,
+       |    list_sum(list(qd.qdist ORDER BY qd.m)) AS adist
+       |  FROM code c JOIN qd ON c.m = qd.m AND c.code = qd.j
+       |  WHERE c.corpus_id <> qd.query_id
+       |  GROUP BY c.corpus_id, qd.query_id),
+       |r AS (SELECT query_id, corpus_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, corpus_id) AS INT) AS rank
+       |  FROM s)
+       |SELECT query_id, corpus_id, rank, round(adist, 6) AS adist
+       |FROM r WHERE rank <= 5""".stripMargin
 
   /** FIM oracle over any (doc_id, text) relation: the exact
     * [[graft.ops.Packing.fimTransform]] replay — md5 draws on the id

@@ -68,9 +68,22 @@ object TensorStreamShards {
           Bpe.loadTokenizer(spark, tokenizerDir))
         val ids = Bpe.encodeIds(novel, merges, syms)
         val spans = Bpe.promptMaskSpans(novel, merges)
+        // bin-id overflow guard: nothing upstream enforces local
+        // bin_id < binStride (a micro-batch past ~0.5 G tokens at
+        // capacity 512 would wrap into the NEXT batch's id range and
+        // silently corrupt shard addressing). The check rides the
+        // globalizing projection itself — per-bin-row, zero extra
+        // pass — and fails loudly like the TfRecord shard guard.
         val bins = TensorShards.binTensors(ids, spans, capacity,
             eosId = eosId)
-          .select((col("bin_id") + lit(batchId * binStride)).as("bin_id"),
+          .select((when(col("bin_id") >= 0 && col("bin_id") < binStride,
+              col("bin_id") + lit(batchId * binStride))
+            .otherwise(raise_error(concat(
+              lit("TensorStreamShards: local bin_id "),
+              col("bin_id").cast("string"),
+              lit(s" outside [0, $binStride) — micro-batch exceeds " +
+                "the bin stride; shrink the trigger batch")))))
+            .as("bin_id"),
             col("token_ids"), col("loss_mask"), col("seg_starts"),
             col("seg_lens"))
         graft.sources.TfRecord.writeExamples(bins, s"$outDir/shards",
