@@ -218,6 +218,34 @@ object FractionStore {
   def fractions(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(dataPath(root))
 
+  /** One-row catalog summary of a grid store — the header pretty-print
+    * of the reference's worldgrid_info script
+    * (scripts/worldgrid_info.py:21-27) as a queryable relation: header
+    * fields, chunk-grid shape, PRESENT chunk count + sparsity from the
+    * sparse fraction listing (SRC3), and the time-axis range. Cost: one
+    * header read plus one distinct-count over the listing's two key
+    * columns (column-pruned scan — never payload bytes), so it stays a
+    * metadata-priced call at any store size. */
+  def gridInfo(spark: SparkSession, root: String): DataFrame = {
+    val h = GridHeader.load(spark, root)
+    val g = h.chunkGrid
+    val expected = g.numFracsX.toLong * g.numFracsY * g.numTimeChunks
+    val present = fractions(spark, root)
+      .select(col("frac_num"), col("time_chunk")).distinct().count()
+    import spark.implicits._
+    Seq((h.name, h.width, h.height, h.fracWidth, h.fracHeight,
+        h.fracNDates, h.dtype, h.srs, h.nDates,
+        g.numFracsX, g.numFracsY, g.numTimeChunks,
+        expected, present,
+        math.round(present.toDouble / expected * 1000000) / 1000000.0,
+        h.timestampsMs.min, h.timestampsMs.max, h.nodata))
+      .toDF("name", "width", "height", "frac_width", "frac_height",
+        "frac_n_dates", "dtype", "srs", "n_dates",
+        "n_fracs_x", "n_fracs_y", "n_time_chunks",
+        "n_chunks_expected", "n_chunks_present", "sparsity",
+        "t_min_ms", "t_max_ms", "nodata")
+  }
+
   /** Fraction rows pruned to a pixel/time window. The frac_x/frac_y/
     * time_chunk predicates are partition- and stats-prunable (P6/P7);
     * this is the Catalyst analog of fracs_for_rect_xy.

@@ -48,6 +48,20 @@ object GridQueries {
       r
     })
 
+  /** Left-half-only tiny store: pixels restricted to x < 95 land in
+    * fraction columns 0..4 of 10, so exactly half the chunk grid is
+    * PRESENT — the sparse-store fixture grid_info's sparsity reporting
+    * needs (a dense fixture would make the listing count trivial). */
+  private def sparseRoot(spark: SparkSession): String =
+    fixtureCache.getOrElseUpdate("sparse", {
+      val r = java.nio.file.Files.createTempDirectory("graft_sparse").toString
+      val h = SyntheticGrid.tinyHeader.copy(name = "sparsegrid")
+      FractionStore.write(spark, h, FractionStore.fromPixels(spark, h,
+        SyntheticGrid.pixelDf(spark, h, SyntheticGrid.tinyValue)
+          .filter(col("x") < 95)), r)
+      r
+    })
+
   /** The monitor fixture's closed form in DuckDB SQL. */
   private val monitorValueSql: String =
     "CASE WHEN (x * y + t) % 17 = 0 THEN NULL " +
@@ -118,6 +132,16 @@ object GridQueries {
     },
 
     // ---- grid-native (rows-only): deterministic synthetic fixtures ----
+
+    // Catalog summary (worldgrid_info.py:21-27 analog): header fields,
+    // chunk-grid shape, present-chunk count + sparsity from the sparse
+    // listing, time range. The sparse fixture populates exactly half
+    // the chunk grid, so the listing count is a real check (520 of
+    // 1040 chunks, sparsity 0.5) — every reported value is a fixture
+    // constant, so the oracle pins them all literally.
+    "grid_info" -> { (s, _) =>
+      FractionStore.gridInfo(s, sparseRoot(s))
+    },
 
     // P1-P3/P6/P7 — windowed slice through the fraction store.
     "grid_slice_window" -> { (s, _) =>
@@ -1577,6 +1601,22 @@ object GridQueries {
       "grid_interpolate_ts" -> interpolateTs,
       "grid_savgol" -> savgol,
       "grid_slice_window" -> sliceWindow,
+      // grid_info: every value is a fixture constant (tiny header with
+      // the left half populated: 10x26 frac grid x 4 time chunks, 5 of
+      // 10 frac columns present), so the oracle pins them literally —
+      // what it checks is that header load + chunk math + the sparse
+      // listing distinct-count actually produce these numbers
+      "grid_info" ->
+        ("""SELECT 'sparsegrid' AS name, 190 AS width, 130 AS height,
+           |  19 AS frac_width, 5 AS frac_height, 3 AS frac_n_dates,
+           |  'float32' AS dtype, 'wgs84' AS srs, 11 AS n_dates,
+           |  10 AS n_fracs_x, 26 AS n_fracs_y, 4 AS n_time_chunks,
+           |  CAST(1040 AS BIGINT) AS n_chunks_expected,
+           |  CAST(520 AS BIGINT) AS n_chunks_present,
+           |  CAST(0.5 AS DOUBLE) AS sparsity,
+           |  CAST(946684800000 AS BIGINT) AS t_min_ms,
+           |  CAST(947548800000 AS BIGINT) AS t_max_ms,
+           |  CAST(-999.0 AS DOUBLE) AS nodata""".stripMargin),
       "grid_index_select" -> indexSelect,
       "grid_pixel_timeseries" -> pixelTimeseries,
       "grid_pipeline_masked" -> pipelineMasked,

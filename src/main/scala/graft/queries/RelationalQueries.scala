@@ -370,6 +370,29 @@ object RelationalQueries {
       graft.ops.Sketches.rollupDistinct(daily, Seq("event_type"))
     },
 
+    // The invariant that makes the sketch-cube pattern SOUND, as a
+    // hash-checkable driver entry: HLL union is lossless, so rolling
+    // day-grain sketches up to event_type must estimate EXACTLY what a
+    // sketch built over the whole type estimates (registers are
+    // max-merged — order- and partition-independent). Sketch VALUES
+    // stay implementation-specific (hll_rollup_users remains
+    // rows-only), but this per-group equality is deterministic: the
+    // oracle is the literal TRUE per group.
+    "hll_union_lossless" -> { (s, d) =>
+      val ev = events(s, d).withColumn("day", to_date(col("ts")))
+      val viaRollup = graft.ops.Sketches.rollupDistinct(
+        graft.ops.Sketches.buildHllCube(ev, Seq("day", "event_type"),
+          "user_id"),
+        Seq("event_type"), estimateCol = "est_rollup")
+      val whole = graft.ops.Sketches.buildHllCube(ev, Seq("event_type"),
+          "user_id")
+        .select(col("event_type"),
+          hll_sketch_estimate(col("hll")).as("est_whole"))
+      viaRollup.join(whole, "event_type")
+        .select(col("event_type"),
+          (col("est_rollup") === col("est_whole")).as("union_lossless"))
+    },
+
     // Mergeable quantile-sketch cube (the percentile analogue of
     // hll_rollup_users): ONE raw scan builds day-grain equi-width
     // histogram sketches (custom EqHistAgg, map-side combinable);
@@ -1088,6 +1111,13 @@ object RelationalQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n, sum(value) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the lossless-union invariant is deterministic even though the
+    // estimates are not engine-portable: per group, rollup-of-parts
+    // equals sketch-of-whole EXACTLY, so the oracle is TRUE per group
+    "hll_union_lossless" ->
+      """SELECT event_type, TRUE AS union_lossless
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // two-proportion z replay: same per-user conversion max, same
     // fixed-order double chain (pool*(1-pool) first, then the 1/n sum)
