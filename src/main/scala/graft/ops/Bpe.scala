@@ -343,4 +343,70 @@ object Bpe {
         count(lit(1)).as("n_words"),
         sum(col("pieces")).as("n_pieces"))
   }
+
+  /** Multi-turn chat-template loss spans — [[promptMaskSpans]]
+    * generalized from one prompt prefix per document to N (role, span)
+    * turns per CONVERSATION, the mask shape every chat SFT run needs:
+    * loss lands on assistant CONTENT only (template markers, user
+    * turns, and any preamble stay masked).
+    *
+    * Convention: a turn starts at each literal marker word
+    * (`userMarker` / `assistantMarker` as whitespace-delimited tokens,
+    * matched after lowercasing); words before the first marker form
+    * turn 0 with role "system". The marker word belongs to its turn
+    * but is EXCLUDED from the turn's content span.
+    *
+    * Output, one row per (doc, turn): (doc_id, turn_idx, role,
+    * start_piece, n_pieces, content_start_piece) in the
+    * [[encodeIds]] piece coordinate space — the loss span of an
+    * assistant turn is [content_start_piece, start_piece + n_pieces).
+    *
+    * Scale shape: identical to [[promptMaskSpans]] — per-distinct-word
+    * encode prices words once; the token stream takes ONE doc-keyed
+    * exchange shared by the role/offset windows and the turn
+    * aggregation. */
+  def turnMaskSpans(df: DataFrame, merges: List[(String, String)],
+                    idCol: String = "doc_id", textCol: String = "text",
+                    userMarker: String = "<user>",
+                    assistantMarker: String = "<assistant>"): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(
+          lower(col(textCol)))))
+      .toDF("doc_id", "pos", "w")
+      .transform(CacheRegistry.persist)
+    val vocabPieces = toks.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, encodeWord(w, rank).size.toLong))
+      }.toDF("w", "pieces")
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(vocabPieces, "w")
+      .withColumn("mk",
+        when(col("w") === lit(userMarker.toLowerCase), lit("user"))
+          .when(col("w") === lit(assistantMarker.toLowerCase),
+            lit("assistant")))
+      // running marker count: a marker opens its own turn; preamble = 0
+      .withColumn("turn_idx",
+        sum(when(col("mk").isNotNull, 1L).otherwise(0L)).over(run))
+      .withColumn("role", last(col("mk"), ignoreNulls = true).over(run))
+      // exclusive piece-prefix sum = this word's first piece position
+      .withColumn("off", coalesce(sum(col("pieces")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("doc_id"), col("turn_idx"))
+      .agg(
+        coalesce(first(col("role")), lit("system")).as("role"),
+        min(col("off")).as("start_piece"),
+        sum(col("pieces")).as("n_pieces"),
+        // first non-marker word's offset; a content-free turn (marker
+        // only) gets an EMPTY span at the turn's end
+        coalesce(min(when(col("mk").isNull, col("off"))),
+          min(col("off")) +
+            coalesce(sum(when(col("mk").isNotNull, col("pieces"))),
+              lit(0L)))
+          .as("content_start_piece"))
+  }
 }

@@ -149,6 +149,49 @@ object TensorShards {
         col("n_real"))
   }
 
+  /** [[paddedExamples]] for MULTI-TURN conversations: loss bits come
+    * from [[Bpe.turnMaskSpans]] rows instead of a single prompt
+    * prefix — 1 exactly on assistant-turn CONTENT pieces (template
+    * markers, user turns, preamble, truncation overflow, and padding
+    * all stay 0), which is the chat-template collator every
+    * instruction-tuning run needs. Same tensors and scale shape as
+    * [[paddedExamples]]: the per-doc array agg rides the encode's
+    * doc-keyed exchange; the collected span list is turns-per-doc
+    * sized (a broadcastable handful per conversation), and the mask is
+    * a pure projection testing each position against it. */
+  def paddedMultiturnExamples(ids: DataFrame, turnSpans: DataFrame,
+                              maxLen: Int, padId: Long): DataFrame = {
+    require(maxLen > 0, s"maxLen $maxLen")
+    val perDoc = ids.groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("piece_pos"), col("token_id")))),
+        s => s.getField("token_id")).as("toks"))
+    val lossSpans = turnSpans.filter(col("role") === "assistant")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(
+        col("content_start_piece").cast("long").as("s"),
+        (col("start_piece") + col("n_pieces")).cast("long").as("e")))
+        .as("spans"))
+    perDoc
+      .join(lossSpans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("n_real",
+        least(size(col("toks")), lit(maxLen)).cast("long"))
+      .select(col("doc_id"),
+        slice(concat(col("toks"),
+          array_repeat(lit(padId), maxLen)), 1, maxLen).as("token_ids"),
+        transform(sequence(lit(0L), lit(maxLen - 1L)),
+          i => when(i < col("n_real"), lit(1L)).otherwise(lit(0L)))
+          .as("attention_mask"),
+        transform(sequence(lit(0L), lit(maxLen - 1L)),
+          i => when(i < col("n_real") && exists(col("spans"),
+            sp => i >= sp.getField("s") && i < sp.getField("e")),
+            lit(1L)).otherwise(lit(0L)))
+          .as("loss_mask"),
+        col("n_real"))
+  }
+
   /** Decode TFRecord shards written from [[binTensors]] rows back to
     * one row PER TOKEN, each token joined to its segment's boundary
     * facts — the shape a correctness check (and the DuckDB oracle)

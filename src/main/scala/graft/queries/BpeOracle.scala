@@ -54,12 +54,13 @@ object BpeOracle {
     * rounds (p/b/w per round). MATERIALIZED throughout — DuckDB
     * otherwise re-inlines each round's word table into both of its two
     * consumers, doubling work per round (2^20 scans by round 20). */
-  private def trainingCtes(n: Int): Seq[String] = {
+  private def trainingCtes(n: Int,
+                           docRel: String = "documents"): Seq[String] = {
     val head = Seq(
-      """toks AS MATERIALIZED (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      s"""toks AS MATERIALIZED (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
         |      t -> len(t) > 0)) AS w
-        |  FROM documents)""".stripMargin,
+        |  FROM $docRel)""".stripMargin,
       "wf AS MATERIALIZED (SELECT w, count(*) AS freq FROM toks GROUP BY w)",
       ("w0 AS MATERIALIZED (SELECT w, freq, list_transform(" +
         "range(1, len(w) + 1), i -> substring(w, i, 1)) AS syms FROM wf)"))
@@ -104,7 +105,8 @@ object BpeOracle {
     * training rounds, rank-ordered merge table, recursive priority
     * encode, terminal rows. Shared by the piece-count and pack
     * oracles. */
-  private def encodePrefix(n: Int): String = {
+  private def encodePrefix(n: Int, docRel: String = "documents",
+                           pre: Seq[String] = Nil): String = {
     val applicable =
       s"""(list_filter(ms, m -> contains(
          |        $SEP || array_to_string(syms, $SEP) || $SEP,
@@ -126,7 +128,8 @@ object BpeOracle {
          |             THEN acc || x ELSE acc || $SEP || x END), $SEP) AS syms
          |    FROM enc WHERE mm IS NOT NULL) e CROSS JOIN mt)""".stripMargin,
       "vp AS (SELECT w, len(syms) AS pieces FROM enc WHERE mm IS NULL)")
-    "WITH RECURSIVE " + (trainingCtes(n) ++ encodeCtes).mkString(",\n")
+    "WITH RECURSIVE " +
+      (pre ++ trainingCtes(n, docRel) ++ encodeCtes).mkString(",\n")
   }
 
   /** Oracle for `sft_padded_batches`: per (doc, position 0..maxLen-1)
@@ -175,6 +178,64 @@ object BpeOracle {
          |FROM grid g LEFT JOIN eids e
          |  ON g.doc_id = e.doc_id AND g.pos = e.piece_pos
          |    AND g.pos < g.n_real""".stripMargin
+
+  /** Oracle for `sft_multiturn_batches`: the [[paddedSql]] grid over
+    * the CONVERSATION fixture ('<user> ' + text + ' <assistant> ' +
+    * text + a fixed second round — must match the queries-side concat
+    * verbatim), with the single prompt-prefix rule replaced by the
+    * chat-template rule: per word, role = last marker at or before it
+    * (none yet = system), and the loss bit is 1 only on assistant
+    * CONTENT pieces (markers excluded) inside the real length. Merges
+    * train on the conversation corpus itself, so one CTE chain replays
+    * tokenizer + roles + collator end to end. */
+  def multiturnSql(n: Int, maxLen: Int): String = {
+    val conv =
+      """conv AS MATERIALIZED (SELECT doc_id,
+        |    '<user> ' || text || ' <assistant> ' || text ||
+        |      ' <user> again please <assistant> sure thing done' AS text
+        |  FROM documents)""".stripMargin
+    encodePrefix(n, docRel = "conv", pre = Seq(conv)) +
+      s""",
+         |${vocabCtes(n)},
+         |wp AS (SELECT w, unnest(syms) AS s,
+         |    unnest(range(1, len(syms) + 1)) AS j
+         |  FROM enc WHERE mm IS NULL),
+         |wid AS (SELECT wp.w, wp.j, COALESCE(v.token_id, -1) AS tid
+         |  FROM wp LEFT JOIN vocab v ON wp.s = v.symbol),
+         |tpos AS (SELECT doc_id, unnest(tsf) AS w,
+         |    unnest(range(1, len(tsf) + 1)) AS pos
+         |  FROM (SELECT doc_id, list_filter(
+         |      string_split_regex(trim(lower(text)), '\\s+'),
+         |      t -> len(t) > 0) AS tsf FROM conv)),
+         |rt AS (SELECT doc_id, w, pos, mk,
+         |    last_value(mk IGNORE NULLS) OVER (PARTITION BY doc_id
+         |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      CURRENT ROW) AS role
+         |  FROM (SELECT doc_id, w, pos,
+         |      CASE WHEN w = '<user>' THEN 'user'
+         |           WHEN w = '<assistant>' THEN 'assistant' END AS mk
+         |    FROM tpos)),
+         |eids AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos, j)
+         |      - 1 AS BIGINT) AS piece_pos,
+         |    CAST(tid AS BIGINT) AS token_id,
+         |    (role = 'assistant' AND mk IS NULL) AS lossw
+         |  FROM rt JOIN wid USING (w)),
+         |tot AS (SELECT doc_id, count(*) AS n_pieces
+         |  FROM eids GROUP BY doc_id),
+         |grid AS (SELECT doc_id, least(n_pieces, $maxLen) AS n_real,
+         |    unnest(range(0, $maxLen)) AS pos
+         |  FROM tot)
+         |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos,
+         |  CAST(COALESCE(e.token_id, (SELECT count(*) FROM vocab))
+         |    AS BIGINT) AS token_id,
+         |  CAST(CASE WHEN g.pos < g.n_real THEN 1 ELSE 0 END AS BIGINT)
+         |    AS attn,
+         |  CAST(CASE WHEN e.lossw THEN 1 ELSE 0 END AS BIGINT) AS loss
+         |FROM grid g LEFT JOIN eids e
+         |  ON g.doc_id = e.doc_id AND g.pos = e.piece_pos
+         |    AND g.pos < g.n_real""".stripMargin
+  }
 
   /** Oracle for `tokenizer_fertility`: the piece-count replay rolled
     * up by source with the whitespace-stripped char count — fertility

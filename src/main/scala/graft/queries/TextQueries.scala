@@ -874,6 +874,33 @@ object TextQueries {
           col("col.loss_mask").as("loss"))
     },
 
+    // Multi-turn chat SFT collator (Bpe.turnMaskSpans +
+    // TensorShards.paddedMultiturnExamples): each document becomes a
+    // 4-turn conversation (user/assistant twice — the concat must stay
+    // verbatim-identical to BpeOracle.multiturnSql's conv CTE); loss
+    // bits land on assistant CONTENT pieces only, markers/user/padding
+    // masked. Tokenizer trains on the conversation corpus, so the
+    // oracle replays training + roles + collator in one chain.
+    "sft_multiturn_batches" -> { (s, d) =>
+      val convo = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("<user> "), col("text"), lit(" <assistant> "),
+          col("text"),
+          lit(" <user> again please <assistant> sure thing done"))
+          .as("text"))
+      val merges = Bpe.trainMerges(convo, nMerges = 20)
+      val syms = Bpe.vocab(convo, merges)
+      val ids = Bpe.encodeIds(convo, merges, syms)
+      val spans = Bpe.turnMaskSpans(convo, merges)
+      graft.ops.TensorShards.paddedMultiturnExamples(ids, spans,
+          maxLen = 96, padId = syms.size.toLong)
+        .select(col("doc_id"), posexplode(arrays_zip(col("token_ids"),
+          col("attention_mask"), col("loss_mask"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col.token_ids").as("token_id"),
+          col("col.attention_mask").as("attn"),
+          col("col.loss_mask").as("loss"))
+    },
+
     // the tokenizer round-trip: decode(encode(x)) == normalized(x).
     // The oracle never replays BPE at all — it IS the normalization
     // chain (lowercase, whitespace removed), which is exactly the
@@ -2394,6 +2421,8 @@ object TextQueries {
 
     // padded SFT collator replay: grid x left-join on piece position
     "sft_padded_batches" -> BpeOracle.paddedSql(20, maxLen = 64),
+
+    "sft_multiturn_batches" -> BpeOracle.multiturnSql(20, maxLen = 96),
 
     // the round-trip contract IS the oracle: decode(encode(x)) ==
     // normalized(x) — lowercase, whitespace removed; docs with no

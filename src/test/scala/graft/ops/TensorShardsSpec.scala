@@ -147,4 +147,57 @@ class TensorShardsSpec extends AnyFunSuite {
     }.toSeq
     assert(decoded == expected)
   }
+
+  test("multi-turn loss mask flips exactly at turn boundaries") {
+    // char-level pieces (no merges) make every span hand-computable:
+    // each word contributes |word| pieces in order
+    val convo = Seq(
+      (1L, "<user> hi there <assistant> ok bye <user> more <assistant> done"),
+      (2L, "intro words <user> q <assistant> a")
+    ).toDF("doc_id", "text")
+    val merges = List.empty[(String, String)]
+    val syms = Bpe.vocab(convo, merges)
+    val ids = Bpe.encodeIds(convo, merges, syms)
+    val spans = Bpe.turnMaskSpans(convo, merges)
+
+    val rows = spans.orderBy("doc_id", "turn_idx")
+      .select("doc_id", "turn_idx", "role", "start_piece", "n_pieces",
+        "content_start_piece")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    // doc 1: <user>(6) hi(2) there(5) | <assistant>(11) ok(2) bye(3)
+    //        | <user>(6) more(4) | <assistant>(11) done(4)
+    assert(rows.filter(_._1 == 1L) == Seq(
+      (1L, 1L, "user", 0L, 13L, 6L),
+      (1L, 2L, "assistant", 13L, 16L, 24L),
+      (1L, 3L, "user", 29L, 10L, 35L),
+      (1L, 4L, "assistant", 39L, 15L, 50L)))
+    // doc 2: preamble intro(5) words(5) = system turn 0, then
+    // <user>(6) q(1), <assistant>(11) a(1)
+    assert(rows.filter(_._1 == 2L) == Seq(
+      (2L, 0L, "system", 0L, 10L, 0L),
+      (2L, 1L, "user", 10L, 7L, 16L),
+      (2L, 2L, "assistant", 17L, 12L, 28L)))
+
+    def masks(maxLen: Int): Map[Long, (Seq[Long], Seq[Long])] =
+      TensorShards.paddedMultiturnExamples(ids, spans, maxLen,
+          padId = syms.size.toLong)
+        .select("doc_id", "loss_mask", "attention_mask")
+        .collect().map(r => r.getLong(0) ->
+          (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+
+    val m60 = masks(60)
+    // doc 1 (54 pieces): loss 1 exactly on assistant content
+    // [24,29) and [50,54); attention 1 on [0,54)
+    assert(m60(1L)._1 == (0 until 60).map(i =>
+      if ((i >= 24 && i < 29) || (i >= 50 && i < 54)) 1L else 0L))
+    assert(m60(1L)._2 == (0 until 60).map(i => if (i < 54) 1L else 0L))
+    // doc 2 (29 pieces): loss only on the single 'a' piece at 28
+    assert(m60(2L)._1 == (0 until 60).map(i => if (i == 28) 1L else 0L))
+    // truncation clips the final span: at maxLen=52 doc 1 keeps
+    // [24,29) and only [50,52)
+    val m52 = masks(52)
+    assert(m52(1L)._1 == (0 until 52).map(i =>
+      if ((i >= 24 && i < 29) || (i >= 50 && i < 52)) 1L else 0L))
+    graft.ops.CacheRegistry.releaseAll()
+  }
 }
