@@ -208,8 +208,9 @@ object Bench {
     "sft_padded_batches",
     // round-13: the multi-turn chat collator (turn-span windows + the
     // per-position span-membership projection over the 2x-doc
-    // conversation corpus)
-    "sft_multiturn_batches")
+    // conversation corpus) and the manifested shard sink's verified
+    // read-back (manifest join + per-shard recount)
+    "sft_multiturn_batches", "train_shards_manifest")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -225,7 +226,8 @@ object Bench {
     "split_leakage_safe", "train_shards_e2e", "train_shards_eos_e2e",
     "bpe_decode_ids", "bpe_encode_ids_frozen", "multimodal_shards_e2e",
     "curriculum_tensor_shards_e2e", "tokenizer_fertility",
-    "sft_padded_batches", "sft_multiturn_batches")
+    "sft_padded_batches", "sft_multiturn_batches",
+    "train_shards_manifest")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

@@ -192,6 +192,91 @@ object TensorShards {
         col("n_real"))
   }
 
+  /** The default tensor columns of [[binTensors]] rows. */
+  val TensorCols: Seq[String] =
+    Seq("bin_id", "token_ids", "loss_mask", "seg_starts", "seg_lens")
+
+  private def recXor(tokenCol: String): Column =
+    expr(s"aggregate(transform($tokenCol, (t, p) -> " +
+      "shiftleft(cast(p as bigint), 20) + t), 0L, (a, x) -> a ^ x)")
+
+  private def shardRecount(df: DataFrame, tokenCol: String): DataFrame =
+    df.withColumn("rx", recXor(tokenCol))
+      .groupBy(col("shard").as("shard_id"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(size(col(tokenCol))).cast("long").as("n_tokens"),
+        expr("bit_xor(rx)").as("tok_xor"))
+
+  /** Publish [[binTensors]] rows as shard-addressed TFRecords WITH a
+    * manifest, atomically — the [[IndexVersions]] discipline applied
+    * to the training-data sink: shard files and a parquet manifest
+    * (shard_id, n_records, n_tokens, tok_xor fingerprint) land in an
+    * unpublished staging tree `dir/v=N`; one marker-create flips
+    * readers to it. A crash anywhere before publish leaves the torn
+    * tree INVISIBLE (readers keep resolving the previous version, and
+    * the next write reclaims the orphan), and a loader verifies
+    * completeness/resume against the manifest instead of trusting a
+    * directory listing ([[readManifestedShards]]).
+    *
+    * Shard assignment is bin_id / binsPerShard — pure arithmetic, so
+    * the manifest itself is oracle-replayable. The manifest is
+    * computed by READING BACK the staged bytes (one extra scan of the
+    * shard files): it attests what is actually on disk, not what the
+    * writer intended, which is the attestation a resume check needs.
+    * Returns the published version. */
+  def writeManifestedShards(bins: DataFrame, dir: String,
+                            binsPerShard: Int,
+                            int64Cols: Seq[String] = TensorCols,
+                            tokenCol: String = "token_ids"): Int = {
+    require(binsPerShard > 0, s"binsPerShard $binsPerShard")
+    val spark = bins.sparkSession
+    val (v, staging) = IndexVersions.nextStaging(dir)
+    val sharded = bins
+      .withColumn("shard_id",
+        (col("bin_id") / lit(binsPerShard)).cast("long"))
+      .repartitionByRange(col("bin_id"))
+      .sortWithinPartitions(col("bin_id"))
+    graft.sources.TfRecord.writeShardedExamples(sharded,
+      s"$staging/shards", "shard_id", int64Cols, Seq.empty)
+    shardRecount(graft.sources.TfRecord.readShardedExamples(spark,
+        s"$staging/shards", int64Cols, Seq.empty), tokenCol)
+      .repartition(1)
+      .write.parquet(s"$staging/manifest")
+    IndexVersions.publish(dir, v)
+    v
+  }
+
+  /** Read the CURRENT version of a [[writeManifestedShards]] store.
+    * `verify = true` (default) recounts (records, tokens, xor
+    * fingerprint) per shard from the bytes and full-outer-checks the
+    * manifest — a lost, truncated, or extraneous shard file fails
+    * loudly instead of silently feeding a training run short. */
+  def readManifestedShards(spark: org.apache.spark.sql.SparkSession,
+                           dir: String,
+                           int64Cols: Seq[String] = TensorCols,
+                           tokenCol: String = "token_ids",
+                           verify: Boolean = true): DataFrame = {
+    val root = IndexVersions.resolve(dir)
+    val df = graft.sources.TfRecord.readShardedExamples(spark,
+      s"$root/shards", int64Cols, Seq.empty)
+    if (verify) {
+      val manifest = spark.read.parquet(s"$root/manifest")
+        .select(col("shard_id"), col("n_records").as("m_records"),
+          col("n_tokens").as("m_tokens"), col("tok_xor").as("m_xor"))
+      val bad = shardRecount(df, tokenCol)
+        .join(manifest, Seq("shard_id"), "full_outer")
+        .filter(col("n_records").isNull || col("m_records").isNull ||
+          col("n_records") =!= col("m_records") ||
+          col("n_tokens") =!= col("m_tokens") ||
+          col("tok_xor") =!= col("m_xor"))
+        .count()
+      require(bad == 0,
+        s"$root/shards disagrees with its manifest on $bad shard(s) — " +
+          "torn or tampered shard set")
+    }
+    df
+  }
+
   /** Decode TFRecord shards written from [[binTensors]] rows back to
     * one row PER TOKEN, each token joined to its segment's boundary
     * facts — the shape a correctness check (and the DuckDB oracle)

@@ -451,6 +451,27 @@ object BpeOracle {
          |  bin_id, n_segs, n_tokens, tok_xor
          |FROM ranked""".stripMargin
 
+  /** Oracle for `train_shards_manifest`: the per-token loader replay
+    * aggregated to the manifest grain — shard = bin_id / binsPerShard
+    * (pure arithmetic), per shard the record count, token count and
+    * xor fingerprint the manifest attests. The Spark side re-derives
+    * the same three numbers from the PUBLISHED bytes and emits the
+    * manifest row with an agreement flag, so a hash match proves
+    * write -> manifest -> read-back -> verify end to end. */
+  def manifestSql(n: Int, capacity: Int, binsPerShard: Int): String =
+    tokenRowCtes(n, capacity, eos = false) +
+      s""",
+         |binagg AS (SELECT bin_id, count(*) AS n_tokens,
+         |    bit_xor((pos << 20) + token_id) AS bin_xor
+         |  FROM tokrows GROUP BY bin_id)
+         |SELECT CAST(floor(bin_id / $binsPerShard.0) AS BIGINT)
+         |    AS shard_id,
+         |  count(*) AS n_records,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(bin_xor) AS tok_xor,
+         |  TRUE AS manifest_ok
+         |FROM binagg GROUP BY 1""".stripMargin
+
   /** Oracle for `bpe_pack_shards_e2e`: the piece-count replay above
     * feeding the exact pack_to_shards bin chain (doc_id-ordered
     * cumulative-before sum, floor(cum/capacity) bins) — tokenizer in

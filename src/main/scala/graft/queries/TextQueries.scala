@@ -52,6 +52,7 @@ object TextQueries {
   private val lmModelCache = scala.collection.concurrent.TrieMap[String, String]()
   private val curriculumShardCache = scala.collection.concurrent.TrieMap[String, String]()
   private val trainShardCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val manifestShardCache = scala.collection.concurrent.TrieMap[String, String]()
   private val trainShardEosCache = scala.collection.concurrent.TrieMap[String, String]()
   private val tokenizerCache = scala.collection.concurrent.TrieMap[String, String]()
   private val curTensorCache = scala.collection.concurrent.TrieMap[String, String]()
@@ -938,6 +939,47 @@ object TextQueries {
         graft.sources.TfRecord.readExamples(s, dir,
           Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
             "seg_lens"), Seq.empty))
+    },
+
+    // The manifested/versioned sink (TensorShards.writeManifestedShards
+    // -> IndexVersions atomic publish): shard files + a parquet
+    // manifest (records, tokens, xor fingerprint per shard) flip in as
+    // one version. The entry re-derives the three numbers from the
+    // PUBLISHED bytes, full-outer-joins the manifest, and emits the
+    // manifest rows with an agreement flag — hash-green means
+    // write -> manifest -> read-back -> verify agree with the oracle's
+    // independent pack replay.
+    "train_shards_manifest" -> { (s, d) =>
+      val dir = manifestShardCache.getOrElseUpdate(d, {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_manishard").toString
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.trainMerges(docs, nMerges = 20)
+        val ids = Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
+        val spans = Bpe.promptMaskSpans(docs, merges)
+        val bins = graft.ops.TensorShards.binTensors(ids, spans,
+          capacity = 512)
+        graft.ops.TensorShards.writeManifestedShards(bins, r,
+          binsPerShard = 8)
+        r
+      })
+      val root = graft.ops.IndexVersions.resolve(dir)
+      val manifest = s.read.parquet(s"$root/manifest")
+      val recount = graft.ops.TensorShards
+        .readManifestedShards(s, dir, verify = false)
+        .withColumn("rx", expr("aggregate(transform(token_ids, " +
+          "(t, p) -> shiftleft(cast(p as bigint), 20) + t), 0L, " +
+          "(a, x) -> a ^ x)"))
+        .groupBy(col("shard").as("shard_id"))
+        .agg(count(lit(1)).as("r_records"),
+          sum(size(col("token_ids"))).cast("long").as("r_tokens"),
+          expr("bit_xor(rx)").as("r_xor"))
+      manifest.join(recount, Seq("shard_id"), "full_outer")
+        .select(col("shard_id"), col("n_records"), col("n_tokens"),
+          col("tok_xor"),
+          (col("n_records") === col("r_records") &&
+            col("n_tokens") === col("r_tokens") &&
+            col("tok_xor") === col("r_xor")).as("manifest_ok"))
     },
 
     // The EOS variant: a document-separator token (id = |vocab|, the
@@ -2438,6 +2480,11 @@ object TextQueries {
     // full loader-tensor replay: training + encode + vocab ids +
     // prompt spans + pack chain -> one row per token with segment facts
     "train_shards_e2e" -> BpeOracle.trainShardsSql(20, capacity = 512),
+
+    // manifest grain of the same replay: shard = bin/8 arithmetic,
+    // (records, tokens, xor) per shard, agreement flag TRUE
+    "train_shards_manifest" ->
+      BpeOracle.manifestSql(20, capacity = 512, binsPerShard = 8),
 
     // the separator variant: one EOS piece per doc at id |vocab|
     "train_shards_eos_e2e" ->

@@ -148,6 +148,40 @@ class TensorShardsSpec extends AnyFunSuite {
     assert(decoded == expected)
   }
 
+  test("manifested shards: torn writes invisible, tampering caught") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest").toString
+    val bins = TensorShards.binTensors(ids, spans, 8L)
+    val v1 = TensorShards.writeManifestedShards(bins, dir,
+      binsPerShard = 2)
+    assert(v1 == 1)
+    val r1 = TensorShards.readManifestedShards(spark, dir).count()
+    assert(r1 > 0)
+    // a torn write = staging tree with NO marker (crash before
+    // publish): readers keep resolving v1 and never see the garbage
+    new java.io.File(s"$dir/v=2/shards").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/v=2/shards/shard-0-dead-00000.tfrecord"),
+      Array[Byte](1, 2, 3))
+    assert(TensorShards.readManifestedShards(spark, dir).count() == r1)
+    // the next write reclaims the orphaned staging tree (instead of
+    // wedging on path-exists) and publishes a complete v2
+    val v2 = TensorShards.writeManifestedShards(bins, dir,
+      binsPerShard = 2)
+    assert(v2 == 2)
+    assert(TensorShards.readManifestedShards(spark, dir).count() == r1)
+    // deleting a published shard file must fail verification loudly
+    val root = IndexVersions.resolve(dir)
+    val shardFiles = new java.io.File(s"$root/shards").listFiles()
+      .filter(_.getName.endsWith(".tfrecord"))
+    assert(shardFiles.nonEmpty)
+    shardFiles.head.delete()
+    intercept[Exception] {
+      TensorShards.readManifestedShards(spark, dir)
+    }
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
   test("multi-turn loss mask flips exactly at turn boundaries") {
     // char-level pieces (no merges) make every span hand-computable:
     // each word contributes |word| pieces in order
