@@ -170,7 +170,11 @@ object Dedup {
     *    banding (exact-signature groups share every band, so the band
     *    self-join runs over representatives; pairs expand back from the
     *    group membership afterwards — output-identical, and the
-    *    dominant exact/near-exact mass leaves the quadratic join);
+    *    dominant exact/near-exact mass leaves the quadratic join). The
+    *    collapse engages ADAPTIVELY: a one-pass sketch over the
+    *    signature table estimates duplicate-signature mass, and a
+    *    clean corpus (the normal case after exact dedup) keeps the
+    *    cheaper direct band self-join — same output either way;
     *  - `maxBucket > 0` caps BOTH the members kept per signature group
     *    and the representatives kept per (band_id, band_hash) bucket
     *    (deterministic: lowest ids survive), bounding any single
@@ -209,6 +213,82 @@ object Dedup {
     val sigs = minhashSignaturesFromShingles(shingled, k)
       .join(shingled, "id")
       .transform(CacheRegistry.persist)
+    // ADAPTIVE plan choice (the AQE discipline, one level up): the
+    // signature-collapse plan below defends against boilerplate skew
+    // but costs one extra corpus exchange + expansion joins — pure
+    // overhead on a corpus whose signatures are (near-)all distinct,
+    // which is the normal case AFTER exact dedup (measured: +3-4 s
+    // wall on curate_crawl_e2e at sf0.1 for zero avoided work). One
+    // single-pass sketch aggregate over the cached signature table
+    // estimates the duplicate-signature mass; the collapse engages
+    // when that mass is large enough to matter ABSOLUTELY (a 2000-row
+    // group would put ~4M rows in each of its band buckets) or as a
+    // FRACTION (boilerplate-heavy corpus), and always when a cap is
+    // requested (cap semantics are defined on the collapsed plan).
+    // Decision errs toward collapsing: HLL ±2% on a large corpus
+    // overstates dup mass far more often than it hides a 2000-row
+    // group. Outputs of the two plans are identical (oracle-pinned).
+    val collapse = maxBucket > 0 || {
+      val r = sigs.agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(col("sig")), 0.02).as("d")).head()
+      val n = r.getLong(0)
+      val dupMass = math.max(0L, n - r.getLong(1))
+      dupMass >= 2000L || (n > 0 && dupMass.toDouble / n >= 0.01)
+    }
+    val (pairs, drops) =
+      if (collapse) collapsedPairs(sigs, k, bands, maxBucket)
+      else {
+        // direct banding: every id into its 8 band buckets, one
+        // self-join — the cheapest plan when buckets stay small
+        val banded = withLshBands(sigs.select(col("id"), col("sig")),
+          "sig", bands, k / bands)
+          .select(col("id"), col("band_id"), col("band_hash"))
+        val a = banded.select(col("band_id"), col("band_hash"),
+          col("id").as("id_a"))
+        val b = banded.select(col("band_id"), col("band_hash"),
+          col("id").as("id_b"))
+        (a.join(b, Seq("band_id", "band_hash"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b"),
+          emptyDrops(sigs))
+      }
+    // the verified pair frame is PERSISTED (pair-count-sized): the
+    // batch consumers (dropNearDuplicates, keepBestPerCluster,
+    // clusterDuplicates, the leakage-safe split) all reference it more
+    // than once — clusterDuplicates alone evaluates it twice for the
+    // two edge directions
+    (CacheRegistry.persist(pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("shingles").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("shingles").as("sh_b")), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / size(col("sig_a")))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(col("jaccard"), 4).as("jaccard"))),
+      drops)
+  }
+
+  private def emptyDrops(any: DataFrame): DataFrame =
+    any.sparkSession.emptyDataFrame
+      .withColumn("cap_site", lit("")).withColumn("cap_key", lit(0L))
+      .withColumn("n_dropped", lit(0L)).limit(0)
+
+  /** The skew-proof candidate plan of [[minhashNearDupsWithDrops]]:
+    * collapse identical signatures to one representative before
+    * banding, enumerate within-group pairs from membership, cap group
+    * membership and band buckets when `maxBucket > 0`. Returns
+    * (candidate pairs, cap-drop audit frame). */
+  private def collapsedPairs(sigs: DataFrame, k: Int, bands: Int,
+                             maxBucket: Int): (DataFrame, DataFrame) = {
     // collapse identical signatures: exact/near-exact duplicates (the
     // boilerplate mass) agree on ALL k components, so banding each copy
     // would put the whole group in every one of its band buckets —
@@ -263,13 +343,13 @@ object Dedup {
       .select(col("ma"), explode(col("ms_b")).as("mb"))
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"))
+    // no dedup exchange needed: every doc lives in exactly ONE
+    // signature group, so an unordered pair arises under exactly one
+    // rep pair (already deduplicated) or exactly once inside `within`,
+    // and the two branches are disjoint by construction
     val pairs = within.unionByName(cross)
-      .dropDuplicates("id_a", "id_b")
     val drops =
-      if (maxBucket == 0)
-        groups.sparkSession.emptyDataFrame
-          .withColumn("cap_site", lit("")).withColumn("cap_key", lit(0L))
-          .withColumn("n_dropped", lit(0L)).limit(0)
+      if (maxBucket == 0) emptyDrops(groups)
       else {
         val grpDrops = groups.filter(col("grp_dropped") > 0)
           .select(lit("group").as("cap_site"),
@@ -284,23 +364,7 @@ object Dedup {
             col("n_dropped"))
         grpDrops.unionByName(bucketDrops)
       }
-    (pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
-        col("shingles").as("sh_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
-        col("shingles").as("sh_b")), "id_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / size(col("sig_a")))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"),
-        round(col("est_jaccard"), 4).as("est_jaccard"),
-        round(col("jaccard"), 4).as("jaccard")),
-      drops)
+    (pairs, drops)
   }
 
   /** MinHash signature estimate of Jaccard: fraction of equal
