@@ -455,21 +455,22 @@ object Similarity {
         // point would silently vanish from the new version — and the
         // stream's version-independent vecs_seen gate would then refuse
         // to ever re-append those ids (permanent loss, not staleness).
-        // Fold the delta in before publishing: a FRESH listing of the
-        // old assignments anti-joined on corpus_id against the snapshot
-        // appends as ordinary segment files (same layout — no reorder
-        // needed, the cell partitioning carries them). The remaining
-        // exposure is the delta-scan-to-publish window; a writer that
-        // cannot be quiesced for even that should run compaction from
-        // its own ingest hook ([[graft.streaming.IvfStreamMaintain]]'s
-        // foreachBatch serialization is the safe harness).
-        val fresh = spark.read.parquet(s"$root/assignments")
-        val delta = fresh.join(base.select(col("corpus_id")),
-          Seq("corpus_id"), "left_anti").localCheckpoint()
-        if (delta.limit(1).count() > 0)
-          delta.write.mode("append").partitionBy("cell")
+        // The store is append-only, so the delta is exactly the FILES
+        // a fresh listing has that the snapshot listing lacked: read
+        // only those (basePath keeps the cell partition column) and
+        // append them to staging verbatim — no scan, no shuffle. The
+        // remaining exposure is the delta-list-to-publish window; a
+        // writer that cannot be quiesced for even that should run
+        // compaction from its own ingest hook
+        // ([[graft.streaming.IvfStreamMaintain]]'s foreachBatch
+        // serialization is the safe harness).
+        val deltaFiles = (spark.read.parquet(s"$root/assignments")
+          .inputFiles.toSet -- base.inputFiles.toSet).toSeq
+        if (deltaFiles.nonEmpty)
+          spark.read.option("basePath", s"$root/assignments")
+            .parquet(deltaFiles: _*)
+            .write.mode("append").partitionBy("cell")
             .parquet(s"$staging/assignments")
-        delta.unpersist()
         IndexVersions.publish(dir, v)
         (before, countFiles(staging))
       case Some(cs) =>

@@ -224,17 +224,20 @@ object TextSearch {
       case None =>
         // whole-index merge: fresh staging version, atomic flip
         val (v, staging) = IndexVersions.nextStaging(dir)
-        spark.read.parquet(s"$root/postings")
+        val postsSnap = spark.read.parquet(s"$root/postings")
+        postsSnap
           .repartition(col("term_bucket"))
           .sortWithinPartitions(col("term"))
           .write.partitionBy("term_bucket").parquet(s"$staging/postings")
-        spark.read.parquet(s"$root/dfs")
+        val dfsSnap = spark.read.parquet(s"$root/dfs")
+        dfsSnap
           .groupBy(col("term_bucket"), col("term"))
           .agg(sum(col("df")).as("df"))
           .repartition(col("term_bucket"))
           .sortWithinPartitions(col("term"))
           .write.partitionBy("term_bucket").parquet(s"$staging/dfs")
-        val s = spark.read.parquet(s"$root/stats")
+        val statsSnap = spark.read.parquet(s"$root/stats")
+        val s = statsSnap
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("sum_dl")).as("sum_dl")).collect()
         spark.createDataFrame(
@@ -245,6 +248,29 @@ object TextSearch {
             org.apache.spark.sql.types.StructField("sum_dl",
               org.apache.spark.sql.types.LongType))))
           .write.parquet(s"$staging/stats")
+        // Writer-concurrency guard (the compactIvfCells discipline):
+        // segments appendToInvertedIndex landed between the snapshot
+        // listings above and this point would vanish from the new
+        // version — and docs_seen would permanently refuse their
+        // re-append. The store is append-only, so the delta is exactly
+        // the files a fresh listing has that the snapshot lacked;
+        // postings rows are per-(term, doc) facts and dfs/stats rows
+        // are summable per-segment contributions (the query path sums
+        // them), so the delta segments append to staging VERBATIM.
+        def foldDelta(sub: String, snap: DataFrame,
+                      partCols: Seq[String]): Unit = {
+          val d = (spark.read.parquet(s"$root/$sub").inputFiles.toSet --
+            snap.inputFiles.toSet).toSeq
+          if (d.nonEmpty) {
+            val w = spark.read.option("basePath", s"$root/$sub")
+              .parquet(d: _*).write.mode("append")
+            (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+              .parquet(s"$staging/$sub")
+          }
+        }
+        foldDelta("postings", postsSnap, Seq("term_bucket"))
+        foldDelta("dfs", dfsSnap, Seq("term_bucket"))
+        foldDelta("stats", statsSnap, Nil)
         IndexVersions.publish(dir, v)
         (before, countFiles(staging))
       case Some(bs) =>
