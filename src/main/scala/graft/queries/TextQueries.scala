@@ -1311,6 +1311,19 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     },
 
+    // The CAPPED twin runs the signature-collapse plan (maxBucket > 0
+    // forces it; 1000 is far above any fixture bucket, so nothing
+    // drops) against the SAME oracle as dedup_minhash_lsh — the driver
+    // gate continuously pins that the adaptive planner's two candidate
+    // plans produce identical pairs, not just the one the statistic
+    // happens to pick.
+    "dedup_minhash_capped" -> { (s, d) =>
+      Dedup.minhashNearDups(corpusWithPlants(s, d), "doc_id", "text",
+        k = 32, bands = 8, shingleSize = 3, minJaccard = 0.5,
+        maxBucket = 1000)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    },
+
     "dedup_simhash" -> { (s, d) =>
       // one-word perturbations on ~40-token docs can flip several bits;
       // 8 of 64 keeps planted pairs while random pairs stay ~32 apart
@@ -2724,6 +2737,7 @@ object TextQueries {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+    "dedup_minhash_capped" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "split_leakage_safe" -> splitLeakageSafeOracle,
