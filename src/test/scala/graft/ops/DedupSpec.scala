@@ -216,6 +216,35 @@ class DedupSpec extends AnyFunSuite {
       s"audit $bucketDropTotal != independent histogram $expectedDrops")
   }
 
+  test("adaptive planner branches agree on seeded random corpora") {
+    // direct plan (dup mass under the 1% engage threshold) vs the
+    // collapse plan (forced via a never-dropping cap): full verified
+    // row sets must be identical — the randomized complement of the
+    // oracle-pinned fixture equalities
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until 150).map { i =>
+        val words = (0 until 30).map(_ => s"w${rnd.nextInt(120)}")
+        (seed * 10000L + i, words.mkString(" "))
+      }
+      val extra = Seq(
+        (seed * 10000L + 900, base(3)._2), // one exact duplicate
+        (seed * 10000L + 901,             // one near duplicate
+          "zzz " + base(5)._2.split(" ").drop(1).mkString(" ")))
+      val corpus2 = (base ++ extra).toDF("doc_id", "text")
+      def rows(cap: Int) = Dedup.minhashNearDups(corpus2, "doc_id",
+          "text", k = 32, bands = 8, shingleSize = 3,
+          minJaccard = 0.3, maxBucket = cap)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val direct = rows(0)          // 2/152 dup mass -> direct plan
+      val collapsed = rows(1000000) // cap forces collapse, drops nothing
+      graft.ops.CacheRegistry.releaseAll()
+      assert(direct == collapsed, s"seed $seed: plans disagree")
+      assert(direct.exists(r => r._1 == seed * 10000L + 3 &&
+        r._2 == seed * 10000L + 900), s"seed $seed: exact pair missing")
+    }
+  }
+
   test("minhash estimate approximates true jaccard") {
     val row = Dedup.minhashNearDups(corpus, "doc_id", "text", minJaccard = 0.5)
       .filter(col("id_a") === 1 && col("id_b") === 101)
