@@ -210,7 +210,8 @@ object Bench {
     // per-position span-membership projection over the 2x-doc
     // conversation corpus) and the manifested shard sink's verified
     // read-back (manifest join + per-shard recount)
-    "sft_multiturn_batches", "train_shards_manifest")
+    "sft_multiturn_batches", "train_shards_manifest",
+    "sft_multiturn_packed")
 
   /** Timed and recorded in bench_report.json, but left off the stdout
     * line's queries map — each fixed char there is a query that no
@@ -227,7 +228,7 @@ object Bench {
     "bpe_decode_ids", "bpe_encode_ids_frozen", "multimodal_shards_e2e",
     "curriculum_tensor_shards_e2e", "tokenizer_fertility",
     "sft_padded_batches", "sft_multiturn_batches",
-    "train_shards_manifest")
+    "train_shards_manifest", "sft_multiturn_packed")
 
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see

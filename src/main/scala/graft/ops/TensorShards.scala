@@ -149,6 +149,69 @@ object TensorShards {
         col("n_real"))
   }
 
+  /** [[binTensors]] for MULTI-TURN conversations — the PACKED SFT
+    * shape: same bins, segments and capacity arithmetic, but loss bits
+    * come from [[Bpe.turnMaskSpans]] intervals (1 exactly on
+    * assistant-CONTENT pieces; template markers, user turns and
+    * preamble stay 0) instead of a single prompt-prefix rule. With
+    * `eosId` the appended separator carries loss 1, as in
+    * [[binTensors]]. Scale shape identical: per-doc arrays ride the
+    * encode's doc-keyed exchange, the span list per doc is
+    * turns-per-conversation sized, and the bin roll-up is one
+    * bin-keyed exchange of doc-sized rows. */
+  def binTensorsMultiturn(ids: DataFrame, turnSpans: DataFrame,
+                          capacity: Long, nParts: Int = 32,
+                          eosId: Option[Long] = None): DataFrame = {
+    require(capacity > 0, s"capacity $capacity")
+    val perDocSpans = turnSpans.groupBy(col("doc_id"))
+      .agg(
+        max(col("start_piece") + col("n_pieces")).cast("long")
+          .as("n_pieces0"),
+        collect_list(when(col("role") === "assistant",
+          struct(col("content_start_piece").cast("long").as("s"),
+            (col("start_piece") + col("n_pieces")).cast("long").as("e"))))
+          .as("spans"))
+    val eosExtra = if (eosId.isDefined) 1L else 0L
+    val weighted = perDocSpans.select(col("doc_id"),
+      (col("n_pieces0") + eosExtra).as("n_pieces"))
+    val packed = Packing.packChunked(weighted,
+      "doc_id", "n_pieces", capacity, nParts)
+    val perDocBase = ids.groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("piece_pos"), col("token_id")))),
+        s => s.getField("token_id")).as("toks"))
+    val perDoc = eosId match {
+      case Some(e) => perDocBase.select(col("doc_id"),
+        concat(col("toks"), array(lit(e))).as("toks"))
+      case None => perDocBase
+    }
+    val docRows = perDoc.join(packed, "doc_id")
+      .join(perDocSpans.select(col("doc_id"), col("spans")), "doc_id")
+      .select(col("bin_id"), col("doc_id"),
+        (col("cum_before") % capacity).as("seg_start"),
+        col("n_pieces").cast("long").as("seg_len"),
+        col("spans"), col("toks"))
+    def field(d: Column, name: String): Column = d.getField(name)
+    val hasEos = lit(eosId.isDefined)
+    docRows.groupBy(col("bin_id"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("seg_start"),
+        col("seg_len"), col("spans"), col("toks")))).as("ds"))
+      .select(col("bin_id"),
+        flatten(transform(col("ds"), d => field(d, "toks")))
+          .as("token_ids"),
+        flatten(transform(col("ds"), d =>
+          transform(sequence(lit(1L),
+              size(field(d, "toks")).cast("long")),
+            i => when(
+              exists(field(d, "spans"), sp =>
+                i - 1 >= sp.getField("s") && i - 1 < sp.getField("e")) ||
+              (hasEos && i === size(field(d, "toks")).cast("long")),
+              lit(1L)).otherwise(lit(0L)))))
+          .as("loss_mask"),
+        transform(col("ds"), d => field(d, "seg_start")).as("seg_starts"),
+        transform(col("ds"), d => field(d, "seg_len")).as("seg_lens"))
+  }
+
   /** [[paddedExamples]] for MULTI-TURN conversations: loss bits come
     * from [[Bpe.turnMaskSpans]] rows instead of a single prompt
     * prefix — 1 exactly on assistant-turn CONTENT pieces (template

@@ -188,12 +188,81 @@ object BpeOracle {
     * CONTENT pieces (markers excluded) inside the real length. Merges
     * train on the conversation corpus itself, so one CTE chain replays
     * tokenizer + roles + collator end to end. */
+  /** The conversation fixture CTE — must match the queries-side concat
+    * verbatim (shared by the padded and packed multi-turn oracles). */
+  private val convCte: String =
+    """conv AS MATERIALIZED (SELECT doc_id,
+      |    '<user> ' || text || ' <assistant> ' || text ||
+      |      ' <user> again please <assistant> sure thing done' AS text
+      |  FROM documents)""".stripMargin
+
+  /** Piece stream with chat roles: word positions over `conv`, role =
+    * last marker at or before the word, per-piece ids in (pos, j)
+    * order with the assistant-content loss bit — the shared front half
+    * of [[multiturnSql]] and [[multiturnShardsSql]], ending in
+    * relation `eids(doc_id, piece_pos, token_id, lossw)`. */
+  private def multiturnEidsCtes: String =
+    s"""wp AS (SELECT w, unnest(syms) AS s,
+       |    unnest(range(1, len(syms) + 1)) AS j
+       |  FROM enc WHERE mm IS NULL),
+       |wid AS (SELECT wp.w, wp.j, COALESCE(v.token_id, -1) AS tid
+       |  FROM wp LEFT JOIN vocab v ON wp.s = v.symbol),
+       |tpos AS (SELECT doc_id, unnest(tsf) AS w,
+       |    unnest(range(1, len(tsf) + 1)) AS pos
+       |  FROM (SELECT doc_id, list_filter(
+       |      string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> len(t) > 0) AS tsf FROM conv)),
+       |rt AS (SELECT doc_id, w, pos, mk,
+       |    last_value(mk IGNORE NULLS) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      CURRENT ROW) AS role
+       |  FROM (SELECT doc_id, w, pos,
+       |      CASE WHEN w = '<user>' THEN 'user'
+       |           WHEN w = '<assistant>' THEN 'assistant' END AS mk
+       |    FROM tpos)),
+       |eids AS (SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos, j)
+       |      - 1 AS BIGINT) AS piece_pos,
+       |    CAST(tid AS BIGINT) AS token_id,
+       |    (role = 'assistant' AND mk IS NULL) AS lossw
+       |  FROM rt JOIN wid USING (w))""".stripMargin
+
+  /** Oracle for `sft_multiturn_packed`: the loader-tensor pack replay
+    * (doc-id-ordered cumulative-before sum, floor(cum/capacity) bins,
+    * overflow keeps its home bin) with the per-piece chat-template
+    * loss bit instead of the prompt-prefix rule — one row per token:
+    * (bin_id, pos, token_id, loss, seg_idx, seg_start, seg_len). */
+  def multiturnShardsSql(n: Int, capacity: Int): String =
+    encodePrefix(n, docRel = "conv", pre = Seq(convCte)) +
+      s""",
+         |${vocabCtes(n)},
+         |$multiturnEidsCtes,
+         |spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces
+         |  FROM eids GROUP BY doc_id),
+         |cum AS (SELECT doc_id, n_pieces,
+         |    CAST(COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb
+         |  FROM spans),
+         |bins AS (SELECT doc_id, n_pieces,
+         |    CAST(floor(cb / $capacity.0) AS BIGINT) AS bin_id,
+         |    CAST(cb % $capacity AS BIGINT) AS seg_start
+         |  FROM cum),
+         |segix AS (SELECT doc_id, n_pieces, bin_id, seg_start,
+         |    CAST(row_number() OVER (PARTITION BY bin_id ORDER BY doc_id)
+         |      - 1 AS BIGINT) AS seg_idx
+         |  FROM bins)
+         |SELECT sx.bin_id,
+         |  CAST(row_number() OVER (PARTITION BY sx.bin_id
+         |    ORDER BY doc_id, e.piece_pos) - 1 AS BIGINT) AS pos,
+         |  e.token_id,
+         |  CAST(CASE WHEN e.lossw THEN 1 ELSE 0 END AS BIGINT) AS loss,
+         |  sx.seg_idx, sx.seg_start,
+         |  sx.n_pieces AS seg_len
+         |FROM segix sx JOIN eids e USING (doc_id)""".stripMargin
+
   def multiturnSql(n: Int, maxLen: Int): String = {
-    val conv =
-      """conv AS MATERIALIZED (SELECT doc_id,
-        |    '<user> ' || text || ' <assistant> ' || text ||
-        |      ' <user> again please <assistant> sure thing done' AS text
-        |  FROM documents)""".stripMargin
+    val conv = convCte
     encodePrefix(n, docRel = "conv", pre = Seq(conv)) +
       s""",
          |${vocabCtes(n)},

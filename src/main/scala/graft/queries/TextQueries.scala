@@ -982,6 +982,29 @@ object TextQueries {
             col("tok_xor") === col("r_xor")).as("manifest_ok"))
     },
 
+    // The PACKED multi-turn shape (TensorShards.binTensorsMultiturn):
+    // same bins/segments/capacity arithmetic as train_shards_e2e, loss
+    // bits from the chat-template turn spans instead of the prompt
+    // prefix — the tensor layout a packed SFT run consumes. Decoded
+    // per token through the same seg prefix-sum lookup, hash-checked
+    // against the pack replay threaded with the per-piece role bit.
+    "sft_multiturn_packed" -> { (s, d) =>
+      val convo = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("<user> "), col("text"), lit(" <assistant> "),
+          col("text"),
+          lit(" <user> again please <assistant> sure thing done"))
+          .as("text"))
+      val merges = Bpe.trainMerges(convo, nMerges = 20)
+      val syms = Bpe.vocab(convo, merges)
+      val ids = Bpe.encodeIds(convo, merges, syms)
+      val spans = Bpe.turnMaskSpans(convo, merges)
+      graft.ops.TensorShards.decodeTokenRows(
+        graft.ops.TensorShards.binTensorsMultiturn(ids, spans,
+            capacity = 512)
+          .select(array(col("bin_id")).as("bin_id"), col("token_ids"),
+            col("loss_mask"), col("seg_starts"), col("seg_lens")))
+    },
+
     // The EOS variant: a document-separator token (id = |vocab|, the
     // first free id) after each document's pieces — counted in the
     // pack weights and seg lengths, loss bit 1 (always at/past the
@@ -2478,6 +2501,9 @@ object TextQueries {
     "sft_padded_batches" -> BpeOracle.paddedSql(20, maxLen = 64),
 
     "sft_multiturn_batches" -> BpeOracle.multiturnSql(20, maxLen = 96),
+
+    "sft_multiturn_packed" ->
+      BpeOracle.multiturnShardsSql(20, capacity = 512),
 
     // the round-trip contract IS the oracle: decode(encode(x)) ==
     // normalized(x) — lowercase, whitespace removed; docs with no

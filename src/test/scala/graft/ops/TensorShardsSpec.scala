@@ -182,6 +182,39 @@ class TensorShardsSpec extends AnyFunSuite {
     graft.ops.CacheRegistry.releaseAll()
   }
 
+  test("packed multi-turn bins: loss bits per doc match the turn spans") {
+    val convo = Seq(
+      (1L, "<user> hi there <assistant> ok bye <user> more <assistant> done"),
+      (2L, "intro words <user> q <assistant> a")
+    ).toDF("doc_id", "text")
+    val merges = List.empty[(String, String)]
+    val syms = Bpe.vocab(convo, merges)
+    val ids = Bpe.encodeIds(convo, merges, syms)
+    val spans = Bpe.turnMaskSpans(convo, merges)
+    // capacity 32: doc 1 (54 pieces) opens bin 0 and overflows it
+    // (home-bin rule); doc 2 (29 pieces, cum_before 54) lands in bin 1
+    // with seg_start 54 % 32 = 22
+    val bins = TensorShards.binTensorsMultiturn(ids, spans, 32L)
+      .collect().sortBy(_.getLong(0))
+    graft.ops.CacheRegistry.releaseAll()
+    assert(bins.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val b0loss = bins(0).getSeq[Long](2)
+    val b1loss = bins(1).getSeq[Long](2)
+    assert(b0loss == (0 until 54).map(i =>
+      if ((i >= 24 && i < 29) || (i >= 50 && i < 54)) 1L else 0L))
+    assert(b1loss == (0 until 29).map(i => if (i == 28) 1L else 0L))
+    assert(bins(1).getSeq[Long](3) == Seq(22L)) // seg_start
+    assert(bins(0).getSeq[Long](4) == Seq(54L)) // seg_len
+    // EOS variant: separator appended per doc with loss bit 1
+    val binsEos = TensorShards.binTensorsMultiturn(ids, spans, 32L,
+        eosId = Some(syms.size.toLong))
+      .collect().sortBy(_.getLong(0))
+    graft.ops.CacheRegistry.releaseAll()
+    val e0 = binsEos(0)
+    assert(e0.getSeq[Long](1).last == syms.size.toLong)
+    assert(e0.getSeq[Long](2).size == 55 && e0.getSeq[Long](2).last == 1L)
+  }
+
   test("multi-turn loss mask flips exactly at turn boundaries") {
     // char-level pieces (no merges) make every span hand-computable:
     // each word contributes |word| pieces in order
