@@ -51,10 +51,17 @@ object TensorStreamShards {
 
   /** One micro-batch: drop already-sharded doc ids, encode under the
     * frozen tokenizer, compose bin tensors, append TFRecord shards,
-    * record the ids. Exposed for tests and cron-style batch reruns. */
+    * record the ids. Exposed for tests and cron-style batch reruns.
+    * `multiturn = true` masks with the chat-template turn spans
+    * ([[graft.ops.Bpe.turnMaskSpans]] +
+    * [[graft.ops.TensorShards.binTensorsMultiturn]] — loss on
+    * assistant content only) instead of the prompt-prefix rule; every
+    * other invariant (packing, globalized bins, idempotence) is
+    * identical. */
   def shardBatch(spark: SparkSession, tokenizerDir: String,
                  batch: DataFrame, outDir: String, capacity: Long,
-                 batchId: Long, eosId: Option[Long] = None): Unit = {
+                 batchId: Long, eosId: Option[Long] = None,
+                 multiturn: Boolean = false): Unit = {
     val seenDir = s"$outDir/docs_seen"
     val hasSeen = IndexVersions.pathExists(seenDir)
     val once = batch.dropDuplicates("doc_id")
@@ -67,15 +74,20 @@ object TensorStreamShards {
         val (merges, syms) = tokenizerCache.getOrElseUpdate(tokenizerDir,
           Bpe.loadTokenizer(spark, tokenizerDir))
         val ids = Bpe.encodeIds(novel, merges, syms)
-        val spans = Bpe.promptMaskSpans(novel, merges)
         // bin-id overflow guard: nothing upstream enforces local
         // bin_id < binStride (a micro-batch past ~0.5 G tokens at
         // capacity 512 would wrap into the NEXT batch's id range and
         // silently corrupt shard addressing). The check rides the
         // globalizing projection itself — per-bin-row, zero extra
         // pass — and fails loudly like the TfRecord shard guard.
-        val bins = TensorShards.binTensors(ids, spans, capacity,
-            eosId = eosId)
+        val bins0 =
+          if (multiturn)
+            TensorShards.binTensorsMultiturn(ids,
+              Bpe.turnMaskSpans(novel, merges), capacity, eosId = eosId)
+          else
+            TensorShards.binTensors(ids,
+              Bpe.promptMaskSpans(novel, merges), capacity, eosId = eosId)
+        val bins = bins0
           .select((when(col("bin_id") >= 0 && col("bin_id") < binStride,
               col("bin_id") + lit(batchId * binStride))
             .otherwise(raise_error(concat(
@@ -103,7 +115,8 @@ object TensorStreamShards {
   def start(spark: SparkSession, landingDir: String, tokenizerDir: String,
             outDir: String, checkpointDir: String, capacity: Long = 512L,
             trigger: Trigger = Trigger.AvailableNow(),
-            eosId: Option[Long] = None): StreamingQuery =
+            eosId: Option[Long] = None,
+            multiturn: Boolean = false): StreamingQuery =
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -116,7 +129,7 @@ object TensorStreamShards {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         shardBatch(spark, tokenizerDir, batch, outDir, capacity, batchId,
-          eosId)
+          eosId, multiturn)
       }
       .start()
 }

@@ -99,4 +99,58 @@ class TensorStreamShardsSpec extends AnyFunSuite {
           col("seg_lens")))
     assert(again == decoded, "redelivered batch must be a no-op")
   }
+
+  test("multiturn mode: streamed shards == per-batch multiturn batch " +
+    "composition") {
+    def conv(i: Int): (Long, String) = {
+      val (_, t) = doc(i)
+      (i.toLong, s"<user> $t <assistant> $t")
+    }
+    val seed = (0 until 12).map(conv).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(seed, nMerges = 6)
+    val syms = Bpe.vocab(seed, merges)
+    val tokDir = TestSpark.tmpDir("tstream_mt_tok")
+    Bpe.saveTokenizer(spark, tokDir, merges, syms)
+    val out = TestSpark.tmpDir("tstream_mt_out")
+    TensorStreamShards.shardBatch(spark, tokDir,
+      (0 until 6).map(conv).toDF("doc_id", "text"), out,
+      capacity = 16L, batchId = 0L, multiturn = true)
+    TensorStreamShards.shardBatch(spark, tokDir,
+      (6 until 12).map(conv).toDF("doc_id", "text"), out,
+      capacity = 16L, batchId = 1L, multiturn = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("bin_id"), col("token_ids"), col("loss_mask"),
+          col("seg_starts"), col("seg_lens"))
+        .collect().map(r => (
+          r.get(0) match {
+            case l: Long => l
+            case s: scala.collection.Seq[_] => s.head.asInstanceOf[Long]
+          },
+          r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3),
+          r.getSeq[Long](4))).toSet
+    val decoded = rows(
+      graft.sources.TfRecord.readExamples(spark, s"$out/shards",
+          Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
+            "seg_lens"), Seq.empty)
+        .select(element_at(col("bin_id"), 1).as("bin_id"),
+          col("token_ids"), col("loss_mask"), col("seg_starts"),
+          col("seg_lens")))
+    def direct(ids: Seq[Int], batchId: Long) = {
+      val docs = ids.map(conv).toDF("doc_id", "text")
+      val r = rows(TensorShards.binTensorsMultiturn(
+          Bpe.encodeIds(docs, merges, syms),
+          Bpe.turnMaskSpans(docs, merges), capacity = 16L)
+        .select((col("bin_id") +
+          lit(batchId * TensorStreamShards.binStride)).as("bin_id"),
+          col("token_ids"), col("loss_mask"), col("seg_starts"),
+          col("seg_lens")))
+      graft.ops.CacheRegistry.releaseAll()
+      r
+    }
+    assert(decoded == (direct(0 until 6, 0L) ++ direct(6 until 12, 1L)))
+    // multiturn masking really engaged: user-turn pieces carry 0s and
+    // assistant content carries 1s in every bin
+    assert(decoded.exists(_._3.contains(0L)))
+    assert(decoded.exists(_._3.contains(1L)))
+  }
 }
