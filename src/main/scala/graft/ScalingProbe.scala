@@ -221,7 +221,12 @@ object ScalingProbe {
       // per dir; the kept pass probes the shard-addressed read — file
       // decode + the per-shard replay window, shard-bounded state —
       // plus the per-bin xor fold, token-linear)
-      "curriculum_tensor_shards_e2e")
+      "curriculum_tensor_shards_e2e",
+      // round-13: the packed multi-turn SFT tensors — tokenizer train
+      // + encode + turn-span windows + pack + per-token decode, all
+      // token-linear stages (NOT dir-cached: both probe passes pay the
+      // full compose, which is the honest per-epoch-build number)
+      "sft_multiturn_packed")
     // optional 2nd arg: comma-separated query filter for targeted probes
     val only = args.drop(1).headOption.map(_.split(',').toSet)
     only.foreach { names =>
