@@ -782,4 +782,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(imts >= 3, s"expected >=3 cache reads of uni counts, got $imts")
     graft.ops.CacheRegistry.releaseAll()
   }
+
+  test("grid_info listing count reads keys only, never payload bytes") {
+    // the catalog summary's distinct-count must stay metadata-priced:
+    // the fraction scan it drives may read the two key columns but
+    // NEVER the packed data blobs (a payload read would make the
+    // \"cheap\" catalog call an O(store) scan)
+    val df = FractionStore.fractions(spark, root)
+      .select("frac_num", "time_chunk").distinct()
+    val scans = executed(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val cols = s.schema.fieldNames.toSet
+      assert(!cols.contains("data"),
+        s"listing scan must not read payload, got ${cols.mkString(",")}")
+    }
+  }
+
+  private def hashShuffleKeys(plans: Seq[SparkPlan]): Seq[Seq[String]] =
+    plans.collect { case e: ShuffleExchangeExec => e }.map {
+      _.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.toSeq).map(_.name)
+        case _ => Nil
+      }
+    }
+
+  test("multi-turn collator and packed bins shuffle only on doc/bin keys") {
+    import spark.implicits._
+    val convo = Seq(
+      (1L, "<user> hi there <assistant> ok bye <user> more <assistant> done"),
+      (2L, "intro words <user> q <assistant> a")
+    ).toDF("doc_id", "text")
+    val merges = List.empty[(String, String)]
+    val syms = graft.ops.Bpe.vocab(convo, merges)
+    val ids = graft.ops.Bpe.encodeIds(convo, merges, syms)
+    val spans = graft.ops.Bpe.turnMaskSpans(convo, merges)
+    // padded collator: hash shuffles key on doc_id (encode reassembly /
+    // span windows / joins) or w (the per-DISTINCT-word piece pricing —
+    // vocabulary-sized, the pieceCounts discipline); never a global or
+    // corpus-payload exchange
+    val padded = executed(graft.ops.TensorShards
+      .paddedMultiturnExamples(ids, spans, 16, syms.size.toLong))
+    hashShuffleKeys(padded).foreach(keys =>
+      assert(keys.forall(k => k == "doc_id" || k == "w"),
+        s"unexpected keys: $keys"))
+    padded.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "turn windows must partition by doc"))
+    // packed bins: the same plus the one bin-keyed roll-up
+    val packed = executed(graft.ops.TensorShards
+      .binTensorsMultiturn(ids, spans, 16L))
+    hashShuffleKeys(packed).foreach(keys =>
+      assert(keys.forall(k => k == "doc_id" || k == "bin_id" || k == "w"),
+        s"unexpected keys: $keys"))
+    graft.ops.CacheRegistry.releaseAll()
+  }
 }
