@@ -100,6 +100,35 @@ class TensorStreamShardsSpec extends AnyFunSuite {
     assert(again == decoded, "redelivered batch must be a no-op")
   }
 
+  test("docs_seen compaction bounds file fan-in; the gate stays exact") {
+    val seed = (0 until 24).map(doc).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(seed, nMerges = 6)
+    val syms = Bpe.vocab(seed, merges)
+    val tokDir = TestSpark.tmpDir("tstream_cs_tok")
+    Bpe.saveTokenizer(spark, tokDir, merges, syms)
+    val out = TestSpark.tmpDir("tstream_cs_out")
+    // 8 waves of 3 docs at threshold 2: without compaction docs_seen
+    // would hold 8 part files
+    (0 until 8).foreach { b =>
+      TensorStreamShards.shardBatch(spark, tokDir,
+        (b * 3 until b * 3 + 3).map(doc).toDF("doc_id", "text"), out,
+        capacity = 16L, batchId = b.toLong, seenCompactOver = 2)
+    }
+    val seenFiles = new java.io.File(s"$out/docs_seen").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(seenFiles.length <= 3,
+      s"fan-in must stay bounded, got ${seenFiles.length}")
+    // every id survived every compaction round
+    assert(spark.read.parquet(s"$out/docs_seen").distinct().count() == 24)
+    // and the gate still refuses redelivered docs
+    val before = new java.io.File(s"$out/shards").listFiles().length
+    TensorStreamShards.shardBatch(spark, tokDir,
+      (0 until 24).map(doc).toDF("doc_id", "text"), out,
+      capacity = 16L, batchId = 99L, seenCompactOver = 2)
+    assert(new java.io.File(s"$out/shards").listFiles().length == before,
+      "full redelivery after compaction must write nothing")
+  }
+
   test("multiturn mode: streamed shards == per-batch multiturn batch " +
     "composition") {
     def conv(i: Int): (Long, String) = {
