@@ -232,7 +232,7 @@ object ScalingProbe {
     only.foreach { names =>
       val unknown = names -- chain.toSet - "quantile_cube" -
         "index_maintain" - "ivf_maintain" - "miner_scale" -
-        "minhash_boiler" - "cluster_distributed"
+        "minhash_boiler" - "cluster_distributed" - "seen_compact"
       require(unknown.isEmpty,
         s"unknown probe name(s): ${unknown.mkString(", ")}")
     }
@@ -395,6 +395,29 @@ object ScalingProbe {
             (col("g") * 100 + col("b")).as("id_b"))
         timed("cluster_distributed")(
           Dedup.clusterDuplicates(pairsDf, smallGraphEdges = 0L).count())
+      }
+      // round-14: the shared seen-table compactor's scale claim
+      // (graft.ops.SeenTable) — consolidating the id history must cost
+      // per-id FLAT as the history grows 10x (one distinct + write over
+      // the ids, nothing super-linear), and the output must fan out
+      // with volume (hash-bucketed multi-file sized by bytes/target —
+      // the coalesce(1) single-writer funnel this replaced would show
+      // here as one task absorbing the whole decade). History = n x 2M
+      // incompressible ids (xxhash64 of a range) across 80 append
+      // files, the shape an unattended stream leaves behind.
+      if (only.exists(_.contains("seen_compact"))) {
+        import graft.ops.SeenTable
+        val seenDir = s"$dir/probe_seen"
+        spark.range(n * 2000000L)
+          .select(xxhash64(col("id")).as("doc_id"))
+          .repartition(80)
+          .write.mode("overwrite").parquet(seenDir)
+        timed("seen_compact")(
+          SeenTable.compact(spark, seenDir, "doc_id", threshold = 64,
+            targetBytes = 4L * 1024 * 1024))
+        val outFiles = new java.io.File(seenDir).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        println(s"""{"note":"seen_compact","out_files":$outFiles,"scale_x":$n}""")
       }
       selected.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,

@@ -195,7 +195,15 @@ object Dedup {
     * representatives dropped from an over-full band bucket — with the
     * dropped count. Empty when `maxBucket` is 0 (uncapped) or nothing
     * exceeded the cap. The audit shares the persisted signature/group
-    * tables with the pair plan, so counting it costs one small scan. */
+    * tables with the pair plan, so counting it costs one small scan.
+    *
+    * EAGER at call time when `maxBucket == 0`: the adaptive plan
+    * choice runs one sketch aggregate over the signature table (a
+    * Spark job that materializes the shingle/signature persists)
+    * before returning — the cost class of one corpus scan, paid even
+    * if the caller never consumes the result. With `maxBucket > 0`
+    * the collapse is unconditional and the call is pure plan
+    * construction. */
   def minhashNearDupsWithDrops(df: DataFrame, idCol: String, textCol: String,
                                k: Int = 32, bands: Int = 8,
                                shingleSize: Int = 3, minJaccard: Double = 0.5,
@@ -295,17 +303,33 @@ object Dedup {
     // quadratic join work for pairs we can enumerate from membership.
     // Groups are (signature -> min-id representative, sorted members);
     // the group shuffle keys on the k-long signature array itself.
-    val groups0 = sigs.select(col("id"), col("sig"))
-      .groupBy(col("sig"))
-      .agg(min(col("id")).as("rep"),
-        sort_array(collect_list(col("id"))).as("members"))
+    //
+    // The cap slices BEFORE collecting: a row_number over (sig, id)
+    // ranks members and only rank <= maxBucket rows enter the
+    // collect_list, so a pathological group (10^8 identical-signature
+    // docs) never materializes a group-sized array row — the window
+    // streams/spills row-wise where a post-collect slice would first
+    // build the multi-GB array it was about to trim. The window's
+    // sig-hash exchange is the same exchange the groupBy needs, so the
+    // capped plan pays no extra shuffle; drop counts stay exact
+    // (count(*) - maxBucket) without ever holding the dropped ids.
     val groups = CacheRegistry.persist(
       if (maxBucket > 0)
-        groups0.withColumn("kept", slice(col("members"), 1, maxBucket))
-          .withColumn("grp_dropped", size(col("members")) - size(col("kept")))
+        sigs.select(col("id"), col("sig"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("sig")).orderBy(col("id"))))
+          .groupBy(col("sig"))
+          .agg(min(col("id")).as("rep"),
+            sort_array(collect_list(
+              when(col("rn") <= maxBucket, col("id")))).as("kept"),
+            greatest(count(lit(1)) - maxBucket, lit(0L))
+              .cast("int").as("grp_dropped"))
       else
-        groups0.withColumn("kept", col("members"))
-          .withColumn("grp_dropped", lit(0)))
+        sigs.select(col("id"), col("sig"))
+          .groupBy(col("sig"))
+          .agg(min(col("id")).as("rep"),
+            sort_array(collect_list(col("id"))).as("kept"),
+            lit(0).as("grp_dropped")))
     // within-group pairs: same signature => collision in every band, no
     // join needed — enumerate directly from the (capped) membership
     val within = groups.select(col("kept"))

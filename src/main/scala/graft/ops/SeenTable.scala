@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Bounded-fan-in maintenance for the streaming maintainers' id-history
+  * tables (`docs_seen/`, `vecs_seen/`) — ONE compactor shared by every
+  * stream that gates redelivery with an anti-join against an
+  * append-only id directory ([[graft.streaming.TensorStreamShards]],
+  * [[graft.streaming.IndexStreamMaintain]],
+  * [[graft.streaming.IvfStreamMaintain]]).
+  *
+  * The failure mode it closes: each micro-batch appends one small
+  * parquet file, and the idempotence gate re-reads the WHOLE directory
+  * every trigger — after 10k unattended batches that is 10k file opens
+  * per trigger, a fan-in decay no single batch ever notices.
+  *
+  * Scale shape of the rewrite itself: the consolidated history is
+  * written as `max(1, ceil(bytes / targetBytes))` HASH-BUCKETED files
+  * (`repartition(n, id)`), never `coalesce(1)` — at 10^9–10^10
+  * historical ids a single-file rewrite funnels tens of GB through one
+  * task every time the threshold trips (a periodic straggler/OOM that
+  * grows with history). The gate's anti-join has set semantics, so
+  * multi-file output costs it nothing; bucketing by the id keeps the
+  * file set balanced for the re-read.
+  *
+  * Crash safety (the staging discipline of the whole-index rewrites):
+  * consolidate into a SIBLING staging dir (never read-and-append the
+  * same path), MOVE the results in under fresh names, THEN prune the
+  * superseded files. A crash at any point leaves either an orphaned
+  * staging dir (reclaimed on the next pass) or redundant id rows —
+  * ids never vanish, and duplicates are harmless under set semantics.
+  *
+  * Concurrency: call from the stream's own serialized foreachBatch
+  * (all three maintainers do), so no concurrent reader of the id table
+  * exists during the prune — the same writer-quiesce the whole-index
+  * compactions document.
+  */
+object SeenTable {
+
+  /** Target bytes per compacted file — sized so a compacted history
+    * re-reads in O(bytes / target) balanced tasks (the standard
+    * parquet file-sizing band, well under
+    * spark.sql.files.maxPartitionBytes). */
+  val DefaultTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Consolidate `seenDir` when its parquet file count exceeds
+    * `threshold`. `idCol` is the single id column the table carries
+    * (hash-bucket key of the rewrite). No-op when the directory is
+    * missing, under threshold, or already as few files as the data
+    * volume supports. */
+  def compact(spark: SparkSession, seenDir: String, idCol: String,
+              threshold: Int,
+              targetBytes: Long = DefaultTargetBytes): Unit = {
+    require(threshold > 0, s"threshold $threshold")
+    require(targetBytes > 0, s"targetBytes $targetBytes")
+    val p = new Path(seenDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val files = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    if (files.length <= threshold) return
+    // Output file count from the DATA VOLUME, not from the input file
+    // count: per-batch appends are tiny, so a young history compacts to
+    // one file (the sandbox case), while a 10^10-id history fans out to
+    // bytes/target writers. Input bytes upper-bound the distinct output,
+    // which only makes files smaller than target — the safe direction.
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    // When the data genuinely needs as many files as are present, a
+    // rewrite cannot shrink the fan-in — the count is volume-bound, not
+    // append-fragmentation, and rewriting would churn the whole history
+    // every batch for nothing.
+    if (nOut >= files.length) return
+    val tmp = new Path(seenDir + "_compact")
+    fs.delete(tmp, true) // reclaim an orphan from a crashed pass
+    spark.read.parquet(seenDir).distinct()
+      .repartition(nOut, col(idCol))
+      .write.parquet(tmp.toString)
+    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath, new Path(p,
+          s"compacted-${java.util.UUID.randomUUID.toString.take(8)}-$i.parquet"))
+      }
+    files.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(tmp, true)
+  }
+}

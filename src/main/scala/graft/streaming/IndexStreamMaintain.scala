@@ -44,10 +44,18 @@ object IndexStreamMaintain {
     * without it segments pile up one per batch forever. The trigger
     * check is a directory listing of nBuckets partition dirs (bounded
     * by the layout, never by data), and compaction cost is bounded by
-    * the chosen buckets' postings, the compact contract. */
+    * the chosen buckets' postings, the compact contract.
+    *
+    * The `docs_seen` id table gets the same treatment via the shared
+    * [[graft.ops.SeenTable]] compactor (`seenCompactOver` files): the
+    * gate's anti-join re-reads the whole id history every trigger, so
+    * without consolidation an unattended stream pays one file open per
+    * historical batch per trigger — the index-segment fan-in decay,
+    * relocated to the bookkeeping table. */
   def maintainBatch(spark: SparkSession, indexDir: String,
                     batch: DataFrame, nBuckets: Int = 64,
-                    compactOver: Option[Int] = None): Unit = {
+                    compactOver: Option[Int] = None,
+                    seenCompactOver: Int = 64): Unit = {
     val seenDir = s"$indexDir/docs_seen"
     val hasSeen = graft.ops.IndexVersions.pathExists(seenDir)
     // dropDuplicates first: redelivered copies can land in the SAME
@@ -62,6 +70,7 @@ object IndexStreamMaintain {
       if (novel.isEmpty) return
       TextSearch.appendToInvertedIndex(novel, indexDir, nBuckets = nBuckets)
       novel.select(col("doc_id")).write.mode("append").parquet(seenDir)
+      graft.ops.SeenTable.compact(spark, seenDir, "doc_id", seenCompactOver)
       compactOver.foreach { threshold =>
         val over = bucketsOverThreshold(indexDir, threshold)
         if (over.nonEmpty)
@@ -99,7 +108,8 @@ object IndexStreamMaintain {
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
             nBuckets: Int = 64,
-            compactOver: Option[Int] = None): StreamingQuery =
+            compactOver: Option[Int] = None,
+            seenCompactOver: Int = 64): StreamingQuery =
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -111,7 +121,8 @@ object IndexStreamMaintain {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        maintainBatch(spark, indexDir, batch, nBuckets, compactOver)
+        maintainBatch(spark, indexDir, batch, nBuckets, compactOver,
+          seenCompactOver)
       }
       .start()
 }

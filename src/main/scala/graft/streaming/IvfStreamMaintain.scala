@@ -70,10 +70,18 @@ object IvfStreamMaintain {
     * already stored in it (the initial build's vectors) — so the
     * idempotence contract covers build-time ids too, not just streamed
     * ones; without the seed, a landing file carrying a built id would
-    * append a permanent duplicate row no compaction removes. */
+    * append a permanent duplicate row no compaction removes.
+    *
+    * `vecs_seen` fan-in is bounded by the shared [[graft.ops
+    * .SeenTable]] compactor (`seenCompactOver` files) — the gate's
+    * anti-join re-reads the whole id history every trigger, so without
+    * consolidation an unattended stream pays one file open per
+    * historical batch per trigger (the cell-partition fan-in decay,
+    * relocated to the bookkeeping table). */
   def maintainBatch(spark: SparkSession, indexDir: String,
                     batch: DataFrame,
-                    compactOver: Option[Int] = None): Unit = {
+                    compactOver: Option[Int] = None,
+                    seenCompactOver: Int = 64): Unit = {
     val seenDir = s"$indexDir/vecs_seen"
     val assignDir = s"${IndexVersions.resolve(indexDir)}/assignments"
     if (!exists(spark, seenDir) && exists(spark, assignDir)) {
@@ -95,6 +103,8 @@ object IvfStreamMaintain {
         Similarity.appendToIvfIndex(novel, indexDir,
           compactOver = compactOver)
         novel.select(col("vec_id")).write.mode("append").parquet(seenDir)
+        graft.ops.SeenTable.compact(spark, seenDir, "vec_id",
+          seenCompactOver)
       }
     }
   }
@@ -126,7 +136,8 @@ object IvfStreamMaintain {
             minRecall: Double = 0.0,
             canaryK: Int = 10,
             canaryNProbe: Int = 4,
-            pruneKeep: Option[Int] = Some(2)
+            pruneKeep: Option[Int] = Some(2),
+            seenCompactOver: Int = 64
            ): StreamingQuery = {
     require(canaryEveryN > 0, s"canaryEveryN $canaryEveryN")
     val fields = Seq(
@@ -145,7 +156,7 @@ object IvfStreamMaintain {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        maintainBatch(spark, indexDir, batch, compactOver)
+        maintainBatch(spark, indexDir, batch, compactOver, seenCompactOver)
         canary.foreach { q =>
           if (batchId % canaryEveryN == (canaryEveryN - 1).toLong)
             Similarity.maintainIvfIndex(spark, indexDir, q, minRecall,

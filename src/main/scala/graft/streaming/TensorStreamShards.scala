@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.{Bpe, CacheRegistry, IndexVersions, TensorShards}
+import graft.ops.{Bpe, CacheRegistry, IndexVersions, SeenTable, TensorShards}
 
 /** The tensor-shard last mile as a STREAM — documents land as parquet
   * files; each micro-batch encodes them under a FROZEN tokenizer
@@ -103,48 +103,13 @@ object TensorStreamShards {
           Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
             "seg_lens"), Seq.empty)
         novel.select(col("doc_id")).write.mode("append").parquet(seenDir)
-        compactSeen(spark, seenDir, seenCompactOver)
+        // bounded docs_seen fan-in — the shared stream-maintainer
+        // discipline ([[graft.ops.SeenTable]]): without it an
+        // unattended stream pays one file open per historical batch
+        // in every trigger's anti-join
+        SeenTable.compact(spark, seenDir, "doc_id", seenCompactOver)
       }
     }
-  }
-
-  /** Bound the docs_seen file fan-in: the idempotence gate re-reads
-    * the id table EVERY batch, and an unattended stream appends one
-    * small file per batch — after ~10k batches the anti-join pays 10k
-    * file opens per trigger. When the part-file count passes
-    * `threshold`, consolidate: stage one distinct-id segment beside
-    * the dir, MOVE it in under a fresh name, then prune the superseded
-    * files — crash-safe by construction (ids never vanish, duplicates
-    * are harmless under the gate's set-semantics anti-join, and an
-    * orphaned staging dir is reclaimed on the next pass). Runs inside
-    * the stream's own serialized foreachBatch, so no concurrent reader
-    * exists (the writer-quiesce the whole-index compactions document).
-    */
-  private def compactSeen(spark: SparkSession, seenDir: String,
-                          threshold: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(seenDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val files = fs.listStatus(p)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    if (files.length <= threshold) return
-    // consolidate into a sibling staging dir (never read-and-append
-    // the same path), MOVE the result in under a fresh name, THEN
-    // prune the superseded files: a crash at any point leaves either
-    // an orphaned staging dir (reclaimed here next time) or redundant
-    // id rows — the anti-join gate is set-semantics, so ids never
-    // vanish and duplicates are harmless
-    val tmp = new org.apache.hadoop.fs.Path(seenDir + "_compact")
-    fs.delete(tmp, true)
-    spark.read.parquet(seenDir).distinct()
-      .coalesce(1).write.parquet(tmp.toString)
-    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(p,
-          s"compacted-${java.util.UUID.randomUUID.toString.take(8)}-$i.parquet"))
-      }
-    files.foreach(f => fs.delete(f.getPath, false))
-    fs.delete(tmp, true)
   }
 
   /** Start the tensor-shard stream over parquet documents landing in

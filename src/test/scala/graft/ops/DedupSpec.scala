@@ -216,6 +216,31 @@ class DedupSpec extends AnyFunSuite {
       s"audit $bucketDropTotal != independent histogram $expectedDrops")
   }
 
+  test("cap-before-collect: a 100k-member signature group caps exactly " +
+    "without materializing a group-sized member array") {
+    // one signature group 100,000 deep — the pathological boilerplate
+    // shape. The capped plan ranks members (row_number over the sig
+    // exchange) and collects ONLY rank <= maxBucket, so no aggregation
+    // row ever holds the full membership (pre-round-14, slice() ran
+    // AFTER collect_list built the 100k-element array); the drop audit
+    // comes from count(*), exact without holding the dropped ids.
+    val deep = spark.range(100000)
+      .select((col("id") + 10000L).as("doc_id"))
+      .withColumn("text", lit(mkDoc(7)))
+    val (pairs, drops) = Dedup.minhashNearDupsWithDrops(deep,
+      "doc_id", "text", k = 32, bands = 8, shingleSize = 3,
+      minJaccard = 0.5, maxBucket = 8)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val dropRows = drops.collect().map(r => (r.getString(0), r.getLong(2)))
+    graft.ops.CacheRegistry.releaseAll()
+    // deterministic: the 8 lowest ids survive; C(8,2) pairs, 99,992
+    // members sliced off, accounted at the single group cap site
+    val kept = (10000L until 10008L)
+    val expected = (for { a <- kept; b <- kept if a < b } yield (a, b)).toSet
+    assert(got == expected, s"got ${got.size} pairs")
+    assert(dropRows.toSeq == Seq(("group", 99992L)), s"got ${dropRows.toSeq}")
+  }
+
   test("adaptive planner branches agree on seeded random corpora") {
     // direct plan (dup mass under the 1% engage threshold) vs the
     // collapse plan (forced via a never-dropping cap): full verified

@@ -65,12 +65,13 @@ class IndexStreamMaintainSpec extends AnyFunSuite {
     val nDocsPerBatch = 6
     val nBatches = 20
     var maxFiles = 0
+    var maxSeenFiles = 0
     (0 until nBatches).foreach { b =>
       val docs = (b * nDocsPerBatch until (b + 1) * nDocsPerBatch)
         .map(i => (i.toLong, mkDoc(i)))
       IndexStreamMaintain.maintainBatch(spark, idxDir,
         docs.toDF("doc_id", "text"), nBuckets = 8,
-        compactOver = Some(threshold))
+        compactOver = Some(threshold), seenCompactOver = 2)
       // invariant AFTER EVERY batch: no bucket exceeds the threshold
       // (compaction fires inside the batch hook, so the bound holds
       // continuously, not just at the end)
@@ -80,11 +81,19 @@ class IndexStreamMaintainSpec extends AnyFunSuite {
         .filter(_.isDirectory)
         .map(_.listFiles().count(_.getName.endsWith(".parquet")))
       if (counts.nonEmpty) maxFiles = math.max(maxFiles, counts.max)
+      maxSeenFiles = math.max(maxSeenFiles,
+        new java.io.File(s"$idxDir/docs_seen").listFiles()
+          .count(_.getName.endsWith(".parquet")))
     }
     // the bound really bit: 20 appends into 8 buckets WOULD have grown
     // ~20 files/bucket without the policy
     assert(maxFiles <= threshold,
       s"fan-in grew to $maxFiles despite threshold $threshold")
+    // the docs_seen id history is bounded by the SAME discipline
+    // (SeenTable) — without it the gate's anti-join would re-open one
+    // file per historical batch every trigger
+    assert(maxSeenFiles <= 3,
+      s"docs_seen fan-in grew to $maxSeenFiles despite seenCompactOver=2")
     // and the index still answers exactly like a fresh one-shot build
     val all = (0 until nBatches * nDocsPerBatch).map(i => (i.toLong, mkDoc(i)))
     val fullDir = TestSpark.tmpDir("idx_autocompact_full")

@@ -80,10 +80,11 @@ class IvfStreamMaintainSpec extends AnyFunSuite {
     val nPerBatch = 5
     val nBatches = 20
     var maxFiles = 0
+    var maxSeenFiles = 0
     (0 until nBatches).foreach { b =>
       val ids = (100 + b * nPerBatch) until (100 + (b + 1) * nPerBatch)
       IvfStreamMaintain.maintainBatch(spark, idxDir, vecsDf(ids),
-        compactOver = Some(threshold))
+        compactOver = Some(threshold), seenCompactOver = 2)
       // invariant AFTER EVERY batch hook: no cell exceeds the threshold
       val over = Similarity.cellsOverThreshold(idxDir, threshold)
       assert(over.isEmpty, s"batch $b left cells over threshold: $over")
@@ -91,9 +92,15 @@ class IvfStreamMaintainSpec extends AnyFunSuite {
         .filter(_.isDirectory)
         .map(_.listFiles().count(_.getName.endsWith(".parquet")))
       if (counts.nonEmpty) maxFiles = math.max(maxFiles, counts.max)
+      maxSeenFiles = math.max(maxSeenFiles,
+        new java.io.File(s"$idxDir/vecs_seen").listFiles()
+          .count(_.getName.endsWith(".parquet")))
     }
     assert(maxFiles <= threshold,
       s"fan-in grew to $maxFiles despite threshold $threshold")
+    // vecs_seen rides the same SeenTable bound as the cell partitions
+    assert(maxSeenFiles <= 3,
+      s"vecs_seen fan-in grew to $maxSeenFiles despite seenCompactOver=2")
     // and the index still answers exactly like a fresh one-shot build
     val all = vecsDf((0 until 20) ++ (100 until 100 + nBatches * nPerBatch))
     val fullDir = TestSpark.tmpDir("ivf_autocompact_full")
