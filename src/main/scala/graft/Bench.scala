@@ -27,8 +27,14 @@ import org.apache.spark.sql.SparkSession
   * quiet window has been sampled, and queries whose best round still
   * read >2x the run's quietest probe are disclosed in `noise_flags`
   * (ratio vs quiet) so the record can't silently present a hot-window
-  * reading as steady-state. The JSON carries `queries` (wall, the
-  * driver contract), `cpu_sec`, `noise_flags`, `probe_quiet_sec`.
+  * reading as steady-state. The probe itself has a blind spot under
+  * SUSTAINED noise (the run's quietest probe is then hot too, so the
+  * per-entry ratios pass while every reading is inflated — r13's
+  * capture carried 12 such unflagged sub-second readings at 2-8x);
+  * `vsbest_flags` closes it by comparing each entry's best wall
+  * against the COMMITTED bench_report.json best-known, independent of
+  * the probe. The JSON carries `queries` (wall, the driver contract),
+  * `cpu_sec`, `noise_flags`, `vsbest_flags`, `probe_quiet_sec`.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -419,6 +425,31 @@ object Bench {
       d.mkdirs()
       builder.config("spark.local.dir", d.getAbsolutePath)
     }
+    // Committed best-known walls — bench_report.json as it stands at
+    // run START (the min-merged quiet record; this run overwrites the
+    // file only at output time). The memory-bandwidth probe has a
+    // blind spot under SUSTAINED noise: the run's quietest probe is
+    // itself inflated, so every per-entry ratio passes while every
+    // reading is hot (r13's capture shipped 12 unflagged sub-second
+    // readings at 2-8x best-known). Defense: independently of the
+    // probe, flag any entry whose BEST wall this run exceeds 2x its
+    // committed best-known (0.05s absolute floor for timer jitter).
+    // New entries (absent from the committed record) can't be flagged.
+    val bestKnown: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_report.json")), "UTF-8")
+      val qIdx = txt.indexOf("\"queries\"")
+      if (qIdx < 0) Map.empty
+      else {
+        val start = txt.indexOf('{', qIdx)
+        // the queries object is a flat name->number map: no nesting
+        val seg = txt.substring(start, txt.indexOf('}', start) + 1)
+        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r
+          .findAllMatchIn(seg)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     listener = GraftMetricsBridge.install(spark.sparkContext)
@@ -548,6 +579,16 @@ object Bench {
     // bounds, not steady-state (the recurring record-vs-reality trap:
     // r1 ingest, r3 ANN, r4 fused-window were all such readings).
     val noisy = results.filter(r => r.probe > 0 && probeNoisy(r.probe))
+    // the probe-independent regression/noise flag (see bestKnown above):
+    // recorded minima that never got near the committed steady-state are
+    // upper bounds, whatever the probe said
+    val vsBest = results.flatMap { r =>
+      bestKnown.get(r.name) match {
+        case Some(b) if r.wall > 0 && r.wall > 2.0 * b &&
+          r.wall - b > 0.05 => Some(r.name -> r.wall / b)
+        case _ => None
+      }
+    }
     val fullWall = results.map(r => "\"" + r.name + "\":" + r.wall)
       .mkString("{", ",", "}")
     val fullCpu = results.map(r => "\"" + r.name + "\":" +
@@ -555,7 +596,10 @@ object Bench {
     val flagged = noisy.map(r => "\"" + r.name + "\":" +
         math.round(r.probe / probeMin * 10) / 10.0)
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullWall,"cpu_sec":$fullCpu,"total_cpu_sec":${math.round(totalCpu * 1000) / 1000.0},"noise_flags":$flagged,"probe_quiet_sec":${math.round(probeMin * 10000) / 10000.0},"sf":"$sfDir","heap_gb":${math.round(heapGb * 10) / 10.0}}"""
+    val vsBestFlags = vsBest.map { case (n, ratio) =>
+      "\"" + n + "\":" + math.round(ratio * 10) / 10.0
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullWall,"cpu_sec":$fullCpu,"total_cpu_sec":${math.round(totalCpu * 1000) / 1000.0},"noise_flags":$flagged,"vsbest_flags":$vsBestFlags,"probe_quiet_sec":${math.round(probeMin * 10000) / 10000.0},"sf":"$sfDir","heap_gb":${math.round(heapGb * 10) / 10.0}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_report.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -563,7 +607,7 @@ object Bench {
       System.err.println(s"bench_report.json write failed: $t") }
     // heap_gb / probe_quiet_sec live in the detail file only — every
     // fixed char here is one fewer query entry that fits the window
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"total_cpu_sec":${f3(totalCpu)},"noise_n":${noisy.size},"sf":"$sfDir","detail":"bench_report.json"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"total_cpu_sec":${f3(totalCpu)},"noise_n":${noisy.size},"vsbest_n":${vsBest.size},"sf":"$sfDir","detail":"bench_report.json"}"""
     if (line.length > 1900)
       System.err.println(s"WARNING: bench line ${line.length} chars " +
         "risks the driver's 2000-char stdout tail; trim the headline map")
