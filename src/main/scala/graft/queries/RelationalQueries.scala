@@ -351,8 +351,10 @@ object RelationalQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
     },
 
-    // §2.11 — approx distinct (HLL). No oracle: sketch values are
-    // implementation-specific; driver records a rows-only check.
+    // §2.11 — approx distinct (HLL). No oracle on the VALUES (sketch
+    // estimates are implementation-specific; driver records a
+    // rows-only check) — but the accuracy of this exact path is
+    // hash-pinned by the hll_estimate_bounds twin below.
     "hll_approx_users" -> { (s, d) =>
       events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
@@ -362,7 +364,9 @@ object RelationalQueries {
     // answered from a day-grained HLL sketch table by lossless union —
     // the persisted-cube pattern that serves every coarser rollup
     // without re-scanning raw events. Approximate -> rows-only check;
-    // SketchesSpec pins rollup == sketch-of-whole and ~exactness.
+    // SketchesSpec pins rollup == sketch-of-whole and ~exactness, and
+    // the hll_union_lossless / hll_estimate_bounds twins hash-pin the
+    // union and accuracy invariants of this exact path.
     "hll_rollup_users" -> { (s, d) =>
       val daily = graft.ops.Sketches.buildHllCube(
         events(s, d).withColumn("day", to_date(col("ts"))),
@@ -391,6 +395,38 @@ object RelationalQueries {
       viaRollup.join(whole, "event_type")
         .select(col("event_type"),
           (col("est_rollup") === col("est_whole")).as("union_lossless"))
+    },
+
+    // The ACCURACY invariant as a hash-checkable entry — the bounds
+    // twin that makes the two estimate-valued HLL entries
+    // (hll_approx_users, hll_rollup_users) checkable: per event_type,
+    // BOTH engine estimate paths — the datasketches
+    // rollup-of-day-sketches (hll_rollup_users' exact pipeline) and
+    // the default-rsd approx_count_distinct (hll_approx_users') —
+    // must land within an eps matched to each path's configured
+    // accuracy: 5% for lgK=12 datasketches (~3x its 1.6% rel err) and
+    // 15% for the HLL++ default rsd 0.05 (3 standard deviations;
+    // measured 6.7% at sf0.1 — a 5% bound there would pin luck, not
+    // the contract). The estimates are deterministic functions of the
+    // data, so the booleans are stable and the oracle is the literal
+    // TRUE per group (the hll_union_lossless convention); an
+    // implementation drift past its bound turns the entry red even
+    // though the estimate VALUES stay engine-specific.
+    "hll_estimate_bounds" -> { (s, d) =>
+      val ev = events(s, d).withColumn("day", to_date(col("ts")))
+      val viaRollup = graft.ops.Sketches.rollupDistinct(
+        graft.ops.Sketches.buildHllCube(ev, Seq("day", "event_type"),
+          "user_id"),
+        Seq("event_type"), estimateCol = "est_rollup")
+      val viaApprox = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("est_approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+      viaApprox.join(viaRollup, "event_type")
+        .select(col("event_type"),
+          (abs(col("est_rollup") - col("exact_users")).cast("double")
+            <= lit(0.05) * col("exact_users")).as("rollup_within_eps"),
+          (abs(col("est_approx") - col("exact_users")).cast("double")
+            <= lit(0.15) * col("exact_users")).as("approx_within_eps"))
     },
 
     // Mergeable quantile-sketch cube (the percentile analogue of
@@ -1117,6 +1153,14 @@ object RelationalQueries {
     // equals sketch-of-whole EXACTLY, so the oracle is TRUE per group
     "hll_union_lossless" ->
       """SELECT event_type, TRUE AS union_lossless
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // the accuracy bound is deterministic even though the estimates
+    // are not engine-portable: per group, |estimate - exact| <= 5% of
+    // exact for both engine paths, so the oracle is TRUE per group
+    "hll_estimate_bounds" ->
+      """SELECT event_type, TRUE AS rollup_within_eps,
+        |  TRUE AS approx_within_eps
         |FROM events GROUP BY event_type""".stripMargin,
 
     // two-proportion z replay: same per-user conversion max, same
