@@ -95,8 +95,19 @@ object Curriculum {
                             binsPerShard: Int,
                             int64Cols: Seq[String],
                             nParts: Option[Int] = None): Unit = {
+    require(binsPerShard > 0, s"binsPerShard $binsPerShard")
+    // Shard-addressing guard (the writeManifestedShards discipline):
+    // positions are 0-based by contract, but a caller-assembled frame
+    // could carry anything — a negative position must fail loudly, not
+    // land in a wrong shard. Integer `div` (not Column./, double math)
+    // keeps the address exact past 2^53 positions.
     val withShard = scheduled.withColumn("shard_id",
-      (col("curriculum_pos") / lit(binsPerShard)).cast("long"))
+      when(col("curriculum_pos") >= 0,
+          expr(s"curriculum_pos div $binsPerShard"))
+        .otherwise(raise_error(concat(
+          lit("writeCurriculumShards: negative curriculum_pos "),
+          col("curriculum_pos").cast("string"),
+          lit(" — shard addressing requires non-negative positions")))))
     // explicit nParts pins the writer-task count (AQE coalesces the
     // default); either way shard reassembly is order-safe
     val sharded = (nParts match {

@@ -294,9 +294,19 @@ object TensorShards {
     require(binsPerShard > 0, s"binsPerShard $binsPerShard")
     val spark = bins.sparkSession
     val (v, staging) = IndexVersions.nextStaging(dir)
+    // Shard-addressing guard (the TensorStreamShards bin-id pattern):
+    // nothing upstream enforces bin_id >= 0 — a negative bin must fail
+    // loudly per-row, not land in a wrong shard file. Integer `div`
+    // (not Column./, which is DOUBLE math) keeps the address exact
+    // over the whole long range: past 2^53 the double quotient rounds
+    // and silently mis-addresses bins.
     val sharded = bins
       .withColumn("shard_id",
-        (col("bin_id") / lit(binsPerShard)).cast("long"))
+        when(col("bin_id") >= 0, expr(s"bin_id div $binsPerShard"))
+          .otherwise(raise_error(concat(
+            lit("writeManifestedShards: negative bin_id "),
+            col("bin_id").cast("string"),
+            lit(" — shard addressing requires non-negative bin ids")))))
       .repartitionByRange(col("bin_id"))
       .sortWithinPartitions(col("bin_id"))
     graft.sources.TfRecord.writeShardedExamples(sharded,

@@ -93,4 +93,24 @@ class CurriculumSpec extends AnyFunSuite {
     assert(filesPerShard.exists(_ > 1),
       "no shard spanned a partition boundary — fixture too coarse")
   }
+
+  test("shard addressing guard: a negative curriculum_pos fails loudly " +
+    "instead of mis-addressing a shard") {
+    val sched = Seq((1L, 1L, -1L))
+      .toDF("bin_id", "n_docs", "curriculum_pos")
+    val e = intercept[Exception] {
+      Curriculum.writeCurriculumShards(sched,
+        TestSpark.tmpDir("curriculum_guard"), binsPerShard = 8,
+        int64Cols = Seq("bin_id", "n_docs", "curriculum_pos"))
+    }
+    def chainHas(t: Throwable, s: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(x => String.valueOf(x.getMessage).contains(s))
+    assert(chainHas(e, "negative curriculum_pos"), s"got $e")
+    intercept[IllegalArgumentException] {
+      Curriculum.writeCurriculumShards(sched,
+        TestSpark.tmpDir("curriculum_guard0"), binsPerShard = 0,
+        int64Cols = Seq("bin_id"))
+    }
+  }
 }

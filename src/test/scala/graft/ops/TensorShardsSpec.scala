@@ -182,6 +182,34 @@ class TensorShardsSpec extends AnyFunSuite {
     graft.ops.CacheRegistry.releaseAll()
   }
 
+  test("shard addressing guards: negative bin_id fails loudly; addresses " +
+    "stay exact past 2^53 (integer div, not double math)") {
+    def binRow(id: Long) = Seq(
+      (id, Seq(1L, 2L), Seq(1L, 1L), Seq(0L), Seq(2L)))
+      .toDF("bin_id", "token_ids", "loss_mask", "seg_starts", "seg_lens")
+    def chainHas(t: Throwable, s: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(e => String.valueOf(e.getMessage).contains(s))
+    // a negative bin would have written "shard--1-..." — a file name
+    // the reader's pattern rejects — i.e. silent until read time
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shard_guard").toString
+    val e = intercept[Exception] {
+      TensorShards.writeManifestedShards(binRow(-1L), dir, binsPerShard = 2)
+    }
+    assert(chainHas(e, "negative bin_id"), s"got $e")
+    // 2^53 + 1 is not double-representable: the old Column./ quotient
+    // rounded it to 2^53 and silently mis-addressed the bin
+    val big = (1L << 53) + 1
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_shard_guard2").toString
+    TensorShards.writeManifestedShards(binRow(big), dir2, binsPerShard = 1)
+    val back = TensorShards.readManifestedShards(spark, dir2)
+    assert(back.select(col("shard")).as[Long].head() == big)
+    assert(back.select(element_at(col("bin_id"), 1)).as[Long].head() == big)
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
   test("packed multi-turn bins: loss bits per doc match the turn spans") {
     val convo = Seq(
       (1L, "<user> hi there <assistant> ok bye <user> more <assistant> done"),
