@@ -243,6 +243,115 @@ class TensorShardsSpec extends AnyFunSuite {
     assert(e0.getSeq[Long](2).size == 55 && e0.getSeq[Long](2).last == 1L)
   }
 
+  test("property: random turn layouts at capacities 8-64 — packed " +
+    "multi-turn tensors equal a full local replay, mask bits included") {
+    // The invariant that protects every future packing change: for ANY
+    // (role, span) layout, binTensorsMultiturn's output must equal the
+    // from-scratch replay of its contract — chunked packing is a global
+    // prefix sum over doc-id order (home-bin overflow: a straddling doc
+    // keeps bin floor(cum_before/c) and its full seg_len), and loss is
+    // 1 exactly on assistant CONTENT pieces plus the EOS separator.
+    // Seeded random sampling, the ChunkMathSpec/SketchesSpec bridge.
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(41 + seed)
+      val capacity = 8 + rnd.nextInt(57) // 8..64
+      val eosId = if (seed % 2 == 0) Some(9999L) else None
+      val nDocs = 5 + rnd.nextInt(12)
+      // per doc: contiguous (role, span) turns; turn 0 may be a system
+      // preamble; content starts marker-length pieces into the turn
+      case class Turn(role: String, start: Long, n: Long, cStart: Long)
+      val docTurns: Seq[(Long, Seq[Turn], Long)] = (0 until nDocs).map { i =>
+        val docId = 100L + i
+        var pos = 0L
+        val turns = scala.collection.mutable.ArrayBuffer[Turn]()
+        if (rnd.nextBoolean()) { // system preamble, content == start
+          val n = 1 + rnd.nextInt(5)
+          turns += Turn("system", pos, n, pos); pos += n
+        }
+        (0 until 1 + rnd.nextInt(5)).foreach { _ =>
+          val role = if (rnd.nextBoolean()) "assistant" else "user"
+          val n = 1 + rnd.nextInt(9)
+          val marker = math.min(rnd.nextInt(3), n - 1)
+          turns += Turn(role, pos, n, pos + marker); pos += n
+        }
+        (docId, turns.toSeq, pos)
+      }
+      val idsDf = docTurns.flatMap { case (docId, _, total) =>
+        (0L until total).map(p => (docId, p, rnd.nextInt(500).toLong))
+      }.toDF("doc_id", "piece_pos", "token_id")
+      val spansDf = docTurns.flatMap { case (docId, turns, _) =>
+        turns.zipWithIndex.map { case (t, ti) =>
+          (docId, ti.toLong, t.role, t.start, t.n, t.cStart)
+        }
+      }.toDF("doc_id", "turn_idx", "role", "start_piece", "n_pieces",
+        "content_start_piece")
+
+      // ---- full local replay of the contract
+      val tokensByDoc: Map[Long, Seq[Long]] = idsDf
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (d, rs) =>
+          d -> rs.sortBy(_._2).map(_._3).toSeq }
+      var cum = 0L
+      val expected = scala.collection.mutable.LinkedHashMap[Long,
+        scala.collection.mutable.ArrayBuffer[(Long, Seq[Long], Seq[Long], Long)]]()
+      docTurns.sortBy(_._1).foreach { case (docId, turns, total) =>
+        val segLen = total + (if (eosId.isDefined) 1L else 0L)
+        val bin = cum / capacity
+        val segStart = cum % capacity
+        val toks = tokensByDoc(docId) ++ eosId.toSeq
+        val loss = (0L until segLen).map { p =>
+          val inSpan = turns.exists(t => t.role == "assistant" &&
+            p >= t.cStart && p < t.start + t.n)
+          val isEos = eosId.isDefined && p == segLen - 1
+          if (inSpan || isEos) 1L else 0L
+        }
+        expected.getOrElseUpdate(bin,
+          scala.collection.mutable.ArrayBuffer()) +=
+          ((docId, toks, loss, segStart))
+        cum += segLen
+      }
+      val want = expected.map { case (bin, ds) =>
+        (bin, ds.flatMap(_._2).toSeq, ds.flatMap(_._3).toSeq,
+          ds.map(_._4).toSeq, ds.map(d => d._2.size.toLong).toSeq)
+      }.toSeq.sortBy(_._1)
+
+      val got = TensorShards.binTensorsMultiturn(idsDf, spansDf,
+          capacity.toLong, eosId = eosId)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq,
+          r.getSeq[Long](2).toSeq, r.getSeq[Long](3).toSeq,
+          r.getSeq[Long](4).toSeq)).toSeq
+      graft.ops.CacheRegistry.releaseAll()
+      assert(got == want, s"seed $seed capacity $capacity eos $eosId")
+
+      // padded variant: truncation at maxLen clips attention AND loss
+      // (a span cut mid-turn keeps only its surviving prefix)
+      val maxLen = 8 + rnd.nextInt(57)
+      val gotPad = TensorShards.paddedMultiturnExamples(idsDf, spansDf,
+          maxLen, padId = 9998L)
+        .collect().map(r => r.getLong(0) ->
+          (r.getSeq[Long](1).toSeq, r.getSeq[Long](2).toSeq,
+            r.getSeq[Long](3).toSeq)).toMap
+      graft.ops.CacheRegistry.releaseAll()
+      docTurns.foreach { case (docId, turns, total) =>
+        val toks = tokensByDoc(docId)
+        val nReal = math.min(total, maxLen.toLong)
+        val wantToks = (toks.take(maxLen) ++
+          Seq.fill((maxLen - total).toInt.max(0))(9998L))
+        val wantAtt = (0L until maxLen.toLong).map(p =>
+          if (p < nReal) 1L else 0L)
+        val wantLoss = (0L until maxLen.toLong).map { p =>
+          val inSpan = turns.exists(t => t.role == "assistant" &&
+            p >= t.cStart && p < t.start + t.n)
+          if (p < nReal && inSpan) 1L else 0L
+        }
+        val (gt, ga, gl) = gotPad(docId)
+        assert(gt == wantToks && ga == wantAtt && gl == wantLoss,
+          s"seed $seed doc $docId maxLen $maxLen")
+      }
+    }
+  }
+
   test("multi-turn loss mask flips exactly at turn boundaries") {
     // char-level pieces (no merges) make every span hand-computable:
     // each word contributes |word| pieces in order
