@@ -414,7 +414,17 @@ object Similarity {
     * (files_before, files_after) over the rewritten partitions. */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession,
                       dir: String,
-                      cells: Option[Seq[Int]] = None): (Long, Long) = {
+                      cells: Option[Seq[Int]] = None): (Long, Long) =
+    compactIvfCells(spark, dir, cells, () => ())
+
+  /** Test seam: `afterSnapshot` runs after the snapshot listing is
+    * pinned and before the staging write — the point a concurrent
+    * appendToIvfIndex lands rows the delta guard must fold in
+    * (SimilaritySpec proves zero row loss through it). */
+  private[graft] def compactIvfCells(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String,
+                                     cells: Option[Seq[Int]],
+                                     afterSnapshot: () => Unit): (Long, Long) = {
     val root = IndexVersions.resolve(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -442,7 +452,19 @@ object Similarity {
         // always, pq_codebooks when the index is IVF-PQ (losing it
         // would publish a version queryIvfPqIndex cannot read)
         val (v, staging) = IndexVersions.nextStaging(dir)
-        base.repartition(col("cell"))
+        // PIN the snapshot listing eagerly: both the staging write and
+        // the delta diff below are built from this one explicit file
+        // list, so the guard's correctness no longer rests on Spark
+        // happening to freeze the file index at DataFrame creation — a
+        // future lazy-listing change cannot silently void it, and the
+        // write provably contains exactly the snapshot rows.
+        val snapFiles = base.inputFiles
+        val baseSnap =
+          if (snapFiles.isEmpty) base
+          else spark.read.option("basePath", s"$root/assignments")
+            .parquet(snapFiles.toIndexedSeq: _*)
+        afterSnapshot()
+        baseSnap.repartition(col("cell"))
           .sortWithinPartitions(col("corpus_id"))
           .write.partitionBy("cell").parquet(s"$staging/assignments")
         spark.read.parquet(s"$root/centroids")
@@ -451,12 +473,12 @@ object Similarity {
           spark.read.parquet(s"$root/pq_codebooks")
             .repartition(1).write.parquet(s"$staging/pq_codebooks")
         // Writer-concurrency guard: rows appendToIvfIndex landed in the
-        // OLD version between `base`'s pinned file listing and this
+        // OLD version between the pinned snapshot listing and this
         // point would silently vanish from the new version — and the
         // stream's version-independent vecs_seen gate would then refuse
         // to ever re-append those ids (permanent loss, not staleness).
         // The store is append-only, so the delta is exactly the FILES
-        // a fresh listing has that the snapshot listing lacked: read
+        // a fresh listing has that the pinned snapshot lacked: read
         // only those (basePath keeps the cell partition column) and
         // append them to staging verbatim — no scan, no shuffle. The
         // remaining exposure is the delta-list-to-publish window; a
@@ -465,7 +487,7 @@ object Similarity {
         // ([[graft.streaming.IvfStreamMaintain]]'s foreachBatch
         // serialization is the safe harness).
         val deltaFiles = (spark.read.parquet(s"$root/assignments")
-          .inputFiles.toSet -- base.inputFiles.toSet).toSeq
+          .inputFiles.toSet -- snapFiles.toSet).toSeq
         if (deltaFiles.nonEmpty)
           spark.read.option("basePath", s"$root/assignments")
             .parquet(deltaFiles: _*)
@@ -534,8 +556,15 @@ object Similarity {
   private def readIndexVectors(spark: org.apache.spark.sql.SparkSession,
                                root: String,
                                keepLabel: Boolean,
-                               keepCell: Boolean): DataFrame = {
-    val raw = spark.read.parquet(s"$root/assignments")
+                               keepCell: Boolean,
+                               files: Seq[String] = Nil): DataFrame = {
+    // non-empty `files` = a caller-pinned snapshot listing: read exactly
+    // those files (basePath keeps the cell partition column) so the
+    // frame cannot drift with later appends to the directory
+    val raw =
+      if (files.isEmpty) spark.read.parquet(s"$root/assignments")
+      else spark.read.option("basePath", s"$root/assignments")
+        .parquet(files.toIndexedSeq: _*)
     val labeled = keepLabel && raw.columns.contains("label")
     val tail = (if (labeled) Seq(col("label")) else Nil) ++
       (if (keepCell) Seq(col("cell")) else Nil)
@@ -615,7 +644,20 @@ object Similarity {
                        nCentroids: Option[Int] = None,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       pruneKeep: Option[Int] = None): (Double, Boolean) = {
+                       pruneKeep: Option[Int] = None): (Double, Boolean) =
+    maintainIvfIndex(spark, dir, canary, minRecall, k, nProbe, nCentroids,
+      idCol, vecCol, pruneKeep, () => ())
+
+  /** Test seam: `afterSnapshot` runs after the rebuild consumed the
+    * pinned snapshot and before the delta fold — the point a
+    * concurrent append lands rows the guard must carry into the new
+    * version (SimilaritySpec proves zero row loss through it). */
+  private[graft] def maintainIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, canary: DataFrame, minRecall: Double,
+      k: Int, nProbe: Int, nCentroids: Option[Int],
+      idCol: String, vecCol: String, pruneKeep: Option[Int],
+      afterSnapshot: () => Unit): (Double, Boolean) = {
     val recall = ivfRecallCanary(spark, dir, canary, k, nProbe,
       idCol, vecCol)
     if (recall >= minRecall) (recall, false)
@@ -626,8 +668,14 @@ object Similarity {
       val standingCols = spark.read.parquet(s"$root/assignments").columns
       val labeled = standingCols.contains("label")
       val quantized = standingCols.contains("cvec_q")
+      // PIN the snapshot listing eagerly (the compactIvfCells
+      // discipline): the rebuild input AND the delta anti-join's
+      // snapshot side read exactly these files, so the guard cannot be
+      // voided by a lazy re-listing picking up concurrent appends.
+      val snapFiles = spark.read.parquet(s"$root/assignments")
+        .inputFiles.toSeq
       val vecs = readIndexVectors(spark, root, keepLabel = true,
-          keepCell = false)
+          keepCell = false, files = snapFiles)
         .select((col("corpus_id").as(idCol) +:
           col("cvec").as(vecCol) +:
           (if (labeled) Seq(col("label")) else Nil)): _*)
@@ -635,6 +683,7 @@ object Similarity {
       buildIvfIndex(vecs, staging, nCentroids = nCells, idCol = idCol,
         vecCol = vecCol, quantize = quantized,
         labelCol = if (labeled) Some("label") else None)
+      afterSnapshot()
       // Writer-concurrency guard (the compactIvfCells discipline): ids
       // appended to the OLD version while the rebuild ran would vanish
       // from the new version — permanently, because the streaming

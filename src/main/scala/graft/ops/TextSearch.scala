@@ -198,7 +198,17 @@ object TextSearch {
     * rewritten partitions. */
   def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
                            dir: String,
-                           buckets: Option[Seq[Int]] = None): (Long, Long) = {
+                           buckets: Option[Seq[Int]] = None): (Long, Long) =
+    compactInvertedIndex(spark, dir, buckets, () => ())
+
+  /** Test seam: `afterSnapshot` runs after the three table listings
+    * are pinned and before the staging writes — the point a concurrent
+    * appendToInvertedIndex lands segments the delta guard must fold in
+    * (TextSearchSpec proves zero row loss through it). */
+  private[graft] def compactInvertedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, buckets: Option[Seq[Int]],
+      afterSnapshot: () => Unit): (Long, Long) = {
     val root = IndexVersions.resolve(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -222,21 +232,36 @@ object TextSearch {
     val before = countFiles(root)
     buckets match {
       case None =>
-        // whole-index merge: fresh staging version, atomic flip
+        // whole-index merge: fresh staging version, atomic flip.
+        // PIN each table's listing eagerly (the compactIvfCells
+        // discipline): the staging writes and the delta diffs below
+        // read exactly these file lists, so the writer-concurrency
+        // guard cannot be voided by a lazy re-listing picking up
+        // concurrent appends (and the writes provably contain exactly
+        // the snapshot rows).
         val (v, staging) = IndexVersions.nextStaging(dir)
-        val postsSnap = spark.read.parquet(s"$root/postings")
+        def pinned(sub: String): (DataFrame, Set[String]) = {
+          val df0 = spark.read.parquet(s"$root/$sub")
+          val fs = df0.inputFiles
+          (if (fs.isEmpty) df0
+           else spark.read.option("basePath", s"$root/$sub")
+             .parquet(fs.toIndexedSeq: _*),
+            fs.toSet)
+        }
+        val (postsSnap, postsFiles) = pinned("postings")
+        val (dfsSnap, dfsFiles) = pinned("dfs")
+        val (statsSnap, statsFiles) = pinned("stats")
+        afterSnapshot()
         postsSnap
           .repartition(col("term_bucket"))
           .sortWithinPartitions(col("term"))
           .write.partitionBy("term_bucket").parquet(s"$staging/postings")
-        val dfsSnap = spark.read.parquet(s"$root/dfs")
         dfsSnap
           .groupBy(col("term_bucket"), col("term"))
           .agg(sum(col("df")).as("df"))
           .repartition(col("term_bucket"))
           .sortWithinPartitions(col("term"))
           .write.partitionBy("term_bucket").parquet(s"$staging/dfs")
-        val statsSnap = spark.read.parquet(s"$root/stats")
         val s = statsSnap
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("sum_dl")).as("sum_dl")).collect()
@@ -249,18 +274,19 @@ object TextSearch {
               org.apache.spark.sql.types.LongType))))
           .write.parquet(s"$staging/stats")
         // Writer-concurrency guard (the compactIvfCells discipline):
-        // segments appendToInvertedIndex landed between the snapshot
-        // listings above and this point would vanish from the new
-        // version — and docs_seen would permanently refuse their
+        // segments appendToInvertedIndex landed between the pinned
+        // snapshot listings above and this point would vanish from the
+        // new version — and docs_seen would permanently refuse their
         // re-append. The store is append-only, so the delta is exactly
-        // the files a fresh listing has that the snapshot lacked;
-        // postings rows are per-(term, doc) facts and dfs/stats rows
-        // are summable per-segment contributions (the query path sums
-        // them), so the delta segments append to staging VERBATIM.
-        def foldDelta(sub: String, snap: DataFrame,
+        // the files a fresh listing has that the pinned snapshot
+        // lacked; postings rows are per-(term, doc) facts and
+        // dfs/stats rows are summable per-segment contributions (the
+        // query path sums them), so the delta segments append to
+        // staging VERBATIM.
+        def foldDelta(sub: String, snapFiles: Set[String],
                       partCols: Seq[String]): Unit = {
           val d = (spark.read.parquet(s"$root/$sub").inputFiles.toSet --
-            snap.inputFiles.toSet).toSeq
+            snapFiles).toSeq
           if (d.nonEmpty) {
             val w = spark.read.option("basePath", s"$root/$sub")
               .parquet(d: _*).write.mode("append")
@@ -268,9 +294,9 @@ object TextSearch {
               .parquet(s"$staging/$sub")
           }
         }
-        foldDelta("postings", postsSnap, Seq("term_bucket"))
-        foldDelta("dfs", dfsSnap, Seq("term_bucket"))
-        foldDelta("stats", statsSnap, Nil)
+        foldDelta("postings", postsFiles, Seq("term_bucket"))
+        foldDelta("dfs", dfsFiles, Seq("term_bucket"))
+        foldDelta("stats", statsFiles, Nil)
         IndexVersions.publish(dir, v)
         (before, countFiles(staging))
       case Some(bs) =>

@@ -640,4 +640,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(maxFilesPerCell(loose) == 1)
     assert(ranked(compacted) == ranked(loose))
   }
+
+  test("whole-index rewrites fold rows appended between snapshot and " +
+    "publish — zero row loss under a concurrent writer") {
+    val build = corpus.filter(col("vec_id") < 40)
+    val centers = Similarity.lowestIdCenters(build, 4)
+    val dir = TestSpark.tmpDir("ivf_concurrent")
+    Similarity.buildIvfIndex(build, dir, nCentroids = 4,
+      centers = Some(centers))
+    def idsNow: Set[Long] = spark.read
+      .parquet(s"${IndexVersions.resolve(dir)}/assignments")
+      .select("corpus_id").as[Long].collect().toSet
+    // compaction: the append lands AFTER the snapshot listing is
+    // pinned — the lost-append window the delta-file guard closes
+    // (losing it would be permanent: vecs_seen refuses re-appends)
+    val late1 = (0 until 7).map(j => (50000L + j, vec(3000 + j)))
+      .toDF("vec_id", "embedding")
+    Similarity.compactIvfCells(spark, dir, None,
+      () => Similarity.appendToIvfIndex(late1, dir))
+    val ids1 = idsNow
+    assert(ids1.size == 47 && (50000L until 50007L).forall(ids1),
+      s"compaction lost appended rows: ${ids1.size}")
+    // rebuild (forced via an unreachable recall floor): the append
+    // lands after the rebuild consumed its pinned snapshot — the delta
+    // anti-join must carry it through the NEW quantizer before publish
+    val late2 = (0 until 5).map(j => (60000L + j, vec(4000 + j)))
+      .toDF("vec_id", "embedding")
+    val (_, rebuilt) = Similarity.maintainIvfIndex(spark, dir,
+      corpus.filter(col("vec_id") < 3), 1.01, 5, 4, None,
+      "vec_id", "embedding", None,
+      () => Similarity.appendToIvfIndex(late2, dir))
+    assert(rebuilt)
+    val ids2 = idsNow
+    assert(ids2 == ids1 ++ (60000L until 60005L),
+      "rebuild lost rows appended during the snapshot window")
+    // and a mid-rebuild vector is actually retrievable post-flip (the
+    // probe excludes self-matches, so ask with a near-copy under a
+    // fresh query id: top-1 must be the vector appended mid-rebuild)
+    val nearCopy = Seq((7777L, vec(4000).map(_ * 1.01f)))
+      .toDF("vec_id", "embedding")
+    val hit = Similarity.queryIvfIndex(spark, dir, nearCopy,
+        k = 1, nProbe = 4)
+      .select("corpus_id").as[Long].head()
+    assert(hit == 60000L)
+    CacheRegistry.releaseAll()
+  }
 }

@@ -121,6 +121,35 @@ class TextSearchSpec extends AnyFunSuite {
     assert(q(inc).map(_._1).toSet == Set(1L, 2L, 3L, 5L))
   }
 
+  test("whole-index merge folds segments appended between snapshot and " +
+    "publish — zero row loss under a concurrent writer") {
+    import spark.implicits._
+    val seg1 = Seq((1L, "common common filler"), (2L, "common filler"))
+    val seg2 = Seq((3L, "rare rare common filler"), (4L, "filler filler"))
+    val late = Seq((5L, "common rare"), (6L, "novel appendix"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25_conc").toString
+    TextSearch.buildInvertedIndex(seg1.toDF("doc_id", "text"), dir,
+      nBuckets = 8)
+    TextSearch.appendToInvertedIndex(seg2.toDF("doc_id", "text"), dir,
+      nBuckets = 8)
+    // the merge pins its snapshot listings, THEN a concurrent append
+    // lands (the lost-append window the delta guard closes): the
+    // published version must carry the late segments — losing them
+    // would be permanent, docs_seen refuses re-appends
+    TextSearch.compactInvertedIndex(spark, dir, None,
+      () => TextSearch.appendToInvertedIndex(late.toDF("doc_id", "text"),
+        dir, nBuckets = 8))
+    val full = java.nio.file.Files
+      .createTempDirectory("bm25_conc_full").toString
+    TextSearch.buildInvertedIndex((seg1 ++ seg2 ++ late)
+      .toDF("doc_id", "text"), full, nBuckets = 8)
+    def q(d: String) = TextSearch.queryInvertedIndex(spark, d,
+        Seq("rare", "common", "novel"), k = 10, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(q(dir) == q(full),
+      "segments appended mid-merge must survive the version flip")
+  }
+
   test("index postings scan prunes to the query terms' buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_idx2").toString
     TextSearch.buildInvertedIndex(docs.toDF("doc_id", "text"), dir,
