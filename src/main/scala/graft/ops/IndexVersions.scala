@@ -104,6 +104,8 @@ object IndexVersions {
       case None => dir
     }
 
+  private val StagingOwnerFile = "_staging_owner"
+
   /** Allocate the next version number and its (not yet published)
     * staging directory. The caller writes the full data tree there,
     * then calls [[publish]]. A crash between staging and publish
@@ -111,14 +113,49 @@ object IndexVersions {
     * only advances on publish), and the default ErrorIfExists save
     * mode would then wedge every later whole-index pass on "path
     * already exists" — so an existing unpublished staging directory is
-    * deleted here before reuse. Safe by construction: no marker means
-    * no reader ever resolved into it. */
-  def nextStaging(dir: String): (Int, String) = {
+    * reclaimed (deleted) here before reuse. Safe for READERS by
+    * construction: no marker means no reader ever resolved into it.
+    *
+    * Writer-collision guard: maintenance is documented single-writer,
+    * but silent reclaim would turn a second concurrent writer from a
+    * loud ErrorIfExists failure into both writers interleaving into
+    * ONE staging path — the first publish could flip readers to a
+    * mixed tree. So every staging allocation drops an owner token
+    * (`_staging_owner`: pid@host) into the fresh tree; reclaiming a
+    * tree whose token is younger than `staleAfterMs` (default 15 min)
+    * throws instead, on the presumption its writer is still alive. A
+    * token-less or stale tree (a crashed run, or a test-fabricated
+    * orphan) reclaims with a logged warning; [[publish]] removes the
+    * token, so published trees carry no staging residue. */
+  def nextStaging(dir: String,
+                  staleAfterMs: Long = 15L * 60 * 1000): (Int, String) = {
     val v = currentVersion(dir).getOrElse(0) + 1
     val staging = s"$dir/v=$v"
     val (fs, _) = fsOf(dir)
     val p = new Path(staging)
-    if (fs.exists(p)) fs.delete(p, true)
+    if (fs.exists(p)) {
+      val tok = new Path(p, StagingOwnerFile)
+      val hadToken = fs.exists(tok)
+      if (hadToken) {
+        val age = System.currentTimeMillis() -
+          fs.getFileStatus(tok).getModificationTime
+        if (age < staleAfterMs)
+          throw new IllegalStateException(
+            s"staging tree $staging carries an owner token ${age}ms old " +
+              s"(< $staleAfterMs): a concurrent whole-index writer is " +
+              "likely in progress — index maintenance is single-writer. " +
+              s"Wait for it (or delete $tok to override a known-dead run).")
+      }
+      System.err.println(s"[IndexVersions] reclaiming orphaned staging " +
+        s"tree $staging (" +
+        (if (hadToken) "stale owner token" else "no owner token") + ")")
+      fs.delete(p, true)
+    }
+    fs.mkdirs(p)
+    val out = fs.create(new Path(p, StagingOwnerFile), false)
+    try out.write((ProcessHandle.current().pid().toString + "@" +
+      java.net.InetAddress.getLocalHost.getHostName + "\n")
+      .getBytes("UTF-8")) finally out.close()
     (v, staging)
   }
 
@@ -127,6 +164,11 @@ object IndexVersions {
     * only after the staging tree is complete. */
   def publish(dir: String, v: Int): Unit = {
     val (fs, _) = fsOf(dir)
+    // the staging-owner token is maintenance residue, not data: drop
+    // it before the flip so published trees are clean (a crash between
+    // this delete and the marker leaves a complete, token-less,
+    // unpublished tree — reclaimed with a warning next pass)
+    fs.delete(new Path(s"$dir/v=$v", StagingOwnerFile), false)
     fs.mkdirs(markerDir(dir))
     val marker = new Path(markerDir(dir), f"v-$v%08d")
     val out = fs.create(marker, false) // never overwrite: double publish fails loudly

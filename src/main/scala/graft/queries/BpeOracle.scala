@@ -262,34 +262,12 @@ object BpeOracle {
          |FROM segix sx JOIN eids e USING (doc_id)""".stripMargin
 
   def multiturnSql(n: Int, maxLen: Int): String = {
-    val conv = convCte
-    encodePrefix(n, docRel = "conv", pre = Seq(conv)) +
+    // composes the SAME eids chain as multiturnShardsSql — the padded
+    // and packed multi-turn oracles cannot drift apart on future edits
+    encodePrefix(n, docRel = "conv", pre = Seq(convCte)) +
       s""",
          |${vocabCtes(n)},
-         |wp AS (SELECT w, unnest(syms) AS s,
-         |    unnest(range(1, len(syms) + 1)) AS j
-         |  FROM enc WHERE mm IS NULL),
-         |wid AS (SELECT wp.w, wp.j, COALESCE(v.token_id, -1) AS tid
-         |  FROM wp LEFT JOIN vocab v ON wp.s = v.symbol),
-         |tpos AS (SELECT doc_id, unnest(tsf) AS w,
-         |    unnest(range(1, len(tsf) + 1)) AS pos
-         |  FROM (SELECT doc_id, list_filter(
-         |      string_split_regex(trim(lower(text)), '\\s+'),
-         |      t -> len(t) > 0) AS tsf FROM conv)),
-         |rt AS (SELECT doc_id, w, pos, mk,
-         |    last_value(mk IGNORE NULLS) OVER (PARTITION BY doc_id
-         |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
-         |      CURRENT ROW) AS role
-         |  FROM (SELECT doc_id, w, pos,
-         |      CASE WHEN w = '<user>' THEN 'user'
-         |           WHEN w = '<assistant>' THEN 'assistant' END AS mk
-         |    FROM tpos)),
-         |eids AS (SELECT doc_id,
-         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos, j)
-         |      - 1 AS BIGINT) AS piece_pos,
-         |    CAST(tid AS BIGINT) AS token_id,
-         |    (role = 'assistant' AND mk IS NULL) AS lossw
-         |  FROM rt JOIN wid USING (w)),
+         |$multiturnEidsCtes,
          |tot AS (SELECT doc_id, count(*) AS n_pieces
          |  FROM eids GROUP BY doc_id),
          |grid AS (SELECT doc_id, least(n_pieces, $maxLen) AS n_real,

@@ -42,6 +42,29 @@ class IndexVersionsSpec extends AnyFunSuite {
     assert(IndexVersions.pathExists(s3) && !IndexVersions.pathExists(s1))
   }
 
+  test("staging-owner token: a fresh concurrent staging refuses reclaim " +
+    "loudly; stale or token-less orphans reclaim with a warning; " +
+    "publish leaves no token residue") {
+    val dir = TestSpark.tmpDir("ixver_tok")
+    val (v1, s1) = IndexVersions.nextStaging(dir)
+    // a second writer before the first published: silent reclaim would
+    // interleave both into ONE staging path — must refuse loudly
+    intercept[IllegalStateException](IndexVersions.nextStaging(dir))
+    // a stale token (staleAfterMs = 0 treats any age as dead) reclaims
+    val (v1b, s1b) = IndexVersions.nextStaging(dir, staleAfterMs = 0)
+    assert(v1b == v1 && s1b == s1)
+    IndexVersions.publish(dir, v1)
+    assert(!new java.io.File(s1, "_staging_owner").exists(),
+      "published tree must carry no staging residue")
+    // a token-less orphan (the crashed-run shape the torn-write tests
+    // fabricate) reclaims without ceremony
+    new java.io.File(s"$dir/v=2").mkdirs()
+    val (v2, _) = IndexVersions.nextStaging(dir)
+    assert(v2 == 2)
+    IndexVersions.publish(dir, v2)
+    assert(IndexVersions.currentVersion(dir).contains(2))
+  }
+
   def vec(i: Int): Array[Float] = {
     val r = new scala.util.Random(i * 7919 + 13)
     Array.fill(16)(r.nextGaussian().toFloat)
