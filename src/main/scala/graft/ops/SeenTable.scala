@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Bounded-fan-in maintenance for the streaming maintainers' id-history
   * tables (`docs_seen/`, `vecs_seen/`) — ONE compactor shared by every
@@ -44,6 +44,45 @@ object SeenTable {
     * parquet file-sizing band, well under
     * spark.sql.files.maxPartitionBytes). */
   val DefaultTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Batch-size ceiling for the broadcast gate plan: a per-trigger
+    * micro-batch is far under this; a deliberate giant backfill
+    * (beyond what a driver should hold twice) falls back to the plain
+    * shuffle anti-join, which a one-off catch-up can afford. */
+  val DefaultMaxBroadcastIds: Long = 4L * 1000 * 1000
+
+  /** The rows of `batch` whose `idCol` is NOT in the seen table — the
+    * idempotence gate every stream maintainer runs per trigger, in the
+    * shape that survives a 10^10-id history: the naive
+    * `batch ANTI JOIN history` sort-merge-shuffles the WHOLE history
+    * every trigger. Instead (both joins broadcast the small side):
+    *
+    *  1. `hits` = history SEMI JOIN broadcast(batch ids) — one
+    *     column-pruned scan of the history, no shuffle, output bounded
+    *     by the batch;
+    *  2. novel = batch ANTI JOIN broadcast(hits).
+    *
+    * Per-trigger cost: one parquet scan of the id column (its files
+    * bounded by [[compact]]), ZERO exchanges over the history
+    * (SeenTableSpec pins the plan). Batches larger than
+    * `maxBroadcastIds` (a backfill, not a trigger) take the plain
+    * shuffle anti-join instead — counting the deduped batch is one
+    * cheap job on a frame the caller should already have persisted
+    * (the gate output is consumed more than once in every maintainer).
+    */
+  def novelIds(batch: DataFrame, seenDir: String, idCol: String,
+               maxBroadcastIds: Long = DefaultMaxBroadcastIds): DataFrame = {
+    val spark = batch.sparkSession
+    if (!IndexVersions.pathExists(seenDir)) return batch
+    val seen = spark.read.parquet(seenDir).select(col(idCol))
+    if (batch.count() > maxBroadcastIds)
+      batch.join(seen, Seq(idCol), "left_anti")
+    else {
+      val hits = seen.join(broadcast(batch.select(col(idCol))),
+        Seq(idCol), "left_semi")
+      batch.join(broadcast(hits), Seq(idCol), "left_anti")
+    }
+  }
 
   /** Consolidate `seenDir` when its parquet file count exceeds
     * `threshold`. `idCol` is the single id column the table carries

@@ -21,9 +21,9 @@ import graft.ops.{CacheRegistry, TextSearch}
   * Idempotence under redelivery: a `docs_seen/` id table accumulates
   * alongside the index and each batch anti-joins against it first, so
   * a re-delivered batch (streaming's at-least-once file source after a
-  * failure) contributes nothing. The seen table carries ONLY ids —
-  * at corpus scale gate the anti-join with the persistable content
-  * bloom ([[graft.ops.Dedup.contentBloom]]) so history never shuffles.
+  * failure) contributes nothing. The seen table carries ONLY ids, and
+  * the gate never shuffles it ([[graft.ops.SeenTable.novelIds]]: one
+  * column-pruned history scan against the broadcast batch).
   * The id write lands AFTER the segment writes: a crash in between
   * re-indexes at most one batch on replay (visible as doubled tf/df
   * until the next compaction re-merge; batch-id-keyed segment names
@@ -57,15 +57,15 @@ object IndexStreamMaintain {
                     compactOver: Option[Int] = None,
                     seenCompactOver: Int = 64): Unit = {
     val seenDir = s"$indexDir/docs_seen"
-    val hasSeen = graft.ops.IndexVersions.pathExists(seenDir)
     // dropDuplicates first: redelivered copies can land in the SAME
     // micro-batch as their original (AvailableNow drains several file
-    // waves into one batch) — the history anti-join can't see those
-    val once = batch.dropDuplicates("doc_id")
+    // waves into one batch) — the history anti-join can't see those.
+    // The gate itself never shuffles the id history: one column-pruned
+    // scan against the broadcast batch ([[graft.ops.SeenTable
+    // .novelIds]]).
+    val once = CacheRegistry.persist(batch.dropDuplicates("doc_id"))
     val novel = CacheRegistry.persist(
-      if (!hasSeen) once
-      else once.join(spark.read.parquet(seenDir), Seq("doc_id"),
-        "left_anti"))
+      graft.ops.SeenTable.novelIds(once, seenDir, "doc_id"))
     try {
       if (novel.isEmpty) return
       TextSearch.appendToInvertedIndex(novel, indexDir, nBuckets = nBuckets)

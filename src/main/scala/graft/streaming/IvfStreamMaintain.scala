@@ -89,16 +89,16 @@ object IvfStreamMaintain {
         .select(col("corpus_id").as("vec_id"))
         .write.parquet(seenDir)
     }
-    val hasSeen = exists(spark, seenDir)
     // dropDuplicates first: redelivered copies can land in the SAME
     // micro-batch as their original (AvailableNow drains several file
-    // waves into one batch) — the history anti-join can't see those
-    val once = batch.dropDuplicates("vec_id")
+    // waves into one batch) — the history anti-join can't see those.
+    // The gate itself never shuffles the id history: one column-pruned
+    // scan against the broadcast batch ([[graft.ops.SeenTable
+    // .novelIds]]).
     CacheRegistry.scoped {
+      val once = CacheRegistry.persist(batch.dropDuplicates("vec_id"))
       val novel = CacheRegistry.persist(
-        if (!hasSeen) once
-        else once.join(spark.read.parquet(seenDir), Seq("vec_id"),
-          "left_anti"))
+        graft.ops.SeenTable.novelIds(once, seenDir, "vec_id"))
       if (!novel.isEmpty) {
         Similarity.appendToIvfIndex(novel, indexDir,
           compactOver = compactOver)

@@ -64,13 +64,12 @@ object TensorStreamShards {
                  multiturn: Boolean = false,
                  seenCompactOver: Int = 64): Unit = {
     val seenDir = s"$outDir/docs_seen"
-    val hasSeen = IndexVersions.pathExists(seenDir)
-    val once = batch.dropDuplicates("doc_id")
     CacheRegistry.scoped {
+      val once = CacheRegistry.persist(batch.dropDuplicates("doc_id"))
+      // the gate never shuffles the id history — one column-pruned
+      // scan against the broadcast batch ([[SeenTable.novelIds]])
       val novel = CacheRegistry.persist(
-        if (!hasSeen) once
-        else once.join(spark.read.parquet(seenDir), Seq("doc_id"),
-          "left_anti"))
+        SeenTable.novelIds(once, seenDir, "doc_id"))
       if (!novel.isEmpty) {
         val (merges, syms) = tokenizerCache.getOrElseUpdate(tokenizerDir,
           Bpe.loadTokenizer(spark, tokenizerDir))

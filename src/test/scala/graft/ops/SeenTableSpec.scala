@@ -16,6 +16,41 @@ class SeenTableSpec extends AnyFunSuite {
     else d.listFiles().filter(_.getName.endsWith(".parquet"))
   }
 
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    df.collect() // finalize any adaptive plan
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: (other.children.flatMap(walk) ++
+        other.subqueries.flatMap(walk))
+    }
+    walk(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+  }
+
+  test("novelIds == the plain anti-join, and never shuffles the history") {
+    val dir = TestSpark.tmpDir("seen_gate")
+    (0L until 500L).filter(_ % 2 == 0).toDF("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val batch = (250L until 350L).toDF("doc_id")
+    val expected = (251L until 350L by 2).toSet // odds in the window
+    val novel = SeenTable.novelIds(batch, dir, "doc_id")
+    assert(novel.as[Long].collect().toSet == expected)
+    // the 100 TB shape: the history side is scanned, never exchanged —
+    // both joins broadcast the batch-bounded side (BucketedJoinSpec's
+    // no-Exchange pin, applied to the idempotence gate)
+    assert(shuffleCount(novel) == 0,
+      "the seen-gate must not shuffle the id history")
+    // no seen dir yet: the whole batch is novel
+    assert(SeenTable.novelIds(batch, dir + "_nope", "doc_id")
+      .count() == 100)
+    // the giant-backfill fallback (plain anti-join) stays exact
+    val fb = SeenTable.novelIds(batch, dir, "doc_id", maxBroadcastIds = 10)
+    assert(fb.as[Long].collect().toSet == expected)
+  }
+
   test("8 append waves at threshold 3: fan-in stays bounded, the id set " +
     "(with cross-wave duplicates) survives every pass, staging is cleaned") {
     val dir = TestSpark.tmpDir("seen_compact")
