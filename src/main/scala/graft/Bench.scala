@@ -114,6 +114,8 @@ object Bench {
     // round-8 wave: heap top-k, z-order key, SG smoothing, sketch
     // rollup (their A/B / scale shapes are the topk pair + plan pins)
     "topk_group", "layout_zorder", "grid_savgol", "hll_rollup_users",
+    // round-14: the HLL accuracy-invariant twin (timed, off-line)
+    "hll_estimate_bounds",
     "cap_per_source", "sql_tpch_q5", "sql_tpch_q10",
     // round-8: the quantile-sketch cube query (its build/probe/raw A/B
     // triple is recorded via quantileCubeAB alongside)
@@ -224,6 +226,7 @@ object Bench {
     * longer fits the driver's 2000-char tail window. One join-heavy
     * SQL-text representative (q5) stays on the line. */
   val lineExcluded: Set[String] = Set("sql_tpch_q10", "ann_lsh_topk",
+    "hll_estimate_bounds",
     "dedup_drop_near", "vocab_oov_rate", "host_hits", "host_trustrank",
     "host_distance", "sql_tpch_q18", "layout_hilbert",
     "positive_pairs_ann", "ann_ivf_index_upsert",
