@@ -45,13 +45,17 @@ def main() -> None:
             continue
         if name in flagged:
             continue  # prefer the committed unflagged reading
-        if w >= 0 and w < queries[name]:
+        base_flagged = name in out_noise or name in out_vsbest
+        # an unflagged reading REPLACES a flagged committed one even
+        # when slower — flagged readings are upper bounds, not
+        # steady-state, so the first quiet measurement wins outright
+        if w >= 0 and (w < queries[name] or base_flagged):
             queries[name] = w
             adopted_w.append(name)
-            # an unflagged fresh reading supersedes any stale flag
             out_noise.pop(name, None)
             out_vsbest.pop(name, None)
-        if c is not None and c >= 0 and c < cpu.get(name, float("inf")):
+        if c is not None and c >= 0 and (
+                c < cpu.get(name, float("inf")) or base_flagged):
             cpu[name] = c
             adopted_c.append(name)
 
