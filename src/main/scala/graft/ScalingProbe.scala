@@ -232,7 +232,8 @@ object ScalingProbe {
     only.foreach { names =>
       val unknown = names -- chain.toSet - "quantile_cube" -
         "index_maintain" - "ivf_maintain" - "miner_scale" -
-        "minhash_boiler" - "cluster_distributed" - "seen_compact"
+        "minhash_boiler" - "cluster_distributed" - "seen_compact" -
+        "seen_gate"
       require(unknown.isEmpty,
         s"unknown probe name(s): ${unknown.mkString(", ")}")
     }
@@ -418,6 +419,33 @@ object ScalingProbe {
         val outFiles = new java.io.File(seenDir).listFiles()
           .count(_.getName.endsWith(".parquet"))
         println(s"""{"note":"seen_compact","out_files":$outFiles,"scale_x":$n}""")
+      }
+      // round-14: the idempotence gate's per-trigger cost under a 10x
+      // id history — SeenTable.novelIds (one column-pruned scan, both
+      // joins broadcasting the batch-bounded side) A/B'd against the
+      // naive plan it replaced (batch ANTI JOIN history: sort-merge
+      // shuffles the WHOLE history every trigger). Batch is FIXED at
+      // 10k ids (half seen, half novel) while the history grows with
+      // scale: the gate's decade ratio must track the scan, the naive
+      // plan pays sort+exchange over every historical id.
+      if (only.exists(_.contains("seen_gate"))) {
+        import graft.ops.SeenTable
+        val seenDir = s"$dir/probe_seen_gate"
+        spark.range(n * 2000000L)
+          .select(xxhash64(col("id")).as("doc_id"))
+          .repartition(40)
+          .write.mode("overwrite").parquet(seenDir)
+        // 5k redelivered ids (hash of in-range rows) + 5k novel ones
+        val batch = spark.range(5000)
+          .select(xxhash64(col("id")).as("doc_id"))
+          .unionByName(spark.range(5000)
+            .select((col("id") - 100000000L).as("doc_id")))
+          .localCheckpoint()
+        timed("seen_gate_broadcast")(
+          SeenTable.novelIds(batch, seenDir, "doc_id").count())
+        timed("seen_gate_shuffle_naive")(
+          batch.join(spark.read.parquet(seenDir), Seq("doc_id"),
+            "left_anti").count())
       }
       selected.foreach { name =>
         // one warm pass at 1x only would skew; instead run each (query,
