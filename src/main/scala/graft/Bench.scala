@@ -239,6 +239,25 @@ object Bench {
     "sft_padded_batches", "sft_multiturn_batches",
     "train_shards_manifest", "sft_multiturn_packed")
 
+  /** Extract the committed record's `queries` wall map from a
+    * bench_report.json body — the best-known baseline of the vsbest
+    * flag (see main). Tolerates pretty-printed or single-line JSON;
+    * the queries object is a flat name->number map, so the first
+    * balanced brace after the key bounds it. Failed-entry sentinels
+    * (-1) are dropped. BenchBestKnownSpec pins both layouts. */
+  private[graft] def parseBestKnown(txt: String): Map[String, Double] = {
+    val qIdx = txt.indexOf("\"queries\"")
+    if (qIdx < 0) Map.empty
+    else {
+      val start = txt.indexOf('{', qIdx)
+      val seg = txt.substring(start, txt.indexOf('}', start) + 1)
+      "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r
+        .findAllMatchIn(seg)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 > 0).toMap
+    }
+  }
+
   /** (name, wall_sec, cpu_sec, probe_sec); wall and cpu are each the
     * MINIMUM across the query's runs, taken independently — see
     * [[timed2]]; probe is the noise-probe reading of the BEST round
@@ -439,19 +458,8 @@ object Bench {
     // committed best-known (0.05s absolute floor for timer jitter).
     // New entries (absent from the committed record) can't be flagged.
     val bestKnown: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench_report.json")), "UTF-8")
-      val qIdx = txt.indexOf("\"queries\"")
-      if (qIdx < 0) Map.empty
-      else {
-        val start = txt.indexOf('{', qIdx)
-        // the queries object is a flat name->number map: no nesting
-        val seg = txt.substring(start, txt.indexOf('}', start) + 1)
-        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r
-          .findAllMatchIn(seg)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0).toMap
-      }
+      parseBestKnown(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_report.json")), "UTF-8"))
     } catch { case _: Throwable => Map.empty }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
