@@ -411,7 +411,7 @@ object ScalingProbe {
         val seenDir = s"$dir/probe_seen"
         spark.range(n * 2000000L)
           .select(xxhash64(col("id")).as("doc_id"))
-          .repartition(80)
+          .repartition(160)
           .write.mode("overwrite").parquet(seenDir)
         timed("seen_compact")(
           SeenTable.compact(spark, seenDir, "doc_id", threshold = 64,
@@ -419,6 +419,22 @@ object ScalingProbe {
         val outFiles = new java.io.File(seenDir).listFiles()
           .count(_.getName.endsWith(".parquet"))
         println(s"""{"note":"seen_compact","out_files":$outFiles,"scale_x":$n}""")
+        // the TIERED claim: once the history is consolidated into
+        // frozen (>= target/2) segments, a later pass pays only for
+        // the new small tail — its cost must be HISTORY-INDEPENDENT
+        // (same reading at 1x and 10x), because frozen segments are
+        // immutable and only the 10 fresh batch files consolidate.
+        (0 until 10).foreach { i =>
+          spark.range(10000)
+            .select(xxhash64(col("id") + lit(7777770000L + i)).as("doc_id"))
+            .coalesce(1).write.mode("append").parquet(seenDir)
+        }
+        timed("seen_compact_tail")(
+          SeenTable.compact(spark, seenDir, "doc_id", threshold = 5,
+            targetBytes = 4L * 1024 * 1024))
+        val outFiles2 = new java.io.File(seenDir).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        println(s"""{"note":"seen_compact_tail","out_files":$outFiles2,"scale_x":$n}""")
       }
       // round-14: the idempotence gate's per-trigger cost under a 10x
       // id history — SeenTable.novelIds (one column-pruned scan, both

@@ -16,14 +16,15 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * every trigger — after 10k unattended batches that is 10k file opens
   * per trigger, a fan-in decay no single batch ever notices.
   *
-  * Scale shape of the rewrite itself: the consolidated history is
-  * written as `max(1, ceil(bytes / targetBytes))` HASH-BUCKETED files
-  * (`repartition(n, id)`), never `coalesce(1)` — at 10^9–10^10
-  * historical ids a single-file rewrite funnels tens of GB through one
-  * task every time the threshold trips (a periodic straggler/OOM that
-  * grows with history). The gate's anti-join has set semantics, so
-  * multi-file output costs it nothing; bucketing by the id keeps the
-  * file set balanced for the re-read.
+  * Scale shape of the rewrite itself: TIERED — only sub-target files
+  * consolidate (full segments are immutable, see [[compact]]), so each
+  * pass pays for the new tail, never the history; and the output is
+  * `max(1, ceil(bytes / targetBytes))` HASH-BUCKETED files
+  * (`repartition(n, id)`), never `coalesce(1)` — a single-file rewrite
+  * funnels the whole tier through one task every time the threshold
+  * trips. The gate's anti-join has set semantics, so multi-file output
+  * costs it nothing; bucketing by the id keeps the file set balanced
+  * for the re-read.
   *
   * Crash safety (the staging discipline of the whole-index rewrites):
   * consolidate into a SIBLING staging dir (never read-and-append the
@@ -88,7 +89,26 @@ object SeenTable {
     * `threshold`. `idCol` is the single id column the table carries
     * (hash-bucket key of the rewrite). No-op when the directory is
     * missing, under threshold, or already as few files as the data
-    * volume supports. */
+    * volume supports.
+    *
+    * TIERED: only files under `targetBytes / 2` (per-batch appends and
+    * not-yet-full segments) are consolidated; a segment that reached
+    * half target is NEVER rewritten (half, because a volume-split
+    * rewrite emits files between target/2 and target — a boundary at
+    * the full target would freeze nothing). Without the tier split,
+    * every threshold trip rewrote the WHOLE history — O(history) work
+    * every ~threshold batches, quadratic over a stream's lifetime.
+    * With it, each pass pays only for the small tail; an id is
+    * rewritten ~targetBytes / (2 * threshold * batchBytes) times
+    * before its segment freezes (about once for MB-scale trigger
+    * batches — size `targetBytes` down if triggers are tiny), and the
+    * fan-in bound still holds: frozen segments are at most
+    * 2 * bytes / target many — volume-bound, the floor no rewrite can
+    * beat. Cross-segment duplicate ids can survive (a frozen segment
+    * is immutable); the gate's anti-join has set semantics, so
+    * duplicates cost storage only — and [[novelIds]] keeps redelivered
+    * ids from ever being appended, so they arise only from crash
+    * windows. */
   def compact(spark: SparkSession, seenDir: String, idCol: String,
               threshold: Int,
               targetBytes: Long = DefaultTargetBytes): Unit = {
@@ -97,25 +117,25 @@ object SeenTable {
     val p = new Path(seenDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    val files = fs.listStatus(p)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    if (files.length <= threshold) return
-    // Output file count from the DATA VOLUME, not from the input file
-    // count: per-batch appends are tiny, so a young history compacts to
-    // one file (the sandbox case), while a 10^10-id history fans out to
-    // bytes/target writers. Input bytes upper-bound the distinct output,
-    // which only makes files smaller than target — the safe direction.
-    val totalBytes = files.map(_.getLen).sum
+    val small = fs.listStatus(p)
+      .filter(f => f.getPath.getName.endsWith(".parquet") &&
+        f.getLen < targetBytes / 2)
+    if (small.length <= threshold) return
+    // Output file count from the small tier's DATA VOLUME, not its file
+    // count: a young history compacts to one file (the sandbox case), a
+    // bulk arrival fans out to bytes/target writers. Input bytes
+    // upper-bound the distinct output, which only makes files smaller
+    // than target — the safe direction.
+    val totalBytes = small.map(_.getLen).sum
     val nOut = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
-    // When the data genuinely needs as many files as are present, a
-    // rewrite cannot shrink the fan-in — the count is volume-bound, not
-    // append-fragmentation, and rewriting would churn the whole history
-    // every batch for nothing.
-    if (nOut >= files.length) return
+    // When the small tier genuinely needs as many files as it has, a
+    // rewrite cannot shrink the fan-in — churn for nothing.
+    if (nOut >= small.length) return
     val tmp = new Path(seenDir + "_compact")
     fs.delete(tmp, true) // reclaim an orphan from a crashed pass
-    spark.read.parquet(seenDir).distinct()
+    spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+      .distinct()
       .repartition(nOut, col(idCol))
       .write.parquet(tmp.toString)
     fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
@@ -123,7 +143,7 @@ object SeenTable {
         fs.rename(f.getPath, new Path(p,
           s"compacted-${java.util.UUID.randomUUID.toString.take(8)}-$i.parquet"))
       }
-    files.foreach(f => fs.delete(f.getPath, false))
+    small.foreach(f => fs.delete(f.getPath, false))
     fs.delete(tmp, true)
   }
 }

@@ -69,7 +69,12 @@ object IndexStreamMaintain {
     try {
       if (novel.isEmpty) return
       TextSearch.appendToInvertedIndex(novel, indexDir, nBuckets = nBuckets)
-      novel.select(col("doc_id")).write.mode("append").parquet(seenDir)
+      // one id file per batch (batch-sized coalesce — the fan-in
+      // arithmetic the SeenTable threshold assumes; without it the
+      // anti-join's shuffle-partition count writes ~32 shards of a
+      // few KB each per trigger)
+      novel.select(col("doc_id")).coalesce(1)
+        .write.mode("append").parquet(seenDir)
       graft.ops.SeenTable.compact(spark, seenDir, "doc_id", seenCompactOver)
       compactOver.foreach { threshold =>
         val over = bucketsOverThreshold(indexDir, threshold)

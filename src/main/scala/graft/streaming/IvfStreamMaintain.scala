@@ -102,7 +102,10 @@ object IvfStreamMaintain {
       if (!novel.isEmpty) {
         Similarity.appendToIvfIndex(novel, indexDir,
           compactOver = compactOver)
-        novel.select(col("vec_id")).write.mode("append").parquet(seenDir)
+        // one id file per batch (batch-sized coalesce — the fan-in
+        // arithmetic the SeenTable threshold assumes)
+        novel.select(col("vec_id")).coalesce(1)
+          .write.mode("append").parquet(seenDir)
         graft.ops.SeenTable.compact(spark, seenDir, "vec_id",
           seenCompactOver)
       }

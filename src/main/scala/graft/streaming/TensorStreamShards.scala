@@ -101,7 +101,12 @@ object TensorStreamShards {
         graft.sources.TfRecord.writeExamples(bins, s"$outDir/shards",
           Seq("bin_id", "token_ids", "loss_mask", "seg_starts",
             "seg_lens"), Seq.empty)
-        novel.select(col("doc_id")).write.mode("append").parquet(seenDir)
+        // one id file per batch (batch-sized coalesce — the fan-in
+        // arithmetic the SeenTable threshold assumes; without it the
+        // anti-join's shuffle-partition count writes ~32 shards of a
+        // few KB each per trigger)
+        novel.select(col("doc_id")).coalesce(1)
+          .write.mode("append").parquet(seenDir)
         // bounded docs_seen fan-in — the shared stream-maintainer
         // discipline ([[graft.ops.SeenTable]]): without it an
         // unattended stream pays one file open per historical batch

@@ -88,6 +88,38 @@ class SeenTableSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).distinct().count() == 8000)
   }
 
+  test("tiered compaction: frozen segments are immutable — each pass " +
+    "pays for the small tail, never the history") {
+    val dir = TestSpark.tmpDir("seen_tiered")
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val target = 8000L // small tier = files under 4 KB
+    val frozenSeen = scala.collection.mutable.Set[String]()
+    (0 until 30).foreach { b =>
+      // ~2.4 KB of incompressible ids per wave (hashes don't
+      // delta-compress away, so file sizes track id counts)
+      spark.range(200).select(
+        xxhash64(col("id") + lit(b * 1000000L)).as("doc_id"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      SeenTable.compact(spark, dir, "doc_id", threshold = 2,
+        targetBytes = target)
+      val now = parquetFiles(dir)
+      // every segment that ever crossed the freeze line must still be
+      // present, byte-identical in name — compaction may never touch it
+      val fullNow = now.filter(_.length() >= target / 2).map(_.getName).toSet
+      frozenSeen.foreach { n =>
+        assert(now.exists(_.getName == n),
+          s"wave $b rewrote frozen segment $n — history churn")
+      }
+      frozenSeen ++= fullNow
+    }
+    assert(frozenSeen.size >= 3,
+      s"fixture never froze segments (${frozenSeen.size}) — tier untested")
+    // the id set survives the whole tiered lifecycle
+    assert(spark.read.parquet(dir).distinct().count() == 6000)
+    // and fan-in stays volume-bound: frozen segments + a small tail
+    assert(parquetFiles(dir).length <= frozenSeen.size + 3)
+  }
+
   test("no-op guards: under threshold, missing dir, and a file count the " +
     "data volume already requires") {
     val dir = TestSpark.tmpDir("seen_noop")
