@@ -324,6 +324,45 @@ class TensorShardsSpec extends AnyFunSuite {
       graft.ops.CacheRegistry.releaseAll()
       assert(got == want, s"seed $seed capacity $capacity eos $eosId")
 
+      // the single-turn packed shape under the SAME replay: loss 0 on
+      // a random prompt prefix, 1 after (EOS always 1) — binTensors
+      // shares the packing arithmetic, so the replay only swaps the
+      // mask rule
+      val promptByDoc: Map[Long, Long] = docTurns.map { case (d, _, total) =>
+        d -> (rnd.nextInt(total.toInt + 1)).toLong
+      }.toMap
+      val spansDf1 = docTurns.map { case (d, _, total) =>
+        (d, promptByDoc(d), total)
+      }.toDF("doc_id", "prompt_pieces", "n_pieces")
+      var cum1 = 0L
+      val expected1 = scala.collection.mutable.LinkedHashMap[Long,
+        scala.collection.mutable.ArrayBuffer[(Long, Seq[Long], Seq[Long], Long)]]()
+      docTurns.sortBy(_._1).foreach { case (docId, _, total) =>
+        val segLen = total + (if (eosId.isDefined) 1L else 0L)
+        val bin = cum1 / capacity
+        val toks = tokensByDoc(docId) ++ eosId.toSeq
+        val loss = (0L until segLen).map { p =>
+          val isEos = eosId.isDefined && p == segLen - 1
+          if (p >= promptByDoc(docId) || isEos) 1L else 0L
+        }
+        expected1.getOrElseUpdate(bin,
+          scala.collection.mutable.ArrayBuffer()) +=
+          ((docId, toks, loss, cum1 % capacity))
+        cum1 += segLen
+      }
+      val want1 = expected1.map { case (bin, ds) =>
+        (bin, ds.flatMap(_._2).toSeq, ds.flatMap(_._3).toSeq,
+          ds.map(_._4).toSeq, ds.map(d => d._2.size.toLong).toSeq)
+      }.toSeq.sortBy(_._1)
+      val got1 = TensorShards.binTensors(idsDf, spansDf1,
+          capacity.toLong, eosId = eosId)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq,
+          r.getSeq[Long](2).toSeq, r.getSeq[Long](3).toSeq,
+          r.getSeq[Long](4).toSeq)).toSeq
+      graft.ops.CacheRegistry.releaseAll()
+      assert(got1 == want1, s"seed $seed binTensors capacity $capacity")
+
       // padded variant: truncation at maxLen clips attention AND loss
       // (a span cut mid-turn keeps only its surviving prefix)
       val maxLen = 8 + rnd.nextInt(57)
