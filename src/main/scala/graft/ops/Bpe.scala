@@ -117,15 +117,34 @@ object Bpe {
     merges.toList
   }
 
+  /** The ONE tokenized view of a corpus every Bpe stage derives from:
+    * (doc_id, pos, w) — lowercased whitespace tokens with their word
+    * position, persisted (CacheRegistry). A composed chain
+    * (train -> vocab -> encode -> mask spans) calls this once per
+    * stage, but the plans canonicalize EQUAL, so Spark's cache manager
+    * serves every stage from the first materialization — the corpus is
+    * tokenized once per entry instead of once per stage (r14
+    * measurement: the tokenize projection was the plurality of the
+    * BPE-chain entries' cpu, paid 3x). Callers release via the
+    * CacheRegistry contract after their terminal action. */
+  private def toksDf(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(
+          lower(col(textCol)))))
+      .toDF("doc_id", "pos", "w")
+      .transform(CacheRegistry.persist)
+
   /** Distributed word counts -> bounded driver collect -> exact greedy
     * training. `maxWords` caps driver memory (most-frequent-first with
-    * a word tiebreak, so the cap is deterministic). */
+    * a word tiebreak, so the cap is deterministic). Word counts read
+    * the shared [[toksDf]] frame, so a chain that goes on to encode
+    * the same corpus tokenizes it once, not per stage. */
   def trainMerges(df: DataFrame, textCol: String = "text",
                   nMerges: Int = 50,
-                  maxWords: Int = 1 << 20): List[(String, String)] = {
-    val wc = df.select(
-        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
-          .as("w"))
+                  maxWords: Int = 1 << 20,
+                  idCol: String = "doc_id"): List[(String, String)] = {
+    val wc = toksDf(df, idCol, textCol)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -158,10 +177,7 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val rank = merges.zipWithIndex.toMap
-    val toks = df.select(col(idCol).as("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
-          .as("w"))
-      .transform(CacheRegistry.persist)
+    val toks = toksDf(df, idCol, textCol)
     val vocabPieces = toks.select(col("w")).distinct().as[String]
       .mapPartitions { it =>
         it.map(w => (w, encodeWord(w, rank).size.toLong))
@@ -180,13 +196,13 @@ object Bpe {
     * standard BPE vocab construction (chars first, merges after),
     * replayable exactly by the DuckDB oracle. The result is bounded
     * (|charset| + nMerges) and collected driver-side like the merge
-    * table itself; the distinct-char extraction is one distributed
-    * projection + tiny distinct. */
+    * table itself; the distinct-char extraction reads the shared
+    * [[toksDf]] frame (tiny distinct over cached tokens, no second
+    * corpus pass when the chain also trains/encodes). */
   def vocab(df: DataFrame, merges: List[(String, String)],
-            textCol: String = "text"): List[String] = {
-    val chars = df.select(
-        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
-          .as("w"))
+            textCol: String = "text",
+            idCol: String = "doc_id"): List[String] = {
+    val chars = toksDf(df, idCol, textCol)
       .select(explode(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
         .as("c"))
@@ -257,11 +273,7 @@ object Bpe {
     import spark.implicits._
     val rank = merges.zipWithIndex.toMap
     val ids = syms.zipWithIndex.toMap
-    val toks = df.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.TextFunctions.tokens(
-          lower(col(textCol)))))
-      .toDF("doc_id", "pos", "w")
-      .transform(CacheRegistry.persist)
+    val toks = toksDf(df, idCol, textCol)
     val wordIds = toks.select(col("w")).distinct().as[String]
       .mapPartitions { it =>
         it.map(w => (w, encodeWord(w, rank).map(ids.getOrElse(_, -1)).toArray))
@@ -321,11 +333,7 @@ object Bpe {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val rank = merges.zipWithIndex.toMap
-    val toks = df.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.TextFunctions.tokens(
-          lower(col(textCol)))))
-      .toDF("doc_id", "pos", "w")
-      .transform(CacheRegistry.persist)
+    val toks = toksDf(df, idCol, textCol)
     val vocabPieces = toks.select(col("w")).distinct().as[String]
       .mapPartitions { it =>
         it.map(w => (w, encodeWord(w, rank).size.toLong))
@@ -373,11 +381,7 @@ object Bpe {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val rank = merges.zipWithIndex.toMap
-    val toks = df.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.TextFunctions.tokens(
-          lower(col(textCol)))))
-      .toDF("doc_id", "pos", "w")
-      .transform(CacheRegistry.persist)
+    val toks = toksDf(df, idCol, textCol)
     val vocabPieces = toks.select(col("w")).distinct().as[String]
       .mapPartitions { it =>
         it.map(w => (w, encodeWord(w, rank).size.toLong))

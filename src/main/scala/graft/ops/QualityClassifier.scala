@@ -91,18 +91,26 @@ object QualityClassifier {
         // gradient component becomes an exact integer sum, order-free
         val resid = feats.select(col("features"),
           round((p - col("y")) * lit(1e6)).cast("long").as("r"))
-        // one cached pass feeds both the bias gradient (per-doc resid
-        // sum) and the per-bucket gradient (explode + partial agg)
-        resid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val gBias = resid.agg(sum(col("r"))).head().getLong(0)
+        // ONE job per epoch: the bias gradient rides the same
+        // explode + partial-agg as the per-bucket gradients through a
+        // synthetic bias bucket (-1, weight 1) appended to every doc's
+        // features — sum(r * 1) == sum(r) exactly (integer micro
+        // units), and empty-feature docs still contribute their bias
+        // row. Folding the two actions halves the per-epoch driver
+        // round-trips and removes the residual persist/unpersist pair
+        // (the epoch loop is wall-bound on job latency, not cpu).
         val gradRows = resid
-          .select(col("r"), explode(col("features")).as("f"))
+          .select(col("r"), explode(concat(col("features"),
+            array(struct(lit(-1).cast("int").as("bucket"),
+              lit(1L).as("weight"))))).as("f"))
           .groupBy(col("f.bucket").as("bucket"))
           .agg(sum(col("r") * col("f.weight")).as("g"))
           .collect()
-        resid.unpersist()
+        var gBias = 0L
         gradRows.foreach { row =>
-          w(row.getInt(0)) -= math.rint(lr * row.getLong(1) / n).toLong
+          val b = row.getInt(0)
+          if (b < 0) gBias = row.getLong(1)
+          else w(b) -= math.rint(lr * row.getLong(1) / n).toLong
         }
         bias -= math.rint(lr * gBias / n).toLong
         epoch += 1

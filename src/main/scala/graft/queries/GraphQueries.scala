@@ -99,7 +99,11 @@ object GraphQueries {
     * crawl-delay, PageRank authority — through [[Frontier.build]]. */
   private def frontierDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+    // links feeds BOTH the pagerank edge table and the candidate URL
+    // set — persist once (CacheRegistry contract) or the regexp-heavy
+    // extract chain runs twice per action (r14 measurement)
+    val links = graft.ops.CacheRegistry.persist(
+      LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html"))
     val ranks = LinkGraph.pageRank(
       LinkGraph.hostEdges(links, "url", "dst_url"),
       iters = 3, dampingPct = 85)
@@ -139,7 +143,15 @@ object GraphQueries {
     // archive hosts = the dangling mass), hash-exact vs 3 unrolled
     // oracle iterations.
     "host_pagerank" -> { (s, d) =>
-      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+      // persist the extract: a bare links frame lets CollapseProject
+      // inline the canonicalize(resolveHref(...)) tree into the host
+      // projection — the fused distinct stage then re-evaluates the
+      // regex subtrees per reference AND passes Janino's 64 KB method
+      // limit (whole-stage codegen silently falls back to interpreted;
+      // observed in the r14 plan dumps). The cache boundary keeps the
+      // staged extract projections codegen-sized and single-evaluation.
+      val links = graft.ops.CacheRegistry.persist(
+        LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html"))
       LinkGraph.pageRank(LinkGraph.hostEdges(links, "url", "dst_url"),
         iters = 3, dampingPct = 85)
     },
@@ -149,7 +161,9 @@ object GraphQueries {
     // oracle. The archive hosts are pure authorities (hub 0); site
     // hosts score on both axes.
     "host_hits" -> { (s, d) =>
-      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+      // persisted for the same codegen-size reason as host_pagerank
+      val links = graft.ops.CacheRegistry.persist(
+        LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html"))
       LinkGraph.hits(LinkGraph.hostEdges(links, "url", "dst_url"),
         iters = 2)
     },
@@ -184,7 +198,9 @@ object GraphQueries {
     // hash-exact vs 3 unrolled oracle iterations.
     "host_trustrank" -> { (s, d) =>
       import s.implicits._
-      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+      // persisted for the same codegen-size reason as host_pagerank
+      val links = graft.ops.CacheRegistry.persist(
+        LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html"))
       val seeds = (0 until 5).map(i => s"site$i.example.com").toDF("host")
       LinkGraph.trustRank(LinkGraph.hostEdges(links, "url", "dst_url"),
         seeds, iters = 3, dampingPct = 85)
@@ -196,7 +212,9 @@ object GraphQueries {
     // within 3 hops carry NULL.
     "host_distance" -> { (s, d) =>
       import s.implicits._
-      val links = LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html")
+      // persisted for the same codegen-size reason as host_pagerank
+      val links = graft.ops.CacheRegistry.persist(
+        LinkGraph.extractLinks(pages(s, d), "doc_id", "url", "html"))
       val seeds = Seq("site0.example.com", "site1.example.com",
         "offgraph.example.org").toDF("host")
       LinkGraph.hopDistance(LinkGraph.hostEdges(links, "url", "dst_url"),
