@@ -178,4 +178,27 @@ class BpeSpec extends AnyFunSuite {
     // doc 3: prompt = "one." only
     assert(out(3L)._1 == 1L && out(3L)._2 == pieces("one."))
   }
+
+  test("composed chain tokenizes the corpus ONCE: train + vocab + encode " +
+    "share a single materialized token frame (r14 shared toksDf)") {
+    CacheRegistry.releaseAll()
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "newest widest")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, nMerges = 3)
+    val syms = Bpe.vocab(docs, merges)
+    val ids = Bpe.encodeIds(docs, merges, syms)
+    assert(ids.count() > 0)
+    // train/vocab/encode each persist the same canonical plan — the
+    // cache manager must serve all three from ONE materialized RDD
+    val bpeCached = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.toString.contains("Bpe.scala"))
+    assert(bpeCached.size == 1,
+      s"expected one shared token cache, got: $bpeCached")
+    CacheRegistry.releaseAll()
+    val lingering = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.toString.contains("Bpe.scala"))
+    assert(lingering.isEmpty,
+      s"the shared token persist must be registry-released: $lingering")
+  }
 }
