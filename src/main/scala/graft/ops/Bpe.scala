@@ -119,32 +119,57 @@ object Bpe {
 
   /** The ONE tokenized view of a corpus every Bpe stage derives from:
     * (doc_id, pos, w) — lowercased whitespace tokens with their word
-    * position, persisted (CacheRegistry). A composed chain
-    * (train -> vocab -> encode -> mask spans) calls this once per
-    * stage, but the plans canonicalize EQUAL, so Spark's cache manager
-    * serves every stage from the first materialization — the corpus is
-    * tokenized once per entry instead of once per stage (r14
-    * measurement: the tokenize projection was the plurality of the
-    * BPE-chain entries' cpu, paid 3x). Callers release via the
-    * CacheRegistry contract after their terminal action. */
+    * position. With `share = true` the frame is persisted
+    * (CacheRegistry): a composed chain (train -> vocab -> encode ->
+    * mask spans) calls this once per stage, but the plans canonicalize
+    * EQUAL, so Spark's cache manager serves every stage from the first
+    * materialization — the corpus is tokenized once per entry instead
+    * of once per stage (r14 measurement: the tokenize projection was
+    * the plurality of the BPE-chain entries' cpu, paid 3x). With
+    * `share = false` the plan is returned bare — and STILL rides a
+    * cache another stage of the same chain materialized (CacheManager
+    * substitutes canonically-equal cached subtrees whether or not this
+    * plan called persist), so only the FIRST stage of a chain needs to
+    * share. Callers of persisting stages release via the CacheRegistry
+    * contract after their terminal action.
+    *
+    * `idCol` need not exist for train/vocab (they are doc-identity-
+    * free): a missing column gets a synthesized id. Encode/span stages
+    * DO require it — their output is keyed by it. */
   private def toksDf(df: DataFrame, idCol: String,
-                     textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+                     textCol: String, share: Boolean = true): DataFrame = {
+    val id = if (df.columns.contains(idCol)) col(idCol)
+             else monotonically_increasing_id()
+    val t = df.select(id.as("doc_id"),
         posexplode(graft.functions.TextFunctions.tokens(
           lower(col(textCol)))))
       .toDF("doc_id", "pos", "w")
-      .transform(CacheRegistry.persist)
+    if (share) t.transform(CacheRegistry.persist) else t
+  }
 
   /** Distributed word counts -> bounded driver collect -> exact greedy
     * training. `maxWords` caps driver memory (most-frequent-first with
-    * a word tiebreak, so the cap is deterministic). Word counts read
-    * the shared [[toksDf]] frame, so a chain that goes on to encode
-    * the same corpus tokenizes it once, not per stage. */
+    * a word tiebreak, so the cap is deterministic).
+    *
+    * `shareTokens`: pass TRUE when this call is the first stage of a
+    * composed chain over the SAME df (vocab / encodeIds / mask spans
+    * follow) — the word-count scan then materializes the shared
+    * [[toksDf]] cache every later stage reads, so the corpus tokenizes
+    * once per chain, not per stage. The default is FALSE: a standalone
+    * train (the saveTokenizer "train once and freeze" production path)
+    * is a single word-count aggregation — one partial-agg shuffle, NO
+    * corpus-sized cache write as a side effect (r14 ADVICE: the
+    * unconditional persist made one-shot training materialize the full
+    * exploded token frame for nothing). `idCol` is optional here —
+    * training is doc-identity-free; a frame without it gets a
+    * synthesized id (but then cannot seed a shared chain cache, since
+    * later stages key on the real column). */
   def trainMerges(df: DataFrame, textCol: String = "text",
                   nMerges: Int = 50,
                   maxWords: Int = 1 << 20,
-                  idCol: String = "doc_id"): List[(String, String)] = {
-    val wc = toksDf(df, idCol, textCol)
+                  idCol: String = "doc_id",
+                  shareTokens: Boolean = false): List[(String, String)] = {
+    val wc = toksDf(df, idCol, textCol, share = shareTokens)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -196,13 +221,16 @@ object Bpe {
     * standard BPE vocab construction (chars first, merges after),
     * replayable exactly by the DuckDB oracle. The result is bounded
     * (|charset| + nMerges) and collected driver-side like the merge
-    * table itself; the distinct-char extraction reads the shared
-    * [[toksDf]] frame (tiny distinct over cached tokens, no second
-    * corpus pass when the chain also trains/encodes). */
+    * table itself. The distinct-char extraction builds the [[toksDf]]
+    * plan WITHOUT persisting: standalone it is one streaming pass (no
+    * corpus-sized cache as a side effect — the r14 ADVICE item), and
+    * inside a chain whose trainMerges passed `shareTokens = true` the
+    * CacheManager serves it from the already-materialized token cache
+    * anyway (canonical plan equality — no second corpus pass). */
   def vocab(df: DataFrame, merges: List[(String, String)],
             textCol: String = "text",
             idCol: String = "doc_id"): List[String] = {
-    val chars = toksDf(df, idCol, textCol)
+    val chars = toksDf(df, idCol, textCol, share = false)
       .select(explode(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
         .as("c"))

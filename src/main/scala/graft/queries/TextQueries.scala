@@ -785,7 +785,7 @@ object TextQueries {
     // recursive CTE — BpeOracle.pieceCountsSql)
     "bpe_piece_counts" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20))
+      Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20, shareTokens = true))
     },
 
     // tokenizer-eval report: FERTILITY (pieces per word) and
@@ -795,7 +795,7 @@ object TextQueries {
     // partial agg on top.
     "tokenizer_fertility" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pc = Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20))
+      val pc = Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20, shareTokens = true))
       pc.join(docs.select(col("doc_id"), col("source"),
           length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
             .cast("long").as("n_norm_chars")), "doc_id")
@@ -814,7 +814,7 @@ object TextQueries {
     // order, then merge symbols in rank order, first occurrence wins
     "bpe_vocab" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      Bpe.vocabDf(s, Bpe.vocab(docs, Bpe.trainMerges(docs, nMerges = 20)))
+      Bpe.vocabDf(s, Bpe.vocab(docs, Bpe.trainMerges(docs, nMerges = 20, shareTokens = true)))
     },
 
     // documents as token-ID sequences under the trained tokenizer —
@@ -824,7 +824,7 @@ object TextQueries {
     // hash.
     "bpe_encode_ids" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val merges = Bpe.trainMerges(docs, nMerges = 20)
+      val merges = Bpe.trainMerges(docs, nMerges = 20, shareTokens = true)
       Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
     },
 
@@ -838,7 +838,7 @@ object TextQueries {
         val r = java.nio.file.Files
           .createTempDirectory("graft_tokenizer").toString
         val docs = Tables.documents(s, d)
-        val merges = Bpe.trainMerges(docs, nMerges = 20)
+        val merges = Bpe.trainMerges(docs, nMerges = 20, shareTokens = true)
         Bpe.saveTokenizer(s, r, merges, Bpe.vocab(docs, merges))
         r
       })
@@ -851,7 +851,7 @@ object TextQueries {
     // the bpe_encode_ids tensor
     "sft_mask_spans" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      Bpe.promptMaskSpans(docs, Bpe.trainMerges(docs, nMerges = 20))
+      Bpe.promptMaskSpans(docs, Bpe.trainMerges(docs, nMerges = 20, shareTokens = true))
     },
 
     // per-example PADDED SFT batches (the HF-collator shape, vs the
@@ -861,7 +861,7 @@ object TextQueries {
     // tensors are in the hash.
     "sft_padded_batches" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val merges = Bpe.trainMerges(docs, nMerges = 20)
+      val merges = Bpe.trainMerges(docs, nMerges = 20, shareTokens = true)
       val syms = Bpe.vocab(docs, merges)
       val ids = Bpe.encodeIds(docs, merges, syms)
       val spans = Bpe.promptMaskSpans(docs, merges)
@@ -888,7 +888,7 @@ object TextQueries {
           col("text"),
           lit(" <user> again please <assistant> sure thing done"))
           .as("text"))
-      val merges = Bpe.trainMerges(convo, nMerges = 20)
+      val merges = Bpe.trainMerges(convo, nMerges = 20, shareTokens = true)
       val syms = Bpe.vocab(convo, merges)
       val ids = Bpe.encodeIds(convo, merges, syms)
       val spans = Bpe.turnMaskSpans(convo, merges)
@@ -908,7 +908,7 @@ object TextQueries {
     // fidelity contract the Bpe Scaladoc pins.
     "bpe_decode_ids" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val merges = Bpe.trainMerges(docs, nMerges = 20)
+      val merges = Bpe.trainMerges(docs, nMerges = 20, shareTokens = true)
       val syms = Bpe.vocab(docs, merges)
       Bpe.decodeIds(Bpe.encodeIds(docs, merges, syms), syms)
     },
@@ -925,7 +925,7 @@ object TextQueries {
         val r = java.nio.file.Files
           .createTempDirectory("graft_trainshard").toString
         val docs = Tables.documents(s, d)
-        val merges = Bpe.trainMerges(docs, nMerges = 20)
+        val merges = Bpe.trainMerges(docs, nMerges = 20, shareTokens = true)
         val ids = Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
         val spans = Bpe.promptMaskSpans(docs, merges)
         val bins = graft.ops.TensorShards.binTensors(ids, spans,
@@ -954,7 +954,7 @@ object TextQueries {
         val r = java.nio.file.Files
           .createTempDirectory("graft_manishard").toString
         val docs = Tables.documents(s, d)
-        val merges = Bpe.trainMerges(docs, nMerges = 20)
+        val merges = Bpe.trainMerges(docs, nMerges = 20, shareTokens = true)
         val ids = Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
         val spans = Bpe.promptMaskSpans(docs, merges)
         val bins = graft.ops.TensorShards.binTensors(ids, spans,
@@ -994,7 +994,7 @@ object TextQueries {
           col("text"),
           lit(" <user> again please <assistant> sure thing done"))
           .as("text"))
-      val merges = Bpe.trainMerges(convo, nMerges = 20)
+      val merges = Bpe.trainMerges(convo, nMerges = 20, shareTokens = true)
       val syms = Bpe.vocab(convo, merges)
       val ids = Bpe.encodeIds(convo, merges, syms)
       val spans = Bpe.turnMaskSpans(convo, merges)
@@ -1016,7 +1016,7 @@ object TextQueries {
         val r = java.nio.file.Files
           .createTempDirectory("graft_trainshard_eos").toString
         val docs = Tables.documents(s, d)
-        val merges = Bpe.trainMerges(docs, nMerges = 20)
+        val merges = Bpe.trainMerges(docs, nMerges = 20, shareTokens = true)
         val syms = Bpe.vocab(docs, merges)
         val ids = Bpe.encodeIds(docs, merges, syms)
         val spans = Bpe.promptMaskSpans(docs, merges)
@@ -1047,7 +1047,7 @@ object TextQueries {
         val r = java.nio.file.Files
           .createTempDirectory("graft_curtensor").toString
         val docs = Tables.documents(s, d)
-        val merges = Bpe.trainMerges(docs, nMerges = 20)
+        val merges = Bpe.trainMerges(docs, nMerges = 20, shareTokens = true)
         val ids = Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
         val spans = Bpe.promptMaskSpans(docs, merges)
         val bins = graft.ops.CacheRegistry.persist(
@@ -1275,7 +1275,7 @@ object TextQueries {
         val r = java.nio.file.Files.createTempDirectory("graft_bpepack")
           .toString
         val docs = Tables.documents(s, d)
-        val pieces = Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20))
+        val pieces = Bpe.pieceCounts(docs, Bpe.trainMerges(docs, nMerges = 20, shareTokens = true))
           .select(col("doc_id"), col("n_pieces"))
         val bins = Packing.packChunked(pieces, "doc_id", "n_pieces",
             capacity = 512)

@@ -181,24 +181,53 @@ class BpeSpec extends AnyFunSuite {
 
   test("composed chain tokenizes the corpus ONCE: train + vocab + encode " +
     "share a single materialized token frame (r14 shared toksDf)") {
-    CacheRegistry.releaseAll()
+    // Scoped, delta-based form (r15): the suite context is SHARED with
+    // concurrently-running suites that also run Bpe ops, so a global
+    // releaseAll + exact global count is both destructive (it would
+    // unpersist a concurrent suite's tracked caches mid-run) and flaky
+    // (the global count can exceed 1). Snapshot the Bpe-cached RDD ids,
+    // assert on the NEW ids this chain created, and release only what
+    // the scope registered.
+    def bpeCachedIds: Set[Int] = spark.sparkContext.getPersistentRDDs
+      .filter(_._2.toString.contains("Bpe.scala")).keySet.toSet
     val docs = Seq(
       (1L, "low low lower"),
       (2L, "newest widest")).toDF("doc_id", "text")
+    val before = bpeCachedIds
+    CacheRegistry.scoped {
+      val merges = Bpe.trainMerges(docs, nMerges = 3, shareTokens = true)
+      val syms = Bpe.vocab(docs, merges)
+      val ids = Bpe.encodeIds(docs, merges, syms)
+      assert(ids.count() > 0)
+      // train (shareTokens) persists; vocab/encode build the same
+      // canonical plan — the cache manager must serve all three from
+      // ONE materialized RDD (no second Bpe cache appears)
+      val delta = bpeCachedIds -- before
+      assert(delta.size == 1,
+        s"expected one NEW shared token cache, got ids: $delta")
+    }
+    val lingering = bpeCachedIds -- before
+    assert(lingering.isEmpty,
+      s"scoped release must drop the chain's token cache: $lingering")
+  }
+
+  test("standalone trainMerges/vocab run cache-free: one-shot training " +
+    "must not materialize a corpus-sized token frame (r15)") {
+    def bpeCachedIds: Set[Int] = spark.sparkContext.getPersistentRDDs
+      .filter(_._2.toString.contains("Bpe.scala")).keySet.toSet
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "newest widest")).toDF("doc_id", "text")
+    val before = bpeCachedIds
     val merges = Bpe.trainMerges(docs, nMerges = 3)
     val syms = Bpe.vocab(docs, merges)
-    val ids = Bpe.encodeIds(docs, merges, syms)
-    assert(ids.count() > 0)
-    // train/vocab/encode each persist the same canonical plan — the
-    // cache manager must serve all three from ONE materialized RDD
-    val bpeCached = spark.sparkContext.getPersistentRDDs.values
-      .filter(_.toString.contains("Bpe.scala"))
-    assert(bpeCached.size == 1,
-      s"expected one shared token cache, got: $bpeCached")
-    CacheRegistry.releaseAll()
-    val lingering = spark.sparkContext.getPersistentRDDs.values
-      .filter(_.toString.contains("Bpe.scala"))
-    assert(lingering.isEmpty,
-      s"the shared token persist must be registry-released: $lingering")
+    assert(merges.nonEmpty && syms.nonEmpty)
+    assert((bpeCachedIds -- before).isEmpty,
+      "standalone train/vocab must not persist the token frame")
+    // doc-identity-free: a frame WITHOUT idCol trains/vocabs fine
+    // (the id is synthesized; r14 ADVICE flagged the silent tightening)
+    val bare = Seq("low low lower", "newest widest").toDF("text")
+    assert(Bpe.trainMerges(bare, nMerges = 3) == merges)
+    assert(Bpe.vocab(bare, merges) == syms)
   }
 }
