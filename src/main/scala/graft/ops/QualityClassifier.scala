@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *    array row per doc and persisted once — epochs re-scan a compact
   *    columnar cache, never the raw text;
   *  - the per-doc margin is an in-plan `aggregate()` over the feature
-  *    array against a broadcast weight-map literal — no shuffle at all;
+  *    array against a dense weight-ARRAY literal (O(1) bucket index per
+  *    feature) — no shuffle at all;
   *  - the gradient is one explode + partial-agg groupBy(bucket): the
   *    shuffle carries at most `dim` rows per partition, independent of
   *    corpus size; the driver holds only the dim-sized weight vector.
@@ -52,21 +53,27 @@ object QualityClassifier {
           .as("features"))
   }
 
-  /** Margin of one feature-array row against a weight-map column, in
-    * micro units (exact integer: micro weight x integer count). */
-  private def dotMicro(wMap: Column): Column =
+  /** Margin of one feature-array row against a weight-vector column, in
+    * micro units (exact integer: micro weight x integer count).
+    *
+    * The weights ship as a DENSE dim-sized ARRAY literal indexed by
+    * bucket (buckets are 0..dim-1 by construction — FeatureHash pmods
+    * into the dim range), so the lookup is an O(1) array index. The
+    * r14 form was a non-zero-entries MAP literal: Catalyst map lookup
+    * is a LINEAR scan of the key array (ArrayBasedMapData has no hash
+    * index), so every feature element paid O(non-zero dim) comparisons
+    * — at dim 1024 and a trained (dense) weight vector, ~1000x the
+    * work per feature of an array index, a constant that scales
+    * straight into the 100 TB score pass. Arithmetic is unchanged
+    * (same integer micro products, zero weights contribute zero), so
+    * training trajectories and scores stay bit-identical. */
+  private def dotMicro(wArr: Column): Column =
     aggregate(col("features"), lit(0L),
       (acc, f) => acc +
-        coalesce(try_element_at(wMap, f.getField("bucket")), lit(0L)) *
-          f.getField("weight"))
+        element_at(wArr, f.getField("bucket") + 1) * f.getField("weight"))
 
-  private def weightMapLit(w: Array[Long]): Column = {
-    val entries = w.iterator.zipWithIndex.filter(_._1 != 0L).flatMap {
-      case (v, b) => Seq(lit(b), lit(v))
-    }.toSeq
-    if (entries.isEmpty) typedLit(Map.empty[Int, Long])
-    else map(entries: _*)
-  }
+  private def weightArrayLit(w: Array[Long]): Column =
+    typedLit(w.toIndexedSeq)
 
   /** Train by full-batch gradient descent: epochs scans of the cached
     * feature frame, each producing an exact dim-sized integer gradient.
@@ -85,7 +92,7 @@ object QualityClassifier {
       var epoch = 0
       while (epoch < epochs) {
         val p = lit(1.0) /
-          (lit(1.0) + exp(-(dotMicro(weightMapLit(w)) / lit(1e6) +
+          (lit(1.0) + exp(-(dotMicro(weightArrayLit(w)) / lit(1e6) +
             lit(bias) / lit(1e6))))
         // micro-snap the residual BEFORE the gradient sum: every
         // gradient component becomes an exact integer sum, order-free
@@ -130,7 +137,7 @@ object QualityClassifier {
     val feats = FeatureHash.hashedTf(docs, idCol, textCol, model.dim)
       .groupBy(col("id"))
       .agg(collect_list(struct(col("bucket"), col("weight"))).as("features"))
-    val margin = dotMicro(weightMapLit(model.weightsMicro)) / lit(1e6) +
+    val margin = dotMicro(weightArrayLit(model.weightsMicro)) / lit(1e6) +
       lit(model.biasMicro) / lit(1e6)
     docs.join(feats.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("features",
